@@ -1,0 +1,102 @@
+package graft.agg
+
+import graft.geom.{GeomOps, Wkb}
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Geometry aggregates (reference `union_all` `base.py:2500-2553`,
+  * `intersection_all` `base.py:2554`, dissolve's per-group union
+  * `geodataframe.py:2309-2316`, `total_bounds` `base.py:5288`).
+  *
+  * Implemented as `Aggregator`s with a buffered WKB list + periodic
+  * compaction: Spark runs them as partial (map-side) + final aggregation, so
+  * a dissolve over 100 TB unions per-partition first — the tree-merge the
+  * reference gets from GEOS CascadedPolygonUnion, distributed.
+  */
+object GeoAggregates {
+
+  case class GeomBuf(items: Seq[Array[Byte]]) {
+    def add(b: Array[Byte]): GeomBuf = compactIfNeeded(GeomBuf(items :+ b))
+    def ++(o: GeomBuf): GeomBuf = compactIfNeeded(GeomBuf(items ++ o.items))
+  }
+  private val CompactAt = 64
+  private def compactIfNeeded(b: GeomBuf): GeomBuf =
+    if (b.items.length < CompactAt) b
+    else GeomBuf(Seq(Wkb.write(GeomOps.unionAll(b.items.map(Wkb.read)))))
+
+  private val bufEnc: Encoder[GeomBuf] = Encoders.product[GeomBuf]
+  private val binEnc: Encoder[Array[Byte]] = Encoders.BINARY
+
+  /** st_union_agg — GEOS UnaryUnion per group, tree-merged across partitions. */
+  class UnionAgg extends Aggregator[Array[Byte], GeomBuf, Array[Byte]] {
+    def zero: GeomBuf = GeomBuf(Nil)
+    def reduce(b: GeomBuf, a: Array[Byte]): GeomBuf = if (a == null) b else b.add(a)
+    def merge(x: GeomBuf, y: GeomBuf): GeomBuf = x ++ y
+    def finish(b: GeomBuf): Array[Byte] =
+      if (b.items.isEmpty) null else Wkb.write(GeomOps.unionAll(b.items.map(Wkb.read)))
+    def bufferEncoder: Encoder[GeomBuf] = bufEnc
+    def outputEncoder: Encoder[Array[Byte]] = binEnc
+  }
+
+  /** st_collect_agg — collect geometries into a Multi-geometry or
+    * GeometryCollection (no dissolve/dedup). */
+  class CollectAgg extends Aggregator[Array[Byte], GeomBuf, Array[Byte]] {
+    def zero: GeomBuf = GeomBuf(Nil)
+    def reduce(b: GeomBuf, a: Array[Byte]): GeomBuf = if (a == null) b else GeomBuf(b.items :+ a)
+    def merge(x: GeomBuf, y: GeomBuf): GeomBuf = GeomBuf(x.items ++ y.items)
+    def finish(b: GeomBuf): Array[Byte] =
+      if (b.items.isEmpty) null else Wkb.write(GeomOps.collect(b.items.map(Wkb.read)))
+    def bufferEncoder: Encoder[GeomBuf] = bufEnc
+    def outputEncoder: Encoder[Array[Byte]] = binEnc
+  }
+
+  /** st_intersection_all_agg — fold of pairwise intersection (ref base.py:2554). */
+  class IntersectionAllAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = null
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      if (a == null) b
+      else if (b == null) a
+      else Wkb.write(GeomOps.intersection(Wkb.read(b), Wkb.read(a)))
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = reduce(x, y)
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: Encoder[Array[Byte]] = binEnc
+    def outputEncoder: Encoder[Array[Byte]] = binEnc
+  }
+
+  case class Bounds4(xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+
+  /** total_bounds (ref base.py:5288) — min/max envelope over a geometry column. */
+  class TotalBoundsAgg extends Aggregator[Array[Byte], Bounds4, Bounds4] {
+    def zero: Bounds4 = Bounds4(Double.PositiveInfinity, Double.PositiveInfinity, Double.NegativeInfinity, Double.NegativeInfinity)
+    def reduce(b: Bounds4, a: Array[Byte]): Bounds4 =
+      if (a == null) b
+      else {
+        val e = Wkb.read(a).getEnvelopeInternal
+        Bounds4(math.min(b.xmin, e.getMinX), math.min(b.ymin, e.getMinY),
+          math.max(b.xmax, e.getMaxX), math.max(b.ymax, e.getMaxY))
+      }
+    def merge(x: Bounds4, y: Bounds4): Bounds4 =
+      Bounds4(math.min(x.xmin, y.xmin), math.min(x.ymin, y.ymin), math.max(x.xmax, y.xmax), math.max(x.ymax, y.ymax))
+    def finish(b: Bounds4): Bounds4 = b
+    def bufferEncoder: Encoder[Bounds4] = Encoders.product[Bounds4]
+    def outputEncoder: Encoder[Bounds4] = Encoders.product[Bounds4]
+  }
+
+  lazy val stUnionAggU = udaf(new UnionAgg())
+  lazy val stCollectAggU = udaf(new CollectAgg())
+  lazy val stIntersectionAllAggU = udaf(new IntersectionAllAgg())
+  lazy val stTotalBoundsAggU = udaf(new TotalBoundsAgg())
+
+  def st_union_agg(g: Column): Column = stUnionAggU(g)
+  def st_collect_agg(g: Column): Column = stCollectAggU(g)
+  def st_intersection_all_agg(g: Column): Column = stIntersectionAllAggU(g)
+  def st_total_bounds_agg(g: Column): Column = stTotalBoundsAggU(g)
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("st_union_agg", stUnionAggU)
+    spark.udf.register("st_collect_agg", stCollectAggU)
+    spark.udf.register("st_intersection_all_agg", stIntersectionAllAggU)
+    spark.udf.register("st_total_bounds_agg", stTotalBoundsAggU)
+  }
+}

@@ -1,0 +1,205 @@
+package graft.api
+
+import graft.agg.GeoAggregates
+import graft.crs.CrsTransform
+import graft.functions.GeoFunctions._
+import graft.join.{Clip, Overlay, SJoinNearest, SpatialJoin}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Spark-native `GeoDataFrame` (reference `geodataframe.py:83`):
+  * a `DataFrame` + the name of the active geometry column + a CRS per
+  * geometry column. Thin and immutable — every method returns a new wrapper
+  * around a new lazy plan; nothing executes until an action.
+  *
+  * Reference semantics preserved: active-geometry concept
+  * (`geodataframe.py:293-302`), `set_crs` vs `to_crs`
+  * (`geoseries.py:1083-1184` / `1185`), `.cx` bbox indexer
+  * (`base.py:6206-6240`), dissolve (`geodataframe.py:2172-2327`).
+  * Documented divergence: no pandas row index, so cross-frame aligned binary
+  * ops are expressed as explicit joins instead (SURVEY §1.1).
+  */
+case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
+                        crs: Map[String, String] = Map.empty) {
+
+  def geometry: Column = col(geometryCol)
+  def activeGeometryName: String = geometryCol
+  def activeCrs: Option[String] = crs.get(geometryCol)
+
+  def setGeometry(name: String): GeoDataFrame = {
+    require(df.columns.contains(name), s"no column $name")
+    copy(geometryCol = name)
+  }
+
+  /** Declare CRS without transforming (ref set_crs, errors if set unless override). */
+  def setCrs(crsName: String, allowOverride: Boolean = false): GeoDataFrame = {
+    if (!allowOverride && crs.contains(geometryCol))
+      throw new IllegalArgumentException(
+        "CRS already set; pass allowOverride=true (ref GeoSeries.set_crs semantics)")
+    copy(crs = crs + (geometryCol -> crsName))
+  }
+
+  /** Reproject coordinates (ref to_crs; no-op when CRS already matches). */
+  def toCrs(target: String): GeoDataFrame = {
+    val from = activeCrs.getOrElse(throw new IllegalArgumentException(
+      "Cannot transform naive geometries: CRS not set (ref to_crs)"))
+    val fromEpsg = CrsTransform.normalize(from)
+    val toEpsg = CrsTransform.normalize(target)
+    if (fromEpsg == toEpsg) this
+    else GeoDataFrame(
+      df.withColumn(geometryCol, st_transform(col(geometryCol), lit(fromEpsg), lit(toEpsg))),
+      geometryCol, crs + (geometryCol -> s"EPSG:$toEpsg"))
+  }
+
+  def estimateUtmCrs(): String = {
+    val b = totalBounds
+    val epsg = CrsTransform.estimateUtmEpsg((b._1 + b._3) / 2, (b._2 + b._4) / 2)
+    s"EPSG:$epsg"
+  }
+
+  // ---- per-row derived columns (GeoSeries properties) ----------------------
+  private def derived(c: Column): DataFrame = df.withColumn(geometryCol, c)
+  def area: DataFrame = df.withColumn("area", st_area(geometry))
+  def length: DataFrame = df.withColumn("length", st_length(geometry))
+  def bounds: DataFrame = df.withColumn("bounds", st_bounds(geometry))
+  def centroid: GeoDataFrame = copy(df = derived(st_centroid(geometry)))
+  def boundary: GeoDataFrame = copy(df = derived(st_boundary(geometry)))
+  def envelope: GeoDataFrame = copy(df = derived(st_envelope(geometry)))
+  def convexHull: GeoDataFrame = copy(df = derived(st_convex_hull(geometry)))
+  def buffer(d: Double): GeoDataFrame = copy(df = derived(st_buffer(geometry, lit(d))))
+  def simplify(tol: Double, preserveTopology: Boolean = true): GeoDataFrame =
+    copy(df = derived(st_simplify(geometry, lit(tol), lit(preserveTopology))))
+  def makeValid: GeoDataFrame = copy(df = derived(st_make_valid(geometry)))
+
+  /** (minx, miny, maxx, maxy) over the whole column (ref base.py:5288). */
+  def totalBounds: (Double, Double, Double, Double) = {
+    val r = df.select(st_bounds(geometry).as("b")).filter(col("b").isNotNull)
+      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax")).head()
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** `.cx[xmin:xmax, ymin:ymax]` — rows whose geometry intersects the bbox
+    * (ref base.py:6206-6240). */
+  def cx(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
+    import graft.geom.{GeomOps, Wkb}
+    copy(df = df.filter(st_intersects(geometry, lit(Wkb.write(GeomOps.makeBox(xmin, ymin, xmax, ymax))))))
+  }
+
+  /** Multi-part → single-part rows (ref explode, geodataframe.py:2330-2440);
+    * adds `part_index` like the reference's index_parts. */
+  def explodeParts(): GeoDataFrame = {
+    val exploded = df
+      .select(col("*"), posexplode(st_parts(geometry)).as(Seq("part_index", "__graft_part")))
+      .withColumn(geometryCol, col("__graft_part")).drop("__graft_part")
+    copy(df = exploded)
+  }
+
+  /** Flatten to one row per vertex (ref get_coordinates, base.py:6242-6343). */
+  def getCoordinates: DataFrame =
+    df.select(col("*"), explode(st_coords(geometry)).as("__c"))
+      .withColumn("x", col("__c.x")).withColumn("y", col("__c.y")).drop("__c", geometryCol)
+
+  /** groupBy + geometric union + data aggregations (ref dissolve,
+    * geodataframe.py:2172-2327). `aggfunc`: column -> first/sum/mean/min/max/
+    * count/collect_list; unspecified non-key columns default to `first`. */
+  def dissolve(by: Seq[String] = Nil, aggfunc: Map[String, String] = Map.empty): GeoDataFrame = {
+    def toAgg(c: String, f: String): Column = f match {
+      case "first"        => first(col(c), ignoreNulls = false).as(c)
+      case "sum"          => sum(col(c)).as(c)
+      case "mean" | "avg" => avg(col(c)).as(c)
+      case "min"          => min(col(c)).as(c)
+      case "max"          => max(col(c)).as(c)
+      case "count"        => org.apache.spark.sql.functions.count(col(c)).as(c)
+      case "collect_list" => collect_list(col(c)).as(c)
+      case other          => expr(s"$other(`$c`)").as(c)
+    }
+    val dataCols = df.columns.filterNot(c => by.contains(c) || c == geometryCol)
+    val aggs = GeoAggregates.st_union_agg(geometry).as(geometryCol) +:
+      dataCols.map(c => toAgg(c, aggfunc.getOrElse(c, "first"))).toSeq
+    val grouped =
+      if (by.isEmpty) df.groupBy(lit(0).as("__graft_g")).agg(aggs.head, aggs.tail: _*).drop("__graft_g")
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    copy(df = grouped)
+  }
+
+  /** Hilbert-curve distance column (ref base.py:6345); also the engine's
+    * spatial shuffle key: `.spatialPartition()` range-partitions on it. */
+  def hilbertDistance(level: Int = 16): DataFrame = {
+    val (x0, y0, x1, y1) = totalBounds
+    df.withColumn("hilbert_distance",
+      st_hilbert(geometry, lit(x0), lit(y0), lit(x1), lit(y1), lit(level)))
+  }
+
+  /** Locality-preserving repartition for downstream spatial ops at scale. */
+  def spatialPartition(numPartitions: Int, level: Int = 12): GeoDataFrame = {
+    val (x0, y0, x1, y1) = totalBounds
+    copy(df = df.repartitionByRange(numPartitions,
+      st_hilbert(geometry, lit(x0), lit(y0), lit(x1), lit(y1), lit(level))))
+  }
+
+  // ---- relational spatial ops ---------------------------------------------
+  def sjoin(other: GeoDataFrame, predicate: String = "intersects", how: String = "inner",
+            lsuffix: String = "left", rsuffix: String = "right",
+            distance: Double = 0.0, onAttribute: Seq[String] = Nil): GeoDataFrame = {
+    checkCrs(other)
+    val res = SpatialJoin.sjoin(df, other.df, predicate, how, geometryCol, other.geometryCol,
+      lsuffix, rsuffix, distance, onAttribute)
+    val keptGeom = if (how == "right") other.geometryCol else geometryCol
+    GeoDataFrame(res, keptGeom, crs)
+  }
+
+  def sjoinNearest(other: GeoDataFrame, how: String = "inner",
+                   maxDistance: Option[Double] = None, distanceCol: Option[String] = None,
+                   exclusive: Boolean = false): GeoDataFrame = {
+    checkCrs(other)
+    GeoDataFrame(SJoinNearest.sjoinNearest(df, other.df, how, geometryCol, other.geometryCol,
+      maxDistance = maxDistance, distanceCol = distanceCol, exclusive = exclusive), geometryCol, crs)
+  }
+
+  def overlay(other: GeoDataFrame, how: String = "intersection", keepGeomType: Boolean = true): GeoDataFrame = {
+    checkCrs(other)
+    GeoDataFrame(Overlay.overlay(df, other.df, how, geometryCol, other.geometryCol, keepGeomType),
+      geometryCol, crs)
+  }
+
+  def clip(mask: GeoDataFrame, keepGeomType: Boolean = false): GeoDataFrame =
+    GeoDataFrame(Clip.clip(df, mask.df, geometryCol, mask.geometryCol, keepGeomType), geometryCol, crs)
+
+  def clipByRect(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame =
+    GeoDataFrame(Clip.clipByRect(df, xmin, ymin, xmax, ymax, geometryCol), geometryCol, crs)
+
+  private def checkCrs(other: GeoDataFrame): Unit = {
+    (activeCrs, other.activeCrs) match {
+      case (Some(a), Some(b)) if CrsTransform.normalize(a) != CrsTransform.normalize(b) =>
+        throw new IllegalArgumentException(s"CRS mismatch: $a vs $b (ref array.py:96-139)")
+      case _ => ()
+    }
+  }
+
+  // ---- delegation ----------------------------------------------------------
+  def select(cols: Column*): GeoDataFrame = copy(df = df.select(cols: _*))
+  def filter(cond: Column): GeoDataFrame = copy(df = df.filter(cond))
+  def withColumn(name: String, c: Column): GeoDataFrame = copy(df = df.withColumn(name, c))
+  def drop(cols: String*): GeoDataFrame = copy(df = df.drop(cols: _*))
+  def limit(n: Int): GeoDataFrame = copy(df = df.limit(n))
+  def unionByName(other: GeoDataFrame): GeoDataFrame = {
+    checkCrs(other)
+    copy(df = df.unionByName(other.df, allowMissingColumns = true))
+  }
+  def count(): Long = df.count()
+  def cache(): GeoDataFrame = { df.cache(); this }
+}
+
+object GeoDataFrame {
+  /** points_from_xy constructor (ref array.py:293-343). */
+  def pointsFromXy(df: DataFrame, x: String, y: String, geomName: String = "geometry",
+                   crs: Option[String] = None): GeoDataFrame =
+    GeoDataFrame(df.withColumn(geomName, st_point(col(x), col(y))), geomName,
+      crs.map(c => Map(geomName -> c)).getOrElse(Map.empty))
+
+  def fromWkt(df: DataFrame, wktCol: String, geomName: String = "geometry"): GeoDataFrame =
+    GeoDataFrame(df.withColumn(geomName, st_geomfromwkt(col(wktCol))), geomName)
+
+  def fromWkb(df: DataFrame, wkbCol: String, geomName: String = "geometry"): GeoDataFrame =
+    GeoDataFrame(df.withColumn(geomName, graft.functions.GeoFunctions.st_geomfromwkb(col(wkbCol))), geomName)
+}

@@ -1,0 +1,155 @@
+package graft.crs
+
+/** Coordinate reference system transforms, hand-implemented (no PROJ on the
+  * JVM offline; reference uses pyproj `array.py:1098-1187`). Pluggable via
+  * [[CrsTransform]]; supported family covers every CRS in the reference's
+  * tests/benchmarks: EPSG:4326 (lon/lat WGS84), EPSG:3857 (web mercator),
+  * EPSG:3395 (world mercator, ellipsoidal), EPSG:326xx/327xx (UTM).
+  *
+  * Formulas are the standard published ones (Snyder, "Map Projections — A
+  * Working Manual", USGS 1987; OGP Guidance Note 7-2).
+  */
+trait CrsTransform extends Serializable {
+  /** (x, y) -> (x', y'). Input/output axis order is always (east-ish, north-ish). */
+  def forward(x: Double, y: Double): (Double, Double)
+  def inverse(x: Double, y: Double): (Double, Double)
+}
+
+object CrsTransform {
+  val WGS84_A = 6378137.0
+  val WGS84_F = 1.0 / 298.257223563
+  val WGS84_E2 = WGS84_F * (2 - WGS84_F)
+  val WGS84_E = math.sqrt(WGS84_E2)
+
+  /** Normalize a CRS name: accepts "EPSG:4326", "epsg:4326", "4326", "OGC:CRS84". */
+  def normalize(crs: String): Int = {
+    val c = crs.trim.toUpperCase
+    if (c == "OGC:CRS84" || c == "CRS84") 4326
+    else if (c.startsWith("EPSG:")) c.substring(5).toInt
+    else c.toInt
+  }
+
+  /** Identity transform. */
+  object Identity extends CrsTransform {
+    def forward(x: Double, y: Double): (Double, Double) = (x, y)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  /** EPSG:4326 -> EPSG:3857 spherical (web) mercator. */
+  object WebMercator extends CrsTransform {
+    private val R = WGS84_A
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      (R * math.toRadians(lon), R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(x / R), math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+  }
+
+  /** EPSG:4326 -> EPSG:3395 ellipsoidal mercator. */
+  object WorldMercator extends CrsTransform {
+    private val a = WGS84_A
+    private val e = WGS84_E
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val esin = e * math.sin(phi)
+      val y = a * math.log(math.tan(math.Pi / 4 + phi / 2) * math.pow((1 - esin) / (1 + esin), e / 2))
+      (a * math.toRadians(lon), y)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-y / a)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        if (math.abs(next - phi) < 1e-12) { phi = next; i = 15 } else { phi = next }
+        i += 1
+      }
+      (math.toDegrees(x / a), math.toDegrees(phi))
+    }
+  }
+
+  /** EPSG:4326 -> UTM zone (Transverse Mercator, series form; ~mm accuracy). */
+  final case class Utm(zone: Int, north: Boolean) extends CrsTransform {
+    private val a = WGS84_A
+    private val f = WGS84_F
+    private val k0 = 0.9996
+    private val e2 = WGS84_E2
+    private val ep2 = e2 / (1 - e2)
+    private val lon0 = math.toRadians(-183.0 + 6.0 * zone)
+    private val falseN = if (north) 0.0 else 10000000.0
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val n = a / math.sqrt(1 - e2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = ep2 * cosP * cosP
+      val aa = cosP * (lam - lon0)
+      val m = a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+      val x = k0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120) + 500000.0
+      val y = k0 * (m + n * tanP * (aa * aa / 2 + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720)) + falseN
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val m = (y - falseN) / k0
+      val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val c1 = ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = a / math.sqrt(1 - e2 * sinP * sinP)
+      val r1 = a * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+      val d = (x - 500000.0) / (n1 * k0)
+      val lat = phi1 - (n1 * tanP / r1) * (d * d / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
+      val lon = lon0 + (d - (1 + 2 * t1 + c1) * d * d * d / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) * math.pow(d, 5) / 120) / cosP
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** Transform from one EPSG code to another via 4326 as the hub. */
+  def chain(from: Int, to: Int): CrsTransform = {
+    if (from == to) return Identity
+    def to4326(code: Int): CrsTransform = code match {
+      case 4326 => Identity
+      case 3857 => WebMercator
+      case 3395 => WorldMercator
+      case z if z >= 32601 && z <= 32660 => Utm(z - 32600, north = true)
+      case z if z >= 32701 && z <= 32760 => Utm(z - 32700, north = false)
+      case z if z >= 26901 && z <= 26923 => Utm(z - 26900, north = true) // NAD83 UTM approximated as WGS84
+      case _ => throw new IllegalArgumentException(
+        s"Unsupported CRS EPSG:$code — supported: 4326, 3857, 3395, UTM 326xx/327xx/269xx")
+    }
+    val src = to4326(from)
+    val dst = to4326(to)
+    new CrsTransform {
+      def forward(x: Double, y: Double): (Double, Double) = {
+        val (lon, lat) = src.inverse(x, y)
+        dst.forward(lon, lat)
+      }
+      def inverse(x: Double, y: Double): (Double, Double) = {
+        val (lon, lat) = dst.inverse(x, y)
+        src.forward(lon, lat)
+      }
+    }
+  }
+
+  /** UTM zone estimation from lon/lat center (ref `array.py:1190-1276`). */
+  def estimateUtmEpsg(lon: Double, lat: Double): Int = {
+    val zone = math.min(60, math.max(1, (math.floor((lon + 180) / 6) + 1).toInt))
+    if (lat >= 0) 32600 + zone else 32700 + zone
+  }
+}

@@ -1,0 +1,367 @@
+package graft.functions
+
+import graft.crs.CrsTransform
+import graft.geom.{GeomOps, Hilbert, Wkb}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Geometry
+
+/** `st_*` column functions — the Spark surface of the reference's
+  * GeoSeries/GeoDataFrame per-row methods (`geopandas/base.py`,
+  * `geopandas/array.py:543-1095`). Geometry travels as WKB bytes in
+  * `BinaryType` columns; every function is a deterministic scalar UDF over
+  * WKB, so the whole layer composes with Catalyst optimization, whole-stage
+  * codegen call sites, and Structured Streaming unchanged.
+  */
+object GeoFunctions extends Serializable {
+
+  case class BoundsRow(xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+  case class XY(x: Double, y: Double)
+
+  @inline private def rd(b: Array[Byte]): Geometry = Wkb.read(b)
+
+  private def g2g(f: Geometry => Geometry): Array[Byte] => Array[Byte] =
+    (b: Array[Byte]) => if (b == null) null else Wkb.write(f(rd(b)))
+  private def g2d(f: Geometry => Double): Array[Byte] => Option[Double] =
+    (b: Array[Byte]) => if (b == null) None else Some(f(rd(b)))
+  private def g2b(f: Geometry => Boolean): Array[Byte] => Option[Boolean] =
+    (b: Array[Byte]) => if (b == null) None else Some(f(rd(b)))
+  private def gg2b(f: (Geometry, Geometry) => Boolean): (Array[Byte], Array[Byte]) => Option[Boolean] =
+    (a: Array[Byte], b: Array[Byte]) => if (a == null || b == null) None else Some(f(rd(a), rd(b)))
+  private def gg2d(f: (Geometry, Geometry) => Double): (Array[Byte], Array[Byte]) => Option[Double] =
+    (a: Array[Byte], b: Array[Byte]) => if (a == null || b == null) None else Some(f(rd(a), rd(b)))
+  private def gg2g(f: (Geometry, Geometry) => Geometry): (Array[Byte], Array[Byte]) => Array[Byte] =
+    (a: Array[Byte], b: Array[Byte]) => if (a == null || b == null) null else Wkb.write(f(rd(a), rd(b)))
+
+  // ---- constructors / codecs ---------------------------------------------
+  val stPointU: UserDefinedFunction = udf((x: Option[Double], y: Option[Double]) =>
+    for (xx <- x; yy <- y) yield Wkb.write(GeomOps.point(xx, yy)))
+  val stPointZU: UserDefinedFunction = udf((x: Double, y: Double, z: Double) => Wkb.write(GeomOps.pointZ(x, y, z)))
+  val stMakeBoxU: UserDefinedFunction = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+    Wkb.write(GeomOps.makeBox(xmin, ymin, xmax, ymax)))
+  val stMakeLineU: UserDefinedFunction = udf(gg2g(GeomOps.makeLine))
+  val stLineFromCoordsU: UserDefinedFunction = udf((xs: Seq[Double], ys: Seq[Double]) =>
+    Wkb.write(Wkb.factory.createLineString(
+      xs.zip(ys).map { case (x, y) => new org.locationtech.jts.geom.Coordinate(x, y) }.toArray)))
+  val stPolygonFromCoordsU: UserDefinedFunction = udf((xs: Seq[Double], ys: Seq[Double]) => {
+    val cs = xs.zip(ys).map { case (x, y) => new org.locationtech.jts.geom.Coordinate(x, y) }
+    val closed = if (cs.nonEmpty && cs.head != cs.last) cs :+ cs.head else cs
+    Wkb.write(Wkb.factory.createPolygon(closed.toArray))
+  })
+  val stGeomFromWktU: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null else try Wkb.write(Wkb.readWkt(s)) catch { case _: Exception => null })
+  val stGeomFromWkbU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else try Wkb.write(Wkb.read(b)) catch { case _: Exception => null })
+  val stAsTextU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else Wkb.writeWkt(rd(b)))
+  val stAsGeoJsonU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else GeoJson.write(rd(b)))
+  val stGeomFromGeoJsonU: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null else try Wkb.write(GeoJson.parse(s)) catch { case _: Exception => null })
+
+  def st_point(x: Column, y: Column): Column = stPointU(x, y)
+  def st_point_z(x: Column, y: Column, z: Column): Column = stPointZU(x, y, z)
+  def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column = stMakeBoxU(xmin, ymin, xmax, ymax)
+  def st_makeline(a: Column, b: Column): Column = stMakeLineU(a, b)
+  def st_geomfromwkt(s: Column): Column = stGeomFromWktU(s)
+  def st_geomfromwkb(b: Column): Column = stGeomFromWkbU(b)
+  def st_astext(g: Column): Column = stAsTextU(g)
+  def st_aswkb(g: Column): Column = g // WKB is the storage encoding
+  def st_asgeojson(g: Column): Column = stAsGeoJsonU(g)
+  def st_geomfromgeojson(s: Column): Column = stGeomFromGeoJsonU(s)
+
+  // ---- unary predicates ---------------------------------------------------
+  val stIsValidU: UserDefinedFunction = udf(g2b(GeomOps.isValid))
+  val stIsValidReasonU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else GeomOps.isValidReason(rd(b)))
+  val stIsEmptyU: UserDefinedFunction = udf(g2b(GeomOps.isEmpty))
+  val stIsSimpleU: UserDefinedFunction = udf(g2b(GeomOps.isSimple))
+  val stIsRingU: UserDefinedFunction = udf(g2b(GeomOps.isRing))
+  val stIsCcwU: UserDefinedFunction = udf(g2b(GeomOps.isCcw))
+  val stIsClosedU: UserDefinedFunction = udf(g2b(GeomOps.isClosed))
+  val stHasZU: UserDefinedFunction = udf(g2b(GeomOps.hasZ))
+
+  def st_isvalid(g: Column): Column = stIsValidU(g)
+  def st_isvalidreason(g: Column): Column = stIsValidReasonU(g)
+  def st_isempty(g: Column): Column = stIsEmptyU(g)
+  def st_issimple(g: Column): Column = stIsSimpleU(g)
+  def st_isring(g: Column): Column = stIsRingU(g)
+  def st_isccw(g: Column): Column = stIsCcwU(g)
+  def st_isclosed(g: Column): Column = stIsClosedU(g)
+  def st_hasz(g: Column): Column = stHasZU(g)
+
+  // ---- binary predicates --------------------------------------------------
+  val stIntersectsU: UserDefinedFunction = udf(gg2b(GeomOps.intersects))
+  val stContainsU: UserDefinedFunction = udf(gg2b(GeomOps.contains))
+  val stContainsProperlyU: UserDefinedFunction = udf(gg2b(GeomOps.containsProperly))
+  val stWithinU: UserDefinedFunction = udf(gg2b(GeomOps.within))
+  val stCoversU: UserDefinedFunction = udf(gg2b(GeomOps.covers))
+  val stCoveredByU: UserDefinedFunction = udf(gg2b(GeomOps.coveredBy))
+  val stCrossesU: UserDefinedFunction = udf(gg2b(GeomOps.crosses))
+  val stDisjointU: UserDefinedFunction = udf(gg2b(GeomOps.disjoint))
+  val stOverlapsU: UserDefinedFunction = udf(gg2b(GeomOps.overlaps))
+  val stTouchesU: UserDefinedFunction = udf(gg2b(GeomOps.touches))
+  val stEqualsU: UserDefinedFunction = udf(gg2b(GeomOps.geomEquals))
+  val stEqualsExactU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], tol: Double) =>
+    if (a == null || b == null) None else Some(GeomOps.geomEqualsExact(rd(a), rd(b), tol)))
+  val stDWithinU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], d: Double) =>
+    if (a == null || b == null) None else Some(GeomOps.dwithin(rd(a), rd(b), d)))
+  val stRelateU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) null else GeomOps.relate(rd(a), rd(b)))
+  val stRelatePatternU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], p: String) =>
+    if (a == null || b == null) None else Some(GeomOps.relatePattern(rd(a), rd(b), p)))
+
+  def st_intersects(a: Column, b: Column): Column = stIntersectsU(a, b)
+  def st_contains(a: Column, b: Column): Column = stContainsU(a, b)
+  def st_contains_properly(a: Column, b: Column): Column = stContainsProperlyU(a, b)
+  def st_within(a: Column, b: Column): Column = stWithinU(a, b)
+  def st_covers(a: Column, b: Column): Column = stCoversU(a, b)
+  def st_covered_by(a: Column, b: Column): Column = stCoveredByU(a, b)
+  def st_crosses(a: Column, b: Column): Column = stCrossesU(a, b)
+  def st_disjoint(a: Column, b: Column): Column = stDisjointU(a, b)
+  def st_overlaps(a: Column, b: Column): Column = stOverlapsU(a, b)
+  def st_touches(a: Column, b: Column): Column = stTouchesU(a, b)
+  def st_equals(a: Column, b: Column): Column = stEqualsU(a, b)
+  def st_equals_exact(a: Column, b: Column, tol: Column): Column = stEqualsExactU(a, b, tol)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = stDWithinU(a, b, d)
+  def st_relate(a: Column, b: Column): Column = stRelateU(a, b)
+  def st_relate_pattern(a: Column, b: Column, p: Column): Column = stRelatePatternU(a, b, p)
+
+  // ---- measures -----------------------------------------------------------
+  val stAreaU: UserDefinedFunction = udf(g2d(GeomOps.area))
+  val stLengthU: UserDefinedFunction = udf(g2d(GeomOps.length))
+  val stDistanceU: UserDefinedFunction = udf(gg2d(GeomOps.distance))
+  val stHausdorffU: UserDefinedFunction = udf(gg2d(GeomOps.hausdorff))
+  val stFrechetU: UserDefinedFunction = udf(gg2d(GeomOps.frechet))
+  val stXU: UserDefinedFunction = udf(g2d(GeomOps.pointX))
+  val stYU: UserDefinedFunction = udf(g2d(GeomOps.pointY))
+  val stZU: UserDefinedFunction = udf(g2d(GeomOps.pointZ))
+  val stNPointsU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else Some(GeomOps.numPoints(rd(b))))
+  val stNGeometriesU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else Some(GeomOps.numGeometries(rd(b))))
+  val stGeometryTypeU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else GeomOps.geometryType(rd(b)))
+  val stMinClearanceU: UserDefinedFunction = udf(g2d(GeomOps.minimumClearance))
+  val stMinBoundingRadiusU: UserDefinedFunction = udf(g2d(GeomOps.minimumBoundingRadius))
+  val stBoundsU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else { val (x0, y0, x1, y1) = GeomOps.bounds(rd(b)); Some(BoundsRow(x0, y0, x1, y1)) })
+  val stProjectU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], normalized: Boolean) =>
+    if (a == null || b == null) None else Some(GeomOps.project(rd(a), rd(b), normalized)))
+
+  def st_area(g: Column): Column = stAreaU(g)
+  def st_length(g: Column): Column = stLengthU(g)
+  def st_distance(a: Column, b: Column): Column = stDistanceU(a, b)
+  def st_hausdorff_distance(a: Column, b: Column): Column = stHausdorffU(a, b)
+  def st_frechet_distance(a: Column, b: Column): Column = stFrechetU(a, b)
+  def st_x(g: Column): Column = stXU(g)
+  def st_y(g: Column): Column = stYU(g)
+  def st_z(g: Column): Column = stZU(g)
+  def st_npoints(g: Column): Column = stNPointsU(g)
+  def st_ngeometries(g: Column): Column = stNGeometriesU(g)
+  def st_geometrytype(g: Column): Column = stGeometryTypeU(g)
+  def st_bounds(g: Column): Column = stBoundsU(g)
+  def st_project(a: Column, b: Column, normalized: Column): Column = stProjectU(a, b, normalized)
+
+  // ---- unary transforms ---------------------------------------------------
+  val stBoundaryU: UserDefinedFunction = udf(g2g(GeomOps.boundary))
+  val stCentroidU: UserDefinedFunction = udf(g2g(GeomOps.centroid))
+  val stRepresentativePointU: UserDefinedFunction = udf(g2g(GeomOps.representativePoint))
+  val stConvexHullU: UserDefinedFunction = udf(g2g(GeomOps.convexHull))
+  val stConcaveHullU: UserDefinedFunction = udf((b: Array[Byte], ratio: Double, holes: Boolean) =>
+    if (b == null) null else Wkb.write(GeomOps.concaveHull(rd(b), ratio, holes)))
+  val stEnvelopeU: UserDefinedFunction = udf(g2g(GeomOps.envelope))
+  val stMinRotatedRectU: UserDefinedFunction = udf(g2g(GeomOps.minimumRotatedRectangle))
+  val stMinBoundingCircleU: UserDefinedFunction = udf(g2g(GeomOps.minimumBoundingCircle))
+  val stMaxInscribedCircleU: UserDefinedFunction = udf((b: Array[Byte], tol: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.maximumInscribedCircle(rd(b), tol)))
+  val stMinClearanceLineU: UserDefinedFunction = udf(g2g(GeomOps.minimumClearanceLine))
+  val stExteriorU: UserDefinedFunction = udf(g2g(GeomOps.exterior))
+  val stInteriorsU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else GeomOps.interiors(rd(b)).map(Wkb.write))
+  val stExtractUniquePointsU: UserDefinedFunction = udf(g2g(GeomOps.extractUniquePoints))
+  val stOffsetCurveU: UserDefinedFunction = udf((b: Array[Byte], d: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.offsetCurve(rd(b), d, 8, 1, 5.0)))
+  val stRemoveRepeatedU: UserDefinedFunction = udf((b: Array[Byte], tol: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.removeRepeatedPoints(rd(b), tol)))
+  val stSetPrecisionU: UserDefinedFunction = udf((b: Array[Byte], grid: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.setPrecision(rd(b), grid)))
+  val stNormalizeU: UserDefinedFunction = udf(g2g(GeomOps.normalize))
+  val stMakeValidU: UserDefinedFunction = udf(g2g(GeomOps.makeValid))
+  val stReverseU: UserDefinedFunction = udf(g2g(GeomOps.reverse))
+  val stSegmentizeU: UserDefinedFunction = udf((b: Array[Byte], m: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.segmentize(rd(b), m)))
+  val stForce2DU: UserDefinedFunction = udf(g2g(GeomOps.force2d))
+  val stForce3DU: UserDefinedFunction = udf((b: Array[Byte], z: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.force3d(rd(b), z)))
+  val stLineMergeU: UserDefinedFunction = udf(g2g(GeomOps.lineMerge))
+  val stSimplifyU: UserDefinedFunction = udf((b: Array[Byte], tol: Double, topo: Boolean) =>
+    if (b == null) null else Wkb.write(GeomOps.simplify(rd(b), tol, topo)))
+  val stBufferU: UserDefinedFunction = udf((b: Array[Byte], d: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.buffer(rd(b), d)))
+  val stBufferFullU: UserDefinedFunction = udf(
+    (b: Array[Byte], d: Double, quadSegs: Int, capStyle: Int, joinStyle: Int, mitre: Double, singleSided: Boolean) =>
+      if (b == null) null else Wkb.write(GeomOps.buffer(rd(b), d, quadSegs, capStyle, joinStyle, mitre, singleSided)))
+  val stInterpolateU: UserDefinedFunction = udf((b: Array[Byte], d: Double, norm: Boolean) =>
+    if (b == null) null else Wkb.write(GeomOps.interpolate(rd(b), d, norm)))
+  val stClipByRectU: UserDefinedFunction = udf((b: Array[Byte], x0: Double, y0: Double, x1: Double, y1: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.clipByRect(rd(b), x0, y0, x1, y1)))
+  val stSnapU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], tol: Double) =>
+    if (a == null || b == null) null else Wkb.write(GeomOps.snap(rd(a), rd(b), tol)))
+  val stShortestLineU: UserDefinedFunction = udf(gg2g(GeomOps.shortestLine))
+  val stGeometryNU: UserDefinedFunction = udf((b: Array[Byte], i: Int) =>
+    if (b == null) null else { val g = GeomOps.getGeometryN(rd(b), i); if (g == null) null else Wkb.write(g) })
+  val stDelaunayU: UserDefinedFunction = udf((b: Array[Byte], tol: Double, edges: Boolean) =>
+    if (b == null) null else Wkb.write(GeomOps.delaunayTriangles(rd(b), tol, edges)))
+  val stVoronoiU: UserDefinedFunction = udf((b: Array[Byte], tol: Double, edges: Boolean) =>
+    if (b == null) null else Wkb.write(GeomOps.voronoiPolygons(rd(b), tol, edges)))
+  val stBuildAreaU: UserDefinedFunction = udf(g2g(GeomOps.buildArea))
+  val stSamplePointsU: UserDefinedFunction = udf((b: Array[Byte], n: Int, seed: Long) =>
+    if (b == null) null else Wkb.write(GeomOps.samplePoints(rd(b), n, seed)))
+
+  def st_boundary(g: Column): Column = stBoundaryU(g)
+  def st_centroid(g: Column): Column = stCentroidU(g)
+  def st_representative_point(g: Column): Column = stRepresentativePointU(g)
+  def st_convex_hull(g: Column): Column = stConvexHullU(g)
+  def st_concave_hull(g: Column, ratio: Column, allowHoles: Column): Column = stConcaveHullU(g, ratio, allowHoles)
+  def st_envelope(g: Column): Column = stEnvelopeU(g)
+  def st_minimum_rotated_rectangle(g: Column): Column = stMinRotatedRectU(g)
+  def st_minimum_bounding_circle(g: Column): Column = stMinBoundingCircleU(g)
+  def st_normalize(g: Column): Column = stNormalizeU(g)
+  def st_make_valid(g: Column): Column = stMakeValidU(g)
+  def st_reverse(g: Column): Column = stReverseU(g)
+  def st_buffer(g: Column, d: Column): Column = stBufferU(g, d)
+  def st_buffer(g: Column, d: Column, quadSegs: Column, capStyle: Column, joinStyle: Column,
+                mitre: Column, singleSided: Column): Column =
+    stBufferFullU(g, d, quadSegs, capStyle, joinStyle, mitre, singleSided)
+  def st_simplify(g: Column, tol: Column, preserveTopology: Column): Column = stSimplifyU(g, tol, preserveTopology)
+  def st_interpolate(g: Column, d: Column, normalized: Column): Column = stInterpolateU(g, d, normalized)
+  def st_clip_by_rect(g: Column, x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    stClipByRectU(g, x0, y0, x1, y1)
+  def st_geometry_n(g: Column, i: Column): Column = stGeometryNU(g, i)
+  def st_exterior(g: Column): Column = stExteriorU(g)
+  def st_interiors(g: Column): Column = stInteriorsU(g)
+  def st_force_2d(g: Column): Column = stForce2DU(g)
+  def st_force_3d(g: Column, z: Column): Column = stForce3DU(g, z)
+  def st_sample_points(g: Column, n: Column, seed: Column): Column = stSamplePointsU(g, n, seed)
+
+  // ---- affine -------------------------------------------------------------
+  val stTranslateU: UserDefinedFunction = udf((b: Array[Byte], dx: Double, dy: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.translate(rd(b), dx, dy)))
+  val stRotateU: UserDefinedFunction = udf((b: Array[Byte], deg: Double, ox: Double, oy: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.rotate(rd(b), deg, ox, oy)))
+  val stScaleU: UserDefinedFunction = udf((b: Array[Byte], fx: Double, fy: Double, ox: Double, oy: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.scale(rd(b), fx, fy, ox, oy)))
+  val stSkewU: UserDefinedFunction = udf((b: Array[Byte], xs: Double, ys: Double, ox: Double, oy: Double) =>
+    if (b == null) null else Wkb.write(GeomOps.skew(rd(b), xs, ys, ox, oy)))
+  val stAffineU: UserDefinedFunction = udf((bt: Array[Byte], a: Double, bb: Double, d: Double, e: Double, xo: Double, yo: Double) =>
+    if (bt == null) null else Wkb.write(GeomOps.affine(rd(bt), a, bb, d, e, xo, yo)))
+
+  def st_translate(g: Column, dx: Column, dy: Column): Column = stTranslateU(g, dx, dy)
+  def st_rotate(g: Column, deg: Column, ox: Column, oy: Column): Column = stRotateU(g, deg, ox, oy)
+  def st_scale(g: Column, fx: Column, fy: Column, ox: Column, oy: Column): Column = stScaleU(g, fx, fy, ox, oy)
+
+  // ---- binary geo ops -----------------------------------------------------
+  val stIntersectionU: UserDefinedFunction = udf(gg2g(GeomOps.intersection))
+  val stUnionU: UserDefinedFunction = udf(gg2g(GeomOps.union))
+  val stDifferenceU: UserDefinedFunction = udf(gg2g(GeomOps.difference))
+  val stSymDifferenceU: UserDefinedFunction = udf(gg2g(GeomOps.symDifference))
+
+  def st_intersection(a: Column, b: Column): Column = stIntersectionU(a, b)
+  def st_union(a: Column, b: Column): Column = stUnionU(a, b)
+  def st_difference(a: Column, b: Column): Column = stDifferenceU(a, b)
+  def st_sym_difference(a: Column, b: Column): Column = stSymDifferenceU(a, b)
+
+  // ---- coords / parts / ordering -----------------------------------------
+  val stCoordsU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else GeomOps.coordinates(rd(b)).map { case (x, y) => XY(x, y) })
+  val stPartsU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) null else GeomOps.parts(rd(b)).map(Wkb.write))
+  val stHilbertU: UserDefinedFunction = udf(
+    (b: Array[Byte], x0: Double, y0: Double, x1: Double, y1: Double, order: Int) =>
+      if (b == null) None
+      else {
+        val e = rd(b).getEnvelopeInternal
+        Some(Hilbert.distance((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2, x0, y0, x1, y1, order))
+      })
+
+  def st_coords(g: Column): Column = stCoordsU(g)
+  def st_parts(g: Column): Column = stPartsU(g)
+  def st_hilbert(g: Column, x0: Column, y0: Column, x1: Column, y1: Column, order: Column): Column =
+    stHilbertU(g, x0, y0, x1, y1, order)
+
+  // ---- CRS ----------------------------------------------------------------
+  val stTransformU: UserDefinedFunction = udf((b: Array[Byte], from: Int, to: Int) =>
+    if (b == null) null
+    else {
+      val t = CrsCache.get(from, to)
+      val ed = new org.locationtech.jts.geom.util.GeometryEditor(Wkb.factory)
+      val out = ed.edit(rd(b), new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[org.locationtech.jts.geom.Coordinate], geometry: Geometry) =
+          coords.map { c =>
+            val (x, y) = t.forward(c.x, c.y)
+            new org.locationtech.jts.geom.Coordinate(x, y, c.getZ)
+          }
+      })
+      Wkb.write(out)
+    })
+  def st_transform(g: Column, fromEpsg: Column, toEpsg: Column): Column = stTransformU(g, fromEpsg, toEpsg)
+
+  /** Register every function for SQL use (spark.sql("... st_area(g) ...")). */
+  def registerAll(spark: SparkSession): Unit = {
+    val r = spark.udf
+    r.register("st_point", stPointU); r.register("st_point_z", stPointZU)
+    r.register("st_makebox", stMakeBoxU); r.register("st_makeline", stMakeLineU)
+    r.register("st_geomfromwkt", stGeomFromWktU); r.register("st_geomfromwkb", stGeomFromWkbU)
+    r.register("st_astext", stAsTextU); r.register("st_asgeojson", stAsGeoJsonU)
+    r.register("st_geomfromgeojson", stGeomFromGeoJsonU)
+    r.register("st_isvalid", stIsValidU); r.register("st_isvalidreason", stIsValidReasonU)
+    r.register("st_isempty", stIsEmptyU); r.register("st_issimple", stIsSimpleU)
+    r.register("st_isring", stIsRingU); r.register("st_isccw", stIsCcwU); r.register("st_isclosed", stIsClosedU)
+    r.register("st_hasz", stHasZU)
+    r.register("st_intersects", stIntersectsU); r.register("st_contains", stContainsU)
+    r.register("st_contains_properly", stContainsProperlyU); r.register("st_within", stWithinU)
+    r.register("st_covers", stCoversU); r.register("st_covered_by", stCoveredByU)
+    r.register("st_crosses", stCrossesU); r.register("st_disjoint", stDisjointU)
+    r.register("st_overlaps", stOverlapsU); r.register("st_touches", stTouchesU)
+    r.register("st_equals", stEqualsU); r.register("st_equals_exact", stEqualsExactU)
+    r.register("st_dwithin", stDWithinU); r.register("st_relate", stRelateU)
+    r.register("st_relate_pattern", stRelatePatternU)
+    r.register("st_area", stAreaU); r.register("st_length", stLengthU); r.register("st_distance", stDistanceU)
+    r.register("st_hausdorff_distance", stHausdorffU); r.register("st_frechet_distance", stFrechetU)
+    r.register("st_x", stXU); r.register("st_y", stYU); r.register("st_z", stZU)
+    r.register("st_npoints", stNPointsU); r.register("st_ngeometries", stNGeometriesU)
+    r.register("st_geometrytype", stGeometryTypeU); r.register("st_bounds", stBoundsU)
+    r.register("st_boundary", stBoundaryU); r.register("st_centroid", stCentroidU)
+    r.register("st_representative_point", stRepresentativePointU)
+    r.register("st_convex_hull", stConvexHullU); r.register("st_concave_hull", stConcaveHullU)
+    r.register("st_envelope", stEnvelopeU); r.register("st_minimum_rotated_rectangle", stMinRotatedRectU)
+    r.register("st_minimum_bounding_circle", stMinBoundingCircleU)
+    r.register("st_maximum_inscribed_circle", stMaxInscribedCircleU)
+    r.register("st_normalize", stNormalizeU); r.register("st_make_valid", stMakeValidU)
+    r.register("st_reverse", stReverseU); r.register("st_segmentize", stSegmentizeU)
+    r.register("st_force_2d", stForce2DU); r.register("st_force_3d", stForce3DU)
+    r.register("st_line_merge", stLineMergeU); r.register("st_simplify", stSimplifyU)
+    r.register("st_buffer", stBufferU); r.register("st_buffer_full", stBufferFullU)
+    r.register("st_interpolate", stInterpolateU); r.register("st_clip_by_rect", stClipByRectU)
+    r.register("st_snap", stSnapU); r.register("st_shortest_line", stShortestLineU)
+    r.register("st_geometry_n", stGeometryNU); r.register("st_delaunay_triangles", stDelaunayU)
+    r.register("st_voronoi_polygons", stVoronoiU); r.register("st_build_area", stBuildAreaU)
+    r.register("st_sample_points", stSamplePointsU)
+    r.register("st_translate", stTranslateU); r.register("st_rotate", stRotateU)
+    r.register("st_scale", stScaleU); r.register("st_skew", stSkewU); r.register("st_affine", stAffineU)
+    r.register("st_intersection", stIntersectionU); r.register("st_union", stUnionU)
+    r.register("st_difference", stDifferenceU); r.register("st_sym_difference", stSymDifferenceU)
+    r.register("st_coords", stCoordsU); r.register("st_parts", stPartsU); r.register("st_hilbert", stHilbertU)
+    r.register("st_transform", stTransformU); r.register("st_exterior", stExteriorU)
+    r.register("st_interiors", stInteriorsU); r.register("st_extract_unique_points", stExtractUniquePointsU)
+    r.register("st_offset_curve", stOffsetCurveU); r.register("st_remove_repeated_points", stRemoveRepeatedU)
+    r.register("st_set_precision", stSetPrecisionU); r.register("st_boundsxy", stBoundsU)
+    r.register("st_project", stProjectU); r.register("st_minimum_clearance", stMinClearanceU)
+    r.register("st_minimum_clearance_line", stMinClearanceLineU)
+    r.register("st_minimum_bounding_radius", stMinBoundingRadiusU)
+  }
+}
+
+/** Per-JVM cache of CRS transform chains (ref: pyproj Transformer lru_cache,
+  * `array.py:44-47`). */
+object CrsCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), CrsTransform]()
+  def get(from: Int, to: Int): CrsTransform =
+    cache.computeIfAbsent((from, to), { k: (Int, Int) => CrsTransform.chain(k._1, k._2) })
+}

@@ -1,0 +1,341 @@
+package graft.geom
+
+import org.locationtech.jts.algorithm.{ConvexHull, MinimumBoundingCircle, MinimumDiameter, Orientation}
+import org.locationtech.jts.algorithm.construct.MaximumInscribedCircle
+import org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+import org.locationtech.jts.algorithm.hull.ConcaveHull
+import org.locationtech.jts.densify.Densifier
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.geom.util.{AffineTransformation, GeometryFixer}
+import org.locationtech.jts.linearref.LengthIndexedLine
+import org.locationtech.jts.operation.buffer.{BufferOp, BufferParameters, OffsetCurve}
+import org.locationtech.jts.operation.distance.DistanceOp
+import org.locationtech.jts.operation.linemerge.LineMerger
+import org.locationtech.jts.operation.polygonize.Polygonizer
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.precision.{GeometryPrecisionReducer, MinimumClearance}
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+import org.locationtech.jts.triangulate.{DelaunayTriangulationBuilder, VoronoiDiagramBuilder}
+
+import scala.jdk.CollectionConverters._
+
+/** Pure JTS geometry kernel — the analog of the reference's shapely/GEOS
+  * ufunc layer (`geopandas/array.py:543-1095`). No Spark imports: unit
+  * testable without a session; wrapped as column functions in
+  * [[graft.functions.GeoFunctions]].
+  *
+  * Semantics notes carried over from the reference:
+  *  - buffer default quad_segs = 16, not GEOS' 8 (`array.py:936-938`)
+  *  - missing geometry = null, distinct from empty (`array.py:72-75`)
+  */
+object GeomOps {
+  private val gf = Wkb.factory
+
+  // ---- constructors -------------------------------------------------------
+  def point(x: Double, y: Double): Geometry = gf.createPoint(new Coordinate(x, y))
+  def pointZ(x: Double, y: Double, z: Double): Geometry = gf.createPoint(new Coordinate(x, y, z))
+  def makeLine(a: Geometry, b: Geometry): Geometry =
+    gf.createLineString(Array(a.getCoordinate, b.getCoordinate))
+  def makeBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry =
+    gf.toGeometry(new Envelope(xmin, xmax, ymin, ymax))
+  def collect(gs: Seq[Geometry]): Geometry = {
+    val nonNull = gs.filter(_ != null)
+    if (nonNull.isEmpty) gf.createGeometryCollection(Array.empty)
+    else gf.buildGeometry(nonNull.asJava) // MultiPoint/MultiLine/MultiPoly if homogeneous
+  }
+
+  // ---- unary predicates (ref base.py:301-843) -----------------------------
+  def isValid(g: Geometry): Boolean = g.isValid
+  def isValidReason(g: Geometry): String =
+    new org.locationtech.jts.operation.valid.IsValidOp(g).getValidationError match {
+      case null => "Valid Geometry"
+      case e    => e.toString
+    }
+  def isEmpty(g: Geometry): Boolean = g.isEmpty
+  def isSimple(g: Geometry): Boolean = g.isSimple
+  def isRing(g: Geometry): Boolean = g match {
+    case l: LineString => l.isClosed && l.isSimple
+    case _             => false
+  }
+  def isCcw(g: Geometry): Boolean = g match {
+    case l: LineString if l.isClosed => Orientation.isCCW(l.getCoordinateSequence)
+    case _                           => false
+  }
+  def isClosed(g: Geometry): Boolean = g match {
+    case l: LineString      => l.isClosed
+    case m: MultiLineString => m.isClosed
+    case _                  => false
+  }
+  def hasZ(g: Geometry): Boolean = Wkb.hasZ(g)
+
+  // ---- binary predicates (ref base.py:2583-3957) --------------------------
+  def intersects(a: Geometry, b: Geometry): Boolean = a.intersects(b)
+  def contains(a: Geometry, b: Geometry): Boolean = a.contains(b)
+  def containsProperly(a: Geometry, b: Geometry): Boolean =
+    PreparedGeometryFactory.prepare(a).containsProperly(b)
+  def within(a: Geometry, b: Geometry): Boolean = a.within(b)
+  def covers(a: Geometry, b: Geometry): Boolean = a.covers(b)
+  def coveredBy(a: Geometry, b: Geometry): Boolean = a.coveredBy(b)
+  def crosses(a: Geometry, b: Geometry): Boolean = a.crosses(b)
+  def disjoint(a: Geometry, b: Geometry): Boolean = a.disjoint(b)
+  def overlaps(a: Geometry, b: Geometry): Boolean = a.overlaps(b)
+  def touches(a: Geometry, b: Geometry): Boolean = a.touches(b)
+  def geomEquals(a: Geometry, b: Geometry): Boolean = a.equalsTopo(b)
+  def geomEqualsExact(a: Geometry, b: Geometry, tol: Double): Boolean = a.equalsExact(b, tol)
+  def dwithin(a: Geometry, b: Geometry, d: Double): Boolean = a.isWithinDistance(b, d)
+  def relate(a: Geometry, b: Geometry): String = a.relate(b).toString
+  def relatePattern(a: Geometry, b: Geometry, pattern: String): Boolean = a.relate(b, pattern)
+
+  // ---- measures -----------------------------------------------------------
+  def area(g: Geometry): Double = g.getArea
+  def length(g: Geometry): Double = g.getLength
+  def distance(a: Geometry, b: Geometry): Double = a.distance(b)
+  def hausdorff(a: Geometry, b: Geometry): Double = DiscreteHausdorffDistance.distance(a, b)
+  def hausdorffDensify(a: Geometry, b: Geometry, densify: Double): Double =
+    DiscreteHausdorffDistance.distance(a, b, densify)
+  def frechet(a: Geometry, b: Geometry): Double =
+    org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance.distance(a, b)
+
+  // ---- unary transforms (ref base.py:986-2440, array.py:595-792) ----------
+  def boundary(g: Geometry): Geometry = g.getBoundary
+  def centroid(g: Geometry): Geometry = g.getCentroid
+  def representativePoint(g: Geometry): Geometry = g.getInteriorPoint
+  def convexHull(g: Geometry): Geometry = new ConvexHull(g).getConvexHull
+  def concaveHull(g: Geometry, ratio: Double, allowHoles: Boolean): Geometry = {
+    val h = new ConcaveHull(g)
+    h.setMaximumEdgeLengthRatio(ratio)
+    h.setHolesAllowed(allowHoles)
+    h.getHull
+  }
+  def envelope(g: Geometry): Geometry = g.getEnvelope
+  def minimumRotatedRectangle(g: Geometry): Geometry = MinimumDiameter.getMinimumRectangle(g)
+  def minimumBoundingCircle(g: Geometry): Geometry = {
+    val mbc = new MinimumBoundingCircle(g)
+    val c = mbc.getCentre
+    val r = mbc.getRadius
+    if (c == null) gf.createPolygon()
+    else if (r == 0) gf.createPoint(c)
+    else gf.createPoint(c).buffer(r, 16)
+  }
+  def minimumBoundingRadius(g: Geometry): Double = new MinimumBoundingCircle(g).getRadius
+  def maximumInscribedCircle(g: Geometry, tolerance: Double): Geometry = {
+    val mic = new MaximumInscribedCircle(g, tolerance)
+    gf.createLineString(Array(mic.getCenter.getCoordinate, mic.getRadiusPoint.getCoordinate))
+  }
+  def minimumClearance(g: Geometry): Double = MinimumClearance.getDistance(g)
+  def minimumClearanceLine(g: Geometry): Geometry = MinimumClearance.getLine(g)
+  def exterior(g: Geometry): Geometry = g match {
+    case p: Polygon => p.getExteriorRing
+    case _          => null
+  }
+  def interiors(g: Geometry): Array[Geometry] = g match {
+    case p: Polygon => (0 until p.getNumInteriorRing).map(p.getInteriorRingN(_): Geometry).toArray
+    case _          => Array.empty
+  }
+  def extractUniquePoints(g: Geometry): Geometry = {
+    val seen = scala.collection.mutable.LinkedHashSet[(Double, Double, Double)]()
+    val coords = scala.collection.mutable.ArrayBuffer[Coordinate]()
+    g.getCoordinates.foreach { c =>
+      val k = (c.x, c.y, c.getZ)
+      if (!seen.contains(k)) { seen += k; coords += c }
+    }
+    gf.createMultiPointFromCoords(coords.toArray)
+  }
+  def offsetCurve(g: Geometry, distance: Double, quadSegs: Int, joinStyle: Int, mitreLimit: Double): Geometry = {
+    val bp = new BufferParameters(quadSegs, BufferParameters.CAP_FLAT, joinStyle, mitreLimit)
+    OffsetCurve.getCurve(g, distance, quadSegs, joinStyle, mitreLimit)
+  }
+  def removeRepeatedPoints(g: Geometry, tolerance: Double): Geometry =
+    org.locationtech.jts.geom.util.GeometryFixer.fix(removeRepeatedImpl(g, tolerance)) match {
+      case fixed => fixed
+    }
+  private def removeRepeatedImpl(g: Geometry, tol: Double): Geometry = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(gf)
+    ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] = {
+        val out = scala.collection.mutable.ArrayBuffer[Coordinate]()
+        coords.foreach { c =>
+          if (out.isEmpty || out.last.distance(c) > tol) out += c
+        }
+        if (geometry.isInstanceOf[LinearRing] && out.size < 4 && coords.nonEmpty) coords
+        else if (geometry.isInstanceOf[LineString] && out.size < 2 && coords.nonEmpty) coords
+        else out.toArray
+      }
+    })
+  }
+  def setPrecision(g: Geometry, gridSize: Double): Geometry =
+    GeometryPrecisionReducer.reduce(g, new PrecisionModel(1.0 / gridSize))
+  def normalize(g: Geometry): Geometry = { val c = g.copy(); c.normalize(); c }
+  def makeValid(g: Geometry): Geometry = if (g.isValid) g else GeometryFixer.fix(g)
+  def reverse(g: Geometry): Geometry = g.reverse()
+  def segmentize(g: Geometry, maxLen: Double): Geometry = Densifier.densify(g, maxLen)
+  def force2d(g: Geometry): Geometry = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(gf)
+    ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] =
+        coords.map(c => new Coordinate(c.x, c.y))
+    })
+  }
+  def force3d(g: Geometry, z: Double): Geometry = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(gf)
+    ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] =
+        coords.map(c => new Coordinate(c.x, c.y, if (java.lang.Double.isNaN(c.getZ)) z else c.getZ))
+    })
+  }
+  def lineMerge(g: Geometry): Geometry = {
+    val lm = new LineMerger
+    lm.add(g)
+    val merged = lm.getMergedLineStrings.asScala.toSeq.asInstanceOf[Seq[Geometry]]
+    if (merged.size == 1) merged.head else collect(merged)
+  }
+  def simplify(g: Geometry, tol: Double, preserveTopology: Boolean): Geometry =
+    if (preserveTopology) TopologyPreservingSimplifier.simplify(g, tol)
+    else DouglasPeuckerSimplifier.simplify(g, tol)
+  def buffer(g: Geometry, distance: Double, quadSegs: Int = 16, capStyle: Int = BufferParameters.CAP_ROUND,
+             joinStyle: Int = BufferParameters.JOIN_ROUND, mitreLimit: Double = 5.0,
+             singleSided: Boolean = false): Geometry = {
+    val bp = new BufferParameters(quadSegs, capStyle, joinStyle, mitreLimit)
+    bp.setSingleSided(singleSided)
+    BufferOp.bufferOp(g, distance, bp)
+  }
+  def interpolate(g: Geometry, distance: Double, normalized: Boolean): Geometry = {
+    val lil = new LengthIndexedLine(g)
+    val d = if (normalized) distance * g.getLength else distance
+    gf.createPoint(lil.extractPoint(d))
+  }
+  def project(g: Geometry, other: Geometry, normalized: Boolean): Double = {
+    val lil = new LengthIndexedLine(g)
+    val d = lil.indexOf(other.getCoordinate)
+    if (normalized) d / g.getLength else d
+  }
+  def clipByRect(g: Geometry, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry =
+    g.intersection(makeBox(xmin, ymin, xmax, ymax))
+  def snap(a: Geometry, b: Geometry, tolerance: Double): Geometry =
+    org.locationtech.jts.operation.overlay.snap.GeometrySnapper.snap(a, b, tolerance)(0)
+  def shortestLine(a: Geometry, b: Geometry): Geometry =
+    gf.createLineString(DistanceOp.nearestPoints(a, b))
+  def getGeometryN(g: Geometry, i: Int): Geometry = {
+    val n = g.getNumGeometries
+    val idx = if (i < 0) i + n else i
+    if (idx < 0 || idx >= n) null else g.getGeometryN(idx)
+  }
+  def numGeometries(g: Geometry): Int = g.getNumGeometries
+  def numPoints(g: Geometry): Int = g.getNumPoints
+  def geometryType(g: Geometry): String = g.getGeometryType
+  def delaunayTriangles(g: Geometry, tolerance: Double, onlyEdges: Boolean): Geometry = {
+    val b = new DelaunayTriangulationBuilder
+    b.setSites(g)
+    b.setTolerance(tolerance)
+    if (onlyEdges) b.getEdges(gf) else b.getTriangles(gf)
+  }
+  def voronoiPolygons(g: Geometry, tolerance: Double, onlyEdges: Boolean): Geometry = {
+    val b = new VoronoiDiagramBuilder
+    b.setSites(g)
+    b.setTolerance(tolerance)
+    val d = b.getDiagram(gf)
+    if (onlyEdges) d.getBoundary else d
+  }
+  def buildArea(g: Geometry): Geometry = {
+    val p = new Polygonizer(true)
+    p.add(g)
+    val polys = p.getPolygons.asScala.toSeq.asInstanceOf[Seq[Geometry]]
+    if (polys.isEmpty) gf.createPolygon() else UnaryUnionOp.union(polys.asJava)
+  }
+  def polygonize(g: Seq[Geometry]): Geometry = {
+    val p = new Polygonizer(false)
+    g.filter(_ != null).foreach(p.add)
+    collect(p.getPolygons.asScala.toSeq.asInstanceOf[Seq[Geometry]])
+  }
+
+  // ---- affine (ref base.py:5970-6200) -------------------------------------
+  def affine(g: Geometry, a: Double, b: Double, d: Double, e: Double, xoff: Double, yoff: Double): Geometry = {
+    val t = new AffineTransformation(a, b, xoff, d, e, yoff)
+    t.transform(g)
+  }
+  def translate(g: Geometry, dx: Double, dy: Double): Geometry =
+    AffineTransformation.translationInstance(dx, dy).transform(g)
+  def rotate(g: Geometry, angleDeg: Double, originX: Double, originY: Double): Geometry =
+    AffineTransformation.rotationInstance(math.toRadians(angleDeg), originX, originY).transform(g)
+  def scale(g: Geometry, xfact: Double, yfact: Double, originX: Double, originY: Double): Geometry =
+    AffineTransformation.scaleInstance(xfact, yfact, originX, originY).transform(g)
+  def skew(g: Geometry, xsDeg: Double, ysDeg: Double, originX: Double, originY: Double): Geometry =
+    AffineTransformation.shearInstance(math.tan(math.toRadians(xsDeg)), math.tan(math.toRadians(ysDeg)))
+      .transform(translate(g, -originX, -originY)) match {
+      case sheared => translate(sheared, originX, originY)
+    }
+
+  // ---- binary geo ops (ref base.py:4405-4762) -----------------------------
+  def intersection(a: Geometry, b: Geometry): Geometry = a.intersection(b)
+  def union(a: Geometry, b: Geometry): Geometry = a.union(b)
+  def difference(a: Geometry, b: Geometry): Geometry = a.difference(b)
+  def symDifference(a: Geometry, b: Geometry): Geometry = a.symDifference(b)
+  def unionAll(gs: Seq[Geometry]): Geometry = {
+    val nonNull = gs.filter(g => g != null)
+    if (nonNull.isEmpty) null else UnaryUnionOp.union(nonNull.asJava)
+  }
+  def intersectionAll(gs: Seq[Geometry]): Geometry = {
+    val nonNull = gs.filter(_ != null)
+    if (nonNull.isEmpty) null else nonNull.reduce(_.intersection(_))
+  }
+
+  /** Extract only components of the given dimension family (0=point,
+    * 1=line, 2=polygon) from a geometry — the reference's
+    * `_collection_extract` (`tools/overlay.py:395-454`), used by
+    * overlay/clip `keep_geom_type`. */
+  def collectionExtract(g: Geometry, dim: Int): Geometry = {
+    val out = scala.collection.mutable.ArrayBuffer[Geometry]()
+    def walk(x: Geometry): Unit = x match {
+      case c: GeometryCollection => (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case other                 => if (other.getDimension == dim && !other.isEmpty) out += other
+    }
+    walk(g)
+    if (out.isEmpty) {
+      dim match {
+        case 0 => gf.createPoint()
+        case 1 => gf.createLineString()
+        case _ => gf.createPolygon()
+      }
+    } else if (out.size == 1) out.head
+    else collect(out.toSeq)
+  }
+
+  // ---- coords -------------------------------------------------------------
+  def pointX(g: Geometry): Double = g match { case p: Point => p.getX; case _ => throw new IllegalArgumentException(s"x requires Point, got ${g.getGeometryType}") }
+  def pointY(g: Geometry): Double = g match { case p: Point => p.getY; case _ => throw new IllegalArgumentException(s"y requires Point, got ${g.getGeometryType}") }
+  def pointZ(g: Geometry): Double = g match { case p: Point => p.getCoordinate.getZ; case _ => Double.NaN }
+  def coordinates(g: Geometry): Array[(Double, Double)] = g.getCoordinates.map(c => (c.x, c.y))
+  def parts(g: Geometry): Array[Geometry] =
+    (0 until g.getNumGeometries).map(g.getGeometryN).toArray
+  def bounds(g: Geometry): (Double, Double, Double, Double) = {
+    val e = g.getEnvelopeInternal
+    (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  }
+
+  /** Deterministic per-geometry sampler (ref tools/_random.py:14-83): uniform
+    * along lines by length; rejection sampling in polygon bbox. */
+  def samplePoints(g: Geometry, size: Int, seed: Long): Geometry = {
+    val rng = new java.util.Random(seed)
+    val coords = g match {
+      case _ if g.getDimension == 2 =>
+        val e = g.getEnvelopeInternal
+        val prep = PreparedGeometryFactory.prepare(g)
+        val out = scala.collection.mutable.ArrayBuffer[Coordinate]()
+        var attempts = 0
+        while (out.size < size && attempts < size * 1000) {
+          val c = new Coordinate(e.getMinX + rng.nextDouble() * e.getWidth, e.getMinY + rng.nextDouble() * e.getHeight)
+          if (prep.intersects(gf.createPoint(c))) out += c
+          attempts += 1
+        }
+        out.toArray
+      case _ if g.getDimension == 1 =>
+        val lil = new LengthIndexedLine(g)
+        val len = g.getLength
+        Array.fill(size)(lil.extractPoint(rng.nextDouble() * len))
+      case _ =>
+        Array.fill(size)(g.getCoordinate)
+    }
+    gf.createMultiPointFromCoords(coords)
+  }
+}

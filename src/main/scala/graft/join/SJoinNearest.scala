@@ -1,0 +1,138 @@
+package graft.join
+
+import graft.geom.Wkb
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Envelope
+
+/** Nearest-neighbour join — reference `sjoin_nearest`
+  * (`geopandas/tools/sjoin.py:589-741`, tree knn `sindex.py:373-479`).
+  * k=1 with ties kept (`return_all`), optional `max_distance` cap and output
+  * `distance_col`.
+  *
+  * Broadcast strategy: expanding-ring STRtree search per stream row against
+  * the broadcast build side, collecting equidistant ties. Distributed
+  * strategy (requires `max_distance`): a dwithin grid join + window
+  * `rank() == 1` over distance, which keeps ties exactly like the reference.
+  */
+object SJoinNearest {
+
+  def sjoinNearest(left: DataFrame, right: DataFrame, how: String = "inner",
+                   leftGeom: String = "geometry", rightGeom: String = "geometry",
+                   lsuffix: String = "left", rsuffix: String = "right",
+                   maxDistance: Option[Double] = None, distanceCol: Option[String] = None,
+                   exclusive: Boolean = false,
+                   broadcastThreshold: Long = 2000000L): DataFrame = {
+    require(Seq("inner", "left").contains(how), s"how must be inner/left for nearest, got $how")
+    val (rightRenamed, rGeomName) =
+      if (leftGeom == rightGeom) (right.withColumnRenamed(rightGeom, s"${rightGeom}_$rsuffix"), s"${rightGeom}_$rsuffix")
+      else (right, rightGeom)
+    val (l2, r2) = SpatialJoin.applySuffixes(left, rightRenamed, leftGeom, rGeomName, lsuffix, rsuffix)
+
+    val rightCount = right.count()
+    if (rightCount <= broadcastThreshold)
+      broadcastNearest(l2, r2, how, leftGeom, rGeomName, maxDistance, distanceCol, exclusive)
+    else {
+      val md = maxDistance.getOrElse(throw new IllegalArgumentException(
+        "distributed sjoin_nearest requires max_distance (right side too large to broadcast); " +
+          "either pass max_distance or raise broadcastThreshold"))
+      gridNearest(l2, r2, how, leftGeom, rGeomName, md, distanceCol, exclusive)
+    }
+  }
+
+  private def broadcastNearest(l2: DataFrame, r2: DataFrame, how: String,
+                               leftGeom: String, rGeomName: String,
+                               maxDistance: Option[Double], distanceCol: Option[String],
+                               exclusive: Boolean): DataFrame = {
+    val spark = l2.sparkSession
+    val buildWithId = r2.withColumn("__graft_bid", monotonically_increasing_id())
+    val rows = buildWithId.select(col("__graft_bid"), col(rGeomName))
+      .na.drop(Seq(rGeomName)).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val bc = spark.sparkContext.broadcast(rows)
+    val bcId = bc.id
+    val maxD = maxDistance.getOrElse(Double.PositiveInfinity)
+    val excl = exclusive
+
+    // array of (bid, distance) for all ties at min distance
+    val nearestU = udf((g: Array[Byte]) => {
+      if (g == null) Array.empty[(Long, Double)]
+      else {
+        val idx = BroadcastTreeCache.get(bcId, bc.value)
+        if (idx.ids.isEmpty) Array.empty[(Long, Double)]
+        else {
+          val geom = Wkb.read(g)
+          val rootEnv = idx.tree.getRoot.getBounds.asInstanceOf[Envelope]
+          val span = math.max(rootEnv.getWidth, rootEnv.getHeight)
+          var radius = math.max(1e-9, math.min(maxD, span / 64))
+          var best = Double.PositiveInfinity
+          var done = false
+          val cands = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+          while (!done) {
+            val env = new Envelope(geom.getEnvelopeInternal)
+            env.expandBy(radius)
+            val hits = idx.tree.query(env)
+            cands.clear()
+            var i = 0
+            while (i < hits.size()) {
+              val pos = hits.get(i).asInstanceOf[Integer].intValue()
+              val d = geom.distance(idx.geom(pos))
+              if (d <= maxD && !(excl && d == 0.0 && geom.equalsTopo(idx.geom(pos)))) {
+                if (d < best) best = d
+                cands += ((idx.ids(pos), d))
+              }
+              i += 1
+            }
+            // stop once the best hit is inside the searched ring (no closer
+            // geometry can exist outside it), or the ring covers everything
+            if (best <= radius || radius >= maxD || radius > span * 4) done = true
+            else radius = radius * 4
+          }
+          if (best.isInfinity) Array.empty[(Long, Double)]
+          else cands.filter(_._2 == best).toArray
+        }
+      }
+    })
+
+    val withMatches = l2.withColumn("__graft_nn", nearestU(col(leftGeom)))
+    val exploded =
+      if (how == "left")
+        withMatches.select(col("*"),
+          explode_outer(when(size(col("__graft_nn")) > 0, col("__graft_nn"))).as("__graft_hit"))
+      else
+        withMatches.select(col("*"), explode(col("__graft_nn")).as("__graft_hit"))
+    val joinType = if (how == "left") "left" else "inner"
+    val dcol = distanceCol.getOrElse("__graft_dist")
+    val withDist = exploded
+      .withColumn("__graft_bid", col("__graft_hit._1"))
+      .withColumn(dcol, col("__graft_hit._2"))
+      .drop("__graft_nn", "__graft_hit")
+    val res = withDist.join(broadcast(buildWithId), Seq("__graft_bid"), joinType)
+      .drop("__graft_bid").drop(rGeomName)
+    if (distanceCol.isEmpty) res.drop("__graft_dist") else res
+  }
+
+  private def gridNearest(l2: DataFrame, r2: DataFrame, how: String,
+                          leftGeom: String, rGeomName: String, maxDistance: Double,
+                          distanceCol: Option[String], exclusive: Boolean): DataFrame = {
+    import graft.functions.GeoFunctions.{st_distance, st_equals}
+    val lw = l2.withColumn("__graft_lid", monotonically_increasing_id())
+    // dwithin candidate pairs (grid path), then window rank()==1 over
+    // distance per left row — rank (not row_number) keeps equidistant ties,
+    // matching the reference's return_all (sindex.py:373-479)
+    val pairs = SpatialJoin.sjoinCore(lw, r2, predicate = "dwithin", how = how,
+      leftGeom = leftGeom, rightGeom = rGeomName, distance = maxDistance,
+      broadcastThreshold = -1L) // force grid path
+    val dcol = distanceCol.getOrElse("__graft_dist")
+    val withDist = pairs.withColumn(dcol, st_distance(col(leftGeom), col(rGeomName)))
+    val filtered =
+      if (exclusive) withDist.filter(!(col(dcol) === 0.0 && st_equals(col(leftGeom), col(rGeomName))))
+      else withDist
+    val w = Window.partitionBy("__graft_lid").orderBy(col(dcol).asc_nulls_last)
+    val ranked = filtered.withColumn("__graft_rank", rank().over(w))
+      .filter(col("__graft_rank") === 1 || col(dcol).isNull)
+      .drop("__graft_rank", "__graft_lid", rGeomName)
+    if (distanceCol.isEmpty) ranked.drop("__graft_dist") else ranked
+  }
+}

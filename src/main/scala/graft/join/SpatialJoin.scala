@@ -1,0 +1,366 @@
+package graft.join
+
+import graft.geom.Wkb
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+
+/** Distributed spatial predicate join — the engine's version of the
+  * reference's `sjoin` (`geopandas/tools/sjoin.py:12-515`).
+  *
+  * Two physical strategies, chosen by build-side size (mirroring the
+  * reference's single hard-coded strategy of "STRtree on one side",
+  * `sjoin.py:212-268`, but distributed):
+  *
+  *  1. '''Broadcast''': the small side is collected, broadcast, and an
+  *     STRtree + prepared geometries are built once per executor JVM. The
+  *     stream side explodes matching build-row ids via a UDF, then a plain
+  *     Catalyst broadcast hash join on the integer id attaches build-side
+  *     columns — keeping the row-assembly inside whole-stage codegen and
+  *     never shuffling the big side.
+  *  2. '''Grid (PBSM)''': both sides are assigned grid cells covered by
+  *     their (distance-expanded) bboxes, exploded, hash-joined on cell id
+  *     with bbox-overlap pre-conditions, refined by the exact predicate,
+  *     and de-duplicated with the reference-cell trick (a pair is emitted
+  *     only in the cell containing the top-left corner of the bbox
+  *     intersection) — no global distinct needed. This is the strategy that
+  *     scales to 100 TB: shuffle is bounded by cell duplication factor and
+  *     AQE handles skewed cells.
+  */
+object SpatialJoin {
+
+  val Predicates: Set[String] = Set("intersects", "contains", "contains_properly", "within",
+    "touches", "crosses", "overlaps", "covers", "covered_by", "dwithin", "equals")
+
+  /** Exact predicate evaluation, args in (left, right) order; prepared form
+    * used when the prepared geometry is available for the given side. */
+  private[join] def evalPredicate(pred: String, l: Geometry, r: Geometry, distance: Double): Boolean = pred match {
+    case "intersects"         => l.intersects(r)
+    case "contains"           => l.contains(r)
+    case "contains_properly"  => PreparedGeometryFactory.prepare(l).containsProperly(r)
+    case "within"             => l.within(r)
+    case "touches"            => l.touches(r)
+    case "crosses"            => l.crosses(r)
+    case "overlaps"           => l.overlaps(r)
+    case "covers"             => l.covers(r)
+    case "covered_by"         => l.coveredBy(r)
+    case "equals"             => l.equalsTopo(r)
+    case "dwithin"            => l.isWithinDistance(r, distance)
+    case p                    => throw new IllegalArgumentException(s"unknown predicate $p")
+  }
+
+  /** Evaluate with the prepared geometry on the BUILD side. `buildIsRight`
+    * says whether the prepared/build geometry is the right arg. Prepared
+    * geometries accelerate the predicates JTS supports; rest falls through
+    * to the plain geometry. */
+  private[join] def evalWithPrepared(pred: String, prep: PreparedGeometry, build: Geometry,
+                                     stream: Geometry, buildIsRight: Boolean, distance: Double): Boolean = {
+    if (buildIsRight) {
+      // predicate(streamGeom=left, buildGeom=right)
+      pred match {
+        case "intersects" => prep.intersects(stream)
+        case "within"     => prep.contains(stream)
+        case "covered_by" => prep.covers(stream)
+        case "dwithin"    => stream.isWithinDistance(build, distance)
+        case _            => evalPredicate(pred, stream, build, distance)
+      }
+    } else {
+      // predicate(buildGeom=left, streamGeom=right)
+      pred match {
+        case "intersects"        => prep.intersects(stream)
+        case "contains"          => prep.contains(stream)
+        case "contains_properly" => prep.containsProperly(stream)
+        case "covers"            => prep.covers(stream)
+        case "dwithin"           => stream.isWithinDistance(build, distance)
+        case _                   => evalPredicate(pred, build, stream, distance)
+      }
+    }
+  }
+
+  /** Suffix clashing non-geometry columns (ref `sjoin.py:303-359`). Returns
+    * (renamedLeft, renamedRight). Geometry columns are never suffixed; the
+    * dropped side's geometry is removed by the caller. */
+  private[join] def applySuffixes(left: DataFrame, right: DataFrame, leftGeom: String, rightGeom: String,
+                                  lsuffix: String, rsuffix: String): (DataFrame, DataFrame) = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet) - leftGeom - rightGeom
+    val l2 = clash.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"${c}_$lsuffix"))
+    val r2 = clash.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"${c}_$rsuffix"))
+    (l2, r2)
+  }
+
+  /** Spatial join. `how` ∈ inner/left/right. `distance` only for
+    * predicate="dwithin". `onAttribute`: extra equi-join columns (must exist
+    * both sides, ref `sjoin.py:574-586`). `broadcastThreshold`: build-side
+    * row count at or below which the broadcast strategy is used. */
+  def sjoin(left: DataFrame, right: DataFrame,
+            predicate: String = "intersects", how: String = "inner",
+            leftGeom: String = "geometry", rightGeom: String = "geometry",
+            lsuffix: String = "left", rsuffix: String = "right",
+            distance: Double = 0.0, onAttribute: Seq[String] = Nil,
+            broadcastThreshold: Long = 2000000L): DataFrame = {
+    val joined = sjoinCore(left, right, predicate, how, leftGeom, rightGeom, lsuffix, rsuffix,
+      distance, onAttribute, broadcastThreshold)
+    // exactly one geometry column survives (ref sjoin.py:464-467)
+    val rGeomName = if (leftGeom == rightGeom) s"${rightGeom}_$rsuffix" else rightGeom
+    how match {
+      case "right" => joined.drop(leftGeom).withColumnRenamed(rGeomName, rightGeom)
+      case _       => joined.drop(rGeomName)
+    }
+  }
+
+  /** Like [[sjoin]] but keeps BOTH geometry columns (needed by overlay and
+    * nearest, which compute on the pair). If the two geometry column names
+    * clash, the right one is exposed as `<name>_<rsuffix>`. */
+  private[graft] def sjoinCore(left: DataFrame, right: DataFrame,
+            predicate: String, how: String,
+            leftGeom: String, rightGeom: String,
+            lsuffix: String = "left", rsuffix: String = "right",
+            distance: Double = 0.0, onAttribute: Seq[String] = Nil,
+            broadcastThreshold: Long = 2000000L): DataFrame = {
+    require(Predicates.contains(predicate), s"predicate must be one of $Predicates")
+    require(Seq("inner", "left", "right").contains(how), s"how must be inner/left/right, got $how")
+
+    // geometry name clash: rename right geometry so both survive the join
+    val (rightRenamed, rGeomName) =
+      if (leftGeom == rightGeom) (right.withColumnRenamed(rightGeom, s"${rightGeom}_$rsuffix"), s"${rightGeom}_$rsuffix")
+      else (right, rightGeom)
+
+    val (l2, r2) = applySuffixes(left, rightRenamed, leftGeom, rGeomName, lsuffix, rsuffix)
+    val onAttrL = onAttribute.map(a => if (l2.columns.contains(a + s"_$lsuffix")) a + s"_$lsuffix" else a)
+    val onAttrR = onAttribute.map(a => if (r2.columns.contains(a + s"_$rsuffix")) a + s"_$rsuffix" else a)
+
+    // how=right ⇒ stream right, keep right geometry (ref sjoin.py:464-467)
+    val rightCount = right.count()
+    val leftCount = left.count()
+    val useBroadcast = math.min(leftCount, rightCount) <= broadcastThreshold
+
+    val joined =
+      if (useBroadcast) {
+        // build side = smaller side, unless how forces the outer side to stream
+        val buildRight = how match {
+          case "left"  => true                    // left must stream (outer rows preserved)
+          case "right" => false                   // right must stream
+          case _       => rightCount <= leftCount
+        }
+        broadcastJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance, buildRight)
+      } else {
+        gridJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance)
+      }
+
+    onAttrL.zip(onAttrR).foldLeft(joined) { case (df, (a, b)) =>
+      df.filter(col(a) === col(b))
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Broadcast strategy
+  // -------------------------------------------------------------------------
+
+  private def broadcastJoin(l2: DataFrame, r2: DataFrame, predicate: String, how: String,
+                            leftGeom: String, rightGeom: String, distance: Double,
+                            buildRight: Boolean): DataFrame = {
+    val spark = l2.sparkSession
+    val (stream, streamGeom, build, buildGeom) =
+      if (buildRight) (l2, leftGeom, r2, rightGeom) else (r2, rightGeom, l2, leftGeom)
+
+    val buildWithId = build.withColumn("__graft_bid", monotonically_increasing_id())
+    val rows: Array[(Long, Array[Byte])] = buildWithId
+      .select(col("__graft_bid"), col(buildGeom))
+      .na.drop(Seq(buildGeom))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val bc: Broadcast[Array[(Long, Array[Byte])]] = spark.sparkContext.broadcast(rows)
+    val bcId = bc.id
+    val pred = predicate
+    val dist = distance
+    val bIsRight = buildRight
+
+    val matchU = udf((g: Array[Byte]) => {
+      if (g == null) Array.empty[Long]
+      else {
+        val idx = BroadcastTreeCache.get(bcId, bc.value)
+        val geom = Wkb.read(g)
+        val env = new Envelope(geom.getEnvelopeInternal)
+        if (pred == "dwithin") env.expandBy(dist)
+        val cands = idx.tree.query(env)
+        val out = new scala.collection.mutable.ArrayBuffer[Long](math.min(cands.size(), 16))
+        var i = 0
+        while (i < cands.size()) {
+          val pos = cands.get(i).asInstanceOf[Integer].intValue()
+          val bGeom = idx.geom(pos)
+          val prep = idx.prepared(pos)
+          if (SpatialJoin.evalWithPrepared(pred, prep, bGeom, geom, bIsRight, dist)) out += idx.ids(pos)
+          i += 1
+        }
+        out.toArray
+      }
+    })
+
+    val outer = how != "inner"
+    val withMatches = stream.withColumn("__graft_matches", matchU(col(streamGeom)))
+    val exploded =
+      if (outer)
+        withMatches.select(col("*"),
+          explode_outer(when(size(col("__graft_matches")) > 0, col("__graft_matches"))).as("__graft_bid"))
+      else
+        withMatches.select(col("*"), explode(col("__graft_matches")).as("__graft_bid"))
+    val joinType = if (outer) "left" else "inner"
+    exploded
+      .drop("__graft_matches")
+      .join(broadcast(buildWithId), Seq("__graft_bid"), joinType)
+      .drop("__graft_bid")
+  }
+
+  // -------------------------------------------------------------------------
+  // Grid (partitioned) strategy
+  // -------------------------------------------------------------------------
+
+  private[join] case class GridSpec(xmin: Double, ymin: Double, xmax: Double, ymax: Double, nx: Int, ny: Int) {
+    def cellW: Double = if (nx == 0) 0 else math.max((xmax - xmin) / nx, 1e-12)
+    def cellH: Double = if (ny == 0) 0 else math.max((ymax - ymin) / ny, 1e-12)
+    def cellOf(x: Double, y: Double): Long = {
+      val cx = math.min(nx - 1L, math.max(0L, math.floor((x - xmin) / cellW).toLong))
+      val cy = math.min(ny - 1L, math.max(0L, math.floor((y - ymin) / cellH).toLong))
+      cy * nx + cx
+    }
+    def cellsFor(exmin: Double, eymin: Double, exmax: Double, eymax: Double): Array[Long] = {
+      val cx0 = math.min(nx - 1L, math.max(0L, math.floor((exmin - xmin) / cellW).toLong)).toInt
+      val cx1 = math.min(nx - 1L, math.max(0L, math.floor((exmax - xmin) / cellW).toLong)).toInt
+      val cy0 = math.min(ny - 1L, math.max(0L, math.floor((eymin - ymin) / cellH).toLong)).toInt
+      val cy1 = math.min(ny - 1L, math.max(0L, math.floor((eymax - ymin) / cellH).toLong)).toInt
+      val out = new Array[Long]((cx1 - cx0 + 1) * (cy1 - cy0 + 1))
+      var k = 0
+      var cy = cy0
+      while (cy <= cy1) {
+        var cx = cx0
+        while (cx <= cx1) { out(k) = cy.toLong * nx + cx; k += 1; cx += 1 }
+        cy += 1
+      }
+      out
+    }
+  }
+
+  /** Compute joint grid from both sides' stats in one pass each. Cell size
+    * targets ~`targetPerCell` rows per cell of the bigger side while staying
+    * above the average bbox size (to bound duplication factor). */
+  private def computeGrid(l: DataFrame, lGeom: String, r: DataFrame, rGeom: String,
+                          expand: Double): GridSpec = {
+    def stats(df: DataFrame, g: String): (Double, Double, Double, Double, Long, Double, Double) = {
+      val b = graft.functions.GeoFunctions.st_bounds(col(g))
+      val row = df.select(b.as("b")).filter(col("b").isNotNull)
+        .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax"), count(lit(1)),
+          avg(col("b.xmax") - col("b.xmin")), avg(col("b.ymax") - col("b.ymin"))).head()
+      if (row.isNullAt(0)) (0, 0, 0, 0, 0L, 0, 0)
+      else (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getLong(4),
+        row.getDouble(5), row.getDouble(6))
+    }
+    val (lx0, ly0, lx1, ly1, ln, lw, lh) = stats(l, lGeom)
+    val (rx0, ry0, rx1, ry1, rn, rw, rh) = stats(r, rGeom)
+    val xmin = math.min(lx0, rx0) - expand
+    val ymin = math.min(ly0, ry0) - expand
+    val xmax = math.max(lx1, rx1) + expand
+    val ymax = math.max(ly1, ry1) + expand
+    val n = math.max(ln, rn)
+    val targetPerCell = 512.0
+    var cells = math.max(1L, (n / targetPerCell).toLong)
+    var nx = math.max(1, math.sqrt(cells.toDouble).toInt)
+    // keep cells no smaller than ~2× the average bbox edge, bounding the
+    // duplication factor to ~2-3 copies per geometry
+    val avgW = math.max(lw, rw) * 2
+    val avgH = math.max(lh, rh) * 2
+    val w = math.max(xmax - xmin, 1e-9)
+    val h = math.max(ymax - ymin, 1e-9)
+    var gx = nx
+    var gy = nx
+    if (avgW > 0) gx = math.min(gx, math.max(1, (w / avgW).toInt))
+    if (avgH > 0) gy = math.min(gy, math.max(1, (h / avgH).toInt))
+    GridSpec(xmin, ymin, xmax, ymax, math.max(1, gx), math.max(1, gy))
+  }
+
+  private def gridJoin(l2: DataFrame, r2: DataFrame, predicate: String, how: String,
+                       leftGeom: String, rightGeom: String, distance: Double): DataFrame = {
+    import graft.functions.GeoFunctions.st_bounds
+    val expand = if (predicate == "dwithin") distance else 0.0
+    val grid = computeGrid(l2, leftGeom, r2, rightGeom, expand)
+
+    val lid = monotonically_increasing_id()
+    val rid = monotonically_increasing_id()
+    val lw = l2.withColumn("__graft_lid", lid)
+    val rw = r2.withColumn("__graft_rid", rid)
+
+    val g = grid
+    val cellsU = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>
+      g.cellsFor(xmin, ymin, xmax, ymax))
+    val cellOfU = udf((x: Double, y: Double) => g.cellOf(x, y))
+
+    // left bboxes expanded by distance for dwithin (one side only)
+    val lb = lw.withColumn("__b", st_bounds(col(leftGeom))).filter(col("__b").isNotNull)
+      .withColumn("__bx0", col("__b.xmin") - lit(expand))
+      .withColumn("__by0", col("__b.ymin") - lit(expand))
+      .withColumn("__bx1", col("__b.xmax") + lit(expand))
+      .withColumn("__by1", col("__b.ymax") + lit(expand))
+      .withColumn("__cell", explode(cellsU(col("__bx0"), col("__by0"), col("__bx1"), col("__by1"))))
+      .drop("__b")
+    val rb = rw.withColumn("__b", st_bounds(col(rightGeom))).filter(col("__b").isNotNull)
+      .withColumn("__rx0", col("__b.xmin")).withColumn("__ry0", col("__b.ymin"))
+      .withColumn("__rx1", col("__b.xmax")).withColumn("__ry1", col("__b.ymax"))
+      .withColumn("__cell", explode(cellsU(col("__rx0"), col("__ry0"), col("__rx1"), col("__ry1"))))
+      .drop("__b")
+
+    val pred = predicate
+    val dist = distance
+    val refineU = udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) false
+      else SpatialJoin.evalPredicate(pred, Wkb.read(a), Wkb.read(b), dist))
+
+    // bbox overlap + reference-cell dedup + exact refine
+    val pairs = lb.join(rb, Seq("__cell"))
+      .filter(col("__bx0") <= col("__rx1") && col("__rx0") <= col("__bx1") &&
+        col("__by0") <= col("__ry1") && col("__ry0") <= col("__by1"))
+      .filter(col("__cell") === cellOfU(greatest(col("__bx0"), col("__rx0")), greatest(col("__by0"), col("__ry0"))))
+      .filter(refineU(col(leftGeom), col(rightGeom)))
+      .drop("__cell", "__bx0", "__by0", "__bx1", "__by1", "__rx0", "__ry0", "__rx1", "__ry1")
+
+    how match {
+      case "inner" => pairs.drop("__graft_lid", "__graft_rid")
+      case "left" =>
+        val rightCols = pairs.columns.filter(c => !lw.columns.contains(c))
+        val matches = pairs.select((Seq(col("__graft_lid")) ++ rightCols.map(col)): _*)
+        lw.join(matches, Seq("__graft_lid"), "left").drop("__graft_lid", "__graft_rid")
+      case "right" =>
+        val leftCols = pairs.columns.filter(c => !rw.columns.contains(c))
+        val matches = pairs.select((Seq(col("__graft_rid")) ++ leftCols.map(col)): _*)
+        matches.join(rw, Seq("__graft_rid"), "right").drop("__graft_lid", "__graft_rid")
+    }
+  }
+}
+
+/** Per-JVM (per-executor) cache of broadcast STRtrees: the tree is built once
+  * from the broadcast WKB array per executor, mirroring the reference's lazy
+  * cached `sindex` (`geopandas/array.py:374-379`) at cluster scope. */
+object BroadcastTreeCache {
+  final class IndexData(rows: Array[(Long, Array[Byte])]) {
+    val ids: Array[Long] = rows.map(_._1)
+    val geom: Array[Geometry] = rows.map(r => Wkb.read(r._2))
+    private val prep = new java.util.concurrent.ConcurrentHashMap[Int, PreparedGeometry]()
+    val tree: STRtree = {
+      val t = new STRtree()
+      var i = 0
+      while (i < geom.length) {
+        if (geom(i) != null && !geom(i).isEmpty) t.insert(geom(i).getEnvelopeInternal, Integer.valueOf(i))
+        i += 1
+      }
+      t.build()
+      t
+    }
+    def prepared(i: Int): PreparedGeometry =
+      prep.computeIfAbsent(i, (k: Int) => PreparedGeometryFactory.prepare(geom(k)))
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, IndexData]()
+  def get(bcId: Long, rows: => Array[(Long, Array[Byte])]): IndexData =
+    cache.computeIfAbsent(bcId, (_: Long) => new IndexData(rows))
+}
