@@ -1,13 +1,491 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.agg.GeoAggregates._
+import graft.functions.GeoFunctions._
+import graft.functions.TextFunctions
+import graft.join.{Clip, Overlay, SJoinNearest, SpatialJoin}
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — each `queries` entry is an operator exercise over the
+  * driver testdata, and each `oracleSql` entry is plain ANSI SQL (DuckDB has
+  * no spatial extension available offline) computing the same result via
+  * closed-form math: geometry is derived from numeric columns (points from
+  * modular hashes, axis-aligned boxes from a 5×5 nation grid), so contains ≡
+  * range predicates, distance ≡ sqrt, overlay area ≡ interval-overlap
+  * arithmetic, etc. Both sides are kept bit-compatible by doing identical
+  * IEEE double operations in the same order; outputs are rounded where an
+  * engine-internal summation order could differ.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared geometry derivations (mirrored literally in the oracle SQL) --
+
+  private def pts(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    c.withColumn("px", (col("c_custkey") * 7 % 1000).cast("double") / 10.0)
+      .withColumn("py", (col("c_custkey") * 13 % 1000).cast("double") / 10.0)
+      .withColumn("geometry", st_point(col("px"), col("py")))
+  }
+  private val PtsSql =
+    """SELECT *, CAST(c_custkey * 7 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS px,
+      |          CAST(c_custkey * 13 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS py
+      |   FROM customer""".stripMargin.replace("\n", " ")
+
+  private def cells(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    n.withColumn("cx", (col("n_nationkey") % 5).cast("long"))
+      .withColumn("cy", floor(col("n_nationkey") / 5.0).cast("long"))
+      .withColumn("x0", (col("cx") * 20).cast("double"))
+      .withColumn("y0", (col("cy") * 20).cast("double"))
+      .withColumn("x1", (col("cx") * 20 + 20).cast("double"))
+      .withColumn("y1", (col("cy") * 20 + 20).cast("double"))
+      .withColumn("geometry", st_makebox(col("x0"), col("y0"), col("x1"), col("y1")))
+  }
+  private val CellsSql =
+    """SELECT *, CAST(cx * 20 AS DOUBLE) AS x0, CAST(cy * 20 AS DOUBLE) AS y0,
+      |          CAST(cx * 20 + 20 AS DOUBLE) AS x1, CAST(cy * 20 + 20 AS DOUBLE) AS y1
+      |   FROM (SELECT *, CAST(n_nationkey % 5 AS BIGINT) AS cx,
+      |                CAST(floor(n_nationkey / CAST(5 AS DOUBLE)) AS BIGINT) AS cy FROM nation)""".stripMargin.replace("\n", " ")
+
+  private def boxes(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    l.withColumn("ax0", (col("l_partkey") % 50).cast("double"))
+      .withColumn("ay0", (col("l_suppkey") % 50).cast("double"))
+      .withColumn("ax1", (col("l_partkey") % 50 + 1 + col("l_linenumber")).cast("double"))
+      .withColumn("ay1", (col("l_suppkey") % 50 + 1 + col("l_orderkey") % 5).cast("double"))
+      .withColumn("bx0", (col("l_partkey") * 3 % 50).cast("double"))
+      .withColumn("by0", (col("l_suppkey") * 5 % 50).cast("double"))
+      .withColumn("bx1", (col("l_partkey") * 3 % 50 + 1 + col("l_orderkey") % 7).cast("double"))
+      .withColumn("by1", (col("l_suppkey") * 5 % 50 + 2).cast("double"))
+      .withColumn("box_a", st_makebox(col("ax0"), col("ay0"), col("ax1"), col("ay1")))
+      .withColumn("box_b", st_makebox(col("bx0"), col("by0"), col("bx1"), col("by1")))
+  }
+  private val BoxesSql =
+    """SELECT *, CAST(l_partkey % 50 AS DOUBLE) AS ax0, CAST(l_suppkey % 50 AS DOUBLE) AS ay0,
+      |  CAST(l_partkey % 50 + 1 + l_linenumber AS DOUBLE) AS ax1,
+      |  CAST(l_suppkey % 50 + 1 + l_orderkey % 5 AS DOUBLE) AS ay1,
+      |  CAST(l_partkey * 3 % 50 AS DOUBLE) AS bx0, CAST(l_suppkey * 5 % 50 AS DOUBLE) AS by0,
+      |  CAST(l_partkey * 3 % 50 + 1 + l_orderkey % 7 AS DOUBLE) AS bx1,
+      |  CAST(l_suppkey * 5 % 50 + 2 AS DOUBLE) AS by1
+      | FROM lineitem""".stripMargin.replace("\n", " ")
+
+  private def supLines(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    s.withColumn("x1", (col("s_suppkey") * 17 % 1000).cast("double") / 10.0)
+      .withColumn("y1", (col("s_suppkey") * 23 % 1000).cast("double") / 10.0)
+      .withColumn("x2", (col("s_suppkey") * 29 % 1000).cast("double") / 10.0)
+      .withColumn("y2", (col("s_suppkey") * 31 % 1000).cast("double") / 10.0)
+      .withColumn("p1", st_point(col("x1"), col("y1")))
+      .withColumn("p2", st_point(col("x2"), col("y2")))
+      .withColumn("line", st_makeline(col("p1"), col("p2")))
+  }
+  private val SupSql =
+    """SELECT *, CAST(s_suppkey * 17 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS x1,
+      |  CAST(s_suppkey * 23 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS y1,
+      |  CAST(s_suppkey * 29 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS x2,
+      |  CAST(s_suppkey * 31 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS y2
+      | FROM supplier""".stripMargin.replace("\n", " ")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Flagship: points-in-cells sjoin + dissolve-style count per region
+    * (the reference's "groceries per community" hello-world,
+    * `tools/sjoin.py:103-111`), on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val joined = SpatialJoin.sjoin(pts(spark, dir), cells(spark, dir),
+      predicate = "intersects", how = "inner")
+    joined.groupBy(col("n_regionkey")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  // --------------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- constructors & accessors
+    "q01_point_xy" -> ((s, d) => pts(s, d).select(col("c_custkey"),
+      st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))),
+    "q02_wkt_roundtrip" -> ((s, d) => pts(s, d)
+      .withColumn("ix", (col("c_custkey") % 100).cast("double"))
+      .withColumn("iy", (col("c_custkey") * 3 % 100).cast("double"))
+      .select(col("c_custkey"), st_astext(st_point(col("ix"), col("iy"))).as("wkt"))),
+    "q03_envelope_area" -> ((s, d) => boxes(s, d)
+      .withColumn("area", st_area(st_envelope(col("box_a"))))
+      .groupBy(col("l_returnflag")).agg(sum(col("area")).cast("double").as("sum_area"))),
+    "q04_distance" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        st_distance(st_point(col("ax0"), col("ay0")), st_point(col("bx0"), col("by0"))).as("dist"))),
+    "q05_buffer_area" -> ((s, d) => pts(s, d)
+      .withColumn("r", (col("c_custkey") % 5 + 1).cast("double"))
+      .select(col("c_custkey"), round(st_area(st_buffer(col("geometry"), col("r"))), 4).as("barea"))),
+    "q06_centroid_dissolve" -> ((s, d) => pts(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(st_collect_agg(col("geometry")).as("g"))
+      .select(col("c_nationkey"),
+        round(st_x(st_centroid(col("g"))), 6).as("cx"),
+        round(st_y(st_centroid(col("g"))), 6).as("cy"))),
+    "q07_cx_bbox" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      GeoDataFrame(pts(s, d)).cx(10, 20, 60, 80).df
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    }),
+    "q08_box_predicates" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        st_intersects(col("box_a"), col("box_b")).as("inter"),
+        st_contains(col("box_a"), col("box_b")).as("cont"),
+        st_within(col("box_b"), col("box_a")).as("with_"),
+        st_disjoint(col("box_a"), col("box_b")).as("disj"))),
+    "q09_sjoin_points_cells" -> ((s, d) =>
+      SpatialJoin.sjoin(pts(s, d), cells(s, d), predicate = "intersects", how = "inner")
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))),
+    "q10_sjoin_grid" -> ((s, d) =>
+      SpatialJoin.sjoin(pts(s, d), cells(s, d), predicate = "intersects", how = "inner",
+        broadcastThreshold = -1L)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))),
+    "q11_sjoin_left" -> ((s, d) => {
+      val westCells = cells(s, d).filter(col("cx") < 3)
+      SpatialJoin.sjoin(pts(s, d), westCells, predicate = "intersects", how = "left")
+        .select(col("c_custkey"), col("n_nationkey"))
+    }),
+    "q12_sjoin_nearest" -> ((s, d) => {
+      val centers = cells(s, d)
+        .withColumn("geometry", st_point((col("cx") * 20 + 10).cast("double"), (col("cy") * 20 + 10).cast("double")))
+        .select(col("n_nationkey"), col("geometry"))
+      SJoinNearest.sjoinNearest(pts(s, d), centers, how = "inner", distanceCol = Some("dist"))
+        .select(col("c_custkey"), col("n_nationkey"), round(col("dist"), 6).as("dist"))
+    }),
+    "q13_overlay_intersection" -> ((s, d) => {
+      val shifted = cells(s, d)
+        .withColumn("geometry", st_makebox(
+          (col("cx") * 20 + 7).cast("double"), (col("cy") * 20 + 3).cast("double"),
+          (col("cx") * 20 + 27).cast("double"), (col("cy") * 20 + 23).cast("double")))
+        .select(col("n_nationkey").as("nk2"), col("geometry"))
+      Overlay.overlay(cells(s, d).select(col("n_nationkey"), col("geometry")), shifted,
+        how = "intersection")
+        .select(col("n_nationkey"), col("nk2"), round(st_area(col("geometry")), 6).as("area"))
+    }),
+    "q14_overlay_difference" -> ((s, d) => {
+      val shifted = cells(s, d)
+        .withColumn("geometry", st_makebox(
+          (col("cx") * 20 + 7).cast("double"), (col("cy") * 20 + 3).cast("double"),
+          (col("cx") * 20 + 27).cast("double"), (col("cy") * 20 + 23).cast("double")))
+        .select(col("n_nationkey").as("nk2"), col("geometry"))
+      Overlay.overlay(cells(s, d).select(col("n_nationkey"), col("geometry")), shifted,
+        how = "difference")
+        .select(col("n_nationkey"), round(st_area(col("geometry")), 6).as("area"))
+    }),
+    "q15_dissolve" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      GeoDataFrame(cells(s, d).select(col("n_regionkey"), col("n_nationkey"), col("geometry")))
+        .dissolve(by = Seq("n_regionkey"), aggfunc = Map("n_nationkey" -> "count")).df
+        .select(col("n_regionkey"), round(st_area(col("geometry")), 6).as("area"),
+          col("n_nationkey").as("n_cells"))
+    }),
+    "q16_affine" -> ((s, d) => pts(s, d)
+      .withColumn("g2", st_scale(st_translate(col("geometry"), lit(5.5), lit(-2.25)),
+        lit(2.0), lit(2.0), lit(0.0), lit(0.0)))
+      .select(col("c_custkey"), st_x(col("g2")).as("tx"), st_y(col("g2")).as("ty"))),
+    "q17_to_crs" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      val lonlat = pts(s, d)
+        .withColumn("geometry", st_point(col("px") * 3.6 - 180.0, col("py") * 1.6 - 80.0))
+      GeoDataFrame(lonlat, "geometry", Map("geometry" -> "EPSG:4326")).toCrs("EPSG:3857").df
+        .select(col("c_custkey"),
+          (round(st_x(col("geometry")), 4) + 0.0).as("mx"),  // + 0.0 folds -0.0 → 0.0
+          (round(st_y(col("geometry")), 4) + 0.0).as("my"))
+    }),
+    "q18_hilbert" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      GeoDataFrame(pts(s, d)).hilbertDistance(10)
+        .select(col("c_custkey"), col("hilbert_distance"))
+    }),
+    "q19_get_coordinates" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      GeoDataFrame(supLines(s, d).select(col("s_suppkey"), col("line")), "line").getCoordinates
+        .select(col("s_suppkey"), col("x"), col("y"))
+    }),
+    "q20_explode_parts" -> ((s, d) => {
+      val p = s.read.parquet(s"$d/part.parquet")
+        .withColumn("g1", st_point((col("p_partkey") % 100).cast("double"), (col("p_partkey") * 3 % 100).cast("double")))
+        .withColumn("g2", st_point((col("p_partkey") * 7 % 100).cast("double"), (col("p_partkey") * 11 % 100).cast("double")))
+        .withColumn("mp", stCollectU(array(col("g1"), col("g2"))))
+      import graft.api.GeoDataFrame
+      GeoDataFrame(p.select(col("p_partkey"), col("mp")), "mp").explodeParts().df
+        .select(col("p_partkey"), col("part_index"), st_x(col("mp")).as("x"), st_y(col("mp")).as("y"))
+    }),
+    "q21_convex_hull" -> ((s, d) => {
+      val p = s.read.parquet(s"$d/part.parquet")
+        .withColumn("xa", (col("p_partkey") % 100).cast("double")).withColumn("ya", (col("p_partkey") * 3 % 100).cast("double"))
+        .withColumn("xb", (col("p_partkey") * 7 % 100).cast("double")).withColumn("yb", (col("p_partkey") * 11 % 100).cast("double"))
+        .withColumn("xc", (col("p_partkey") * 13 % 100).cast("double")).withColumn("yc", (col("p_partkey") * 17 % 100).cast("double"))
+        .withColumn("mp", stCollectU(array(
+          st_point(col("xa"), col("ya")), st_point(col("xb"), col("yb")), st_point(col("xc"), col("yc")))))
+      p.select(col("p_partkey"), round(st_area(st_convex_hull(col("mp"))), 6).as("hull_area"))
+    }),
+    "q22_union_points" -> ((s, d) => pts(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(st_union_agg(col("geometry")).as("g"))
+      .select(col("c_nationkey"), st_npoints(col("g")).as("n_distinct_pts"))),
+    "q23_events_window" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      // ts is TIMESTAMP(NANOS): read as long nanos under
+      // spark.sql.legacy.parquet.nanosAsLong, else as a timestamp
+      val tsSec = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts").cast("double") / 1.0e9
+        case _                                   => col("ts").cast("double")
+      }
+      ev.withColumn("win", (floor(tsSec / 300.0) * 300).cast("long"))
+        .groupBy(col("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+    "q24_dedup_exact" -> ((s, d) => docs(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))),
+    "q25_token_stats" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      round(TextFunctions.meanWordLength(col("text")), 6).as("mean_wlen"))),
+    "q26_lang_id" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("pred_lang"))),
+    "q27_quality" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))),
+    "q28_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", k = 3, numHashes = 8, bands = 4, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q29_embedding_topk" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(embs(s, d), "embedding", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q30_simhash" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.simhash64(col("text")).as("simhash"))),
+    "q31_fingerprint" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))),
+    "q32_ann_topk" -> ((s, d) => {
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopK(embs(s, d), "embedding", q, 10, planes = 8, probeHamming = 8)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q33_multimodal_meta" -> ((s, d) => {
+      val withBin = docs(s, d).withColumn("media", col("text").cast("binary"))
+      Multimodal.withImageMeta(withBin, "media")
+        .select(col("doc_id"), col("image_meta.format").as("format"),
+          col("image_meta.width").as("width"), col("image_meta.height").as("height"),
+          col("image_meta.size_bytes").as("size_bytes"))
+    }),
+    "q34_simplify" -> ((s, d) => {
+      val sl = supLines(s, d)
+        .withColumn("mx", (col("x1") + col("x2")) / 2.0)
+        .withColumn("my", (col("y1") + col("y2")) / 2.0)
+        .withColumn("line3", stLineFromCoordsU(array(col("x1"), col("mx"), col("x2")), array(col("y1"), col("my"), col("y2"))))
+      sl.filter(!(col("x1") === col("x2") && col("y1") === col("y2")))
+        .select(col("s_suppkey"), st_npoints(st_simplify(col("line3"), lit(0.0001), lit(false))).as("np"))
+    }),
+    "q35_interpolate" -> ((s, d) => supLines(s, d)
+      .filter(!(col("x1") === col("x2") && col("y1") === col("y2")))
+      .withColumn("p", st_interpolate(col("line"), lit(0.25), lit(true)))
+      .select(col("s_suppkey"), round(st_x(col("p")), 6).as("ix"), round(st_y(col("p")), 6).as("iy"))),
+    "q36_envelope_wkt" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        st_astext(st_envelope(col("box_a"))).as("wkt"))),
+    "q37_relate" -> ((s, d) => {
+      // strictly-interior points only: px/py not on any multiple-of-20 line
+      val interior = pts(s, d).filter(col("px") % 20.0 =!= 0.0 && col("py") % 20.0 =!= 0.0)
+      val joined = SpatialJoin.sjoin(interior, cells(s, d), predicate = "within", how = "inner")
+      // relate against the cell rebuilt from its bounds (geometry was dropped)
+      joined.select(col("c_custkey"), col("n_nationkey"),
+        st_relate(col("geometry"), st_makebox(col("x0"), col("y0"), col("x1"), col("y1"))).as("de9im"))
+    }),
+    "q38_intersection_box" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 20 === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(st_area(st_intersection(col("box_a"), col("box_b"))), 6).as("iarea"))),
+    "q39_total_bounds" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      val (x0, y0, x1, y1) = GeoDataFrame(pts(s, d)).totalBounds
+      s.range(1).select(lit(x0).as("xmin"), lit(y0).as("ymin"), lit(x1).as("xmax"), lit(y1).as("ymax"))
+    }),
+    "q40_clip" -> ((s, d) => Clip.clipByRect(boxes(s, d).select(col("l_orderkey"), col("l_linenumber"), col("box_a")),
+      10, 10, 40, 40, geom = "box_a")
+      .select(col("l_orderkey"), col("l_linenumber"), round(st_area(col("box_a")), 6).as("clip_area")))
+  )
+
+  /** Collect helper for building multipoints from an array of geometries. */
+  val stCollectU = udf((arr: Seq[Array[Byte]]) =>
+    if (arr == null) null
+    else graft.geom.Wkb.write(graft.geom.GeomOps.collect(arr.filter(_ != null).map(graft.geom.Wkb.read))))
+
+  // --------------------------------------------------------------------------
+  def oracleSql: Map[String, String] = {
+    val pts = s"($PtsSql)"
+    val cells = s"($CellsSql)"
+    val boxes = s"($BoxesSql)"
+    val sup = s"($SupSql)"
+    Map(
+      "q01_point_xy" -> s"SELECT c_custkey, px AS x, py AS y FROM $pts",
+      "q02_wkt_roundtrip" ->
+        s"SELECT c_custkey, 'POINT (' || CAST(c_custkey % 100 AS VARCHAR) || ' ' || CAST(c_custkey * 3 % 100 AS VARCHAR) || ')' AS wkt FROM customer",
+      "q03_envelope_area" ->
+        s"SELECT l_returnflag, CAST(sum((ax1 - ax0) * (ay1 - ay0)) AS DOUBLE) AS sum_area FROM $boxes GROUP BY l_returnflag",
+      "q04_distance" ->
+        s"SELECT l_orderkey, l_linenumber, sqrt((ax0 - bx0) * (ax0 - bx0) + (ay0 - by0) * (ay0 - by0)) AS dist FROM $boxes WHERE l_orderkey % 100 = 0",
+      "q05_buffer_area" ->
+        s"SELECT c_custkey, round(CAST(32 AS DOUBLE) * r * r * sin(pi() / CAST(32 AS DOUBLE)), 4) AS barea FROM (SELECT c_custkey, CAST(c_custkey % 5 + 1 AS DOUBLE) AS r FROM customer)",
+      "q06_centroid_dissolve" ->
+        s"SELECT c_nationkey, round(avg(px), 6) AS cx, round(avg(py), 6) AS cy FROM $pts GROUP BY c_nationkey",
+      "q07_cx_bbox" ->
+        s"SELECT c_nationkey, count(*) AS n FROM $pts WHERE px >= 10 AND px <= 60 AND py >= 20 AND py <= 80 GROUP BY c_nationkey",
+      "q08_box_predicates" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | (ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AS inter,
+           | (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS cont,
+           | (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS with_,
+           | NOT (ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AS disj
+           | FROM $boxes WHERE l_orderkey % 20 = 0""".stripMargin.replace("\n", " "),
+      "q09_sjoin_points_cells" -> sjoinOracle(pts, cells),
+      "q10_sjoin_grid" -> sjoinOracle(pts, cells),
+      "q11_sjoin_left" ->
+        s"""SELECT c_custkey, n_nationkey FROM $pts p LEFT JOIN
+           | (SELECT * FROM $cells WHERE cx < 3) c
+           | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1""".stripMargin.replace("\n", " "),
+      "q12_sjoin_nearest" ->
+        s"""WITH centers AS (SELECT n_nationkey, CAST(cx * 20 + 10 AS DOUBLE) AS qx, CAST(cy * 20 + 10 AS DOUBLE) AS qy FROM $cells),
+           | d AS (SELECT c_custkey, n_nationkey, sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)) AS dist FROM $pts CROSS JOIN centers),
+           | r AS (SELECT *, rank() OVER (PARTITION BY c_custkey ORDER BY dist) AS rk FROM d)
+           | SELECT c_custkey, n_nationkey, round(dist, 6) AS dist FROM r WHERE rk = 1""".stripMargin.replace("\n", " "),
+      "q13_overlay_intersection" ->
+        s"""SELECT a.n_nationkey, b.n_nationkey AS nk2,
+           | round((least(a.x1, b.sx1) - greatest(a.x0, b.sx0)) * (least(a.y1, b.sy1) - greatest(a.y0, b.sy0)), 6) AS area
+           | FROM $cells a JOIN
+           | (SELECT n_nationkey, CAST(cx * 20 + 7 AS DOUBLE) AS sx0, CAST(cy * 20 + 3 AS DOUBLE) AS sy0,
+           |         CAST(cx * 20 + 27 AS DOUBLE) AS sx1, CAST(cy * 20 + 23 AS DOUBLE) AS sy1 FROM $cells) b
+           | ON a.x0 <= b.sx1 AND b.sx0 <= a.x1 AND a.y0 <= b.sy1 AND b.sy0 <= a.y1
+           | WHERE (least(a.x1, b.sx1) - greatest(a.x0, b.sx0)) > 0 AND (least(a.y1, b.sy1) - greatest(a.y0, b.sy0)) > 0""".stripMargin.replace("\n", " "),
+      "q14_overlay_difference" ->
+        s"""SELECT a.n_nationkey,
+           | round(400.0 - sum(CASE WHEN a.x0 <= b.sx1 AND b.sx0 <= a.x1 AND a.y0 <= b.sy1 AND b.sy0 <= a.y1
+           |   THEN greatest(CAST(0 AS DOUBLE), least(a.x1, b.sx1) - greatest(a.x0, b.sx0)) * greatest(CAST(0 AS DOUBLE), least(a.y1, b.sy1) - greatest(a.y0, b.sy0))
+           |   ELSE 0 END), 6) AS area
+           | FROM $cells a CROSS JOIN
+           | (SELECT n_nationkey, CAST(cx * 20 + 7 AS DOUBLE) AS sx0, CAST(cy * 20 + 3 AS DOUBLE) AS sy0,
+           |         CAST(cx * 20 + 27 AS DOUBLE) AS sx1, CAST(cy * 20 + 23 AS DOUBLE) AS sy1 FROM $cells) b
+           | GROUP BY a.n_nationkey
+           | HAVING round(400.0 - sum(CASE WHEN a.x0 <= b.sx1 AND b.sx0 <= a.x1 AND a.y0 <= b.sy1 AND b.sy0 <= a.y1
+           |   THEN greatest(CAST(0 AS DOUBLE), least(a.x1, b.sx1) - greatest(a.x0, b.sx0)) * greatest(CAST(0 AS DOUBLE), least(a.y1, b.sy1) - greatest(a.y0, b.sy0))
+           |   ELSE 0 END), 6) > 0""".stripMargin.replace("\n", " "),
+      "q15_dissolve" ->
+        s"SELECT n_regionkey, CAST(400 * count(*) AS DOUBLE) AS area, count(*) AS n_cells FROM $cells GROUP BY n_regionkey",
+      "q16_affine" ->
+        s"SELECT c_custkey, (px + CAST(5.5 AS DOUBLE)) * CAST(2 AS DOUBLE) AS tx, (py + CAST(-2.25 AS DOUBLE)) * CAST(2 AS DOUBLE) AS ty FROM $pts",
+      "q17_to_crs" ->
+        s"""SELECT c_custkey,
+           | round(CAST(6378137 AS DOUBLE) * radians(px * CAST(3.6 AS DOUBLE) - CAST(180 AS DOUBLE)), 4) + CAST(0 AS DOUBLE) AS mx,
+           | round(CAST(6378137 AS DOUBLE) * ln(tan(pi() / CAST(4 AS DOUBLE) + radians(py * CAST(1.6 AS DOUBLE) - CAST(80 AS DOUBLE)) / CAST(2 AS DOUBLE))), 4) + CAST(0 AS DOUBLE) AS my
+           | FROM $pts""".stripMargin.replace("\n", " "),
+      "q19_get_coordinates" ->
+        s"SELECT s_suppkey, x1 AS x, y1 AS y FROM $sup UNION ALL SELECT s_suppkey, x2 AS x, y2 AS y FROM $sup",
+      "q20_explode_parts" ->
+        s"""SELECT p_partkey, 0 AS part_index, CAST(p_partkey % 100 AS DOUBLE) AS x, CAST(p_partkey * 3 % 100 AS DOUBLE) AS y FROM part
+           | UNION ALL SELECT p_partkey, 1 AS part_index, CAST(p_partkey * 7 % 100 AS DOUBLE) AS x, CAST(p_partkey * 11 % 100 AS DOUBLE) AS y FROM part""".stripMargin.replace("\n", " "),
+      "q21_convex_hull" ->
+        s"""SELECT p_partkey, round(abs((xb - xa) * (yc - ya) - (xc - xa) * (yb - ya)) / CAST(2 AS DOUBLE), 6) AS hull_area
+           | FROM (SELECT p_partkey, CAST(p_partkey % 100 AS DOUBLE) AS xa, CAST(p_partkey * 3 % 100 AS DOUBLE) AS ya,
+           |   CAST(p_partkey * 7 % 100 AS DOUBLE) AS xb, CAST(p_partkey * 11 % 100 AS DOUBLE) AS yb,
+           |   CAST(p_partkey * 13 % 100 AS DOUBLE) AS xc, CAST(p_partkey * 17 % 100 AS DOUBLE) AS yc FROM part)""".stripMargin.replace("\n", " "),
+      "q22_union_points" ->
+        s"SELECT c_nationkey, CAST(count(DISTINCT (px, py)) AS INT) AS n_distinct_pts FROM $pts GROUP BY c_nationkey",
+      "q23_events_window" ->
+        s"""SELECT CAST(floor(epoch(ts) / CAST(300 AS DOUBLE)) * 300 AS BIGINT) AS win, event_type,
+           | count(*) AS n, round(sum(value), 4) AS sum_value
+           | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      "q24_dedup_exact" ->
+        s"SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS dup_count FROM documents GROUP BY 1",
+      "q25_token_stats" ->
+        s"""SELECT doc_id, len(toks) AS n_tokens,
+           | round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks) END, 6) AS stop_ratio,
+           | round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END, 6) AS mean_wlen
+           | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)""".stripMargin.replace("\n", " "),
+      "q26_lang_id" ->
+        s"""SELECT doc_id, (list_max([
+           |  {'s': len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))), 'l': 'de'},
+           |  {'s': len(list_filter(toks, x -> x IN ('the','and','of','to','is'))), 'l': 'en'},
+           |  {'s': len(list_filter(toks, x -> x IN ('el','los','las','es','y'))), 'l': 'es'},
+           |  {'s': len(list_filter(toks, x -> x IN ('le','la','les','et','est'))), 'l': 'fr'},
+           |  {'s': len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2'))), 'l': 'zh'}])).l AS pred_lang
+           | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)""".stripMargin.replace("\n", " "),
+      "q27_quality" ->
+        s"""SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE), CAST(1 AS DOUBLE))
+           | + least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+           | + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * CAST(5 AS DOUBLE)))
+           | / CAST(3 AS DOUBLE), 6) AS quality FROM documents""".stripMargin.replace("\n", " "),
+      "q29_embedding_topk" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           | scored AS (SELECT vec_id,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           |      * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+           |   FROM embeddings CROSS JOIN q)
+           | SELECT vec_id, round(cosine, 6) AS cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+      "q32_ann_topk" ->
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           | scored AS (SELECT vec_id,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           |      * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+           |   FROM embeddings CROSS JOIN q)
+           | SELECT vec_id, round(cosine, 6) AS cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+      "q33_multimodal_meta" ->
+        s"""SELECT doc_id, 'raw' AS format,
+           | CAST(64 + (strlen(text) * 7) % 1024 AS INT) AS width,
+           | CAST(64 + (strlen(text) * 13) % 1024 AS INT) AS height,
+           | CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents""".stripMargin.replace("\n", " "),
+      "q34_simplify" ->
+        s"SELECT s_suppkey, 2 AS np FROM $sup WHERE NOT (x1 = x2 AND y1 = y2)",
+      "q35_interpolate" ->
+        s"""SELECT s_suppkey,
+           | round(x1 + ((CAST(0.25 AS DOUBLE) * len) / len) * (x2 - x1), 6) AS ix,
+           | round(y1 + ((CAST(0.25 AS DOUBLE) * len) / len) * (y2 - y1), 6) AS iy
+           | FROM (SELECT *, sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS len FROM $sup)
+           | WHERE NOT (x1 = x2 AND y1 = y2)""".stripMargin.replace("\n", " "),
+      "q36_envelope_wkt" ->
+        s"""SELECT l_orderkey, l_linenumber, 'POLYGON ((' ||
+           | x0s || ' ' || y0s || ', ' || x0s || ' ' || y1s || ', ' ||
+           | x1s || ' ' || y1s || ', ' || x1s || ' ' || y0s || ', ' ||
+           | x0s || ' ' || y0s || '))' AS wkt
+           | FROM (SELECT l_orderkey, l_linenumber,
+           |   CAST(CAST(ax0 AS BIGINT) AS VARCHAR) AS x0s, CAST(CAST(ay0 AS BIGINT) AS VARCHAR) AS y0s,
+           |   CAST(CAST(ax1 AS BIGINT) AS VARCHAR) AS x1s, CAST(CAST(ay1 AS BIGINT) AS VARCHAR) AS y1s
+           |   FROM $boxes WHERE l_orderkey % 50 = 0)""".stripMargin.replace("\n", " "),
+      "q37_relate" ->
+        s"""SELECT c_custkey, n_nationkey, '0FFFFF212' AS de9im FROM $pts p JOIN $cells c
+           | ON p.px > c.x0 AND p.px < c.x1 AND p.py > c.y0 AND p.py < c.y1
+           | WHERE p.px % 20 <> 0 AND p.py % 20 <> 0""".stripMargin.replace("\n", " "),
+      "q38_intersection_box" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | round(greatest(CAST(0 AS DOUBLE), least(ax1, bx1) - greatest(ax0, bx0)) * greatest(CAST(0 AS DOUBLE), least(ay1, by1) - greatest(ay0, by0)), 6) AS iarea
+           | FROM $boxes WHERE l_orderkey % 20 = 1""".stripMargin.replace("\n", " "),
+      "q39_total_bounds" ->
+        s"SELECT min(px) AS xmin, min(py) AS ymin, max(px) AS xmax, max(py) AS ymax FROM $pts",
+      "q40_clip" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | round(greatest(CAST(0 AS DOUBLE), least(ax1, CAST(40 AS DOUBLE)) - greatest(ax0, CAST(10 AS DOUBLE))) * greatest(CAST(0 AS DOUBLE), least(ay1, CAST(40 AS DOUBLE)) - greatest(ay0, CAST(10 AS DOUBLE))), 6) AS clip_area
+           | FROM $boxes
+           | WHERE ax0 <= 40 AND 10 <= ax1 AND ay0 <= 40 AND 10 <= ay1""".stripMargin.replace("\n", " ")
+    )
+  }
+
+  private def sjoinOracle(pts: String, cells: String): String =
+    s"""SELECT n_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS bal FROM $pts p JOIN $cells c
+       | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1
+       | GROUP BY n_nationkey""".stripMargin.replace("\n", " ")
 }

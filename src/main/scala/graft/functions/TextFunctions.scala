@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, shingling,
+  * MinHash/SimHash signatures. Where possible these are compositions of
+  * native Spark expressions (codegen'd, no UDF boxing); hash-heavy kernels
+  * are UDFs implementing an exact, engine-independent spec so an external
+  * oracle (DuckDB) can reproduce them bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Spec: split(trim(text), '\s+'). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count approximation: words + punctuation runs counted
+    * separately (regex-based; a real tokenizer slots in here). */
+  def approxBpeTokenCount(c: Column): Column =
+    size(filter(split(c, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= ""))
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0)
+      .otherwise(size(filter(t, x => x.isin(Stopwords: _*))).cast("double") / size(t))
+  }
+
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))).cast("double") / length(c))
+
+  def meanWordLength(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0)
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1] — length, word-shape and stopword
+    * signals (in the spirit of C4/Gopher quality heuristics). */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val wordScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    round((lenScore + wordScore + punctPenalty) / 3.0, 6)
+  }
+
+  /** Marker-stopword language ID over {en,de,fr,es,zh}: score = number of
+    * tokens that are marker words of the language; winner = highest score,
+    * ties broken by lexicographically greatest language code (array_max over
+    * (score, lang) structs — deterministic and SQL-reproducible). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScore(c: Column, lang: String): Column =
+    size(filter(tokens(c), x => x.isin(LangMarkers(lang): _*)))
+
+  def langId(c: Column): Column = {
+    val entries = LangMarkers.keys.toSeq.sorted.map(l => struct(langScore(c, l).as("s"), lit(l).as("l")))
+    array_max(array(entries: _*)).getField("l")
+  }
+
+  /** Word k-shingles joined by single spaces. */
+  def shingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(t) - k), i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature, oracle-reproducible spec: component j =
+    * min over shingles of md5(j + ":" + shingle), as lowercase hex. */
+  val minhashMd5U: UserDefinedFunction = udf((sh: Seq[String], n: Int) =>
+    if (sh == null || sh.isEmpty) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(n) { j =>
+        var best: String = null
+        sh.foreach { s =>
+          md.reset()
+          val hex = Hex.toHex(md.digest(s"$j:$s".getBytes("UTF-8")))
+          if (best == null || hex < best) best = hex
+        }
+        best
+      }
+    })
+
+  def minhashMd5(c: Column, k: Int, numHashes: Int): Column = minhashMd5U(shingles(c, k), lit(numHashes))
+
+  /** Fast engine-native MinHash on xxhash64 (codegen'd, for the 100 TB
+    * path; not oracle-reproducible since xxhash64 seeds differ per engine). */
+  def minhashFast(c: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(c, k)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(sh, s => xxhash64(j, s))))
+  }
+
+  /** SimHash-64 as a 16-char lowercase hex string. Spec (engine-independent):
+    * tokens → md5 hex; bit j of token hash = bit (3 - j%4) of hex digit
+    * j/4; score_j = Σ (bit ? 1 : -1); simhash bit j = score_j > 0. */
+  val simhash64U: UserDefinedFunction = udf((toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val scores = new Array[Int](64)
+      toks.foreach { t =>
+        md.reset()
+        val hex = Hex.toHex(md.digest(t.getBytes("UTF-8")))
+        var j = 0
+        while (j < 64) {
+          val digit = Character.digit(hex.charAt(j / 4), 16)
+          val bit = (digit >> (3 - (j % 4))) & 1
+          scores(j) += (if (bit == 1) 1 else -1)
+          j += 1
+        }
+      }
+      val sb = new StringBuilder(16)
+      var g = 0
+      while (g < 16) {
+        var d = 0
+        var b = 0
+        while (b < 4) {
+          d = (d << 1) | (if (scores(g * 4 + b) > 0) 1 else 0)
+          b += 1
+        }
+        sb += "0123456789abcdef".charAt(d)
+        g += 1
+      }
+      sb.toString
+    })
+
+  def simhash64(c: Column): Column = simhash64U(tokens(c))
+
+  /** Hamming distance between two equal-length hex signatures. */
+  val hammingHexU: UserDefinedFunction = udf((a: String, b: String) =>
+    if (a == null || b == null) None
+    else Some((0 until math.min(a.length, b.length)).map { i =>
+      Integer.bitCount(Character.digit(a.charAt(i), 16) ^ Character.digit(b.charAt(i), 16))
+    }.sum))
+
+  /** Rolling polynomial fingerprint: fold over UTF-8 bytes,
+    * h = (h * 131 + byte) mod (2^31 - 1), h0 = 0. SQL-reproducible. */
+  val fingerprintU: UserDefinedFunction = udf((s: String) =>
+    if (s == null) None
+    else {
+      var h = 0L
+      s.getBytes("UTF-8").foreach { b => h = (h * 131 + (b & 0xff)) % 2147483647L }
+      Some(h)
+    })
+
+  def fingerprint(c: Column): Column = fingerprintU(c)
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("minhash_md5", minhashMd5U)
+    spark.udf.register("simhash64", simhash64U)
+    spark.udf.register("hamming_hex", hammingHexU)
+    spark.udf.register("text_fingerprint", fingerprintU)
+  }
+}
+
+private[functions] object Hex {
+  private val digits = "0123456789abcdef".toCharArray
+  def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = digits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = digits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+}
