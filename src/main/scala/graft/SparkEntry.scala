@@ -257,7 +257,8 @@ object SparkEntry {
     "q27_quality" -> ((s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))),
     "q28_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(docs(s, d), "doc_id", "text", k = 3, numHashes = 8, bands = 4, threshold = 0.3)
+      // 4 hashes per band → band-collision prob j^4: few false candidates
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q29_embedding_topk" -> ((s, d) => {
       val q = embs(s, d).filter(col("vec_id") === 0)

@@ -25,26 +25,63 @@ object Clip {
     clipByGeometry(df, unioned, geom, keepGeomType)
   }
 
-  /** Clip by a rectangle — fast path, pure bbox math + clip_by_rect. */
+  /** Clip by a rectangle — fast path: ONE UDF pass (one WKB decode per row)
+    * doing envelope test + point passthrough + rectangle intersection;
+    * returns null for non-intersecting rows, filtered after. */
   def clipByRect(df: DataFrame, xmin: Double, ymin: Double, xmax: Double, ymax: Double,
                  geom: String = "geometry", keepGeomType: Boolean = false): DataFrame = {
-    val filtered = df.filter(st_intersects(col(geom), lit(Wkb.write(GeomOps.makeBox(xmin, ymin, xmax, ymax)))))
-    val clipped = filtered.withColumn(geom,
-      when(stGeometryTypeU(col(geom)).isin("Point", "MultiPoint"), col(geom))
-        .otherwise(st_clip_by_rect(col(geom), lit(xmin), lit(ymin), lit(xmax), lit(ymax))))
-    finish(clipped, geom, keepGeomType)
+    val clipU = udf((b: Array[Byte]) => {
+      if (b == null) null
+      else {
+        val g = Wkb.read(b)
+        val env = new org.locationtech.jts.geom.Envelope(xmin, xmax, ymin, ymax)
+        if (!g.getEnvelopeInternal.intersects(env)) null
+        else g.getGeometryType match {
+          case "Point" | "MultiPoint" =>
+            if (GeomOps.intersects(g, GeomOps.makeBox(xmin, ymin, xmax, ymax))) b else null
+          case _ =>
+            val clipped = GeomOps.clipByRect(g, xmin, ymin, xmax, ymax)
+            if (clipped.isEmpty) null else Wkb.write(clipped)
+        }
+      }
+    })
+    val clipped = df.withColumn(geom, clipU(col(geom))).filter(col(geom).isNotNull)
+    if (!keepGeomType) clipped else finish(clipped, geom, keepGeomType = true)
   }
 
   def clipByGeometry(df: DataFrame, maskGeometry: Geometry, geom: String,
                      keepGeomType: Boolean): DataFrame = {
-    val maskLit = lit(Wkb.write(maskGeometry))
-    // bbox pre-filter (the st_intersects UDF already short-circuits on
-    // envelopes via JTS, and the mask is a plan literal)
-    val filtered = df.filter(st_intersects(col(geom), maskLit))
-    val clipped = filtered.withColumn(geom,
-      when(stGeometryTypeU(col(geom)).isin("Point", "MultiPoint"), col(geom))
-        .otherwise(st_intersection(col(geom), maskLit)))
-    finish(clipped, geom, keepGeomType)
+    val maskWkb = Wkb.write(maskGeometry)
+    // one UDF pass; prepared mask cached per executor for fast intersects
+    val clipU = udf((b: Array[Byte]) => {
+      if (b == null) null
+      else {
+        val g = Wkb.read(b)
+        val mask = PreparedMaskCache.get(maskWkb)
+        if (!mask.prepared.intersects(g)) null
+        else g.getGeometryType match {
+          case "Point" | "MultiPoint" => b
+          case _ =>
+            val clipped = GeomOps.intersection(g, mask.geom)
+            if (clipped.isEmpty) null else Wkb.write(clipped)
+        }
+      }
+    })
+    val clipped = df.withColumn(geom, clipU(col(geom))).filter(col(geom).isNotNull)
+    if (!keepGeomType) clipped else finish(clipped, geom, keepGeomType = true)
+  }
+
+  /** Per-executor cache of the prepared broadcast mask geometry (the clip
+    * mask is a plan literal; preparing it once per JVM mirrors the
+    * reference's prepared-geometry use in `clip.py:73-75`). */
+  private object PreparedMaskCache {
+    final class Entry(val geom: Geometry) {
+      lazy val prepared: org.locationtech.jts.geom.prep.PreparedGeometry =
+        org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
+    }
+    private val cache = new java.util.concurrent.ConcurrentHashMap[java.math.BigInteger, Entry]()
+    def get(wkb: Array[Byte]): Entry =
+      cache.computeIfAbsent(new java.math.BigInteger(wkb), (_: java.math.BigInteger) => new Entry(Wkb.read(wkb)))
   }
 
   private val keepTypeU = udf((b: Array[Byte], dim: Int) =>

@@ -1,0 +1,210 @@
+package graft
+
+import graft.api.GeoDataFrame
+import graft.crs.CrsTransform
+import graft.functions.{GeoFunctions, GeoJson}
+import graft.functions.GeoFunctions._
+import graft.geom.{GeomOps, Wkb}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CrsSpec extends AnyFunSuite {
+  test("4326 -> 3857 roundtrip") {
+    val t = CrsTransform.chain(4326, 3857)
+    val (x, y) = t.forward(-73.9857, 40.7484) // NYC
+    assert(math.abs(x - -8236045.0) < 100)
+    assert(math.abs(y - 4975306.0) < 100)
+    val (lon, lat) = t.inverse(x, y)
+    assert(math.abs(lon - -73.9857) < 1e-9 && math.abs(lat - 40.7484) < 1e-9)
+  }
+
+  test("4326 -> UTM 18N roundtrip (known coordinate)") {
+    val t = CrsTransform.chain(4326, 32618)
+    val (e, n) = t.forward(-73.9857, 40.7484)
+    // published UTM of the Empire State Building: ~585628 E, 4511322 N
+    assert(math.abs(e - 585628) < 5, s"easting $e")
+    assert(math.abs(n - 4511322) < 5, s"northing $n")
+    val (lon, lat) = t.inverse(e, n)
+    assert(math.abs(lon - -73.9857) < 1e-6 && math.abs(lat - 40.7484) < 1e-6)
+  }
+
+  test("3857 -> 3395 via hub") {
+    val t = CrsTransform.chain(3857, 3395)
+    val (x, y) = t.forward(1113194.9079327357, 1118889.9748579594) // (10, 10) in 3857
+    assert(math.abs(x - 1113194.9079327357) < 1e-6) // same easting formula
+    assert(math.abs(y - 1111475.1) < 1000)          // ellipsoidal vs spherical northing differ
+  }
+
+  test("utm zone estimation") {
+    assert(CrsTransform.estimateUtmEpsg(-73.98, 40.75) == 32618)
+    assert(CrsTransform.estimateUtmEpsg(151.2, -33.87) == 32756)
+  }
+
+  test("unsupported CRS fails loudly") {
+    intercept[IllegalArgumentException](CrsTransform.chain(4326, 27700))
+  }
+}
+
+class GeoJsonSpec extends AnyFunSuite {
+  test("geojson write/parse roundtrip") {
+    val geoms = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 1 1)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTIPOINT ((0 0), (1 1))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))")
+    geoms.foreach { w =>
+      val g = Wkb.readWkt(w)
+      val rt = GeoJson.parse(GeoJson.write(g))
+      assert(rt.equalsExact(g), s"roundtrip failed for $w")
+    }
+  }
+
+  test("parses Feature wrapper") {
+    val f = """{"type":"Feature","properties":{"a":1},"geometry":{"type":"Point","coordinates":[3,4]}}"""
+    assert(GeoJson.parse(f).equalsExact(Wkb.readWkt("POINT (3 4)")))
+  }
+}
+
+class GeoDataFrameSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def gdf = {
+    val df = Seq((1, 0.0, 0.0), (2, 5.0, 5.0), (3, 50.0, 50.0)).toDF("id", "x", "y")
+    GeoDataFrame.pointsFromXy(df, "x", "y", crs = Some("EPSG:4326"))
+  }
+
+  test("pointsFromXy + area/length accessors") {
+    assert(gdf.df.count() == 3)
+    assert(gdf.area.select("area").as[Double].collect().forall(_ == 0.0))
+  }
+
+  test("cx bbox filter") {
+    assert(gdf.cx(-1, -1, 10, 10).count() == 2)
+  }
+
+  test("setCrs refuses silent override; toCrs transforms") {
+    intercept[IllegalArgumentException](gdf.setCrs("EPSG:3857"))
+    val m = gdf.toCrs("EPSG:3857")
+    assert(m.activeCrs.contains("EPSG:3857"))
+    val xs = m.df.select(st_x(col("geometry"))).as[Double].collect().sorted
+    assert(math.abs(xs(1) - 556597.45) < 1.0) // 5° lon in web mercator
+  }
+
+  test("dissolve unions per group with aggfunc") {
+    val df = Seq(
+      ("a", 10, Wkb.write(GeomOps.makeBox(0, 0, 1, 1))),
+      ("a", 20, Wkb.write(GeomOps.makeBox(1, 0, 2, 1))),
+      ("b", 5, Wkb.write(GeomOps.makeBox(5, 5, 6, 6)))).toDF("k", "v", "geometry")
+    val d = GeoDataFrame(df).dissolve(Seq("k"), Map("v" -> "sum")).df
+    val rows = d.select(col("k"), st_area(col("geometry")), col("v")).as[(String, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("a", 2.0, 30L), ("b", 1.0, 5L)))
+  }
+
+  test("dissolve with no keys = global union") {
+    val d = gdf.dissolve()
+    assert(d.df.count() == 1)
+  }
+
+  test("explodeParts emits part_index") {
+    val df = Seq((1, Wkb.write(Wkb.readWkt("MULTIPOINT ((0 0), (1 1))")))).toDF("id", "geometry")
+    val e = GeoDataFrame(df).explodeParts().df
+    assert(e.count() == 2)
+    assert(e.select("part_index").as[Int].collect().sorted.toSeq == Seq(0, 1))
+  }
+
+  test("totalBounds and spatialPartition") {
+    val (x0, y0, x1, y1) = gdf.totalBounds
+    assert((x0, y0, x1, y1) == (0.0, 0.0, 50.0, 50.0))
+    assert(gdf.spatialPartition(2).df.rdd.getNumPartitions == 2)
+  }
+
+  test("sjoin CRS mismatch raises") {
+    val other = GeoDataFrame.pointsFromXy(Seq((1, 0.0, 0.0)).toDF("id", "x", "y"), "x", "y",
+      crs = Some("EPSG:3857"))
+    intercept[IllegalArgumentException](gdf.sjoin(other))
+  }
+
+  test("getCoordinates flattens vertices") {
+    val df = Seq((1, Wkb.write(Wkb.readWkt("LINESTRING (0 0, 1 1, 2 2)")))).toDF("id", "geometry")
+    assert(GeoDataFrame(df).getCoordinates.count() == 3)
+  }
+}
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("exact dedup keeps one representative with count") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique")).toDF("id", "text")
+    val d = graft.ops.Dedup.exact(df, "id", "text")
+    val rows = d.select("id", "dup_count").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash pairs finds near-duplicates, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different content about spark distributed query engines"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashPairs(df, "doc_id", "text", k = 2, numHashes = 16, bands = 8, threshold = 0.3)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("simhash near-dup pairs") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, base + " thirteen"), (3L, "zz yy xx ww vv uu tt ss rr qq pp oo")).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.contains((1L, 2L)) && !got.exists(p => p._2 == 3L))
+  }
+
+  test("brute-force topk is self-first; ann with full probe matches brute force") {
+    val rng = new scala.util.Random(3)
+    val df = (0 until 100).map(i => (i.toLong, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 7).select("embedding").as[Array[Float]].head().toSeq
+    val brute = graft.ops.Similarity.bruteForceTopK(df, "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(brute.head == 7L)
+    val ann = graft.ops.Similarity.annTopK(df, "embedding", q, 5, planes = 8, probeHamming = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ann == brute)
+  }
+
+  test("multimodal plumbing: meta struct + features + frame sampling") {
+    val df = Seq((1L, "some fake image bytes".getBytes("UTF-8"))).toDF("id", "media")
+    val meta = graft.ops.Multimodal.withImageMeta(df, "media")
+    val r = meta.select("image_meta.format", "image_meta.width", "image_meta.size_bytes")
+      .as[(String, Int, Long)].head()
+    assert(r._1 == "raw" && r._3 == 21L)
+    val feats = graft.ops.Multimodal.extractFeatures(df, "media", dim = 4)
+    assert(feats.select("features").as[Array[Float]].head().length == 4)
+    val frames = graft.ops.Multimodal.sampleFrames(df, "media", everyN = 8)
+    assert(frames.count() == 4)
+  }
+
+  test("streaming: windowed count over events parquet via readStream") {
+    import org.apache.spark.sql.streaming.Trigger
+    // FileStreamSource needs a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream.schema(schema).parquet(dir)
+    val agg = events
+      .withColumn("sec", (col("ts").cast("double") / 1e9).cast("timestamp"))
+      .withWatermark("sec", "10 minutes")
+      .groupBy(window(col("sec"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("ev_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.sql("select sum(n) from ev_out").as[Long].head()
+    assert(n == spark.read.parquet(s"$dir/events.parquet").count())
+  }
+}

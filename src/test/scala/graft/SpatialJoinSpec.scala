@@ -1,0 +1,125 @@
+package graft
+
+import graft.functions.GeoFunctions._
+import graft.geom.{GeomOps, Wkb}
+import graft.join.{Overlay, SJoinNearest, SpatialJoin}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join-layer semantics, including the reference's overlay golden fixture:
+  * df1 = squares (0,0,2,2),(2,2,4,4); df2 = squares (1,1,3,3),(3,3,5,5)
+  * (`tools/overlay.py:224-229`, expectations
+  * `tests/data/overlay/polys/df1_df2-*.geojson`). */
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def squares(name: String, boxes: (Double, Double, Double, Double)*): DataFrame =
+    boxes.zipWithIndex.map { case ((x0, y0, x1, y1), i) =>
+      (i, Wkb.write(GeomOps.makeBox(x0, y0, x1, y1)))
+    }.toDF(name, "geometry")
+
+  private def points(ps: (Double, Double)*): DataFrame =
+    ps.zipWithIndex.map { case ((x, y), i) => (i, Wkb.write(GeomOps.point(x, y))) }
+      .toDF("pid", "geometry")
+
+  test("sjoin inner broadcast: points in polygons") {
+    val polys = squares("poly_id", (0, 0, 2, 2), (10, 10, 12, 12))
+    val pts = points((1, 1), (11, 11), (5, 5), (1.5, 0.5))
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "inner")
+    val rows = j.select("pid", "poly_id").as[(Int, Int)].collect().sorted
+    assert(rows.toSeq == Seq((0, 0), (1, 1), (3, 0)))
+  }
+
+  test("sjoin left keeps unmatched with nulls; within flips to contains semantics") {
+    val polys = squares("poly_id", (0, 0, 2, 2))
+    val pts = points((1, 1), (5, 5))
+    val j = SpatialJoin.sjoin(pts, polys, "within", "left")
+    assert(j.count() == 2)
+    assert(j.filter(col("poly_id").isNull).select("pid").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("sjoin right keeps right geometry") {
+    val polys = squares("poly_id", (0, 0, 2, 2), (10, 10, 12, 12), (20, 20, 22, 22))
+    val pts = points((1, 1))
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "right")
+    assert(j.count() == 3)
+    assert(j.columns.contains("geometry"))
+    // unmatched right rows have null left columns
+    assert(j.filter(col("pid").isNull).count() == 2)
+  }
+
+  test("sjoin grid path matches broadcast path") {
+    val rng = new scala.util.Random(7)
+    val pts = (0 until 500).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("pid", "geometry")
+    val polys = (0 until 30).map { i =>
+      val x = rng.nextDouble() * 90; val y = rng.nextDouble() * 90
+      (i, Wkb.write(GeomOps.makeBox(x, y, x + 10, y + 10)))
+    }.toDF("poly_id", "geometry")
+    val broadcastPairs = SpatialJoin.sjoin(pts, polys, "intersects", "inner")
+      .select("pid", "poly_id").as[(Int, Int)].collect().sorted.toSeq
+    val gridPairs = SpatialJoin.sjoin(pts, polys, "intersects", "inner", broadcastThreshold = -1)
+      .select("pid", "poly_id").as[(Int, Int)].collect().sorted.toSeq
+    assert(broadcastPairs.nonEmpty)
+    assert(broadcastPairs == gridPairs)
+  }
+
+  test("sjoin dwithin grid matches broadcast") {
+    val rng = new scala.util.Random(11)
+    val a = (0 until 200).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 50, rng.nextDouble() * 50))))
+      .toDF("aid", "geometry")
+    val b = (0 until 200).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 50, rng.nextDouble() * 50))))
+      .toDF("bid", "geometry")
+    val bc = SpatialJoin.sjoin(a, b, "dwithin", "inner", distance = 2.0)
+      .select("aid", "bid").as[(Int, Int)].collect().sorted.toSeq
+    val gr = SpatialJoin.sjoin(a, b, "dwithin", "inner", distance = 2.0, broadcastThreshold = -1)
+      .select("aid", "bid").as[(Int, Int)].collect().sorted.toSeq
+    assert(bc.nonEmpty && bc == gr)
+  }
+
+  test("sjoin_nearest finds nearest with ties and distance col") {
+    val pts = points((0, 0), (10, 0))
+    val targets = Seq((100, Wkb.write(GeomOps.point(1, 0))), (200, Wkb.write(GeomOps.point(-1, 0))),
+      (300, Wkb.write(GeomOps.point(9, 0)))).toDF("tid", "geometry")
+    val j = SJoinNearest.sjoinNearest(pts, targets, distanceCol = Some("d"))
+    val rows = j.select("pid", "tid", "d").as[(Int, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    // point 0 is equidistant (1.0) to targets 100 and 200 — both kept
+    assert(rows.toSeq == Seq((0, 100, 1.0), (0, 200, 1.0), (1, 300, 1.0)))
+  }
+
+  test("overlay matches reference golden fixture (all 5 hows)") {
+    val df1 = squares("df1_data", (0, 0, 2, 2), (2, 2, 4, 4))
+    val df2 = squares("df2_data", (1, 1, 3, 3), (3, 3, 5, 5))
+
+    def areas(how: String): Double =
+      Overlay.overlay(df1, df2, how).select(sum(st_area(col("geometry")))).as[Double].head()
+
+    // hand-checked against the reference's committed GeoJSON expectations:
+    // each square is 4; the three pairwise overlaps are unit squares
+    assert(math.abs(areas("intersection") - 3.0) < 1e-9)
+    assert(math.abs(areas("difference") - 5.0) < 1e-9)
+    assert(math.abs(areas("symmetric_difference") - 10.0) < 1e-9)
+    assert(math.abs(areas("union") - 13.0) < 1e-9)
+    assert(math.abs(areas("identity") - 8.0) < 1e-9)
+
+    val inter = Overlay.overlay(df1, df2, "intersection")
+    val pairs = inter.select("df1_data", "df2_data").as[(Int, Int)].collect().sorted.toSeq
+    assert(pairs == Seq((0, 0), (1, 0), (1, 1)))
+  }
+
+  test("overlay keep_geom_type drops lower-dimension pieces") {
+    // squares touching at a corner: intersection is a point, not a polygon
+    val df1 = squares("a", (0, 0, 2, 2))
+    val df2 = squares("b", (2, 2, 4, 4))
+    assert(Overlay.overlay(df1, df2, "intersection").count() == 0)
+  }
+
+  test("clip by rect: intersect + geometry rewrite, points passthrough") {
+    val polys = squares("id", (0, 0, 4, 4), (10, 10, 12, 12))
+    val clipped = graft.join.Clip.clipByRect(polys, 1, 1, 3, 3)
+    val a = clipped.select(st_area(col("geometry"))).as[Double].collect()
+    assert(a.toSeq == Seq(4.0))
+  }
+}
