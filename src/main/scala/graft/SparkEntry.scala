@@ -318,7 +318,92 @@ object SparkEntry {
     }),
     "q40_clip" -> ((s, d) => Clip.clipByRect(boxes(s, d).select(col("l_orderkey"), col("l_linenumber"), col("box_a")),
       10, 10, 40, 40, geom = "box_a")
-      .select(col("l_orderkey"), col("l_linenumber"), round(st_area(col("box_a")), 6).as("clip_area")))
+      .select(col("l_orderkey"), col("l_linenumber"), round(st_area(col("box_a")), 6).as("clip_area"))),
+    "q41_segmentize" -> ((s, d) => supLines(s, d)
+      .filter(!(col("x1") === col("x2") && col("y1") === col("y2")))
+      .select(col("s_suppkey"), st_npoints(stSegmentizeU(col("line"), lit(4.0))).as("np"))),
+    "q42_bounding_radius" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 50 === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(stMinBoundingRadiusU(col("box_a")), 6).as("radius"))),
+    "q43_rotated_rect" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 50 === 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(st_area(st_minimum_rotated_rectangle(col("box_a"))), 6).as("rr_area"))),
+    "q44_boundary_length" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 50 === 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(stLengthU(st_boundary(col("box_a"))), 6).as("blen"))),
+    "q45_reverse_wkt" -> ((s, d) => supLines(s, d)
+      .select(col("s_suppkey"), st_astext(st_reverse(col("line"))).as("wkt"))),
+    "q46_wkt_parse" -> ((s, d) => pts(s, d)
+      .withColumn("wkt", concat(lit("POINT ("), col("px").cast("string"), lit(" "), col("py").cast("string"), lit(")")))
+      .select(col("c_custkey"), st_x(st_geomfromwkt(col("wkt"))).as("x"), st_y(st_geomfromwkt(col("wkt"))).as("y"))),
+    "q47_geojson" -> ((s, d) => pts(s, d)
+      .select(col("c_custkey"), st_asgeojson(col("geometry")).as("gj"),
+        st_x(st_geomfromgeojson(st_asgeojson(col("geometry")))).as("rx"))),
+    "q48_force_3d" -> ((s, d) => pts(s, d)
+      .withColumn("g3", st_force_3d(col("geometry"), lit(7.5)))
+      .select(col("c_custkey"), st_z(col("g3")).as("z"), st_hasz(col("g3")).as("has_z"),
+        st_hasz(st_force_2d(col("g3"))).as("still_z"))),
+    "q49_snap" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 100 === 1)
+      .withColumn("pa", st_point(col("ax0"), col("ay0")))
+      .withColumn("pb", st_point(col("bx0"), col("by0")))
+      .withColumn("snapped", stSnapU(col("pa"), col("pb"), lit(3.0)))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        st_x(col("snapped")).as("sx"), st_y(col("snapped")).as("sy"))),
+    "q51_more_predicates" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 20 === 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        st_touches(col("box_a"), col("box_b")).as("touch"),
+        st_covers(col("box_a"), col("box_b")).as("cov"),
+        st_equals(col("box_a"), col("box_b")).as("eq"),
+        st_dwithin(st_point(col("ax0"), col("ay0")), st_point(col("bx0"), col("by0")), lit(10.0)).as("dw"))),
+    "q52_relate_pattern" -> ((s, d) => pts(s, d)
+      .withColumn("cell", st_makebox(
+        (floor(col("px") / 20.0) * 20).cast("double"), (floor(col("py") / 20.0) * 20).cast("double"),
+        (floor(col("px") / 20.0) * 20 + 20).cast("double"), (floor(col("py") / 20.0) * 20 + 20).cast("double")))
+      .select(col("c_custkey"),
+        st_relate_pattern(col("geometry"), col("cell"), lit("T*F**F***")).as("is_within"))),
+    "q53_contains_properly" -> ((s, d) =>
+      SpatialJoin.sjoin(cells(s, d), pts(s, d), predicate = "contains_properly", how = "inner",
+        lsuffix = "l", rsuffix = "r")
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))),
+    "q54_union_area" -> ((s, d) => boxes(s, d)
+      .filter(col("l_orderkey") % 20 === 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(st_area(st_union(col("box_a"), col("box_b"))), 6).as("uarea"),
+        round(st_area(st_sym_difference(col("box_a"), col("box_b"))), 6).as("sarea"))),
+    "q57_estimate_utm" -> ((s, d) => pts(s, d)
+      .withColumn("lonlat", st_point(col("px") * 3.6 - 180.0, col("py") * 1.6 - 80.0))
+      .select(col("c_custkey"), st_estimate_utm_epsg(col("lonlat")).as("epsg"))),
+    "q58_sessionize" -> ((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      val tsSec = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts").cast("double") / 1.0e9
+        case _                                   => col("ts").cast("double")
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("sec")
+      ev.withColumn("sec", tsSec)
+        .withColumn("prev", lag("sec", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800.0, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q59_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q60_embedding_pairs" -> ((s, d) => {
+      val e = embs(s, d).filter(col("vec_id") < 2000) // bound the O(n^2) pair scan
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+        .filter(col("cosine") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    })
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -481,8 +566,113 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber,
            | round(greatest(CAST(0 AS DOUBLE), least(ax1, CAST(40 AS DOUBLE)) - greatest(ax0, CAST(10 AS DOUBLE))) * greatest(CAST(0 AS DOUBLE), least(ay1, CAST(40 AS DOUBLE)) - greatest(ay0, CAST(10 AS DOUBLE))), 6) AS clip_area
            | FROM $boxes
-           | WHERE ax0 <= 40 AND 10 <= ax1 AND ay0 <= 40 AND 10 <= ay1""".stripMargin.replace("\n", " ")
+           | WHERE ax0 <= 40 AND 10 <= ax1 AND ay0 <= 40 AND 10 <= ay1""".stripMargin.replace("\n", " "),
+      "q28_minhash_pairs" -> minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.3),
+      "q30_simhash" ->
+        s"""WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), tok -> md5(tok)) AS hs FROM documents),
+           | bits AS (SELECT doc_id, list_transform(range(0, 64), j -> CASE WHEN
+           |   list_sum(list_transform(hs, h -> CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |   THEN 1 ELSE 0 END) AS b FROM t)
+           | SELECT doc_id, list_aggregate(list_transform(range(0, 16),
+           |   g -> substr('0123456789abcdef', CAST(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] AS INT) + 1, 1)), 'string_agg', '') AS simhash
+           | FROM bits""".stripMargin.replace("\n", " "),
+      "q31_fingerprint" ->
+        s"""SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)],
+           | list_transform(range(1, length(text) + 1), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+           | (acc, x) -> (acc * 131 + x) % 2147483647) AS fp FROM documents""".stripMargin.replace("\n", " "),
+      "q41_segmentize" ->
+        s"""SELECT s_suppkey, CAST(floor(sqrt((x2-x1)*(x2-x1)+(y2-y1)*(y2-y1)) / CAST(4 AS DOUBLE)) AS INT) + 2 AS np
+           | FROM $sup WHERE NOT (x1 = x2 AND y1 = y2)""".stripMargin.replace("\n", " "),
+      "q42_bounding_radius" ->
+        s"""SELECT l_orderkey, l_linenumber, round(sqrt((ax1-ax0)*(ax1-ax0) + (ay1-ay0)*(ay1-ay0)) / CAST(2 AS DOUBLE), 6) AS radius
+           | FROM $boxes WHERE l_orderkey % 50 = 1""".stripMargin.replace("\n", " "),
+      "q43_rotated_rect" ->
+        s"""SELECT l_orderkey, l_linenumber, round((ax1-ax0) * (ay1-ay0), 6) AS rr_area
+           | FROM $boxes WHERE l_orderkey % 50 = 2""".stripMargin.replace("\n", " "),
+      "q44_boundary_length" ->
+        s"""SELECT l_orderkey, l_linenumber, round(CAST(2 AS DOUBLE) * ((ax1-ax0) + (ay1-ay0)), 6) AS blen
+           | FROM $boxes WHERE l_orderkey % 50 = 3""".stripMargin.replace("\n", " "),
+      "q45_reverse_wkt" ->
+        s"""SELECT s_suppkey, 'LINESTRING (' || ${fmtSql("x2")} || ' ' || ${fmtSql("y2")} || ', ' ||
+           | ${fmtSql("x1")} || ' ' || ${fmtSql("y1")} || ')' AS wkt FROM $sup""".stripMargin.replace("\n", " "),
+      "q46_wkt_parse" -> s"SELECT c_custkey, px AS x, py AS y FROM $pts",
+      "q47_geojson" ->
+        s"""SELECT c_custkey, '{"type":"Point","coordinates":[' || ${fmtSql("px")} || ',' || ${fmtSql("py")} || ']}' AS gj,
+           | px AS rx FROM $pts""".stripMargin.replace("\n", " "),
+      "q48_force_3d" ->
+        s"SELECT c_custkey, CAST(7.5 AS DOUBLE) AS z, true AS has_z, false AS still_z FROM customer",
+      "q49_snap" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | CASE WHEN d < 3 THEN bx0 ELSE ax0 END AS sx, CASE WHEN d < 3 THEN by0 ELSE ay0 END AS sy
+           | FROM (SELECT *, sqrt((ax0-bx0)*(ax0-bx0) + (ay0-by0)*(ay0-by0)) AS d FROM $boxes)
+           | WHERE l_orderkey % 100 = 1""".stripMargin.replace("\n", " "),
+      "q51_more_predicates" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | ((ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AND NOT
+           |  (ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1)) AS touch,
+           | (bx0 >= ax0 AND bx1 <= ax1 AND by0 >= ay0 AND by1 <= ay1) AS cov,
+           | (ax0 = bx0 AND ax1 = bx1 AND ay0 = by0 AND ay1 = by1) AS eq,
+           | (sqrt((ax0-bx0)*(ax0-bx0) + (ay0-by0)*(ay0-by0)) <= 10) AS dw
+           | FROM $boxes WHERE l_orderkey % 20 = 2""".stripMargin.replace("\n", " "),
+      "q52_relate_pattern" ->
+        s"SELECT c_custkey, (px % 20 <> 0 AND py % 20 <> 0) AS is_within FROM $pts",
+      "q53_contains_properly" ->
+        s"""SELECT n_nationkey, count(*) AS n FROM $pts p JOIN $cells c
+           | ON p.px > c.x0 AND p.px < c.x1 AND p.py > c.y0 AND p.py < c.y1
+           | GROUP BY n_nationkey""".stripMargin.replace("\n", " "),
+      "q54_union_area" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | round((ax1-ax0)*(ay1-ay0) + (bx1-bx0)*(by1-by0) - ov, 6) AS uarea,
+           | round((ax1-ax0)*(ay1-ay0) + (bx1-bx0)*(by1-by0) - CAST(2 AS DOUBLE) * ov, 6) AS sarea
+           | FROM (SELECT *, greatest(CAST(0 AS DOUBLE), least(ax1, bx1) - greatest(ax0, bx0)) * greatest(CAST(0 AS DOUBLE), least(ay1, by1) - greatest(ay0, by0)) AS ov FROM $boxes)
+           | WHERE l_orderkey % 20 = 3""".stripMargin.replace("\n", " "),
+      "q57_estimate_utm" ->
+        s"""SELECT c_custkey, CAST(CASE WHEN py * CAST(1.6 AS DOUBLE) - CAST(80 AS DOUBLE) >= 0 THEN 32600 ELSE 32700 END
+           | + least(60, greatest(1, CAST(floor((px * CAST(3.6 AS DOUBLE) - CAST(180 AS DOUBLE) + 180) / CAST(6 AS DOUBLE)) AS INT) + 1)) AS INT) AS epsg
+           | FROM $pts""".stripMargin.replace("\n", " "),
+      "q58_sessionize" ->
+        s"""WITH e AS (SELECT user_id, CAST(epoch_ns(ts) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS sec FROM events),
+           | g AS (SELECT user_id, sec, lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev FROM e)
+           | SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           | count(*) AS n_events FROM g GROUP BY user_id""".stripMargin.replace("\n", " "),
+      "q59_ngram_jaccard" -> minhashOracle(k = 2, numHashes = 16, bands = 4, threshold = 0.4),
+      "q60_embedding_pairs" ->
+        s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
+           | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+           |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " ")
     )
+  }
+
+  /** Integral doubles print bare in JTS WKT/GeoJSON ("18" not "18.0"). */
+  private def fmtSql(x: String): String =
+    s"(CASE WHEN $x = floor($x) THEN CAST(CAST($x AS BIGINT) AS VARCHAR) ELSE CAST($x AS VARCHAR) END)"
+
+  /** Shared MinHash-LSH oracle (mirrors Dedup.minhashPairs spec exactly). */
+  private def minhashOracle(k: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+    val rpb = numHashes / bands
+    val shingleExpr = k match {
+      case 2 => "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+      case 3 => "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+      case _ => throw new IllegalArgumentException("oracle supports k=2,3")
+    }
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | sh AS (SELECT doc_id, $shingleExpr AS sh FROM tok WHERE len(toks) >= $k),
+       | sigs AS (SELECT doc_id, sh, list_transform(range(0, $numHashes),
+       |   j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM sh),
+       | banded AS (SELECT doc_id, t.b AS band, md5(array_to_string(list_slice(sig, t.b * $rpb + 1, t.b * $rpb + $rpb), '|')) AS bkey
+       |   FROM sigs CROSS JOIN range(0, $bands) t(b)),
+       | pairs AS (SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b FROM banded s1
+       |   JOIN banded s2 ON s1.band = s2.band AND s1.bkey = s2.bkey AND s1.doc_id < s2.doc_id),
+       | scored AS (SELECT id_a, id_b,
+       |   CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN CAST(0 AS DOUBLE)
+       |        ELSE CAST(len(list_distinct(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DOUBLE)
+       |             / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+       |   FROM pairs JOIN sh a ON pairs.id_a = a.doc_id JOIN sh b ON pairs.id_b = b.doc_id)
+       | SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= $threshold""".stripMargin.replace("\n", " ")
   }
 
   private def sjoinOracle(pts: String, cells: String): String =

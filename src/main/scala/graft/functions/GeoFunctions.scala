@@ -302,6 +302,15 @@ object GeoFunctions extends Serializable {
     })
   def st_transform(g: Column, fromEpsg: Column, toEpsg: Column): Column = stTransformU(g, fromEpsg, toEpsg)
 
+  /** UTM zone estimation from a lon/lat point (ref array.py:1190-1276). */
+  val stEstimateUtmU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else {
+      val c = rd(b).getCoordinate
+      Some(CrsTransform.estimateUtmEpsg(c.x, c.y))
+    })
+  def st_estimate_utm_epsg(g: Column): Column = stEstimateUtmU(g)
+
   /** Register every function for SQL use (spark.sql("... st_area(g) ...")). */
   def registerAll(spark: SparkSession): Unit = {
     val r = spark.udf
