@@ -1,0 +1,124 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GeoParquet-style IO (reference `io/arrow.py:110-937`).
+  *
+  * Layout written: plain parquet with the geometry column as WKB binary, an
+  * optional `bbox` struct column (xmin/ymin/xmax/ymax — the spec's
+  * `covering.bbox`), and the GeoParquet `geo` metadata JSON stored as a
+  * `_geo_metadata.json` sidecar in the output directory (Spark's parquet
+  * writer owns the footer key-value section; the sidecar carries the same
+  * spec fields: version, primary_column, per-column encoding /
+  * geometry_types / crs / bbox). Reading recognizes both the sidecar and
+  * the spec `geo` footer key of externally-produced files.
+  *
+  * The `bbox` column is the scale path: parquet min/max row-group stats on
+  * its leaves mean a bbox query prunes row groups before any IO —
+  * the same trick as the reference's `bbox=` parquet pushdown
+  * (`io/arrow.py:884-937`), but executed by Spark's scan.
+  */
+object GeoParquet {
+
+  /** Write a GeoDataFrame as GeoParquet (+ bbox covering column). Sorting by
+    * Hilbert distance first makes row-group bbox stats tight, so spatial
+    * queries prune most groups — do it when `spatialSort` is set. */
+  def write(gdf: GeoDataFrame, path: String, coveringBbox: Boolean = true,
+            spatialSort: Boolean = false, numPartitions: Option[Int] = None): Unit = {
+    val g = gdf.geometryCol
+    var df = gdf.df
+    val (x0, y0, x1, y1) = gdf.totalBounds
+    if (spatialSort)
+      df = df.repartitionByRange(numPartitions.getOrElse(df.rdd.getNumPartitions),
+        st_hilbert(col(g), lit(x0), lit(y0), lit(x1), lit(y1), lit(12)))
+    if (coveringBbox)
+      df = df.withColumn("bbox", st_bounds(col(g)))
+    df.write.mode("overwrite").parquet(path)
+
+    val types = gdf.df.select(stGeometryTypeU(col(g)).as("t")).filter(col("t").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    val crsJson = gdf.activeCrs.map(c => "\"" + c + "\"").getOrElse("null")
+    val meta =
+      s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
+         |"encoding": "WKB", "geometry_types": [${types.map("\"" + _ + "\"").mkString(", ")}],
+         |"crs": $crsJson, "bbox": [$x0, $y0, $x1, $y1],
+         |${if (coveringBbox) "\"covering\": {\"bbox\": {\"xmin\": [\"bbox\", \"xmin\"], \"ymin\": [\"bbox\", \"ymin\"], \"xmax\": [\"bbox\", \"xmax\"], \"ymax\": [\"bbox\", \"ymax\"]}}," else ""}
+         |"edges": "planar"}}}""".stripMargin.replace("\n", " ")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), gdf.df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_geo_metadata.json"), true)
+    out.write(meta.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Read GeoParquet: restores the primary geometry column + CRS from the
+    * sidecar or, for external files, the parquet footer `geo` key. */
+  def read(spark: SparkSession, path: String): GeoDataFrame = {
+    val df = spark.read.parquet(path)
+    val meta = readMeta(spark, path)
+    val primary = meta.flatMap(m => m.get("primary_column").collect { case s: String => s })
+      .getOrElse(if (df.columns.contains("geometry")) "geometry" else df.columns.last)
+    val crs = for {
+      m <- meta
+      cols <- m.get("columns").collect { case c: Map[String @unchecked, Any @unchecked] => c }
+      colMeta <- cols.get(primary).collect { case c: Map[String @unchecked, Any @unchecked] => c }
+      c <- colMeta.get("crs").collect { case s: String => s }
+    } yield c
+    GeoDataFrame(df, primary, crs.map(c => Map(primary -> c)).getOrElse(Map.empty))
+  }
+
+  /** Bbox-filtered read: the filter lands on the bbox struct leaves so
+    * Catalyst pushes it into the parquet scan (row-group stats pruning). */
+  def readBbox(spark: SparkSession, path: String,
+               xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
+    val gdf = read(spark, path)
+    val df = gdf.df
+    val pre =
+      if (df.columns.contains("bbox"))
+        df.filter(col("bbox.xmin") <= xmax && col("bbox.xmax") >= xmin &&
+          col("bbox.ymin") <= ymax && col("bbox.ymax") >= ymin)
+      else df
+    // exact refine (bbox column may be absent or coarser than the geometry)
+    import graft.geom.{GeomOps, Wkb}
+    val exact = pre.filter(st_intersects(col(gdf.geometryCol),
+      lit(Wkb.write(GeomOps.makeBox(xmin, ymin, xmax, ymax)))))
+    gdf.copy(df = exact)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Option[Map[String, Any]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_geo_metadata.json")
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      in.close()
+      parseJsonObj(new String(bytes, "UTF-8"))
+    } else {
+      // spec-compliant external file: `geo` key in the parquet footer
+      val p = new org.apache.hadoop.fs.Path(path)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).find(_.getName.endsWith(".parquet"))
+        else Some(p)
+      file.flatMap { f =>
+        try {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+          reader.close()
+          Option(kv.get("geo")).flatMap(parseJsonObj)
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  private def parseJsonObj(s: String): Option[Map[String, Any]] =
+    try graft.functions.GeoJson.parseJson(s) match {
+      case m: Map[String @unchecked, Any @unchecked] => Some(m)
+      case _                                         => None
+    } catch { case _: Exception => None }
+}

@@ -56,7 +56,7 @@ object SpatialJoin {
     * says whether the prepared/build geometry is the right arg. Prepared
     * geometries accelerate the predicates JTS supports; rest falls through
     * to the plain geometry. */
-  private[join] def evalWithPrepared(pred: String, prep: PreparedGeometry, build: Geometry,
+  private[graft] def evalWithPrepared(pred: String, prep: PreparedGeometry, build: Geometry,
                                      stream: Geometry, buildIsRight: Boolean, distance: Double): Boolean = {
     if (buildIsRight) {
       // predicate(streamGeom=left, buildGeom=right)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions._
+import graft.io.GeoParquet
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoParquetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def sample = {
+    val df = (0 until 1000).map { i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble) }
+      .toDF("id", "x", "y")
+    GeoDataFrame.pointsFromXy(df, "x", "y", crs = Some("EPSG:4326"))
+  }
+
+  test("write/read roundtrip restores geometry, CRS and metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("gpq").toString
+    GeoParquet.write(sample, s"$dir/pts")
+    val back = GeoParquet.read(spark, s"$dir/pts")
+    assert(back.geometryCol == "geometry")
+    assert(back.activeCrs.contains("EPSG:4326"))
+    assert(back.count() == 1000)
+    assert(back.df.columns.contains("bbox"))
+    val (x0, y0, x1, y1) = back.totalBounds
+    assert((x0, y0, x1, y1) == (0.0, 0.0, 99.0, 9.0))
+  }
+
+  test("bbox read prunes + refines exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("gpq").toString
+    GeoParquet.write(sample, s"$dir/pts", spatialSort = true, numPartitions = Some(4))
+    val sub = GeoParquet.readBbox(spark, s"$dir/pts", 10, 2, 20, 5)
+    // points with x in [10,20], y in [2,5]: 11 * 4
+    assert(sub.count() == 44)
+    // the bbox predicate reaches the parquet scan (pushed filters visible)
+    val plan = sub.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bbox"))
+  }
+
+  test("write without covering bbox still reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("gpq").toString
+    GeoParquet.write(sample, s"$dir/pts", coveringBbox = false)
+    val back = GeoParquet.read(spark, s"$dir/pts")
+    assert(!back.df.columns.contains("bbox"))
+    assert(GeoParquet.readBbox(spark, s"$dir/pts", 10, 2, 20, 5).count() == 44)
+  }
+}

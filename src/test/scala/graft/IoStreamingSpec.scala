@@ -1,0 +1,66 @@
+package graft
+
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions._
+import graft.geom.{GeomOps, Wkb}
+import graft.io.GeoJsonIO
+import graft.streaming.StreamingGeo
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoJsonIOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("ndjson feature write/read roundtrip with properties") {
+    val df = Seq((1L, "alpha", 1.5, 2.5), (2L, "beta", 3.0, 4.0)).toDF("id", "name", "x", "y")
+    val gdf = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gj").toString
+    GeoJsonIO.write(gdf, s"$dir/f")
+    val back = GeoJsonIO.read(spark, s"$dir/f")
+    assert(back.count() == 2)
+    assert(back.df.columns.toSet.contains("name"))
+    val xs = back.df.select(st_x(col("geometry"))).as[Double].collect().sorted
+    assert(xs.toSeq == Seq(1.5, 3.0))
+  }
+
+  test("reads a FeatureCollection file") {
+    val fc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","properties":{"a":1},"geometry":{"type":"Point","coordinates":[10,20]}},
+      {"type":"Feature","properties":{"a":2},"geometry":{"type":"Point","coordinates":[30,40]}}]}"""
+      .replace("\n", "")
+    val dir = java.nio.file.Files.createTempDirectory("gjfc").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/fc.geojson"), fc)
+    val back = GeoJsonIO.read(spark, s"$dir/fc.geojson")
+    assert(back.count() == 2)
+    assert(back.df.select(st_y(col("geometry"))).as[Double].collect().sorted.toSeq == Seq(20.0, 40.0))
+  }
+}
+
+class StreamingGeoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("streaming sjoin against static layer (memory sink, rate-like source)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    val cells = GeoDataFrame(Seq(
+      ("west", Wkb.write(GeomOps.makeBox(0, 0, 50, 100))),
+      ("east", Wkb.write(GeomOps.makeBox(50, 0, 100, 100)))).toDF("cell", "geometry"))
+
+    val input = MemoryStream[(Long, Double, Double)]
+    val stream = input.toDF().toDF("id", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y")))
+    val joined = StreamingGeo.sjoinAgainstStatic(stream, cells)
+
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    input.addData((1L, 10.0, 10.0), (2L, 80.0, 10.0), (3L, 200.0, 10.0))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.sql("select id, cell from sj_out").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "west"), (2L, "east")))
+  }
+}
