@@ -375,6 +375,25 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"),
         round(st_area(st_union(col("box_a"), col("box_b"))), 6).as("uarea"),
         round(st_area(st_sym_difference(col("box_a"), col("box_b"))), 6).as("sarea"))),
+    "q55_geoparquet_roundtrip" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_gpq").toString
+      graft.io.GeoParquet.write(GeoDataFrame(pts(s, d)), s"$dir/pts", spatialSort = true)
+      val back = graft.io.GeoParquet.readBbox(s, s"$dir/pts", 10, 20, 60, 80)
+      back.df.select(col("c_custkey"), st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+    }),
+    "q56_geojson_roundtrip" -> ((s, d) => {
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_gj").toString
+      val sel = pts(s, d).select(col("c_custkey"), col("c_nationkey"), col("geometry"))
+      graft.io.GeoJsonIO.write(GeoDataFrame(sel), s"$dir/f")
+      val back = graft.io.GeoJsonIO.read(s, s"$dir/f")
+      back.df.select(col("c_custkey"), st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+    }),
+    "q61_intersection_all" -> ((s, d) => boxes(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(st_intersection_all_agg(col("box_a")).as("g"))
+      .select(col("l_returnflag"), round(st_area(col("g")), 6).as("iarea"))),
     "q57_estimate_utm" -> ((s, d) => pts(s, d)
       .withColumn("lonlat", st_point(col("px") * 3.6 - 180.0, col("py") * 1.6 - 80.0))
       .select(col("c_custkey"), st_estimate_utm_epsg(col("lonlat")).as("epsg"))),
@@ -626,6 +645,14 @@ object SparkEntry {
            | round((ax1-ax0)*(ay1-ay0) + (bx1-bx0)*(by1-by0) - CAST(2 AS DOUBLE) * ov, 6) AS sarea
            | FROM (SELECT *, greatest(CAST(0 AS DOUBLE), least(ax1, bx1) - greatest(ax0, bx0)) * greatest(CAST(0 AS DOUBLE), least(ay1, by1) - greatest(ay0, by0)) AS ov FROM $boxes)
            | WHERE l_orderkey % 20 = 3""".stripMargin.replace("\n", " "),
+      "q55_geoparquet_roundtrip" ->
+        s"SELECT c_custkey, px AS x, py AS y FROM $pts WHERE px >= 10 AND px <= 60 AND py >= 20 AND py <= 80",
+      "q56_geojson_roundtrip" ->
+        s"SELECT c_custkey, px AS x, py AS y FROM $pts",
+      "q61_intersection_all" ->
+        s"""SELECT l_returnflag,
+           | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea
+           | FROM $boxes GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
       "q57_estimate_utm" ->
         s"""SELECT c_custkey, CAST(CASE WHEN py * CAST(1.6 AS DOUBLE) - CAST(80 AS DOUBLE) >= 0 THEN 32600 ELSE 32700 END
            | + least(60, greatest(1, CAST(floor((px * CAST(3.6 AS DOUBLE) - CAST(180 AS DOUBLE) + 180) / CAST(6 AS DOUBLE)) AS INT) + 1)) AS INT) AS epsg

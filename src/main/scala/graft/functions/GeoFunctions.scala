@@ -58,7 +58,12 @@ object GeoFunctions extends Serializable {
   val stGeomFromGeoJsonU: UserDefinedFunction = udf((s: String) =>
     if (s == null) null else try Wkb.write(GeoJson.parse(s)) catch { case _: Exception => null })
 
-  def st_point(x: Column, y: Column): Column = stPointU(x, y)
+  // hot-path functions route to native Catalyst expressions (codegen, no
+  // UDF boxing — SURVEY §4); the U-suffixed UDF twins remain for SQL
+  // registration and as reference implementations
+  import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression => colExpr}
+  import graft.functions.{expr => gexpr}
+  def st_point(x: Column, y: Column): Column = exprCol(gexpr.StPoint(colExpr(x), colExpr(y)))
   def st_point_z(x: Column, y: Column, z: Column): Column = stPointZU(x, y, z)
   def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column = stMakeBoxU(xmin, ymin, xmax, ymax)
   def st_makeline(a: Column, b: Column): Column = stMakeLineU(a, b)
@@ -109,10 +114,10 @@ object GeoFunctions extends Serializable {
   val stRelatePatternU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], p: String) =>
     if (a == null || b == null) None else Some(GeomOps.relatePattern(rd(a), rd(b), p)))
 
-  def st_intersects(a: Column, b: Column): Column = stIntersectsU(a, b)
-  def st_contains(a: Column, b: Column): Column = stContainsU(a, b)
+  def st_intersects(a: Column, b: Column): Column = exprCol(gexpr.StIntersects(colExpr(a), colExpr(b)))
+  def st_contains(a: Column, b: Column): Column = exprCol(gexpr.StContains(colExpr(a), colExpr(b)))
   def st_contains_properly(a: Column, b: Column): Column = stContainsProperlyU(a, b)
-  def st_within(a: Column, b: Column): Column = stWithinU(a, b)
+  def st_within(a: Column, b: Column): Column = exprCol(gexpr.StWithin(colExpr(a), colExpr(b)))
   def st_covers(a: Column, b: Column): Column = stCoversU(a, b)
   def st_covered_by(a: Column, b: Column): Column = stCoveredByU(a, b)
   def st_crosses(a: Column, b: Column): Column = stCrossesU(a, b)
@@ -121,7 +126,8 @@ object GeoFunctions extends Serializable {
   def st_touches(a: Column, b: Column): Column = stTouchesU(a, b)
   def st_equals(a: Column, b: Column): Column = stEqualsU(a, b)
   def st_equals_exact(a: Column, b: Column, tol: Column): Column = stEqualsExactU(a, b, tol)
-  def st_dwithin(a: Column, b: Column, d: Column): Column = stDWithinU(a, b, d)
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    exprCol(gexpr.StDWithin(colExpr(a), colExpr(b), colExpr(d)))
   def st_relate(a: Column, b: Column): Column = stRelateU(a, b)
   def st_relate_pattern(a: Column, b: Column, p: Column): Column = stRelatePatternU(a, b, p)
 
@@ -144,13 +150,13 @@ object GeoFunctions extends Serializable {
   val stProjectU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], normalized: Boolean) =>
     if (a == null || b == null) None else Some(GeomOps.project(rd(a), rd(b), normalized)))
 
-  def st_area(g: Column): Column = stAreaU(g)
-  def st_length(g: Column): Column = stLengthU(g)
-  def st_distance(a: Column, b: Column): Column = stDistanceU(a, b)
+  def st_area(g: Column): Column = exprCol(gexpr.StArea(colExpr(g)))
+  def st_length(g: Column): Column = exprCol(gexpr.StLength(colExpr(g)))
+  def st_distance(a: Column, b: Column): Column = exprCol(gexpr.StDistance(colExpr(a), colExpr(b)))
   def st_hausdorff_distance(a: Column, b: Column): Column = stHausdorffU(a, b)
   def st_frechet_distance(a: Column, b: Column): Column = stFrechetU(a, b)
-  def st_x(g: Column): Column = stXU(g)
-  def st_y(g: Column): Column = stYU(g)
+  def st_x(g: Column): Column = exprCol(gexpr.StX(colExpr(g)))
+  def st_y(g: Column): Column = exprCol(gexpr.StY(colExpr(g)))
   def st_z(g: Column): Column = stZU(g)
   def st_npoints(g: Column): Column = stNPointsU(g)
   def st_ngeometries(g: Column): Column = stNGeometriesU(g)
@@ -301,6 +307,14 @@ object GeoFunctions extends Serializable {
       Wkb.write(out)
     })
   def st_transform(g: Column, fromEpsg: Column, toEpsg: Column): Column = stTransformU(g, fromEpsg, toEpsg)
+
+  val stOrientPolygonsU: UserDefinedFunction = udf((b: Array[Byte], exteriorCw: Boolean) =>
+    if (b == null) null else Wkb.write(GeomOps.orientPolygons(rd(b), exteriorCw)))
+  val stConstrainedDelaunayU: UserDefinedFunction = udf(g2g(GeomOps.constrainedDelaunay))
+  val stSharedPathsU: UserDefinedFunction = udf(gg2g(GeomOps.sharedPaths))
+  def st_orient_polygons(g: Column, exteriorCw: Column): Column = stOrientPolygonsU(g, exteriorCw)
+  def st_constrained_delaunay(g: Column): Column = stConstrainedDelaunayU(g)
+  def st_shared_paths(a: Column, b: Column): Column = stSharedPathsU(a, b)
 
   /** UTM zone estimation from a lon/lat point (ref array.py:1190-1276). */
   val stEstimateUtmU: UserDefinedFunction = udf((b: Array[Byte]) =>

@@ -280,6 +280,41 @@ object GeomOps {
     if (nonNull.isEmpty) null else nonNull.reduce(_.intersection(_))
   }
 
+  /** Enforce ring orientation on all polygons (ref base.py:2059
+    * orient_polygons): exterior CCW + holes CW by default; flipped when
+    * exteriorCw. */
+  def orientPolygons(g: Geometry, exteriorCw: Boolean): Geometry = {
+    def orientRing(r: LinearRing, cw: Boolean): LinearRing = {
+      val isCcw = Orientation.isCCW(r.getCoordinateSequence)
+      if (isCcw == cw) gf.createLinearRing(r.getCoordinates.reverse) else r
+    }
+    def fix(x: Geometry): Geometry = x match {
+      case p: Polygon =>
+        gf.createPolygon(orientRing(p.getExteriorRing, exteriorCw),
+          (0 until p.getNumInteriorRing).map(i => orientRing(p.getInteriorRingN(i), !exteriorCw)).toArray)
+      case m: MultiPolygon =>
+        gf.createMultiPolygon((0 until m.getNumGeometries).map(i => fix(m.getGeometryN(i)).asInstanceOf[Polygon]).toArray)
+      case c: GeometryCollection =>
+        gf.createGeometryCollection((0 until c.getNumGeometries).map(i => fix(c.getGeometryN(i))).toArray)
+      case other => other
+    }
+    fix(g)
+  }
+
+  /** Constrained Delaunay triangulation of polygon(s)
+    * (ref base.py:1123, JTS triangulate.polygon). */
+  def constrainedDelaunay(g: Geometry): Geometry =
+    org.locationtech.jts.triangulate.polygon.ConstrainedDelaunayTriangulator.triangulate(g)
+
+  /** Approximate shared_paths (ref base.py:5152): the linework common to
+    * both inputs, returned as a collection (orientation split omitted —
+    * documented divergence). */
+  def sharedPaths(a: Geometry, b: Geometry): Geometry = {
+    val la = if (a.getDimension == 2) a.getBoundary else a
+    val lb = if (b.getDimension == 2) b.getBoundary else b
+    collectionExtract(la.intersection(lb), 1)
+  }
+
   /** Extract only components of the given dimension family (0=point,
     * 1=line, 2=polygon) from a geometry — the reference's
     * `_collection_extract` (`tools/overlay.py:395-454`), used by
