@@ -416,10 +416,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q60_embedding_pairs" -> ((s, d) => {
       val e = embs(s, d).filter(col("vec_id") < 2000) // bound the O(n^2) pair scan
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      // norms once per vector (not per pair); values identical to inline
+      // computation, so the oracle formula is unchanged
+      val withNorm = e.withColumn("__n",
+        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+      val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("__va"), col("__n").as("__na"))
+      val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("__vb"), col("__n").as("__nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+        .withColumn("cosine",
+          when(col("__na") === 0.0 || col("__nb") === 0.0, 0.0)
+            .otherwise(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
         .filter(col("cosine") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     })

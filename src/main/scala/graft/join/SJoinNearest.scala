@@ -30,7 +30,9 @@ object SJoinNearest {
       else (right, rightGeom)
     val (l2, r2) = SpatialJoin.applySuffixes(left, rightRenamed, leftGeom, rGeomName, lsuffix, rsuffix)
 
-    val rightCount = right.count()
+    val rightCount =
+      if (broadcastThreshold < 0) Long.MaxValue
+      else right.limit((broadcastThreshold + 1).min(Int.MaxValue - 1L).toInt).count()
     if (rightCount <= broadcastThreshold)
       broadcastNearest(l2, r2, how, leftGeom, rGeomName, maxDistance, distanceCol, exclusive)
     else {

@@ -132,9 +132,13 @@ object SpatialJoin {
     val onAttrL = onAttribute.map(a => if (l2.columns.contains(a + s"_$lsuffix")) a + s"_$lsuffix" else a)
     val onAttrR = onAttribute.map(a => if (r2.columns.contains(a + s"_$rsuffix")) a + s"_$rsuffix" else a)
 
-    // how=right ⇒ stream right, keep right geometry (ref sjoin.py:464-467)
-    val rightCount = right.count()
-    val leftCount = left.count()
+    // Strategy choice needs only "is either side small?" — count AT MOST
+    // threshold+1 rows per side (limit short-circuits the scan) instead of
+    // a full count, which would be two extra full passes at 100 TB.
+    def countUpTo(df: DataFrame, cap: Long): Long =
+      if (cap < 0) Long.MaxValue else df.limit((cap + 1).min(Int.MaxValue - 1L).toInt).count()
+    val rightCount = countUpTo(right, broadcastThreshold)
+    val leftCount = countUpTo(left, broadcastThreshold)
     val useBroadcast = math.min(leftCount, rightCount) <= broadcastThreshold
 
     val joined =

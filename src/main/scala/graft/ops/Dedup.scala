@@ -44,18 +44,23 @@ object Dedup {
       .withColumn("__sig", minhashMd5U(col("__sh"), lit(numHashes)))
       .filter(col("__sig").isNotNull)
 
-    // band key = md5 of the concatenated signature slice
-    val banded = sig.select(col("__id"), col("__sh"),
+    val shingleTable = sig.select(col("__id"), col("__sh")).cache()
+
+    // band join carries ONLY (band, key, id) — the shingle arrays would
+    // otherwise be shuffled once per band; they re-attach by id after dedup
+    val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as(Seq("__band", "__key")))
 
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
     val candidates = a.join(b, Seq("__band", "__key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sh_a", "__sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(shingleTable.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(shingleTable.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
 
     candidates
       .withColumn("jaccard",

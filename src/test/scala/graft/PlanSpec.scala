@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.GeoFunctions._
+import graft.geom.{GeomOps, Wkb}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * pushdown reaching the scan, native expressions inside whole-stage
+  * codegen, broadcast joins where expected. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def writeSample(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("plan").toString
+    (0 until 1000).map(i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble))
+      .toDF("id", "x", "y").withColumn("geometry", st_point(col("x"), col("y")))
+      .write.mode("overwrite").parquet(s"$dir/pts")
+    s"$dir/pts"
+  }
+
+  test("column pruning: selecting x only reads x") {
+    val path = writeSample()
+    val plan = spark.read.parquet(path).select("x")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<x:double>"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("filter pushdown reaches parquet scan") {
+    val path = writeSample()
+    val plan = spark.read.parquet(path).filter(col("id") > 500).select("id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,500)"), plan)
+  }
+
+  test("native geometry predicate stays inside WholeStageCodegen") {
+    val path = writeSample()
+    val df = spark.read.parquet(path)
+      .filter(st_intersects(col("geometry"), lit(Wkb.write(GeomOps.makeBox(0, 0, 50, 5)))))
+      .select(st_area(col("geometry")))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1)" prefixes mark operators fused into WholeStageCodegen stage 1
+    assert(plan.contains("*(1) Filter"), plan)
+    // the filter is a native expression (StIntersects), not a UDF node
+    assert(plan.contains("stintersects") || plan.contains("StIntersects"), plan)
+    df.collect() // forces janino compile of the generated code — must not fall back
+  }
+
+  test("sjoin broadcast path produces BroadcastHashJoin on the id key") {
+    val pts = (0 until 100).map(i => (i, Wkb.write(GeomOps.point(i % 10, i / 10))))
+      .toDF("pid", "geometry")
+    val polys = Seq((0, Wkb.write(GeomOps.makeBox(0, 0, 20, 20)))).toDF("poly_id", "geometry")
+    val j = graft.join.SpatialJoin.sjoin(pts, polys, "intersects", "inner")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("grid sjoin plans a hash join on the cell key, not a cartesian product") {
+    val rng = new scala.util.Random(5)
+    val pts = (0 until 200).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("pid", "geometry")
+    val polys = (0 until 50).map { i =>
+      val x = rng.nextDouble() * 90
+      (i, Wkb.write(GeomOps.makeBox(x, x, x + 5, x + 5)))
+    }.toDF("poly_id", "geometry")
+    val j = graft.join.SpatialJoin.sjoin(pts, polys, "intersects", "inner", broadcastThreshold = -1)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__cell"), plan)
+  }
+}

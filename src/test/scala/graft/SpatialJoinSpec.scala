@@ -89,6 +89,28 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0, 100, 1.0), (0, 200, 1.0), (1, 300, 1.0)))
   }
 
+  test("sjoin on_attribute adds equi-filter (ref sjoin.py:574-586)") {
+    val polys = Seq((0, "a", Wkb.write(GeomOps.makeBox(0, 0, 10, 10)))).toDF("poly_id", "k", "geometry")
+    val pts = Seq((0, "a", Wkb.write(GeomOps.point(1, 1))), (1, "b", Wkb.write(GeomOps.point(2, 2))))
+      .toDF("pid", "k", "geometry")
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "inner", onAttribute = Seq("k"))
+    assert(j.select("pid").as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("sjoin right via grid path matches broadcast right") {
+    val rng = new scala.util.Random(23)
+    val pts = (0 until 300).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("pid", "geometry")
+    val polys = (0 until 20).map { i =>
+      val x = rng.nextDouble() * 90; val y = rng.nextDouble() * 90
+      (i, Wkb.write(GeomOps.makeBox(x, y, x + 15, y + 15)))
+    }.toDF("poly_id", "geometry")
+    def pairs(bt: Long) = SpatialJoin.sjoin(pts, polys, "intersects", "right", broadcastThreshold = bt)
+      .select("pid", "poly_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(pairs(2000000L) == pairs(-1L))
+  }
+
   test("overlay matches reference golden fixture (all 5 hows)") {
     val df1 = squares("df1_data", (0, 0, 2, 2), (2, 2, 4, 4))
     val df2 = squares("df2_data", (1, 1, 3, 3), (3, 3, 5, 5))
