@@ -421,7 +421,11 @@ object SparkEntry {
       val withNorm = e.withColumn("__n",
         sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x)))
-      val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("__va"), col("__n").as("__na"))
+      // single-file input = one partition; the nested-loop pair scan
+      // parallelizes over stream-side partitions, so spread them first
+      val par = s.sparkContext.defaultParallelism
+      val a = withNorm.repartition(par)
+        .select(col("vec_id").as("id_a"), col("embedding").as("__va"), col("__n").as("__na"))
       val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("__vb"), col("__n").as("__nb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cosine",

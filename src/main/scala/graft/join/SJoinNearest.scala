@@ -35,12 +35,58 @@ object SJoinNearest {
       else right.limit((broadcastThreshold + 1).min(Int.MaxValue - 1L).toInt).count()
     if (rightCount <= broadcastThreshold)
       broadcastNearest(l2, r2, how, leftGeom, rGeomName, maxDistance, distanceCol, exclusive)
-    else {
-      val md = maxDistance.getOrElse(throw new IllegalArgumentException(
-        "distributed sjoin_nearest requires max_distance (right side too large to broadcast); " +
-          "either pass max_distance or raise broadcastThreshold"))
-      gridNearest(l2, r2, how, leftGeom, rGeomName, md, distanceCol, exclusive)
+    else maxDistance match {
+      case Some(md) => gridNearest(l2, r2, how, leftGeom, rGeomName, md, distanceCol, exclusive)
+      case None     => gridNearestAuto(l2, r2, how, leftGeom, rGeomName, distanceCol, exclusive)
     }
+  }
+
+  /** Distributed nearest without a distance cap: iterative radius doubling.
+    * Start from the expected nearest-neighbour spacing (sqrt(extent area /
+    * n) of the right side), resolve every left row whose nearest lies
+    * within the current radius via the bounded grid join, and re-run only
+    * the unmatched remainder at 4× the radius. Converges in
+    * O(log(span/r0)) rounds; each round shuffles only unresolved rows. */
+  private def gridNearestAuto(l2: DataFrame, r2: DataFrame, how: String,
+                              leftGeom: String, rGeomName: String,
+                              distanceCol: Option[String], exclusive: Boolean): DataFrame = {
+    import graft.functions.GeoFunctions.st_bounds
+    val stats = r2.select(st_bounds(col(rGeomName)).as("b")).filter(col("b").isNotNull)
+      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax"), count(lit(1))).head()
+    if (stats.isNullAt(0)) { // right side has no geometries
+      val empty = l2.limit(if (how == "left") Int.MaxValue else 0)
+      return distanceCol.map(c => empty.withColumn(c, lit(null).cast("double"))).getOrElse(empty)
+    }
+    val (x0, y0, x1, y1, n) =
+      (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3), stats.getLong(4))
+    val span = math.max(x1 - x0, y1 - y0)
+    var radius = math.max(1e-9, math.sqrt(math.max(1e-18, (x1 - x0) * (y1 - y0)) / math.max(1L, n)) * 2)
+
+    val lw = l2.withColumn("__graft_auto_lid", monotonically_increasing_id()).cache()
+    var remaining = lw
+    var acc: Option[DataFrame] = None
+    var rounds = 0
+    val maxRounds = 12
+    while (rounds < maxRounds && remaining.limit(1).count() > 0) {
+      val effRadius = if (rounds == maxRounds - 1) span * 2 else radius
+      val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
+        Some(distanceCol.getOrElse("__graft_dist")), exclusive).cache()
+      val matchedIds = matched.select(col("__graft_auto_lid")).distinct()
+      remaining = remaining.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
+      acc = Some(acc.map(_.unionByName(matched, allowMissingColumns = true)).getOrElse(matched))
+      radius *= 4
+      rounds += 1
+    }
+    val inner = acc.getOrElse(lw.limit(0))
+    val res = how match {
+      case "left" =>
+        val matchedIds = inner.select(col("__graft_auto_lid")).distinct()
+        val unmatched = lw.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
+        inner.unionByName(unmatched, allowMissingColumns = true)
+      case _ => inner
+    }
+    val dropped = res.drop("__graft_auto_lid")
+    if (distanceCol.isEmpty) dropped.drop("__graft_dist") else dropped
   }
 
   private def broadcastNearest(l2: DataFrame, r2: DataFrame, how: String,
@@ -119,7 +165,7 @@ object SJoinNearest {
                           leftGeom: String, rGeomName: String, maxDistance: Double,
                           distanceCol: Option[String], exclusive: Boolean): DataFrame = {
     import graft.functions.GeoFunctions.{st_distance, st_equals}
-    val lw = l2.withColumn("__graft_lid", monotonically_increasing_id())
+    val lw = l2.withColumn("__graft_nn_lid", monotonically_increasing_id())
     // dwithin candidate pairs (grid path), then window rank()==1 over
     // distance per left row — rank (not row_number) keeps equidistant ties,
     // matching the reference's return_all (sindex.py:373-479)
@@ -131,10 +177,10 @@ object SJoinNearest {
     val filtered =
       if (exclusive) withDist.filter(!(col(dcol) === 0.0 && st_equals(col(leftGeom), col(rGeomName))))
       else withDist
-    val w = Window.partitionBy("__graft_lid").orderBy(col(dcol).asc_nulls_last)
+    val w = Window.partitionBy("__graft_nn_lid").orderBy(col(dcol).asc_nulls_last)
     val ranked = filtered.withColumn("__graft_rank", rank().over(w))
       .filter(col("__graft_rank") === 1 || col(dcol).isNull)
-      .drop("__graft_rank", "__graft_lid", rGeomName)
+      .drop("__graft_rank", "__graft_nn_lid", rGeomName)
     if (distanceCol.isEmpty) ranked.drop("__graft_dist") else ranked
   }
 }

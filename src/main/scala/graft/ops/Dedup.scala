@@ -40,7 +40,11 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // small corpora often arrive as one parquet file = one partition; the
+    // signature UDF is the expensive stage, so spread it across cores first
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val sig = df.select(col(idCol).as("__id"), shingles(col(textCol), k).as("__sh"))
+      .repartition(par)
       .withColumn("__sig", minhashMd5U(col("__sh"), lit(numHashes)))
       .filter(col("__sig").isNotNull)
 
@@ -88,6 +92,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .filter(col("__sig").isNotNull)
     val banded = sig.select(col("__id"), col("__sig"),
       posexplode(transform(sequence(lit(0), lit(3)), b => substring(col("__sig"), b * 4 + 1, lit(4))))

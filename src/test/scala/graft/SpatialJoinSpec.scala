@@ -111,6 +111,19 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(pairs(2000000L) == pairs(-1L))
   }
 
+  test("distributed sjoin_nearest without max_distance matches broadcast") {
+    val rng = new scala.util.Random(31)
+    val a = (0 until 150).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("aid", "geometry")
+    val b = (0 until 40).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("bid", "geometry")
+    val bc = SJoinNearest.sjoinNearest(a, b, distanceCol = Some("d"))
+      .select("aid", "bid").as[(Int, Int)].collect().sorted.toSeq
+    val grid = SJoinNearest.sjoinNearest(a, b, distanceCol = Some("d"), broadcastThreshold = -1)
+      .select("aid", "bid").as[(Int, Int)].collect().sorted.toSeq
+    assert(bc.size >= 150 && bc == grid)
+  }
+
   test("overlay matches reference golden fixture (all 5 hows)") {
     val df1 = squares("df1_data", (0, 0, 2, 2), (2, 2, 4, 4))
     val df2 = squares("df2_data", (1, 1, 3, 3), (3, 3, 5, 5))
