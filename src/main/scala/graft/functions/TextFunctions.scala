@@ -77,17 +77,25 @@ object TextFunctions {
   }
 
   /** MinHash signature, oracle-reproducible spec: component j =
-    * min over shingles of md5(j + ":" + shingle), as lowercase hex. */
+    * min over shingles of md5(j + ":" + shingle), as lowercase hex.
+    * (Digest fed as two updates — prefix bytes then shingle bytes —
+    * identical to digesting the concatenated string.) */
   val minhashMd5U: UserDefinedFunction = udf((sh: Seq[String], n: Int) =>
     if (sh == null || sh.isEmpty) null
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Md5.tl.get()
+      val shBytes = sh.iterator.map(_.getBytes("UTF-8")).toArray
       Array.tabulate(n) { j =>
+        val prefix = (j.toString + ":").getBytes("UTF-8")
         var best: String = null
-        sh.foreach { s =>
+        var i = 0
+        while (i < shBytes.length) {
           md.reset()
-          val hex = Hex.toHex(md.digest(s"$j:$s".getBytes("UTF-8")))
+          md.update(prefix)
+          md.update(shBytes(i))
+          val hex = Hex.toHex(md.digest())
           if (best == null || hex < best) best = hex
+          i += 1
         }
         best
       }
@@ -109,7 +117,7 @@ object TextFunctions {
   val simhash64U: UserDefinedFunction = udf((toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) null
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Md5.tl.get()
       val scores = new Array[Int](64)
       toks.foreach { t =>
         md.reset()
@@ -164,6 +172,11 @@ object TextFunctions {
     spark.udf.register("hamming_hex", hammingHexU)
     spark.udf.register("text_fingerprint", fingerprintU)
   }
+}
+
+private[functions] object Md5 {
+  val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 private[functions] object Hex {

@@ -150,6 +150,37 @@ class GeomOpsSpec extends AnyFunSuite {
     assert(GeomOps.polygonize(rings).getArea == 1.0)
   }
 
+  test("orient_polygons normalizes ring winding") {
+    val cw = wkt("POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))") // clockwise exterior
+    val ccw = GeomOps.orientPolygons(cw, exteriorCw = false)
+    assert(GeomOps.isCcw(GeomOps.exterior(ccw)))
+    val backCw = GeomOps.orientPolygons(ccw, exteriorCw = true)
+    assert(!GeomOps.isCcw(GeomOps.exterior(backCw)))
+    assert(backCw.getArea == 4.0)
+  }
+
+  test("concave hull, constrained delaunay, shared paths, offset, sample") {
+    val mp = wkt("MULTIPOINT ((0 0), (4 0), (0 4), (4 4), (2 2))")
+    val hull = GeomOps.concaveHull(mp, 1.0, allowHoles = false)
+    assert(hull.getArea > 0)
+    val poly = wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(GeomOps.constrainedDelaunay(poly).getNumGeometries >= 2)
+    val shared = GeomOps.sharedPaths(
+      wkt("LINESTRING (0 0, 2 0, 4 0)"), wkt("LINESTRING (1 0, 3 0)"))
+    assert(shared.getLength == 2.0)
+    assert(GeomOps.offsetCurve(wkt("LINESTRING (0 0, 4 0)"), 1.0, 8, 1, 5.0).getLength > 0)
+    val sampled = GeomOps.samplePoints(poly, 10, seed = 7)
+    assert(sampled.getNumGeometries == 10)
+    assert(poly.covers(sampled))
+  }
+
+  test("hausdorff and frechet distances") {
+    val a = wkt("LINESTRING (0 0, 10 0)")
+    val b = wkt("LINESTRING (0 3, 10 3)")
+    assert(GeomOps.hausdorff(a, b) == 3.0)
+    assert(GeomOps.frechet(a, b) == 3.0)
+  }
+
   test("hilbert distance is locality-preserving and bounded") {
     val d00 = Hilbert.distance(0, 0, 0, 0, 100, 100, 10)
     val dMax = Hilbert.distance(100, 100, 0, 0, 100, 100, 10)

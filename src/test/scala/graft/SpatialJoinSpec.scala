@@ -111,6 +111,27 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(pairs(2000000L) == pairs(-1L))
   }
 
+  test("every predicate: grid path matches broadcast path on mixed geometry") {
+    val rng = new scala.util.Random(13)
+    def mixed(tag: Int): Seq[(Int, Array[Byte])] = (0 until 120).map { i =>
+      val x = rng.nextDouble() * 60; val y = rng.nextDouble() * 60
+      val g = (i + tag) % 3 match {
+        case 0 => GeomOps.makeBox(x, y, x + 4 + (i % 3), y + 4)
+        case 1 => Wkb.readWkt(s"LINESTRING ($x $y, ${x + 8} ${y + 5})")
+        case _ => GeomOps.point(x, y)
+      }
+      (i, Wkb.write(g))
+    }
+    val l = mixed(0).toDF("lid", "geometry")
+    val r = mixed(1).toDF("rid", "geometry")
+    for (pred <- Seq("intersects", "contains", "within", "covers", "covered_by",
+      "overlaps", "touches", "crosses", "equals", "contains_properly")) {
+      def run(bt: Long) = SpatialJoin.sjoin(l, r, pred, "inner", broadcastThreshold = bt)
+        .select("lid", "rid").as[(Int, Int)].collect().sorted.toSeq
+      assert(run(2000000L) == run(-1L), s"mismatch for predicate $pred")
+    }
+  }
+
   test("distributed sjoin_nearest without max_distance matches broadcast") {
     val rng = new scala.util.Random(31)
     val a = (0 until 150).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))

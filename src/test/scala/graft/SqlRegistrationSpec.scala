@@ -1,0 +1,33 @@
+package graft
+
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.agg.GeoAggregates
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: every registered function callable from spark.sql. */
+class SqlRegistrationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("st_* functions and aggregates work through SQL") {
+    GeoFunctions.registerAll(spark)
+    GeoAggregates.registerAll(spark)
+    TextFunctions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT st_astext(st_point(1.0D, 2.0D)) AS wkt,
+        |       st_area(st_makebox(0.0D, 0.0D, 2.0D, 3.0D)) AS a,
+        |       st_intersects(st_point(1.0D, 1.0D), st_makebox(0.0D, 0.0D, 2.0D, 2.0D)) AS i,
+        |       st_x(st_centroid(st_makebox(0.0D, 0.0D, 4.0D, 4.0D))) AS cx,
+        |       text_fingerprint('hello') AS fp""".stripMargin).head()
+    assert(row.getString(0) == "POINT (1 2)")
+    assert(row.getDouble(1) == 6.0)
+    assert(row.getBoolean(2))
+    assert(row.getDouble(3) == 2.0)
+    assert(row.getLong(4) > 0)
+
+    spark.range(4).createOrReplaceTempView("t")
+    val agg = spark.sql(
+      """SELECT st_area(st_union_agg(st_makebox(CAST(id AS DOUBLE), 0.0D, CAST(id + 1 AS DOUBLE), 1.0D))) AS ua
+        |FROM t""".stripMargin).head()
+    assert(agg.getDouble(0) == 4.0)
+  }
+}
