@@ -141,7 +141,7 @@ object SJoinNearest {
           else cands.filter(_._2 == best).toArray
         }
       }
-    })
+    }).asNondeterministic() // stop Catalyst duplicating the tree probe
 
     val withMatches = l2.withColumn("__graft_nn", nearestU(col(leftGeom)))
     val exploded =

@@ -182,6 +182,10 @@ object SpatialJoin {
     val dist = distance
     val bIsRight = buildRight
 
+    // asNondeterministic: semantically deterministic, but the marker stops
+    // Catalyst from duplicating this (STRtree-probing) expression into
+    // inferred generate-filters and collapsed projects — it must run once
+    // per stream row, not three times
     val matchU = udf((g: Array[Byte]) => {
       if (g == null) Array.empty[Long]
       else {
@@ -201,7 +205,7 @@ object SpatialJoin {
         }
         out.toArray
       }
-    })
+    }).asNondeterministic()
 
     val outer = how != "inner"
     val withMatches = stream.withColumn("__graft_matches", matchU(col(streamGeom)))

@@ -63,7 +63,7 @@ object StreamingGeo {
         }
         out.toArray
       }
-    })
+    }).asNondeterministic() // stop Catalyst duplicating the tree probe
 
     val withMatches = stream.withColumn("__m", matchU(col(streamGeom)))
     val exploded =
