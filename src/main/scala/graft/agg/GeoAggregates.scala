@@ -73,7 +73,10 @@ object GeoAggregates {
       if (a == null) b
       else {
         val e = Wkb.read(a).getEnvelopeInternal
-        Bounds4(math.min(b.xmin, e.getMinX), math.min(b.ymin, e.getMinY),
+        // empty geometries have a null (0,0,-1,-1) envelope — folding it in
+        // would contaminate the bounds; the reference skips them
+        if (e.isNull) b
+        else Bounds4(math.min(b.xmin, e.getMinX), math.min(b.ymin, e.getMinY),
           math.max(b.xmax, e.getMaxX), math.max(b.ymax, e.getMaxY))
       }
     def merge(x: Bounds4, y: Bounds4): Bounds4 =

@@ -59,16 +59,32 @@ object SJoinNearest {
     }
     val (x0, y0, x1, y1, n) =
       (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3), stats.getLong(4))
-    val span = math.max(x1 - x0, y1 - y0)
     var radius = math.max(1e-9, math.sqrt(math.max(1e-18, (x1 - x0) * (y1 - y0)) / math.max(1L, n)) * 2)
 
+    // A radius guaranteed to match every left row: the diagonal of the
+    // combined left+right extent (every right geometry is dwithin(diag) of
+    // every left geometry). The final round uses it, so the unbounded search
+    // always returns the true nearest — even for single-point or co-located
+    // build sides (span 0) and stream rows far outside the build extent.
+    val lstats = l2.select(st_bounds(col(leftGeom)).as("b")).filter(col("b").isNotNull)
+      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax")).head()
+    val diag =
+      if (lstats.isNullAt(0)) 1e-9
+      else {
+        val ux0 = math.min(x0, lstats.getDouble(0)); val uy0 = math.min(y0, lstats.getDouble(1))
+        val ux1 = math.max(x1, lstats.getDouble(2)); val uy1 = math.max(y1, lstats.getDouble(3))
+        math.max(1e-9, math.hypot(ux1 - ux0, uy1 - uy0))
+      }
+
     val lw = l2.withColumn("__graft_auto_lid", monotonically_increasing_id()).cache()
-    var remaining = lw
+    // rows with no usable geometry can never match; keeping them in the loop
+    // would burn every round on them (how=left re-attaches them at the end)
+    var remaining = lw.filter(st_bounds(col(leftGeom)).isNotNull)
     var acc: Option[DataFrame] = None
     var rounds = 0
     val maxRounds = 12
     while (rounds < maxRounds && remaining.limit(1).count() > 0) {
-      val effRadius = if (rounds == maxRounds - 1) span * 2 else radius
+      val effRadius = if (rounds == maxRounds - 1 || radius >= diag) diag else radius
       val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
         Some(distanceCol.getOrElse("__graft_dist")), exclusive).cache()
       val matchedIds = matched.select(col("__graft_auto_lid")).distinct()
@@ -113,7 +129,11 @@ object SJoinNearest {
           val geom = Wkb.read(g)
           val rootEnv = idx.tree.getRoot.getBounds.asInstanceOf[Envelope]
           val span = math.max(rootEnv.getWidth, rootEnv.getHeight)
-          var radius = math.max(1e-9, math.min(maxD, span / 64))
+          // start at the distance to the build extent (first ring is then
+          // guaranteed to reach it, even for far-away or degenerate-extent
+          // builds) padded by the expected nearest-neighbour spacing
+          val toRoot = geom.getEnvelopeInternal.distance(rootEnv)
+          var radius = math.max(1e-9, math.min(maxD, toRoot + math.max(1e-9, span / 64)))
           var best = Double.PositiveInfinity
           var done = false
           val cands = new scala.collection.mutable.ArrayBuffer[(Long, Double)]()
@@ -133,8 +153,11 @@ object SJoinNearest {
               i += 1
             }
             // stop once the best hit is inside the searched ring (no closer
-            // geometry can exist outside it), or the ring covers everything
-            if (best <= radius || radius >= maxD || radius > span * 4) done = true
+            // geometry can exist outside it), the cap is reached, or the ring
+            // already covers the entire build extent (nothing more to find —
+            // the unbounded search must never terminate before this)
+            val coversAll = env.contains(rootEnv)
+            if (best <= radius || radius >= maxD || coversAll) done = true
             else radius = radius * 4
           }
           if (best.isInfinity) Array.empty[(Long, Double)]

@@ -139,16 +139,19 @@ object SpatialJoin {
       if (cap < 0) Long.MaxValue else df.limit((cap + 1).min(Int.MaxValue - 1L).toInt).count()
     val rightCount = countUpTo(right, broadcastThreshold)
     val leftCount = countUpTo(left, broadcastThreshold)
-    val useBroadcast = math.min(leftCount, rightCount) <= broadcastThreshold
+    // `how` forces the build side (the outer side must stream); broadcast is
+    // only safe when THAT side is small — a small outer side with a huge
+    // inner side must take the grid path, not collect the huge side
+    val buildRight = how match {
+      case "left"  => true                    // left must stream (outer rows preserved)
+      case "right" => false                   // right must stream
+      case _       => rightCount <= leftCount
+    }
+    val buildCount = if (buildRight) rightCount else leftCount
+    val useBroadcast = buildCount <= broadcastThreshold
 
     val joined =
       if (useBroadcast) {
-        // build side = smaller side, unless how forces the outer side to stream
-        val buildRight = how match {
-          case "left"  => true                    // left must stream (outer rows preserved)
-          case "right" => false                   // right must stream
-          case _       => rightCount <= leftCount
-        }
         broadcastJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance, buildRight)
       } else {
         gridJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance)
@@ -170,7 +173,13 @@ object SpatialJoin {
     val (stream, streamGeom, build, buildGeom) =
       if (buildRight) (l2, leftGeom, r2, rightGeom) else (r2, rightGeom, l2, leftGeom)
 
-    val buildWithId = build.withColumn("__graft_bid", monotonically_increasing_id())
+    // localCheckpoint freezes the id-stamped rows: the same DataFrame is both
+    // collect()ed for the index and re-joined below, and without pinning, a
+    // non-deterministic upstream (round-robin repartition, AQE) could assign
+    // different ids on the second evaluation. Cheap here — build side is
+    // under the broadcast threshold by construction; the persisted blocks are
+    // released by the ContextCleaner once the plan is unreferenced.
+    val buildWithId = build.withColumn("__graft_bid", monotonically_increasing_id()).localCheckpoint()
     val rows: Array[(Long, Array[Byte])] = buildWithId
       .select(col("__graft_bid"), col(buildGeom))
       .na.drop(Seq(buildGeom))
@@ -294,10 +303,14 @@ object SpatialJoin {
     val expand = if (predicate == "dwithin") distance else 0.0
     val grid = computeGrid(l2, leftGeom, r2, rightGeom, expand)
 
-    val lid = monotonically_increasing_id()
-    val rid = monotonically_increasing_id()
-    val lw = l2.withColumn("__graft_lid", lid)
-    val rw = r2.withColumn("__graft_rid", rid)
+    val lw0 = l2.withColumn("__graft_lid", monotonically_increasing_id())
+    val rw0 = r2.withColumn("__graft_rid", monotonically_increasing_id())
+    // outer hows re-join the id-stamped side against its own matched pairs;
+    // pin the ids (disk-backed blocks, released on GC) so both evaluations
+    // agree even under non-deterministic upstreams. Inner joins never reuse
+    // the ids and skip the materialization.
+    val lw = if (how == "left") lw0.localCheckpoint() else lw0
+    val rw = if (how == "right") rw0.localCheckpoint() else rw0
 
     val g = grid
     val cellsU = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>

@@ -87,15 +87,23 @@ object Dedup {
       .drop("__canon")
   }
 
-  /** SimHash near-dup pairs: 64-bit signature banded into 4×16-bit chunks —
-    * any pair within hamming distance `maxHamming` ≤ 3·16 shares ≥1 chunk. */
+  /** SimHash near-dup pairs: the 64-bit signature is banded into
+    * `maxHamming + 1` chunks — by pigeonhole, any pair within hamming
+    * distance `maxHamming` has at least one chunk with no differing bit, so
+    * it shares ≥1 band key and is found by the bucket join. (The chunks are
+    * hex-aligned, 16 hex chars split as evenly as possible.) */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
+    val bands = maxHamming + 1
+    val bound = (0 to bands).map(i => 16 * i / bands) // hex-char chunk boundaries
     val sig = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .filter(col("__sig").isNotNull)
     val banded = sig.select(col("__id"), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(3)), b => substring(col("__sig"), b * 4 + 1, lit(4))))
+      posexplode(array((0 until bands).map(i =>
+        substring(col("__sig"), bound(i) + 1, bound(i + 1) - bound(i))): _*))
         .as(Seq("__band", "__key")))
     val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"), col("__sig").as("__sig_b"))

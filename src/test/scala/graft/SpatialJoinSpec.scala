@@ -145,6 +145,45 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(bc.size >= 150 && bc == grid)
   }
 
+  test("sjoin left with small left and large-ish right takes the grid path (no huge collect)") {
+    // broadcastThreshold=2 with how=left forces the build side to the right
+    // (5 rows > threshold) — must fall back to grid, and still be correct
+    val polys = squares("poly_id", (0, 0, 2, 2), (10, 10, 12, 12), (20, 20, 22, 22),
+      (30, 30, 32, 32), (40, 40, 42, 42))
+    val pts = points((1, 1), (99, 99))
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "left", broadcastThreshold = 2)
+    val rows = j.select("pid", "poly_id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((0, 0), (1, -1)))
+  }
+
+  test("nearest without max_distance reaches far-away and single-point build sides") {
+    // single-point build (span 0) and a stream point ~1e6 away: the old
+    // span*4 cap silently dropped both cases
+    val far = points((0, 0), (1e6, 1e6))
+    val single = Seq((7, Wkb.write(GeomOps.point(3, 4)))).toDF("tid", "geometry")
+    val j = SJoinNearest.sjoinNearest(far, single, distanceCol = Some("d"))
+    val rows = j.select("pid", "tid", "d").as[(Int, Int, Double)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0) == ((0, 7, 5.0)))
+    assert(rows(1)._2 == 7 && math.abs(rows(1)._3 - math.hypot(1e6 - 3, 1e6 - 4)) < 1e-3)
+
+    // grid path with co-located build rows (span 0) must also resolve
+    val grid = SJoinNearest.sjoinNearest(far, single, distanceCol = Some("d"), broadcastThreshold = -1)
+      .select("pid", "tid").as[(Int, Int)].collect().sorted.toSeq
+    assert(grid == Seq((0, 7), (1, 7)))
+  }
+
+  test("total_bounds skips empty geometries") {
+    val df = Seq(
+      (0, Wkb.write(GeomOps.point(5, 6))),
+      (1, Wkb.write(Wkb.readWkt("POLYGON EMPTY"))),
+      (2, Wkb.write(GeomOps.point(8, 9)))).toDF("id", "geometry")
+    val b = df.select(graft.agg.GeoAggregates.st_total_bounds_agg(col("geometry")).as("b"))
+      .select("b.xmin", "b.ymin", "b.xmax", "b.ymax").as[(Double, Double, Double, Double)].head()
+    assert(b == ((5.0, 6.0, 8.0, 9.0)))
+  }
+
   test("overlay matches reference golden fixture (all 5 hows)") {
     val df1 = squares("df1_data", (0, 0, 2, 2), (2, 2, 4, 4))
     val df2 = squares("df2_data", (1, 1, 3, 3), (3, 3, 5, 5))
