@@ -11,13 +11,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration hooks (driver never sets these): run only named
+    // queries, optionally several times (last timing wins = warm numbers)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup: pay session/codegen/parquet-footer init outside the timings
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = selected.map { case (name, fn) =>
+      var t = 0.0
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        t = (System.nanoTime() - t0) / 1e9
+      }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
