@@ -19,19 +19,26 @@ object Bench {
     // warmup: pay session/codegen/parquet-footer init outside the timings
     try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
-      var t = 0.0
+    // a failing query must surface as "err" + non-zero exit, never as a
+    // (fast-looking) wall time that masks a regression
+    val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
+      var out: Either[String, Double] = Left("err")
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        t = (System.nanoTime() - t0) / 1e9
+        out =
+          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left("err: " + e.getClass.getSimpleName) }
       }
-      name -> t
+      name -> out
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(e))  => s"\"" + k + "\":\"" + e.takeWhile(_ != '"') + "\""
+    }.mkString("{", ",", "}")
+    val total = results.values.collect { case Right(v) => v }.sum
+    val nErr = results.values.count(_.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }

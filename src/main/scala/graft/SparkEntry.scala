@@ -414,6 +414,15 @@ object SparkEntry {
     "q59_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q62_sjoin_left_attr" -> ((s, d) => {
+      // left sjoin + on_attribute: pairs must satisfy BOTH the spatial
+      // predicate and the attribute equality; rows failing either survive
+      // as unmatched with NULLs (ref sjoin.py:574-586 + 381-420)
+      val p = pts(s, d).withColumn("nk", col("c_nationkey").cast("long"))
+      val c = cells(s, d).withColumn("nk", col("n_nationkey").cast("long"))
+      SpatialJoin.sjoin(p, c, predicate = "intersects", how = "left", onAttribute = Seq("nk"))
+        .select(col("c_custkey"), col("n_nationkey"))
+    }),
     "q60_embedding_pairs" -> ((s, d) => {
       val e = embs(s, d).filter(col("vec_id") < 2000) // bound the O(n^2) pair scan
       // norms once per vector (not per pair); values identical to inline
@@ -674,6 +683,10 @@ object SparkEntry {
            | SELECT user_id, CAST(sum(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            | count(*) AS n_events FROM g GROUP BY user_id""".stripMargin.replace("\n", " "),
       "q59_ngram_jaccard" -> minhashOracle(k = 2, numHashes = 16, bands = 4, threshold = 0.4),
+      "q62_sjoin_left_attr" ->
+        s"""SELECT c_custkey, n_nationkey FROM $pts p LEFT JOIN $cells c
+           | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1
+           | AND p.c_nationkey = c.n_nationkey""".stripMargin.replace("\n", " "),
       "q60_embedding_pairs" ->
         s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
            | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

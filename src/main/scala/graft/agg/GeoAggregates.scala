@@ -81,7 +81,12 @@ object GeoAggregates {
       }
     def merge(x: Bounds4, y: Bounds4): Bounds4 =
       Bounds4(math.min(x.xmin, y.xmin), math.min(x.ymin, y.ymin), math.max(x.xmax, y.xmax), math.max(x.ymax, y.ymax))
-    def finish(b: Bounds4): Bounds4 = b
+    // a group whose geometries are all null/empty leaves the zero buffer
+    // untouched; the reference's total_bounds returns [nan, nan, nan, nan]
+    // there (base.py:5288), not the +Inf/-Inf identity
+    def finish(b: Bounds4): Bounds4 =
+      if (b.xmin == Double.PositiveInfinity) Bounds4(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+      else b
     def bufferEncoder: Encoder[Bounds4] = Encoders.product[Bounds4]
     def outputEncoder: Encoder[Bounds4] = Encoders.product[Bounds4]
   }

@@ -150,15 +150,42 @@ object SpatialJoin {
     val buildCount = if (buildRight) rightCount else leftCount
     val useBroadcast = buildCount <= broadcastThreshold
 
-    val joined =
-      if (useBroadcast) {
-        broadcastJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance, buildRight)
-      } else {
-        gridJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance)
-      }
+    def attrFilter(df: DataFrame): DataFrame =
+      onAttrL.zip(onAttrR).foldLeft(df) { case (d, (a, b)) => d.filter(col(a) === col(b)) }
 
-    onAttrL.zip(onAttrR).foldLeft(joined) { case (df, (a, b)) =>
-      df.filter(col(a) === col(b))
+    if (onAttribute.isEmpty || how == "inner") {
+      val joined =
+        if (useBroadcast) broadcastJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance, buildRight)
+        else gridJoin(l2, r2, predicate, how, leftGeom, rGeomName, distance)
+      attrFilter(joined)
+    } else {
+      // outer + on_attribute: the reference filters candidate PAIRS on the
+      // attribute equality BEFORE the how adjustment (sjoin.py:574-586, then
+      // _adjust_indexers sjoin.py:381-420). Filtering after the outer join
+      // would (a) drop unmatched outer rows (their right columns are NULL, so
+      // the equality is NULL) and (b) delete spatially-matched-but-attribute-
+      // mismatched rows instead of keeping them as unmatched rows with NULLs.
+      // So: stamp the outer side, join as inner, filter the pairs, re-attach.
+      val outerIsLeft = how == "left"
+      val idc = "__graft_oid"
+      // localCheckpoint pins the ids — they are evaluated once in the pair
+      // plan and again in the re-attach join
+      val (lo, ro) =
+        if (outerIsLeft) (l2.withColumn(idc, monotonically_increasing_id()).localCheckpoint(), r2)
+        else (l2, r2.withColumn(idc, monotonically_increasing_id()).localCheckpoint())
+      val outerSide = if (outerIsLeft) lo else ro
+      // inner pair join is free to build on either side; re-pick by size
+      val innerBuildRight = rightCount <= leftCount
+      val useBroadcastInner = math.min(rightCount, leftCount) <= broadcastThreshold
+      val pairs = attrFilter(
+        if (useBroadcastInner) broadcastJoin(lo, ro, predicate, "inner", leftGeom, rGeomName, distance, innerBuildRight)
+        else gridJoin(lo, ro, predicate, "inner", leftGeom, rGeomName, distance))
+      val otherCols = pairs.columns.filter(c => !outerSide.columns.contains(c))
+      val matches = pairs.select((Seq(col(idc)) ++ otherCols.map(col)): _*)
+      val reattached =
+        if (outerIsLeft) outerSide.join(matches, Seq(idc), "left")
+        else matches.join(outerSide, Seq(idc), "right")
+      reattached.drop(idc)
     }
   }
 
@@ -381,7 +408,30 @@ object BroadcastTreeCache {
       prep.computeIfAbsent(i, (k: Int) => PreparedGeometryFactory.prepare(geom(k)))
   }
 
+  /** Bound on retained trees per JVM. Broadcast ids are monotonically
+    * increasing, so FIFO eviction == least-recently-created — a long session
+    * issuing thousands of broadcast sjoins no longer leaks STRtrees and
+    * prepared geometries. Reads stay on the lock-free CHM fast path (the
+    * cache is probed once per stream ROW, so a synchronized LRU map would
+    * contend across all task threads). */
+  private val MaxEntries = 64
   private val cache = new java.util.concurrent.ConcurrentHashMap[Long, IndexData]()
-  def get(bcId: Long, rows: => Array[(Long, Array[Byte])]): IndexData =
-    cache.computeIfAbsent(bcId, (_: Long) => new IndexData(rows))
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+
+  def get(bcId: Long, rows: => Array[(Long, Array[Byte])]): IndexData = {
+    val existing = cache.get(bcId)
+    if (existing != null) return existing
+    val built = cache.computeIfAbsent(bcId, (k: Long) => { order.add(k); new IndexData(rows) })
+    var guard = 0
+    while (cache.size() > MaxEntries && guard < 1024) {
+      val old = order.poll()
+      if (old == null) return built
+      if (old.longValue() == bcId) order.add(old) // never evict the entry just built
+      else cache.remove(old)
+      guard += 1
+    }
+    built
+  }
+
+  private[graft] def size: Int = cache.size()
 }

@@ -97,6 +97,56 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(j.select("pid").as[Int].collect().toSeq == Seq(0))
   }
 
+  test("sjoin on_attribute how=left keeps attribute-mismatched rows as unmatched (ref sjoin.py:381-420)") {
+    // pid 0 matches spatially AND on k; pid 1 matches spatially but NOT on k;
+    // pid 2 matches nothing spatially. Reference: pids 1 and 2 both survive
+    // with NULL right columns — the attribute filter applies to PAIRS only.
+    val polys = Seq((100, "a", Wkb.write(GeomOps.makeBox(0, 0, 10, 10)))).toDF("poly_id", "k", "geometry")
+    val pts = Seq((0, "a", Wkb.write(GeomOps.point(1, 1))), (1, "b", Wkb.write(GeomOps.point(2, 2))),
+      (2, "a", Wkb.write(GeomOps.point(50, 50)))).toDF("pid", "k", "geometry")
+    def run(bt: Long) = SpatialJoin.sjoin(pts, polys, "intersects", "left", onAttribute = Seq("k"),
+      broadcastThreshold = bt)
+      .select("pid", "poly_id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq
+    assert(run(2000000L) == Seq((0, 100), (1, -1), (2, -1)))
+    assert(run(-1L) == Seq((0, 100), (1, -1), (2, -1)))
+  }
+
+  test("sjoin on_attribute how=right symmetric semantics") {
+    val polys = Seq((100, "a", Wkb.write(GeomOps.makeBox(0, 0, 10, 10))),
+      (200, "b", Wkb.write(GeomOps.makeBox(0, 0, 10, 10))),
+      (300, "a", Wkb.write(GeomOps.makeBox(50, 50, 60, 60)))).toDF("poly_id", "k", "geometry")
+    val pts = Seq((0, "a", Wkb.write(GeomOps.point(1, 1)))).toDF("pid", "k", "geometry")
+    def run(bt: Long) = SpatialJoin.sjoin(pts, polys, "intersects", "right", onAttribute = Seq("k"),
+      broadcastThreshold = bt)
+      .select("pid", "poly_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getInt(1))).sorted.toSeq
+    // poly 100 pairs with pid 0 (spatial+attr); poly 200 spatial-only → unmatched;
+    // poly 300 attr-only → unmatched
+    assert(run(2000000L) == Seq((-1, 200), (-1, 300), (0, 100)))
+    assert(run(-1L) == Seq((-1, 200), (-1, 300), (0, 100)))
+  }
+
+  test("broadcast tree cache stays bounded after many sjoins") {
+    val polys = squares("poly_id", (0, 0, 2, 2))
+    val pts = points((1, 1))
+    for (_ <- 1 to 3) SpatialJoin.sjoin(pts, polys, "intersects", "inner").count()
+    assert(graft.join.BroadcastTreeCache.size <= 64)
+  }
+
+  test("sjoin_nearest stable across runs with non-deterministic upstream repartition") {
+    val rng = new scala.util.Random(41)
+    val a = (0 until 100).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("aid", "geometry")
+    val b = (0 until 30).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
+      .toDF("bid", "geometry").repartition(7) // round-robin: non-deterministic row→partition
+    val runs = (1 to 5).map { _ =>
+      SJoinNearest.sjoinNearest(a, b, distanceCol = Some("d"))
+        .select("aid", "bid").as[(Int, Int)].collect().sorted.toSeq
+    }
+    assert(runs.distinct.size == 1)
+  }
+
   test("sjoin right via grid path matches broadcast right") {
     val rng = new scala.util.Random(23)
     val pts = (0 until 300).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
