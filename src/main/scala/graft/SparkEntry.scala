@@ -414,6 +414,30 @@ object SparkEntry {
     "q59_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q63_ann_indexed" -> ((s, d) => {
+      // the 100 TB ANN path: bucket column persisted at ingest, files sorted
+      // by bucket, query filters on the STORED column (pushed to the scan)
+      // and rescores only survivors
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      Similarity.withAnnBucket(embs(s, d), "embedding")
+        .sort("ann_bucket").write.mode("overwrite").parquet(s"$dir/emb")
+      val indexed = s.read.parquet(s"$dir/emb")
+      Similarity.annTopKIndexed(indexed, "embedding", q, 10, probeHamming = 2)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q64_minhash_fast" -> ((s, d) =>
+      // engine-native xxhash64 signature (codegen, no digest UDF); verified
+      // pair set coincides with the md5 spec path, which the oracle mirrors
+      Dedup.minhashPairsFast(docs(s, d), "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q65_embedding_lsh" -> ((s, d) =>
+      // the scale path for embedding dedup (multi-table LSH, bucket-bounded
+      // work) gated directly against the brute-force pair oracle: any
+      // recall loss fails the hash compare
+      Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding", threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
     "q62_sjoin_left_attr" -> ((s, d) => {
       // left sjoin + on_attribute: pairs must satisfy BOTH the spatial
       // predicate and the attribute equality; rows failing either survive
@@ -425,11 +449,9 @@ object SparkEntry {
     }),
     "q60_embedding_pairs" -> ((s, d) => {
       val e = embs(s, d).filter(col("vec_id") < 2000) // bound the O(n^2) pair scan
-      // norms once per vector (not per pair); values identical to inline
-      // computation, so the oracle formula is unchanged
-      val withNorm = e.withColumn("__n",
-        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
+      // norms once per vector (not per pair), via the native VecNorm kernel;
+      // values identical to the HOF form, so the oracle formula is unchanged
+      val withNorm = e.withColumn("__n", Similarity.norm(col("embedding")))
       // single-file input = one partition; the nested-loop pair scan
       // parallelizes over stream-side partitions, so spread them first
       val par = s.sparkContext.defaultParallelism
@@ -687,6 +709,39 @@ object SparkEntry {
         s"""SELECT c_custkey, n_nationkey FROM $pts p LEFT JOIN $cells c
            | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1
            | AND p.c_nationkey = c.n_nationkey""".stripMargin.replace("\n", " "),
+      // full reproduction of the Rademacher-plane LSH bucket spec (see
+      // Similarity.scala): plane sign from md5, bucket bits from plane-dot
+      // signs, probe set = buckets within hamming 2, cosine rescore
+      "q63_ann_indexed" ->
+        s"""WITH pls AS (
+           |  SELECT list(pl ORDER BY p) AS pls FROM (
+           |    SELECT p, list_transform(range(0, 64), i ->
+           |      CASE WHEN substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+           |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+           |    FROM range(0, 8) t(p))),
+           | b AS (SELECT vec_id, embedding,
+           |   CAST(list_sum(list_transform(range(0, 8), p ->
+           |     CASE WHEN list_sum(list_transform(range(1, 65), i -> pls.pls[CAST(p AS INT)+1][CAST(i AS INT)] * CAST(embedding[i] AS DOUBLE))) >= 0
+           |          THEN CAST(pow(2, 7 - p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+           |   FROM embeddings CROSS JOIN pls),
+           | q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+           | f AS (SELECT vec_id, embedding, qe FROM b CROSS JOIN q WHERE bit_count(xor(bucket, qb)) <= 2),
+           | scored AS (SELECT vec_id,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           |      * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+           |   FROM f)
+           | SELECT vec_id, round(cosine, 6) AS cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+      "q64_minhash_fast" -> minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.95),
+      // brute-force pair oracle: the LSH path must achieve 100% recall at
+      // threshold 0.95 for the hash to match
+      "q65_embedding_lsh" ->
+        s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+           |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.95 AS DOUBLE)""".stripMargin.replace("\n", " "),
       "q60_embedding_pairs" ->
         s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
            | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

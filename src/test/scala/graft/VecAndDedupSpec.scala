@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector kernels (VecDot/VecNorm), multi-table embedding LSH recall, the
+  * fast-minhash path, and the indexed ANN path (stored bucket column with a
+  * pushed scan filter). */
+class VecAndDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("VecDot/VecNorm match the HOF composition bit-for-bit") {
+    val hofDot = aggregate(zip_with(col("embedding"), col("embedding"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    val diff = embs.select(
+      (Similarity.dot(col("embedding"), col("embedding")) - hofDot).as("dd"),
+      (Similarity.norm(col("embedding")) - hofNorm).as("dn"))
+      .agg(max(abs(col("dd"))), max(abs(col("dn")))).as[(Double, Double)].head()
+    assert(diff == ((0.0, 0.0))) // identical summation order -> exactly zero
+  }
+
+  test("VecDot nulls: mismatched lengths and null elements yield NULL") {
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (2, Seq(1.0f), Seq(3.0f, 4.0f))).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1).contains(11.0))
+    assert(out(2).isEmpty)
+  }
+
+  test("embeddingPairs (multi-table LSH) has 100% recall vs brute force at threshold 0.95") {
+    // sf0.001 embeddings have no natural >=0.95 pairs; plant near-dups by
+    // unioning slightly-perturbed copies (cosine ~ 0.99998 to the original)
+    val perturbU = udf((v: Seq[Float], id: Long) =>
+      v.zipWithIndex.map { case (x, i) => if (i == (id % 64)) x + 0.02f else x })
+    val planted = embs.select(col("vec_id"), col("embedding"))
+      .unionByName(embs.limit(50).select((col("vec_id") + 100000).as("vec_id"),
+        perturbU(col("embedding"), col("vec_id")).as("embedding")))
+    val lsh = Dedup.embeddingPairs(planted, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val e = planted.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val brute = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("c", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("c") >= 0.95)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(brute.size >= 50, "fixture should contain planted near-dup embeddings")
+    assert(lsh == brute)
+  }
+
+  test("minhashPairsFast equals exact brute-force jaccard pairs (high-band config)") {
+    // Comparing two DIFFERENT bandings (md5 vs xxhash) for set-equality
+    // tests luck, not correctness: each misses a >=0.95 pair with prob
+    // ~(1-j^4)^4 ~ 1e-3. Against the exact pair set, a 32-hash/16-band
+    // config misses with prob ~(1-j^2)^16 ~ 1e-12 — deterministic in
+    // practice. Precision is exact by construction (jaccard verify).
+    val fast = Dedup.minhashPairsFast(docs, "doc_id", "text", k = 3, numHashes = 32, bands = 16, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6)).as[(Long, Long, Double)].collect().toSet
+    val sh = docs.select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        when(size(array_union(col("a.sh"), col("b.sh"))) === 0, 0.0)
+          .otherwise(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh")))))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("jaccard"), 6)).as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(fast == brute)
+  }
+
+  test("annTopKIndexed: stored bucket filter is pushed to the parquet scan and result matches exact") {
+    val q = embs.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_spec").toString
+    Similarity.withAnnBucket(embs, "embedding").sort("ann_bucket")
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val indexed = spark.read.parquet(s"$dir/emb")
+
+    // full-probe (= exact) result matches brute force
+    val exact = Similarity.annTopKIndexed(indexed, "embedding", q, 5, probeHamming = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(embs, "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(exact == brute)
+
+    // restricted probe: the In(ann_bucket, ...) filter reaches the scan
+    val restricted = Similarity.annTopKIndexed(indexed, "embedding", q, 5, probeHamming = 1)
+    val explained = restricted.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters") && explained.contains("ann_bucket"),
+      s"expected pushed bucket filter in plan:\n$explained")
+    // probe set always contains the query's own bucket -> vec 1 itself found
+    assert(restricted.select("vec_id").as[Long].collect().contains(1L))
+  }
+
+  test("annTopK (on-the-fly bucket) equals annTopKIndexed at same probe") {
+    val q = embs.filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0)
+    val a = Similarity.annTopK(embs, "embedding", q, 5, probeHamming = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val b = Similarity.annTopKIndexed(Similarity.withAnnBucket(embs, "embedding"),
+      "embedding", q, 5, bucketCol = "ann_bucket", probeHamming = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("knnJoin returns k best bucket-mates per id, symmetric pairs") {
+    val knn = Similarity.knnJoin(embs.limit(200), "vec_id", "embedding", k = 3)
+    val counts = knn.groupBy("id_a").agg(count(lit(1)).as("n")).select("n").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ <= 3))
+  }
+}
