@@ -414,6 +414,15 @@ object SparkEntry {
     "q59_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q66_dissolve_coverage" -> ((s, d) => {
+      // the nation grid is a perfect polygonal coverage (non-overlapping,
+      // edge-matched 20x20 cells) — the case CoverageUnion is built for
+      import graft.api.GeoDataFrame
+      GeoDataFrame(cells(s, d).select(col("n_regionkey"), col("n_nationkey"), col("geometry")))
+        .dissolve(by = Seq("n_regionkey"), aggfunc = Map("n_nationkey" -> "count"), method = "coverage").df
+        .select(col("n_regionkey"), round(st_area(col("geometry")), 6).as("area"),
+          col("n_nationkey").as("n_cells"))
+    }),
     "q63_ann_indexed" -> ((s, d) => {
       // the 100 TB ANN path: bucket column persisted at ingest, files sorted
       // by bucket, query filters on the STORED column (pushed to the scan)
@@ -733,6 +742,8 @@ object SparkEntry {
            |   FROM f)
            | SELECT vec_id, round(cosine, 6) AS cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin.replace("\n", " "),
       "q64_minhash_fast" -> minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.95),
+      "q66_dissolve_coverage" ->
+        s"SELECT n_regionkey, CAST(400 * count(*) AS DOUBLE) AS area, count(*) AS n_cells FROM $cells GROUP BY n_regionkey",
       // brute-force pair oracle: the LSH path must achieve 100% recall at
       // threshold 0.95 for the hash to match
       "q65_embedding_lsh" ->

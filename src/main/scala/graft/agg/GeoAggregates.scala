@@ -39,6 +39,27 @@ object GeoAggregates {
     def outputEncoder: Encoder[Array[Byte]] = binEnc
   }
 
+  /** st_coverage_union_agg — union for polygonal COVERAGES (non-overlapping,
+    * edge-matched inputs; ref union_all(method="coverage"),
+    * array.py:1002-1019): JTS CoverageUnion skips overlay noding entirely,
+    * ~10× cheaper than UnaryUnion for dissolves over admin boundaries.
+    * Map-side compaction is safe: the union of a sub-coverage keeps its
+    * outer edges exact, so partial results stay edge-matched with the rest. */
+  class CoverageUnionAgg extends Aggregator[Array[Byte], GeomBuf, Array[Byte]] {
+    private val compactAt = 256
+    private def compact(b: GeomBuf): GeomBuf =
+      if (b.items.length < compactAt) b
+      else GeomBuf(Seq(Wkb.write(GeomOps.coverageUnion(b.items.map(Wkb.read)))))
+    def zero: GeomBuf = GeomBuf(Nil)
+    def reduce(b: GeomBuf, a: Array[Byte]): GeomBuf =
+      if (a == null) b else compact(GeomBuf(b.items :+ a))
+    def merge(x: GeomBuf, y: GeomBuf): GeomBuf = compact(GeomBuf(x.items ++ y.items))
+    def finish(b: GeomBuf): Array[Byte] =
+      if (b.items.isEmpty) null else Wkb.write(GeomOps.coverageUnion(b.items.map(Wkb.read)))
+    def bufferEncoder: Encoder[GeomBuf] = bufEnc
+    def outputEncoder: Encoder[Array[Byte]] = binEnc
+  }
+
   /** st_collect_agg — collect geometries into a Multi-geometry or
     * GeometryCollection (no dissolve/dedup). */
   class CollectAgg extends Aggregator[Array[Byte], GeomBuf, Array[Byte]] {
@@ -92,17 +113,20 @@ object GeoAggregates {
   }
 
   lazy val stUnionAggU = udaf(new UnionAgg())
+  lazy val stCoverageUnionAggU = udaf(new CoverageUnionAgg())
   lazy val stCollectAggU = udaf(new CollectAgg())
   lazy val stIntersectionAllAggU = udaf(new IntersectionAllAgg())
   lazy val stTotalBoundsAggU = udaf(new TotalBoundsAgg())
 
   def st_union_agg(g: Column): Column = stUnionAggU(g)
+  def st_coverage_union_agg(g: Column): Column = stCoverageUnionAggU(g)
   def st_collect_agg(g: Column): Column = stCollectAggU(g)
   def st_intersection_all_agg(g: Column): Column = stIntersectionAllAggU(g)
   def st_total_bounds_agg(g: Column): Column = stTotalBoundsAggU(g)
 
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("st_union_agg", stUnionAggU)
+    spark.udf.register("st_coverage_union_agg", stCoverageUnionAggU)
     spark.udf.register("st_collect_agg", stCollectAggU)
     spark.udf.register("st_intersection_all_agg", stIntersectionAllAggU)
     spark.udf.register("st_total_bounds_agg", stTotalBoundsAggU)

@@ -59,14 +59,25 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
 
   // ---- per-row derived columns (GeoSeries properties) ----------------------
   private def derived(c: Column): DataFrame = df.withColumn(geometryCol, c)
-  def area: DataFrame = df.withColumn("area", st_area(geometry))
-  def length: DataFrame = df.withColumn("length", st_length(geometry))
+
+  /** The reference warns when planar measures run in a geographic CRS —
+    * degrees are not meters (array.py:435-446). */
+  private def warnIfGeographic(op: String): Unit =
+    activeCrs.filter(c => GeoDataFrame.GeographicEpsg.contains(CrsTransform.normalize(c)))
+      .foreach { c =>
+        org.slf4j.LoggerFactory.getLogger(classOf[GeoDataFrame]).warn(
+          s"Geometry is in a geographic CRS ($c); '$op' results are likely incorrect. " +
+            "Use toCrs() to project to a planar CRS first (ref geopandas array.py:435-446).")
+      }
+
+  def area: DataFrame = { warnIfGeographic("area"); df.withColumn("area", st_area(geometry)) }
+  def length: DataFrame = { warnIfGeographic("length"); df.withColumn("length", st_length(geometry)) }
   def bounds: DataFrame = df.withColumn("bounds", st_bounds(geometry))
-  def centroid: GeoDataFrame = copy(df = derived(st_centroid(geometry)))
+  def centroid: GeoDataFrame = { warnIfGeographic("centroid"); copy(df = derived(st_centroid(geometry))) }
   def boundary: GeoDataFrame = copy(df = derived(st_boundary(geometry)))
   def envelope: GeoDataFrame = copy(df = derived(st_envelope(geometry)))
   def convexHull: GeoDataFrame = copy(df = derived(st_convex_hull(geometry)))
-  def buffer(d: Double): GeoDataFrame = copy(df = derived(st_buffer(geometry, lit(d))))
+  def buffer(d: Double): GeoDataFrame = { warnIfGeographic("buffer"); copy(df = derived(st_buffer(geometry, lit(d)))) }
   def simplify(tol: Double, preserveTopology: Boolean = true): GeoDataFrame =
     copy(df = derived(st_simplify(geometry, lit(tol), lit(preserveTopology))))
   def makeValid: GeoDataFrame = copy(df = derived(st_make_valid(geometry)))
@@ -102,7 +113,9 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   /** groupBy + geometric union + data aggregations (ref dissolve,
     * geodataframe.py:2172-2327). `aggfunc`: column -> first/sum/mean/min/max/
     * count/collect_list; unspecified non-key columns default to `first`. */
-  def dissolve(by: Seq[String] = Nil, aggfunc: Map[String, String] = Map.empty): GeoDataFrame = {
+  def dissolve(by: Seq[String] = Nil, aggfunc: Map[String, String] = Map.empty,
+               method: String = "unary"): GeoDataFrame = {
+    require(Seq("unary", "coverage").contains(method), s"method must be unary/coverage, got $method")
     def toAgg(c: String, f: String): Column = f match {
       case "first"        => first(col(c), ignoreNulls = false).as(c)
       case "sum"          => sum(col(c)).as(c)
@@ -114,12 +127,64 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
       case other          => expr(s"$other(`$c`)").as(c)
     }
     val dataCols = df.columns.filterNot(c => by.contains(c) || c == geometryCol)
-    val aggs = GeoAggregates.st_union_agg(geometry).as(geometryCol) +:
+    val unionAgg =
+      if (method == "coverage") GeoAggregates.st_coverage_union_agg(geometry)
+      else GeoAggregates.st_union_agg(geometry)
+    val aggs = unionAgg.as(geometryCol) +:
       dataCols.map(c => toAgg(c, aggfunc.getOrElse(c, "first"))).toSeq
     val grouped =
       if (by.isEmpty) df.groupBy(lit(0).as("__graft_g")).agg(aggs.head, aggs.tail: _*).drop("__graft_g")
       else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
     copy(df = grouped)
+  }
+
+  /** Arbitrary per-vertex coordinate transform (ref base.py:2257
+    * transform(func)); the closure ships to executors like any UDF. */
+  def transform(f: (Double, Double, Double) => (Double, Double, Double)): GeoDataFrame =
+    copy(df = derived(st_transform_coords(geometry)(f)))
+
+  // ---- coverage operations (ref base.py:378/450/5536) ----------------------
+
+  /** Whether the geometry column (optionally per `by`-group the caller
+    * pre-filtered to) forms a valid polygonal coverage. */
+  def isValidCoverage(gapWidth: Double = 0.0): Boolean = {
+    import graft.geom.{GeomOps, Wkb}
+    val geoms = df.select(geometry).filter(geometry.isNotNull)
+      .collect().map(r => Wkb.read(r.getAs[Array[Byte]](0))).toSeq
+    GeomOps.isValidCoverage(geoms, gapWidth)
+  }
+
+  /** Coverage-preserving simplification: shared edges stay identical across
+    * neighbours. Distributed by `by` groups (each group must be a coverage
+    * and fit an executor — e.g. one admin region per group); rows keep their
+    * non-geometry columns. */
+  def simplifyCoverage(tolerance: Double, by: Seq[String] = Nil,
+                       boundary: Boolean = true): GeoDataFrame = {
+    import graft.geom.{GeomOps, Wkb}
+    val idc = "__graft_cov_id"
+    // ids are reused across the group plan and the re-attach join: pin them
+    val withId = df.withColumn(idc, monotonically_increasing_id()).localCheckpoint()
+    val tol = tolerance
+    val inner = boundary
+    val simU = udf((gs: Seq[Array[Byte]]) =>
+      GeomOps.simplifyCoverage(gs.map(Wkb.read), tol, inner).map(Wkb.write))
+    // array_sort on (id, geom) structs orders by id, keeping the two arrays
+    // positionally aligned through the simplifier
+    val arr = array_sort(collect_list(struct(col(idc).as("i"), geometry.as("g"))))
+    val grouped =
+      if (by.isEmpty) withId.groupBy(lit(0).as("__g")).agg(arr.as("__a")).drop("__g")
+      else withId.groupBy(by.map(col): _*).agg(arr.as("__a"))
+    // fully-qualified: the GeoDataFrame.transform method shadows functions.transform
+    def fTransform(a: Column, f: Column => Column): Column =
+      org.apache.spark.sql.functions.transform(a, f)
+    val pairs = grouped
+      .withColumn("__z", arrays_zip(fTransform(col("__a"), x => x.getField("i")).as("i"),
+        simU(fTransform(col("__a"), x => x.getField("g"))).as("g")))
+      .select(explode(col("__z")).as("__p"))
+      .select(col("__p.i").as(idc), col("__p.g").as("__simplified"))
+    val joined = withId.join(pairs, Seq(idc))
+      .withColumn(geometryCol, col("__simplified")).drop(idc, "__simplified")
+    copy(df = joined)
   }
 
   /** Hilbert-curve distance column (ref base.py:6345); also the engine's
@@ -191,6 +256,10 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
 }
 
 object GeoDataFrame {
+  /** Geographic (angular-unit) EPSG codes the engine's CRS allowlist can
+    * produce; planar-measure warnings key off these. */
+  private[api] val GeographicEpsg: Set[Int] = Set(4326, 4269, 4267)
+
   /** points_from_xy constructor (ref array.py:293-343). */
   def pointsFromXy(df: DataFrame, x: String, y: String, geomName: String = "geometry",
                    crs: Option[String] = None): GeoDataFrame =

@@ -273,6 +273,48 @@ object GeoFunctions extends Serializable {
   def st_difference(a: Column, b: Column): Column = stDifferenceU(a, b)
   def st_sym_difference(a: Column, b: Column): Column = stSymDifferenceU(a, b)
 
+  // grid_size forms (ref base.py:4405-4762; OverlayNG fixed-precision)
+  val stIntersectionGridU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], gs: Double) =>
+    if (a == null || b == null) null else Wkb.write(GeomOps.intersection(rd(a), rd(b), gs)))
+  val stUnionGridU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], gs: Double) =>
+    if (a == null || b == null) null else Wkb.write(GeomOps.union(rd(a), rd(b), gs)))
+  val stDifferenceGridU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], gs: Double) =>
+    if (a == null || b == null) null else Wkb.write(GeomOps.difference(rd(a), rd(b), gs)))
+  val stSymDifferenceGridU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte], gs: Double) =>
+    if (a == null || b == null) null else Wkb.write(GeomOps.symDifference(rd(a), rd(b), gs)))
+  def st_intersection(a: Column, b: Column, gridSize: Column): Column = stIntersectionGridU(a, b, gridSize)
+  def st_union(a: Column, b: Column, gridSize: Column): Column = stUnionGridU(a, b, gridSize)
+  def st_difference(a: Column, b: Column, gridSize: Column): Column = stDifferenceGridU(a, b, gridSize)
+  def st_sym_difference(a: Column, b: Column, gridSize: Column): Column = stSymDifferenceGridU(a, b, gridSize)
+
+  // ---- tail operators (round 3) -------------------------------------------
+  val stHasMU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(GeomOps.hasM(rd(b))))
+  val stMU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(GeomOps.pointM(rd(b))))
+  val stGeomEqualsIdenticalU: UserDefinedFunction = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) None else Some(GeomOps.geomEqualsIdentical(rd(a), rd(b))))
+  val stGetPrecisionU: UserDefinedFunction = udf((b: Array[Byte]) =>
+    if (b == null) None else Some(GeomOps.getPrecision(rd(b))))
+  val stLineMergeDirectedU: UserDefinedFunction = udf(g2g(GeomOps.lineMergeDirected))
+  val stVoronoiExtendU: UserDefinedFunction = udf((b: Array[Byte], tol: Double, edges: Boolean, ext: Array[Byte]) =>
+    if (b == null) null else Wkb.write(GeomOps.voronoiPolygons(rd(b), tol, edges, if (ext == null) null else rd(ext))))
+
+  def st_has_m(g: Column): Column = stHasMU(g)
+  def st_m(g: Column): Column = stMU(g)
+  def st_geom_equals_identical(a: Column, b: Column): Column = stGeomEqualsIdenticalU(a, b)
+  def st_get_precision(g: Column): Column = stGetPrecisionU(g)
+  def st_line_merge_directed(g: Column): Column = stLineMergeDirectedU(g)
+  def st_voronoi(g: Column, tol: Column, onlyEdges: Column, extendTo: Column): Column =
+    stVoronoiExtendU(g, tol, onlyEdges, extendTo)
+
+  /** transform(func) (ref base.py:2257): arbitrary per-vertex coordinate
+    * map as a Column op — the closure ships to executors like any UDF. */
+  def st_transform_coords(g: Column)(f: (Double, Double, Double) => (Double, Double, Double)): Column = {
+    val u = udf((b: Array[Byte]) => if (b == null) null else Wkb.write(GeomOps.transformCoords(rd(b), f)))
+    u(g)
+  }
+
   // ---- coords / parts / ordering -----------------------------------------
   val stCoordsU: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null else GeomOps.coordinates(rd(b)).map { case (x, y) => XY(x, y) })

@@ -164,8 +164,17 @@ object GeomOps {
       }
     })
   }
-  def setPrecision(g: Geometry, gridSize: Double): Geometry =
-    GeometryPrecisionReducer.reduce(g, new PrecisionModel(1.0 / gridSize))
+  /** Snap coordinates to a precision grid. The returned geometry carries a
+    * fixed-precision factory so [[getPrecision]] can read the grid size back
+    * — NOTE this survives only in-memory kernel compositions: the engine's
+    * WKB column encoding (like any WKB) has no precision metadata, so a
+    * round trip through a geometry column resets get_precision to 0
+    * (documented divergence from shapely's in-memory model). */
+  def setPrecision(g: Geometry, gridSize: Double): Geometry = {
+    val pm = new PrecisionModel(1.0 / gridSize)
+    val reduced = GeometryPrecisionReducer.reduce(g, pm)
+    new GeometryFactory(pm, g.getSRID).createGeometry(reduced)
+  }
   def normalize(g: Geometry): Geometry = { val c = g.copy(); c.normalize(); c }
   def makeValid(g: Geometry): Geometry = if (g.isValid) g else GeometryFixer.fix(g)
   def reverse(g: Geometry): Geometry = g.reverse()
@@ -346,6 +355,216 @@ object GeomOps {
   def bounds(g: Geometry): (Double, Double, Double, Double) = {
     val e = g.getEnvelopeInternal
     (e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  }
+
+  // ---- coverage operations (JTS 1.20 coverage pkg; ref base.py:378/450,
+  // union_all(method="coverage") array.py:1002-1019, simplify_coverage
+  // base.py:5536) -----------------------------------------------------------
+
+  /** CoverageUnion: boundary-noding-free union for polygonal coverages
+    * (non-overlapping, edge-matched) — ~10× cheaper than UnaryUnion for the
+    * dissolve-over-admin-boundaries case. */
+  def coverageUnion(gs: Seq[Geometry]): Geometry = {
+    val nonNull = gs.filter(g => g != null && !g.isEmpty)
+    if (nonNull.isEmpty) null
+    else org.locationtech.jts.coverage.CoverageUnion.union(nonNull.toArray)
+  }
+
+  def isValidCoverage(gs: Seq[Geometry], gapWidth: Double = 0.0): Boolean = {
+    val arr = gs.filter(_ != null).toArray
+    if (gapWidth > 0) !org.locationtech.jts.coverage.CoverageValidator.hasInvalidResult(
+      org.locationtech.jts.coverage.CoverageValidator.validate(arr, gapWidth))
+    else org.locationtech.jts.coverage.CoverageValidator.isValid(arr)
+  }
+
+  /** Per-input invalid-edge linework (null where the input is coverage-valid)
+    * — ref base.py:450 invalid_coverage_edges. Input order preserved. */
+  def invalidCoverageEdges(gs: Seq[Geometry], gapWidth: Double = 0.0): Array[Geometry] = {
+    val arr = gs.map(g => if (g == null) gf.createPolygon(): Geometry else g).toArray
+    org.locationtech.jts.coverage.CoverageValidator.validate(arr, gapWidth)
+  }
+
+  /** Simplify a coverage preserving shared edges exactly (ref base.py:5536);
+    * returns the simplified geometries in input order. */
+  def simplifyCoverage(gs: Seq[Geometry], tolerance: Double, boundary: Boolean = true): Array[Geometry] = {
+    val arr = gs.map(g => if (g == null) gf.createPolygon(): Geometry else g).toArray
+    if (boundary) org.locationtech.jts.coverage.CoverageSimplifier.simplify(arr, tolerance)
+    else org.locationtech.jts.coverage.CoverageSimplifier.simplifyInner(arr, tolerance)
+  }
+
+  // ---- grid_size overlay variants (ref base.py:4405-4762; GEOS grid_size ≡
+  // OverlayNG with a fixed PrecisionModel of scale 1/grid_size) -------------
+  private def pmOf(gridSize: Double) = new PrecisionModel(1.0 / gridSize)
+  import org.locationtech.jts.operation.overlayng.OverlayNG
+  def intersection(a: Geometry, b: Geometry, gridSize: Double): Geometry =
+    if (gridSize <= 0) intersection(a, b) else OverlayNG.overlay(a, b, OverlayNG.INTERSECTION, pmOf(gridSize))
+  def union(a: Geometry, b: Geometry, gridSize: Double): Geometry =
+    if (gridSize <= 0) union(a, b) else OverlayNG.overlay(a, b, OverlayNG.UNION, pmOf(gridSize))
+  def difference(a: Geometry, b: Geometry, gridSize: Double): Geometry =
+    if (gridSize <= 0) difference(a, b) else OverlayNG.overlay(a, b, OverlayNG.DIFFERENCE, pmOf(gridSize))
+  def symDifference(a: Geometry, b: Geometry, gridSize: Double): Geometry =
+    if (gridSize <= 0) symDifference(a, b) else OverlayNG.overlay(a, b, OverlayNG.SYMDIFFERENCE, pmOf(gridSize))
+  def unionAll(gs: Seq[Geometry], gridSize: Double): Geometry = {
+    val nonNull = gs.filter(_ != null)
+    if (nonNull.isEmpty) null
+    else if (gridSize <= 0) unionAll(nonNull)
+    else org.locationtech.jts.operation.overlayng.UnaryUnionNG.union(nonNull.asJava, pmOf(gridSize))
+  }
+
+  // ---- tail operators ------------------------------------------------------
+
+  /** Exact structural equality including Z, NaN == NaN, same type and
+    * component order (ref base.py:3108 geom_equals_identical / shapely
+    * equals_identical — unlike equals_exact, no tolerance and Z compared). */
+  def geomEqualsIdentical(a: Geometry, b: Geometry): Boolean = {
+    def eqD(x: Double, y: Double) =
+      x == y || (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y))
+    if (a == null || b == null) a == b
+    else if (a.getGeometryType != b.getGeometryType) false
+    else if (a.getNumGeometries != b.getNumGeometries) false
+    else (a, b) match {
+      case (pa: Polygon, pb: Polygon) =>
+        pa.getNumInteriorRing == pb.getNumInteriorRing &&
+          geomEqualsIdentical(pa.getExteriorRing, pb.getExteriorRing) &&
+          (0 until pa.getNumInteriorRing).forall(i =>
+            geomEqualsIdentical(pa.getInteriorRingN(i), pb.getInteriorRingN(i)))
+      case _ if a.getNumGeometries > 1 || a.isInstanceOf[GeometryCollection] =>
+        (0 until a.getNumGeometries).forall(i =>
+          geomEqualsIdentical(a.getGeometryN(i), b.getGeometryN(i)))
+      case _ =>
+        val ca = a.getCoordinates
+        val cb = b.getCoordinates
+        ca.length == cb.length && ca.indices.forall { i =>
+          eqD(ca(i).x, cb(i).x) && eqD(ca(i).y, cb(i).y) && eqD(ca(i).getZ, cb(i).getZ)
+        }
+    }
+  }
+
+  /** Grid size of the geometry's precision model; 0.0 = full floating
+    * precision (ref base.py:875 get_precision). */
+  def getPrecision(g: Geometry): Double = {
+    val pm = g.getPrecisionModel
+    if (pm.isFloating) 0.0 else 1.0 / pm.getScale
+  }
+
+  /** Arbitrary coordinate transform (ref base.py:2257 transform(func),
+    * kernel array.py:772): applies `f(x, y, z) -> (x, y, z)` to every
+    * vertex via GeometryEditor. */
+  def transformCoords(g: Geometry, f: (Double, Double, Double) => (Double, Double, Double)): Geometry = {
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(gf)
+    ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] =
+        coords.map { c =>
+          val (x, y, z) = f(c.x, c.y, c.getZ)
+          if (java.lang.Double.isNaN(z)) new Coordinate(x, y) else new Coordinate(x, y, z)
+        }
+    })
+  }
+
+  /** True if any coordinate carries an M value (ref base.py:843 has_m;
+    * JTS 1.20 XYZM coordinates). */
+  def hasM(g: Geometry): Boolean = {
+    if (g == null || g.isEmpty) return false
+    g.getCoordinates.exists {
+      case m: CoordinateXYZM => !java.lang.Double.isNaN(m.getM)
+      case m: CoordinateXYM  => !java.lang.Double.isNaN(m.getM)
+      case _                 => false
+    }
+  }
+
+  /** M of a Point (NaN when absent) — ref geoseries.py:370 `m`. */
+  def pointM(g: Geometry): Double = g match {
+    case p: Point => p.getCoordinate match {
+      case m: CoordinateXYZM => m.getM
+      case m: CoordinateXYM  => m.getM
+      case _                 => Double.NaN
+    }
+    case _ => throw new IllegalArgumentException(s"m requires Point, got ${g.getGeometryType}")
+  }
+
+  /** polygonize(full=True) 4-output form (ref base.py:6545-6632):
+    * (polygons, cut edges, dangles, invalid ring lines). */
+  def polygonizeFull(gs: Seq[Geometry]): (Geometry, Geometry, Geometry, Geometry) = {
+    val p = new Polygonizer(false)
+    gs.filter(_ != null).foreach(p.add)
+    def coll(xs: java.util.Collection[_]): Geometry =
+      collect(xs.asScala.toSeq.asInstanceOf[Seq[Geometry]])
+    (coll(p.getPolygons), coll(p.getCutEdges), coll(p.getDangles), coll(p.getInvalidRingLines))
+  }
+
+  /** line_merge(directed=True) (ref base.py:2395): merge lines only where
+    * orientation agrees — chains are followed through nodes with exactly one
+    * incoming and one outgoing edge, never reversing a line. */
+  def lineMergeDirected(g: Geometry): Geometry = {
+    val lines = scala.collection.mutable.ArrayBuffer[LineString]()
+    def walk(x: Geometry): Unit = x match {
+      case l: LineString         => if (!l.isEmpty) lines += l
+      case c: GeometryCollection => (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case _                     => ()
+    }
+    walk(g)
+    type Node = (Double, Double)
+    def node(c: Coordinate): Node = (c.x, c.y)
+    val outEdges = lines.groupBy(l => node(l.getCoordinateN(0)))
+    val inDeg = lines.groupBy(l => node(l.getCoordinateN(l.getNumPoints - 1))).map { case (k, v) => k -> v.size }
+    val used = scala.collection.mutable.Set[Int]()
+    val idx = lines.zipWithIndex.toMap
+    def passThrough(n: Node): Option[LineString] =
+      outEdges.get(n).filter(es => es.size == 1 && inDeg.getOrElse(n, 0) == 1).map(_.head)
+    val merged = scala.collection.mutable.ArrayBuffer[LineString]()
+    // chain starts: lines whose start node is NOT a simple pass-through
+    val starts = lines.filter(l => passThrough(node(l.getCoordinateN(0))).isEmpty)
+    for (start <- starts if !used(idx(start))) {
+      val coords = scala.collection.mutable.ArrayBuffer[Coordinate](start.getCoordinates.toIndexedSeq: _*)
+      used += idx(start)
+      var cur = start
+      var next = passThrough(node(cur.getCoordinateN(cur.getNumPoints - 1)))
+      while (next.isDefined && !used(idx(next.get))) {
+        cur = next.get
+        used += idx(cur)
+        coords ++= cur.getCoordinates.drop(1)
+        next = passThrough(node(cur.getCoordinateN(cur.getNumPoints - 1)))
+      }
+      merged += gf.createLineString(coords.toArray)
+    }
+    // remaining lines are in cycles of pass-through nodes: emit per cycle
+    for (l <- lines if !used(idx(l))) {
+      val coords = scala.collection.mutable.ArrayBuffer[Coordinate](l.getCoordinates.toIndexedSeq: _*)
+      used += idx(l)
+      var cur = l
+      var next = passThrough(node(cur.getCoordinateN(cur.getNumPoints - 1)))
+      while (next.isDefined && !used(idx(next.get))) {
+        cur = next.get
+        used += idx(cur)
+        coords ++= cur.getCoordinates.drop(1)
+        next = passThrough(node(cur.getCoordinateN(cur.getNumPoints - 1)))
+      }
+      merged += gf.createLineString(coords.toArray)
+    }
+    if (merged.size == 1) merged.head else collect(merged.toSeq)
+  }
+
+  /** voronoi with extend_to (ref base.py:1301): clip envelope grows to
+    * cover `extendTo`'s envelope. */
+  def voronoiPolygons(g: Geometry, tolerance: Double, onlyEdges: Boolean, extendTo: Geometry): Geometry = {
+    val b = new VoronoiDiagramBuilder
+    b.setSites(g)
+    b.setTolerance(tolerance)
+    if (extendTo != null) {
+      val env = new Envelope(g.getEnvelopeInternal)
+      env.expandToInclude(extendTo.getEnvelopeInternal)
+      b.setClipEnvelope(env)
+    }
+    val d = b.getDiagram(gf)
+    if (onlyEdges) d.getBoundary else d
+  }
+
+  /** [[samplePoints]] with the reference's method= arg (ref base.py:6379):
+    * only "uniform" is built in — other methods require the pointpats
+    * package in the reference too, so they raise there as well. */
+  def samplePoints(g: Geometry, size: Int, seed: Long, method: String): Geometry = {
+    require(method == "uniform", s"unsupported sample_points method '$method' (only 'uniform')")
+    samplePoints(g, size, seed)
   }
 
   /** Deterministic per-geometry sampler (ref tools/_random.py:14-83): uniform

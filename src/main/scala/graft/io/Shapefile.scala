@@ -1,0 +1,271 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.Wkb
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.algorithm.Orientation
+import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing}
+
+/** Pure-JVM ESRI Shapefile reader (reference `read_file`'s most common
+  * format — `geopandas/io/file.py:197-339`, which delegates to
+  * pyogrio/GDAL; this is an independent implementation of the public
+  * Shapefile spec: .shp geometry + .dbf dBASE attributes + .prj CRS).
+  *
+  * Scale design: shapefiles cap at 2 GB and arrive as CORPORA of files, so
+  * the unit of parallelism is the file — `binaryFiles` distributes (path,
+  * bytes) pairs to executors, each parsing its .shp and sibling .dbf
+  * locally. Schema and CRS are read once on the driver from the first
+  * file's headers (a few KB). No driver-side row loop.
+  *
+  * Supported shape types: Null(0), Point(1), PolyLine(3), Polygon(5),
+  * MultiPoint(8) and their Z variants (11/13/15/18); M values are parsed
+  * past but not retained (matching the engine's XY(Z) column model).
+  * DBF field types: C→string, N/F→double (long when 0 decimals), L→boolean,
+  * D→string. Deleted records (0x2A flag) are skipped.
+  */
+object Shapefile {
+
+  // ---------------------------------------------------------------- public
+
+  /** Read one .shp file (or a directory / glob of same-schema .shp files).
+    * CRS is the raw .prj WKT when present. */
+  def read(spark: SparkSession, path: String): GeoDataFrame = {
+    val shpPaths = resolveShpPaths(spark, path)
+    require(shpPaths.nonEmpty, s"no .shp files at $path")
+
+    // driver: schema from the first file's DBF header + CRS from .prj
+    val firstDbf = sibling(shpPaths.head, "dbf")
+    val fields = readBytes(spark, firstDbf, maxLen = 32 * 4096).map(parseDbfFields).getOrElse(Array.empty)
+    val crs = readBytes(spark, sibling(shpPaths.head, "prj"), maxLen = 1 << 20)
+      .map(b => new String(b, "UTF-8").trim).filter(_.nonEmpty)
+    val schema = StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
+      StructField("geometry", BinaryType, nullable = true))
+
+    val sc = spark.sparkContext
+    val rowsRdd = sc.binaryFiles(shpPaths.mkString(",")).flatMap { case (p, stream) =>
+      val shp = stream.toArray()
+      val dbfBytes = readBytesInTask(p.replaceAll("\\.shp$", ".dbf"))
+      val recs = parseShpRecords(shp)
+      val attrs = dbfBytes.map(parseDbfRecords).getOrElse(Array.empty[Array[Any]])
+      recs.zipWithIndex.map { case (wkb, i) =>
+        val a: Array[Any] =
+          if (i < attrs.length) attrs(i) else Array.fill[Any](fields.length)(null)
+        Row.fromSeq(a.toSeq :+ wkb)
+      }
+    }
+    val df = spark.createDataFrame(rowsRdd, schema)
+    GeoDataFrame(df, "geometry", crs.map(w => Map("geometry" -> w)).getOrElse(Map.empty))
+  }
+
+  // ------------------------------------------------------------- .shp part
+
+  /** Parse all record geometries of a .shp payload to WKB (null for Null
+    * shapes / unsupported types). */
+  private[io] def parseShpRecords(b: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val fileLen = math.min(b.length.toLong, be32(b, 24).toLong * 2)
+    var off = 100L
+    while (off + 8 <= fileLen) {
+      val contentLen = be32(b, off.toInt + 4) * 2 // bytes
+      val rec = off.toInt + 8
+      if (rec + contentLen > b.length) { out += null; off = fileLen }
+      else {
+        out += (try parseShape(b, rec, contentLen)
+        catch { case _: Exception => null })
+        off += 8 + contentLen
+      }
+    }
+    out.toArray
+  }
+
+  private def parseShape(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val f = Wkb.factory
+    val stype = le32(b, off)
+    val hasZ = stype >= 11 && stype <= 18
+    val g: Geometry = stype match {
+      case 0 => null
+      case 1 | 21 => // Point / PointM
+        f.createPoint(new Coordinate(leD(b, off + 4), leD(b, off + 12)))
+      case 11 => // PointZ
+        f.createPoint(new Coordinate(leD(b, off + 4), leD(b, off + 12), leD(b, off + 20)))
+      case 8 | 18 | 28 => { // MultiPoint(Z/M)
+        val n = le32(b, off + 36)
+        val ptsOff = off + 40
+        val zOff = ptsOff + 16 * n + 16 // skip zmin/zmax
+        val pts = Array.tabulate(n) { i =>
+          val c = new Coordinate(leD(b, ptsOff + 16 * i), leD(b, ptsOff + 16 * i + 8))
+          if (stype == 18 && zOff + 8 * i + 8 <= off + len) c.setZ(leD(b, zOff + 8 * i))
+          c
+        }
+        f.createMultiPointFromCoords(pts)
+      }
+      case 3 | 13 | 23 | 5 | 15 | 25 => { // PolyLine / Polygon (Z/M)
+        val nParts = le32(b, off + 36)
+        val nPoints = le32(b, off + 40)
+        val partsOff = off + 44
+        val ptsOff = partsOff + 4 * nParts
+        val zOff = ptsOff + 16 * nPoints + 16
+        val withZ = (stype == 13 || stype == 15) && zOff + 8 * nPoints <= off + len
+        val parts = Array.tabulate(nParts)(i => le32(b, partsOff + 4 * i))
+        val partCoords: Array[Array[Coordinate]] = Array.tabulate(nParts) { pi =>
+          val start = parts(pi)
+          val end = if (pi + 1 < nParts) parts(pi + 1) else nPoints
+          Array.tabulate(end - start) { j =>
+            val i = start + j
+            val c = new Coordinate(leD(b, ptsOff + 16 * i), leD(b, ptsOff + 16 * i + 8))
+            if (withZ) c.setZ(leD(b, zOff + 8 * i))
+            c
+          }
+        }
+        if (stype == 3 || stype == 13 || stype == 23) {
+          val lines = partCoords.filter(_.length >= 2).map(f.createLineString)
+          if (lines.length == 1) lines(0) else f.createMultiLineString(lines)
+        } else assemblePolygons(partCoords)
+      }
+      case _ => null
+    }
+    if (g == null) null else Wkb.write(g)
+  }
+
+  /** Shapefile polygon part assembly: outer rings are CLOCKWISE, holes
+    * counter-clockwise; a hole belongs to the shell that contains it. */
+  private def assemblePolygons(rings: Array[Array[Coordinate]]): Geometry = {
+    val f = Wkb.factory
+    val closed = rings.filter(_.length >= 4).map { cs =>
+      if (cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+    }
+    val (shellCs, holeCs) = closed.partition(cs => !Orientation.isCCW(cs))
+    val shells = (if (shellCs.isEmpty) closed else shellCs).map(f.createLinearRing)
+    val holes = (if (shellCs.isEmpty) Array.empty[Array[Coordinate]] else holeCs).map(f.createLinearRing)
+    val holesByShell: Map[LinearRing, Array[LinearRing]] =
+      if (shells.length == 1) Map(shells(0) -> holes)
+      else {
+        val shellPolys = shells.map(s => f.createPolygon(s))
+        holes.groupBy { h =>
+          val p = h.getCoordinateN(0)
+          val pt = f.createPoint(p)
+          shells(shellPolys.indexWhere(sp => sp.covers(pt)) match {
+            case -1 => 0
+            case i  => i
+          })
+        }
+      }
+    val polys = shells.map(s => f.createPolygon(s, holesByShell.getOrElse(s, Array.empty)))
+    if (polys.length == 1) polys(0) else f.createMultiPolygon(polys)
+  }
+
+  // ------------------------------------------------------------- .dbf part
+
+  private[io] case class DbfField(name: String, typ: Char, len: Int, dec: Int) {
+    def dataType: DataType = typ match {
+      case 'N' if dec == 0 => LongType
+      case 'N' | 'F'       => DoubleType
+      case 'L'             => BooleanType
+      case _               => StringType
+    }
+  }
+
+  private[io] def parseDbfFields(b: Array[Byte]): Array[DbfField] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[DbfField]
+    var off = 32
+    while (off + 32 <= b.length && b(off) != 0x0d) {
+      val nameEnd = (off until off + 11).find(i => b(i) == 0).getOrElse(off + 11)
+      val name = new String(b, off, nameEnd - off, "ASCII")
+      out += DbfField(name, b(off + 11).toChar, b(off + 16) & 0xff, b(off + 17) & 0xff)
+      off += 32
+    }
+    out.toArray
+  }
+
+  private[io] def parseDbfRecords(b: Array[Byte]): Array[Array[Any]] = {
+    val fields = parseDbfFields(b)
+    val nRec = le32(b, 4)
+    val headerSize = le16(b, 8)
+    val recSize = le16(b, 10)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    var r = 0
+    while (r < nRec) {
+      val off = headerSize + r * recSize
+      if (off + recSize <= b.length && b(off) != 0x2a) { // skip deleted
+        val vals = new Array[Any](fields.length)
+        var fo = off + 1
+        var i = 0
+        while (i < fields.length) {
+          val f = fields(i)
+          val raw = new String(b, fo, math.min(f.len, b.length - fo), "UTF-8").trim
+          vals(i) = f.typ match {
+            case 'N' if f.dec == 0 =>
+              if (raw.isEmpty || raw.forall(c => c == '*')) null
+              else try java.lang.Long.valueOf(raw.toLong)
+              catch { case _: NumberFormatException => try java.lang.Long.valueOf(raw.toDouble.toLong) catch { case _: Exception => null } }
+            case 'N' | 'F' =>
+              if (raw.isEmpty || raw.forall(c => c == '*')) null
+              else try java.lang.Double.valueOf(raw.toDouble) catch { case _: NumberFormatException => null }
+            case 'L' => raw.headOption.map(c => "YyTt".indexOf(c) >= 0: java.lang.Boolean).orNull
+            case _   => if (raw.isEmpty) null else raw
+          }
+          fo += f.len
+          i += 1
+        }
+        out += vals
+      }
+      r += 1
+    }
+    out.toArray
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def resolveShpPaths(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (path.toLowerCase.endsWith(".shp")) Seq(path)
+    else if (fs.isDirectory(p))
+      fs.listStatus(p).map(_.getPath.toString).filter(_.toLowerCase.endsWith(".shp")).sorted.toSeq
+    else fs.globStatus(p).map(_.getPath.toString).filter(_.toLowerCase.endsWith(".shp")).sorted.toSeq
+  }
+
+  private def sibling(shpPath: String, ext: String): String =
+    shpPath.replaceAll("\\.shp$", "." + ext)
+
+  private def readBytes(spark: SparkSession, path: String, maxLen: Int): Option[Array[Byte]] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = math.min(fs.getFileStatus(p).getLen, maxLen.toLong).toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(buf)
+      } finally in.close()
+    }
+  }
+
+  /** Executor-side sibling read (tasks have no SparkSession). */
+  private def readBytesInTask(path: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try { in.readFully(0, buf); Some(buf) } finally in.close()
+    }
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.BIG_ENDIAN).getInt
+  private def le32(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+  private def le16(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+  private def leD(b: Array[Byte], off: Int): Double =
+    ByteBuffer.wrap(b, off, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.GeoFunctions._
+import graft.io.Shapefile
+import graft.join.SpatialJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM shapefile reader vs the reference's own fixture corpus
+  * (naturalearth_lowres / naturalearth_cities, the canonical sjoin pairing —
+  * FIXTURES.md §2-3, ref tests/util.py:18-21). */
+class ShapefileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val lowres = "/root/reference/geopandas/tests/data/naturalearth_lowres/naturalearth_lowres.shp"
+  private val cities = "/root/reference/geopandas/tests/data/naturalearth_cities/naturalearth_cities.shp"
+
+  test("naturalearth_lowres: 177 countries, schema, valid polygons, lon/lat bounds") {
+    val gdf = Shapefile.read(spark, lowres)
+    val df = gdf.df.cache()
+    assert(df.count() == 177)
+    assert(df.columns.toSet == Set("pop_est", "continent", "name", "iso_a3", "gdp_md_est", "geometry"))
+    assert(df.filter(col("geometry").isNull).count() == 0)
+    // all polygonal, valid coordinates within lon/lat
+    val kinds = df.select(st_geometrytype(col("geometry"))).distinct().as[String].collect().toSet
+    assert(kinds.subsetOf(Set("Polygon", "MultiPolygon")))
+    val b = df.select(min(st_x(st_centroid(col("geometry")))), max(st_x(st_centroid(col("geometry")))))
+      .as[(Double, Double)].head()
+    assert(b._1 >= -180 && b._2 <= 180)
+    // attribute sanity: a known row
+    val fr = df.filter(col("name") === "France").select("continent").as[String].head()
+    assert(fr == "Europe")
+    assert(gdf.crs.getOrElse("geometry", "").contains("GCS_WGS_1984") ||
+      gdf.crs.getOrElse("geometry", "").contains("WGS84") || gdf.crs.getOrElse("geometry", "").contains("WGS_1984"))
+  }
+
+  test("naturalearth_cities: 243 points") {
+    val df = Shapefile.read(spark, cities).df
+    assert(df.count() == 243)
+    assert(df.columns.toSet == Set("name", "geometry"))
+    val kinds = df.select(st_geometrytype(col("geometry"))).distinct().as[String].collect().toSet
+    assert(kinds == Set("Point"))
+  }
+
+  test("cities sjoin-within countries round-trips (the reference hello-world pairing)") {
+    val countries = Shapefile.read(spark, lowres).df.select(col("name").as("country"), col("geometry"))
+    val cap = Shapefile.read(spark, cities).df.select(col("name").as("city"), col("geometry"))
+    val joined = SpatialJoin.sjoin(cap, countries, predicate = "intersects", how = "inner")
+    val n = joined.count()
+    assert(n >= 200 && n <= 260, s"expected most capitals inside a country, got $n")
+    val paris = joined.filter(col("city") === "Paris").select("country").as[String].collect()
+    assert(paris.toSeq == Seq("France"))
+  }
+
+  test("dissolve shapefile polygons by attribute") {
+    import graft.api.GeoDataFrame
+    val countries = Shapefile.read(spark, lowres).df.select(col("continent"), col("pop_est"), col("geometry"))
+    val dissolved = GeoDataFrame(countries)
+      .dissolve(by = Seq("continent"), aggfunc = Map("pop_est" -> "sum")).df
+    assert(dissolved.count() == 8)
+    // dissolved area ~ sum of parts (union of disjoint country polygons)
+    val (partArea, disArea) = (
+      countries.select(sum(st_area(col("geometry")))).as[Double].head(),
+      dissolved.select(sum(st_area(col("geometry")))).as[Double].head())
+    assert(math.abs(partArea - disArea) / partArea < 1e-6)
+  }
+
+  test("polygon holes: ring orientation assembly preserves area (vs envelope)") {
+    // South Africa contains Lesotho as a hole in naturalearth_lowres
+    val za = Shapefile.read(spark, lowres).df.filter(col("name") === "South Africa")
+    val (area, envArea) = za.select(st_area(col("geometry")), st_area(st_envelope(col("geometry"))))
+      .as[(Double, Double)].head()
+    assert(area > 0 && area < envArea)
+    val wkb = za.select("geometry").as[Array[Byte]].head()
+    val g = graft.geom.Wkb.read(wkb)
+    val nHoles = (0 until g.getNumGeometries).map(i =>
+      g.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing).sum
+    assert(nHoles >= 1, "South Africa should contain the Lesotho hole")
+  }
+}
