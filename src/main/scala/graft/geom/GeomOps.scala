@@ -219,8 +219,14 @@ object GeomOps {
     val d = lil.indexOf(other.getCoordinate)
     if (normalized) d / g.getLength else d
   }
-  def clipByRect(g: Geometry, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry =
-    g.intersection(makeBox(xmin, ymin, xmax, ymax))
+  def clipByRect(g: Geometry, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Geometry = {
+    // rectangle ∩ rectangle = envelope arithmetic — skips the full overlay
+    // machinery for the extremely common box-clip-box case
+    if (g.isRectangle) {
+      val ix = g.getEnvelopeInternal.intersection(new Envelope(xmin, xmax, ymin, ymax))
+      if (ix == null || ix.isNull) gf.createPolygon() else gf.toGeometry(ix)
+    } else g.intersection(makeBox(xmin, ymin, xmax, ymax))
+  }
   def snap(a: Geometry, b: Geometry, tolerance: Double): Geometry =
     org.locationtech.jts.operation.overlay.snap.GeometrySnapper.snap(a, b, tolerance)(0)
   def shortestLine(a: Geometry, b: Geometry): Geometry =

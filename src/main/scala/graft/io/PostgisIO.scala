@@ -1,0 +1,107 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.Wkb
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PostGIS interchange (reference `io/sql.py:126-463`): JDBC plumbing plus
+  * the hex-EWKB geometry codec PostGIS speaks.
+  *
+  * The codec is pure JVM and fully unit-tested; the JDBC paths are thin
+  * `spark.read.jdbc` / `df.write.jdbc` wrappers (no database ships in this
+  * environment, so they are exercised only at the plan level).
+  *
+  * EWKB = WKB with PostGIS' SRID flag (0x20000000) in the type word and a
+  * 4-byte SRID; JTS' WKBReader accepts it natively, and WKBWriter emits it
+  * when `includeSRID` is set.
+  */
+object PostgisIO {
+
+  // ------------------------------------------------------------- the codec
+
+  /** Decode a PostGIS hex-EWKB string column to the engine's WKB
+    * (ref `io/sql.py:46-125` `_df_to_geodf`'s shapely round-trip). */
+  val decodeHexEwkbU = udf((hex: String) =>
+    if (hex == null) null
+    else Wkb.write(Wkb.read(hexToBytes(hex))))
+
+  /** SRID embedded in a hex-EWKB string (0 when absent). */
+  val ewkbSridU = udf((hex: String) =>
+    if (hex == null) None
+    else {
+      val b = hexToBytes(hex)
+      val littleEndian = b(0) == 1
+      def i32(off: Int): Int = {
+        val bb = java.nio.ByteBuffer.wrap(b, off, 4)
+        bb.order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+        bb.getInt
+      }
+      val typeWord = i32(1)
+      if ((typeWord & 0x20000000) != 0) Some(i32(5)) else Some(0)
+    })
+
+  /** Encode the engine's WKB as hex-EWKB with the given SRID — what
+    * `to_postgis` writes (ref `io/sql.py:300-315`). */
+  val encodeHexEwkbU = udf((wkb: Array[Byte], srid: Int) =>
+    if (wkb == null) null
+    else {
+      val g = Wkb.read(wkb)
+      g.setSRID(srid)
+      val dim = if (Wkb.hasZ(g)) 3 else 2
+      // PostGIS canonical form is little-endian (NDR)
+      val w = new org.locationtech.jts.io.WKBWriter(dim,
+        org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN, true)
+      bytesToHex(w.write(g))
+    })
+
+  def decode_hex_ewkb(c: Column): Column = decodeHexEwkbU(c)
+  def ewkb_srid(c: Column): Column = ewkbSridU(c)
+  def encode_hex_ewkb(c: Column, srid: Column): Column = encodeHexEwkbU(c, srid)
+
+  // ------------------------------------------------------------ JDBC paths
+
+  /** `read_postgis` (ref io/sql.py:126-211): run `query` over JDBC, decode
+    * `geomCol` from hex-EWKB (PostGIS' text representation of geometry when
+    * selected without a cast) into the engine's WKB. */
+  def readPostgis(spark: SparkSession, url: String, query: String,
+                  properties: java.util.Properties = new java.util.Properties(),
+                  geomCol: String = "geom", crs: Option[String] = None): GeoDataFrame = {
+    val df = spark.read.jdbc(url, s"($query) AS __graft_q", properties)
+    val decoded = df.withColumn("geometry", decodeHexEwkbU(col(geomCol).cast("string")))
+      .drop(geomCol)
+    GeoDataFrame(decoded, "geometry", crs.map(c => Map("geometry" -> c)).getOrElse(Map.empty))
+  }
+
+  /** `to_postgis` (ref io/sql.py:343-463): write with the geometry encoded
+    * as hex-EWKB; create the real geometry column afterwards with
+    * `ALTER TABLE ... USING ST_GeomFromEWKB(decode(geom,'hex'))` or insert
+    * through a view — the encoding matches what PostGIS ingests. */
+  def toPostgis(gdf: GeoDataFrame, url: String, table: String, srid: Int,
+                properties: java.util.Properties = new java.util.Properties(),
+                mode: String = "error"): Unit = {
+    val out = gdf.df.withColumn(gdf.geometryCol,
+      encodeHexEwkbU(col(gdf.geometryCol), lit(srid)))
+    out.write.mode(mode).jdbc(url, table, properties)
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private[io] def hexToBytes(hex: String): Array[Byte] = {
+    val s = hex.trim
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(2 * i), 16) << 4) | Character.digit(s.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
+  private[io] def bytesToHex(b: Array[Byte]): String = {
+    val digits = "0123456789ABCDEF"
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach { x => sb += digits((x >> 4) & 0xf); sb += digits(x & 0xf) }
+    sb.toString
+  }
+}

@@ -81,9 +81,9 @@ object Overlay {
                              bt: Long, suffix: String): DataFrame = {
     val (a0, b0) = suffixCols(df1, df2, geom1, geom2)
     val b = b0.select(col(geom2))
-    // ids are consumed twice (pair join + final re-join); pin them so both
-    // evaluations agree under non-deterministic upstreams (cf. SpatialJoin)
-    val a = a0.withColumn("__graft_did", monotonically_increasing_id()).localCheckpoint()
+    // ids are consumed twice (pair join + final re-join); pinned only when
+    // the upstream is not evaluation-stable (cf. Pins)
+    val a = Pins.stampPinned(a0, "__graft_did")
     val pairs = SpatialJoin.sjoinCore(a, b, predicate = "intersects", how = "inner",
       leftGeom = geom1, rightGeom = geom2, lsuffix = "1", rsuffix = "2", broadcastThreshold = bt)
     val rGeom = if (geom1 == geom2) s"${geom2}_2" else geom2

@@ -76,10 +76,10 @@ object SJoinNearest {
         math.max(1e-9, math.hypot(ux1 - ux0, uy1 - uy0))
       }
 
-    // localCheckpoint (not cache): cached blocks can be evicted and recomputed,
-    // re-randomizing the ids under a non-deterministic upstream; the left-anti
-    // remaining loop and the how=left re-attach both reuse these ids
-    val lw = l2.withColumn("__graft_auto_lid", monotonically_increasing_id()).localCheckpoint()
+    // pinned (not cache(): evicted blocks would recompute and re-randomize
+    // ids) when the upstream is unstable; the left-anti remaining loop and
+    // the how=left re-attach both reuse these ids
+    val lw = Pins.stampPinned(l2, "__graft_auto_lid")
     // rows with no usable geometry can never match; keeping them in the loop
     // would burn every round on them (how=left re-attaches them at the end)
     var remaining = lw.filter(st_bounds(col(leftGeom)).isNotNull)
@@ -113,11 +113,10 @@ object SJoinNearest {
                                maxDistance: Option[Double], distanceCol: Option[String],
                                exclusive: Boolean): DataFrame = {
     val spark = l2.sparkSession
-    // localCheckpoint pins the ids: the same plan is collect()ed for the tree
-    // here and re-joined below — without pinning, a non-deterministic upstream
-    // (round-robin repartition, AQE) could assign different ids on the second
-    // evaluation and attach wrong build rows. Cheap: under broadcast threshold.
-    val buildWithId = r2.withColumn("__graft_bid", monotonically_increasing_id()).localCheckpoint()
+    // the same plan is collect()ed for the tree here and re-joined below —
+    // pinned when a non-deterministic upstream (round-robin repartition,
+    // AQE) could assign different ids on the second evaluation
+    val buildWithId = Pins.stampPinned(r2, "__graft_bid")
     val rows = buildWithId.select(col("__graft_bid"), col(rGeomName))
       .na.drop(Seq(rGeomName)).collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))

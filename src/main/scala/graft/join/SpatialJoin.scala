@@ -168,11 +168,11 @@ object SpatialJoin {
       // So: stamp the outer side, join as inner, filter the pairs, re-attach.
       val outerIsLeft = how == "left"
       val idc = "__graft_oid"
-      // localCheckpoint pins the ids — they are evaluated once in the pair
-      // plan and again in the re-attach join
+      // ids are evaluated once in the pair plan and again in the re-attach
+      // join; pinned only when the upstream is not evaluation-stable
       val (lo, ro) =
-        if (outerIsLeft) (l2.withColumn(idc, monotonically_increasing_id()).localCheckpoint(), r2)
-        else (l2, r2.withColumn(idc, monotonically_increasing_id()).localCheckpoint())
+        if (outerIsLeft) (Pins.stampPinned(l2, idc), r2)
+        else (l2, Pins.stampPinned(r2, idc))
       val outerSide = if (outerIsLeft) lo else ro
       // inner pair join is free to build on either side; re-pick by size
       val innerBuildRight = rightCount <= leftCount
@@ -200,13 +200,11 @@ object SpatialJoin {
     val (stream, streamGeom, build, buildGeom) =
       if (buildRight) (l2, leftGeom, r2, rightGeom) else (r2, rightGeom, l2, leftGeom)
 
-    // localCheckpoint freezes the id-stamped rows: the same DataFrame is both
-    // collect()ed for the index and re-joined below, and without pinning, a
-    // non-deterministic upstream (round-robin repartition, AQE) could assign
-    // different ids on the second evaluation. Cheap here — build side is
-    // under the broadcast threshold by construction; the persisted blocks are
-    // released by the ContextCleaner once the plan is unreferenced.
-    val buildWithId = build.withColumn("__graft_bid", monotonically_increasing_id()).localCheckpoint()
+    // the id-stamped rows are both collect()ed for the index and re-joined
+    // below; Pins.stampPinned freezes them (localCheckpoint) only when a
+    // non-deterministic upstream could assign different ids on the second
+    // evaluation — scan-rooted builds skip the materialization
+    val buildWithId = Pins.stampPinned(build, "__graft_bid")
     val rows: Array[(Long, Array[Byte])] = buildWithId
       .select(col("__graft_bid"), col(buildGeom))
       .na.drop(Seq(buildGeom))
@@ -330,14 +328,14 @@ object SpatialJoin {
     val expand = if (predicate == "dwithin") distance else 0.0
     val grid = computeGrid(l2, leftGeom, r2, rightGeom, expand)
 
-    val lw0 = l2.withColumn("__graft_lid", monotonically_increasing_id())
-    val rw0 = r2.withColumn("__graft_rid", monotonically_increasing_id())
     // outer hows re-join the id-stamped side against its own matched pairs;
-    // pin the ids (disk-backed blocks, released on GC) so both evaluations
-    // agree even under non-deterministic upstreams. Inner joins never reuse
-    // the ids and skip the materialization.
-    val lw = if (how == "left") lw0.localCheckpoint() else lw0
-    val rw = if (how == "right") rw0.localCheckpoint() else rw0
+    // the ids must agree across both evaluations. Pins.stampPinned
+    // checkpoints only under unstable upstreams — a 100 TB scan-rooted
+    // outer side is NOT materialized. Inner joins never reuse the ids.
+    val lw = if (how == "left") Pins.stampPinned(l2, "__graft_lid")
+             else l2.withColumn("__graft_lid", monotonically_increasing_id())
+    val rw = if (how == "right") Pins.stampPinned(r2, "__graft_rid")
+             else r2.withColumn("__graft_rid", monotonically_increasing_id())
 
     val g = grid
     val cellsU = udf((xmin: Double, ymin: Double, xmax: Double, ymax: Double) =>

@@ -1,0 +1,95 @@
+package graft
+
+import graft.geom.{GeomOps, Wkb}
+import graft.io.PostgisIO
+import graft.join.{Pins, SpatialJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** hex-EWKB codec (PostGIS interchange) and the pin-gating logic that keeps
+  * 100 TB scan-rooted joins from being materialized to local disk. */
+class PostgisAndPinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // POINT(1 2) with SRID=4326, little-endian — canonical PostGIS literal
+  private val ewkbPoint4326 = "0101000020E6100000000000000000F03F0000000000000040"
+
+  test("hex-EWKB decode: geometry + SRID from a canonical PostGIS literal") {
+    val df = Seq(ewkbPoint4326).toDF("geom")
+    val row = df.select(
+      PostgisIO.decode_hex_ewkb(col("geom")).as("g"),
+      PostgisIO.ewkb_srid(col("geom")).as("srid")).head()
+    val g = Wkb.read(row.getAs[Array[Byte]](0))
+    assert(g.getGeometryType == "Point")
+    assert((g.getCoordinate.x, g.getCoordinate.y) == ((1.0, 2.0)))
+    assert(row.getInt(1) == 4326)
+  }
+
+  test("hex-EWKB encode round-trips the canonical literal") {
+    val wkb = Wkb.write(GeomOps.point(1, 2))
+    val hex = Seq(wkb).toDF("g")
+      .select(PostgisIO.encode_hex_ewkb(col("g"), lit(4326))).as[String].head()
+    assert(hex.equalsIgnoreCase(ewkbPoint4326))
+    // decode of our own encode is identity
+    val back = Seq(hex).toDF("h").select(PostgisIO.decode_hex_ewkb(col("h"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(back, wkb))
+  }
+
+  test("hex-EWKB handles polygons and Z geometries") {
+    val poly = GeomOps.makeBox(0, 0, 2, 3)
+    val hex = Seq(Wkb.write(poly)).toDF("g")
+      .select(PostgisIO.encode_hex_ewkb(col("g"), lit(3857))).as[String].head()
+    val row = Seq(hex).toDF("h").select(
+      PostgisIO.decode_hex_ewkb(col("h")).as("g"), PostgisIO.ewkb_srid(col("h")).as("s")).head()
+    assert(Wkb.read(row.getAs[Array[Byte]](0)).equalsTopo(poly))
+    assert(row.getInt(1) == 3857)
+
+    val pz = GeomOps.pointZ(1, 2, 9)
+    val hexZ = Seq(Wkb.write(pz)).toDF("g")
+      .select(PostgisIO.encode_hex_ewkb(col("g"), lit(0))).as[String].head()
+    val gz = Wkb.read(Seq(hexZ).toDF("h")
+      .select(PostgisIO.decode_hex_ewkb(col("h"))).head().getAs[Array[Byte]](0))
+    assert(gz.getCoordinate.getZ == 9.0)
+  }
+
+  test("Pins: scan/project/filter plans skip the pin; shuffles and nondeterminism require it") {
+    val base = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    assert(!Pins.needsPin(base))
+    assert(!Pins.needsPin(base.filter(col("id") > 0).select(col("id"), upper(col("s")).as("u"))))
+    assert(Pins.needsPin(base.repartition(3)))            // round-robin shuffle
+    assert(Pins.needsPin(base.orderBy("id")))             // range exchange
+    assert(Pins.needsPin(base.groupBy("s").count()))      // aggregate
+    assert(Pins.needsPin(base.join(base.select("id"), "id"))) // join
+    assert(Pins.needsPin(base.withColumn("r", rand(1))))  // nondeterministic expr
+  }
+
+  test("grid sjoin left over a stable upstream plans no checkpoint scan (no ExistingRDD)") {
+    val pts = Seq((0, Wkb.write(GeomOps.point(1, 1))), (1, Wkb.write(GeomOps.point(99, 99))))
+      .toDF("pid", "geometry")
+    val polys = Seq((7, Wkb.write(GeomOps.makeBox(0, 0, 2, 2)))).toDF("poly_id", "geometry")
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "left", broadcastThreshold = -1)
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LogicalRDD"), s"stable upstream should not be checkpointed:\n$plan")
+    // and the result is still correct
+    val rows = j.select("pid", "poly_id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((0, 7), (1, -1)))
+  }
+
+  test("grid sjoin left over an unstable upstream IS pinned and stays correct across runs") {
+    val rng = new scala.util.Random(19)
+    val pts = (0 until 200).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 50, rng.nextDouble() * 50))))
+      .toDF("pid", "geometry").repartition(5) // round-robin
+    val polys = (0 until 10).map { i =>
+      val x = rng.nextDouble() * 40; val y = rng.nextDouble() * 40
+      (i, Wkb.write(GeomOps.makeBox(x, y, x + 10, y + 10)))
+    }.toDF("poly_id", "geometry")
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "left", broadcastThreshold = -1)
+    assert(j.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+    val runs = (1 to 3).map(_ => j.select("pid", "poly_id").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq)
+    assert(runs.distinct.size == 1)
+    assert(runs.head.map(_._1).distinct.size == 200) // every left row survives
+  }
+}
