@@ -65,6 +65,32 @@ object Plans {
       graft.io.GeoParquet.readBbox(spark, s"$tmp/pts", 10, 20, 60, 80).df
     }
 
+    section("Indexed ANN probe (stored bucket column)",
+      "The LSH bucket is a STORED int column (written sorted at ingest): the probe is In(ann_bucket, ...) " +
+        "in PushedFilters — row-group stats prune before any vector is read; survivors rescore with the " +
+        "native vecdot/vecnorm codegen kernels (visible as expressions, not UDF boxing).") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_ann").toString
+      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Similarity.withAnnBucket(embs, "embedding").sort("ann_bucket")
+        .write.mode("overwrite").parquet(s"$tmp/emb")
+      val q = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      graft.ops.Similarity.annTopKIndexed(spark.read.parquet(s"$tmp/emb"), "embedding", q, 10, probeHamming = 2)
+    }
+
+    section("MinHash LSH band join (fast signature)",
+      "One signature UDF pass; the band self-join shuffles ONLY (band, key, id) — shingle arrays " +
+        "re-attach by id after pair dedup, so the wide text columns never multiply by the band count.") {
+      graft.ops.Dedup.minhashPairsFast(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.9)
+    }
+
+    section("Outer sjoin over a stable upstream (no pin materialization)",
+      "how=left re-joins id-stamped rows; Pins.stampPinned sees the scan-rooted upstream is " +
+        "evaluation-stable and SKIPS localCheckpoint — no LogicalRDD in this plan, nothing written " +
+        "to executor-local disk. Unstable upstreams (repartition, windows) still pin.") {
+      SpatialJoin.sjoin(pts, cells.filter(col("n_nationkey") < 5), "intersects", "left", broadcastThreshold = -1)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

@@ -300,6 +300,33 @@ object GeoFunctions extends Serializable {
   val stVoronoiExtendU: UserDefinedFunction = udf((b: Array[Byte], tol: Double, edges: Boolean, ext: Array[Byte]) =>
     if (b == null) null else Wkb.write(GeomOps.voronoiPolygons(rd(b), tol, edges, if (ext == null) null else rd(ext))))
 
+  val stOffsetCurveFullU: UserDefinedFunction = udf(
+    (b: Array[Byte], d: Double, quadSegs: Int, joinStyle: Int, mitre: Double) =>
+      if (b == null) null else Wkb.write(GeomOps.offsetCurve(rd(b), d, quadSegs, joinStyle, mitre)))
+  val stMakeValidFullU: UserDefinedFunction = udf(
+    (b: Array[Byte], method: String, keepCollapsed: Boolean) =>
+      if (b == null) null else Wkb.write(GeomOps.makeValid(rd(b), method, keepCollapsed)))
+  val stSetPrecisionModeU: UserDefinedFunction = udf(
+    (b: Array[Byte], grid: Double, mode: String) =>
+      if (b == null) null else Wkb.write(GeomOps.setPrecision(rd(b), grid, mode)))
+  val stHausdorffDensifyU: UserDefinedFunction = udf(
+    (a: Array[Byte], b: Array[Byte], frac: Double) =>
+      if (a == null || b == null) None else Some(GeomOps.hausdorffDensify(rd(a), rd(b), frac)))
+  val stFrechetDensifyU: UserDefinedFunction = udf(
+    (a: Array[Byte], b: Array[Byte], frac: Double) =>
+      if (a == null || b == null) None else Some(GeomOps.frechetDensify(rd(a), rd(b), frac)))
+
+  def st_offset_curve(g: Column, d: Column, quadSegs: Column, joinStyle: Column, mitre: Column): Column =
+    stOffsetCurveFullU(g, d, quadSegs, joinStyle, mitre)
+  def st_make_valid(g: Column, method: Column, keepCollapsed: Column): Column =
+    stMakeValidFullU(g, method, keepCollapsed)
+  def st_set_precision(g: Column, gridSize: Column, mode: Column): Column =
+    stSetPrecisionModeU(g, gridSize, mode)
+  def st_hausdorff_distance(a: Column, b: Column, densify: Column): Column =
+    stHausdorffDensifyU(a, b, densify)
+  def st_frechet_distance(a: Column, b: Column, densify: Column): Column =
+    stFrechetDensifyU(a, b, densify)
+
   def st_has_m(g: Column): Column = stHasMU(g)
   def st_m(g: Column): Column = stMU(g)
   def st_geom_equals_identical(a: Column, b: Column): Column = stGeomEqualsIdenticalU(a, b)

@@ -97,6 +97,43 @@ object GeomOps {
   def frechet(a: Geometry, b: Geometry): Double =
     org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance.distance(a, b)
 
+  /** frechet_distance(densify=) (ref base.py:4049): GEOS densifies each
+    * segment into ceil(1/frac) equal parts before the discrete distance;
+    * JTS's DiscreteFrechetDistance has no frac arg, so densify explicitly. */
+  def frechetDensify(a: Geometry, b: Geometry, densifyFrac: Double): Double = {
+    require(densifyFrac > 0 && densifyFrac <= 1, "densify must be in (0, 1]")
+    org.locationtech.jts.algorithm.distance.DiscreteFrechetDistance.distance(
+      densifyByFraction(a, densifyFrac), densifyByFraction(b, densifyFrac))
+  }
+
+  /** Split every segment into ceil(1/frac) equal parts (per-segment, like
+    * GEOS's densifyFrac — unlike Densifier's global max length). */
+  private def densifyByFraction(g: Geometry, frac: Double): Geometry = {
+    val n = math.ceil(1.0 / frac).toInt
+    if (n <= 1) return g
+    val ed = new org.locationtech.jts.geom.util.GeometryEditor(gf)
+    ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+      override def edit(coords: Array[Coordinate], geometry: Geometry): Array[Coordinate] = {
+        if (coords.length < 2) return coords
+        val out = scala.collection.mutable.ArrayBuffer[Coordinate](coords(0))
+        var i = 1
+        while (i < coords.length) {
+          val p0 = coords(i - 1)
+          val p1 = coords(i)
+          var k = 1
+          while (k < n) {
+            val t = k.toDouble / n
+            out += new Coordinate(p0.x + (p1.x - p0.x) * t, p0.y + (p1.y - p0.y) * t)
+            k += 1
+          }
+          out += p1
+          i += 1
+        }
+        out.toArray
+      }
+    })
+  }
+
   // ---- unary transforms (ref base.py:986-2440, array.py:595-792) ----------
   def boundary(g: Geometry): Geometry = g.getBoundary
   def centroid(g: Geometry): Geometry = g.getCentroid
@@ -175,8 +212,64 @@ object GeomOps {
     val reduced = GeometryPrecisionReducer.reduce(g, pm)
     new GeometryFactory(pm, g.getSRID).createGeometry(reduced)
   }
+  /** set_precision mode= forms (ref base.py:1700 / shapely set_precision):
+    * valid_output (default — full reduce, collapses removed), pointwise
+    * (round coordinates only, validity not enforced), keep_collapsed
+    * (like valid_output but collapsed components retained as lower dims). */
+  def setPrecision(g: Geometry, gridSize: Double, mode: String): Geometry = {
+    val pm = new PrecisionModel(1.0 / gridSize)
+    val reduced = mode match {
+      case "valid_output" => GeometryPrecisionReducer.reduce(g, pm)
+      case "pointwise"    => GeometryPrecisionReducer.reducePointwise(g, pm)
+      case "keep_collapsed" =>
+        // JTS's removeCollapsedComponents flag still drops fully-collapsed
+        // geometries; GEOS's keep_collapsed instead demotes them (sliver
+        // polygon -> line). Emulate: pointwise snap, then fix with
+        // keepCollapsed so degenerate rings become lines/points.
+        val pw = GeometryPrecisionReducer.reducePointwise(g, pm)
+        val f = new GeometryFixer(pw)
+        f.setKeepCollapsed(true)
+        f.getResult
+      case other => throw new IllegalArgumentException(
+        s"set_precision mode must be valid_output/pointwise/keep_collapsed, got $other")
+    }
+    new GeometryFactory(pm, g.getSRID).createGeometry(reduced)
+  }
+
   def normalize(g: Geometry): Geometry = { val c = g.copy(); c.normalize(); c }
   def makeValid(g: Geometry): Geometry = if (g.isValid) g else GeometryFixer.fix(g)
+
+  /** make_valid method= forms (ref base.py:2114 / shapely make_valid):
+    * "structure" = GeometryFixer (rebuild rings, optional collapse keep);
+    * "linework" = GEOS's classic approach, emulated by noding the boundary
+    * linework and polygonizing it — may return a collection holding the
+    * polygonal result plus leftover lines, like the reference. */
+  def makeValid(g: Geometry, method: String, keepCollapsed: Boolean): Geometry = method match {
+    case "structure" =>
+      if (g.isValid) g
+      else {
+        val f = new GeometryFixer(g)
+        f.setKeepCollapsed(keepCollapsed)
+        f.getResult
+      }
+    case "linework" =>
+      if (g.isValid) g
+      else if (g.getDimension == 2) {
+        // node the boundary against itself, then rebuild faces
+        val noded = UnaryUnionOp.union(g.getBoundary)
+        val p = new Polygonizer(false)
+        p.add(noded)
+        val polys = p.getPolygons.asScala.toSeq.asInstanceOf[Seq[Geometry]]
+        val dangles = p.getDangles.asScala.toSeq.asInstanceOf[Seq[Geometry]]
+        val cuts = p.getCutEdges.asScala.toSeq.asInstanceOf[Seq[Geometry]]
+        val leftovers = dangles ++ cuts
+        val polyPart = if (polys.isEmpty) gf.createPolygon() else UnaryUnionOp.union(polys.asJava)
+        if (leftovers.isEmpty) polyPart
+        else gf.createGeometryCollection((polyPart +: leftovers).toArray)
+      } else GeometryFixer.fix(g)
+    case other => throw new IllegalArgumentException(
+      s"make_valid method must be structure/linework, got $other")
+  }
   def reverse(g: Geometry): Geometry = g.reverse()
   def segmentize(g: Geometry, maxLen: Double): Geometry = Densifier.densify(g, maxLen)
   def force2d(g: Geometry): Geometry = {
@@ -321,13 +414,39 @@ object GeomOps {
   def constrainedDelaunay(g: Geometry): Geometry =
     org.locationtech.jts.triangulate.polygon.ConstrainedDelaunayTriangulator.triangulate(g)
 
-  /** Approximate shared_paths (ref base.py:5152): the linework common to
-    * both inputs, returned as a collection (orientation split omitted —
-    * documented divergence). */
+  /** shared_paths (ref base.py:5152 / GEOS SharedPaths): the linework common
+    * to both inputs, returned as GEOMETRYCOLLECTION(MULTILINESTRING forward,
+    * MULTILINESTRING backward) — forward = segments the second geometry
+    * traverses in the same direction as the first, backward = opposite.
+    * Direction is judged by projecting each shared segment's endpoints onto
+    * the containing component of `b`'s linework. */
   def sharedPaths(a: Geometry, b: Geometry): Geometry = {
     val la = if (a.getDimension == 2) a.getBoundary else a
     val lb = if (b.getDimension == 2) b.getBoundary else b
-    collectionExtract(la.intersection(lb), 1)
+    val common = collectionExtract(la.intersection(lb), 1)
+    val fwd = scala.collection.mutable.ArrayBuffer[LineString]()
+    val bwd = scala.collection.mutable.ArrayBuffer[LineString]()
+    val bComponents = (0 until lb.getNumGeometries).map(lb.getGeometryN)
+      .collect { case l: LineString => l }
+    def direction(seg: LineString): Boolean = {
+      // find b's component containing this segment; compare traversal order
+      val p0 = seg.getCoordinateN(0)
+      val p1 = seg.getCoordinateN(1)
+      val mid = new Coordinate((p0.x + p1.x) / 2, (p0.y + p1.y) / 2)
+      val host = bComponents.minByOption(c => c.distance(gf.createPoint(mid)))
+      host.forall { h =>
+        val lil = new LengthIndexedLine(h)
+        lil.indexOf(p1) >= lil.indexOf(p0)
+      }
+    }
+    def walk(g: Geometry): Unit = g match {
+      case l: LineString if l.getNumPoints >= 2 => if (direction(l)) fwd += l else bwd += l
+      case c: GeometryCollection => (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case _ => ()
+    }
+    walk(common)
+    gf.createGeometryCollection(Array(
+      gf.createMultiLineString(fwd.toArray), gf.createMultiLineString(bwd.toArray)))
   }
 
   /** Extract only components of the given dimension family (0=point,

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deduplication for unbounded document feeds — the streaming
+  * face of [[graft.ops.Dedup]] (beyond-reference, SURVEY §2.12):
+  *
+  *  - exact: content digest + `dropDuplicatesWithinWatermark` — Spark
+  *    keeps digest state only within the watermark horizon, so state is
+  *    bounded on an infinite stream.
+  *  - near-dup: SimHash band keys → `flatMapGroupsWithState` keyed by band
+  *    bucket; each bucket remembers recent (id, signature) pairs and emits
+  *    (id_a, id_b, hamming) when a new document lands within `maxHamming`
+  *    of a remembered one. Same pigeonhole guarantee as the batch
+  *    [[graft.ops.Dedup.simhashPairs]]; a pair can surface from more than
+  *    one band, so sinks should de-duplicate (id_a, id_b).
+  */
+object StreamingDedup {
+
+  /** Exact streaming dedup on content digest, state bounded by watermark. */
+  def exactDedup(stream: DataFrame, textCol: String, tsCol: String,
+                 watermark: String = "10 minutes"): DataFrame =
+    stream.withColumn("__graft_digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__graft_digest")
+      .drop("__graft_digest")
+
+  case class BandDoc(bkey: String, id: Long, sig: String)
+  case class BucketState(docs: List[(Long, String)])
+  case class DupPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming SimHash near-dup pairs. `maxStatePerBucket` caps memory per
+    * band bucket (oldest evicted — a sliding near-dup horizon). */
+  def simhashPairs(stream: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxStatePerBucket: Int = 1024): Dataset[DupPair] = {
+    require(maxHamming >= 0 && maxHamming <= 15, "maxHamming in [0, 15]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    val bound = (0 to bands).map(i => 16 * i / bands)
+    val banded = stream
+      .select(col(idCol).cast("long").as("id"), TextFunctions.simhash64(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(i =>
+          substring(col("sig"), bound(i) + 1, bound(i + 1) - bound(i))): _*))
+          .as(Seq("band", "key")))
+      .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("id"), col("sig"))
+      .as[BandDoc]
+
+    val maxH = maxHamming
+    val cap = maxStatePerBucket
+    banded.groupByKey(_.bkey).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (_: String, docs: Iterator[BandDoc], state: GroupState[BucketState]) => {
+        var seen = state.getOption.map(_.docs).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer[DupPair]()
+        docs.foreach { d =>
+          seen.foreach { case (oid, osig) =>
+            if (oid != d.id) {
+              var h = 0
+              var i = 0
+              while (i < math.min(osig.length, d.sig.length)) {
+                h += Integer.bitCount(Character.digit(osig.charAt(i), 16) ^ Character.digit(d.sig.charAt(i), 16))
+                i += 1
+              }
+              if (h <= maxH) out += DupPair(math.min(oid, d.id), math.max(oid, d.id), h)
+            }
+          }
+          seen = ((d.id, d.sig) :: seen).take(cap)
+        }
+        state.update(BucketState(seen))
+        out.iterator
+      })
+  }
+}

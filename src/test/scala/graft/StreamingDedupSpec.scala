@@ -1,0 +1,101 @@
+package graft
+
+import graft.geom.{GeomOps, Wkb}
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("streaming exact dedup drops repeated content within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("id", "text", "ts")
+    val deduped = StreamingDedup.exactDedup(stream, "text", "ts")
+    // default micro-batch trigger: AvailableNow would terminate after the
+    // first batch and miss the cross-batch state assertions below
+    val q = deduped.writeStream.format("memory").queryName("sd_exact")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    input.addData((1L, "hello world", t0), (2L, "hello world", t0), (3L, "other doc", t1))
+    q.processAllAvailable()
+    // duplicate arriving in a LATER batch is still dropped (state persists)
+    input.addData((4L, "hello world", t1))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.sql("select id from sd_exact").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
+  test("streaming simhash pairs find near-dups across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val pairs = StreamingDedup.simhashPairs(stream, "doc_id", "text", maxHamming = 3)
+    val q = pairs.writeStream.format("memory").queryName("sd_sim")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again with more words"
+    input.addData((1L, base), (2L, "completely different content about spark streaming state"))
+    q.processAllAvailable()
+    // identical doc (hamming 0) arrives in a later batch -> state catches it
+    input.addData((3L, base))
+    q.processAllAvailable(); q.stop()
+    val found = spark.sql("select distinct id_a, id_b from sd_sim").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 3L)))
+    assert(!found.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
+  test("make_valid method=linework and structure both repair a bowtie") {
+    val bowtie = Wkb.readWkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    assert(!bowtie.isValid)
+    val lw = GeomOps.makeValid(bowtie, "linework", keepCollapsed = true)
+    val st = GeomOps.makeValid(bowtie, "structure", keepCollapsed = true)
+    assert(lw.isValid && st.isValid)
+    // bowtie splits into two unit-area triangles
+    assert(math.abs(lw.getArea - 2.0) < 1e-9)
+    assert(math.abs(st.getArea - 2.0) < 1e-9)
+    assertThrows[IllegalArgumentException](GeomOps.makeValid(bowtie, "nope", keepCollapsed = false))
+  }
+
+  test("set_precision modes: pointwise keeps shape ungrouped, keep_collapsed retains collapses") {
+    val line = Wkb.readWkt("LINESTRING (0 0, 0.26 0.26, 1 1)")
+    val pw = GeomOps.setPrecision(line, 0.5, "pointwise")
+    assert(pw.getCoordinates.forall(c => (c.x * 2) == math.round(c.x * 2).toDouble))
+    // a sliver that collapses at grid 1: valid_output drops it, keep_collapsed keeps lower-dim
+    val sliver = Wkb.readWkt("POLYGON ((0 0, 4 0, 4 0.1, 0 0.1, 0 0))")
+    val vo = GeomOps.setPrecision(sliver, 1.0, "valid_output")
+    val kc = GeomOps.setPrecision(sliver, 1.0, "keep_collapsed")
+    assert(vo.isEmpty)
+    assert(!kc.isEmpty && kc.getDimension < 2)
+  }
+
+  test("frechet/hausdorff densify variants") {
+    val a = Wkb.readWkt("LINESTRING (0 0, 10 0)")
+    val b = Wkb.readWkt("LINESTRING (0 3, 10 3)")
+    assert(GeomOps.frechetDensify(a, b, 0.25) == 3.0)
+    assert(GeomOps.hausdorffDensify(a, b, 0.25) == 3.0)
+    // densifying gives the discrete coupling more choices -> tighter (<=)
+    val c = Wkb.readWkt("LINESTRING (0 0, 5 5, 10 0)")
+    val d = Wkb.readWkt("LINESTRING (0 1, 10 1)")
+    assert(GeomOps.frechetDensify(c, d, 0.1) <= GeomOps.frechet(c, d) + 1e-9)
+    assert(GeomOps.frechetDensify(c, d, 0.1) == 4.0)
+  }
+
+  test("shared_paths splits forward and backward components") {
+    val a = Wkb.readWkt("LINESTRING (0 0, 10 0)")
+    val sameDir = Wkb.readWkt("LINESTRING (2 0, 4 0)")
+    val oppDir = Wkb.readWkt("LINESTRING (8 0, 6 0)")
+    val sp1 = GeomOps.sharedPaths(a, sameDir)
+    assert(sp1.getNumGeometries == 2)
+    assert(sp1.getGeometryN(0).getLength == 2.0) // forward
+    assert(sp1.getGeometryN(1).getLength == 0.0) // backward empty
+    val sp2 = GeomOps.sharedPaths(a, oppDir)
+    assert(sp2.getGeometryN(0).getLength == 0.0)
+    assert(sp2.getGeometryN(1).getLength == 2.0)
+  }
+}
