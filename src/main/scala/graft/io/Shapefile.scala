@@ -59,6 +59,205 @@ object Shapefile {
     GeoDataFrame(df, "geometry", crs.map(w => Map("geometry" -> w)).getOrElse(Map.empty))
   }
 
+  /** Write a GeoDataFrame as `<base>.shp` + `.shx` + `.dbf` (+ `.prj` when
+    * a CRS is set). Shapefiles are a bounded single-file interchange format
+    * (2 GB cap), so this is a driver-side EXPORT path for small results —
+    * large datasets should use GeoParquet. Geometry types: Point,
+    * MultiPoint, (Multi)LineString, (Multi)Polygon, with Z when present. */
+  def write(gdf: GeoDataFrame, basePath: String): Unit = {
+    val g = gdf.geometryCol
+    val fields = gdf.df.schema.fields.filter(_.name != g)
+    val rows = gdf.df.collect()
+    val geoms = rows.map(r => Option(r.getAs[Array[Byte]](r.fieldIndex(g))).map(Wkb.read).orNull)
+
+    val shapeType = dominantShapeType(geoms)
+    val recs = geoms.map(geomRecord(_, shapeType))
+    // file bbox over non-null geometries
+    val env = new org.locationtech.jts.geom.Envelope()
+    geoms.foreach(gm => if (gm != null && !gm.isEmpty) env.expandToInclude(gm.getEnvelopeInternal))
+
+    val shp = new java.io.ByteArrayOutputStream()
+    val shx = new java.io.ByteArrayOutputStream()
+    val contentBytes = recs.map(r => 8 + r.length).sum
+    shp.write(shpHeader(100 + contentBytes, shapeType, env))
+    shx.write(shpHeader(100 + recs.length * 8, shapeType, env))
+    var off = 100
+    recs.zipWithIndex.foreach { case (r, i) =>
+      val hdr = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      hdr.putInt(i + 1).putInt(r.length / 2)
+      shp.write(hdr.array()); shp.write(r)
+      val ix = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      ix.putInt(off / 2).putInt(r.length / 2)
+      shx.write(ix.array())
+      off += 8 + r.length
+    }
+
+    val base = basePath.replaceAll("\\.shp$", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shp"), shp.toByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shx"), shx.toByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".dbf"), writeDbf(fields, rows))
+    gdf.crs.get(g).foreach { wkt =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(base + ".prj"), wkt.getBytes("UTF-8"))
+    }
+  }
+
+  private def dominantShapeType(geoms: Array[Geometry]): Int = {
+    val base = geoms.find(g => g != null && !g.isEmpty)
+    val hasZ = base.exists(Wkb.hasZ)
+    base.map(_.getGeometryType match {
+      case "Point"                           => if (hasZ) 11 else 1
+      case "MultiPoint"                      => if (hasZ) 18 else 8
+      case "LineString" | "MultiLineString"  => if (hasZ) 13 else 3
+      case _                                 => if (hasZ) 15 else 5
+    }).getOrElse(1)
+  }
+
+  private def shpHeader(fileBytes: Int, shapeType: Int, env: org.locationtech.jts.geom.Envelope): Array[Byte] = {
+    val b = ByteBuffer.allocate(100)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(9994); b.position(24); b.putInt(fileBytes / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1000).putInt(shapeType)
+    val (x0, y0, x1, y1) =
+      if (env.isNull) (0.0, 0.0, 0.0, 0.0) else (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+    b.putDouble(x0).putDouble(y0).putDouble(x1).putDouble(y1)
+    b.putDouble(0).putDouble(0).putDouble(0).putDouble(0) // z/m ranges
+    b.array()
+  }
+
+  private def geomRecord(g: Geometry, shapeType: Int): Array[Byte] = {
+    if (g == null || g.isEmpty) {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0) // Null shape
+      return b.array()
+    }
+    val withZ = shapeType >= 11 && shapeType <= 18 && Wkb.hasZ(g)
+    shapeType match {
+      case 1 | 11 =>
+        val c = g.getCoordinate
+        val b = ByteBuffer.allocate(if (withZ) 4 + 24 + 8 else 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(if (withZ) 11 else 1).putDouble(c.x).putDouble(c.y)
+        if (withZ) { b.putDouble(c.getZ); b.putDouble(0.0) } // Z then M
+        b.array()
+      case 8 | 18 =>
+        val cs = g.getCoordinates
+        writeMultiPoint(g, cs, withZ)
+      case _ =>
+        // PolyLine (3/13) and Polygon (5/15) share the parts/points layout
+        val isPoly = shapeType == 5 || shapeType == 15
+        val parts: Array[Array[Coordinate]] =
+          if (isPoly) polygonRings(g) else lineParts(g)
+        writePartsRecord(g, if (isPoly) (if (withZ) 15 else 5) else (if (withZ) 13 else 3), parts, withZ)
+    }
+  }
+
+  private def lineParts(g: Geometry): Array[Array[Coordinate]] =
+    (0 until g.getNumGeometries).map(g.getGeometryN(_).getCoordinates).toArray
+
+  /** Shell rings forced CLOCKWISE, holes COUNTER-clockwise (shapefile spec). */
+  private def polygonRings(g: Geometry): Array[Array[Coordinate]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Coordinate]]
+    (0 until g.getNumGeometries).foreach { i =>
+      g.getGeometryN(i) match {
+        case p: org.locationtech.jts.geom.Polygon =>
+          val shell = p.getExteriorRing.getCoordinates
+          out += (if (Orientation.isCCW(shell)) shell.reverse else shell)
+          (0 until p.getNumInteriorRing).foreach { h =>
+            val hole = p.getInteriorRingN(h).getCoordinates
+            out += (if (Orientation.isCCW(hole)) hole else hole.reverse)
+          }
+        case _ => ()
+      }
+    }
+    out.toArray
+  }
+
+  private def writeMultiPoint(g: Geometry, cs: Array[Coordinate], withZ: Boolean): Array[Byte] = {
+    val e = g.getEnvelopeInternal
+    val n = cs.length
+    val size = 4 + 32 + 4 + 16 * n + (if (withZ) 16 + 8 * n else 0)
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(if (withZ) 18 else 8)
+    b.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
+    b.putInt(n)
+    cs.foreach(c => b.putDouble(c.x).putDouble(c.y))
+    if (withZ) {
+      val zs = cs.map(c => if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ)
+      b.putDouble(zs.min).putDouble(zs.max)
+      zs.foreach(b.putDouble)
+    }
+    b.array()
+  }
+
+  private def writePartsRecord(g: Geometry, stype: Int, parts: Array[Array[Coordinate]],
+                               withZ: Boolean): Array[Byte] = {
+    val e = g.getEnvelopeInternal
+    val nPts = parts.map(_.length).sum
+    val size = 4 + 32 + 8 + 4 * parts.length + 16 * nPts + (if (withZ) 16 + 8 * nPts else 0)
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(stype)
+    b.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
+    b.putInt(parts.length).putInt(nPts)
+    var start = 0
+    parts.foreach { p => b.putInt(start); start += p.length }
+    parts.foreach(_.foreach(c => b.putDouble(c.x).putDouble(c.y)))
+    if (withZ) {
+      val zs = parts.flatten.map(c => if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ)
+      b.putDouble(zs.min).putDouble(zs.max)
+      zs.foreach(b.putDouble)
+    }
+    b.array()
+  }
+
+  private def writeDbf(fields: Array[StructField], rows: Array[org.apache.spark.sql.Row]): Array[Byte] = {
+    case class Spec(name: String, typ: Char, len: Int, dec: Int)
+    val specs = fields.map { f =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType => Spec(f.name.take(10), 'N', 19, 0)
+        case DoubleType | FloatType             => Spec(f.name.take(10), 'N', 24, 8)
+        case BooleanType                        => Spec(f.name.take(10), 'L', 1, 0)
+        case _                                  => Spec(f.name.take(10), 'C', 128, 0)
+      }
+    }
+    val recSize = 1 + specs.map(_.len).sum
+    val headerSize = 32 + 32 * specs.length + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val h = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    h.put(0x03.toByte).put(126.toByte).put(1.toByte).put(1.toByte) // version, yymmdd
+    h.putInt(rows.length).putShort(headerSize.toShort).putShort(recSize.toShort)
+    out.write(h.array())
+    specs.foreach { s =>
+      val fd = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      val nameBytes = s.name.getBytes("ASCII")
+      fd.put(nameBytes, 0, math.min(10, nameBytes.length))
+      fd.position(11); fd.put(s.typ.toByte)
+      fd.position(16); fd.put(s.len.toByte); fd.put(s.dec.toByte)
+      out.write(fd.array())
+    }
+    out.write(0x0d)
+    rows.foreach { r =>
+      out.write(0x20) // active record
+      specs.zipWithIndex.foreach { case (s, i) =>
+        val idx = r.fieldIndex(fields(i).name)
+        val raw: String =
+          if (r.isNullAt(idx)) ""
+          else s.typ match {
+            case 'N' if s.dec == 0 => r.get(idx).toString
+            case 'N'               => BigDecimal(r.get(idx).toString).setScale(s.dec, BigDecimal.RoundingMode.HALF_UP).toString
+            case 'L'               => if (r.getBoolean(idx)) "T" else "F"
+            case _                 => r.get(idx).toString
+          }
+        val bytes = raw.getBytes("UTF-8").take(s.len)
+        // numerics right-justified, text left-justified (dBASE convention)
+        val pad = s.len - bytes.length
+        if (s.typ == 'N') { (0 until pad).foreach(_ => out.write(0x20)); out.write(bytes) }
+        else { out.write(bytes); (0 until pad).foreach(_ => out.write(0x20)) }
+      }
+    }
+    out.write(0x1a) // EOF
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- .shp part
 
   /** Parse all record geometries of a .shp payload to WKB (null for Null

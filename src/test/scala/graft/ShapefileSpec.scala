@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.GeoFunctions._
+import graft.geom.{GeomOps, Wkb}
 import graft.io.Shapefile
 import graft.join.SpatialJoin
 import org.apache.spark.sql.functions._
@@ -64,6 +65,39 @@ class ShapefileSpec extends AnyFunSuite {
       countries.select(sum(st_area(col("geometry")))).as[Double].head(),
       dissolved.select(sum(st_area(col("geometry")))).as[Double].head())
     assert(math.abs(partArea - disArea) / partArea < 1e-6)
+  }
+
+  test("write round-trip: countries through .shp/.dbf/.prj and back") {
+    val gdf = Shapefile.read(spark, lowres)
+    val dir = java.nio.file.Files.createTempDirectory("shpw").toString
+    Shapefile.write(gdf, s"$dir/out.shp")
+    val back = Shapefile.read(spark, s"$dir/out.shp")
+    assert(back.df.count() == 177)
+    assert(back.df.columns.toSet == gdf.df.columns.toSet)
+    assert(back.crs.get("geometry").exists(_.contains("WGS")))
+    val a0 = gdf.df.select(sum(st_area(col("geometry")))).as[Double].head()
+    val a1 = back.df.select(sum(st_area(col("geometry")))).as[Double].head()
+    assert(math.abs(a0 - a1) / a0 < 1e-12)
+    // attributes survive typed: pop_est numeric, names strings
+    val fr = back.df.filter(col("name") === "France").select("continent").as[String].head()
+    assert(fr == "Europe")
+    val pop = back.df.filter(col("name") === "France").select("pop_est").as[Double].head()
+    assert(pop > 6.0e7 && pop < 7.0e7)
+  }
+
+  test("write round-trip: points with mixed attribute types") {
+    import graft.api.GeoDataFrame
+    val df = Seq((1L, "a", 1.25, true, Wkb.write(GeomOps.point(3, 4))),
+      (2L, "b", -2.5, false, Wkb.write(GeomOps.point(-10, 20))))
+      .toDF("id", "tag", "score", "flag", "geometry")
+    val dir = java.nio.file.Files.createTempDirectory("shpw2").toString
+    Shapefile.write(GeoDataFrame(df), s"$dir/pts.shp")
+    val back = Shapefile.read(spark, s"$dir/pts.shp").df
+    val rows = back.select("id", "tag", "score", "flag").as[(Long, String, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", 1.25, true), (2L, "b", -2.5, false)))
+    val xs = back.select(st_x(col("geometry"))).as[Double].collect().sorted.toSeq
+    assert(xs == Seq(-10.0, 3.0))
   }
 
   test("polygon holes: ring orientation assembly preserves area (vs envelope)") {
