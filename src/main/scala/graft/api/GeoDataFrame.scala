@@ -241,6 +241,17 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
     }
   }
 
+  // ---- missing-geometry surface (ref geoseries.py:817-995) -----------------
+
+  /** Rows whose active geometry is missing (ref isna). */
+  def isna: DataFrame = df.withColumn("isna", geometry.isNull)
+  def notna: DataFrame = df.withColumn("notna", geometry.isNotNull)
+
+  /** Fill missing geometries with a constant geometry (ref fillna — filling
+    * with None/empty is the default there; pass empty WKB for parity). */
+  def fillna(replacement: Array[Byte]): GeoDataFrame =
+    copy(df = df.withColumn(geometryCol, coalesce(geometry, lit(replacement))))
+
   // ---- delegation ----------------------------------------------------------
   def select(cols: Column*): GeoDataFrame = copy(df = df.select(cols: _*))
   def filter(cond: Column): GeoDataFrame = copy(df = df.filter(cond))

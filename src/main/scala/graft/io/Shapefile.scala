@@ -30,8 +30,31 @@ object Shapefile {
   // ---------------------------------------------------------------- public
 
   /** Read one .shp file (or a directory / glob of same-schema .shp files).
-    * CRS is the raw .prj WKT when present. */
-  def read(spark: SparkSession, path: String): GeoDataFrame = {
+    * CRS is the raw .prj WKT when present.
+    *
+    * `read_file`-style pushdown args (ref io/file.py:197-339): `bbox`
+    * filters to features intersecting (xmin, ymin, xmax, ymax) — applied
+    * right after parse, before anything shuffles; `columns` prunes
+    * attribute columns (geometry always kept); `rows` caps the row count. */
+  def read(spark: SparkSession, path: String,
+           bbox: Option[(Double, Double, Double, Double)] = None,
+           columns: Option[Seq[String]] = None,
+           rows: Option[Int] = None): GeoDataFrame = {
+    val base = readAll(spark, path)
+    val bboxed = bbox.map { case (x0, y0, x1, y1) =>
+      import graft.functions.GeoFunctions.st_intersects
+      base.copy(df = base.df.filter(st_intersects(
+        org.apache.spark.sql.functions.col("geometry"),
+        org.apache.spark.sql.functions.lit(Wkb.write(graft.geom.GeomOps.makeBox(x0, y0, x1, y1))))))
+    }.getOrElse(base)
+    val pruned = columns.map { cs =>
+      val keep = (cs :+ "geometry").distinct.filter(bboxed.df.columns.contains)
+      bboxed.copy(df = bboxed.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
+    }.getOrElse(bboxed)
+    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+  }
+
+  private def readAll(spark: SparkSession, path: String): GeoDataFrame = {
     val shpPaths = resolveShpPaths(spark, path)
     require(shpPaths.nonEmpty, s"no .shp files at $path")
 

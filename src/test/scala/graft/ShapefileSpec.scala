@@ -67,6 +67,43 @@ class ShapefileSpec extends AnyFunSuite {
     assert(math.abs(partArea - disArea) / partArea < 1e-6)
   }
 
+  test("read_file pushdown args: bbox, columns, rows") {
+    // bbox around western Europe — France intersects, Australia doesn't
+    val eu = Shapefile.read(spark, lowres, bbox = Some((-10.0, 40.0, 10.0, 55.0)),
+      columns = Some(Seq("name", "continent")))
+    val names = eu.df.select("name").as[String].collect().toSet
+    assert(names.contains("France") && !names.contains("Australia"))
+    assert(eu.df.columns.toSet == Set("name", "continent", "geometry"))
+    val limited = Shapefile.read(spark, lowres, rows = Some(5))
+    assert(limited.df.count() == 5)
+  }
+
+  test("fillna/isna/notna on geometry columns") {
+    import graft.api.GeoDataFrame
+    val df = Seq((1, Option(Wkb.write(GeomOps.point(1, 2)))), (2, None: Option[Array[Byte]]))
+      .toDF("id", "geometry")
+    val gdf = GeoDataFrame(df)
+    assert(gdf.isna.filter(col("isna")).select("id").as[Int].collect().toSeq == Seq(2))
+    assert(gdf.notna.filter(col("notna")).select("id").as[Int].collect().toSeq == Seq(1))
+    val filled = gdf.fillna(Wkb.write(GeomOps.point(0, 0)))
+    assert(filled.df.filter(col("geometry").isNull).count() == 0)
+    val xs = filled.df.select(st_x(col("geometry"))).as[Double].collect().sorted.toSeq
+    assert(xs == Seq(0.0, 1.0))
+  }
+
+  test("geocode raises without a provider; works with a plugged one") {
+    val df = Seq((1, "somewhere")).toDF("id", "addr")
+    assertThrows[UnsupportedOperationException](graft.ops.Geocoding.geocode(df, "addr"))
+    val fake = new graft.ops.Geocoding.Geocoder {
+      def forward(a: String) = Some((1.0, 2.0))
+      def reverse(lon: Double, lat: Double) = Some(s"addr($lon,$lat)")
+    }
+    val out = graft.ops.Geocoding.geocode(df, "addr", Some(fake))
+    assert(out.select(st_x(col("geometry"))).as[Double].head() == 1.0)
+    val rev = graft.ops.Geocoding.reverseGeocode(out, "geometry", Some(fake))
+    assert(rev.select("address").as[String].head() == "addr(1.0,2.0)")
+  }
+
   test("write round-trip: countries through .shp/.dbf/.prj and back") {
     val gdf = Shapefile.read(spark, lowres)
     val dir = java.nio.file.Files.createTempDirectory("shpw").toString
