@@ -447,6 +447,25 @@ object GeoFunctions extends Serializable {
     r.register("st_project", stProjectU); r.register("st_minimum_clearance", stMinClearanceU)
     r.register("st_minimum_clearance_line", stMinClearanceLineU)
     r.register("st_minimum_bounding_radius", stMinBoundingRadiusU)
+    // round-3 surface
+    r.register("st_has_m", stHasMU); r.register("st_m", stMU)
+    r.register("st_geom_equals_identical", stGeomEqualsIdenticalU)
+    r.register("st_get_precision", stGetPrecisionU)
+    r.register("st_set_precision_mode", stSetPrecisionModeU)
+    r.register("st_make_valid_method", stMakeValidFullU)
+    r.register("st_line_merge_directed", stLineMergeDirectedU)
+    r.register("st_voronoi_extend", stVoronoiExtendU)
+    r.register("st_offset_curve_full", stOffsetCurveFullU)
+    r.register("st_hausdorff_densify", stHausdorffDensifyU)
+    r.register("st_frechet_densify", stFrechetDensifyU)
+    r.register("st_intersection_grid", stIntersectionGridU)
+    r.register("st_union_grid", stUnionGridU)
+    r.register("st_difference_grid", stDifferenceGridU)
+    r.register("st_sym_difference_grid", stSymDifferenceGridU)
+    r.register("st_shared_paths", stSharedPathsU)
+    r.register("ewkb_decode_hex", graft.io.PostgisIO.decodeHexEwkbU)
+    r.register("ewkb_srid", graft.io.PostgisIO.ewkbSridU)
+    r.register("ewkb_encode_hex", graft.io.PostgisIO.encodeHexEwkbU)
   }
 }
 

@@ -30,4 +30,26 @@ class SqlRegistrationSpec extends AnyFunSuite {
         |FROM t""".stripMargin).head()
     assert(agg.getDouble(0) == 4.0)
   }
+
+  test("round-3 SQL surface: coverage agg, M/identical/precision, grid overlays, EWKB") {
+    GeoFunctions.registerAll(spark)
+    GeoAggregates.registerAll(spark)
+    spark.range(4).createOrReplaceTempView("t3")
+    val cov = spark.sql(
+      """SELECT st_area(st_coverage_union_agg(st_makebox(CAST(id AS DOUBLE), 0.0D, CAST(id + 1 AS DOUBLE), 1.0D))) AS ca
+        |FROM t3""".stripMargin).head()
+    assert(cov.getDouble(0) == 4.0)
+    val row = spark.sql(
+      """SELECT st_has_m(st_point(1.0D, 2.0D)) AS hm,
+        |       st_geom_equals_identical(st_point(1.0D, 2.0D), st_point(1.0D, 2.0D)) AS ident,
+        |       st_get_precision(st_point(1.0D, 2.0D)) AS prec,
+        |       st_area(st_intersection_grid(st_makebox(0.0D, 0.0D, 1.04D, 1.0D),
+        |                                    st_makebox(0.5D, 0.0D, 2.0D, 1.0D), 0.1D)) AS ga,
+        |       ewkb_srid(ewkb_encode_hex(st_point(1.0D, 2.0D), 4326)) AS srid""".stripMargin).head()
+    assert(!row.getBoolean(0))
+    assert(row.getBoolean(1))
+    assert(row.getDouble(2) == 0.0)
+    assert(math.abs(row.getDouble(3) - 0.5) < 1e-9)
+    assert(row.getInt(4) == 4326)
+  }
 }
