@@ -217,8 +217,10 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
                    maxDistance: Option[Double] = None, distanceCol: Option[String] = None,
                    exclusive: Boolean = false): GeoDataFrame = {
     checkCrs(other)
+    val keptGeom = if (how == "right") other.geometryCol else geometryCol
     GeoDataFrame(SJoinNearest.sjoinNearest(df, other.df, how, geometryCol, other.geometryCol,
-      maxDistance = maxDistance, distanceCol = distanceCol, exclusive = exclusive), geometryCol, crs)
+      maxDistance = maxDistance, distanceCol = distanceCol, exclusive = exclusive), keptGeom,
+      if (how == "right") other.crs else crs)
   }
 
   def overlay(other: GeoDataFrame, how: String = "intersection", keepGeomType: Boolean = true): GeoDataFrame = {

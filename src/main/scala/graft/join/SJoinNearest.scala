@@ -24,7 +24,13 @@ object SJoinNearest {
                    maxDistance: Option[Double] = None, distanceCol: Option[String] = None,
                    exclusive: Boolean = false,
                    broadcastThreshold: Long = 2000000L): DataFrame = {
-    require(Seq("inner", "left").contains(how), s"how must be inner/left for nearest, got $how")
+    require(Seq("inner", "left", "right").contains(how), s"how must be inner/left/right, got $how")
+    // how=right mirrors the reference (sjoin.py:528 use_left_as_sindex):
+    // nearest LEFT neighbour for each RIGHT row, right geometry kept —
+    // exactly the how=left problem with the frames (and suffixes) swapped
+    if (how == "right")
+      return sjoinNearest(right, left, "left", rightGeom, leftGeom, rsuffix, lsuffix,
+        maxDistance, distanceCol, exclusive, broadcastThreshold)
     val (rightRenamed, rGeomName) =
       if (leftGeom == rightGeom) (right.withColumnRenamed(rightGeom, s"${rightGeom}_$rsuffix"), s"${rightGeom}_$rsuffix")
       else (right, rightGeom)

@@ -134,6 +134,16 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(graft.join.BroadcastTreeCache.size <= 64)
   }
 
+  test("sjoin_nearest how=right: nearest left for each right row, right geometry kept") {
+    val pts = points((0, 0), (10, 0))                              // left
+    val targets = Seq((100, Wkb.write(GeomOps.point(1, 0))),        // right
+      (200, Wkb.write(GeomOps.point(9, 0)))).toDF("tid", "geometry")
+    val j = SJoinNearest.sjoinNearest(pts, targets, how = "right", distanceCol = Some("d"))
+    val rows = j.select("tid", "pid", "d").as[(Int, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((100, 0, 1.0), (200, 1, 1.0)))
+    assert(j.columns.contains("geometry"))
+  }
+
   test("sjoin_nearest stable across runs with non-deterministic upstream repartition") {
     val rng = new scala.util.Random(41)
     val a = (0 until 100).map(i => (i, Wkb.write(GeomOps.point(rng.nextDouble() * 100, rng.nextDouble() * 100))))
