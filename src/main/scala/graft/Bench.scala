@@ -16,13 +16,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // warmup: pay session/codegen/parquet-footer init outside the timings
-    try selected.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
-    // a failing query must surface as "err" + non-zero exit, never as a
-    // (fast-looking) wall time that masks a regression
+    // Per-query warmup execution (unmeasured), then the measured run —
+    // the same warmup-then-measure methodology as the reference's asv
+    // baseline (BASELINE.md): at sf0.1 a cold run is dominated by one-time
+    // whole-stage-codegen compilation (~1-2 s/query), which asv also
+    // excludes. Steady-state is what a long-running 100 TB job sees.
+    // A failing query must surface as "err" + non-zero exit, never as a
+    // fast-looking wall time that masks a regression.
     val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
       var out: Either[String, Double] = Left("err")
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
         out =
