@@ -120,6 +120,106 @@ object CrsTransform {
     }
   }
 
+  /** GRS80 (NAD83) flattening; datum shift vs WGS84 is centimetric and
+    * ignored, like the 269xx UTM handling above. */
+  val GRS80_F = 1.0 / 298.257222101
+  /** US survey foot in meters (EPSG:9003). */
+  val FtUs = 1200.0 / 3937.0
+
+  /** Lambert Conformal Conic 2SP, ellipsoidal (Snyder 1987 eq. 15-1..15-11;
+    * the state-plane workhorse — EPSG:2263 is the reference's nybb fixture
+    * CRS). `unit` scales the projected axes (1.0 = meters, FtUs = ftUS);
+    * false origin is given in projected units. */
+  final case class Lcc2Sp(lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+                          fe: Double, fn: Double, unit: Double = 1.0,
+                          flattening: Double = GRS80_F) extends CrsTransform {
+    private val a = WGS84_A
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private def t(phi: Double) = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    private val p1 = math.toRadians(sp1)
+    private val p2 = math.toRadians(sp2)
+    private val p0 = math.toRadians(lat0)
+    private val l0 = math.toRadians(lon0)
+    private val n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    private val bigF = m(p1) / (n * math.pow(t(p1), n))
+    private val rho0 = a * bigF * math.pow(t(p0), n)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val rho = a * bigF * math.pow(t(phi), n)
+      val theta = n * (math.toRadians(lon) - l0)
+      val xm = rho * math.sin(theta)
+      val ym = rho0 - rho * math.cos(theta)
+      (xm / unit + fe, ym / unit + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xm = (x - fe) * unit
+      val ym = (y - fn) * unit
+      val rho = math.signum(n) * math.hypot(xm, rho0 - ym)
+      val theta = math.atan2(xm, rho0 - ym)
+      val tp = math.pow(rho / (a * bigF), 1 / n)
+      var phi = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(tp * math.pow((1 - esin) / (1 + esin), e / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / n + l0), math.toDegrees(phi))
+    }
+  }
+
+  /** Albers Equal Area 2SP, ellipsoidal (Snyder eq. 14-1..14-21) —
+    * EPSG:5070 is CONUS Albers. */
+  final case class Albers2Sp(lat0: Double, lon0: Double, sp1: Double, sp2: Double,
+                             fe: Double, fn: Double,
+                             flattening: Double = GRS80_F) extends CrsTransform {
+    private val a = WGS84_A
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private def q(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val p1 = math.toRadians(sp1)
+    private val p2 = math.toRadians(sp2)
+    private val p0 = math.toRadians(lat0)
+    private val l0 = math.toRadians(lon0)
+    private val n = (m(p1) * m(p1) - m(p2) * m(p2)) / (q(p2) - q(p1))
+    private val c = m(p1) * m(p1) + n * q(p1)
+    private val rho0 = a * math.sqrt(c - n * q(p0)) / n
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val rho = a * math.sqrt(c - n * q(phi)) / n
+      val theta = n * (math.toRadians(lon) - l0)
+      (rho * math.sin(theta) + fe, rho0 - rho * math.cos(theta) + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xm = x - fe
+      val ym = y - fn
+      val rho = math.hypot(xm, rho0 - ym)
+      val theta = math.atan2(xm * math.signum(n), (rho0 - ym) * math.signum(n))
+      val qq = (c - rho * rho * n * n / (a * a)) / n
+      var phi = math.asin(math.min(1, math.max(-1, qq / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += corr
+        i += 1
+      }
+      (math.toDegrees(theta / n + l0), math.toDegrees(phi))
+    }
+  }
+
   /** Transform from one EPSG code to another via 4326 as the hub. */
   def chain(from: Int, to: Int): CrsTransform = {
     if (from == to) return Identity
@@ -130,8 +230,13 @@ object CrsTransform {
       case z if z >= 32601 && z <= 32660 => Utm(z - 32600, north = true)
       case z if z >= 32701 && z <= 32760 => Utm(z - 32700, north = false)
       case z if z >= 26901 && z <= 26923 => Utm(z - 26900, north = true) // NAD83 UTM approximated as WGS84
+      case 2263 => // NAD83 / New York Long Island (ftUS) — the nybb fixture CRS
+        Lcc2Sp(lat0 = 40.0 + 10.0 / 60, lon0 = -74.0, sp1 = 41.0 + 2.0 / 60, sp2 = 40.0 + 40.0 / 60,
+          fe = 984250.0, fn = 0.0, unit = FtUs)
+      case 5070 => // NAD83 / Conus Albers
+        Albers2Sp(lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5, fe = 0.0, fn = 0.0)
       case _ => throw new IllegalArgumentException(
-        s"Unsupported CRS EPSG:$code — supported: 4326, 3857, 3395, UTM 326xx/327xx/269xx")
+        s"Unsupported CRS EPSG:$code — supported: 4326, 3857, 3395, UTM 326xx/327xx/269xx, 2263, 5070")
     }
     val src = to4326(from)
     val dst = to4326(to)

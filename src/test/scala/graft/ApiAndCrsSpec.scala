@@ -43,6 +43,29 @@ class CrsSpec extends AnyFunSuite {
   test("unsupported CRS fails loudly") {
     intercept[IllegalArgumentException](CrsTransform.chain(4326, 27700))
   }
+
+  test("4326 -> 2263 (NY Long Island state plane, ftUS — the nybb CRS)") {
+    val t = CrsTransform.chain(4326, 2263)
+    // the false origin maps exactly to (FE, FN) by definition
+    val (x0, y0) = t.forward(-74.0, 40.0 + 10.0 / 60)
+    assert(math.abs(x0 - 984250.0) < 1e-6 && math.abs(y0) < 1e-6)
+    // Empire State Building lands in the published Manhattan state-plane range
+    val (x, y) = t.forward(-73.9857, 40.7484)
+    assert(x > 970000 && x < 1000000, s"easting $x")
+    assert(y > 200000 && y < 225000, s"northing $y")
+    val (lon, lat) = t.inverse(x, y)
+    assert(math.abs(lon - -73.9857) < 1e-9 && math.abs(lat - 40.7484) < 1e-9)
+  }
+
+  test("4326 -> 5070 (CONUS Albers) roundtrip and equal-area sanity") {
+    val t = CrsTransform.chain(4326, 5070)
+    val (x0, y0) = t.forward(-96.0, 23.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6) // projection origin
+    val (x, y) = t.forward(-122.4194, 37.7749) // San Francisco: west -> negative x
+    assert(x < -2000000 && y > 1500000, s"($x, $y)")
+    val (lon, lat) = t.inverse(x, y)
+    assert(math.abs(lon - -122.4194) < 1e-9 && math.abs(lat - 37.7749) < 1e-9)
+  }
 }
 
 class GeoJsonSpec extends AnyFunSuite {
