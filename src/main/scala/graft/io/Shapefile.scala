@@ -55,6 +55,7 @@ object Shapefile {
   }
 
   private def readAll(spark: SparkSession, path: String): GeoDataFrame = {
+    if (path.toLowerCase.endsWith(".zip")) return readZip(spark, path)
     val shpPaths = resolveShpPaths(spark, path)
     require(shpPaths.nonEmpty, s"no .shp files at $path")
 
@@ -279,6 +280,42 @@ object Shapefile {
     }
     out.write(0x1a) // EOF
     out.toByteArray
+  }
+
+  /** Zipped shapefile (the reference reads `*.zip` via GDAL's /vsizip/ —
+    * `io/file.py:294-313`; its own nybb fixture ships zipped). The archive
+    * is read once on the driver (zip members aren't splittable anyway) and
+    * rows are parallelized. */
+  private def readZip(spark: SparkSession, path: String): GeoDataFrame = {
+    val members = scala.collection.mutable.Map[String, Array[Byte]]()
+    val in = new java.util.zip.ZipInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) members(e.getName.toLowerCase) = in.readAllBytes()
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    val shpName = members.keys.find(_.endsWith(".shp")).getOrElse(
+      throw new IllegalArgumentException(s"no .shp member in $path"))
+    val base = shpName.stripSuffix(".shp")
+    val shp = members(shpName)
+    val dbf = members.get(base + ".dbf")
+    val prj = members.get(base + ".prj").map(b => new String(b, "UTF-8").trim).filter(_.nonEmpty)
+
+    val fields = dbf.map(parseDbfFields).getOrElse(Array.empty)
+    val schema = StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true)) :+
+      StructField("geometry", BinaryType, nullable = true))
+    val recs = parseShpRecords(shp)
+    val attrs = dbf.map(parseDbfRecords).getOrElse(Array.empty[Array[Any]])
+    val rows = recs.zipWithIndex.map { case (wkb, i) =>
+      val a: Array[Any] = if (i < attrs.length) attrs(i) else Array.fill[Any](fields.length)(null)
+      Row.fromSeq(a.toSeq :+ wkb)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, math.max(1, rows.length / 10000 + 1)), schema)
+    GeoDataFrame(df, "geometry", prj.map(w => Map("geometry" -> w)).getOrElse(Map.empty))
   }
 
   // ------------------------------------------------------------- .shp part

@@ -67,6 +67,31 @@ class ShapefileSpec extends AnyFunSuite {
     assert(math.abs(partArea - disArea) / partArea < 1e-6)
   }
 
+  test("nybb_16a.zip: the reference's canonical dissolve fixture (5 boroughs, EPSG:2263)") {
+    import graft.api.GeoDataFrame
+    val gdf = Shapefile.read(spark, "/root/reference/geopandas/tests/data/nybb_16a.zip")
+    val df = gdf.df.cache()
+    assert(df.count() == 5)
+    assert(df.columns.toSet == Set("BoroCode", "BoroName", "Shape_Leng", "Shape_Area", "geometry"))
+    val names = df.select("BoroName").as[String].collect().toSet
+    assert(names == Set("Staten Island", "Queens", "Brooklyn", "Manhattan", "Bronx"))
+    assert(gdf.crs.getOrElse("geometry", "").contains("New_York"))
+    // reference's dissolve test shape: manhattan_bronx grouping -> 2 rows
+    // (tests/test_dissolve.py:17-27)
+    val grouped = df.withColumn("manhattan_bronx", when(col("BoroCode").isin(1L, 2L), 5).otherwise(6))
+    val dissolved = GeoDataFrame(grouped.select(col("manhattan_bronx"), col("BoroCode"), col("geometry")))
+      .dissolve(by = Seq("manhattan_bronx"), aggfunc = Map("BoroCode" -> "count")).df
+    assert(dissolved.count() == 2)
+    // areas preserved: sum of dissolved areas == sum of borough areas (disjoint)
+    val a0 = df.select(sum(st_area(col("geometry")))).as[Double].head()
+    val a1 = dissolved.select(sum(st_area(col("geometry")))).as[Double].head()
+    assert(math.abs(a0 - a1) / a0 < 1e-9)
+    // Shape_Area attribute roughly matches computed geometry area (ftUS^2)
+    val (attr, geom) = df.select(sum(col("Shape_Area")), sum(st_area(col("geometry"))))
+      .as[(Double, Double)].head()
+    assert(math.abs(attr - geom) / attr < 0.01)
+  }
+
   test("read_file pushdown args: bbox, columns, rows") {
     // bbox around western Europe — France intersects, Australia doesn't
     val eu = Shapefile.read(spark, lowres, bbox = Some((-10.0, 40.0, 10.0, 55.0)),
