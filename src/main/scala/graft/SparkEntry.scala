@@ -548,6 +548,7 @@ object SparkEntry {
            | round(CAST(6378137 AS DOUBLE) * radians(px * CAST(3.6 AS DOUBLE) - CAST(180 AS DOUBLE)), 4) + CAST(0 AS DOUBLE) AS mx,
            | round(CAST(6378137 AS DOUBLE) * ln(tan(pi() / CAST(4 AS DOUBLE) + radians(py * CAST(1.6 AS DOUBLE) - CAST(80 AS DOUBLE)) / CAST(2 AS DOUBLE))), 4) + CAST(0 AS DOUBLE) AS my
            | FROM $pts""".stripMargin.replace("\n", " "),
+      "q18_hilbert" -> hilbertOracle(10),
       "q19_get_coordinates" ->
         s"SELECT s_suppkey, x1 AS x, y1 AS y FROM $sup UNION ALL SELECT s_suppkey, x2 AS x, y2 AS y FROM $sup",
       "q20_explode_parts" ->
@@ -762,6 +763,40 @@ object SparkEntry {
            |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
            | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " ")
     )
+  }
+
+  /** Full SQL reproduction of the Hilbert curve index: the xy2d
+    * bit-twiddling loop (geom/Hilbert.scala) unrolled as `order` chained
+    * CTEs of plain CASE arithmetic. (A DuckDB list_reduce fold would be
+    * more compact, but DuckDB 1.0 mis-vectorizes lambdas whose initial
+    * accumulator depends on the row — results varied with surrounding
+    * rows — so the unrolled form is the safe one.) */
+  private def hilbertOracle(order: Int): String = {
+    val side = (1 << order) - 1
+    val steps = new StringBuilder
+    var prev = "c0"
+    var i = 0
+    for (k <- (order - 1) to 0 by -1) {
+      val s = 1 << k
+      val cur = s"c${i + 1}"
+      steps ++=
+        s""", $cur AS (SELECT c_custkey,
+           | CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END) ELSE x END AS x,
+           | CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END) ELSE y END AS y,
+           | d + CAST($s AS BIGINT) * $s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |   (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d
+           | FROM $prev)""".stripMargin.replace("\n", " ")
+      prev = cur
+      i += 1
+    }
+    s"""WITH p AS ($PtsSql),
+       | tb AS (SELECT min(px) AS x0, min(py) AS y0, max(px) AS x1, max(py) AS y1 FROM p),
+       | c0 AS (SELECT c_custkey,
+       |   least(CAST($side AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor(((px - x0) / (x1 - x0)) * $side) AS BIGINT))) AS x,
+       |   least(CAST($side AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor(((py - y0) / (y1 - y0)) * $side) AS BIGINT))) AS y,
+       |   CAST(0 AS BIGINT) AS d
+       |   FROM p CROSS JOIN tb)${steps.toString}
+       | SELECT c_custkey, d AS hilbert_distance FROM $prev""".stripMargin.replace("\n", " ")
   }
 
   /** Integral doubles print bare in JTS WKT/GeoJSON ("18" not "18.0"). */
