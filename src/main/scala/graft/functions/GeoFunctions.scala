@@ -383,6 +383,21 @@ object GeoFunctions extends Serializable {
   val stSharedPathsU: UserDefinedFunction = udf(gg2g(GeomOps.sharedPaths))
   def st_orient_polygons(g: Column, exteriorCw: Column): Column = stOrientPolygonsU(g, exteriorCw)
   def st_constrained_delaunay(g: Column): Column = stConstrainedDelaunayU(g)
+
+  /** polygonize over an array-of-geometries column (ref base.py:6545);
+    * the full=True 4-output form returns a struct. */
+  val stPolygonizeU: UserDefinedFunction = udf((arr: Seq[Array[Byte]]) =>
+    if (arr == null) null
+    else Wkb.write(GeomOps.polygonize(arr.filter(_ != null).map(rd))))
+  val stPolygonizeFullU: UserDefinedFunction = udf((arr: Seq[Array[Byte]]) =>
+    if (arr == null) None
+    else {
+      val (p, c, d, i) = GeomOps.polygonizeFull(arr.filter(_ != null).map(rd))
+      Some((Wkb.write(p), Wkb.write(c), Wkb.write(d), Wkb.write(i)))
+    })
+  def st_polygonize(arr: Column): Column = stPolygonizeU(arr)
+  def st_polygonize_full(arr: Column): Column =
+    stPolygonizeFullU(arr).cast("struct<polygons:binary,cut_edges:binary,dangles:binary,invalid_rings:binary>")
   def st_shared_paths(a: Column, b: Column): Column = stSharedPathsU(a, b)
 
   /** UTM zone estimation from a lon/lat point (ref array.py:1190-1276). */
@@ -466,6 +481,8 @@ object GeoFunctions extends Serializable {
     r.register("ewkb_decode_hex", graft.io.PostgisIO.decodeHexEwkbU)
     r.register("ewkb_srid", graft.io.PostgisIO.ewkbSridU)
     r.register("ewkb_encode_hex", graft.io.PostgisIO.encodeHexEwkbU)
+    r.register("st_polygonize", stPolygonizeU)
+    r.register("st_polygonize_full", stPolygonizeFullU)
   }
 }
 

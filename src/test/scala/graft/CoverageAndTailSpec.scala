@@ -144,6 +144,22 @@ class CoverageAndTailSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](GeomOps.samplePoints(g, 5, 42L, "cluster_poisson"))
   }
 
+  test("st_polygonize / st_polygonize_full as column ops") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions._
+    val lines = Seq(Seq(
+      Wkb.write(Wkb.readWkt("LINESTRING (0 0, 1 0)")), Wkb.write(Wkb.readWkt("LINESTRING (1 0, 1 1)")),
+      Wkb.write(Wkb.readWkt("LINESTRING (1 1, 0 1)")), Wkb.write(Wkb.readWkt("LINESTRING (0 1, 0 0)")),
+      Wkb.write(Wkb.readWkt("LINESTRING (1 0, 2 0)")))).toDF("lines")
+    val simple = lines.select(st_area(st_polygonize(col("lines"))).as("a")).as[Double].head()
+    assert(math.abs(simple - 1.0) < 1e-12)
+    val full = lines.select(st_polygonize_full(col("lines")).as("f"))
+      .select(st_area(col("f.polygons")), st_ngeometries(col("f.dangles"))).as[(Double, Int)].head()
+    assert(math.abs(full._1 - 1.0) < 1e-12 && full._2 == 1)
+  }
+
   test("CoverageUnionAgg + dissolve(method=coverage) on Spark") {
     val spark = SparkTestBase.spark
     import spark.implicits._
