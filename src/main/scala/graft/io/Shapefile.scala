@@ -234,46 +234,60 @@ object Shapefile {
   }
 
   private def writeDbf(fields: Array[StructField], rows: Array[org.apache.spark.sql.Row]): Array[Byte] = {
-    case class Spec(name: String, typ: Char, len: Int, dec: Int)
+    case class Spec(name: String, typ: Char, dec: Int)
     val specs = fields.map { f =>
       f.dataType match {
-        case LongType | IntegerType | ShortType => Spec(f.name.take(10), 'N', 19, 0)
-        case DoubleType | FloatType             => Spec(f.name.take(10), 'N', 24, 8)
-        case BooleanType                        => Spec(f.name.take(10), 'L', 1, 0)
-        case _                                  => Spec(f.name.take(10), 'C', 128, 0)
+        case LongType | IntegerType | ShortType => Spec(f.name.take(10), 'N', 0)
+        case DoubleType | FloatType             => Spec(f.name.take(10), 'N', 8)
+        case BooleanType                        => Spec(f.name.take(10), 'L', 0)
+        case _                                  => Spec(f.name.take(10), 'C', 0)
       }
     }
-    val recSize = 1 + specs.map(_.len).sum
+    // pre-format every value, then size each field to its widest value
+    // (GDAL auto-sizes the same way) — fixed widths would silently truncate
+    // large numerics or long strings
+    def fmt(s: Spec, r: org.apache.spark.sql.Row, i: Int): String = {
+      val idx = r.fieldIndex(fields(i).name)
+      if (r.isNullAt(idx)) ""
+      else s.typ match {
+        case 'N' if s.dec == 0 => r.get(idx).toString
+        case 'N' => BigDecimal(r.get(idx).toString)
+          .setScale(s.dec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+        case 'L' => if (r.getBoolean(idx)) "T" else "F"
+        case _   => r.get(idx).toString
+      }
+    }
+    val formatted: Array[Array[String]] = rows.map(r => specs.zipWithIndex.map { case (s, i) => fmt(s, r, i) })
+    val lens: Array[Int] = specs.zipWithIndex.map { case (s, i) =>
+      val maxV = if (rows.isEmpty) 0 else formatted.iterator.map(_(i).getBytes("UTF-8").length).max
+      s.typ match {
+        case 'L' => 1
+        case 'N' => math.max(1, math.min(30, maxV))   // dBASE numeric cap
+        case _   => math.max(1, math.min(254, maxV))  // dBASE char cap
+      }
+    }
+    val recSize = 1 + lens.sum
     val headerSize = 32 + 32 * specs.length + 1
     val out = new java.io.ByteArrayOutputStream()
     val h = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
     h.put(0x03.toByte).put(126.toByte).put(1.toByte).put(1.toByte) // version, yymmdd
     h.putInt(rows.length).putShort(headerSize.toShort).putShort(recSize.toShort)
     out.write(h.array())
-    specs.foreach { s =>
+    specs.zipWithIndex.foreach { case (s, i) =>
       val fd = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
       val nameBytes = s.name.getBytes("ASCII")
       fd.put(nameBytes, 0, math.min(10, nameBytes.length))
       fd.position(11); fd.put(s.typ.toByte)
-      fd.position(16); fd.put(s.len.toByte); fd.put(s.dec.toByte)
+      fd.position(16); fd.put(lens(i).toByte); fd.put(s.dec.toByte)
       out.write(fd.array())
     }
     out.write(0x0d)
-    rows.foreach { r =>
+    formatted.foreach { vals =>
       out.write(0x20) // active record
       specs.zipWithIndex.foreach { case (s, i) =>
-        val idx = r.fieldIndex(fields(i).name)
-        val raw: String =
-          if (r.isNullAt(idx)) ""
-          else s.typ match {
-            case 'N' if s.dec == 0 => r.get(idx).toString
-            case 'N'               => BigDecimal(r.get(idx).toString).setScale(s.dec, BigDecimal.RoundingMode.HALF_UP).toString
-            case 'L'               => if (r.getBoolean(idx)) "T" else "F"
-            case _                 => r.get(idx).toString
-          }
-        val bytes = raw.getBytes("UTF-8").take(s.len)
+        val bytes = vals(i).getBytes("UTF-8").take(lens(i))
         // numerics right-justified, text left-justified (dBASE convention)
-        val pad = s.len - bytes.length
+        val pad = lens(i) - bytes.length
         if (s.typ == 'N') { (0 until pad).foreach(_ => out.write(0x20)); out.write(bytes) }
         else { out.write(bytes); (0 until pad).foreach(_ => out.write(0x20)) }
       }

@@ -162,6 +162,23 @@ class ShapefileSpec extends AnyFunSuite {
     assert(xs == Seq(-10.0, 3.0))
   }
 
+  test("dbf auto-width: huge numerics and long strings survive the write round trip") {
+    import graft.api.GeoDataFrame
+    val long = "x" * 200
+    val df = Seq(
+      (123456789012345678L, 1.23456789e15, long, Wkb.write(GeomOps.point(0, 0))),
+      (-42L, -9.87654321e12, "short", Wkb.write(GeomOps.point(1, 1))))
+      .toDF("big", "dbl", "txt", "geometry")
+    val dir = java.nio.file.Files.createTempDirectory("shpw3").toString
+    graft.io.Shapefile.write(GeoDataFrame(df), s"$dir/w.shp")
+    val back = graft.io.Shapefile.read(spark, s"$dir/w.shp").df
+    val rows = back.select("big", "dbl", "txt").as[(Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(rows(1)._1 == 123456789012345678L)
+    assert(math.abs(rows(1)._2 - 1.23456789e15) < 1.0)
+    assert(rows(1)._3 == long)
+    assert(rows(0)._1 == -42L && math.abs(rows(0)._2 - -9.87654321e12) < 1e-2)
+  }
+
   test("polygon holes: ring orientation assembly preserves area (vs envelope)") {
     // South Africa contains Lesotho as a hole in naturalearth_lowres
     val za = Shapefile.read(spark, lowres).df.filter(col("name") === "South Africa")
