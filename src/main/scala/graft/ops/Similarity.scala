@@ -131,6 +131,97 @@ object Similarity {
       .drop("__graft_bucket")
   }
 
+  // --------------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path besides LSH buckets:
+  // partition vectors by nearest centroid at INGEST, store the cell id,
+  // probe only the nprobe closest cells at query time. Centroids are a
+  // deterministic hash-sample of the corpus refined by one k-means step,
+  // so the index is reproducible without RNG state.
+  // --------------------------------------------------------------------------
+
+  /** Deterministic centroids: the `k` vectors with smallest xxhash64(id)
+    * (an order-independent uniform sample), refined by one Lloyd iteration
+    * over the corpus (deterministic: mean of assigned vectors). */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Float]] = {
+    val seedRows = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__h", xxhash64(col("__id")))
+      .orderBy("__h").limit(k)
+      .select("__v").collect().map(_.getSeq[Float](0).toArray)
+    if (seedRows.isEmpty) return Array.empty
+    val bc = df.sparkSession.sparkContext.broadcast(seedRows)
+    val assignU = udf((v: Seq[Float]) => if (v == null) -1 else nearestCentroid(v, bc.value))
+    // one Lloyd step: per-cell mean (sum + count via native aggs on the array)
+    val dim = seedRows(0).length
+    val assigned = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
+      .withColumn("__c", assignU(col("__v")))
+    val sums = assigned.groupBy("__c")
+      .agg(count(lit(1)).as("__n"),
+        array((0 until dim).map(i => sum(element_at(col("__v"), i + 1))): _*).as("__s"))
+      .collect()
+    val out = seedRows.map(_.clone())
+    sums.foreach { r =>
+      val c = r.getInt(0)
+      if (c >= 0) {
+        val n = r.getLong(1).toDouble
+        val s = r.getSeq[Any](2)
+        var i = 0
+        while (i < dim) {
+          out(c)(i) = (s(i) match { case d: Double => d; case f: Float => f.toDouble; case l: Long => l.toDouble; case null => 0.0 }).toFloat / n.toFloat
+          i += 1
+        }
+      }
+    }
+    out
+  }
+
+  private[ops] def nearestCentroid(v: Seq[Float], cents: Array[Array[Float]]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < math.min(v.length, cent.length)) {
+        val x = v(i) - cent(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Ingest-time IVF cell column; persist (and sort files by it) so probes
+    * prune at the Parquet scan exactly like the LSH bucket column. */
+  def withIvfCell(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+                  cellCol: String = "ivf_cell"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val u = udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(nearestCentroid(v, bc.value)))
+    df.withColumn(cellCol, u(col(vecCol)))
+  }
+
+  /** IVF ANN top-k: rescore only rows in the `nprobe` cells whose centroids
+    * are closest to the query. */
+  def ivfTopK(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
+              query: Seq[Float], k: Int, nprobe: Int,
+              idCol: String = "vec_id", cellCol: String = "ivf_cell"): DataFrame = {
+    val byDist = centroids.zipWithIndex.sortBy { case (c, _) =>
+      var d = 0.0
+      var i = 0
+      while (i < math.min(query.length, c.length)) { val x = query(i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val probes = byDist.take(math.max(1, nprobe)).map(_._2)
+    val q = array(query.map(v => lit(v)): _*)
+    val filtered =
+      if (probes.length >= centroids.length) df
+      else df.filter(col(cellCol).isin(probes.map(Integer.valueOf): _*))
+    filtered.withColumn("cosine", cosine(col(vecCol), q))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbour join via multi-table LSH buckets (for
     * building kNN graphs at scale): returns (id_a, id_b, cosine), the k
     * best per id_a among bucket-mates across all hash tables. */

@@ -111,6 +111,32 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("IVF index: deterministic centroids, stored cell pruning, exact at full probe") {
+    val cents = Similarity.ivfCentroids(embs, "vec_id", "embedding", k = 16)
+    assert(cents.length == 16 && cents(0).length == 64)
+    // deterministic: second build identical
+    val cents2 = Similarity.ivfCentroids(embs, "vec_id", "embedding", k = 16)
+    assert(cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.withIvfCell(embs, "embedding", cents).sort("ivf_cell")
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val indexed = spark.read.parquet(s"$dir/emb")
+    val q = embs.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+
+    // full probe == exact brute force
+    val full = Similarity.ivfTopK(indexed, "embedding", cents, q, 5, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(embs, "embedding", q, 5).select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+
+    // restricted probe: pushed filter on the stored cell + query's own row found
+    val restricted = Similarity.ivfTopK(indexed, "embedding", cents, q, 5, nprobe = 2)
+    val plan = restricted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("ivf_cell"), plan.take(2000))
+    assert(restricted.select("vec_id").as[Long].collect().contains(3L))
+  }
+
   test("knnJoin returns k best bucket-mates per id, symmetric pairs") {
     val knn = Similarity.knnJoin(embs.limit(200), "vec_id", "embedding", k = 3)
     val counts = knn.groupBy("id_a").agg(count(lit(1)).as("n")).select("n").as[Long].collect()
