@@ -165,15 +165,6 @@ object Multimodal {
     df.withColumn(outCol, featU(col(binCol)))
   }
 
-  /** STUB resize: passes bytes through while rewriting metadata — the real
-    * version re-encodes pixels; plumbing (column in, column out, no
-    * shuffle) is what's exercised. */
-  def resizeStub(df: DataFrame, binCol: String, metaCol: String,
-                 targetW: Int, targetH: Int): DataFrame =
-    df.withColumn(metaCol, struct(
-      col(s"$metaCol.format"), lit(targetW).as("width"), lit(targetH).as("height"),
-      col(s"$metaCol.channels"), col(s"$metaCol.size_bytes")))
-
   /** Frame sampling plumbing for video-like binary columns: emit one row per
     * sampled frame index (the decode that would slice real frames is the
     * stub; the explode + row multiplication is the real plan shape). */

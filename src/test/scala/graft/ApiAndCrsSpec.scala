@@ -145,6 +145,13 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(gdf.spatialPartition(2).df.rdd.getNumPartitions == 2)
   }
 
+  test("estimateUtmCrs picks the zone of the bounds centre") {
+    val nyc = GeoDataFrame.pointsFromXy(
+      Seq((1, -74.0, 40.7), (2, -73.9, 40.8)).toDF("id", "x", "y"), "x", "y",
+      crs = Some("EPSG:4326"))
+    assert(nyc.estimateUtmCrs() == "EPSG:32618")
+  }
+
   test("sjoin CRS mismatch raises") {
     val other = GeoDataFrame.pointsFromXy(Seq((1, 0.0, 0.0)).toDF("id", "x", "y"), "x", "y",
       crs = Some("EPSG:3857"))

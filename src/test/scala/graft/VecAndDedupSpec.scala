@@ -137,6 +137,17 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(restricted.select("vec_id").as[Long].collect().contains(3L))
   }
 
+  test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (30L, "completely different text about distributed query engines and state"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDedup(corpus, "doc_id", "text", k = 3, threshold = 0.9)
+    val m = out.select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(m(10L) == 10L && m(20L) == 10L && m(30L) == 30L)
+  }
+
   test("knnJoin returns k best bucket-mates per id, symmetric pairs") {
     val knn = Similarity.knnJoin(embs.limit(200), "vec_id", "embedding", k = 3)
     val counts = knn.groupBy("id_a").agg(count(lit(1)).as("n")).select("n").as[Long].collect()
