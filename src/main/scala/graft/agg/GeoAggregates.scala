@@ -60,6 +60,25 @@ object GeoAggregates {
     def outputEncoder: Encoder[Array[Byte]] = binEnc
   }
 
+  /** st_disjoint_subset_union_agg — union via connected components (ref
+    * union_all(method="disjoint_subset"), GEOS 3.12): clusters that don't
+    * touch never node against each other. Union is associative, so
+    * map-side compaction with the same kernel is safe. */
+  class DisjointSubsetUnionAgg extends Aggregator[Array[Byte], GeomBuf, Array[Byte]] {
+    private val compactAt = 128
+    private def compact(b: GeomBuf): GeomBuf =
+      if (b.items.length < compactAt) b
+      else GeomBuf(Seq(Wkb.write(GeomOps.unionAllDisjointSubset(b.items.map(Wkb.read)))))
+    def zero: GeomBuf = GeomBuf(Nil)
+    def reduce(b: GeomBuf, a: Array[Byte]): GeomBuf =
+      if (a == null) b else compact(GeomBuf(b.items :+ a))
+    def merge(x: GeomBuf, y: GeomBuf): GeomBuf = compact(GeomBuf(x.items ++ y.items))
+    def finish(b: GeomBuf): Array[Byte] =
+      if (b.items.isEmpty) null else Wkb.write(GeomOps.unionAllDisjointSubset(b.items.map(Wkb.read)))
+    def bufferEncoder: Encoder[GeomBuf] = bufEnc
+    def outputEncoder: Encoder[Array[Byte]] = binEnc
+  }
+
   /** st_collect_agg — collect geometries into a Multi-geometry or
     * GeometryCollection (no dissolve/dedup). */
   class CollectAgg extends Aggregator[Array[Byte], GeomBuf, Array[Byte]] {
@@ -114,12 +133,14 @@ object GeoAggregates {
 
   lazy val stUnionAggU = udaf(new UnionAgg())
   lazy val stCoverageUnionAggU = udaf(new CoverageUnionAgg())
+  lazy val stDisjointSubsetUnionAggU = udaf(new DisjointSubsetUnionAgg())
   lazy val stCollectAggU = udaf(new CollectAgg())
   lazy val stIntersectionAllAggU = udaf(new IntersectionAllAgg())
   lazy val stTotalBoundsAggU = udaf(new TotalBoundsAgg())
 
   def st_union_agg(g: Column): Column = stUnionAggU(g)
   def st_coverage_union_agg(g: Column): Column = stCoverageUnionAggU(g)
+  def st_disjoint_subset_union_agg(g: Column): Column = stDisjointSubsetUnionAggU(g)
   def st_collect_agg(g: Column): Column = stCollectAggU(g)
   def st_intersection_all_agg(g: Column): Column = stIntersectionAllAggU(g)
   def st_total_bounds_agg(g: Column): Column = stTotalBoundsAggU(g)
@@ -127,6 +148,7 @@ object GeoAggregates {
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("st_union_agg", stUnionAggU)
     spark.udf.register("st_coverage_union_agg", stCoverageUnionAggU)
+    spark.udf.register("st_disjoint_subset_union_agg", stDisjointSubsetUnionAggU)
     spark.udf.register("st_collect_agg", stCollectAggU)
     spark.udf.register("st_intersection_all_agg", stIntersectionAllAggU)
     spark.udf.register("st_total_bounds_agg", stTotalBoundsAggU)

@@ -115,7 +115,8 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
     * count/collect_list; unspecified non-key columns default to `first`. */
   def dissolve(by: Seq[String] = Nil, aggfunc: Map[String, String] = Map.empty,
                method: String = "unary"): GeoDataFrame = {
-    require(Seq("unary", "coverage").contains(method), s"method must be unary/coverage, got $method")
+    require(Seq("unary", "coverage", "disjoint_subset").contains(method),
+      s"method must be unary/coverage/disjoint_subset, got $method")
     def toAgg(c: String, f: String): Column = f match {
       case "first"        => first(col(c), ignoreNulls = false).as(c)
       case "sum"          => sum(col(c)).as(c)
@@ -127,9 +128,11 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
       case other          => expr(s"$other(`$c`)").as(c)
     }
     val dataCols = df.columns.filterNot(c => by.contains(c) || c == geometryCol)
-    val unionAgg =
-      if (method == "coverage") GeoAggregates.st_coverage_union_agg(geometry)
-      else GeoAggregates.st_union_agg(geometry)
+    val unionAgg = method match {
+      case "coverage"        => GeoAggregates.st_coverage_union_agg(geometry)
+      case "disjoint_subset" => GeoAggregates.st_disjoint_subset_union_agg(geometry)
+      case _                 => GeoAggregates.st_union_agg(geometry)
+    }
     val aggs = unionAgg.as(geometryCol) +:
       dataCols.map(c => toAgg(c, aggfunc.getOrElse(c, "first"))).toSeq
     val grouped =

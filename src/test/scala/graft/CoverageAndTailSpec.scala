@@ -144,6 +144,34 @@ class CoverageAndTailSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](GeomOps.samplePoints(g, 5, 42L, "cluster_poisson"))
   }
 
+  test("unionAllDisjointSubset: per-cluster unions, result equals UnaryUnion") {
+    // two overlapping clusters far apart + one singleton
+    val gs = Seq(
+      box(0, 0, 2, 2), box(1, 1, 3, 3),       // cluster A (overlap)
+      box(100, 100, 102, 102), box(101, 101, 103, 103), // cluster B
+      box(500, 500, 501, 501))                // singleton
+    val ds = GeomOps.unionAllDisjointSubset(gs)
+    val uu = GeomOps.unionAll(gs)
+    assert(math.abs(ds.getArea - uu.getArea) < 1e-12)
+    assert(ds.getNumGeometries == 3) // one polygon per cluster
+    assert(GeomOps.unionAllDisjointSubset(Seq(box(0, 0, 1, 1))).getArea == 1.0)
+    assert(GeomOps.unionAllDisjointSubset(Nil) == null)
+  }
+
+  test("dissolve(method=disjoint_subset) matches unary dissolve") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1, Wkb.write(box(0, 0, 2, 2))), (1, Wkb.write(box(1, 1, 3, 3))),
+      (1, Wkb.write(box(50, 50, 52, 52))),
+      (2, Wkb.write(box(10, 10, 11, 11)))).toDF("k", "geometry")
+    def areas(m: String) = graft.api.GeoDataFrame(df).dissolve(by = Seq("k"), method = m).df
+      .select(col("k"), graft.functions.GeoFunctions.st_area(col("geometry")))
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(areas("disjoint_subset") == areas("unary"))
+  }
+
   test("st_polygonize / st_polygonize_full as column ops") {
     val spark = SparkTestBase.spark
     import spark.implicits._
