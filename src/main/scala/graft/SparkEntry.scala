@@ -414,6 +414,20 @@ object SparkEntry {
     "q59_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 2, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+    "q67_pipeline" -> ((s, d) => {
+      // end-to-end training-data pipeline in ONE lazy plan: quality filter →
+      // language filter → exact dedup → minhash near-dup removal → stats
+      val filtered = docs(s, d)
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .filter(TextFunctions.langId(col("text")) === "en")
+      val exact = Dedup.exact(filtered, "doc_id", "text")
+      val pairs = Dedup.minhashPairs(exact, "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val nearDups = pairs.select(col("id_b").as("doc_id")).distinct()
+      val kept = exact.join(nearDups, Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_docs"),
+        round(avg(TextFunctions.tokenCount(col("text"))), 4).as("avg_tokens"),
+        sum(col("dup_count")).as("n_represented"))
+    }),
     "q66_dissolve_coverage" -> ((s, d) => {
       // the nation grid is a perfect polygonal coverage (non-overlapping,
       // edge-matched 20x20 cells) — the case CoverageUnion is built for
@@ -745,6 +759,30 @@ object SparkEntry {
       "q64_minhash_fast" -> minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.95),
       "q66_dissolve_coverage" ->
         s"SELECT n_regionkey, CAST(400 * count(*) AS DOUBLE) AS area, count(*) AS n_cells FROM $cells GROUP BY n_regionkey",
+      "q67_pipeline" -> {
+        val qualityExpr =
+          """round((least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE), CAST(1 AS DOUBLE))
+            | + least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+            | + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END) * CAST(5 AS DOUBLE)))
+            | / CAST(3 AS DOUBLE), 6)""".stripMargin.replace("\n", " ")
+        val langExpr =
+          """(list_max([
+            |  {'s': len(list_filter(toks0, x -> x IN ('der','die','das','und','ist'))), 'l': 'de'},
+            |  {'s': len(list_filter(toks0, x -> x IN ('the','and','of','to','is'))), 'l': 'en'},
+            |  {'s': len(list_filter(toks0, x -> x IN ('el','los','las','es','y'))), 'l': 'es'},
+            |  {'s': len(list_filter(toks0, x -> x IN ('le','la','les','et','est'))), 'l': 'fr'},
+            |  {'s': len(list_filter(toks0, x -> x IN ('de5','shi4','le5','zai4','he2'))), 'l': 'zh'}])).l""".stripMargin.replace("\n", " ")
+        s"""WITH f AS (
+           |  SELECT doc_id, text FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks0 FROM documents)
+           |  WHERE $qualityExpr >= CAST(0.5 AS DOUBLE) AND $langExpr = 'en'),
+           | ex AS (SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS dup_count FROM f GROUP BY md5(text)),
+           | nd AS (SELECT DISTINCT id_b AS doc_id FROM (${minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.5, src = "ex")})),
+           | kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+           | SELECT count(*) AS n_docs,
+           |   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+           |   CAST(sum(dup_count) AS BIGINT) AS n_represented
+           | FROM kept""".stripMargin.replace("\n", " ")
+      },
       // brute-force pair oracle: the LSH path must achieve 100% recall at
       // threshold 0.95 for the hash to match
       "q65_embedding_lsh" ->
@@ -803,15 +841,17 @@ object SparkEntry {
   private def fmtSql(x: String): String =
     s"(CASE WHEN $x = floor($x) THEN CAST(CAST($x AS BIGINT) AS VARCHAR) ELSE CAST($x AS VARCHAR) END)"
 
-  /** Shared MinHash-LSH oracle (mirrors Dedup.minhashPairs spec exactly). */
-  private def minhashOracle(k: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+  /** Shared MinHash-LSH oracle (mirrors Dedup.minhashPairs spec exactly).
+    * `src` = the relation to read (doc_id, text) from. */
+  private def minhashOracle(k: Int, numHashes: Int, bands: Int, threshold: Double,
+                            src: String = "documents"): String = {
     val rpb = numHashes / bands
     val shingleExpr = k match {
       case 2 => "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
       case 3 => "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
       case _ => throw new IllegalArgumentException("oracle supports k=2,3")
     }
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
        | sh AS (SELECT doc_id, $shingleExpr AS sh FROM tok WHERE len(toks) >= $k),
        | sigs AS (SELECT doc_id, sh, list_transform(range(0, $numHashes),
        |   j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM sh),
