@@ -25,9 +25,18 @@ object GeoParquet {
 
   /** Write a GeoDataFrame as GeoParquet (+ bbox covering column). Sorting by
     * Hilbert distance first makes row-group bbox stats tight, so spatial
-    * queries prune most groups — do it when `spatialSort` is set. */
+    * queries prune most groups — do it when `spatialSort` is set.
+    *
+    * `footerMetadata = true` additionally embeds the `geo` JSON in each
+    * file's parquet footer key-value section (the spec location external
+    * readers look at). Spark's writer owns the footer during the job, so
+    * this is a post-pass that re-emits each file via parquet-mr's
+    * zero-decode `appendFile` — one extra sequential copy per file. Use it
+    * for interchange exports; the sidecar (always written) is the
+    * zero-extra-IO default the engine itself reads. */
   def write(gdf: GeoDataFrame, path: String, coveringBbox: Boolean = true,
-            spatialSort: Boolean = false, numPartitions: Option[Int] = None): Unit = {
+            spatialSort: Boolean = false, numPartitions: Option[Int] = None,
+            footerMetadata: Boolean = false): Unit = {
     val g = gdf.geometryCol
     var df = gdf.df
     val (x0, y0, x1, y1) = gdf.totalBounds
@@ -52,6 +61,37 @@ object GeoParquet {
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_geo_metadata.json"), true)
     out.write(meta.getBytes("UTF-8"))
     out.close()
+    if (footerMetadata) embedFooterMetadata(gdf.df.sparkSession, path, meta)
+  }
+
+  /** Embed the `geo` key into every part file's footer key-value metadata
+    * (spec location). parquet-mr's `appendFile` copies row groups as raw
+    * bytes — no decode/re-encode — then `end()` writes a footer carrying
+    * the original key-values plus `geo`. */
+  def embedFooterMetadata(spark: SparkSession, path: String, geoJson: String): Unit = {
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val parts = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    parts.foreach { src =>
+      val in = HadoopInputFile.fromPath(src, conf)
+      val reader = ParquetFileReader.open(in)
+      val fmd = reader.getFooter.getFileMetaData
+      val schema = fmd.getSchema
+      val kv = new java.util.HashMap[String, String](fmd.getKeyValueMetaData)
+      reader.close()
+      kv.put("geo", geoJson)
+      val tmp = new org.apache.hadoop.fs.Path(src.getParent, "." + src.getName + ".geo_tmp")
+      val writer = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf), schema,
+        ParquetFileWriter.Mode.OVERWRITE, 128L * 1024 * 1024, 0)
+      writer.start()
+      writer.appendFile(in)
+      writer.end(kv)
+      fs.delete(src, false)
+      fs.rename(tmp, src)
+    }
   }
 
   /** Read GeoParquet: restores the primary geometry column + CRS from the

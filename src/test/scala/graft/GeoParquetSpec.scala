@@ -46,4 +46,28 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(!back.df.columns.contains("bbox"))
     assert(GeoParquet.readBbox(spark, s"$dir/pts", 10, 2, 20, 5).count() == 44)
   }
+
+  test("footerMetadata embeds the spec geo key; read works without the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("gpq_footer").toString
+    GeoParquet.write(sample, s"$dir/pts", footerMetadata = true)
+    // drop the sidecar to force the footer branch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/pts/_geo_metadata.json"), false)
+    val back = GeoParquet.read(spark, s"$dir/pts")
+    assert(back.geometryCol == "geometry")
+    assert(back.activeCrs.contains("EPSG:4326"))
+    assert(back.count() == 1000)
+    // data intact after the footer rewrite
+    val xs = back.df.select(sum(st_x(col("geometry")))).as[Double].head()
+    assert(xs == (0 until 1000).map(_ % 100).sum.toDouble)
+    // an external parquet reader sees the geo key in every file footer
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/pts"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, spark.sparkContext.hadoopConfiguration))
+    val kv = rd.getFooter.getFileMetaData.getKeyValueMetaData
+    rd.close()
+    assert(kv.containsKey("geo") && kv.get("geo").contains("\"primary_column\""))
+  }
 }
