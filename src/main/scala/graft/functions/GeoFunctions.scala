@@ -70,6 +70,17 @@ object GeoFunctions extends Serializable {
   def st_geomfromwkt(s: Column): Column = stGeomFromWktU(s)
   def st_geomfromwkb(b: Column): Column = stGeomFromWkbU(b)
   def st_astext(g: Column): Column = stAsTextU(g)
+
+  /** to_wkt(rounding_precision=) (ref geoseries.py:1408): WKT with at most
+    * `decimals` fraction digits. */
+  val stAsTextPrecU: UserDefinedFunction = udf((b: Array[Byte], decimals: Int) =>
+    if (b == null) null
+    else {
+      val factor = math.pow(10, decimals)
+      Wkb.writeWkt(GeomOps.transformCoords(rd(b),
+        (x, y, z) => (math.round(x * factor) / factor, math.round(y * factor) / factor, z)))
+    })
+  def st_astext(g: Column, decimals: Column): Column = stAsTextPrecU(g, decimals)
   def st_aswkb(g: Column): Column = g // WKB is the storage encoding
   def st_asgeojson(g: Column): Column = stAsGeoJsonU(g)
   def st_geomfromgeojson(s: Column): Column = stGeomFromGeoJsonU(s)

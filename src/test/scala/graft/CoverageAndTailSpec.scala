@@ -213,6 +213,16 @@ class CoverageAndTailSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("id", "geometry"))
   }
 
+  test("st_astext with rounding precision") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions._
+    val df = Seq(Wkb.write(GeomOps.point(1.23456789, -2.98765432))).toDF("g")
+    assert(df.select(st_astext(col("g"), lit(2))).as[String].head() == "POINT (1.23 -2.99)")
+    assert(df.select(st_astext(col("g"), lit(0))).as[String].head() == "POINT (1 -3)")
+  }
+
   test("GeoDataFrame.transform maps vertices as a column op") {
     val spark = SparkTestBase.spark
     import spark.implicits._
