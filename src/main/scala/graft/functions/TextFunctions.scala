@@ -111,7 +111,9 @@ object TextFunctions {
       }
     })
 
-  def minhashMd5(c: Column, k: Int, numHashes: Int): Column = minhashMd5U(shingles(c, k), lit(numHashes))
+  // (no direct-Column convenience for the md5 signature: it would embed the
+  // split() subtree in the shingle lambda — project tokens first, see
+  // shinglesOfTokens / Dedup.shingled)
 
   /** Fast engine-native MinHash for the 100 TB path (not oracle-
     * reproducible — the md5 spec above is the engine-independent one).

@@ -168,6 +168,15 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("approx BPE token count: words + punctuation runs counted separately") {
+    import graft.functions.TextFunctions
+    val df = Seq("hello, world!  it's fine").toDF("text")
+    val n = df.select(TextFunctions.approxBpeTokenCount(col("text"))).as[Int].head()
+    // hello , world ! it ' s fine -> 8 non-blank pieces
+    assert(n == 8)
+    assert(df.select(TextFunctions.tokenCount(col("text"))).as[Int].head() == 4)
+  }
+
   test("exact dedup keeps one representative with count") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "unique")).toDF("id", "text")
     val d = graft.ops.Dedup.exact(df, "id", "text")
