@@ -91,6 +91,33 @@ object Plans {
       SpatialJoin.sjoin(pts, cells.filter(col("n_nationkey") < 5), "intersects", "left", broadcastThreshold = -1)
     }
 
+    section("IVF ANN probe (stored cell column)",
+      "Second ANN path besides LSH: deterministic centroids at ingest, nprobe-nearest cells at query. " +
+        "The probe is In(ivf_cell, ...) in PushedFilters — same pruning shape as the LSH bucket.") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_ivf").toString
+      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = graft.ops.Similarity.ivfCentroids(embs, "vec_id", "embedding", k = 16)
+      graft.ops.Similarity.withIvfCell(embs, "embedding", cents).sort("ivf_cell")
+        .write.mode("overwrite").parquet(s"$tmp/emb")
+      val q = embs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      graft.ops.Similarity.ivfTopK(spark.read.parquet(s"$tmp/emb"), "embedding", cents, q, 10, nprobe = 2)
+    }
+
+    section("End-to-end pipeline (quality -> lang -> dedup -> near-dup -> stats)",
+      "One lazy plan across four pipeline stages: scans stay columnar, the dedup window and " +
+        "LSH band join are the only shuffles, and the final aggregate is partial+final. " +
+        "This is q67's plan — each stage is individually oracle-gated elsewhere.") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      import graft.functions.TextFunctions
+      val filtered = docs
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        .filter(TextFunctions.langId(col("text")) === "en")
+      val exact = graft.ops.Dedup.exact(filtered, "doc_id", "text")
+      val pairs = graft.ops.Dedup.minhashPairs(exact, "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      val kept = exact.join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      kept.agg(count(lit(1)).as("n_docs"))
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)
