@@ -50,6 +50,28 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(!found.exists { case (a, b) => Set(a, b).contains(2L) })
   }
 
+  test("windowed cell counts: watermark + tumbling window + grid cell aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.GeoFunctions.st_point
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val stream = input.toDF().toDF("ts", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y")))
+    val counts = graft.streaming.StreamingGeo.windowedCellCounts(
+      stream, "ts", "geometry", cellSize = 10.0, windowLength = "5 minutes", watermark = "1 minute")
+    val q = counts.writeStream.format("memory").queryName("wcc")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:30")
+    input.addData((t0, 1.0, 1.0), (t0, 2.0, 2.0), (t0, 15.0, 1.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first window
+    input.addData((java.sql.Timestamp.valueOf("2026-01-01 00:30:00"), 1.0, 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.sql("select cell_x, cell_y, n from wcc").as[(Long, Long, Long)].collect().toSet
+    assert(rows.contains((0L, 0L, 2L))) // two points in cell (0,0)
+    assert(rows.contains((1L, 0L, 1L))) // one point in cell (1,0)
+  }
+
   test("make_valid method=linework and structure both repair a bowtie") {
     val bowtie = Wkb.readWkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
     assert(!bowtie.isValid)
