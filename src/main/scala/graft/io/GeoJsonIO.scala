@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object GeoJsonIO {
 
+  /** [[read]] with `read_file`-style pushdown args (ref io/file.py:197-339):
+    * `bbox` keeps features intersecting it, `columns` prunes properties
+    * (geometry kept), `rows` caps the count. */
+  def read(spark: SparkSession, path: String,
+           bbox: Option[(Double, Double, Double, Double)],
+           columns: Option[Seq[String]] = None,
+           rows: Option[Int] = None): GeoDataFrame = {
+    val base = read(spark, path)
+    val bboxed = bbox.map { case (x0, y0, x1, y1) =>
+      base.copy(df = base.df.filter(st_intersects(col(base.geometryCol),
+        lit(graft.geom.Wkb.write(graft.geom.GeomOps.makeBox(x0, y0, x1, y1))))))
+    }.getOrElse(base)
+    val pruned = columns.map { cs =>
+      val keep = (cs :+ bboxed.geometryCol).distinct.filter(bboxed.df.columns.contains)
+      bboxed.copy(df = bboxed.df.select(keep.map(col): _*))
+    }.getOrElse(bboxed)
+    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+  }
+
   /** Read newline-delimited features (or a single FeatureCollection file). */
   def read(spark: SparkSession, path: String): GeoDataFrame = {
     val txt = spark.read.text(path)

@@ -145,6 +145,18 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(gdf.spatialPartition(2).df.rdd.getNumPartitions == 2)
   }
 
+  test("toCrs through the state-plane LCC (4326 -> 2263) round-trips") {
+    val nyc = GeoDataFrame.pointsFromXy(
+      Seq((1, -73.9857, 40.7484)).toDF("id", "x", "y"), "x", "y", crs = Some("EPSG:4326"))
+    val sp = nyc.toCrs("EPSG:2263")
+    assert(sp.activeCrs.contains("EPSG:2263"))
+    val (e, n) = sp.df.select(st_x(col("geometry")), st_y(col("geometry"))).as[(Double, Double)].head()
+    assert(e > 970000 && e < 1000000 && n > 200000 && n < 225000, s"($e, $n)")
+    val back = sp.toCrs("EPSG:4326").df
+      .select(st_x(col("geometry")), st_y(col("geometry"))).as[(Double, Double)].head()
+    assert(math.abs(back._1 - -73.9857) < 1e-8 && math.abs(back._2 - 40.7484) < 1e-8)
+  }
+
   test("estimateUtmCrs picks the zone of the bounds centre") {
     val nyc = GeoDataFrame.pointsFromXy(
       Seq((1, -74.0, 40.7), (2, -73.9, 40.8)).toDF("id", "x", "y"), "x", "y",

@@ -24,6 +24,18 @@ class GeoJsonIOSpec extends AnyFunSuite {
     assert(xs.toSeq == Seq(1.5, 3.0))
   }
 
+  test("geojson read with bbox/columns/rows args") {
+    val df = Seq((1L, "a", 1.0, 1.0), (2L, "b", 50.0, 50.0), (3L, "c", 2.0, 2.0))
+      .toDF("id", "name", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gjargs").toString
+    GeoJsonIO.write(GeoDataFrame.pointsFromXy(df, "x", "y"), s"$dir/f")
+    val filtered = GeoJsonIO.read(spark, s"$dir/f", bbox = Some((0.0, 0.0, 10.0, 10.0)),
+      columns = Some(Seq("id")))
+    assert(filtered.df.columns.toSet == Set("id", "geometry"))
+    assert(filtered.df.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(GeoJsonIO.read(spark, s"$dir/f", bbox = None, rows = Some(2)).df.count() == 2)
+  }
+
   test("reads a FeatureCollection file") {
     val fc = """{"type":"FeatureCollection","features":[
       {"type":"Feature","properties":{"a":1},"geometry":{"type":"Point","coordinates":[10,20]}},
