@@ -285,12 +285,21 @@ object SpatialJoin {
     }
   }
 
-  /** Compute joint grid from both sides' stats in one pass each. Cell size
-    * targets ~`targetPerCell` rows per cell of the bigger side while staying
-    * above the average bbox size (to bound duplication factor). */
+  /** Compute joint grid from both sides' stats. Cell size targets
+    * ~`targetPerCell` rows per cell of the bigger side while staying above
+    * the average bbox size (to bound duplication factor).
+    *
+    * Stats come from a seeded 2% SAMPLE when the side is large enough (a
+    * full min/max/avg pass over a 100 TB side just to SIZE the grid would
+    * double the job's IO). Sampling is safe: `cellsFor`/`cellOf` clamp into
+    * the grid, so geometries outside the sampled bounds land in edge cells
+    * — the bbox-overlap precondition, exact refine and reference-cell dedup
+    * all still hold for any grid; only skew can degrade, not correctness. */
   private def computeGrid(l: DataFrame, lGeom: String, r: DataFrame, rGeom: String,
                           expand: Double): GridSpec = {
-    def stats(df: DataFrame, g: String): (Double, Double, Double, Double, Long, Double, Double) = {
+    val SampleFraction = 0.02
+    val MinSampledRows = 2000L
+    def fullStats(df: DataFrame, g: String): (Double, Double, Double, Double, Long, Double, Double) = {
       val b = graft.functions.GeoFunctions.st_bounds(col(g))
       val row = df.select(b.as("b")).filter(col("b").isNotNull)
         .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax"), count(lit(1)),
@@ -298,6 +307,11 @@ object SpatialJoin {
       if (row.isNullAt(0)) (0, 0, 0, 0, 0L, 0, 0)
       else (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getLong(4),
         row.getDouble(5), row.getDouble(6))
+    }
+    def stats(df: DataFrame, g: String): (Double, Double, Double, Double, Long, Double, Double) = {
+      val s = fullStats(df.sample(withReplacement = false, SampleFraction, seed = 42L), g)
+      if (s._5 < MinSampledRows) fullStats(df, g) // small side: exact stats, still one cheap pass
+      else (s._1, s._2, s._3, s._4, (s._5 / SampleFraction).toLong, s._6, s._7)
     }
     val (lx0, ly0, lx1, ly1, ln, lw, lh) = stats(l, lGeom)
     val (rx0, ry0, rx1, ry1, rn, rw, rh) = stats(r, rGeom)
