@@ -110,6 +110,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(back.filter(col("geometry").isNotNull).select("id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("sampled grid stats: outlier far outside sampled bounds still joins (edge-cell clamp)") {
+    // 120k clustered points engage the 2% sampling path; the outlier at
+    // (1e6, 1e6) is almost surely outside the sampled bounds and must still
+    // pair with its polygon via edge-cell clamping
+    val rng = new scala.util.Random(3)
+    val pts = spark.range(120000)
+      .select(col("id"),
+        (rand(5) * 100).as("x"), (rand(6) * 100).as("y"))
+      .select(col("id"), st_point(col("x"), col("y")).as("geometry"))
+      .unionByName(Seq((999999L, Wkb.write(GeomOps.point(1e6, 1e6)))).toDF("id", "geometry"))
+    val polys = Seq(
+      (1, Wkb.write(GeomOps.makeBox(999990.0, 999990.0, 1000010.0, 1000010.0))),
+      (2, Wkb.write(GeomOps.makeBox(0.0, 0.0, 1.0, 1.0)))).toDF("pid", "geometry")
+    val j = SpatialJoin.sjoin(pts, polys, "intersects", "inner", broadcastThreshold = -1)
+    val outlierPairs = j.filter(col("id") === 999999L).select("pid").as[Int].collect().toSeq
+    assert(outlierPairs == Seq(1))
+  }
+
   test("degenerate grid join: all geometries at one point") {
     val same = (0 until 50).map(i => (i, Wkb.write(GeomOps.point(5, 5)))).toDF("id", "geometry")
     val j = SpatialJoin.sjoin(same, same.withColumnRenamed("id", "id2"), "intersects", "inner",
