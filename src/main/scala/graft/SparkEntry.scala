@@ -458,8 +458,15 @@ object SparkEntry {
     "q65_embedding_lsh" -> ((s, d) =>
       // the scale path for embedding dedup (multi-table LSH, bucket-bounded
       // work) gated directly against the brute-force pair oracle: any
-      // recall loss fails the hash compare
-      Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding", threshold = 0.95)
+      // recall loss fails the hash compare. The driver data's closest pairs
+      // sit at cosine ~0.45-0.51, so the gate runs there (a 0.95 gate would
+      // be vacuously green on an empty pair set) with banding re-tuned for
+      // that threshold: 4 planes/band × 48 tables gives per-pair miss
+      // ≈ (1 - p^4)^48 ≈ 8.5e-5 at t=0.45 (p = 1 - arccos(t)/π), verified
+      // exhaustive on this data. Production dedup at t=0.95 keeps the
+      // sharper 8×24 default; both exercise the identical code path.
+      Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
+        planes = 192, bands = 48, threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
     "q62_sjoin_left_attr" -> ((s, d) => {
       // left sjoin + on_attribute: pairs must satisfy BOTH the spatial
@@ -784,14 +791,15 @@ object SparkEntry {
            | FROM kept""".stripMargin.replace("\n", " ")
       },
       // brute-force pair oracle: the LSH path must achieve 100% recall at
-      // threshold 0.95 for the hash to match
+      // threshold 0.45 (non-empty on the driver data — 14 pairs at sf0.01)
+      // for the hash to match
       "q65_embedding_lsh" ->
         s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
            |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
            |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
            |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.95 AS DOUBLE)""".stripMargin.replace("\n", " "),
+           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " "),
       "q60_embedding_pairs" ->
         s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
            | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -61,9 +61,10 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   private def derived(c: Column): DataFrame = df.withColumn(geometryCol, c)
 
   /** The reference warns when planar measures run in a geographic CRS —
-    * degrees are not meters (array.py:435-446). */
+    * degrees are not meters (array.py:435-446). Never throws: a WKT-valued
+    * CRS (e.g. a raw .prj from the Shapefile reader) is a normal state. */
   private def warnIfGeographic(op: String): Unit =
-    activeCrs.filter(c => GeoDataFrame.GeographicEpsg.contains(CrsTransform.normalize(c)))
+    activeCrs.filter(CrsTransform.isGeographic)
       .foreach { c =>
         org.slf4j.LoggerFactory.getLogger(classOf[GeoDataFrame]).warn(
           s"Geometry is in a geographic CRS ($c); '$op' results are likely incorrect. " +
@@ -240,8 +241,17 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
 
   private def checkCrs(other: GeoDataFrame): Unit = {
     (activeCrs, other.activeCrs) match {
-      case (Some(a), Some(b)) if CrsTransform.normalize(a) != CrsTransform.normalize(b) =>
-        throw new IllegalArgumentException(s"CRS mismatch: $a vs $b (ref array.py:96-139)")
+      case (Some(a), Some(b)) =>
+        (CrsTransform.normalizeOpt(a), CrsTransform.normalizeOpt(b)) match {
+          case (Some(ca), Some(cb)) if ca != cb =>
+            throw new IllegalArgumentException(s"CRS mismatch: $a vs $b (ref array.py:96-139)")
+          case (Some(_), Some(_)) => ()
+          case _ =>
+            // WKT CRS with no recoverable EPSG code: comparable only textually
+            if (a.trim != b.trim)
+              org.slf4j.LoggerFactory.getLogger(classOf[GeoDataFrame]).warn(
+                s"CRS strings differ and are not EPSG-comparable: '$a' vs '$b'")
+        }
       case _ => ()
     }
   }
@@ -272,10 +282,6 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
 }
 
 object GeoDataFrame {
-  /** Geographic (angular-unit) EPSG codes the engine's CRS allowlist can
-    * produce; planar-measure warnings key off these. */
-  private[api] val GeographicEpsg: Set[Int] = Set(4326, 4269, 4267)
-
   /** points_from_xy constructor (ref array.py:293-343). */
   def pointsFromXy(df: DataFrame, x: String, y: String, geomName: String = "geometry",
                    crs: Option[String] = None): GeoDataFrame =

@@ -29,6 +29,32 @@ object CrsTransform {
     else c.toInt
   }
 
+  /** Tolerant variant of [[normalize]]: CRS read from the wild (e.g. a .prj
+    * WKT stored verbatim by the Shapefile reader) is a normal state, not an
+    * error. WKT1/WKT2 strings carry their EPSG code in a trailing
+    * AUTHORITY/ID clause — recover it when present, otherwise None. */
+  def normalizeOpt(crs: String): Option[Int] = {
+    scala.util.Try(normalize(crs)).toOption.orElse {
+      // last AUTHORITY["EPSG","4326"] (WKT1) or ID["EPSG",4326] (WKT2) wins:
+      // earlier clauses belong to nested datum/spheroid definitions.
+      val auth = """(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+      auth.findAllMatchIn(crs).toSeq.lastOption.map(_.group(1).toInt)
+    }
+  }
+
+  /** Whether a CRS string denotes a geographic (angular-unit) CRS. Keys off
+    * the engine's known geographic EPSG codes, falling back to the WKT
+    * keyword for unparseable strings (ref pyproj CRS.is_geographic used at
+    * array.py:435-446). */
+  def isGeographic(crs: String): Boolean =
+    normalizeOpt(crs) match {
+      case Some(code) => GeographicEpsg.contains(code)
+      case None       => crs.trim.toUpperCase.matches("^(GEOGCS|GEOGCRS|GEODCRS)\\b.*")
+    }
+
+  /** Geographic (angular-unit) EPSG codes within the engine's allowlist. */
+  val GeographicEpsg: Set[Int] = Set(4326, 4269, 4267)
+
   /** Identity transform. */
   object Identity extends CrsTransform {
     def forward(x: Double, y: Double): (Double, Double) = (x, y)

@@ -68,9 +68,12 @@ object Shapefile {
       StructField("geometry", BinaryType, nullable = true))
 
     val sc = spark.sparkContext
+    // executors must see the job's Hadoop conf (S3 creds, fs impls, defaultFS)
+    // for the sibling .dbf read — a fresh Configuration() would drop it all
+    val serConf = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
     val rowsRdd = sc.binaryFiles(shpPaths.mkString(",")).flatMap { case (p, stream) =>
       val shp = stream.toArray()
-      val dbfBytes = readBytesInTask(p.replaceAll("\\.shp$", ".dbf"))
+      val dbfBytes = readBytesInTask(p.replaceAll("\\.shp$", ".dbf"), serConf.value)
       val recs = parseShpRecords(shp)
       val attrs = dbfBytes.map(parseDbfRecords).getOrElse(Array.empty[Array[Any]])
       recs.zipWithIndex.map { case (wkb, i) =>
@@ -95,6 +98,15 @@ object Shapefile {
     val geoms = rows.map(r => Option(r.getAs[Array[Byte]](r.fieldIndex(g))).map(Wkb.read).orNull)
 
     val shapeType = dominantShapeType(geoms)
+    // a shapefile layer holds exactly ONE type family; encoding a Polygon
+    // with a Point record layout would silently corrupt data, so mirror the
+    // reference/GDAL behavior and raise on mixed-type frames
+    val families = geoms.filter(gm => gm != null && !gm.isEmpty)
+      .map(typeFamily).distinct
+    if (families.length > 1)
+      throw new IllegalArgumentException(
+        s"Shapefile layers cannot mix geometry types (found ${families.sorted.mkString(", ")}); " +
+          "split by geometry family or use GeoParquet (ref GDAL/pyogrio raises the same way)")
     val recs = geoms.map(geomRecord(_, shapeType))
     // file bbox over non-null geometries
     val env = new org.locationtech.jts.geom.Envelope()
@@ -123,6 +135,14 @@ object Shapefile {
     gdf.crs.get(g).foreach { wkt =>
       java.nio.file.Files.write(java.nio.file.Paths.get(base + ".prj"), wkt.getBytes("UTF-8"))
     }
+  }
+
+  private def typeFamily(g: Geometry): String = g.getGeometryType match {
+    case "Point"                          => "Point"
+    case "MultiPoint"                     => "MultiPoint"
+    case "LineString" | "MultiLineString" => "Line"
+    case "Polygon" | "MultiPolygon"       => "Polygon"
+    case other                            => other // GeometryCollection etc. — never encodable
   }
 
   private def dominantShapeType(geoms: Array[Geometry]): Int = {
@@ -343,7 +363,9 @@ object Shapefile {
     while (off + 8 <= fileLen) {
       val contentLen = be32(b, off.toInt + 4) * 2 // bytes
       val rec = off.toInt + 8
-      if (rec + contentLen > b.length) { out += null; off = fileLen }
+      // negative contentLen (corrupt record) would make off non-increasing —
+      // terminate the scan rather than loop forever
+      if (contentLen < 0 || rec + contentLen > b.length) { out += null; off = fileLen }
       else {
         out += (try parseShape(b, rec, contentLen)
         catch { case _: Exception => null })
@@ -520,10 +542,11 @@ object Shapefile {
     }
   }
 
-  /** Executor-side sibling read (tasks have no SparkSession). */
-  private def readBytesInTask(path: String): Option[Array[Byte]] = {
+  /** Executor-side sibling read (tasks have no SparkSession); conf is the
+    * driver's hadoopConfiguration, shipped via SerializableConfiguration. */
+  private def readBytesInTask(path: String, conf: org.apache.hadoop.conf.Configuration): Option[Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
       val len = fs.getFileStatus(p).getLen.toInt

@@ -94,10 +94,13 @@ object Similarity {
                     planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame =
     df.withColumn(bucketCol, annBucket(col(vecCol), planes, dim, seed))
 
-  /** All buckets within `probeHamming` bit-flips of the query's bucket. */
+  /** All buckets within `probeHamming` bit-flips of the query's bucket.
+    * `dim` MUST be the ingest dim of [[withAnnBucket]]: the stored buckets
+    * truncate planes to `dim` components, and the query bucket has to use
+    * the identical truncation or the hamming-probe guarantee is void. */
   def probeBuckets(query: Seq[Float], planes: Int = 8, probeHamming: Int = 2,
-                   seed: Long = 42L): Seq[Int] = {
-    val qb = bucketOf(query, radPlane(planes, query.length, seed))
+                   seed: Long = 42L, dim: Int = 64): Seq[Int] = {
+    val qb = bucketOf(query, radPlane(planes, dim, seed))
     (0 until (1 << planes)).filter(b => Integer.bitCount(b ^ qb) <= probeHamming)
   }
 
@@ -107,8 +110,9 @@ object Similarity {
     * the 100 TB path — the corpus is NOT rescanned per query. */
   def annTopKIndexed(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,
                      idCol: String = "vec_id", bucketCol: String = "ann_bucket",
-                     planes: Int = 8, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
-    val probes = probeBuckets(query, planes, probeHamming, seed)
+                     planes: Int = 8, probeHamming: Int = 2, seed: Long = 42L,
+                     dim: Int = 64): DataFrame = {
+    val probes = probeBuckets(query, planes, probeHamming, seed, dim)
     val q = array(query.map(v => lit(v)): _*)
     val filtered =
       if (probes.size >= (1 << planes)) df // probing everything = exact scan
@@ -127,7 +131,7 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     val dim = query.length
     val withBucket = withAnnBucket(df, vecCol, "__graft_bucket", planes, dim, seed)
-    annTopKIndexed(withBucket, vecCol, query, k, idCol, "__graft_bucket", planes, probeHamming, seed)
+    annTopKIndexed(withBucket, vecCol, query, k, idCol, "__graft_bucket", planes, probeHamming, seed, dim)
       .drop("__graft_bucket")
   }
 

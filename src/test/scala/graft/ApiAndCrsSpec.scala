@@ -170,6 +170,18 @@ class GeoDataFrameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](gdf.sjoin(other))
   }
 
+  test("normalizeOpt recovers EPSG from WKT AUTHORITY/ID clauses; null for authority-free WKT") {
+    import graft.crs.CrsTransform
+    val wkt1 = """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,
+      |AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],
+      |UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]""".stripMargin.replace("\n", "")
+    assert(CrsTransform.normalizeOpt(wkt1).contains(4326)) // LAST authority wins, not 7030
+    assert(CrsTransform.normalizeOpt("EPSG:3857").contains(3857))
+    assert(CrsTransform.normalizeOpt("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]""").isEmpty)
+    assert(CrsTransform.isGeographic("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]"""))
+    assert(!CrsTransform.isGeographic("""PROJCS["NAD83 / New York Long Island"]"""))
+  }
+
   test("getCoordinates flattens vertices") {
     val df = Seq((1, Wkb.write(Wkb.readWkt("LINESTRING (0 0, 1 1, 2 2)")))).toDF("id", "geometry")
     assert(GeoDataFrame(df).getCoordinates.count() == 3)

@@ -179,6 +179,47 @@ class ShapefileSpec extends AnyFunSuite {
     assert(rows(0)._1 == -42L && math.abs(rows(0)._2 - -9.87654321e12) < 1e-2)
   }
 
+  test("planar ops on a WKT-CRS frame warn instead of throwing (ADVICE r3)") {
+    // Shapefile.read stores the raw .prj WKT as CRS; area/buffer must not
+    // crash on a non-EPSG CRS string (ref array.py:435-446 only warns)
+    val gdf = Shapefile.read(spark, lowres)
+    assert(gdf.area.count() == 177)        // would NumberFormatException before the fix
+    assert(gdf.buffer(0.1).df.count() == 177)
+    // the lowres .prj is geographic WKT — the detector should see it
+    assert(graft.crs.CrsTransform.isGeographic(gdf.crs("geometry")))
+    // sjoin CRS check is also tolerant of WKT-vs-WKT frames
+    val joined = gdf.sjoin(Shapefile.read(spark, cities))
+    assert(joined.df.count() > 0)
+  }
+
+  test("write raises on mixed geometry-type frames instead of corrupting") {
+    import graft.api.GeoDataFrame
+    val mixed = Seq(
+      (1L, Wkb.write(GeomOps.point(0, 0))),
+      (2L, Wkb.write(GeomOps.makeBox(0, 0, 1, 1))))
+      .toDF("id", "geometry")
+    val dir = java.nio.file.Files.createTempDirectory("shpmx").toString
+    val e = intercept[IllegalArgumentException](
+      Shapefile.write(GeoDataFrame(mixed), s"$dir/mx.shp"))
+    assert(e.getMessage.contains("mix"))
+  }
+
+  test("corrupt .shp with negative record length terminates (no infinite loop)") {
+    // header declares a large file length, then one record whose contentLen
+    // is negative — the scan must stop rather than spin
+    val b = java.nio.ByteBuffer.allocate(112)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(9994); b.position(24); b.putInt(1000) // fileLen in 16-bit words
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.position(32); b.putInt(1000).putInt(1)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.position(100); b.putInt(1).putInt(-8) // record 1, contentLen -8 words
+    val dir = java.nio.file.Files.createTempDirectory("shpcor")
+    java.nio.file.Files.write(dir.resolve("bad.shp"), b.array())
+    val df = Shapefile.read(spark, dir.resolve("bad.shp").toString).df
+    assert(df.count() <= 1) // parsed as a single null geometry row at most
+  }
+
   test("polygon holes: ring orientation assembly preserves area (vs envelope)") {
     // South Africa contains Lesotho as a hole in naturalearth_lowres
     val za = Shapefile.read(spark, lowres).df.filter(col("name") === "South Africa")

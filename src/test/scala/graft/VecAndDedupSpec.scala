@@ -101,6 +101,17 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(restricted.select("vec_id").as[Long].collect().contains(1L))
   }
 
+  test("annTopKIndexed with ingest dim < vector length probes the right buckets (ADVICE r3)") {
+    // stored buckets truncate planes to dim=16; the query bucket must use
+    // the identical truncation or the self row escapes its own bucket
+    val q = embs.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+    val indexed = Similarity.withAnnBucket(embs, "embedding", dim = 16)
+    val hit = Similarity.annTopKIndexed(indexed, "embedding", q, 5,
+      probeHamming = 0, dim = 16)
+      .select("vec_id").as[Long].collect()
+    assert(hit.contains(3L), "query's own vector must be in its probe bucket")
+  }
+
   test("annTopK (on-the-fly bucket) equals annTopKIndexed at same probe") {
     val q = embs.filter(col("vec_id") === 2).select("embedding").head().getSeq[Float](0)
     val a = Similarity.annTopK(embs, "embedding", q, 5, probeHamming = 2)
