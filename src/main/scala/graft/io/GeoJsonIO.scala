@@ -2,7 +2,6 @@ package graft.io
 
 import graft.api.GeoDataFrame
 import graft.functions.GeoFunctions._
-import graft.functions.GeoJson
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,24 +35,25 @@ object GeoJsonIO {
     rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
   }
 
-  /** Read newline-delimited features (or a single FeatureCollection file). */
+  /** Read newline-delimited features (or FeatureCollection document files —
+    * including pretty-printed ones, which never fit the one-line sniff). */
   def read(spark: SparkSession, path: String): GeoDataFrame = {
     val txt = spark.read.text(path)
-    val first = txt.limit(1).collect().headOption.map(_.getString(0).trim).getOrElse("")
+    // FC sniff on the first few lines only (a pretty-printed document opens
+    // with a bare "{"); ndjson lines are complete {"type":"Feature",...}
+    // objects, never a FeatureCollection member
+    val head = txt.limit(5).collect().map(_.getString(0)).mkString("\n").trim
     val lines: DataFrame =
-      if (first.startsWith("{") && first.contains("\"FeatureCollection\"")) {
-        // whole-file collection: split features on the driver (small files)
-        val all = txt.collect().map(_.getString(0)).mkString("\n")
-        val features = GeoJson.parseJson(all) match {
-          case m: Map[String @unchecked, Any @unchecked] =>
-            m.get("features") match {
-              case Some(fs: Vector[Any @unchecked]) => fs.map(writeJson)
-              case _                                => Vector.empty[String]
-            }
-          case _ => Vector.empty[String]
-        }
-        import spark.implicits._
-        features.toDF("value")
+      if (head.startsWith("{") && head.contains("\"FeatureCollection\"")) {
+        // whole-document collection(s): stream-split the features array on
+        // EXECUTORS (binaryFiles ships one stream per file; the extractor
+        // holds one feature in memory, never the document) — a multi-GB FC
+        // no longer lands on the driver, and a directory of FC files
+        // parallelizes per file
+        val rdd = spark.sparkContext
+          .binaryFiles(path, minPartitions = spark.sparkContext.defaultParallelism)
+          .flatMap { case (_, pds) => featureIterator(pds.open()) }
+        spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING).toDF("value")
       } else txt.filter(trim(col("value")) =!= "")
 
     // one plan: properties via from_json (schema inferred once), geometry
@@ -71,15 +71,93 @@ object GeoJsonIO {
     GeoDataFrame(flat, "geometry", Map("geometry" -> "OGC:CRS84"))
   }
 
-  private def writeJson(v: Any): String = v match {
-    case m: Map[String @unchecked, Any @unchecked] =>
-      m.map { case (k, x) => "\"" + k + "\":" + writeJson(x) }.mkString("{", ",", "}")
-    case xs: Vector[Any @unchecked] => xs.map(writeJson).mkString("[", ",", "]")
-    case s: String                  => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case null                       => "null"
-    case d: Double                  => if (d == d.toLong.toDouble) d.toLong.toString else d.toString
-    case other                      => other.toString
-  }
+  /** Pull-based extractor of the members of a FeatureCollection's
+    * `features` array from a raw JSON byte stream. One pass, O(single
+    * feature) memory, no full-document parse; feature text is emitted
+    * verbatim (numbers keep their exact source form). Byte-level scanning is
+    * UTF-8-safe: every structural char is ASCII and multi-byte sequences
+    * never contain ASCII bytes. Closes the stream at end-of-array/EOF. */
+  private[io] def featureIterator(raw: java.io.InputStream): Iterator[String] =
+    new scala.collection.AbstractIterator[String] {
+      private val in = new java.io.BufferedInputStream(raw, 1 << 16)
+      private var pending: String = null
+      private var done = false
+      private var seeking = true
+
+      /** Advance to just past the `[` of the top-level "features" key. */
+      private def seekFeaturesArray(): Boolean = {
+        var depth = 0
+        var inStr = false
+        var esc = false
+        val str = new StringBuilder
+        var lastString: String = null
+        var lastKey: String = null
+        var c = in.read()
+        while (c >= 0) {
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') { inStr = false; lastString = str.toString }
+            else str.append(c.toChar)
+          } else (c: @annotation.switch) match {
+            case '"' => inStr = true; str.clear()
+            case ':' => if (depth == 1) lastKey = lastString
+            case '{' => depth += 1
+            case '[' =>
+              if (depth == 1 && lastKey == "features") return true
+              depth += 1
+            case '}' | ']' => depth -= 1
+            case _ => ()
+          }
+          c = in.read()
+        }
+        false
+      }
+
+      /** Extract the next balanced `{...}` object, or null at `]`/EOF. */
+      private def nextObject(): String = {
+        var c = in.read()
+        while (c >= 0 && c != '{' && c != ']') c = in.read()
+        if (c < 0 || c == ']') { in.close(); return null }
+        val buf = new java.io.ByteArrayOutputStream(4096)
+        buf.write('{')
+        var depth = 1
+        var inStr = false
+        var esc = false
+        while (depth > 0) {
+          val b = in.read()
+          if (b < 0) { in.close(); return null } // truncated document
+          buf.write(b)
+          if (inStr) {
+            if (esc) esc = false
+            else if (b == '\\') esc = true
+            else if (b == '"') inStr = false
+          } else (b: @annotation.switch) match {
+            case '"'       => inStr = true
+            case '{' | '[' => depth += 1
+            case '}' | ']' => depth -= 1
+            case _         => ()
+          }
+        }
+        buf.toString("UTF-8")
+      }
+
+      def hasNext: Boolean = {
+        if (pending == null && !done) {
+          if (seeking) { seeking = false; if (!seekFeaturesArray()) { done = true; in.close() } }
+          if (!done) {
+            pending = nextObject()
+            if (pending == null) done = true
+          }
+        }
+        pending != null
+      }
+
+      def next(): String = {
+        if (!hasNext) throw new NoSuchElementException("end of features array")
+        val out = pending; pending = null; out
+      }
+    }
 
   /** Write as newline-delimited GeoJSON features. */
   def write(gdf: GeoDataFrame, path: String): Unit = {

@@ -47,6 +47,40 @@ class GeoJsonIOSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.df.select(st_y(col("geometry"))).as[Double].collect().sorted.toSeq == Seq(20.0, 40.0))
   }
+
+  test("pretty-printed multi-file FeatureCollection reads distributed, matching ndjson") {
+    // two pretty-printed FC documents (multi-line, nested braces/brackets,
+    // escaped quotes and a decoy "features" string inside properties) — the
+    // executor-side stream splitter must recover every feature from both
+    // files, with NO whole-document driver collect
+    def feature(i: Int): String =
+      s"""    {
+         |      "type": "Feature",
+         |      "properties": {"id": $i, "tag": "a\\"[{b$i", "note": "features"},
+         |      "geometry": {"type": "Point", "coordinates": [${i % 50}, ${i / 50}]}
+         |    }""".stripMargin
+    def fcDoc(ids: Range): String =
+      s"""{
+         |  "type": "FeatureCollection",
+         |  "bbox": [0, 0, 50, 50],
+         |  "crs": {"type": "name", "properties": {"name": "urn:ogc:def:crs:OGC:1.3:CRS84"}},
+         |  "features": [
+         |${ids.map(feature).mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("gjfc2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.geojson"), fcDoc(0 until 500))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.geojson"), fcDoc(500 until 1000))
+    val back = GeoJsonIO.read(spark, dir)
+    assert(back.df.rdd.getNumPartitions >= 2, "one task per FC file — distributed, not a driver loop")
+    assert(back.count() == 1000)
+    val ids = back.df.select(col("id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 1000L))
+    // a decoy string survives unharmed and geometry decodes
+    assert(back.df.filter(col("note") === "features").count() == 1000)
+    assert(back.df.select(org.apache.spark.sql.functions.sum(st_x(col("geometry")))).as[Double].head()
+      == (0 until 1000).map(_ % 50).sum.toDouble)
+  }
 }
 
 class StreamingGeoSpec extends AnyFunSuite {

@@ -12,6 +12,9 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // binaryFiles packs files into >=openCost splits; tests use KB-sized
+      // fixtures, so lower it to see real multi-file parallelism in specs
+      .config("spark.files.openCostInBytes", "1024")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
