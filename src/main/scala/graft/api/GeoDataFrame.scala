@@ -288,9 +288,22 @@ object GeoDataFrame {
     GeoDataFrame(df.withColumn(geomName, st_point(col(x), col(y))), geomName,
       crs.map(c => Map(geomName -> c)).getOrElse(Map.empty))
 
-  def fromWkt(df: DataFrame, wktCol: String, geomName: String = "geometry"): GeoDataFrame =
-    GeoDataFrame(df.withColumn(geomName, st_geomfromwkt(col(wktCol))), geomName)
+  /** `onInvalid` (ref array.py:217-245): raise (the reference default) /
+    * warn / ignore / fix. */
+  def fromWkt(df: DataFrame, wktCol: String, geomName: String = "geometry",
+              onInvalid: String = "raise"): GeoDataFrame = {
+    requireOnInvalid(onInvalid)
+    GeoDataFrame(df.withColumn(geomName, st_geomfromwkt(col(wktCol), onInvalid)), geomName)
+  }
 
-  def fromWkb(df: DataFrame, wkbCol: String, geomName: String = "geometry"): GeoDataFrame =
-    GeoDataFrame(df.withColumn(geomName, graft.functions.GeoFunctions.st_geomfromwkb(col(wkbCol))), geomName)
+  def fromWkb(df: DataFrame, wkbCol: String, geomName: String = "geometry",
+              onInvalid: String = "raise"): GeoDataFrame = {
+    requireOnInvalid(onInvalid)
+    GeoDataFrame(df.withColumn(geomName,
+      graft.functions.GeoFunctions.st_geomfromwkb(col(wkbCol), onInvalid)), geomName)
+  }
+
+  private def requireOnInvalid(mode: String): Unit =
+    require(Seq("raise", "warn", "ignore", "fix").contains(mode),
+      s"onInvalid must be raise/warn/ignore/fix, got $mode")
 }

@@ -53,6 +53,33 @@ object GeoFunctions extends Serializable {
     if (s == null) null else try Wkb.write(Wkb.readWkt(s)) catch { case _: Exception => null })
   val stGeomFromWkbU: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) null else try Wkb.write(Wkb.read(b)) catch { case _: Exception => null })
+
+  /** `on_invalid` parse behavior (ref array.py:217-283, shapely from_wkt/
+    * from_wkb): raise = throw (the reference default), warn = log + NULL,
+    * ignore = NULL, fix = repair structurally-invalid parses with
+    * GeometryFixer (unparseable input still becomes NULL). */
+  private def parseOnInvalid(parse: => org.locationtech.jts.geom.Geometry,
+                             what: String, mode: String): Array[Byte] = {
+    val parsed =
+      try Right(parse)
+      catch { case e: Exception => Left(e) }
+    parsed match {
+      case Right(g) =>
+        if (mode == "fix" && !g.isValid) Wkb.write(GeomOps.makeValid(g)) else Wkb.write(g)
+      case Left(e) => mode match {
+        case "raise" => throw new IllegalArgumentException(s"Invalid $what: ${e.getMessage}", e)
+        case "warn" =>
+          org.slf4j.LoggerFactory.getLogger("graft.functions.GeoFunctions")
+            .warn(s"Invalid $what skipped: ${e.getMessage}")
+          null
+        case _ => null // ignore / fix (unparseable cannot be fixed)
+      }
+    }
+  }
+  val stGeomFromWktModeU: UserDefinedFunction = udf((s: String, mode: String) =>
+    if (s == null) null else parseOnInvalid(Wkb.readWkt(s), s"WKT '$s'", mode))
+  val stGeomFromWkbModeU: UserDefinedFunction = udf((b: Array[Byte], mode: String) =>
+    if (b == null) null else parseOnInvalid(Wkb.read(b), "WKB", mode))
   val stAsTextU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else Wkb.writeWkt(rd(b)))
   val stAsGeoJsonU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else GeoJson.write(rd(b)))
   val stGeomFromGeoJsonU: UserDefinedFunction = udf((s: String) =>
@@ -69,6 +96,8 @@ object GeoFunctions extends Serializable {
   def st_makeline(a: Column, b: Column): Column = stMakeLineU(a, b)
   def st_geomfromwkt(s: Column): Column = stGeomFromWktU(s)
   def st_geomfromwkb(b: Column): Column = stGeomFromWkbU(b)
+  def st_geomfromwkt(s: Column, onInvalid: String): Column = stGeomFromWktModeU(s, lit(onInvalid))
+  def st_geomfromwkb(b: Column, onInvalid: String): Column = stGeomFromWkbModeU(b, lit(onInvalid))
   def st_astext(g: Column): Column = stAsTextU(g)
 
   /** to_wkt(rounding_precision=) (ref geoseries.py:1408): WKT with at most

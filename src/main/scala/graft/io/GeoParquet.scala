@@ -39,7 +39,17 @@ object GeoParquet {
             footerMetadata: Boolean = false): Unit = {
     val g = gdf.geometryCol
     var df = gdf.df
-    val (x0, y0, x1, y1) = gdf.totalBounds
+    // ONE stats pass for everything the metadata needs (total bounds +
+    // distinct geometry types) — separate totalBounds / distinct scans would
+    // read the input three times in total at 100 TB
+    val stats = gdf.df
+      .select(st_bounds(col(g)).as("__b"), stGeometryTypeU(col(g)).as("__t"))
+      .agg(min("__b.xmin"), min("__b.ymin"), max("__b.xmax"), max("__b.ymax"),
+        sort_array(collect_set(col("__t"))))
+      .head()
+    def dbl(i: Int): Double = if (stats.isNullAt(i)) Double.NaN else stats.getDouble(i)
+    val (x0, y0, x1, y1) = (dbl(0), dbl(1), dbl(2), dbl(3))
+    val types = stats.getSeq[String](4)
     if (spatialSort)
       df = df.repartitionByRange(numPartitions.getOrElse(df.rdd.getNumPartitions),
         st_hilbert(col(g), lit(x0), lit(y0), lit(x1), lit(y1), lit(12)))
@@ -47,8 +57,6 @@ object GeoParquet {
       df = df.withColumn("bbox", st_bounds(col(g)))
     df.write.mode("overwrite").parquet(path)
 
-    val types = gdf.df.select(stGeometryTypeU(col(g)).as("t")).filter(col("t").isNotNull)
-      .distinct().collect().map(_.getString(0)).sorted
     val crsJson = gdf.activeCrs.map(c => "\"" + c + "\"").getOrElse("null")
     val meta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {

@@ -182,6 +182,37 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(!CrsTransform.isGeographic("""PROJCS["NAD83 / New York Long Island"]"""))
   }
 
+  test("fromWkt/fromWkb on_invalid: raise (default), warn, ignore, fix") {
+    val df = Seq(
+      (1, "POINT (1 2)"),
+      (2, "POINT (garbage"),
+      (3, "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))") // bowtie: parseable, invalid
+    ).toDF("id", "wkt")
+    // raise (reference default): unparseable input fails the job
+    val raised = intercept[org.apache.spark.SparkException](
+      GeoDataFrame.fromWkt(df, "wkt").df.collect())
+    assert(raised.getMessage.contains("Invalid WKT") ||
+      Option(raised.getCause).exists(_.getMessage.contains("Invalid WKT")))
+    // warn / ignore: unparseable becomes NULL, the rest parse
+    for (mode <- Seq("warn", "ignore")) {
+      val out = GeoDataFrame.fromWkt(df, "wkt", onInvalid = mode).df
+      assert(out.filter(col("geometry").isNull).select("id").as[Int].collect().toSeq == Seq(2))
+    }
+    // fix: the bowtie is repaired to a valid geometry, garbage still NULL
+    val fixed = GeoDataFrame.fromWkt(df, "wkt", onInvalid = "fix").df
+    assert(fixed.filter(col("geometry").isNull).select("id").as[Int].collect().toSeq == Seq(2))
+    val bowtie = fixed.filter(col("id") === 3).select(st_isvalid(col("geometry"))).as[Boolean].head()
+    assert(bowtie, "fix mode must repair the self-intersecting polygon")
+    assert(GeoDataFrame.fromWkt(df.filter(col("id") === 1), "wkt").df.count() == 1)
+    // WKB route: corrupt bytes behave the same
+    val wdf = Seq((1, Wkb.write(GeomOps.point(5, 6))), (2, Array[Byte](1, 2, 3)))
+      .toDF("id", "wkb")
+    intercept[org.apache.spark.SparkException](GeoDataFrame.fromWkb(wdf, "wkb").df.collect())
+    val wOk = GeoDataFrame.fromWkb(wdf, "wkb", onInvalid = "ignore").df
+    assert(wOk.filter(col("geometry").isNull).select("id").as[Int].collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException](GeoDataFrame.fromWkt(df, "wkt", onInvalid = "nope"))
+  }
+
   test("getCoordinates flattens vertices") {
     val df = Seq((1, Wkb.write(Wkb.readWkt("LINESTRING (0 0, 1 1, 2 2)")))).toDF("id", "geometry")
     assert(GeoDataFrame(df).getCoordinates.count() == 3)
