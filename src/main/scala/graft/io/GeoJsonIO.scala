@@ -17,21 +17,19 @@ import org.apache.spark.sql.functions._
 object GeoJsonIO {
 
   /** [[read]] with `read_file`-style pushdown args (ref io/file.py:197-339):
-    * `bbox` keeps features intersecting it, `columns` prunes properties
-    * (geometry kept), `rows` caps the count. */
+    * `bbox` keeps features intersecting it, `mask` keeps features
+    * intersecting an arbitrary WKB geometry (mutually exclusive with bbox),
+    * `columns` prunes properties (geometry kept), `rows` caps the count. */
   def read(spark: SparkSession, path: String,
            bbox: Option[(Double, Double, Double, Double)],
            columns: Option[Seq[String]] = None,
-           rows: Option[Int] = None): GeoDataFrame = {
-    val base = read(spark, path)
-    val bboxed = bbox.map { case (x0, y0, x1, y1) =>
-      base.copy(df = base.df.filter(st_intersects(col(base.geometryCol),
-        lit(graft.geom.Wkb.write(graft.geom.GeomOps.makeBox(x0, y0, x1, y1))))))
-    }.getOrElse(base)
+           rows: Option[Int] = None,
+           mask: Option[Array[Byte]] = None): GeoDataFrame = {
+    val base = IoFilters.bboxOrMask(read(spark, path), bbox, mask)
     val pruned = columns.map { cs =>
-      val keep = (cs :+ bboxed.geometryCol).distinct.filter(bboxed.df.columns.contains)
-      bboxed.copy(df = bboxed.df.select(keep.map(col): _*))
-    }.getOrElse(bboxed)
+      val keep = (cs :+ base.geometryCol).distinct.filter(base.df.columns.contains)
+      base.copy(df = base.df.select(keep.map(col): _*))
+    }.getOrElse(base)
     rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
   }
 

@@ -136,6 +136,22 @@ object GeoParquet {
     gdf.copy(df = exact)
   }
 
+  /** Mask-filtered read (ref read_file(mask=geometry), io/file.py:197-239):
+    * the mask's ENVELOPE lands on the bbox covering column — ordinary
+    * comparisons Catalyst pushes into the parquet scan for row-group
+    * pruning — and survivors pay the exact intersects refine against the
+    * full mask geometry. */
+  def readMask(spark: SparkSession, path: String, maskWkb: Array[Byte]): GeoDataFrame = {
+    val gdf = read(spark, path)
+    val env = graft.geom.Wkb.read(maskWkb).getEnvelopeInternal
+    val pre =
+      if (gdf.df.columns.contains("bbox"))
+        gdf.df.filter(col("bbox.xmin") <= env.getMaxX && col("bbox.xmax") >= env.getMinX &&
+          col("bbox.ymin") <= env.getMaxY && col("bbox.ymax") >= env.getMinY)
+      else gdf.df
+    gdf.copy(df = pre.filter(st_intersects(col(gdf.geometryCol), lit(maskWkb))))
+  }
+
   private def readMeta(spark: SparkSession, path: String): Option[Map[String, Any]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)

@@ -1,0 +1,34 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions.st_intersects
+import graft.geom.{GeomOps, Wkb}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Shared `read_file`-style spatial pushdown for the engine's readers
+  * (ref io/file.py:197-239: `bbox` and `mask` are mutually exclusive;
+  * both keep features INTERSECTING the filter geometry). */
+private[io] object IoFilters {
+
+  /** Apply at most one of bbox / mask right after parse, before anything
+    * shuffles. The mask path prefilters on the mask's envelope first — the
+    * envelope test is a cheap rectangle check that discards most rows
+    * before the exact JTS predicate runs. */
+  def bboxOrMask(base: GeoDataFrame,
+                 bbox: Option[(Double, Double, Double, Double)],
+                 mask: Option[Array[Byte]]): GeoDataFrame = {
+    require(bbox.isEmpty || mask.isEmpty,
+      "bbox and mask cannot both be given (ref io/file.py:197-239)")
+    val g = base.geometryCol
+    bbox.map { case (x0, y0, x1, y1) =>
+      base.copy(df = base.df.filter(
+        st_intersects(col(g), lit(Wkb.write(GeomOps.makeBox(x0, y0, x1, y1))))))
+    }.orElse(mask.map { mwkb =>
+      val env = Wkb.read(mwkb).getEnvelopeInternal
+      val envWkb = Wkb.write(GeomOps.makeBox(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+      base.copy(df = base.df
+        .filter(st_intersects(col(g), lit(envWkb)))
+        .filter(st_intersects(col(g), lit(mwkb))))
+    }).getOrElse(base)
+  }
+}

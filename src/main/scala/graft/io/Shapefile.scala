@@ -34,23 +34,20 @@ object Shapefile {
     *
     * `read_file`-style pushdown args (ref io/file.py:197-339): `bbox`
     * filters to features intersecting (xmin, ymin, xmax, ymax) — applied
-    * right after parse, before anything shuffles; `columns` prunes
-    * attribute columns (geometry always kept); `rows` caps the row count. */
+    * right after parse, before anything shuffles; `mask` filters to
+    * features intersecting an arbitrary WKB geometry (mutually exclusive
+    * with `bbox`, as in the reference); `columns` prunes attribute columns
+    * (geometry always kept); `rows` caps the row count. */
   def read(spark: SparkSession, path: String,
            bbox: Option[(Double, Double, Double, Double)] = None,
            columns: Option[Seq[String]] = None,
-           rows: Option[Int] = None): GeoDataFrame = {
-    val base = readAll(spark, path)
-    val bboxed = bbox.map { case (x0, y0, x1, y1) =>
-      import graft.functions.GeoFunctions.st_intersects
-      base.copy(df = base.df.filter(st_intersects(
-        org.apache.spark.sql.functions.col("geometry"),
-        org.apache.spark.sql.functions.lit(Wkb.write(graft.geom.GeomOps.makeBox(x0, y0, x1, y1))))))
-    }.getOrElse(base)
+           rows: Option[Int] = None,
+           mask: Option[Array[Byte]] = None): GeoDataFrame = {
+    val base = IoFilters.bboxOrMask(readAll(spark, path), bbox, mask)
     val pruned = columns.map { cs =>
-      val keep = (cs :+ "geometry").distinct.filter(bboxed.df.columns.contains)
-      bboxed.copy(df = bboxed.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
-    }.getOrElse(bboxed)
+      val keep = (cs :+ "geometry").distinct.filter(base.df.columns.contains)
+      base.copy(df = base.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
+    }.getOrElse(base)
     rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
   }
 

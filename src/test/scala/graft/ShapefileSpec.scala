@@ -179,6 +179,37 @@ class ShapefileSpec extends AnyFunSuite {
     assert(rows(0)._1 == -42L && math.abs(rows(0)._2 - -9.87654321e12) < 1e-2)
   }
 
+  test("read_file(mask=geometry) equals post-hoc intersects filter; bbox+mask raises") {
+    // triangular mask over western Europe — strictly smaller than its bbox,
+    // so an envelope-only implementation would differ
+    val tri = Wkb.factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(-10, 35),
+      new org.locationtech.jts.geom.Coordinate(25, 35),
+      new org.locationtech.jts.geom.Coordinate(5, 60),
+      new org.locationtech.jts.geom.Coordinate(-10, 35)))
+    val mwkb = Wkb.write(tri)
+    val masked = Shapefile.read(spark, lowres, mask = Some(mwkb)).df
+      .select("name").as[String].collect().toSet
+    val posthoc = Shapefile.read(spark, lowres).df
+      .filter(st_intersects(col("geometry"), lit(mwkb)))
+      .select("name").as[String].collect().toSet
+    assert(masked == posthoc && masked.contains("France"))
+    intercept[IllegalArgumentException](
+      Shapefile.read(spark, lowres, bbox = Some((0.0, 0.0, 1.0, 1.0)), mask = Some(mwkb)))
+    // same mask semantics on the GeoJSON and GeoParquet readers
+    import graft.api.GeoDataFrame
+    val dir = java.nio.file.Files.createTempDirectory("maskio").toString
+    val src = GeoDataFrame(Shapefile.read(spark, lowres).df.select(col("name"), col("geometry")))
+    graft.io.GeoJsonIO.write(src, s"$dir/gj")
+    val gjMasked = graft.io.GeoJsonIO.read(spark, s"$dir/gj", bbox = None, mask = Some(mwkb)).df
+      .select("name").as[String].collect().toSet
+    assert(gjMasked == posthoc)
+    graft.io.GeoParquet.write(src, s"$dir/gpq")
+    val gpqMasked = graft.io.GeoParquet.readMask(spark, s"$dir/gpq", mwkb).df
+      .select("name").as[String].collect().toSet
+    assert(gpqMasked == posthoc)
+  }
+
   test("planar ops on a WKT-CRS frame warn instead of throwing (ADVICE r3)") {
     // Shapefile.read stores the raw .prj WKT as CRS; area/buffer must not
     // crash on a non-EPSG CRS string (ref array.py:435-446 only warns)
