@@ -40,7 +40,9 @@ object SpatialJoin {
   private[join] def evalPredicate(pred: String, l: Geometry, r: Geometry, distance: Double): Boolean = pred match {
     case "intersects"         => l.intersects(r)
     case "contains"           => l.contains(r)
-    case "contains_properly"  => PreparedGeometryFactory.prepare(l).containsProperly(r)
+    // containsProperly ⟺ DE-9IM T**FF*FF* (JTS PreparedPolygon docs) —
+    // relate avoids building a PreparedGeometry for a single pair
+    case "contains_properly"  => l.relate(r, "T**FF*FF*")
     case "within"             => l.within(r)
     case "touches"            => l.touches(r)
     case "crosses"            => l.crosses(r)
@@ -372,9 +374,14 @@ object SpatialJoin {
 
     val pred = predicate
     val dist = distance
+    // refine goes through the per-thread cache: join output within a cell
+    // repeats the same geometries across many pairs, so WKB parses and
+    // prepared geometries are reused instead of rebuilt per pair (the grid
+    // analog of the broadcast path's BroadcastTreeCache; also removes
+    // contains_properly's per-pair prepare)
     val refineU = udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) false
-      else SpatialJoin.evalPredicate(pred, Wkb.read(a), Wkb.read(b), dist))
+      else RefineCache.eval(pred, a, b, dist))
 
     // bbox overlap + reference-cell dedup + exact refine
     val pairs = lb.join(rb, Seq("__cell"))
@@ -394,6 +401,56 @@ object SpatialJoin {
         val leftCols = pairs.columns.filter(c => !rw.columns.contains(c))
         val matches = pairs.select((Seq(col("__graft_rid")) ++ leftCols.map(col)): _*)
         matches.join(rw, Seq("__graft_rid"), "right").drop("__graft_lid", "__graft_rid")
+    }
+  }
+}
+
+/** Per-THREAD bounded cache of parsed (and lazily prepared) geometries for
+  * the grid join's pair refine. Join output is grouped by cell, so the same
+  * geometry WKB recurs across consecutive pairs; caching by content saves
+  * the re-parse and lets every supported predicate run on a JTS
+  * PreparedGeometry (the reference gets the same effect from prepared
+  * geometries inside `shapely.STRtree.query`, `sindex.py:129-130`).
+  * ThreadLocal keeps the hot path contention-free across the 32 task
+  * threads; LRU-bounded so a long scan cannot accumulate geometries. */
+private[join] object RefineCache {
+  final class Entry(val geom: Geometry) {
+    private var prep: PreparedGeometry = _
+    def prepared: PreparedGeometry = {
+      if (prep == null) prep = PreparedGeometryFactory.prepare(geom)
+      prep
+    }
+  }
+  private val MaxEntries = 256
+  private val local = new ThreadLocal[java.util.LinkedHashMap[java.nio.ByteBuffer, Entry]] {
+    override def initialValue(): java.util.LinkedHashMap[java.nio.ByteBuffer, Entry] =
+      new java.util.LinkedHashMap[java.nio.ByteBuffer, Entry](MaxEntries * 2, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, Entry]): Boolean =
+          size() > MaxEntries
+      }
+  }
+  def entry(wkb: Array[Byte]): Entry = {
+    val m = local.get()
+    val k = java.nio.ByteBuffer.wrap(wkb) // content-based hashCode/equals, no copy
+    var e = m.get(k)
+    if (e == null) { e = new Entry(Wkb.read(wkb)); m.put(k, e) }
+    e
+  }
+
+  /** [[SpatialJoin.evalPredicate]] semantics on cached entries, preferring
+    * the prepared geometry of whichever side JTS optimizes the predicate
+    * for (left for contains-family, right for the within-family). */
+  def eval(pred: String, a: Array[Byte], b: Array[Byte], distance: Double): Boolean = {
+    val ea = entry(a)
+    val eb = entry(b)
+    pred match {
+      case "intersects"        => ea.prepared.intersects(eb.geom)
+      case "contains"          => ea.prepared.contains(eb.geom)
+      case "contains_properly" => ea.prepared.containsProperly(eb.geom)
+      case "covers"            => ea.prepared.covers(eb.geom)
+      case "within"            => eb.prepared.contains(ea.geom)
+      case "covered_by"        => eb.prepared.covers(ea.geom)
+      case _                   => SpatialJoin.evalPredicate(pred, ea.geom, eb.geom, distance)
     }
   }
 }
