@@ -1,0 +1,207 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** GeoPackage (GPKG) reader — the reference reads it through GDAL/OGR
+  * (`geopandas/io/file.py:197-339`; `tests/test_file.py` round-trips the
+  * format); this is an independent pure-JVM implementation of the published
+  * GeoPackage spec (www.geopackage.org/spec/) on top of [[Sqlite]].
+  *
+  * Scale design mirrors [[Shapefile]]: a .gpkg is a single-file interchange
+  * format, so the FILE is the unit of parallelism — `binaryFiles`
+  * distributes whole files to executors for row parsing (SQLite pages are
+  * not splittable without the b-tree), while the driver reads only the
+  * metadata tables (a few pages, random-access seeks) for schema, layer
+  * list and CRS. A directory of .gpkg files parallelizes per file.
+  *
+  * Geometry arrives as GPKG binary (8+-byte header + WKB); the header is
+  * stripped and the WKB stored as-is. `read_file`-style args: `layer`
+  * (default: first feature table in gpkg_contents), plus bbox/mask/
+  * columns/rows via [[IoFilters]] semantics.
+  */
+object Gpkg {
+
+  /** Feature layers declared in gpkg_contents (ref list_layers,
+    * io/file.py:867): (table_name, geometry_type_name). */
+  def listLayers(spark: SparkSession, path: String): Seq[(String, String)] =
+    withDriverSource(spark, path) { src =>
+      geometryColumns(src).map { case (t, _, typ, _) => (t, typ) }
+    }
+
+  def read(spark: SparkSession, path: String,
+           layer: Option[String] = None,
+           bbox: Option[(Double, Double, Double, Double)] = None,
+           columns: Option[Seq[String]] = None,
+           rows: Option[Int] = None,
+           mask: Option[Array[Byte]] = None): GeoDataFrame = {
+    // driver: schema + CRS from the first file's metadata pages
+    val firstFile = resolvePaths(spark, path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no .gpkg files at $path"))
+    val (layerName, geomCol, schema, pkIdx, crs) = withDriverSource(spark, firstFile) { src =>
+      val geoCols = geometryColumns(src)
+      val chosen = layer.map(l => geoCols.find(_._1 == l).getOrElse(
+        throw new IllegalArgumentException(
+          s"layer '$l' not in ${geoCols.map(_._1).mkString(", ")}"))).getOrElse(
+        geoCols.headOption.getOrElse(
+          throw new IllegalArgumentException("no feature layers in gpkg_geometry_columns")))
+      val (tbl, gcol, _, srsId) = chosen
+      val m = Sqlite.master(src).find(r => r.kind == "table" && r.name == tbl).getOrElse(
+        throw new IllegalArgumentException(s"table $tbl missing from sqlite_master"))
+      val cols = Sqlite.parseCreateColumns(m.sql)
+      val fields = cols.map { case (name, decl) =>
+        StructField(name, if (name == gcol) BinaryType else affinity(decl), nullable = true)
+      }
+      val pk = cols.indexWhere { case (_, decl) =>
+        val u = decl.toUpperCase
+        u.contains("INTEGER") && u.contains("PRIMARY KEY")
+      }
+      (tbl, gcol, StructType(fields), pk, crsOf(src, srsId))
+    }
+
+    // executors: parse rows from whole-file bytes, one task per file
+    val schemaB = spark.sparkContext.broadcast(schema)
+    val lname = layerName
+    val gcol = geomCol
+    val pki = pkIdx
+    val rowsRdd = spark.sparkContext
+      .binaryFiles(path, minPartitions = spark.sparkContext.defaultParallelism)
+      .filter(_._1.toLowerCase.endsWith(".gpkg"))
+      .flatMap { case (_, pds) =>
+        val src = new Sqlite.ArraySource(pds.toArray())
+        val root = Sqlite.master(src).find(r => r.kind == "table" && r.name == lname)
+          .map(_.rootPage).getOrElse(0)
+        val s = schemaB.value
+        if (root == 0) Iterator.empty
+        else Sqlite.tableRows(src, root).map { case (rowid, rec) =>
+          val vals = new Array[Any](s.length)
+          var i = 0
+          while (i < s.length) {
+            val raw = if (i < rec.length) rec(i) else null
+            vals(i) =
+              if (i == pki && raw == null) java.lang.Long.valueOf(rowid) // rowid-alias pk
+              else coerce(raw, s(i).dataType, isGeom = s(i).name == gcol)
+            i += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    val df = spark.createDataFrame(rowsRdd, schema)
+    val base = GeoDataFrame(df, geomCol, crs.map(c => Map(geomCol -> c)).getOrElse(Map.empty))
+    val filtered = IoFilters.bboxOrMask(base, bbox, mask)
+    val pruned = columns.map { cs =>
+      val keep = (cs :+ geomCol).distinct.filter(filtered.df.columns.contains)
+      filtered.copy(df = filtered.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
+    }.getOrElse(filtered)
+    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+  }
+
+  // ------------------------------------------------------------------ meta
+
+  /** gpkg_geometry_columns rows: (table, column, type, srs_id). */
+  private def geometryColumns(src: Sqlite.PageSource): Seq[(String, String, String, Long)] = {
+    val root = Sqlite.master(src)
+      .find(r => r.kind == "table" && r.name == "gpkg_geometry_columns")
+      .map(_.rootPage).getOrElse(
+        throw new IllegalArgumentException("not a GeoPackage: gpkg_geometry_columns missing"))
+    Sqlite.tableRows(src, root).map { case (_, r) =>
+      (str(r(0)), str(r(1)), str(r(2)), r(3) match { case l: java.lang.Long => l.longValue(); case _ => 0L })
+    }.toSeq
+  }
+
+  /** CRS string for a srs_id: "EPSG:n" when the organization is EPSG, else
+    * the stored definition WKT (same information the reference restores
+    * through pyproj). */
+  private def crsOf(src: Sqlite.PageSource, srsId: Long): Option[String] = {
+    val rootOpt = Sqlite.master(src)
+      .find(r => r.kind == "table" && r.name == "gpkg_spatial_ref_sys").map(_.rootPage)
+    rootOpt.flatMap { root =>
+      Sqlite.tableRows(src, root).collectFirst {
+        // srs_id is an INTEGER PRIMARY KEY → rowid alias: the record slot is
+        // NULL and the true value is the rowid
+        case (rowid, r) if (r(1) match {
+          case l: java.lang.Long => l.longValue() == srsId
+          case null              => rowid == srsId
+          case _                 => false
+        }) =>
+          val org = str(r(2))
+          val orgId = r(3) match { case l: java.lang.Long => l.longValue(); case _ => srsId }
+          if (org != null && org.equalsIgnoreCase("EPSG")) s"EPSG:$orgId" else str(r(4))
+      }
+    }
+  }
+
+  private def str(v: Any): String = v match { case s: String => s; case null => null; case o => o.toString }
+
+  /** SQLite/GPKG declared type → Spark type (SQLite type affinity rules +
+    * the GPKG column types table). */
+  private[io] def affinity(decl: String): DataType = {
+    val u = decl.toUpperCase
+    if (u.contains("BOOLEAN")) BooleanType
+    else if (u.contains("INT")) LongType
+    else if (u.contains("CHAR") || u.contains("CLOB") || u.contains("TEXT") ||
+      u.contains("DATE") || u.contains("TIME")) StringType
+    else if (u.contains("REAL") || u.contains("FLOA") || u.contains("DOUB")) DoubleType
+    else if (u.contains("BLOB") || u.isEmpty) BinaryType
+    else BinaryType
+  }
+
+  private def coerce(v: Any, dt: DataType, isGeom: Boolean): Any = v match {
+    case null => null
+    case b: Array[Byte] if isGeom => stripGpkgHeader(b)
+    case l: java.lang.Long => dt match {
+      case DoubleType  => java.lang.Double.valueOf(l.doubleValue())
+      case BooleanType => java.lang.Boolean.valueOf(l.longValue() != 0)
+      case StringType  => l.toString
+      case _           => l
+    }
+    case d: java.lang.Double => dt match {
+      case LongType   => java.lang.Long.valueOf(d.longValue())
+      case StringType => d.toString
+      case _          => d
+    }
+    case s: String => s
+    case b: Array[Byte] => b
+    case other => other
+  }
+
+  /** GPKG binary header (spec §2.1.3): magic "GP", version, flags
+    * (bit0 = header little-endian, bits1-3 envelope contents indicator,
+    * bit4 empty-geometry), int32 srs_id, optional envelope — then WKB. */
+  private[io] def stripGpkgHeader(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 8 || b(0) != 'G' || b(1) != 'P') return b // bare WKB
+    val flags = b(3) & 0xff
+    if (((flags >> 4) & 1) == 1) return null // empty-geometry flag → NULL (missing)
+    val envIndicator = (flags >> 1) & 0x7
+    val envBytes = envIndicator match {
+      case 0 => 0
+      case 1 => 32
+      case 2 | 3 => 48
+      case 4 => 64
+      case _ => 0 // 5-7 invalid per spec
+    }
+    java.util.Arrays.copyOfRange(b, 8 + envBytes, b.length)
+  }
+
+  // --------------------------------------------------------------- helpers
+
+  private def withDriverSource[T](spark: SparkSession, path: String)(f: Sqlite.PageSource => T): T = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val in = fs.open(p)
+    try f(new Sqlite.StreamSource(in, fs.getFileStatus(p).getLen))
+    finally in.close()
+  }
+
+  private def resolvePaths(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (path.toLowerCase.endsWith(".gpkg")) Seq(path)
+    else if (fs.isDirectory(p))
+      fs.listStatus(p).map(_.getPath.toString).filter(_.toLowerCase.endsWith(".gpkg")).sorted.toSeq
+    else fs.globStatus(p).map(_.getPath.toString).filter(_.toLowerCase.endsWith(".gpkg")).sorted.toSeq
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.GeoFunctions._
+import graft.io.Gpkg
+import graft.join.SpatialJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM GeoPackage reader against a spec-built fixture: a 5×5 polygon
+  * grid layer + a 400-point layer that includes an SQLite overflow-page row
+  * (payload > page size) and a NULL geometry. The reference reads the same
+  * format through GDAL (`io/file.py:197-339`, `tests/test_file.py`). */
+class GpkgSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val fixture = getClass.getResource("/fixtures/grid.gpkg").getPath
+
+  test("listLayers enumerates the feature tables (ref list_layers)") {
+    assert(Gpkg.listLayers(spark, fixture).toSet ==
+      Set(("cells", "POLYGON"), ("pts", "POINT")))
+  }
+
+  test("cells layer: schema, typed attributes, polygon geometry, EPSG CRS") {
+    val gdf = Gpkg.read(spark, fixture, layer = Some("cells"))
+    val df = gdf.df.cache()
+    assert(df.columns.toSeq == Seq("fid", "name", "region", "score", "flag", "geom"))
+    assert(df.count() == 25)
+    assert(gdf.activeCrs.contains("EPSG:4326"))
+    assert(gdf.geometryCol == "geom")
+    // typed attributes survive: int pk (rowid alias), text, long, double, boolean
+    val r = df.filter(col("name") === "cell7").select("fid", "region", "score", "flag")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(r == ((8L, 2L, 10.5, true)))
+    // geometry decodes to the expected 20x20 cells
+    val area = df.select(sum(st_area(col("geom")))).as[Double].head()
+    assert(area == 25 * 400.0)
+  }
+
+  test("pts layer: 401 rows, overflow-page text survives, NULL geometry kept") {
+    val df = Gpkg.read(spark, fixture, layer = Some("pts")).df.cache()
+    assert(df.count() == 401)
+    val big = df.filter(col("val") === 123).select("label").as[String].head()
+    assert(big.length == 5004 && big.startsWith("big:") && big.endsWith("xxx"),
+      "overflow-chain payload must reassemble exactly")
+    assert(df.filter(col("geom").isNull).select("label").as[String].collect().toSeq == Seq("nogeom"))
+    val xs = df.filter(col("val") === 10).select(st_x(col("geom"))).as[Double].head()
+    assert(xs == 70.0) // (10*7) % 100
+  }
+
+  test("default layer is the first feature table; unknown layer raises") {
+    assert(Gpkg.read(spark, fixture).df.columns.contains("name")) // cells
+    intercept[IllegalArgumentException](Gpkg.read(spark, fixture, layer = Some("nope")))
+  }
+
+  test("pushdown args: bbox, mask, columns, rows") {
+    val bboxed = Gpkg.read(spark, fixture, layer = Some("cells"), bbox = Some((0.0, 0.0, 19.0, 19.0)))
+    assert(bboxed.df.count() == 1) // only cell0 intersects strictly inside the first cell
+    val tri = graft.geom.Wkb.write(graft.geom.Wkb.factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(0, 0),
+      new org.locationtech.jts.geom.Coordinate(45, 0),
+      new org.locationtech.jts.geom.Coordinate(0, 45),
+      new org.locationtech.jts.geom.Coordinate(0, 0))))
+    val masked = Gpkg.read(spark, fixture, layer = Some("cells"), mask = Some(tri)).df
+      .select("name").as[String].collect().toSet
+    val posthoc = Gpkg.read(spark, fixture, layer = Some("cells")).df
+      .filter(st_intersects(col("geom"), lit(tri))).select("name").as[String].collect().toSet
+    assert(masked == posthoc && masked.nonEmpty)
+    val pruned = Gpkg.read(spark, fixture, layer = Some("cells"),
+      columns = Some(Seq("name")), rows = Some(3))
+    assert(pruned.df.columns.toSeq == Seq("name", "geom") && pruned.df.count() == 3)
+  }
+
+  test("gpkg points sjoin gpkg cells + dissolve round-trip") {
+    import graft.api.GeoDataFrame
+    val cells = Gpkg.read(spark, fixture, layer = Some("cells")).df
+      .select(col("name"), col("region"), col("geom"))
+    val pts = Gpkg.read(spark, fixture, layer = Some("pts")).df
+      .filter(col("geom").isNotNull).select(col("val"), col("geom"))
+    val joined = SpatialJoin.sjoin(pts, cells, predicate = "intersects", how = "inner",
+      leftGeom = "geom", rightGeom = "geom")
+    // every point lies on the 0..99 grid → inside at least one 20x20 cell
+    assert(joined.select("val").distinct().count() == 400)
+    val dissolved = GeoDataFrame(cells.select(col("region"), col("geom")), "geom")
+      .dissolve(by = Seq("region")).df
+    assert(dissolved.count() == 5)
+    assert(dissolved.select(sum(st_area(col("geom")))).as[Double].head() == 25 * 400.0)
+  }
+}
