@@ -92,12 +92,58 @@ object Shapefile {
     val g = gdf.geometryCol
     val fields = gdf.df.schema.fields.filter(_.name != g)
     val rows = gdf.df.collect()
-    val geoms = rows.map(r => Option(r.getAs[Array[Byte]](r.fieldIndex(g))).map(Wkb.read).orNull)
+    val (shp, shx, dbf) = buildFiles(fields, g, rows)
+    val base = basePath.replaceAll("\\.shp$", "")
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shp"), shp)
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shx"), shx)
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".dbf"), dbf)
+    gdf.crs.get(g).foreach { wkt =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(base + ".prj"), wkt.getBytes("UTF-8"))
+    }
+  }
 
+  /** Distributed writer: one shapefile PER PARTITION, built and written on
+    * the executors — no driver collect, so the frame can exceed driver
+    * memory (each partition must fit an executor task, the standard Spark
+    * contract; repartition to keep parts under the format's 2 GB cap). The
+    * output directory reads back with [[read]], which handles same-schema
+    * .shp corpora — the reference's multi-file layer pattern. */
+  def writePartitioned(gdf: GeoDataFrame, dir: String): Unit = {
+    val g = gdf.geometryCol
+    val spark = gdf.df.sparkSession
+    val fields = gdf.df.schema.fields.filter(_.name != g)
+    val crs = gdf.crs.get(g)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fsDir = new org.apache.hadoop.fs.Path(dir)
+    val fs0 = fsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(fsDir)
+    val dirStr = dir
+    // sum() is the action that runs the write job
+    gdf.df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val (shp, shx, dbf) = buildFiles(fields, g, rows)
+        val fs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(serConf.value)
+        def put(ext: String, bytes: Array[Byte]): Unit = {
+          val out = fs.create(new org.apache.hadoop.fs.Path(dirStr, f"part-$pi%05d.$ext"), true)
+          try out.write(bytes) finally out.close()
+        }
+        put("shp", shp); put("shx", shx); put("dbf", dbf)
+        crs.foreach(wkt => put("prj", wkt.getBytes("UTF-8")))
+        Iterator.single(rows.length.toLong)
+      }
+    }.sum()
+  }
+
+  /** Build the .shp/.shx/.dbf byte images for one layer of rows. Raises on
+    * mixed geometry-type frames — encoding a Polygon with a Point record
+    * layout would silently corrupt data (the reference/GDAL raises too). */
+  private def buildFiles(fields: Array[StructField], g: String,
+                         rows: Array[Row]): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val geoms = rows.map(r => Option(r.getAs[Array[Byte]](r.fieldIndex(g))).map(Wkb.read).orNull)
     val shapeType = dominantShapeType(geoms)
-    // a shapefile layer holds exactly ONE type family; encoding a Polygon
-    // with a Point record layout would silently corrupt data, so mirror the
-    // reference/GDAL behavior and raise on mixed-type frames
     val families = geoms.filter(gm => gm != null && !gm.isEmpty)
       .map(typeFamily).distinct
     if (families.length > 1)
@@ -111,8 +157,11 @@ object Shapefile {
 
     val shp = new java.io.ByteArrayOutputStream()
     val shx = new java.io.ByteArrayOutputStream()
-    val contentBytes = recs.map(r => 8 + r.length).sum
-    shp.write(shpHeader(100 + contentBytes, shapeType, env))
+    val contentBytes = recs.map(r => 8L + r.length).sum
+    require(100 + contentBytes <= Int.MaxValue,
+      s"shapefile layer would be ${100 + contentBytes} bytes — over the format's 2 GB cap; " +
+        "repartition and use writePartitioned, or use GeoParquet")
+    shp.write(shpHeader(100 + contentBytes.toInt, shapeType, env))
     shx.write(shpHeader(100 + recs.length * 8, shapeType, env))
     var off = 100
     recs.zipWithIndex.foreach { case (r, i) =>
@@ -124,14 +173,7 @@ object Shapefile {
       shx.write(ix.array())
       off += 8 + r.length
     }
-
-    val base = basePath.replaceAll("\\.shp$", "")
-    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shp"), shp.toByteArray)
-    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shx"), shx.toByteArray)
-    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".dbf"), writeDbf(fields, rows))
-    gdf.crs.get(g).foreach { wkt =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(base + ".prj"), wkt.getBytes("UTF-8"))
-    }
+    (shp.toByteArray, shx.toByteArray, writeDbf(fields, rows))
   }
 
   private def typeFamily(g: Geometry): String = g.getGeometryType match {

@@ -162,6 +162,25 @@ class ShapefileSpec extends AnyFunSuite {
     assert(xs == Seq(-10.0, 3.0))
   }
 
+  test("writePartitioned: executor-side part files, no driver collect, round-trips") {
+    val gdf = Shapefile.read(spark, lowres)
+    val parted = gdf.copy(df = gdf.df.repartition(4))
+    val dir = java.nio.file.Files.createTempDirectory("shpdist").toString + "/countries"
+    Shapefile.writePartitioned(parted, dir)
+    val parts = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(parts.count(_.endsWith(".shp")) >= 2, s"expected multiple part files, got ${parts.toSeq}")
+    assert(parts.count(_.endsWith(".prj")) == parts.count(_.endsWith(".shp")))
+    // the directory reads back as one layer corpus
+    val back = Shapefile.read(spark, dir)
+    assert(back.df.count() == 177)
+    assert(back.crs.get("geometry").exists(_.contains("WGS")))
+    val a0 = gdf.df.select(sum(st_area(col("geometry")))).as[Double].head()
+    val a1 = back.df.select(sum(st_area(col("geometry")))).as[Double].head()
+    assert(math.abs(a0 - a1) / a0 < 1e-12)
+    val fr = back.df.filter(col("name") === "France").select("continent").as[String].head()
+    assert(fr == "Europe")
+  }
+
   test("dbf auto-width: huge numerics and long strings survive the write round trip") {
     import graft.api.GeoDataFrame
     val long = "x" * 200
