@@ -468,6 +468,18 @@ object SparkEntry {
       Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
         planes = 192, bands = 48, threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    "q68_ivf_topk" -> ((s, d) => {
+      // the second ANN scale path (inverted file): deterministic md5-seeded
+      // centroids + one rounded Lloyd step, stored cell column, nprobe cell
+      // pruning — every stage reproduced by the SQL oracle, so centroid
+      // drift, assignment bugs or probe-order regressions fail the hash
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 16)
+      val indexed = Similarity.withIvfCell(e, "embedding", cents)
+      Similarity.ivfTopK(indexed, "embedding", cents, q, 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    }),
     "q62_sjoin_left_attr" -> ((s, d) => {
       // left sjoin + on_attribute: pairs must satisfy BOTH the spatial
       // predicate and the attribute equality; rows failing either survive
@@ -800,6 +812,37 @@ object SparkEntry {
            |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
            |   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
            | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " "),
+      // full reproduction of the IVF spec (Similarity.ivfCentroids/
+      // withIvfCell/ivfTopK): md5-ordered seed sample, seed assignment,
+      // rounded Lloyd means (empty cells keep their seed), refined-cell
+      // assignment, nprobe probe set, cosine rescore
+      "q68_ivf_topk" ->
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+           | seeds AS (SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS c,
+           |   embedding AS sv FROM v) WHERE c < 16),
+           | a0 AS (SELECT vec_id, embedding, c,
+           |   list_sum(list_transform(range(1, 65), i -> (CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)) * (CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)))) AS d
+           |   FROM v CROSS JOIN seeds),
+           | asg AS (SELECT vec_id, embedding, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM a0) WHERE rk = 1),
+           | m AS (SELECT c, i, CAST(floor(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) / count(*) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS FLOAT) AS mval
+           |   FROM asg CROSS JOIN range(1, 65) t(i) GROUP BY c, i),
+           | cents AS (SELECT s.c, list(COALESCE(m.mval, s.sv[CAST(t.i AS INT)]) ORDER BY t.i) AS cv
+           |   FROM seeds s CROSS JOIN range(1, 65) t(i) LEFT JOIN m ON m.c = s.c AND m.i = t.i GROUP BY s.c),
+           | f0 AS (SELECT v.vec_id, v.embedding, cents.c,
+           |   list_sum(list_transform(range(1, 65), i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+           |   FROM v CROSS JOIN cents),
+           | fcell AS (SELECT vec_id, embedding, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM f0) WHERE rk = 1),
+           | q AS (SELECT embedding AS qe FROM v WHERE vec_id = 0),
+           | pd AS (SELECT cents.c,
+           |   list_sum(list_transform(range(1, 65), i -> (CAST(qe[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) * (CAST(qe[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+           |   FROM cents CROSS JOIN q),
+           | probes AS (SELECT c FROM pd ORDER BY d, c LIMIT 4),
+           | scored AS (SELECT vec_id,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+           |      * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS cosine
+           |   FROM fcell CROSS JOIN q WHERE c IN (SELECT c FROM probes))
+           | SELECT vec_id, round(cosine, 6) AS cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin.replace("\n", " "),
       "q60_embedding_pairs" ->
         s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 2000),
            | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -143,13 +143,17 @@ object Similarity {
   // so the index is reproducible without RNG state.
   // --------------------------------------------------------------------------
 
-  /** Deterministic centroids: the `k` vectors with smallest xxhash64(id)
-    * (an order-independent uniform sample), refined by one Lloyd iteration
-    * over the corpus (deterministic: mean of assigned vectors). */
+  /** Deterministic centroids: the `k` vectors with smallest
+    * md5(id-as-string) — an order-independent uniform sample whose spec a
+    * plain-SQL oracle reproduces exactly, like the minhash/LSH specs —
+    * refined by one Lloyd iteration. The per-cell mean is
+    * floor(sum/n · 10^6 + 0.5)/10^6 cast to float: rounding makes the value
+    * independent of double-summation order, so engine and oracle agree
+    * bit-for-bit. Cells that attract no rows keep their seed vector. */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Float]] = {
     val seedRows = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
-      .withColumn("__h", xxhash64(col("__id")))
+      .withColumn("__h", md5(col("__id")))
       .orderBy("__h").limit(k)
       .select("__v").collect().map(_.getSeq[Float](0).toArray)
     if (seedRows.isEmpty) return Array.empty
@@ -161,7 +165,7 @@ object Similarity {
       .withColumn("__c", assignU(col("__v")))
     val sums = assigned.groupBy("__c")
       .agg(count(lit(1)).as("__n"),
-        array((0 until dim).map(i => sum(element_at(col("__v"), i + 1))): _*).as("__s"))
+        array((0 until dim).map(i => sum(element_at(col("__v"), i + 1).cast("double"))): _*).as("__s"))
       .collect()
     val out = seedRows.map(_.clone())
     sums.foreach { r =>
@@ -171,7 +175,8 @@ object Similarity {
         val s = r.getSeq[Any](2)
         var i = 0
         while (i < dim) {
-          out(c)(i) = (s(i) match { case d: Double => d; case f: Float => f.toDouble; case l: Long => l.toDouble; case null => 0.0 }).toFloat / n.toFloat
+          val mean = (s(i) match { case d: Double => d; case f: Float => f.toDouble; case l: Long => l.toDouble; case null => 0.0 }) / n
+          out(c)(i) = (math.floor(mean * 1e6 + 0.5) / 1e6).toFloat
           i += 1
         }
       }
@@ -187,8 +192,10 @@ object Similarity {
       val cent = cents(c)
       var d = 0.0
       var i = 0
+      // double subtraction/product (not float) — the oracle-reproducible
+      // spec, same as the VecDot cosine kernel
       while (i < math.min(v.length, cent.length)) {
-        val x = v(i) - cent(i); d += x * x; i += 1
+        val x = v(i).toDouble - cent(i).toDouble; d += x * x; i += 1
       }
       if (d < bestD) { bestD = d; best = c }
       c += 1
