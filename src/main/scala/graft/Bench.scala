@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.BboxFastPath.install(spark)
     // local-iteration hooks (driver never sets these): run only named
     // queries, optionally several times (last timing wins = warm numbers)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

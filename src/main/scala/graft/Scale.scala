@@ -18,6 +18,7 @@ object Scale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.BboxFastPath.install(spark)
     import graft.functions.GeoFunctions._
 
     def replicate(df: DataFrame, n: Int, idCols: Seq[String]): DataFrame = {

@@ -13,6 +13,7 @@ object Smoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.BboxFastPath.install(spark)
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(30, truncate = false)

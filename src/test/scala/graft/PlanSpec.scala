@@ -47,6 +47,42 @@ class PlanSpec extends AnyFunSuite {
     df.collect() // forces janino compile of the generated code — must not fall back
   }
 
+  test("BboxFastPath rule: .cx over GeoParquet covering column reaches PushedFilters") {
+    import graft.api.GeoDataFrame
+    graft.plans.BboxFastPath.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bboxrule").toString
+    val src = GeoDataFrame((0 until 2000).map(i => (i.toLong, (i % 100).toDouble, (i / 100).toDouble))
+      .toDF("id", "x", "y").withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"))
+    graft.io.GeoParquet.write(src, s"$dir/pts", spatialSort = true)
+    val back = graft.io.GeoParquet.read(spark, s"$dir/pts")
+
+    // ad-hoc literal intersects filter (what .cx builds) — no readBbox API
+    val q = back.cx(10, 2, 30, 8)
+    val plan = q.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("bbox.xmin") || plan.contains("LessThanOrEqual(bbox")),
+      s"expected bbox conjuncts in PushedFilters:\n${plan.take(2500)}")
+    // results identical to the unaccelerated filter
+    val expect = spark.read.parquet(s"$dir/pts")
+      .filter(st_intersects(col("geometry"), lit(Wkb.write(GeomOps.makeBox(10, 2, 30, 8)))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(q.df.select("id").as[Long].collect().sorted.toSeq == expect && expect.nonEmpty)
+
+    // contains/within/dwithin literal forms get bounds too, and stay correct
+    val boxLit = lit(Wkb.write(GeomOps.makeBox(20, 3, 22, 5)))
+    val w = back.df.filter(st_within(col("geometry"), boxLit))
+    assert(w.queryExecution.executedPlan.toString.contains("bbox"), "within should gain bbox bounds")
+    val wIds = w.select("id").as[Long].collect().sorted.toSeq
+    val wExpect = spark.read.parquet(s"$dir/pts")
+      .filter(st_within(col("geometry"), boxLit)).select("id").as[Long].collect().sorted.toSeq
+    assert(wIds == wExpect && wIds.nonEmpty)
+    val dw = back.df.filter(st_dwithin(col("geometry"), lit(Wkb.write(GeomOps.point(50, 5))), lit(3.0)))
+    val dwExpect = spark.read.parquet(s"$dir/pts")
+      .filter(st_dwithin(col("geometry"), lit(Wkb.write(GeomOps.point(50, 5))), lit(3.0)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dw.select("id").as[Long].collect().sorted.toSeq == dwExpect && dwExpect.nonEmpty)
+  }
+
   test("sjoin broadcast path produces BroadcastHashJoin on the id key") {
     val pts = (0 until 100).map(i => (i, Wkb.write(GeomOps.point(i % 10, i / 10))))
       .toDF("pid", "geometry")
