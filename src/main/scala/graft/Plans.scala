@@ -103,6 +103,16 @@ object Plans {
       graft.ops.Similarity.ivfTopK(spark.read.parquet(s"$tmp/emb"), "embedding", cents, q, 10, nprobe = 2)
     }
 
+    section("BboxFastPath rule: ad-hoc .cx filter over a covering bbox column",
+      "No readBbox API here — a plain filter(st_intersects(g, lit)) on a GeoParquet frame. The " +
+        "Catalyst rule injects bbox.xmin/xmax/ymin/ymax conjuncts, which reach PushedFilters and " +
+        "prune row groups; the exact JTS predicate runs only on survivors.") {
+      graft.plans.BboxFastPath.install(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("plans_rule").toString
+      graft.io.GeoParquet.write(GeoDataFrame(pts.drop("c_comment")), s"$tmp/pts", spatialSort = true)
+      graft.io.GeoParquet.read(spark, s"$tmp/pts").cx(10, 20, 60, 80).df
+    }
+
     section("End-to-end pipeline (quality -> lang -> dedup -> near-dup -> stats)",
       "One lazy plan across four pipeline stages: scans stay columnar, the dedup window and " +
         "LSH band join are the only shuffles, and the final aggregate is partial+final. " +
