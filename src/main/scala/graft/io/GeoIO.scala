@@ -1,0 +1,69 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import org.apache.spark.sql.SparkSession
+
+/** Format-dispatching entry points mirroring the reference's single
+  * `read_file` / `to_file` surface (`io/file.py:197-339/614-794`, where OGR
+  * picks the driver from the extension). Every underlying reader keeps its
+  * own scale posture (file-level parallelism, bbox/mask pushdown, metadata
+  * read on the driver only).
+  */
+object GeoIO {
+
+  /** Driver inferred from the extension: .shp/.zip (Shapefile),
+    * .geojson/.json/.ndjson (GeoJSON), .gpkg (GeoPackage),
+    * .feather/.arrow (Arrow IPC), .parquet or a parquet directory
+    * (GeoParquet). `layer` only applies to GPKG. */
+  def readFile(spark: SparkSession, path: String,
+               layer: Option[String] = None,
+               bbox: Option[(Double, Double, Double, Double)] = None,
+               mask: Option[Array[Byte]] = None,
+               columns: Option[Seq[String]] = None,
+               rows: Option[Int] = None): GeoDataFrame = {
+    val l = path.toLowerCase.stripSuffix("/")
+    def prune(g: GeoDataFrame): GeoDataFrame = {
+      val c = columns.map { cs =>
+        val keep = (cs :+ g.geometryCol).distinct.filter(g.df.columns.contains)
+        g.copy(df = g.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
+      }.getOrElse(g)
+      rows.map(n => c.copy(df = c.df.limit(n))).getOrElse(c)
+    }
+    if (l.endsWith(".shp") || l.endsWith(".zip"))
+      Shapefile.read(spark, path, bbox, columns, rows, mask)
+    else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
+      GeoJsonIO.read(spark, path, bbox, columns, rows, mask)
+    else if (l.endsWith(".gpkg"))
+      Gpkg.read(spark, path, layer, bbox, columns, rows, mask)
+    else if (l.endsWith(".feather") || l.endsWith(".arrow"))
+      prune(Feather.read(spark, path, columns, bbox, mask))
+    else {
+      // GeoParquet: prefer the covering-bbox scan prefilter paths
+      val base = (bbox, mask) match {
+        case (Some((x0, y0, x1, y1)), None) => GeoParquet.readBbox(spark, path, x0, y0, x1, y1)
+        case (None, Some(m))                => GeoParquet.readMask(spark, path, m)
+        case (None, None)                   => GeoParquet.read(spark, path)
+        case _ => throw new IllegalArgumentException(
+          "bbox and mask cannot both be given (ref io/file.py:197-239)")
+      }
+      prune(base)
+    }
+  }
+
+  /** Driver inferred from the extension; GeoParquet for directories. */
+  def toFile(gdf: GeoDataFrame, path: String): Unit = {
+    val l = path.toLowerCase
+    if (l.endsWith(".shp")) Shapefile.write(gdf, path)
+    else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
+      GeoJsonIO.write(gdf, path)
+    else if (l.endsWith(".feather") || l.endsWith(".arrow")) Feather.write(gdf, path)
+    else if (l.endsWith(".gpkg")) Gpkg.write(gdf, path)
+    else GeoParquet.write(gdf, path)
+  }
+
+  /** Feature layers of a container format (ref list_layers, io/file.py:867). */
+  def listLayers(spark: SparkSession, path: String): Seq[(String, String)] =
+    if (path.toLowerCase.endsWith(".gpkg")) Gpkg.listLayers(spark, path)
+    else throw new UnsupportedOperationException(
+      "list_layers: only GPKG containers carry multiple layers in this engine")
+}

@@ -97,6 +97,100 @@ object Gpkg {
     rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
   }
 
+  // ----------------------------------------------------------------- write
+
+  /** Write a GeoDataFrame as a single-layer GeoPackage (driver-side export
+    * path, like [[Shapefile.write]]; use GeoParquet for scale outputs).
+    * Emits the spec's required metadata tables, a feature table with
+    * `fid INTEGER PRIMARY KEY`, and GPKG binary geometry blobs; the file is
+    * built by [[SqliteWriter]] and opens in any SQLite. */
+  def write(gdf: GeoDataFrame, path: String, layer: String = "features"): Unit = {
+    val g = gdf.geometryCol
+    val rows = gdf.df.collect()
+    val fields = gdf.df.schema.fields.filter(_.name != g)
+    val srsId = gdf.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).getOrElse(0)
+    val crsDef = gdf.activeCrs.getOrElse("undefined")
+
+    // geometry type name + envelope over non-null geometries
+    val geoms = rows.map(r => Option(r.getAs[Array[Byte]](r.fieldIndex(g)))
+      .map(graft.geom.Wkb.read).orNull)
+    val typeNames = geoms.filter(_ != null).map(_.getGeometryType.toUpperCase).distinct
+    val geomType = if (typeNames.length == 1) typeNames.head else "GEOMETRY"
+    val env = new org.locationtech.jts.geom.Envelope()
+    geoms.foreach(gm => if (gm != null && !gm.isEmpty) env.expandToInclude(gm.getEnvelopeInternal))
+
+    val w = new SqliteWriter()
+    def sqlType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case LongType | IntegerType | ShortType => "INTEGER"
+      case DoubleType | FloatType             => "DOUBLE"
+      case BooleanType                        => "BOOLEAN"
+      case BinaryType                         => "BLOB"
+      case _                                  => "TEXT"
+    }
+
+    // feature table records: fid = rowid (NULL in record), attrs, geom blob.
+    // Only the rowid-alias pk is declared — TEXT/UNIQUE constraints would
+    // imply index b-trees this writer does not emit.
+    val colDefs = Seq("fid INTEGER PRIMARY KEY") ++
+      fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""") ++
+      Seq(s""""$g" $geomType""")
+    val featSql = s"""CREATE TABLE "$layer" (${colDefs.mkString(", ")})"""
+    val featRecords = rows.zipWithIndex.map { case (r, i) =>
+      val attrs = fields.map { f =>
+        val idx = r.fieldIndex(f.name)
+        if (r.isNullAt(idx)) null else r.get(idx)
+      }.toSeq
+      val geomBlob = Option(r.getAs[Array[Byte]](r.fieldIndex(g))).map(gpkgBlob(_, srsId)).orNull
+      ((i + 1).toLong, w.record((null +: attrs) :+ geomBlob))
+    }.toSeq
+    val featRoot = w.buildTable(featRecords)
+
+    val srsSql = "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"
+    // the spec's two mandatory undefined entries + the layer's srs; srs_id
+    // is the rowid-alias pk, so the record slot stores NULL
+    val srsRows = Seq(
+      (-1L, Seq("Undefined cartesian SRS", null, "NONE", -1L, "undefined", null)),
+      (0L, Seq("Undefined geographic SRS", null, "NONE", 0L, "undefined", null))) ++
+      (if (srsId > 0) Seq((srsId.toLong, Seq(s"EPSG:$srsId", null, "EPSG", srsId.toLong, crsDef, null))) else Nil)
+    // rowids must ascend in the b-tree: -1 is stored as its own rowid, which
+    // sqlite treats as a signed integer — order records by rowid
+    val srsRoot = w.buildTable(srsRows.sortBy(_._1).map { case (rid, vals) => (rid, w.record(vals)) })
+
+    val contentsSql = "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, identifier TEXT, description TEXT DEFAULT '', last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+    val contentsRoot = w.buildTable(Seq((1L, w.record(Seq(
+      layer, "features", layer, "", "2026-01-01T00:00:00.000Z",
+      if (env.isNull) null else env.getMinX, if (env.isNull) null else env.getMinY,
+      if (env.isNull) null else env.getMaxX, if (env.isNull) null else env.getMaxY,
+      srsId.toLong)))))
+
+    val geomColsSql = "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
+    val geomColsRoot = w.buildTable(Seq((1L, w.record(Seq(
+      layer, g, geomType, srsId.toLong, 0L, 0L)))))
+
+    // sqlite_master (root at page 1): (type, name, tbl_name, rootpage, sql)
+    val master = Seq(
+      ("gpkg_spatial_ref_sys", srsRoot, srsSql),
+      ("gpkg_contents", contentsRoot, contentsSql),
+      ("gpkg_geometry_columns", geomColsRoot, geomColsSql),
+      (layer, featRoot, featSql))
+    w.buildTable(master.zipWithIndex.map { case ((name, root, sql), i) =>
+      ((i + 1).toLong, w.record(Seq("table", name, name, root.toLong, sql)))
+    }, rootAtPage1 = true)
+
+    val bytes = w.finish(applicationId = 0x47504B47, userVersion = 10300)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(gdf.df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** GPKG binary header (little-endian, no envelope) + WKB. */
+  private def gpkgBlob(wkb: Array[Byte], srsId: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + wkb.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte).put(0x01.toByte).putInt(srsId).put(wkb)
+    b.array()
+  }
+
   // ------------------------------------------------------------------ meta
 
   /** gpkg_geometry_columns rows: (table, column, type, srs_id). */

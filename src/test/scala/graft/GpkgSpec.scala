@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.GeoFunctions._
+import graft.geom.GeomOps
 import graft.io.Gpkg
 import graft.join.SpatialJoin
 import org.apache.spark.sql.functions._
@@ -69,6 +70,51 @@ class GpkgSpec extends AnyFunSuite {
     val pruned = Gpkg.read(spark, fixture, layer = Some("cells"),
       columns = Some(Seq("name")), rows = Some(3))
     assert(pruned.df.columns.toSeq == Seq("name", "geom") && pruned.df.count() == 3)
+  }
+
+  test("Gpkg.write round-trips through our reader (attrs, nulls, overflow, CRS)") {
+    import graft.api.GeoDataFrame
+    val big = "y" * 9000 // forces an overflow chain in the written file
+    val df = (0 until 600).map { i =>
+      (i * 2L, s"w$i", i * 0.25, i % 2 == 0,
+        if (i == 77) big else s"note$i",
+        if (i == 99) null else graft.geom.Wkb.write(GeomOps.point(i % 30, i / 30)))
+    }.toDF("key", "name", "score", "flag", "note", "geometry")
+    val gdf = GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:3857"))
+    val out = java.nio.file.Files.createTempDirectory("gpkgw").toString + "/out.gpkg"
+    Gpkg.write(gdf, out, layer = "stuff")
+
+    assert(Gpkg.listLayers(spark, out) == Seq(("stuff", "POINT")))
+    val back = Gpkg.read(spark, out)
+    assert(back.geometryCol == "geometry")
+    assert(back.activeCrs.contains("EPSG:3857"))
+    assert(back.df.count() == 600)
+    assert(back.df.columns.toSeq == Seq("fid", "key", "name", "score", "flag", "note", "geometry"))
+    val r = back.df.filter(col("key") === 400L)
+      .select(col("name"), col("score"), col("flag"), st_x(col("geometry")))
+      .as[(String, Double, Boolean, Double)].head()
+    assert(r == (("w200", 50.0, true, 20.0)))
+    assert(back.df.filter(col("key") === 154L).select("note").as[String].head() == big)
+    assert(back.df.filter(col("geometry").isNull).select("key").as[Long].collect().toSeq == Seq(198L))
+    // fids are the written rowids 1..600
+    assert(back.df.select(min(col("fid")), max(col("fid"))).as[(Long, Long)].head() == ((1L, 600L)))
+  }
+
+  test("GeoIO.readFile/toFile dispatch by extension") {
+    import graft.api.GeoDataFrame
+    val dir = java.nio.file.Files.createTempDirectory("geoio").toString
+    val df = (0 until 50).map(i => (i.toLong, graft.geom.Wkb.write(GeomOps.point(i, i))))
+      .toDF("id", "geometry")
+    val gdf = GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:4326"))
+    graft.io.GeoIO.toFile(gdf, s"$dir/a.gpkg")
+    assert(graft.io.GeoIO.readFile(spark, s"$dir/a.gpkg").df.count() == 50)
+    graft.io.GeoIO.toFile(gdf, s"$dir/a.feather")
+    assert(graft.io.GeoIO.readFile(spark, s"$dir/a.feather").df.count() == 50)
+    graft.io.GeoIO.toFile(gdf, s"$dir/a.geojson")
+    assert(graft.io.GeoIO.readFile(spark, s"$dir/a.geojson").df.count() == 50)
+    graft.io.GeoIO.toFile(gdf, s"$dir/pq")
+    assert(graft.io.GeoIO.readFile(spark, s"$dir/pq").df.count() == 50)
+    assert(graft.io.GeoIO.listLayers(spark, s"$dir/a.gpkg").nonEmpty)
   }
 
   test("gpkg points sjoin gpkg cells + dissolve round-trip") {
