@@ -157,14 +157,38 @@ object GeoJsonIO {
       }
     }
 
-  /** Write as newline-delimited GeoJSON features. */
-  def write(gdf: GeoDataFrame, path: String): Unit = {
+  private def featureLines(gdf: GeoDataFrame): DataFrame = {
     val g = gdf.geometryCol
     val dataCols = gdf.df.columns.filter(_ != g)
     val propsJson = to_json(struct(dataCols.map(col): _*))
     gdf.df.select(concat(
       lit("""{"type":"Feature","properties":"""), propsJson,
       lit(""","geometry":"""), stAsGeoJsonU(col(g)), lit("}")).as("value"))
-      .write.mode("overwrite").text(path)
+  }
+
+  /** Write as newline-delimited GeoJSON features (the scalable form). */
+  def write(gdf: GeoDataFrame, path: String): Unit =
+    featureLines(gdf).write.mode("overwrite").text(path)
+
+  /** Write ONE FeatureCollection document (the reference's default for the
+    * `.geojson` driver, `io/file.py:614-794`) — a single-document format,
+    * so this is an export path; rows stream through the driver one
+    * partition at a time (toLocalIterator), never all at once. */
+  def writeFeatureCollection(gdf: GeoDataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(gdf.df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+    try {
+      out.write("""{"type":"FeatureCollection","features":[""".getBytes("UTF-8"))
+      val it = featureLines(gdf).toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) out.write(',')
+        out.write('\n')
+        out.write(it.next().getString(0).getBytes("UTF-8"))
+        first = false
+      }
+      out.write("\n]}".getBytes("UTF-8"))
+    } finally out.close()
   }
 }

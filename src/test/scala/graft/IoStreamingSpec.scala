@@ -48,6 +48,21 @@ class GeoJsonIOSpec extends AnyFunSuite {
     assert(back.df.select(st_y(col("geometry"))).as[Double].collect().sorted.toSeq == Seq(20.0, 40.0))
   }
 
+  test("writeFeatureCollection exports one FC document our reader round-trips") {
+    import graft.api.GeoDataFrame
+    import graft.geom.{GeomOps, Wkb}
+    val df = (0 until 300).map(i => (i.toLong, s"n$i", Wkb.write(GeomOps.point(i % 20, i / 20))))
+      .toDF("id", "name", "geometry")
+    val dir = java.nio.file.Files.createTempDirectory("gjfcw").toString
+    GeoJsonIO.writeFeatureCollection(GeoDataFrame(df), s"$dir/out.geojson")
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/out.geojson"))
+    assert(txt.startsWith("""{"type":"FeatureCollection"""") && txt.trim.endsWith("]}"))
+    val back = GeoJsonIO.read(spark, s"$dir/out.geojson")
+    assert(back.count() == 300)
+    assert(back.df.select(org.apache.spark.sql.functions.sum(st_x(col("geometry"))))
+      .as[Double].head() == (0 until 300).map(_ % 20).sum.toDouble)
+  }
+
   test("pretty-printed multi-file FeatureCollection reads distributed, matching ndjson") {
     // two pretty-printed FC documents (multi-line, nested braces/brackets,
     // escaped quotes and a decoy "features" string inside properties) — the
