@@ -36,7 +36,7 @@ object GeoParquet {
     * zero-extra-IO default the engine itself reads. */
   def write(gdf: GeoDataFrame, path: String, coveringBbox: Boolean = true,
             spatialSort: Boolean = false, numPartitions: Option[Int] = None,
-            footerMetadata: Boolean = false): Unit = {
+            footerMetadata: Boolean = false, geometryEncoding: String = "WKB"): Unit = {
     val g = gdf.geometryCol
     var df = gdf.df
     // ONE stats pass for everything the metadata needs (total bounds +
@@ -55,12 +55,24 @@ object GeoParquet {
         st_hilbert(col(g), lit(x0), lit(y0), lit(x1), lit(y1), lit(12)))
     if (coveringBbox)
       df = df.withColumn("bbox", st_bounds(col(g)))
+    // GeoParquet 1.1 geoarrow encoding (ref to_parquet geometry_encoding=):
+    // nested native columns readable by any parquet consumer; requires a
+    // single geometry type (the spec's constraint)
+    val encoding =
+      if (geometryEncoding.equalsIgnoreCase("WKB")) "WKB"
+      else if (geometryEncoding.equalsIgnoreCase("geoarrow")) {
+        require(types.length == 1, s"geoarrow encoding requires one geometry type, found: ${types.mkString(", ")}")
+        GeoArrowCodec.encodingFor(types.head).getOrElse(throw new IllegalArgumentException(
+          s"geometry type ${types.head} has no geoarrow encoding"))
+      } else geometryEncoding.toLowerCase
+    if (encoding != "WKB")
+      df = df.withColumn(g, GeoArrowCodec.fromWkb(encoding, col(g)))
     df.write.mode("overwrite").parquet(path)
 
     val crsJson = gdf.activeCrs.map(c => "\"" + c + "\"").getOrElse("null")
     val meta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
-         |"encoding": "WKB", "geometry_types": [${types.map("\"" + _ + "\"").mkString(", ")}],
+         |"encoding": "$encoding", "geometry_types": [${types.map("\"" + _ + "\"").mkString(", ")}],
          |"crs": $crsJson, "bbox": [$x0, $y0, $x1, $y1],
          |${if (coveringBbox) "\"covering\": {\"bbox\": {\"xmin\": [\"bbox\", \"xmin\"], \"ymin\": [\"bbox\", \"ymin\"], \"xmax\": [\"bbox\", \"xmax\"], \"ymax\": [\"bbox\", \"ymax\"]}}," else ""}
          |"edges": "planar"}}}""".stripMargin.replace("\n", " ")
@@ -103,19 +115,28 @@ object GeoParquet {
   }
 
   /** Read GeoParquet: restores the primary geometry column + CRS from the
-    * sidecar or, for external files, the parquet footer `geo` key. */
+    * sidecar or, for external files, the parquet footer `geo` key. Columns
+    * with a GeoParquet 1.1 geoarrow encoding (`point`, `linestring`,
+    * `polygon`, `multi*` — nested native arrays instead of WKB) are decoded
+    * to the engine's WKB representation; Spark reads the nested parquet
+    * natively, so the conversion is one column expression. */
   def read(spark: SparkSession, path: String): GeoDataFrame = {
     val df = spark.read.parquet(path)
     val meta = readMeta(spark, path)
     val primary = meta.flatMap(m => m.get("primary_column").collect { case s: String => s })
       .getOrElse(if (df.columns.contains("geometry")) "geometry" else df.columns.last)
-    val crs = for {
+    val colMeta = for {
       m <- meta
       cols <- m.get("columns").collect { case c: Map[String @unchecked, Any @unchecked] => c }
-      colMeta <- cols.get(primary).collect { case c: Map[String @unchecked, Any @unchecked] => c }
-      c <- colMeta.get("crs").collect { case s: String => s }
-    } yield c
-    GeoDataFrame(df, primary, crs.map(c => Map(primary -> c)).getOrElse(Map.empty))
+      cm <- cols.get(primary).collect { case c: Map[String @unchecked, Any @unchecked] => c }
+    } yield cm
+    val crs = colMeta.flatMap(_.get("crs").collect { case s: String => s })
+    val encoding = colMeta.flatMap(_.get("encoding").collect { case s: String => s })
+      .getOrElse("WKB")
+    val decoded =
+      if (encoding.equalsIgnoreCase("WKB")) df
+      else df.withColumn(primary, GeoArrowCodec.toWkb(encoding, col(primary)))
+    GeoDataFrame(decoded, primary, crs.map(c => Map(primary -> c)).getOrElse(Map.empty))
   }
 
   /** Bbox-filtered read: the filter lands on the bbox struct leaves so

@@ -2,6 +2,7 @@ package graft
 
 import graft.api.GeoDataFrame
 import graft.functions.GeoFunctions._
+import graft.geom.{GeomOps, Wkb}
 import graft.io.GeoParquet
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -69,5 +70,48 @@ class GeoParquetSpec extends AnyFunSuite {
     val kv = rd.getFooter.getFileMetaData.getKeyValueMetaData
     rd.close()
     assert(kv.containsKey("geo") && kv.get("geo").contains("\"primary_column\""))
+  }
+
+  test("reads pyarrow-written geoarrow-encoded GeoParquet (point + multipolygon)") {
+    // GeoParquet 1.1 geometry_encoding="geoarrow": nested native columns,
+    // not WKB — written here by pyarrow, decoded by our reader
+    val pts = graft.io.GeoParquet.read(spark,
+      getClass.getResource("/fixtures/geoarrow_points.parquet").getPath)
+    assert(pts.activeCrs.contains("EPSG:4326"))
+    assert(pts.df.count() == 150)
+    val r = pts.df.filter(col("id") === 37L)
+      .select(st_x(col("geometry")), st_y(col("geometry"))).as[(Double, Double)].head()
+    assert(r == ((12.0, 1.0)))
+
+    val mp = graft.io.GeoParquet.read(spark,
+      getClass.getResource("/fixtures/geoarrow_multipolygons.parquet").getPath)
+    val areas = mp.df.select(col("id"), st_area(col("geometry"))).as[(Long, Double)]
+      .collect().toMap
+    assert(areas(1L) == 16.0 - 1.0 + 4.0) // square minus hole + second square
+    assert(areas(2L) == 1.0)
+    val kinds = mp.df.select(st_geometrytype(col("geometry"))).distinct().as[String].collect().toSet
+    assert(kinds == Set("MultiPolygon"))
+  }
+
+  test("write(geometryEncoding=geoarrow) round-trips and is pyarrow-compatible nested parquet") {
+    import graft.api.GeoDataFrame
+    val df = (0 until 200).map(i => (i.toLong, Wkb.write(GeomOps.point(i % 10, i / 10))))
+      .toDF("id", "geometry")
+    val dir = java.nio.file.Files.createTempDirectory("gpq_ga").toString
+    graft.io.GeoParquet.write(GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:4326")),
+      s"$dir/pts", geometryEncoding = "geoarrow")
+    // the stored column is a nested struct, not binary
+    val raw = spark.read.parquet(s"$dir/pts")
+    assert(raw.schema("geometry").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val back = graft.io.GeoParquet.read(spark, s"$dir/pts")
+    assert(back.df.count() == 200)
+    assert(back.df.select(org.apache.spark.sql.functions.sum(st_x(col("geometry"))))
+      .as[Double].head() == (0 until 200).map(_ % 10).sum.toDouble)
+    // mixed-type frames refuse geoarrow (spec requires one type)
+    val mixed = GeoDataFrame(Seq(
+      (1L, Wkb.write(GeomOps.point(0, 0))),
+      (2L, Wkb.write(GeomOps.makeBox(0, 0, 1, 1)))).toDF("id", "geometry"))
+    intercept[IllegalArgumentException](
+      graft.io.GeoParquet.write(mixed, s"$dir/mx", geometryEncoding = "geoarrow"))
   }
 }
