@@ -51,9 +51,9 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
       geometryCol, crs + (geometryCol -> s"EPSG:$toEpsg"))
   }
 
-  def estimateUtmCrs(): String = {
+  def estimateUtmCrs(datumName: String = "WGS 84"): String = {
     val b = totalBounds
-    val epsg = CrsTransform.estimateUtmEpsg((b._1 + b._3) / 2, (b._2 + b._4) / 2)
+    val epsg = CrsTransform.estimateUtmEpsg((b._1 + b._3) / 2, (b._2 + b._4) / 2, datumName)
     s"EPSG:$epsg"
   }
 

@@ -278,9 +278,16 @@ object CrsTransform {
     }
   }
 
-  /** UTM zone estimation from lon/lat center (ref `array.py:1190-1276`). */
-  def estimateUtmEpsg(lon: Double, lat: Double): Int = {
+  /** UTM zone estimation from lon/lat center (ref `array.py:1190-1276`;
+    * `datumName` as in the reference: WGS 84 → 326xx/327xx, NAD83 → 269xx
+    * — NAD83 UTM is defined for northern zones only). */
+  def estimateUtmEpsg(lon: Double, lat: Double, datumName: String = "WGS 84"): Int = {
     val zone = math.min(60, math.max(1, (math.floor((lon + 180) / 6) + 1).toInt))
-    if (lat >= 0) 32600 + zone else 32700 + zone
+    datumName.toUpperCase.replace(" ", "") match {
+      case "NAD83" =>
+        require(lat >= 0, "NAD83 UTM zones are defined for the northern hemisphere only")
+        26900 + zone
+      case _ => if (lat >= 0) 32600 + zone else 32700 + zone
+    }
   }
 }

@@ -157,11 +157,16 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(math.abs(back._1 - -73.9857) < 1e-8 && math.abs(back._2 - 40.7484) < 1e-8)
   }
 
-  test("estimateUtmCrs picks the zone of the bounds centre") {
+  test("estimateUtmCrs picks the zone of the bounds centre (incl. datum_name=NAD83)") {
     val nyc = GeoDataFrame.pointsFromXy(
       Seq((1, -74.0, 40.7), (2, -73.9, 40.8)).toDF("id", "x", "y"), "x", "y",
       crs = Some("EPSG:4326"))
     assert(nyc.estimateUtmCrs() == "EPSG:32618")
+    assert(nyc.estimateUtmCrs("NAD83") == "EPSG:26918")
+    val sydney = GeoDataFrame.pointsFromXy(
+      Seq((1, 151.2, -33.9)).toDF("id", "x", "y"), "x", "y", crs = Some("EPSG:4326"))
+    assert(sydney.estimateUtmCrs() == "EPSG:32756")
+    intercept[IllegalArgumentException](sydney.estimateUtmCrs("NAD83"))
   }
 
   test("sjoin CRS mismatch raises") {
