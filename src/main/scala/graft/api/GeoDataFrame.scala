@@ -39,12 +39,16 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
     copy(crs = crs + (geometryCol -> crsName))
   }
 
-  /** Reproject coordinates (ref to_crs; no-op when CRS already matches). */
+  /** Reproject coordinates (ref to_crs; no-op when CRS already matches).
+    * The source CRS may be a WKT string (e.g. a shapefile .prj) — its EPSG
+    * code is recovered from AUTHORITY clauses or well-known ESRI names. */
   def toCrs(target: String): GeoDataFrame = {
     val from = activeCrs.getOrElse(throw new IllegalArgumentException(
       "Cannot transform naive geometries: CRS not set (ref to_crs)"))
-    val fromEpsg = CrsTransform.normalize(from)
-    val toEpsg = CrsTransform.normalize(target)
+    def resolve(c: String): Int = CrsTransform.normalizeOpt(c).getOrElse(
+      throw new IllegalArgumentException(s"Cannot determine the EPSG code of CRS '$c'"))
+    val fromEpsg = resolve(from)
+    val toEpsg = resolve(target)
     if (fromEpsg == toEpsg) this
     else GeoDataFrame(
       df.withColumn(geometryCol, st_transform(col(geometryCol), lit(fromEpsg), lit(toEpsg))),
@@ -95,6 +99,16 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   def cx(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame = {
     import graft.geom.{GeomOps, Wkb}
     copy(df = df.filter(st_intersects(geometry, lit(Wkb.write(GeomOps.makeBox(xmin, ymin, xmax, ymax))))))
+  }
+
+  /** `.cx` with open-ended slices (ref `.cx[:x1, y0:]` etc.): missing ends
+    * fall back to the frame's total bounds, like the reference's unbounded
+    * numpy slices. */
+  def cx(xmin: Option[Double], ymin: Option[Double],
+         xmax: Option[Double], ymax: Option[Double]): GeoDataFrame = {
+    if (xmin.isEmpty && ymin.isEmpty && xmax.isEmpty && ymax.isEmpty) return this
+    val b = totalBounds
+    cx(xmin.getOrElse(b._1), ymin.getOrElse(b._2), xmax.getOrElse(b._3), ymax.getOrElse(b._4))
   }
 
   /** Multi-part → single-part rows (ref explode, geodataframe.py:2330-2440);

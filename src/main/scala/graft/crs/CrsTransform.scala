@@ -39,6 +39,31 @@ object CrsTransform {
       // earlier clauses belong to nested datum/spheroid definitions.
       val auth = """(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
       auth.findAllMatchIn(crs).toSeq.lastOption.map(_.group(1).toInt)
+    }.orElse(esriNameEpsg(crs))
+  }
+
+  /** ESRI-dialect .prj files carry no AUTHORITY clause — recognize the
+    * well-known coordinate-system NAMES of the engine's allowlist (the
+    * reference gets this resolution from pyproj/PROJ's identify). */
+  private def esriNameEpsg(crs: String): Option[Int] = {
+    val name = """^\s*(?:GEOGCS|PROJCS|GEOGCRS|PROJCRS)\s*\[\s*"([^"]+)"""".r
+      .findFirstMatchIn(crs).map(_.group(1)).getOrElse(return None)
+    val n = name.toUpperCase.replace(' ', '_')
+    n match {
+      case "GCS_WGS_1984" | "WGS_84" | "WGS_1984"                        => Some(4326)
+      case "GCS_NORTH_AMERICAN_1983" | "NAD83"                           => Some(4269)
+      case "GCS_NORTH_AMERICAN_1927" | "NAD27"                           => Some(4267)
+      case "WGS_1984_WEB_MERCATOR_AUXILIARY_SPHERE"                      => Some(3857)
+      case "WORLD_MERCATOR" | "WGS_1984_WORLD_MERCATOR"                  => Some(3395)
+      case "NAD_1983_STATEPLANE_NEW_YORK_LONG_ISLAND_FIPS_3104_FEET"     => Some(2263)
+      case "NAD_1983_CONTIGUOUS_USA_ALBERS" | "USA_CONTIGUOUS_ALBERS_EQUAL_AREA_CONIC_USGS_VERSION" => Some(5070)
+      case _ =>
+        """^WGS_1984_UTM_ZONE_(\d{1,2})([NS])$""".r.findFirstMatchIn(n).map { m =>
+          val z = m.group(1).toInt
+          if (m.group(2) == "N") 32600 + z else 32700 + z
+        }.orElse {
+          """^NAD_1983_UTM_ZONE_(\d{1,2})N$""".r.findFirstMatchIn(n).map(m => 26900 + m.group(1).toInt)
+        }
     }
   }
 

@@ -182,7 +182,10 @@ class GeoDataFrameSpec extends AnyFunSuite {
       |UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]""".stripMargin.replace("\n", "")
     assert(CrsTransform.normalizeOpt(wkt1).contains(4326)) // LAST authority wins, not 7030
     assert(CrsTransform.normalizeOpt("EPSG:3857").contains(3857))
-    assert(CrsTransform.normalizeOpt("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]""").isEmpty)
+    // authority-free ESRI names resolve via the well-known-name table
+    assert(CrsTransform.normalizeOpt("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]""").contains(4326))
+    assert(CrsTransform.normalizeOpt("""PROJCS["WGS_1984_UTM_Zone_18N",GEOGCS["GCS_WGS_1984"]]""").contains(32618))
+    assert(CrsTransform.normalizeOpt("""GEOGCS["Unknown_Custom_Datum_XYZ"]""").isEmpty)
     assert(CrsTransform.isGeographic("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]"""))
     assert(!CrsTransform.isGeographic("""PROJCS["NAD83 / New York Long Island"]"""))
   }

@@ -242,6 +242,36 @@ class ShapefileSpec extends AnyFunSuite {
     assert(joined.df.count() > 0)
   }
 
+  test("toCrs works directly on shapefile-read frames (ESRI WKT name resolution)") {
+    import org.locationtech.jts.geom.Coordinate
+    // lowres .prj is ESRI GEOGCS["GCS_WGS_1984",...] with no AUTHORITY —
+    // name-based resolution maps it to 4326 so reprojection just works
+    val fr = Shapefile.read(spark, lowres).df.filter(col("name") === "France")
+    val gdf = Shapefile.read(spark, lowres).copy(df = fr)
+    assert(graft.crs.CrsTransform.normalizeOpt(gdf.crs("geometry")).contains(4326))
+    val merc = gdf.toCrs("EPSG:3857")
+    assert(merc.activeCrs.contains("EPSG:3857"))
+    // reprojection round-trips: 4326 -> 3857 -> 4326 restores the centroid
+    val cx0 = gdf.df.select(st_x(st_centroid(col("geometry")))).as[Double].head()
+    val cxBack = merc.toCrs("EPSG:4326").df
+      .select(st_x(st_centroid(col("geometry")))).as[Double].head()
+    assert(math.abs(cx0 - cxBack) < 1e-6, s"$cx0 vs $cxBack")
+    // and the projected x really is in meters (beyond lon/lat range)
+    val mx = merc.df.select(st_x(st_centroid(col("geometry")))).as[Double].head()
+    assert(math.abs(mx) > 1000, s"expected mercator meters, got $mx")
+  }
+
+  test("cx with open-ended slices falls back to total bounds") {
+    import graft.api.GeoDataFrame
+    val gdf = Shapefile.read(spark, cities)
+    val all = gdf.cx(None, None, None, None).df.count()
+    assert(all == 243)
+    val north = gdf.cx(None, Some(0.0), None, None).df.count()
+    val south = gdf.cx(None, None, None, Some(0.0)).df.count()
+    assert(north > 0 && south > 0 && north + south >= 243) // equator points in both
+    assert(north < 243 && south < 243)
+  }
+
   test("write raises on mixed geometry-type frames instead of corrupting") {
     import graft.api.GeoDataFrame
     val mixed = Seq(
