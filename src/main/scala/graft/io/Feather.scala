@@ -61,11 +61,7 @@ object Feather {
       }
     val df = spark.createDataFrame(rowsRdd, schema)
     val base = GeoDataFrame(df, geomCol, crs.map(c => Map(geomCol -> c)).getOrElse(Map.empty))
-    val filtered = IoFilters.bboxOrMask(base, bbox, mask)
-    columns.map { cs =>
-      val keep = (cs :+ geomCol).distinct.filter(filtered.df.columns.contains)
-      filtered.copy(df = filtered.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
-    }.getOrElse(filtered)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(base, bbox, mask), columns, None)
   }
 
   /** Footer schema + geo metadata via a seekable channel — no full read. */
@@ -133,7 +129,7 @@ object Feather {
     val g = gdf.geometryCol
     val rows = gdf.df.collect()
     val sparkSchema = gdf.df.schema
-    val crsJson = gdf.activeCrs.map(c => "\"" + c + "\"").getOrElse("null")
+    val crsJson = gdf.activeCrs.map(IoFilters.jsonString).getOrElse("null")
     val geoMeta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
          |"encoding": "WKB", "crs": $crsJson, "edges": "planar"}}}""".stripMargin.replace("\n", " ")

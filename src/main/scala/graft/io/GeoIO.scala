@@ -22,13 +22,7 @@ object GeoIO {
                columns: Option[Seq[String]] = None,
                rows: Option[Int] = None): GeoDataFrame = {
     val l = path.toLowerCase.stripSuffix("/")
-    def prune(g: GeoDataFrame): GeoDataFrame = {
-      val c = columns.map { cs =>
-        val keep = (cs :+ g.geometryCol).distinct.filter(g.df.columns.contains)
-        g.copy(df = g.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
-      }.getOrElse(g)
-      rows.map(n => c.copy(df = c.df.limit(n))).getOrElse(c)
-    }
+    def prune(g: GeoDataFrame): GeoDataFrame = IoFilters.pruneAndLimit(g, columns, rows)
     if (l.endsWith(".shp") || l.endsWith(".zip"))
       Shapefile.read(spark, path, bbox, columns, rows, mask)
     else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))

@@ -25,22 +25,20 @@ object GeoJsonIO {
            columns: Option[Seq[String]] = None,
            rows: Option[Int] = None,
            mask: Option[Array[Byte]] = None): GeoDataFrame = {
-    val base = IoFilters.bboxOrMask(read(spark, path), bbox, mask)
-    val pruned = columns.map { cs =>
-      val keep = (cs :+ base.geometryCol).distinct.filter(base.df.columns.contains)
-      base.copy(df = base.df.select(keep.map(col): _*))
-    }.getOrElse(base)
-    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(read(spark, path), bbox, mask), columns, rows)
   }
 
   /** Read newline-delimited features (or FeatureCollection document files —
-    * including pretty-printed ones, which never fit the one-line sniff). */
+    * including pretty-printed ones, which never fit a one-line sniff). */
   def read(spark: SparkSession, path: String): GeoDataFrame = {
     val txt = spark.read.text(path)
-    // FC sniff on the first few lines only (a pretty-printed document opens
-    // with a bare "{"); ndjson lines are complete {"type":"Feature",...}
-    // objects, never a FeatureCollection member
-    val head = txt.limit(5).collect().map(_.getString(0)).mkString("\n").trim
+    // FC sniff on the first 64 KB of RAW BYTES of the first file — a
+    // minified multi-GB FC is one "line", so a line-based sniff would pull
+    // the whole document to the driver. Writers in practice emit the
+    // required "type":"FeatureCollection" member first (RFC 7946 examples,
+    // GDAL, the reference); a document burying it >64 KB deep after the
+    // features array is misdetected as ndjson — documented limitation.
+    val head = headBytes(spark, path, 1 << 16).trim
     val lines: DataFrame =
       if (head.startsWith("{") && head.contains("\"FeatureCollection\"")) {
         // whole-document collection(s): stream-split the features array on
@@ -67,6 +65,26 @@ object GeoJsonIO {
       if (hasProps) parsed.select(col("__f.properties.*"), col("geometry"))
       else parsed.drop("__f", "value")
     GeoDataFrame(flat, "geometry", Map("geometry" -> "OGC:CRS84"))
+  }
+
+  /** First `n` bytes of the first file under `path` (file/dir/glob). */
+  private def headBytes(spark: SparkSession, path: String, n: Int): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val file =
+      if (fs.isDirectory(p))
+        fs.listStatus(p).map(_.getPath).filter(_.getName.nonEmpty)
+          .filterNot(_.getName.startsWith("_")).sortBy(_.getName).headOption
+      else if (fs.exists(p)) Some(p)
+      else fs.globStatus(p).map(_.getPath).sorted.headOption
+    file.map { f =>
+      val len = math.min(fs.getFileStatus(f).getLen, n.toLong).toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }.getOrElse("")
   }
 
   /** Pull-based extractor of the members of a FeatureCollection's

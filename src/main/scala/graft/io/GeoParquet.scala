@@ -69,11 +69,16 @@ object GeoParquet {
       df = df.withColumn(g, GeoArrowCodec.fromWkb(encoding, col(g)))
     df.write.mode("overwrite").parquet(path)
 
-    val crsJson = gdf.activeCrs.map(c => "\"" + c + "\"").getOrElse("null")
+    val crsJson = gdf.activeCrs.map(IoFilters.jsonString).getOrElse("null")
+    // empty / all-null-geometry frames have NaN bounds — NaN is not a JSON
+    // token, so the bbox member is omitted rather than corrupting the doc
+    val bboxJson =
+      if (Seq(x0, y0, x1, y1).exists(_.isNaN)) ""
+      else s""""bbox": [$x0, $y0, $x1, $y1],"""
     val meta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
          |"encoding": "$encoding", "geometry_types": [${types.map("\"" + _ + "\"").mkString(", ")}],
-         |"crs": $crsJson, "bbox": [$x0, $y0, $x1, $y1],
+         |"crs": $crsJson, $bboxJson
          |${if (coveringBbox) "\"covering\": {\"bbox\": {\"xmin\": [\"bbox\", \"xmin\"], \"ymin\": [\"bbox\", \"ymin\"], \"xmax\": [\"bbox\", \"xmax\"], \"ymax\": [\"bbox\", \"ymax\"]}}," else ""}
          |"edges": "planar"}}}""".stripMargin.replace("\n", " ")
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -89,12 +89,7 @@ object Gpkg {
       }
     val df = spark.createDataFrame(rowsRdd, schema)
     val base = GeoDataFrame(df, geomCol, crs.map(c => Map(geomCol -> c)).getOrElse(Map.empty))
-    val filtered = IoFilters.bboxOrMask(base, bbox, mask)
-    val pruned = columns.map { cs =>
-      val keep = (cs :+ geomCol).distinct.filter(filtered.df.columns.contains)
-      filtered.copy(df = filtered.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
-    }.getOrElse(filtered)
-    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(base, bbox, mask), columns, rows)
   }
 
   // ----------------------------------------------------------------- write
@@ -130,19 +125,37 @@ object Gpkg {
 
     // feature table records: fid = rowid (NULL in record), attrs, geom blob.
     // Only the rowid-alias pk is declared — TEXT/UNIQUE constraints would
-    // imply index b-trees this writer does not emit.
+    // imply index b-trees this writer does not emit. A pre-existing `fid`
+    // column (e.g. from a GPKG read round-trip) BECOMES the rowid instead
+    // of colliding with a second auto column.
+    val fidIdx = fields.indexWhere(_.name.equalsIgnoreCase("fid"))
+    val (attrFields, rowids) =
+      if (fidIdx < 0) (fields, rows.indices.map(i => (i + 1).toLong).toArray)
+      else {
+        val fld = fields(fidIdx)
+        require(fld.dataType == LongType || fld.dataType == IntegerType,
+          s"existing '${fld.name}' column must be integral to serve as the GPKG primary key")
+        val ids = rows.map { r =>
+          val ix = r.fieldIndex(fld.name)
+          require(!r.isNullAt(ix), s"'${fld.name}' may not be NULL (it becomes the rowid)")
+          r.get(ix) match { case l: Long => l; case i: Int => i.toLong }
+        }
+        require(ids.distinct.length == ids.length,
+          s"'${fld.name}' values must be unique (they become the rowids)")
+        (fields.patch(fidIdx, Nil, 1), ids)
+      }
     val colDefs = Seq("fid INTEGER PRIMARY KEY") ++
-      fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""") ++
+      attrFields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""") ++
       Seq(s""""$g" $geomType""")
     val featSql = s"""CREATE TABLE "$layer" (${colDefs.mkString(", ")})"""
     val featRecords = rows.zipWithIndex.map { case (r, i) =>
-      val attrs = fields.map { f =>
+      val attrs = attrFields.map { f =>
         val idx = r.fieldIndex(f.name)
         if (r.isNullAt(idx)) null else r.get(idx)
       }.toSeq
       val geomBlob = Option(r.getAs[Array[Byte]](r.fieldIndex(g))).map(gpkgBlob(_, srsId)).orNull
-      ((i + 1).toLong, w.record((null +: attrs) :+ geomBlob))
-    }.toSeq
+      (rowids(i), w.record((null +: attrs) :+ geomBlob))
+    }.sortBy(_._1).toSeq // b-tree cells must be in rowid order
     val featRoot = w.buildTable(featRecords)
 
     val srsSql = "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"
@@ -266,7 +279,6 @@ object Gpkg {
   private[io] def stripGpkgHeader(b: Array[Byte]): Array[Byte] = {
     if (b == null || b.length < 8 || b(0) != 'G' || b(1) != 'P') return b // bare WKB
     val flags = b(3) & 0xff
-    if (((flags >> 4) & 1) == 1) return null // empty-geometry flag → NULL (missing)
     val envIndicator = (flags >> 1) & 0x7
     val envBytes = envIndicator match {
       case 0 => 0
@@ -275,7 +287,11 @@ object Gpkg {
       case 4 => 64
       case _ => 0 // 5-7 invalid per spec
     }
-    java.util.Arrays.copyOfRange(b, 8 + envBytes, b.length)
+    val wkb = java.util.Arrays.copyOfRange(b, 8 + envBytes, b.length)
+    // empty-geometry flag (bit 4): the body still carries WKB of an EMPTY
+    // geometry, which is distinct from a missing/NULL one (ref GDAL). Only
+    // a headerless empty body degrades to NULL.
+    if (wkb.isEmpty) null else wkb
   }
 
   // --------------------------------------------------------------- helpers

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions.{col, lit}
   * both keep features INTERSECTING the filter geometry). */
 private[io] object IoFilters {
 
+  /** JSON string literal with full escaping — CRS values are often WKT,
+    * which is full of double quotes. */
+  def jsonString(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
+  /** Prune to requested columns (geometry always kept) and cap rows — the
+    * shared tail of every reader's read_file-style argument handling. */
+  def pruneAndLimit(base: GeoDataFrame, columns: Option[Seq[String]],
+                    rows: Option[Int]): GeoDataFrame = {
+    val pruned = columns.map { cs =>
+      val keep = (cs :+ base.geometryCol).distinct.filter(base.df.columns.contains)
+      base.copy(df = base.df.select(keep.map(col): _*))
+    }.getOrElse(base)
+    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+  }
+
   /** Apply at most one of bbox / mask right after parse, before anything
     * shuffles. The mask path prefilters on the mask's envelope first — the
     * envelope test is a cheap rectangle check that discards most rows

@@ -43,12 +43,7 @@ object Shapefile {
            columns: Option[Seq[String]] = None,
            rows: Option[Int] = None,
            mask: Option[Array[Byte]] = None): GeoDataFrame = {
-    val base = IoFilters.bboxOrMask(readAll(spark, path), bbox, mask)
-    val pruned = columns.map { cs =>
-      val keep = (cs :+ "geometry").distinct.filter(base.df.columns.contains)
-      base.copy(df = base.df.select(keep.map(org.apache.spark.sql.functions.col): _*))
-    }.getOrElse(base)
-    rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(readAll(spark, path), bbox, mask), columns, rows)
   }
 
   private def readAll(spark: SparkSession, path: String): GeoDataFrame = {
@@ -112,6 +107,19 @@ object Shapefile {
     val g = gdf.geometryCol
     val spark = gdf.df.sparkSession
     val fields = gdf.df.schema.fields.filter(_.name != g)
+    // the mixed-type check must be FRAME-wide: per-partition checks inside
+    // buildFiles would happily write a Point part next to a Polygon part,
+    // recreating the corrupt-layer state write() raises on. One cheap
+    // distinct over ≤7 values (map-side combined) before any file exists.
+    val families = gdf.df
+      .select(graft.functions.GeoFunctions.st_geometrytype(
+        org.apache.spark.sql.functions.col(g)).as("__t"))
+      .filter(org.apache.spark.sql.functions.col("__t").isNotNull)
+      .distinct().collect().map(r => typeFamilyName(r.getString(0))).distinct
+    if (families.length > 1)
+      throw new IllegalArgumentException(
+        s"Shapefile layers cannot mix geometry types (found ${families.sorted.mkString(", ")}); " +
+          "split by geometry family or use GeoParquet")
     val crs = gdf.crs.get(g)
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -176,7 +184,9 @@ object Shapefile {
     (shp.toByteArray, shx.toByteArray, writeDbf(fields, rows))
   }
 
-  private def typeFamily(g: Geometry): String = g.getGeometryType match {
+  private def typeFamily(g: Geometry): String = typeFamilyName(g.getGeometryType)
+
+  private def typeFamilyName(t: String): String = t match {
     case "Point"                          => "Point"
     case "MultiPoint"                     => "MultiPoint"
     case "LineString" | "MultiLineString" => "Line"

@@ -220,7 +220,11 @@ object Similarity {
     val byDist = centroids.zipWithIndex.sortBy { case (c, _) =>
       var d = 0.0
       var i = 0
-      while (i < math.min(query.length, c.length)) { val x = query(i) - c(i); d += x * x; i += 1 }
+      // double subtraction like nearestCentroid/the q68 oracle — float math
+      // could order near-equidistant probe cells differently than the gate
+      while (i < math.min(query.length, c.length)) {
+        val x = query(i).toDouble - c(i).toDouble; d += x * x; i += 1
+      }
       d
     }
     val probes = byDist.take(math.max(1, nprobe)).map(_._2)

@@ -41,12 +41,28 @@ object BboxFastPath extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Both columns must reach the filter UNMODIFIED from the same leaf scan
+    * (passed through only projections/filters/aliases, by exprId). A
+    * toCrs/buffer/withColumn re-defines the geometry under a NEW exprId
+    * that no leaf carries, so a stale bbox column can never be trusted —
+    * without this check the rule would inject bounds computed in the new
+    * CRS against old-CRS bbox values and silently drop rows. */
+  private def scanRooted(plan: LogicalPlan, geom: Attribute, b: Attribute): Boolean = plan match {
+    case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+      l.output.exists(_.exprId == geom.exprId) && l.output.exists(_.exprId == b.exprId)
+    case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+         _: Filter |
+         _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      plan.children.exists(scanRooted(_, geom, b))
+    case _ => false
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
       val bboxAttr = child.output.find(a => a.name == "bbox" && isBboxStruct(a.dataType))
       val binCols = child.output.filter(_.dataType == BinaryType)
       (bboxAttr, binCols) match {
-        case (Some(b), Seq(geom)) =>
+        case (Some(b), Seq(geom)) if scanRooted(child, geom, b) =>
           val existing = splitConjunctivePredicates(cond)
           val extra = existing.flatMap(conjunctsFor(_, geom, b))
             .filterNot(e => existing.exists(_.semanticEquals(e)))

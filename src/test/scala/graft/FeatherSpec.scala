@@ -38,6 +38,17 @@ class FeatherSpec extends AnyFunSuite {
     assert(nb.filter(col("tag").isNull).count() == 1)
   }
 
+  test("WKT-valued CRS (quotes galore) survives the geo metadata JSON") {
+    val wktCrs = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]]]"""
+    val gdf = GeoDataFrame(
+      Seq((1L, Wkb.write(GeomOps.point(1, 2)))).toDF("id", "geometry"),
+      "geometry", Map("geometry" -> wktCrs))
+    val dir = java.nio.file.Files.createTempDirectory("featherwkt").toString
+    Feather.write(gdf, s"$dir/w.feather")
+    val back = Feather.read(spark, s"$dir/w.feather")
+    assert(back.activeCrs.contains(wktCrs), s"got ${back.activeCrs}")
+  }
+
   test("reads a pyarrow-written feather file (external interop + geo metadata)") {
     val path = getClass.getResource("/fixtures/external.feather").getPath
     val gdf = Feather.read(spark, path)

@@ -100,6 +100,23 @@ class GpkgSpec extends AnyFunSuite {
     assert(back.df.select(min(col("fid")), max(col("fid"))).as[(Long, Long)].head() == ((1L, 600L)))
   }
 
+  test("read -> write -> read round-trip: existing fid becomes the rowid, no column collision") {
+    val dir = java.nio.file.Files.createTempDirectory("gpkgrt").toString
+    val first = Gpkg.read(spark, fixture, layer = Some("cells"))
+    Gpkg.write(first, s"$dir/rt.gpkg", layer = "cells")
+    // real sqlite-written fixture -> our writer -> our reader, fids preserved
+    val second = Gpkg.read(spark, s"$dir/rt.gpkg")
+    assert(second.df.columns.toSeq == first.df.columns.toSeq)
+    assert(second.df.count() == 25)
+    val a = first.df.select("fid", "name", "region", "score").as[(Long, String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val b = second.df.select("fid", "name", "region", "score").as[(Long, String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b)
+    val area = second.df.select(sum(st_area(col("geom")))).as[Double].head()
+    assert(area == 25 * 400.0)
+  }
+
   test("GeoIO.readFile/toFile dispatch by extension") {
     import graft.api.GeoDataFrame
     val dir = java.nio.file.Files.createTempDirectory("geoio").toString
