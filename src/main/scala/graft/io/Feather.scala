@@ -122,13 +122,43 @@ object Feather {
 
   // ----------------------------------------------------------------- write
 
-  /** Driver-side export (small results — mirror of the reference's eager
-    * single-file to_feather; use GeoParquet for scale outputs). Geometry
-    * stays WKB; `geo` metadata JSON lands in the schema custom metadata. */
-  def write(gdf: GeoDataFrame, path: String): Unit = {
+  /** Distributed writer: one Arrow IPC file per partition, built and
+    * written on the executors (no driver collect); the output directory
+    * reads back through [[read]]'s multi-file path. */
+  def writePartitioned(gdf: GeoDataFrame, dir: String): Unit = {
     val g = gdf.geometryCol
-    val rows = gdf.df.collect()
     val sparkSchema = gdf.df.schema
+    val crsOpt = gdf.activeCrs
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      gdf.df.sparkSession.sparkContext.hadoopConfiguration)
+    val fsDir = new org.apache.hadoop.fs.Path(dir)
+    fsDir.getFileSystem(gdf.df.sparkSession.sparkContext.hadoopConfiguration).mkdirs(fsDir)
+    val dirStr = dir
+    gdf.df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val fs = new org.apache.hadoop.fs.Path(dirStr).getFileSystem(serConf.value)
+        val target = new org.apache.hadoop.fs.Path(dirStr, f"part-$pi%05d.feather")
+        writeRows(rows, sparkSchema, g, crsOpt, fs, target)
+        Iterator.single(rows.length.toLong)
+      }
+    }.sum()
+  }
+
+  /** Driver-side export (small results — mirror of the reference's eager
+    * single-file to_feather). For big outputs use [[writePartitioned]] or
+    * GeoParquet. Geometry stays WKB; `geo` metadata JSON lands in the
+    * schema custom metadata. */
+  def write(gdf: GeoDataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(gdf.df.sparkSession.sparkContext.hadoopConfiguration)
+    writeRows(gdf.df.collect(), gdf.df.schema, gdf.geometryCol, gdf.activeCrs, fs, p)
+  }
+
+  private def writeRows(rows: Array[Row], sparkSchema: StructType, g: String,
+                        activeCrs: Option[String], fs: org.apache.hadoop.fs.FileSystem,
+                        target: org.apache.hadoop.fs.Path): Unit = {
     val crsJson = gdf.activeCrs.map(IoFilters.jsonString).getOrElse("null")
     val geoMeta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
