@@ -15,9 +15,13 @@ object Bench {
     // local-iteration hooks (driver never sets these): run only named
     // queries, optionally several times (last timing wins = warm numbers)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // Per-query timings jitter up to ±40% run-to-run at sf0.1 (measured:
+    // q67 1.75-2.71 s across two same-code runs), so each query is measured
+    // `reps` times and the MEDIAN reported — round-over-round deltas are
+    // then signal, not noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // Per-query warmup execution (unmeasured), then the measured run —
+    // Per-query warmup execution (unmeasured), then the measured runs —
     // the same warmup-then-measure methodology as the reference's asv
     // baseline (BASELINE.md): at sf0.1 a cold run is dominated by one-time
     // whole-stage-codegen compilation (~1-2 s/query), which asv also
@@ -25,13 +29,17 @@ object Bench {
     // A failing query must surface as "err" + non-zero exit, never as a
     // fast-looking wall time that masks a regression.
     val results: Map[String, Either[String, Double]] = selected.map { case (name, fn) =>
-      var out: Either[String, Double] = Left("err")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
+      val times = collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
-        out =
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => Left("err: " + e.getClass.getSimpleName) }
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => err = Some("err: " + e.getClass.getSimpleName) }
+      }
+      val out: Either[String, Double] = err.toLeft {
+        val s = times.sorted
+        if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       }
       name -> out
     }
@@ -41,7 +49,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(v) => v }.sum
     val nErr = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"reps":$reps,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

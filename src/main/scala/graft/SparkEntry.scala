@@ -390,6 +390,32 @@ object SparkEntry {
       val back = graft.io.GeoJsonIO.read(s, s"$dir/f")
       back.df.select(col("c_custkey"), st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
     }),
+    "q69_gpkg_roundtrip" -> ((s, d) => {
+      // gate the pure-JVM SQLite writer+reader end-to-end: engine-written
+      // .gpkg read back must hash-match the plain-SQL oracle
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_gpkg").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.Gpkg.write(GeoDataFrame(sel, "geometry", Map("geometry" -> "EPSG:4326")),
+        s"$dir/pts.gpkg")
+      val back = graft.io.Gpkg.read(s, s"$dir/pts.gpkg")
+      back.df.select(col("c_custkey"), col("c_name"),
+        st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+    }),
+    "q70_feather_roundtrip" -> ((s, d) => {
+      // gate the DISTRIBUTED Arrow IPC writer (one file per partition on
+      // executors) through the multi-file reader
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_fth").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      graft.io.Feather.writePartitioned(
+        GeoDataFrame(sel, "geometry", Map("geometry" -> "EPSG:4326")), s"$dir/pts")
+      val back = graft.io.Feather.read(s, s"$dir/pts")
+      back.df.select(col("c_custkey"), col("c_acctbal"),
+        st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -734,6 +760,10 @@ object SparkEntry {
         s"SELECT c_custkey, px AS x, py AS y FROM $pts WHERE px >= 10 AND px <= 60 AND py >= 20 AND py <= 80",
       "q56_geojson_roundtrip" ->
         s"SELECT c_custkey, px AS x, py AS y FROM $pts",
+      "q69_gpkg_roundtrip" ->
+        s"SELECT c_custkey, c_name, px AS x, py AS y FROM $pts WHERE c_custkey % 3 = 0",
+      "q70_feather_roundtrip" ->
+        s"SELECT c_custkey, c_acctbal, px AS x, py AS y FROM $pts WHERE c_custkey % 3 = 1",
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -163,13 +163,39 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
 
   // ---- coverage operations (ref base.py:378/450/5536) ----------------------
 
-  /** Whether the geometry column (optionally per `by`-group the caller
-    * pre-filtered to) forms a valid polygonal coverage. */
-  def isValidCoverage(gapWidth: Double = 0.0): Boolean = {
+  /** Whether the geometry column forms a valid polygonal coverage. With
+    * `by`, every group must be one (each group validated in a single
+    * executor task, the [[simplifyCoverage]] shape). With no `by`, each
+    * polygon is validated on executors against only its dwithin(gapWidth)
+    * neighbours — candidate pairs come from the distributed spatial join, so
+    * this is the same per-polygon check JTS CoverageValidator runs against
+    * an in-memory STRtree, without the whole column ever landing on one
+    * machine. */
+  def isValidCoverage(gapWidth: Double = 0.0, by: Seq[String] = Nil): Boolean = {
     import graft.geom.{GeomOps, Wkb}
-    val geoms = df.select(geometry).filter(geometry.isNotNull)
-      .collect().map(r => Wkb.read(r.getAs[Array[Byte]](0))).toSeq
-    GeomOps.isValidCoverage(geoms, gapWidth)
+    val gw = gapWidth
+    if (by.nonEmpty) {
+      val vU = udf((gs: Seq[Array[Byte]]) => GeomOps.isValidCoverage(gs.map(Wkb.read), gw))
+      df.filter(geometry.isNotNull)
+        .groupBy(by.map(col): _*).agg(collect_list(geometry).as("__gs"))
+        .filter(!vU(col("__gs"))).limit(1).count() == 0L
+    } else {
+      val base = df.select(geometry.as("geometry")).filter(col("geometry").isNotNull)
+        .withColumn("__cid", monotonically_increasing_id()).localCheckpoint()
+      val pairs = SpatialJoin.sjoinCore(
+        base.withColumnRenamed("__cid", "__tid"),
+        base.withColumnRenamed("__cid", "__aid"),
+        predicate = "dwithin", how = "inner",
+        leftGeom = "geometry", rightGeom = "geometry", distance = gw)
+      val vU = udf((g: Array[Byte], adj: Seq[Array[Byte]]) =>
+        GeomOps.isValidCoveragePolygon(Wkb.read(g), adj.map(Wkb.read), gw))
+      // self-pairs (dwithin is reflexive) keep isolated polygons in the
+      // aggregate; when() maps them to null, which collect_list drops
+      pairs.groupBy(col("__tid"))
+        .agg(first(col("geometry")).as("__g"),
+          collect_list(when(col("__aid") =!= col("__tid"), col("geometry_right"))).as("__adj"))
+        .filter(!vU(col("__g"), col("__adj"))).limit(1).count() == 0L
+    }
   }
 
   /** Coverage-preserving simplification: shared edges stay identical across

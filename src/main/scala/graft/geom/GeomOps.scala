@@ -502,6 +502,17 @@ object GeomOps {
     else org.locationtech.jts.coverage.CoverageValidator.isValid(arr)
   }
 
+  /** One polygon's coverage validity against its neighbours (anything
+    * within gapWidth — for gapWidth 0, anything touching/overlapping) — the
+    * distributable unit of coverage validation: JTS CoverageValidator runs
+    * exactly this per element against STRtree candidates. */
+  def isValidCoveragePolygon(g: Geometry, adjacent: Seq[Geometry], gapWidth: Double = 0.0): Boolean = {
+    if (g == null) return true
+    val res = org.locationtech.jts.coverage.CoveragePolygonValidator.validate(
+      g, adjacent.filter(_ != null).toArray, gapWidth)
+    res == null || res.isEmpty
+  }
+
   /** Per-input invalid-edge linework (null where the input is coverage-valid)
     * — ref base.py:450 invalid_coverage_edges. Input order preserved. */
   def invalidCoverageEdges(gs: Seq[Geometry], gapWidth: Double = 0.0): Array[Geometry] = {

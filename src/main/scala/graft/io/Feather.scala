@@ -159,7 +159,7 @@ object Feather {
   private def writeRows(rows: Array[Row], sparkSchema: StructType, g: String,
                         activeCrs: Option[String], fs: org.apache.hadoop.fs.FileSystem,
                         target: org.apache.hadoop.fs.Path): Unit = {
-    val crsJson = gdf.activeCrs.map(IoFilters.jsonString).getOrElse("null")
+    val crsJson = activeCrs.map(IoFilters.jsonString).getOrElse("null")
     val geoMeta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
          |"encoding": "WKB", "crs": $crsJson, "edges": "planar"}}}""".stripMargin.replace("\n", " ")
@@ -170,10 +170,7 @@ object Feather {
 
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(schema, alloc)
-    val hconf = gdf.df.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hconf)
-    val out = fs.create(p, true)
+    val out = fs.create(target, true)
     val ch = java.nio.channels.Channels.newChannel(out)
     val writer = new ArrowFileWriter(root, null, ch)
     try {

@@ -40,7 +40,7 @@ object GeoJsonIO {
     // features array is misdetected as ndjson — documented limitation.
     val head = headBytes(spark, path, 1 << 16).trim
     val lines: DataFrame =
-      if (head.startsWith("{") && head.contains("\"FeatureCollection\"")) {
+      if (isFeatureCollectionHead(head)) {
         // whole-document collection(s): stream-split the features array on
         // EXECUTORS (binaryFiles ships one stream per file; the extractor
         // holds one feature in memory, never the document) — a multi-GB FC
@@ -65,6 +65,48 @@ object GeoJsonIO {
       if (hasProps) parsed.select(col("__f.properties.*"), col("geometry"))
       else parsed.drop("__f", "value")
     GeoDataFrame(flat, "geometry", Map("geometry" -> "OGC:CRS84"))
+  }
+
+  /** True iff the head holds a document whose TOP-LEVEL `"type"` member is
+    * `"FeatureCollection"` — a depth-aware scan, so an ndjson feature whose
+    * property value merely contains the string "FeatureCollection" is not
+    * misrouted to the document splitter. */
+  private[graft] def isFeatureCollectionHead(head: String): Boolean = {
+    val n = head.length
+    if (n == 0 || head.charAt(0) != '{') return false
+    def skipString(from: Int): Int = { // `from` points at the opening quote
+      var j = from + 1
+      while (j < n) head.charAt(j) match {
+        case '\\' => j += 2
+        case '"'  => return j + 1
+        case _    => j += 1
+      }
+      n
+    }
+    var i = 0
+    var depth = 0
+    while (i < n) head.charAt(i) match {
+      case '{' | '[' => depth += 1; i += 1
+      case '}' | ']' => depth -= 1; i += 1
+      case '"' =>
+        val end = skipString(i)
+        if (depth == 1 && end > i + 1 && head.substring(i + 1, end - 1) == "type") {
+          var j = end
+          while (j < n && head.charAt(j).isWhitespace) j += 1
+          if (j < n && head.charAt(j) == ':') { // it IS the depth-1 type key
+            j += 1
+            while (j < n && head.charAt(j).isWhitespace) j += 1
+            if (j < n && head.charAt(j) == '"') {
+              val vEnd = skipString(j)
+              return head.substring(j + 1, math.max(j + 1, vEnd - 1)) == "FeatureCollection"
+            }
+            return false
+          }
+        }
+        i = end
+      case _ => i += 1
+    }
+    false
   }
 
   /** First `n` bytes of the first file under `path` (file/dir/glob). */

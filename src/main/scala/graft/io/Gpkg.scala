@@ -99,8 +99,20 @@ object Gpkg {
     * Emits the spec's required metadata tables, a feature table with
     * `fid INTEGER PRIMARY KEY`, and GPKG binary geometry blobs; the file is
     * built by [[SqliteWriter]] and opens in any SQLite. */
-  def write(gdf: GeoDataFrame, path: String, layer: String = "features"): Unit = {
+  def write(gdf: GeoDataFrame, path: String, layer: String = "features",
+            maxRows: Long = 5000000L): Unit = {
     val g = gdf.geometryCol
+    // a .gpkg is ONE SQLite file, so this path is driver-collect by nature
+    // (format-inherent; the reference is also single-file). Guard the
+    // collect with a short-circuiting limit so an over-cap frame errors
+    // instead of OOMing the driver.
+    if (maxRows >= 0) {
+      val upTo = gdf.df.limit((maxRows + 1).min(Int.MaxValue - 1L).toInt).count()
+      require(upTo <= maxRows,
+        s"Gpkg.write is a driver-side single-file export and the frame " +
+        s"exceeds $maxRows rows; write GeoParquet for scale outputs, or " +
+        s"raise maxRows if the driver can hold the data")
+    }
     val rows = gdf.df.collect()
     val fields = gdf.df.schema.fields.filter(_.name != g)
     val srsId = gdf.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).getOrElse(0)

@@ -28,6 +28,17 @@ private[io] object Sqlite {
 
   final class ArraySource(bytes: Array[Byte]) extends PageSource {
     require(bytes.length >= 100 && bytes(0) == 'S', "not an SQLite file")
+    // binaryFiles (and JVM arrays) cap at ~2 GiB; the declared page count is
+    // checked so a truncated read of a bigger file fails loudly here rather
+    // than as a negative copyOfRange bound deep in the b-tree walk.
+    require({
+      val declaredPages =
+        ((bytes(28) & 0xffL) << 24) | ((bytes(29) & 0xffL) << 16) |
+          ((bytes(30) & 0xffL) << 8) | (bytes(31) & 0xffL)
+      val ps = { val raw = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff); if (raw == 1) 65536 else raw }
+      declaredPages == 0 || declaredPages * ps.toLong <= bytes.length.toLong
+    }, "GeoPackage larger than the loaded bytes (files over 2 GB are not " +
+       "supported by the whole-file reader — convert to GeoParquet)")
     val pageSize: Int = {
       val raw = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
       if (raw == 1) 65536 else raw

@@ -70,6 +70,20 @@ private[io] final class SqliteWriter(pageSize: Int = 4096) {
         val b = s.getBytes("UTF-8"); types += 13L + 2L * b.length; bodies += b
       case b: Array[Byte] =>
         types += 12L + 2L * b.length; bodies += b
+      // GPKG stores DATE/DATETIME as ISO-8601 TEXT (matching the declared
+      // TEXT affinity Gpkg.write emits for these Spark types).
+      case d: java.sql.Date =>
+        val b = d.toLocalDate.toString.getBytes("UTF-8")
+        types += 13L + 2L * b.length; bodies += b
+      case t: java.sql.Timestamp =>
+        val b = t.toInstant.toString.getBytes("UTF-8")
+        types += 13L + 2L * b.length; bodies += b
+      case i: java.time.Instant =>
+        val b = i.toString.getBytes("UTF-8")
+        types += 13L + 2L * b.length; bodies += b
+      case d: java.time.LocalDate =>
+        val b = d.toString.getBytes("UTF-8")
+        types += 13L + 2L * b.length; bodies += b
       case other => throw new UnsupportedOperationException(
         s"sqlite record value of type ${other.getClass.getName}")
     }

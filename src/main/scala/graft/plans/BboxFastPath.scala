@@ -93,23 +93,24 @@ object BboxFastPath extends Rule[LogicalPlan] {
     }
     val s = b.dataType.asInstanceOf[StructType]
     def fld(n: String) = GetStructField(b, s.fieldIndex(n), Some(n))
+    // A null bbox (legal in externally-written GeoParquet even when the
+    // geometry is non-null) must never drop a row: every bound is guarded
+    // with IsNull, which stays min/max-prunable on row groups with no nulls.
+    def le(n: String, v: Double): Expression =
+      Or(IsNull(fld(n)), LessThanOrEqual(fld(n), Literal(v)))
+    def ge(n: String, v: Double): Expression =
+      Or(IsNull(fld(n)), GreaterThanOrEqual(fld(n), Literal(v)))
     def intersectsEnv(env: org.locationtech.jts.geom.Envelope, pad: Double): Seq[Expression] = Seq(
-      LessThanOrEqual(fld("xmin"), Literal(env.getMaxX + pad)),
-      GreaterThanOrEqual(fld("xmax"), Literal(env.getMinX - pad)),
-      LessThanOrEqual(fld("ymin"), Literal(env.getMaxY + pad)),
-      GreaterThanOrEqual(fld("ymax"), Literal(env.getMinY - pad)))
+      le("xmin", env.getMaxX + pad), ge("xmax", env.getMinX - pad),
+      le("ymin", env.getMaxY + pad), ge("ymax", env.getMinY - pad))
     // geometry's bbox CONTAINS the literal's bbox (g ⊇ lit)
     def containsEnv(env: org.locationtech.jts.geom.Envelope): Seq[Expression] = Seq(
-      LessThanOrEqual(fld("xmin"), Literal(env.getMinX)),
-      GreaterThanOrEqual(fld("xmax"), Literal(env.getMaxX)),
-      LessThanOrEqual(fld("ymin"), Literal(env.getMinY)),
-      GreaterThanOrEqual(fld("ymax"), Literal(env.getMaxY)))
+      le("xmin", env.getMinX), ge("xmax", env.getMaxX),
+      le("ymin", env.getMinY), ge("ymax", env.getMaxY))
     // geometry's bbox WITHIN the literal's bbox (g ⊆ lit)
     def withinEnv(env: org.locationtech.jts.geom.Envelope): Seq[Expression] = Seq(
-      GreaterThanOrEqual(fld("xmin"), Literal(env.getMinX)),
-      LessThanOrEqual(fld("xmax"), Literal(env.getMaxX)),
-      GreaterThanOrEqual(fld("ymin"), Literal(env.getMinY)),
-      LessThanOrEqual(fld("ymax"), Literal(env.getMaxY)))
+      ge("xmin", env.getMinX), le("xmax", env.getMaxX),
+      ge("ymin", env.getMinY), le("ymax", env.getMaxY))
 
     pred match {
       case StIntersects(g, l) if isGeom(g) => litEnv(l).toSeq.flatMap(intersectsEnv(_, 0.0))

@@ -27,9 +27,20 @@ object StreamingGeo {
   def sjoinAgainstStatic(stream: DataFrame, static: GeoDataFrame,
                          predicate: String = "intersects",
                          streamGeom: String = "geometry",
-                         keepUnmatched: Boolean = false): DataFrame = {
+                         keepUnmatched: Boolean = false,
+                         broadcastThreshold: Long = 2000000L): DataFrame = {
     val spark = static.df.sparkSession
     val staticGeom = static.geometryCol
+    // same guard as SpatialJoin: the static layer is collected + broadcast,
+    // so an over-threshold layer must fail loudly, not OOM the driver.
+    // limit(cap+1).count() short-circuits — no full count of a huge layer.
+    if (broadcastThreshold >= 0) {
+      val upTo = static.df.limit((broadcastThreshold + 1).min(Int.MaxValue - 1L).toInt).count()
+      require(upTo <= broadcastThreshold,
+        s"sjoinAgainstStatic broadcasts the static layer, which exceeds " +
+        s"$broadcastThreshold rows; repartition-and-join the stream against " +
+        s"it in batch, or raise broadcastThreshold if the driver can hold it")
+    }
     // id assignment at the RDD level: monotonically_increasing_id() is
     // rejected by the streaming unsupported-operations checker even on the
     // batch side of a stream-static join

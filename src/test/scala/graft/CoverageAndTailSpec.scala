@@ -199,6 +199,39 @@ class CoverageAndTailSpec extends AnyFunSuite {
     assert(areas == Seq(2.0, 2.0))
   }
 
+  test("GeoDataFrame.isValidCoverage: distributed per-polygon check, no whole-column collect") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 20x20 grid over several partitions: valid coverage
+    val grid = (for (i <- 0 until 20; j <- 0 until 20)
+      yield (i * 20 + j, Wkb.write(GeomOps.makeBox(i, j, i + 1, j + 1)))).toDF("id", "geometry")
+      .repartition(8)
+    assert(graft.api.GeoDataFrame(grid).isValidCoverage())
+    // one overlapping box breaks it
+    val bad = grid.union(Seq((999, Wkb.write(GeomOps.makeBox(0.5, 0.5, 1.5, 1.5)))).toDF("id", "geometry"))
+    assert(!graft.api.GeoDataFrame(bad).isValidCoverage())
+    // matches the driver kernel's verdicts on the same inputs
+    val gapped = Seq( // 0.05-wide sliver between the two boxes
+      (1, Wkb.write(GeomOps.makeBox(0, 0, 1, 1))),
+      (2, Wkb.write(GeomOps.makeBox(1.05, 0, 2, 1)))).toDF("id", "geometry")
+    assert(graft.api.GeoDataFrame(gapped).isValidCoverage()) // disjoint is fine at gapWidth 0
+    assert(!graft.api.GeoDataFrame(gapped).isValidCoverage(gapWidth = 0.2)) // sliver < 0.2 flagged
+    assert(GeomOps.isValidCoverage(
+      Seq(GeomOps.makeBox(0, 0, 1, 1), GeomOps.makeBox(1.05, 0, 2, 1)), 0.2) ==
+      graft.api.GeoDataFrame(gapped).isValidCoverage(gapWidth = 0.2))
+  }
+
+  test("GeoDataFrame.isValidCoverage(by=): every group validated on executors") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val ok = (for (i <- 0 until 4; j <- 0 until 4)
+      yield ("a", Wkb.write(GeomOps.makeBox(i, j, i + 1, j + 1)))) ++
+      (for (i <- 0 until 2) yield ("b", Wkb.write(GeomOps.makeBox(10 + i, 0, 11 + i, 1))))
+    assert(graft.api.GeoDataFrame(ok.toDF("k", "geometry")).isValidCoverage(by = Seq("k")))
+    val mixed = ok :+ (("b", Wkb.write(GeomOps.makeBox(10.5, 0.5, 11.5, 1.5))))
+    assert(!graft.api.GeoDataFrame(mixed.toDF("k", "geometry")).isValidCoverage(by = Seq("k")))
+  }
+
   test("GeoDataFrame.simplifyCoverage preserves coverage validity and row count") {
     val spark = SparkTestBase.spark
     import spark.implicits._

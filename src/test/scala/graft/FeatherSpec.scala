@@ -38,6 +38,29 @@ class FeatherSpec extends AnyFunSuite {
     assert(nb.filter(col("tag").isNull).count() == 1)
   }
 
+  test("writePartitioned: one file per partition, reads back as one corpus") {
+    val df = (0 until 5000).map(i =>
+      (i.toLong, s"row$i", Wkb.write(GeomOps.point(i % 100, i / 100))))
+      .toDF("id", "tag", "geometry").repartition(7)
+    val gdf = GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:4326"))
+    val dir = java.nio.file.Files.createTempDirectory("featherpart").toString + "/out"
+    Feather.writePartitioned(gdf, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".feather"))
+    assert(parts.length == 7, s"expected 7 part files, got ${parts.length}")
+    val back = Feather.read(spark, dir)
+    assert(back.activeCrs.contains("EPSG:4326"))
+    assert(back.df.count() == 5000)
+    // row-set equality (order-free): same ids, and a spot row keeps its values
+    assert(back.df.select("id").as[Long].collect().sorted.toSeq == (0L until 5000L))
+    val r = back.df.filter(col("id") === 4321L)
+      .select(col("tag"), st_x(col("geometry")), st_y(col("geometry")))
+      .as[(String, Double, Double)].head()
+    assert(r == (("row4321", 21.0, 43.0)))
+    // each part file is independently a valid feather (readable on its own)
+    val one = Feather.read(spark, parts.head.getPath)
+    assert(one.df.count() > 0)
+  }
+
   test("WKT-valued CRS (quotes galore) survives the geo metadata JSON") {
     val wktCrs = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]]]"""
     val gdf = GeoDataFrame(

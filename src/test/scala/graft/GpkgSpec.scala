@@ -100,6 +100,32 @@ class GpkgSpec extends AnyFunSuite {
     assert(back.df.select(min(col("fid")), max(col("fid"))).as[(Long, Long)].head() == ((1L, 600L)))
   }
 
+  test("Gpkg.write stores date/timestamp attributes as ISO-8601 text") {
+    import graft.api.GeoDataFrame
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2026-03-14"),
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-03-14T15:09:26.535Z")),
+        graft.geom.Wkb.write(GeomOps.point(1, 2))))
+      .toDF("key", "d", "ts", "geometry")
+    val gdf = GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:4326"))
+    val out = java.nio.file.Files.createTempDirectory("gpkgdt").toString + "/dt.gpkg"
+    Gpkg.write(gdf, out)
+    val back = Gpkg.read(spark, out).df
+    assert(back.select("d").as[String].head() == "2026-03-14")
+    assert(back.select("ts").as[String].head() == "2026-03-14T15:09:26.535Z")
+  }
+
+  test("Gpkg.write refuses an over-cap frame instead of collecting it") {
+    import graft.api.GeoDataFrame
+    val df = (0 until 50).map(i => (i.toLong, graft.geom.Wkb.write(GeomOps.point(i, i))))
+      .toDF("key", "geometry")
+    val out = java.nio.file.Files.createTempDirectory("gpkgcap").toString + "/cap.gpkg"
+    val e = intercept[IllegalArgumentException] {
+      Gpkg.write(GeoDataFrame(df), out, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("GeoParquet"))
+  }
+
   test("read -> write -> read round-trip: existing fid becomes the rowid, no column collision") {
     val dir = java.nio.file.Files.createTempDirectory("gpkgrt").toString
     val first = Gpkg.read(spark, fixture, layer = Some("cells"))

@@ -48,6 +48,26 @@ class GeoJsonIOSpec extends AnyFunSuite {
     assert(back.df.select(st_y(col("geometry"))).as[Double].collect().sorted.toSeq == Seq(20.0, 40.0))
   }
 
+  test("FC sniff is depth-aware: property values never trip it") {
+    // top-level FC (incl. out-of-order and pretty-printed) detected
+    assert(GeoJsonIO.isFeatureCollectionHead("""{"type":"FeatureCollection","features":[]}"""))
+    assert(GeoJsonIO.isFeatureCollectionHead("{ \n  \"name\": \"x\",\n  \"type\" : \"FeatureCollection\"}"))
+    // an ndjson feature mentioning the string in a PROPERTY is not an FC
+    assert(!GeoJsonIO.isFeatureCollectionHead(
+      """{"type":"Feature","properties":{"note":"likes \"FeatureCollection\" docs","t":"FeatureCollection"},"geometry":{"type":"Point","coordinates":[1,2]}}"""))
+    // a depth-1 VALUE that is the word "type" doesn't shadow the real key
+    assert(!GeoJsonIO.isFeatureCollectionHead("""{"name":"type","type":"Feature"}"""))
+    assert(!GeoJsonIO.isFeatureCollectionHead("""[1,2,3]"""))
+    // ndjson whose first feature property contains it still reads as ndjson
+    val lines = Seq(
+      """{"type":"Feature","properties":{"a":"FeatureCollection"},"geometry":{"type":"Point","coordinates":[10,20]}}""",
+      """{"type":"Feature","properties":{"a":"plain"},"geometry":{"type":"Point","coordinates":[30,40]}}""")
+    val dir = java.nio.file.Files.createTempDirectory("gjsniff").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.geojson"), lines.mkString("\n"))
+    val back = GeoJsonIO.read(spark, s"$dir/f.geojson")
+    assert(back.count() == 2)
+  }
+
   test("writeFeatureCollection exports one FC document our reader round-trips") {
     import graft.api.GeoDataFrame
     import graft.geom.{GeomOps, Wkb}
@@ -123,5 +143,16 @@ class StreamingGeoSpec extends AnyFunSuite {
 
     val rows = spark.sql("select id, cell from sj_out").as[(Long, String)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, "west"), (2L, "east")))
+  }
+
+  test("sjoinAgainstStatic refuses an over-threshold static layer (no driver OOM)") {
+    val big = GeoDataFrame((0 until 100).map(i =>
+      (i, Wkb.write(GeomOps.makeBox(i, 0, i + 1, 1)))).toDF("id", "geometry"))
+    val stream = spark.readStream.format("rate").load()
+      .withColumn("geometry", st_point(col("value").cast("double"), lit(0.5)))
+    val e = intercept[IllegalArgumentException] {
+      StreamingGeo.sjoinAgainstStatic(stream, big, broadcastThreshold = 10L)
+    }
+    assert(e.getMessage.contains("broadcastThreshold"))
   }
 }

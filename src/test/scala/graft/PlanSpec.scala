@@ -83,6 +83,24 @@ class PlanSpec extends AnyFunSuite {
     assert(dw.select("id").as[Long].collect().sorted.toSeq == dwExpect && dwExpect.nonEmpty)
   }
 
+  test("BboxFastPath: null bbox with non-null geometry is never dropped") {
+    graft.plans.BboxFastPath.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bboxnull").toString
+    // externally-written layout: spec-shaped covering column, but one row's
+    // bbox entry is legally null while its geometry is not
+    val df = Seq((1L, Wkb.write(GeomOps.point(5, 5)), true), (2L, Wkb.write(GeomOps.point(6, 6)), false))
+      .toDF("id", "geometry", "hasb")
+      .withColumn("bbox", when(col("hasb"), struct(
+        (st_x(col("geometry")) - 0.1).as("xmin"), (st_y(col("geometry")) - 0.1).as("ymin"),
+        (st_x(col("geometry")) + 0.1).as("xmax"), (st_y(col("geometry")) + 0.1).as("ymax"))))
+      .drop("hasb")
+    df.write.parquet(s"$dir/pts")
+    val back = spark.read.parquet(s"$dir/pts")
+    val got = back.filter(st_intersects(col("geometry"), lit(Wkb.write(GeomOps.makeBox(4, 4, 7, 7)))))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"null-bbox row dropped: got $got")
+  }
+
   test("sjoin broadcast path produces BroadcastHashJoin on the id key") {
     val pts = (0 until 100).map(i => (i, Wkb.write(GeomOps.point(i % 10, i / 10))))
       .toDF("pid", "geometry")
