@@ -40,19 +40,31 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   }
 
   /** Reproject coordinates (ref to_crs; no-op when CRS already matches).
-    * The source CRS may be a WKT string (e.g. a shapefile .prj) — its EPSG
-    * code is recovered from AUTHORITY clauses or well-known ESRI names. */
+    * The source CRS may be a WKT string (e.g. a shapefile .prj) or PROJJSON —
+    * its EPSG code is recovered from AUTHORITY clauses or well-known ESRI
+    * names; when the code isn't in the registry, the projection parameters
+    * carried by the definition itself are parsed (LCC/TM/Albers/Mercator
+    * families, crs/ProjParse.scala). */
   def toCrs(target: String): GeoDataFrame = {
     val from = activeCrs.getOrElse(throw new IllegalArgumentException(
       "Cannot transform naive geometries: CRS not set (ref to_crs)"))
-    def resolve(c: String): Int = CrsTransform.normalizeOpt(c).getOrElse(
-      throw new IllegalArgumentException(s"Cannot determine the EPSG code of CRS '$c'"))
-    val fromEpsg = resolve(from)
-    val toEpsg = resolve(target)
-    if (fromEpsg == toEpsg) this
-    else GeoDataFrame(
-      df.withColumn(geometryCol, st_transform(col(geometryCol), lit(fromEpsg), lit(toEpsg))),
-      geometryCol, crs + (geometryCol -> s"EPSG:$toEpsg"))
+    val fromEpsg = CrsTransform.normalizeOpt(from)
+    val toEpsg = CrsTransform.normalizeOpt(target)
+    val label = toEpsg.map(c => s"EPSG:$c").getOrElse(target)
+    (fromEpsg, toEpsg) match {
+      case (Some(a), Some(b)) if a == b => this
+      case (Some(a), Some(b)) if CrsTransform.forEpsg(a).isDefined && CrsTransform.forEpsg(b).isDefined =>
+        GeoDataFrame(
+          df.withColumn(geometryCol, st_transform(col(geometryCol), lit(a), lit(b))),
+          geometryCol, crs + (geometryCol -> label))
+      case _ =>
+        // parameter-driven path; resolve eagerly so an unsupported CRS fails
+        // here with a clear message, not inside an executor task
+        CrsTransform.chainStr(from, target)
+        GeoDataFrame(
+          df.withColumn(geometryCol, st_transform_crs(col(geometryCol), lit(from), lit(target))),
+          geometryCol, crs + (geometryCol -> label))
+    }
   }
 
   def estimateUtmCrs(datumName: String = "WGS 84"): String = {

@@ -119,15 +119,23 @@ object CrsTransform {
     }
   }
 
-  /** EPSG:4326 -> UTM zone (Transverse Mercator, series form; ~mm accuracy). */
-  final case class Utm(zone: Int, north: Boolean) extends CrsTransform {
-    private val a = WGS84_A
-    private val f = WGS84_F
-    private val k0 = 0.9996
-    private val e2 = WGS84_E2
+  /** General Transverse Mercator (Snyder 1987 eq. 8-9..8-17, series form;
+    * ~mm accuracy within a UTM-width band of the central meridian). `unit`
+    * scales the projected axes (1.0 = meters, FtUs = ftUS); false
+    * easting/northing are given in projected units, per WKT convention. */
+  final case class Tm(lat0: Double, lonCm: Double, k0: Double,
+                      fe: Double, fn: Double, unit: Double = 1.0,
+                      a: Double = WGS84_A, flattening: Double = WGS84_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
     private val ep2 = e2 / (1 - e2)
-    private val lon0 = math.toRadians(-183.0 + 6.0 * zone)
-    private val falseN = if (north) 0.0 else 10000000.0
+    private val lon0 = math.toRadians(lonCm)
+
+    private def meridianArc(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+    private val m0 = meridianArc(math.toRadians(lat0))
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(lat)
@@ -137,20 +145,17 @@ object CrsTransform {
       val t = tanP * tanP
       val c = ep2 * cosP * cosP
       val aa = cosP * (lam - lon0)
-      val m = a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
-        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
-        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
-        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+      val m = meridianArc(phi)
       val x = k0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
-        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120) + 500000.0
-      val y = k0 * (m + n * tanP * (aa * aa / 2 + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
-        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720)) + falseN
-      (x, y)
+        + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120)
+      val y = k0 * (m - m0 + n * tanP * (aa * aa / 2 + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
+        + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720))
+      (x / unit + fe, y / unit + fn)
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
       val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-      val m = (y - falseN) / k0
+      val m = m0 + (y - fn) * unit / k0
       val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
       val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
         (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
@@ -161,7 +166,7 @@ object CrsTransform {
       val t1 = tanP * tanP
       val n1 = a / math.sqrt(1 - e2 * sinP * sinP)
       val r1 = a * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
-      val d = (x - 500000.0) / (n1 * k0)
+      val d = (x - fe) * unit / (n1 * k0)
       val lat = phi1 - (n1 * tanP / r1) * (d * d / 2
         - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24
         + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) * math.pow(d, 6) / 720)
@@ -171,20 +176,30 @@ object CrsTransform {
     }
   }
 
+  /** EPSG:4326 -> UTM zone: the k0=0.9996 / FE=500km special case of [[Tm]]. */
+  final case class Utm(zone: Int, north: Boolean) extends CrsTransform {
+    private val tm = Tm(lat0 = 0.0, lonCm = -183.0 + 6.0 * zone, k0 = 0.9996,
+      fe = 500000.0, fn = if (north) 0.0 else 10000000.0)
+    def forward(lon: Double, lat: Double): (Double, Double) = tm.forward(lon, lat)
+    def inverse(x: Double, y: Double): (Double, Double) = tm.inverse(x, y)
+  }
+
   /** GRS80 (NAD83) flattening; datum shift vs WGS84 is centimetric and
     * ignored, like the 269xx UTM handling above. */
   val GRS80_F = 1.0 / 298.257222101
   /** US survey foot in meters (EPSG:9003). */
   val FtUs = 1200.0 / 3937.0
 
-  /** Lambert Conformal Conic 2SP, ellipsoidal (Snyder 1987 eq. 15-1..15-11;
+  /** Lambert Conformal Conic, ellipsoidal (Snyder 1987 eq. 15-1..15-11;
     * the state-plane workhorse — EPSG:2263 is the reference's nybb fixture
     * CRS). `unit` scales the projected axes (1.0 = meters, FtUs = ftUS);
-    * false origin is given in projected units. */
+    * false origin is given in projected units. `sp1 == sp2` (or `k0 != 1`)
+    * gives the 1SP variant, where the cone constant is sin(sp1) and k0
+    * scales the radius (EPSG method 9801). */
   final case class Lcc2Sp(lat0: Double, lon0: Double, sp1: Double, sp2: Double,
                           fe: Double, fn: Double, unit: Double = 1.0,
-                          flattening: Double = GRS80_F) extends CrsTransform {
-    private val a = WGS84_A
+                          flattening: Double = GRS80_F, a: Double = WGS84_A,
+                          k0: Double = 1.0) extends CrsTransform {
     private val e2 = flattening * (2 - flattening)
     private val e = math.sqrt(e2)
     private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
@@ -196,8 +211,10 @@ object CrsTransform {
     private val p2 = math.toRadians(sp2)
     private val p0 = math.toRadians(lat0)
     private val l0 = math.toRadians(lon0)
-    private val n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
-    private val bigF = m(p1) / (n * math.pow(t(p1), n))
+    private val n =
+      if (math.abs(sp1 - sp2) < 1e-10) math.sin(p1)
+      else (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    private val bigF = k0 * m(p1) / (n * math.pow(t(p1), n))
     private val rho0 = a * bigF * math.pow(t(p0), n)
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
@@ -225,13 +242,13 @@ object CrsTransform {
     }
   }
 
-  /** Albers Equal Area 2SP, ellipsoidal (Snyder eq. 14-1..14-21) —
-    * EPSG:5070 is CONUS Albers. */
+  /** Albers Equal Area, ellipsoidal (Snyder eq. 14-1..14-21) —
+    * EPSG:5070 is CONUS Albers. `sp1 == sp2` gives the 1SP cone. */
   final case class Albers2Sp(lat0: Double, lon0: Double, sp1: Double, sp2: Double,
                              fe: Double, fn: Double,
-                             flattening: Double = GRS80_F) extends CrsTransform {
-    private val a = WGS84_A
-    private val e2 = flattening * (2 - flattening)
+                             flattening: Double = GRS80_F, a: Double = WGS84_A,
+                             unit: Double = 1.0) extends CrsTransform {
+    private val e2 = math.max(flattening * (2 - flattening), 1e-20) // sphere-safe q()
     private val e = math.sqrt(e2)
     private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
     private def q(phi: Double) = {
@@ -242,7 +259,9 @@ object CrsTransform {
     private val p2 = math.toRadians(sp2)
     private val p0 = math.toRadians(lat0)
     private val l0 = math.toRadians(lon0)
-    private val n = (m(p1) * m(p1) - m(p2) * m(p2)) / (q(p2) - q(p1))
+    private val n =
+      if (math.abs(sp1 - sp2) < 1e-10) math.sin(p1)
+      else (m(p1) * m(p1) - m(p2) * m(p2)) / (q(p2) - q(p1))
     private val c = m(p1) * m(p1) + n * q(p1)
     private val rho0 = a * math.sqrt(c - n * q(p0)) / n
 
@@ -250,11 +269,11 @@ object CrsTransform {
       val phi = math.toRadians(lat)
       val rho = a * math.sqrt(c - n * q(phi)) / n
       val theta = n * (math.toRadians(lon) - l0)
-      (rho * math.sin(theta) + fe, rho0 - rho * math.cos(theta) + fn)
+      (rho * math.sin(theta) / unit + fe, (rho0 - rho * math.cos(theta)) / unit + fn)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val xm = x - fe
-      val ym = y - fn
+      val xm = (x - fe) * unit
+      val ym = (y - fn) * unit
       val rho = math.hypot(xm, rho0 - ym)
       val theta = math.atan2(xm * math.signum(n), (rho0 - ym) * math.signum(n))
       val qq = (c - rho * rho * n * n / (a * a)) / n
@@ -271,36 +290,112 @@ object CrsTransform {
     }
   }
 
+  /** Ellipsoidal Mercator, 1SP / variant A (EPSG 9804): [[WorldMercator]]
+    * generalized to any central meridian, scale, ellipsoid and unit. The
+    * 2SP / variant B method derives k0 = m(sp1) before constructing. */
+  final case class Merc1Sp(lon0: Double, k0: Double, fe: Double, fn: Double,
+                           unit: Double = 1.0, a: Double = WGS84_A,
+                           flattening: Double = WGS84_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private val l0 = math.toRadians(lon0)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val esin = e * math.sin(phi)
+      val y = a * k0 * math.log(math.tan(math.Pi / 4 + phi / 2) * math.pow((1 - esin) / (1 + esin), e / 2))
+      (a * k0 * (math.toRadians(lon) - l0) / unit + fe, y / unit + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.exp(-(y - fn) * unit / (a * k0))
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        i += 1
+      }
+      (math.toDegrees(l0 + (x - fe) * unit / (a * k0)), math.toDegrees(phi))
+    }
+  }
+
+  /** Spherical (web) mercator over an arbitrary sphere radius — the
+    * "Popular Visualisation Pseudo Mercator" method (EPSG 1024) that WKT
+    * definitions of 3857-family CRS carry. */
+  final case class PseudoMerc(lon0: Double, fe: Double, fn: Double,
+                              unit: Double = 1.0, a: Double = WGS84_A) extends CrsTransform {
+    private val l0 = math.toRadians(lon0)
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      ((a * (math.toRadians(lon) - l0)) / unit + fe,
+        (a * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))) / unit + fn)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(l0 + (x - fe) * unit / a),
+        math.toDegrees(2 * math.atan(math.exp((y - fn) * unit / a)) - math.Pi / 2))
+  }
+
+  /** EPSG code -> transform to/from its geographic base (datum step to WGS84
+    * is a null transformation — centimetric for NAD83/GRS80, documented
+    * divergence). Parameter values are from the public EPSG registry. */
+  def forEpsg(code: Int): Option[CrsTransform] = code match {
+    case 4326 | 4269 | 4267 => Some(Identity)
+    case 3857 => Some(WebMercator)
+    case 3395 => Some(WorldMercator)
+    case z if z >= 32601 && z <= 32660 => Some(Utm(z - 32600, north = true))
+    case z if z >= 32701 && z <= 32760 => Some(Utm(z - 32700, north = false))
+    case z if z >= 26901 && z <= 26923 => Some(Utm(z - 26900, north = true)) // NAD83 UTM approximated as WGS84
+    case 2263 => // NAD83 / New York Long Island (ftUS) — the nybb fixture CRS
+      Some(Lcc2Sp(lat0 = 40.0 + 10.0 / 60, lon0 = -74.0, sp1 = 41.0 + 2.0 / 60, sp2 = 40.0 + 40.0 / 60,
+        fe = 984250.0, fn = 0.0, unit = FtUs))
+    case 5070 => // NAD83 / Conus Albers
+      Some(Albers2Sp(lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5, fe = 0.0, fn = 0.0))
+    case 26985 => // NAD83 / Maryland (m) — LCC 2SP
+      Some(Lcc2Sp(lat0 = 37.0 + 40.0 / 60, lon0 = -77.0, sp1 = 39.0 + 27.0 / 60, sp2 = 38.0 + 18.0 / 60,
+        fe = 400000.0, fn = 0.0))
+    case 2248 => // NAD83 / Maryland (ftUS) — same cone, ftUS axes
+      Some(Lcc2Sp(lat0 = 37.0 + 40.0 / 60, lon0 = -77.0, sp1 = 39.0 + 27.0 / 60, sp2 = 38.0 + 18.0 / 60,
+        fe = 400000.0 / FtUs, fn = 0.0, unit = FtUs))
+    case 3435 => // NAD83 / Illinois East (ftUS) — TM
+      Some(Tm(lat0 = 36.0 + 40.0 / 60, lonCm = -(88.0 + 20.0 / 60), k0 = 0.999975,
+        fe = 300000.0 / FtUs, fn = 0.0, unit = FtUs))
+    case _ => None
+  }
+
+  /** Compose two to-geographic transforms into src -> dst. */
+  def compose(src: CrsTransform, dst: CrsTransform): CrsTransform = new CrsTransform {
+    def forward(x: Double, y: Double): (Double, Double) = {
+      val (lon, lat) = src.inverse(x, y)
+      dst.forward(lon, lat)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (lon, lat) = dst.inverse(x, y)
+      src.forward(lon, lat)
+    }
+  }
+
   /** Transform from one EPSG code to another via 4326 as the hub. */
   def chain(from: Int, to: Int): CrsTransform = {
     if (from == to) return Identity
-    def to4326(code: Int): CrsTransform = code match {
-      case 4326 => Identity
-      case 3857 => WebMercator
-      case 3395 => WorldMercator
-      case z if z >= 32601 && z <= 32660 => Utm(z - 32600, north = true)
-      case z if z >= 32701 && z <= 32760 => Utm(z - 32700, north = false)
-      case z if z >= 26901 && z <= 26923 => Utm(z - 26900, north = true) // NAD83 UTM approximated as WGS84
-      case 2263 => // NAD83 / New York Long Island (ftUS) — the nybb fixture CRS
-        Lcc2Sp(lat0 = 40.0 + 10.0 / 60, lon0 = -74.0, sp1 = 41.0 + 2.0 / 60, sp2 = 40.0 + 40.0 / 60,
-          fe = 984250.0, fn = 0.0, unit = FtUs)
-      case 5070 => // NAD83 / Conus Albers
-        Albers2Sp(lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5, fe = 0.0, fn = 0.0)
-      case _ => throw new IllegalArgumentException(
-        s"Unsupported CRS EPSG:$code — supported: 4326, 3857, 3395, UTM 326xx/327xx/269xx, 2263, 5070")
-    }
-    val src = to4326(from)
-    val dst = to4326(to)
-    new CrsTransform {
-      def forward(x: Double, y: Double): (Double, Double) = {
-        val (lon, lat) = src.inverse(x, y)
-        dst.forward(lon, lat)
-      }
-      def inverse(x: Double, y: Double): (Double, Double) = {
-        val (lon, lat) = dst.inverse(x, y)
-        src.forward(lon, lat)
-      }
-    }
+    def to4326(code: Int): CrsTransform = forEpsg(code).getOrElse(
+      throw new IllegalArgumentException(
+        s"Unsupported CRS EPSG:$code — supported: 4326, 3857, 3395, UTM 326xx/327xx/269xx, " +
+          "2263, 2248, 3435, 5070, 26985, or any LCC/TM/Albers/Mercator CRS given as " +
+          "WKT/PROJJSON with its projection parameters"))
+    compose(to4326(from), to4326(to))
+  }
+
+  /** Resolve a CRS string (EPSG code, WKT1/WKT2, PROJJSON) to a transform
+    * to/from its geographic base: the EPSG registry first, then the
+    * parameter-driven [[ProjParse]] path for full definitions. */
+  def resolveToWgs84(crs: String): Option[CrsTransform] =
+    normalizeOpt(crs).flatMap(forEpsg).orElse(ProjParse.parse(crs))
+
+  /** String-keyed [[chain]]: either side may be an EPSG code or a full
+    * WKT/PROJJSON definition whose parameters we parse. */
+  def chainStr(from: String, to: String): CrsTransform = {
+    def resolve(c: String): CrsTransform = resolveToWgs84(c).getOrElse(
+      throw new IllegalArgumentException(
+        s"Cannot resolve CRS '${c.take(120)}' — not a supported EPSG code and not a " +
+          "parseable projected/geographic WKT or PROJJSON definition"))
+    compose(resolve(from), resolve(to))
   }
 
   /** UTM zone estimation from lon/lat center (ref `array.py:1190-1276`;

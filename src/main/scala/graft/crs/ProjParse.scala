@@ -1,0 +1,196 @@
+package graft.crs
+
+import graft.crs.CrsTransform._
+
+/** Parameter-driven projection resolution for CRS definitions that arrive as
+  * WKT1 (OGC/ESRI `.prj`), WKT2, or PROJJSON (GeoParquet `crs` values). The
+  * reference delegates this to pyproj/PROJ (`geopandas/array.py:1098-1187`);
+  * offline on the JVM we extract the projection method + parameters and
+  * instantiate the matching family from [[CrsTransform]] — LCC 1SP/2SP,
+  * Transverse Mercator, Albers Equal Area, Mercator (1SP/2SP/pseudo). This
+  * means any state-plane/national-grid CRS in those families works from its
+  * full definition, not just the EPSG codes in [[CrsTransform.forEpsg]].
+  *
+  * The datum step to the WGS84 hub is treated as a null transformation
+  * (ESRI's default): centimetric for NAD83/GRS80/ETRS89, meters-scale for
+  * legacy datums (NAD27, OSGB36) — same documented posture as the 269xx UTM
+  * handling. The projection math itself is exact per Snyder/EPSG GN7-2.
+  */
+object ProjParse {
+
+  private val DegToRad = 0.017453292519943295
+
+  /** Parse a CRS definition to a transform to/from its geographic base.
+    * None when the string is not parseable or the method is unsupported. */
+  def parse(crs: String): Option[CrsTransform] = {
+    val s = crs.trim
+    if (s.isEmpty) None
+    else if (s.startsWith("{")) parseProjJson(s)
+    else {
+      val up = s.toUpperCase
+      if (up.startsWith("GEOGCS") || up.startsWith("GEOGCRS") || up.startsWith("GEODCRS"))
+        Some(Identity) // geographic: null datum shift to the WGS84 hub
+      else if (up.startsWith("PROJCS") || up.startsWith("PROJCRS")) parseWkt(s)
+      else None
+    }
+  }
+
+  // ------------------------------------------------------------------- WKT
+
+  private val SpheroidRe =
+    """(?i)(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)""".r
+  private val MethodRe =
+    """(?i)(?:PROJECTION|METHOD)\s*\[\s*"([^"]+)"""".r
+  // value, then optionally that parameter's own unit clause (WKT2)
+  private val ParamRe =
+    ("""(?i)PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)\s*""" +
+      """(?:,\s*(ANGLEUNIT|LENGTHUNIT|SCALEUNIT)\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+))?""").r
+  // WKT1 projected unit is the LAST top-level UNIT[...]; WKT2 axis units are
+  // the trailing LENGTHUNIT[...] clauses — in both dialects the last
+  // length-unit clause in the string is the projected axis unit.
+  private val UnitRe =
+    """(?i)(?:\bUNIT|LENGTHUNIT)\s*\[\s*"([^"]*)"\s*,\s*([-0-9.eE+]+)""".r
+
+  private def parseWkt(s: String): Option[CrsTransform] = {
+    val method = MethodRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(return None)
+    val (a, invF) = SpheroidRe.findFirstMatchIn(s)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+      .getOrElse((WGS84_A, 1 / WGS84_F))
+    val axisUnit = UnitRe.findAllMatchIn(s).toSeq.lastOption
+      .filterNot(_.group(1).toLowerCase.contains("degree"))
+      .map(_.group(2).toDouble).getOrElse(1.0)
+    val params = ParamRe.findAllMatchIn(s).map { m =>
+      val name = normName(m.group(1))
+      val raw = m.group(2).toDouble
+      val v = (Option(m.group(3)).map(_.toUpperCase), Option(m.group(4)).map(_.toDouble)) match {
+        case (Some("ANGLEUNIT"), Some(f))  => raw * f / DegToRad // to degrees
+        case (Some("LENGTHUNIT"), Some(f)) => raw * f / axisUnit // to projected axis units
+        case _                             => raw // WKT1: degrees / axis units already
+      }
+      name -> v
+    }.toMap
+    build(method, params, axisUnit, a, invF)
+  }
+
+  // -------------------------------------------------------------- PROJJSON
+
+  private def parseProjJson(s: String): Option[CrsTransform] = {
+    val root = scala.util.Try(
+      graft.functions.GeoJson.parseJson(s).asInstanceOf[Map[String, Any]]).getOrElse(return None)
+    def obj(m: Map[String, Any], k: String): Option[Map[String, Any]] =
+      m.get(k).collect { case o: Map[String @unchecked, Any @unchecked] => o }
+    def num(m: Map[String, Any], k: String): Option[Double] = m.get(k).collect {
+      case d: Double => d
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case b: BigDecimal => b.toDouble
+    }
+    val tpe = root.get("type").collect { case t: String => t }.getOrElse("")
+    if (tpe == "GeographicCRS" || tpe == "GeodeticCRS") return Some(Identity)
+    if (tpe != "ProjectedCRS") return None
+
+    val ellipsoid = for {
+      base  <- obj(root, "base_crs")
+      datum <- obj(base, "datum").orElse(obj(base, "datum_ensemble"))
+      ell   <- obj(datum, "ellipsoid")
+    } yield ell
+    val a = ellipsoid.flatMap(num(_, "semi_major_axis")).getOrElse(WGS84_A)
+    val invF = ellipsoid.flatMap(num(_, "inverse_flattening")).getOrElse {
+      // sphere (radius only) or b given
+      val b = ellipsoid.flatMap(e => num(e, "semi_minor_axis").orElse(num(e, "radius")))
+      b.map(bb => if (bb == a) Double.PositiveInfinity else a / (a - bb)).getOrElse(1 / WGS84_F)
+    }
+
+    val conv = obj(root, "conversion").getOrElse(return None)
+    val method = obj(conv, "method").flatMap(_.get("name").collect { case n: String => n })
+      .getOrElse(return None)
+
+    // axis unit: "metre"/named unit object with conversion_factor
+    def unitFactor(u: Any): Double = u match {
+      case "metre" | "meter" => 1.0
+      case "degree"          => Double.NaN // angular
+      case s: String if s.contains("foot") => if (s.contains("US")) FtUs else 0.3048
+      case o: Map[String @unchecked, Any @unchecked] =>
+        num(o, "conversion_factor").getOrElse(1.0)
+      case _ => 1.0
+    }
+    val axisUnit = (for {
+      cs   <- obj(root, "coordinate_system")
+      axes <- cs.get("axis").collect { case l: Seq[Any @unchecked] => l }
+      ax0  <- axes.headOption.collect { case o: Map[String @unchecked, Any @unchecked] => o }
+      u    <- ax0.get("unit")
+    } yield unitFactor(u)).filterNot(_.isNaN).getOrElse(1.0)
+
+    val params = conv.get("parameters").collect { case l: Seq[Any @unchecked] => l }
+      .getOrElse(Nil).flatMap {
+        case p: Map[String @unchecked, Any @unchecked] =>
+          for {
+            n <- p.get("name").collect { case s: String => s }
+            v <- num(p, "value")
+          } yield {
+            val u = p.get("unit").map(unitFactor).getOrElse(1.0)
+            val vAdj = p.get("unit") match {
+              case Some("degree")                     => v
+              case Some(o: Map[_, _])                 =>
+                val f = unitFactor(o)
+                val isAngular = o.asInstanceOf[Map[String, Any]].get("type")
+                  .contains("AngularUnit")
+                if (isAngular) v * f / DegToRad else v * f / axisUnit
+              case Some("metre") | Some("meter")      => v / axisUnit
+              case _ if u != 1.0                      => v * u / axisUnit
+              case _                                  => v
+            }
+            normName(n) -> vAdj
+          }
+        case _ => None
+      }.toMap
+    build(method, params, axisUnit, a, invF)
+  }
+
+  // ----------------------------------------------------------------- build
+
+  private def normName(n: String): String = n.toLowerCase.replaceAll("[^a-z0-9]", "")
+
+  private val Lat0Names = Seq("latitudeoforigin", "latitudeoffalseorigin",
+    "latitudeofnaturalorigin", "latitudeofcenter", "latitudeofprojectioncentre")
+  private val Lon0Names = Seq("centralmeridian", "longitudeoffalseorigin",
+    "longitudeofnaturalorigin", "longitudeofcenter", "longitudeofprojectioncentre", "longitudeoforigin")
+  private val Sp1Names = Seq("standardparallel1", "latitudeof1ststandardparallel", "standardparallel")
+  private val Sp2Names = Seq("standardparallel2", "latitudeof2ndstandardparallel")
+  private val K0Names = Seq("scalefactor", "scalefactoratnaturalorigin")
+  private val FeNames = Seq("falseeasting", "eastingatfalseorigin")
+  private val FnNames = Seq("falsenorthing", "northingatfalseorigin")
+
+  private def build(method: String, params: Map[String, Double], unit: Double,
+                    a: Double, invF: Double): Option[CrsTransform] = {
+    def get(names: Seq[String]): Option[Double] = names.flatMap(params.get).headOption
+    def or0(names: Seq[String]): Double = get(names).getOrElse(0.0)
+    val f = if (invF.isInfinite || invF == 0) 0.0 else 1 / invF
+    val m = normName(method)
+    val lat0 = or0(Lat0Names); val lon0 = or0(Lon0Names)
+    val fe = or0(FeNames); val fn = or0(FnNames)
+    val k0 = get(K0Names).getOrElse(1.0)
+    val sp1 = get(Sp1Names); val sp2 = get(Sp2Names)
+
+    if (m.contains("transversemercator") || m.contains("gausskruger"))
+      Some(Tm(lat0, lon0, k0, fe, fn, unit, a, f))
+    else if (m.contains("lambertconformalconic") || m.contains("lambertconicconformal")) {
+      val s1 = sp1.getOrElse(lat0)
+      val s2 = sp2.getOrElse(s1)
+      Some(Lcc2Sp(lat0, lon0, s1, s2, fe, fn, unit, f, a, k0))
+    } else if (m.contains("albers"))
+      Some(Albers2Sp(lat0, lon0, sp1.getOrElse(lat0), sp2.getOrElse(sp1.getOrElse(lat0)),
+        fe, fn, f, a, unit))
+    else if (m.contains("pseudomercator") || m.contains("mercatorauxiliarysphere"))
+      Some(PseudoMerc(lon0, fe, fn, unit, a))
+    else if (m.contains("mercator")) {
+      // variant B / 2SP: k0 derived from the standard parallel (EPSG 9805)
+      val e2 = f * (2 - f)
+      val kEff = sp1.map { p =>
+        val phi = math.toRadians(p)
+        math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      }.getOrElse(k0)
+      Some(Merc1Sp(lon0, kEff, fe, fn, unit, a, f))
+    } else None
+  }
+}

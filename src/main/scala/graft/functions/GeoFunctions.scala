@@ -417,6 +417,27 @@ object GeoFunctions extends Serializable {
     })
   def st_transform(g: Column, fromEpsg: Column, toEpsg: Column): Column = stTransformU(g, fromEpsg, toEpsg)
 
+  /** String-keyed reprojection: either CRS may be an EPSG code, a WKT1/WKT2
+    * string (e.g. a shapefile .prj) or PROJJSON — parameters are parsed when
+    * the code isn't in the registry (ref pyproj accepts any CRS input,
+    * array.py:1098-1187). */
+  val stTransformCrsU: UserDefinedFunction = udf((b: Array[Byte], from: String, to: String) =>
+    if (b == null) null
+    else {
+      val t = CrsCache.getStr(from, to)
+      val ed = new org.locationtech.jts.geom.util.GeometryEditor(Wkb.factory)
+      val out = ed.edit(rd(b), new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[org.locationtech.jts.geom.Coordinate], geometry: Geometry) =
+          coords.map { c =>
+            val (x, y) = t.forward(c.x, c.y)
+            new org.locationtech.jts.geom.Coordinate(x, y, c.getZ)
+          }
+      })
+      Wkb.write(out)
+    })
+  def st_transform_crs(g: Column, fromCrs: Column, toCrs: Column): Column =
+    stTransformCrsU(g, fromCrs, toCrs)
+
   val stOrientPolygonsU: UserDefinedFunction = udf((b: Array[Byte], exteriorCw: Boolean) =>
     if (b == null) null else Wkb.write(GeomOps.orientPolygons(rd(b), exteriorCw)))
   val stConstrainedDelaunayU: UserDefinedFunction = udf(g2g(GeomOps.constrainedDelaunay))
@@ -496,6 +517,7 @@ object GeoFunctions extends Serializable {
     r.register("st_difference", stDifferenceU); r.register("st_sym_difference", stSymDifferenceU)
     r.register("st_coords", stCoordsU); r.register("st_parts", stPartsU); r.register("st_hilbert", stHilbertU)
     r.register("st_transform", stTransformU); r.register("st_exterior", stExteriorU)
+    r.register("st_transform_crs", stTransformCrsU)
     r.register("st_interiors", stInteriorsU); r.register("st_extract_unique_points", stExtractUniquePointsU)
     r.register("st_offset_curve", stOffsetCurveU); r.register("st_remove_repeated_points", stRemoveRepeatedU)
     r.register("st_set_precision", stSetPrecisionU); r.register("st_boundsxy", stBoundsU)
@@ -532,4 +554,7 @@ object CrsCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), CrsTransform]()
   def get(from: Int, to: Int): CrsTransform =
     cache.computeIfAbsent((from, to), { k: (Int, Int) => CrsTransform.chain(k._1, k._2) })
+  private val cacheStr = new java.util.concurrent.ConcurrentHashMap[(String, String), CrsTransform]()
+  def getStr(from: String, to: String): CrsTransform =
+    cacheStr.computeIfAbsent((from, to), { k: (String, String) => CrsTransform.chainStr(k._1, k._2) })
 }

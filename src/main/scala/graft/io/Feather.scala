@@ -29,7 +29,8 @@ object Feather {
   def read(spark: SparkSession, path: String,
            columns: Option[Seq[String]] = None,
            bbox: Option[(Double, Double, Double, Double)] = None,
-           mask: Option[Array[Byte]] = None): GeoDataFrame = {
+           mask: Option[Array[Byte]] = None,
+           where: Option[String] = None): GeoDataFrame = {
     val firstFile = resolvePaths(spark, path).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .feather/.arrow files at $path"))
     val (schema, geomCol, crs) = driverSchema(spark, firstFile)
@@ -61,7 +62,7 @@ object Feather {
       }
     val df = spark.createDataFrame(rowsRdd, schema)
     val base = GeoDataFrame(df, geomCol, crs.map(c => Map(geomCol -> c)).getOrElse(Map.empty))
-    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(base, bbox, mask), columns, None)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(base, bbox, mask), columns, None, where)
   }
 
   /** Footer schema + geo metadata via a seekable channel — no full read. */

@@ -14,21 +14,24 @@ object GeoIO {
   /** Driver inferred from the extension: .shp/.zip (Shapefile),
     * .geojson/.json/.ndjson (GeoJSON), .gpkg (GeoPackage),
     * .feather/.arrow (Arrow IPC), .parquet or a parquet directory
-    * (GeoParquet). `layer` only applies to GPKG. */
+    * (GeoParquet). `layer` only applies to GPKG. `where` is an ANSI SQL
+    * boolean over the attribute columns, applied before `rows` slices
+    * (ref io/file.py:197-239 OGR SQL restriction). */
   def readFile(spark: SparkSession, path: String,
                layer: Option[String] = None,
                bbox: Option[(Double, Double, Double, Double)] = None,
                mask: Option[Array[Byte]] = None,
                columns: Option[Seq[String]] = None,
-               rows: Option[Int] = None): GeoDataFrame = {
+               rows: Option[Int] = None,
+               where: Option[String] = None): GeoDataFrame = {
     val l = path.toLowerCase.stripSuffix("/")
-    def prune(g: GeoDataFrame): GeoDataFrame = IoFilters.pruneAndLimit(g, columns, rows)
+    def prune(g: GeoDataFrame): GeoDataFrame = IoFilters.pruneAndLimit(g, columns, rows, where)
     if (l.endsWith(".shp") || l.endsWith(".zip"))
-      Shapefile.read(spark, path, bbox, columns, rows, mask)
+      Shapefile.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
-      GeoJsonIO.read(spark, path, bbox, columns, rows, mask)
+      GeoJsonIO.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".gpkg"))
-      Gpkg.read(spark, path, layer, bbox, columns, rows, mask)
+      Gpkg.read(spark, path, layer, bbox, columns, rows, mask, where)
     else if (l.endsWith(".feather") || l.endsWith(".arrow"))
       prune(Feather.read(spark, path, columns, bbox, mask))
     else {

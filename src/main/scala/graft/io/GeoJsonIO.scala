@@ -24,8 +24,9 @@ object GeoJsonIO {
            bbox: Option[(Double, Double, Double, Double)],
            columns: Option[Seq[String]] = None,
            rows: Option[Int] = None,
-           mask: Option[Array[Byte]] = None): GeoDataFrame = {
-    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(read(spark, path), bbox, mask), columns, rows)
+           mask: Option[Array[Byte]] = None,
+           where: Option[String] = None): GeoDataFrame = {
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(read(spark, path), bbox, mask), columns, rows, where)
   }
 
   /** Read newline-delimited features (or FeatureCollection document files —

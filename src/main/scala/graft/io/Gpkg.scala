@@ -35,7 +35,8 @@ object Gpkg {
            bbox: Option[(Double, Double, Double, Double)] = None,
            columns: Option[Seq[String]] = None,
            rows: Option[Int] = None,
-           mask: Option[Array[Byte]] = None): GeoDataFrame = {
+           mask: Option[Array[Byte]] = None,
+           where: Option[String] = None): GeoDataFrame = {
     // driver: schema + CRS from the first file's metadata pages
     val firstFile = resolvePaths(spark, path).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .gpkg files at $path"))
@@ -89,7 +90,7 @@ object Gpkg {
       }
     val df = spark.createDataFrame(rowsRdd, schema)
     val base = GeoDataFrame(df, geomCol, crs.map(c => Map(geomCol -> c)).getOrElse(Map.empty))
-    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(base, bbox, mask), columns, rows)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(base, bbox, mask), columns, rows, where)
   }
 
   // ----------------------------------------------------------------- write

@@ -22,14 +22,23 @@ private[io] object IoFilters {
     case c            => c.toString
   } + "\""
 
-  /** Prune to requested columns (geometry always kept) and cap rows — the
-    * shared tail of every reader's read_file-style argument handling. */
+  /** Apply `where=` (an ANSI SQL boolean over the attribute columns, ref
+    * io/file.py:197-239 OGR SQL restriction), prune to requested columns
+    * (geometry always kept) and cap rows — the shared tail of every
+    * reader's read_file-style argument handling. `where` runs BEFORE the
+    * column prune and row cap, like OGR: the predicate may reference
+    * columns that are then pruned away, and `rows` slices the filtered
+    * set. On the parquet path the predicate is a plain Catalyst filter, so
+    * it reaches PushedFilters; on parsed formats it cuts rows before any
+    * shuffle. */
   def pruneAndLimit(base: GeoDataFrame, columns: Option[Seq[String]],
-                    rows: Option[Int]): GeoDataFrame = {
+                    rows: Option[Int], where: Option[String] = None): GeoDataFrame = {
+    val filtered = where.map(w => base.copy(df = base.df.filter(org.apache.spark.sql.functions.expr(w))))
+      .getOrElse(base)
     val pruned = columns.map { cs =>
-      val keep = (cs :+ base.geometryCol).distinct.filter(base.df.columns.contains)
-      base.copy(df = base.df.select(keep.map(col): _*))
-    }.getOrElse(base)
+      val keep = (cs :+ filtered.geometryCol).distinct.filter(filtered.df.columns.contains)
+      filtered.copy(df = filtered.df.select(keep.map(col): _*))
+    }.getOrElse(filtered)
     rows.map(n => pruned.copy(df = pruned.df.limit(n))).getOrElse(pruned)
   }
 

@@ -42,8 +42,9 @@ object Shapefile {
            bbox: Option[(Double, Double, Double, Double)] = None,
            columns: Option[Seq[String]] = None,
            rows: Option[Int] = None,
-           mask: Option[Array[Byte]] = None): GeoDataFrame = {
-    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(readAll(spark, path), bbox, mask), columns, rows)
+           mask: Option[Array[Byte]] = None,
+           where: Option[String] = None): GeoDataFrame = {
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(readAll(spark, path), bbox, mask), columns, rows, where)
   }
 
   private def readAll(spark: SparkSession, path: String): GeoDataFrame = {

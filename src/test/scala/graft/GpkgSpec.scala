@@ -72,6 +72,19 @@ class GpkgSpec extends AnyFunSuite {
     assert(pruned.df.columns.toSeq == Seq("name", "geom") && pruned.df.count() == 3)
   }
 
+  test("where= predicate matches a post-hoc filter (ref OGR SQL restriction, io/file.py:197)") {
+    val viaWhere = Gpkg.read(spark, fixture, layer = Some("cells"),
+      where = Some("name like 'cell1%'")).df.select("name").as[String].collect().toSet
+    val posthoc = Gpkg.read(spark, fixture, layer = Some("cells")).df
+      .filter(col("name").like("cell1%")).select("name").as[String].collect().toSet
+    assert(viaWhere == posthoc && viaWhere.nonEmpty)
+    // where runs before rows= slices (OGR order), and composes with columns=
+    val sliced = Gpkg.read(spark, fixture, layer = Some("cells"),
+      where = Some("name like 'cell1%'"), rows = Some(2), columns = Some(Seq("name")))
+    assert(sliced.df.count() == 2 &&
+      sliced.df.select("name").as[String].collect().forall(_.startsWith("cell1")))
+  }
+
   test("Gpkg.write round-trips through our reader (attrs, nulls, overflow, CRS)") {
     import graft.api.GeoDataFrame
     val big = "y" * 9000 // forces an overflow chain in the written file

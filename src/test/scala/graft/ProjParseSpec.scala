@@ -1,0 +1,236 @@
+package graft
+
+import graft.crs.{CrsTransform, ProjParse}
+import graft.crs.CrsTransform._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parameter-driven CRS resolution (crs/ProjParse.scala) against published
+  * worked examples — EPSG Guidance Note 7-2 and Snyder 1987 give exact
+  * (lon,lat)->(E,N) vectors for each projection family, so the generalized
+  * ellipsoid/parameter handling is oracle-checked, not just round-tripped. */
+class ProjParseSpec extends AnyFunSuite {
+
+  private val Clarke1866A = 6378206.4
+  private val Clarke1866F = 1.0 / 294.9786982
+
+  test("LCC 2SP worked example (EPSG GN7-2: NAD27 / Texas South Central, Clarke 1866, ftUS)") {
+    val t = Lcc2Sp(lat0 = 27.0 + 50.0 / 60, lon0 = -99.0,
+      sp1 = 28.0 + 23.0 / 60, sp2 = 30.0 + 17.0 / 60,
+      fe = 2000000.0, fn = 0.0, unit = FtUs, flattening = Clarke1866F, a = Clarke1866A)
+    val (e, n) = t.forward(-96.0, 28.5)
+    assert(math.abs(e - 2963503.91) < 0.05, s"easting $e")
+    assert(math.abs(n - 254759.80) < 0.05, s"northing $n")
+    val (lon, lat) = t.inverse(e, n)
+    assert(math.abs(lon + 96.0) < 1e-9 && math.abs(lat - 28.5) < 1e-9)
+  }
+
+  test("TM worked example (EPSG GN7-2: OSGB36 / British National Grid, Airy 1830)") {
+    val t = Tm(lat0 = 49.0, lonCm = -2.0, k0 = 0.9996012717,
+      fe = 400000.0, fn = -100000.0, a = 6377563.396, flattening = 1.0 / 299.3249646)
+    val (e, n) = t.forward(0.5, 50.5)
+    assert(math.abs(e - 577274.99) < 0.05, s"easting $e")
+    assert(math.abs(n - 69740.50) < 0.05, s"northing $n")
+    val (lon, lat) = t.inverse(e, n)
+    // series-form inverse truncation at 2.5 deg from the CM is ~2e-9 deg (~0.2 um)
+    assert(math.abs(lon - 0.5) < 1e-8 && math.abs(lat - 50.5) < 1e-8)
+  }
+
+  test("Albers worked example (Snyder 1987 App. A: Clarke 1866, CONUS parallels)") {
+    val t = Albers2Sp(lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5,
+      fe = 0.0, fn = 0.0, flattening = Clarke1866F, a = Clarke1866A)
+    val (x, y) = t.forward(-75.0, 35.0)
+    assert(math.abs(x - 1885472.7) < 1.0, s"x $x")
+    assert(math.abs(y - 1535925.0) < 1.0, s"y $y")
+    val (lon, lat) = t.inverse(x, y)
+    assert(math.abs(lon + 75.0) < 1e-9 && math.abs(lat - 35.0) < 1e-9)
+  }
+
+  // ESRI WKT1 as a .prj file carries it: no AUTHORITY clause, ESRI parameter
+  // names; EPSG:2263 definition so we can check against the hand-wired chain.
+  private val esriWkt2263 =
+    """PROJCS["NAD_1983_StatePlane_New_York_Long_Island_FIPS_3104_Feet",
+      |GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
+      |SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],
+      |UNIT["Degree",0.0174532925199433]],
+      |PROJECTION["Lambert_Conformal_Conic"],
+      |PARAMETER["False_Easting",984250.0],PARAMETER["False_Northing",0.0],
+      |PARAMETER["Central_Meridian",-74.0],
+      |PARAMETER["Standard_Parallel_1",40.66666666666666],
+      |PARAMETER["Standard_Parallel_2",41.03333333333333],
+      |PARAMETER["Latitude_Of_Origin",40.16666666666666],
+      |UNIT["Foot_US",0.3048006096012192]]""".stripMargin.replace("\n", "")
+
+  test("ESRI WKT1 parameters build the same transform as the hand-wired EPSG:2263") {
+    val parsed = ProjParse.parse(esriWkt2263).getOrElse(fail("WKT1 did not parse"))
+    val wired = CrsTransform.chain(4326, 2263)
+    for ((lon, lat) <- Seq((-74.01, 40.71), (-73.7, 40.6), (-73.9857, 40.7484))) {
+      val (xp, yp) = parsed.forward(lon, lat)
+      val (xw, yw) = wired.forward(lon, lat)
+      assert(math.abs(xp - xw) < 1e-5 && math.abs(yp - yw) < 1e-5, s"($xp,$yp) vs ($xw,$yw)")
+    }
+  }
+
+  // WKT2 with per-parameter LENGTHUNITs (the GeoParquet/PROJ dialect).
+  private val wkt2_2263 =
+    """PROJCRS["NAD83 / New York Long Island (ftUS)",
+      |BASEGEOGCRS["NAD83",DATUM["North American Datum 1983",
+      |ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]]],
+      |CONVERSION["SPCS83 New York Long Island zone (US survey foot)",
+      |METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+      |PARAMETER["Latitude of false origin",40.1666666666667,
+      |ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8821]],
+      |PARAMETER["Longitude of false origin",-74,
+      |ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8822]],
+      |PARAMETER["Latitude of 1st standard parallel",41.0333333333333,
+      |ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8823]],
+      |PARAMETER["Latitude of 2nd standard parallel",40.6666666666667,
+      |ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8824]],
+      |PARAMETER["Easting at false origin",984250,
+      |LENGTHUNIT["US survey foot",0.304800609601219],ID["EPSG",8826]],
+      |PARAMETER["Northing at false origin",0,
+      |LENGTHUNIT["US survey foot",0.304800609601219],ID["EPSG",8827]]],
+      |CS[Cartesian,2],
+      |AXIS["easting (X)",east,ORDER[1],LENGTHUNIT["US survey foot",0.304800609601219]],
+      |AXIS["northing (Y)",north,ORDER[2],LENGTHUNIT["US survey foot",0.304800609601219]]]"""
+      .stripMargin.replace("\n", "")
+
+  test("WKT2 parameters (per-parameter LENGTHUNIT) build the same transform") {
+    val parsed = ProjParse.parse(wkt2_2263).getOrElse(fail("WKT2 did not parse"))
+    val wired = CrsTransform.chain(4326, 2263)
+    val (xp, yp) = parsed.forward(-73.9857, 40.7484)
+    val (xw, yw) = wired.forward(-73.9857, 40.7484)
+    assert(math.abs(xp - xw) < 1e-4 && math.abs(yp - yw) < 1e-4, s"($xp,$yp) vs ($xw,$yw)")
+  }
+
+  // PROJJSON as GeoParquet stores it (Maryland = EPSG:26985, meters).
+  private val projJson26985 =
+    """{"type": "ProjectedCRS", "name": "NAD83 / Maryland",
+      |"base_crs": {"type": "GeographicCRS", "name": "NAD83",
+      |"datum": {"type": "GeodeticReferenceFrame", "name": "North American Datum 1983",
+      |"ellipsoid": {"name": "GRS 1980", "semi_major_axis": 6378137,
+      |"inverse_flattening": 298.257222101}}},
+      |"conversion": {"name": "SPCS83 Maryland zone",
+      |"method": {"name": "Lambert Conic Conformal (2SP)", "id": {"authority": "EPSG", "code": 9802}},
+      |"parameters": [
+      |{"name": "Latitude of false origin", "value": 37.6666666666667, "unit": "degree"},
+      |{"name": "Longitude of false origin", "value": -77, "unit": "degree"},
+      |{"name": "Latitude of 1st standard parallel", "value": 39.45, "unit": "degree"},
+      |{"name": "Latitude of 2nd standard parallel", "value": 38.3, "unit": "degree"},
+      |{"name": "Easting at false origin", "value": 400000, "unit": "metre"},
+      |{"name": "Northing at false origin", "value": 0, "unit": "metre"}]},
+      |"coordinate_system": {"subtype": "Cartesian", "axis": [
+      |{"name": "Easting", "abbreviation": "X", "direction": "east", "unit": "metre"},
+      |{"name": "Northing", "abbreviation": "Y", "direction": "north", "unit": "metre"}]}}"""
+      .stripMargin.replace("\n", "")
+
+  test("PROJJSON parameters build the same transform as the EPSG:26985 registry entry") {
+    val parsed = ProjParse.parse(projJson26985).getOrElse(fail("PROJJSON did not parse"))
+    val wired = CrsTransform.chain(4326, 26985)
+    val (xp, yp) = parsed.forward(-76.6122, 39.2904) // Baltimore
+    val (xw, yw) = wired.forward(-76.6122, 39.2904)
+    assert(math.abs(xp - xw) < 1e-6 && math.abs(yp - yw) < 1e-6, s"($xp,$yp) vs ($xw,$yw)")
+  }
+
+  test("EPSG:26985 (outside the original allowlist): false origin exact + roundtrip") {
+    val t = CrsTransform.chain(4326, 26985)
+    val (x0, y0) = t.forward(-77.0, 37.0 + 40.0 / 60)
+    assert(math.abs(x0 - 400000.0) < 1e-6 && math.abs(y0) < 1e-6)
+    val (x, y) = t.forward(-76.6122, 39.2904)
+    val (lon, lat) = t.inverse(x, y)
+    assert(math.abs(lon + 76.6122) < 1e-9 && math.abs(lat - 39.2904) < 1e-9)
+    // ftUS twin differs only by the axis unit
+    val tf = CrsTransform.chain(4326, 2248)
+    val (xf, yf) = tf.forward(-76.6122, 39.2904)
+    assert(math.abs(xf * FtUs - x) < 1e-6 && math.abs(yf * FtUs - y) < 1e-6)
+  }
+
+  test("EPSG:3435 (Illinois East TM, ftUS): false origin exact + roundtrip") {
+    val t = CrsTransform.chain(4326, 3435)
+    val (x0, y0) = t.forward(-(88.0 + 20.0 / 60), 36.0 + 40.0 / 60)
+    assert(math.abs(x0 - 300000.0 / FtUs) < 1e-6 && math.abs(y0) < 1e-6)
+    val (x, y) = t.forward(-87.6298, 41.8781) // Chicago
+    val (lon, lat) = t.inverse(x, y)
+    assert(math.abs(lon + 87.6298) < 1e-9 && math.abs(lat - 41.8781) < 1e-9)
+  }
+
+  test("Mercator variant B: k0 derived from the standard parallel") {
+    val wkt =
+      """PROJCS["World_Mercator_SP2",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+        |SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],
+        |UNIT["Degree",0.0174532925199433]],PROJECTION["Mercator"],
+        |PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],
+        |PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",0.0],
+        |UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).getOrElse(fail("Mercator WKT did not parse"))
+    // sp1 = 0 means k0 = 1: identical to EPSG:3395 world mercator
+    val (x, y) = parsed.forward(10.0, 10.0)
+    val (xr, yr) = WorldMercator.forward(10.0, 10.0)
+    assert(math.abs(x - xr) < 1e-6 && math.abs(y - yr) < 1e-6)
+  }
+
+  test("geographic WKT resolves to identity (null datum shift)") {
+    val wkt =
+      """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
+        |SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],
+        |UNIT["Degree",0.0174532925199433]]""".stripMargin.replace("\n", "")
+    val t = ProjParse.parse(wkt).getOrElse(fail("GEOGCS did not parse"))
+    assert(t.forward(12.5, -33.25) == ((12.5, -33.25)))
+  }
+
+  test("unsupported projection method returns None, not garbage") {
+    val wkt = """PROJCS["X",GEOGCS["G",DATUM["D",SPHEROID["S",6378137.0,298.257]],
+                |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
+                |PROJECTION["Krovak"],PARAMETER["False_Easting",0.0],
+                |UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    assert(ProjParse.parse(wkt).isEmpty)
+  }
+}
+
+/** End-to-end: toCrs over a frame whose CRS is a full definition with no
+  * recoverable EPSG code — the shape a shapefile .prj or GeoParquet PROJJSON
+  * arrives in (ref to_crs accepts any pyproj CRS, geoseries.py:1185). */
+class ToCrsParamDrivenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val esriWktMd =
+    """PROJCS["NAD_1983_StatePlane_Maryland_FIPS_1900",
+      |GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
+      |SPHEROID["GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],
+      |UNIT["Degree",0.0174532925199433]],
+      |PROJECTION["Lambert_Conformal_Conic"],
+      |PARAMETER["False_Easting",400000.0],PARAMETER["False_Northing",0.0],
+      |PARAMETER["Central_Meridian",-77.0],
+      |PARAMETER["Standard_Parallel_1",38.3],
+      |PARAMETER["Standard_Parallel_2",39.45],
+      |PARAMETER["Latitude_Of_Origin",37.66666666666666],
+      |UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+
+  test("toCrs from a codeless ESRI WKT reprojects via parsed parameters") {
+    // the Maryland FIPS name is NOT in the ESRI-name table, so no EPSG code
+    assert(CrsTransform.normalizeOpt(esriWktMd).isEmpty)
+    val (xw, yw) = CrsTransform.chain(26985, 4326).forward(433000.0, 180000.0)
+    val md = graft.api.GeoDataFrame.pointsFromXy(
+      Seq((1, 433000.0, 180000.0)).toDF("id", "x", "y"), "x", "y", crs = Some(esriWktMd))
+    val out = md.toCrs("EPSG:4326")
+    assert(out.activeCrs.contains("EPSG:4326"))
+    val (lon, lat) = out.df
+      .select(graft.functions.GeoFunctions.st_x(org.apache.spark.sql.functions.col("geometry")),
+        graft.functions.GeoFunctions.st_y(org.apache.spark.sql.functions.col("geometry")))
+      .as[(Double, Double)].head()
+    assert(math.abs(lon - xw) < 1e-9 && math.abs(lat - yw) < 1e-9, s"($lon,$lat) vs ($xw,$yw)")
+  }
+
+  test("toCrs INTO a codeless ESRI WKT target keeps the target string as the CRS label") {
+    val pt = graft.api.GeoDataFrame.pointsFromXy(
+      Seq((1, -76.6122, 39.2904)).toDF("id", "x", "y"), "x", "y", crs = Some("EPSG:4326"))
+    val sp = pt.toCrs(esriWktMd)
+    assert(sp.activeCrs.contains(esriWktMd))
+    val (x, y) = sp.df
+      .select(graft.functions.GeoFunctions.st_x(org.apache.spark.sql.functions.col("geometry")),
+        graft.functions.GeoFunctions.st_y(org.apache.spark.sql.functions.col("geometry")))
+      .as[(Double, Double)].head()
+    val (xw, yw) = CrsTransform.chain(4326, 26985).forward(-76.6122, 39.2904)
+    assert(math.abs(x - xw) < 1e-6 && math.abs(y - yw) < 1e-6, s"($x,$y) vs ($xw,$yw)")
+  }
+}

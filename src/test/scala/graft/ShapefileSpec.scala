@@ -103,6 +103,19 @@ class ShapefileSpec extends AnyFunSuite {
     assert(limited.df.count() == 5)
   }
 
+  test("where= predicate matches a post-hoc filter and composes with bbox/columns") {
+    val viaWhere = Shapefile.read(spark, lowres, where = Some("continent = 'Africa'")).df
+      .select("name").as[String].collect().toSet
+    val posthoc = Shapefile.read(spark, lowres).df
+      .filter(col("continent") === "Africa").select("name").as[String].collect().toSet
+    assert(viaWhere == posthoc && viaWhere.size > 40)
+    // composes: where may reference a column that columns= then prunes away
+    val both = Shapefile.read(spark, lowres, bbox = Some((-10.0, 40.0, 10.0, 55.0)),
+      where = Some("pop_est > 10000000"), columns = Some(Seq("name")))
+    val ns = both.df.select("name").as[String].collect().toSet
+    assert(ns.contains("France") && both.df.columns.toSeq == Seq("name", "geometry"))
+  }
+
   test("fillna/isna/notna on geometry columns") {
     import graft.api.GeoDataFrame
     val df = Seq((1, Option(Wkb.write(GeomOps.point(1, 2)))), (2, None: Option[Array[Byte]]))
