@@ -266,7 +266,7 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
     val res = SpatialJoin.sjoin(df, other.df, predicate, how, geometryCol, other.geometryCol,
       lsuffix, rsuffix, distance, onAttribute)
     val keptGeom = if (how == "right") other.geometryCol else geometryCol
-    GeoDataFrame(res, keptGeom, crs)
+    GeoDataFrame(res, keptGeom, if (how == "right") other.crs else crs)
   }
 
   def sjoinNearest(other: GeoDataFrame, how: String = "inner",

@@ -34,18 +34,23 @@ object Overlay {
     // make_valid preprocessing (ref overlay.py:329-364)
     val a = df1.withColumn(geom1, st_make_valid(col(geom1)))
     val b = df2.withColumn(geom2, st_make_valid(col(geom2)))
+    // strategy-probe counts taken ONCE here and passed to every sjoinCore
+    // below (union/identity issue 2-3 sjoins over the same two frames);
+    // probed lazily so single-sjoin modes pay only the probes they need
+    lazy val c1 = Some(SpatialJoin.countUpTo(df1, broadcastThreshold))
+    lazy val c2 = Some(SpatialJoin.countUpTo(df2, broadcastThreshold))
 
     val result = how match {
-      case "intersection"         => intersectionPart(a, b, geom1, geom2, broadcastThreshold)
-      case "difference"           => differencePart(a, b, geom1, geom2, broadcastThreshold, suffix = "1")
-      case "symmetric_difference" => symDiffPart(a, b, geom1, geom2, broadcastThreshold)
+      case "intersection"         => intersectionPart(a, b, geom1, geom2, broadcastThreshold, None, c2)
+      case "difference"           => differencePart(a, b, geom1, geom2, None, c2, broadcastThreshold)
+      case "symmetric_difference" => symDiffPart(a, b, geom1, geom2, c1, c2, broadcastThreshold)
       case "identity" =>
-        val inter = intersectionPart(a, b, geom1, geom2, broadcastThreshold)
-        val diff = differencePart(a, b, geom1, geom2, broadcastThreshold, suffix = "1")
+        val inter = intersectionPart(a, b, geom1, geom2, broadcastThreshold, None, c2)
+        val diff = differencePart(a, b, geom1, geom2, None, c2, broadcastThreshold)
         unionAligned(inter, diff, geom1)
       case "union" =>
-        val inter = intersectionPart(a, b, geom1, geom2, broadcastThreshold)
-        val sym = symDiffPart(a, b, geom1, geom2, broadcastThreshold)
+        val inter = intersectionPart(a, b, geom1, geom2, broadcastThreshold, c1, c2)
+        val sym = symDiffPart(a, b, geom1, geom2, c1, c2, broadcastThreshold)
         unionAligned(inter, sym, geom1)
     }
     val nonEmpty = result.filter(!st_isempty(col(geom1)) && col(geom1).isNotNull)
@@ -67,10 +72,11 @@ object Overlay {
   }
 
   private def intersectionPart(df1: DataFrame, df2: DataFrame, geom1: String, geom2: String,
-                               bt: Long): DataFrame = {
+                               bt: Long, c1: Option[Long] = None, c2: Option[Long] = None): DataFrame = {
     val (a, b) = suffixCols(df1, df2, geom1, geom2)
     val pairs = SpatialJoin.sjoinCore(a, b, predicate = "intersects", how = "inner",
-      leftGeom = geom1, rightGeom = geom2, lsuffix = "1", rsuffix = "2", broadcastThreshold = bt)
+      leftGeom = geom1, rightGeom = geom2, lsuffix = "1", rsuffix = "2", broadcastThreshold = bt,
+      leftCountHint = c1, rightCountHint = c2)
     val rGeom = if (geom1 == geom2) s"${geom2}_2" else geom2
     pairs.withColumn(geom1, st_intersection(col(geom1), col(rGeom))).drop(rGeom)
   }
@@ -78,14 +84,15 @@ object Overlay {
   /** df1 minus (union of intersecting df2 geometries) per df1 row; rows with
     * no intersection pass through unchanged (ref overlay.py:88-111). */
   private def differencePart(df1: DataFrame, df2: DataFrame, geom1: String, geom2: String,
-                             bt: Long, suffix: String): DataFrame = {
+                             c1: Option[Long], c2: Option[Long], bt: Long): DataFrame = {
     val (a0, b0) = suffixCols(df1, df2, geom1, geom2)
     val b = b0.select(col(geom2))
     // ids are consumed twice (pair join + final re-join); pinned only when
     // the upstream is not evaluation-stable (cf. Pins)
     val a = Pins.stampPinned(a0, "__graft_did")
     val pairs = SpatialJoin.sjoinCore(a, b, predicate = "intersects", how = "inner",
-      leftGeom = geom1, rightGeom = geom2, lsuffix = "1", rsuffix = "2", broadcastThreshold = bt)
+      leftGeom = geom1, rightGeom = geom2, lsuffix = "1", rsuffix = "2", broadcastThreshold = bt,
+      leftCountHint = c1, rightCountHint = c2)
     val rGeom = if (geom1 == geom2) s"${geom2}_2" else geom2
     val unioned = pairs.groupBy("__graft_did")
       .agg(GeoAggregates.st_union_agg(col(rGeom)).as("__graft_sub"))
@@ -96,9 +103,10 @@ object Overlay {
       .drop("__graft_did", "__graft_sub")
   }
 
-  private def symDiffPart(df1: DataFrame, df2: DataFrame, geom1: String, geom2: String, bt: Long): DataFrame = {
-    val d12 = differencePart(df1, df2, geom1, geom2, bt, "1")
-    val d21raw = differencePart(df2, df1, geom2, geom1, bt, "2")
+  private def symDiffPart(df1: DataFrame, df2: DataFrame, geom1: String, geom2: String,
+                          c1: Option[Long], c2: Option[Long], bt: Long): DataFrame = {
+    val d12 = differencePart(df1, df2, geom1, geom2, c1, c2, bt)
+    val d21raw = differencePart(df2, df1, geom2, geom1, c2, c1, bt)
     val d21 = if (geom1 == geom2) d21raw else d21raw.withColumnRenamed(geom2, geom1)
     unionAligned(d12, d21, geom1)
   }

@@ -116,12 +116,18 @@ object SpatialJoin {
   /** Like [[sjoin]] but keeps BOTH geometry columns (needed by overlay and
     * nearest, which compute on the pair). If the two geometry column names
     * clash, the right one is exposed as `<name>_<rsuffix>`. */
+  /** `df.count()` capped at `cap + 1` — the limit short-circuits the scan, so
+    * "is this side small?" never costs a full pass over a 100 TB side. */
+  private[graft] def countUpTo(df: DataFrame, cap: Long): Long =
+    if (cap < 0) Long.MaxValue else df.limit((cap + 1).min(Int.MaxValue - 1L).toInt).count()
+
   private[graft] def sjoinCore(left: DataFrame, right: DataFrame,
             predicate: String, how: String,
             leftGeom: String, rightGeom: String,
             lsuffix: String = "left", rsuffix: String = "right",
             distance: Double = 0.0, onAttribute: Seq[String] = Nil,
-            broadcastThreshold: Long = 2000000L): DataFrame = {
+            broadcastThreshold: Long = 2000000L,
+            leftCountHint: Option[Long] = None, rightCountHint: Option[Long] = None): DataFrame = {
     require(Predicates.contains(predicate), s"predicate must be one of $Predicates")
     require(Seq("inner", "left", "right").contains(how), s"how must be inner/left/right, got $how")
 
@@ -136,21 +142,26 @@ object SpatialJoin {
 
     // Strategy choice needs only "is either side small?" — count AT MOST
     // threshold+1 rows per side (limit short-circuits the scan) instead of
-    // a full count, which would be two extra full passes at 100 TB.
-    def countUpTo(df: DataFrame, cap: Long): Long =
-      if (cap < 0) Long.MaxValue else df.limit((cap + 1).min(Int.MaxValue - 1L).toInt).count()
-    val rightCount = countUpTo(right, broadcastThreshold)
-    val leftCount = countUpTo(left, broadcastThreshold)
+    // a full count, which would be two extra full passes at 100 TB. The
+    // counts are LAZY: outer hows fix the build side so only ITS count is
+    // ever taken, and an inner join skips the left probe entirely whenever
+    // the right side already fits under the threshold — one probe job per
+    // sjoin in the common case instead of two. Callers that issue several
+    // sjoins over the same frames (overlay) pass hints to probe once.
+    lazy val rightCount = rightCountHint.getOrElse(countUpTo(right, broadcastThreshold))
+    lazy val leftCount = leftCountHint.getOrElse(countUpTo(left, broadcastThreshold))
     // `how` forces the build side (the outer side must stream); broadcast is
     // only safe when THAT side is small — a small outer side with a huge
-    // inner side must take the grid path, not collect the huge side
+    // inner side must take the grid path, not collect the huge side.
+    // (For inner, a right side under the threshold broadcasts even if the
+    // left is smaller still — both fit in memory, and skipping the second
+    // probe job beats shaving an already-small broadcast.)
     val buildRight = how match {
       case "left"  => true                    // left must stream (outer rows preserved)
       case "right" => false                   // right must stream
-      case _       => rightCount <= leftCount
+      case _       => rightCount <= broadcastThreshold || rightCount <= leftCount
     }
-    val buildCount = if (buildRight) rightCount else leftCount
-    val useBroadcast = buildCount <= broadcastThreshold
+    val useBroadcast = (if (buildRight) rightCount else leftCount) <= broadcastThreshold
 
     def attrFilter(df: DataFrame): DataFrame =
       onAttrL.zip(onAttrR).foldLeft(df) { case (d, (a, b)) => d.filter(col(a) === col(b)) }
@@ -176,9 +187,10 @@ object SpatialJoin {
         if (outerIsLeft) (Pins.stampPinned(l2, idc), r2)
         else (l2, Pins.stampPinned(r2, idc))
       val outerSide = if (outerIsLeft) lo else ro
-      // inner pair join is free to build on either side; re-pick by size
-      val innerBuildRight = rightCount <= leftCount
-      val useBroadcastInner = math.min(rightCount, leftCount) <= broadcastThreshold
+      // inner pair join is free to build on either side; a small right side
+      // broadcasts without probing the left (same one-probe shortcut)
+      val innerBuildRight = rightCount <= broadcastThreshold || rightCount <= leftCount
+      val useBroadcastInner = (if (innerBuildRight) rightCount else leftCount) <= broadcastThreshold
       val pairs = attrFilter(
         if (useBroadcastInner) broadcastJoin(lo, ro, predicate, "inner", leftGeom, rGeomName, distance, innerBuildRight)
         else gridJoin(lo, ro, predicate, "inner", leftGeom, rGeomName, distance))

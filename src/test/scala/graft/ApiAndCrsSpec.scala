@@ -175,6 +175,18 @@ class GeoDataFrameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](gdf.sjoin(other))
   }
 
+  test("sjoin how=right carries the RIGHT frame's CRS map") {
+    // the right geometry column has a different NAME, so the left crs map
+    // cannot resolve it — the result must carry other.crs (like sjoinNearest)
+    val right = GeoDataFrame.pointsFromXy(Seq((10, 0.0, 0.0)).toDF("rid", "x", "y"),
+      "x", "y", geomName = "g2", crs = Some("EPSG:4326"))
+    val joined = gdf.sjoin(right, how = "right")
+    assert(joined.activeGeometryName == "g2")
+    assert(joined.activeCrs.contains("EPSG:4326"))
+    // inner/left keep the left frame's map
+    assert(gdf.sjoin(right, how = "inner").activeCrs.contains("EPSG:4326"))
+  }
+
   test("normalizeOpt recovers EPSG from WKT AUTHORITY/ID clauses; null for authority-free WKT") {
     import graft.crs.CrsTransform
     val wkt1 = """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,

@@ -277,4 +277,14 @@ class SpatialJoinSpec extends AnyFunSuite {
     val a = clipped.select(st_area(col("geometry"))).as[Double].collect()
     assert(a.toSeq == Seq(4.0))
   }
+
+  test("clip mask over the row cap raises instead of collecting to the driver") {
+    val polys = squares("id", (0, 0, 4, 4))
+    val bigMask = squares("id", (0 to 9).map(i => (i.toDouble, 0.0, i + 1.0, 1.0)): _*)
+    val err = intercept[IllegalArgumentException](
+      graft.join.Clip.clip(polys, bigMask, maxMaskRows = 5).count())
+    assert(err.getMessage.contains("mask exceeds"))
+    // at/under the cap still works
+    assert(graft.join.Clip.clip(polys, bigMask, maxMaskRows = 10).count() == 1)
+  }
 }
