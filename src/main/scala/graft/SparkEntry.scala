@@ -298,6 +298,31 @@ object SparkEntry {
           col("image_meta.width").as("width"), col("image_meta.height").as("height"),
           col("image_meta.size_bytes").as("size_bytes"))
     }),
+    "q71_image_decode_real" -> ((s, d) => {
+      // REAL ImageIO decode under the oracle gate: each row's PNG is
+      // GENERATED on executors at w=8+doc_id%16, h=8+doc_id%13, so the
+      // decoded width/height/channels must reproduce the closed-form values
+      // the SQL oracle states — a fake length-derived decode cannot pass
+      val gen = udf((w: Int, h: Int) => {
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val imgs = docs(s, d).select(col("doc_id"))
+        .withColumn("img", gen((lit(8) + col("doc_id") % 16).cast("int"),
+          (lit(8) + col("doc_id") % 13).cast("int")))
+      Multimodal.withImageMeta(imgs, "img", real = true)
+        .select(col("doc_id"), col("image_meta.format").as("format"),
+          col("image_meta.width").as("width"), col("image_meta.height").as("height"),
+          col("image_meta.channels").as("channels"))
+    }),
     "q34_simplify" -> ((s, d) => {
       val sl = supLines(s, d)
         .withColumn("mx", (col("x1") + col("x2")) / 2.0)
@@ -692,6 +717,11 @@ object SparkEntry {
            | CAST(64 + (strlen(text) * 7) % 1024 AS INT) AS width,
            | CAST(64 + (strlen(text) * 13) % 1024 AS INT) AS height,
            | CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents""".stripMargin.replace("\n", " "),
+      "q71_image_decode_real" ->
+        s"""SELECT doc_id, 'png' AS format,
+           | CAST(8 + doc_id % 16 AS INT) AS width,
+           | CAST(8 + doc_id % 13 AS INT) AS height,
+           | CAST(3 AS INT) AS channels FROM documents""".stripMargin.replace("\n", " "),
       "q34_simplify" ->
         s"SELECT s_suppkey, 2 AS np FROM $sup WHERE NOT (x1 = x2 AND y1 = y2)",
       "q35_interpolate" ->

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * the hex-EWKB geometry codec PostGIS speaks.
   *
   * The codec is pure JVM and fully unit-tested; the JDBC paths are thin
-  * `spark.read.jdbc` / `df.write.jdbc` wrappers (no database ships in this
-  * environment, so they are exercised only at the plan level).
+  * `spark.read.jdbc` / `df.write.jdbc` wrappers, exercised end-to-end
+  * (write → read round-trip incl. null geometries and SRID) against an
+  * embedded Derby database — no live PostGIS ships in this environment,
+  * but the Spark-side plumbing (URL/properties, dialect mapping, batching)
+  * is identical.
   *
   * EWKB = WKB with PostGIS' SRID flag (0x20000000) in the type word and a
   * 4-byte SRID; JTS' WKBReader accepts it natively, and WKBWriter emits it
@@ -67,7 +70,9 @@ object PostgisIO {
   def readPostgis(spark: SparkSession, url: String, query: String,
                   properties: java.util.Properties = new java.util.Properties(),
                   geomCol: String = "geom", crs: Option[String] = None): GeoDataFrame = {
-    val df = spark.read.jdbc(url, s"($query) AS __graft_q", properties)
+    // alias must not start with '_' — legal in PostgreSQL but rejected by
+    // stricter engines (caught against embedded Derby)
+    val df = spark.read.jdbc(url, s"($query) AS graft_subq", properties)
     val decoded = df.withColumn("geometry", decodeHexEwkbU(col(geomCol).cast("string")))
       .drop(geomCol)
     GeoDataFrame(decoded, "geometry", crs.map(c => Map("geometry" -> c)).getOrElse(Map.empty))

@@ -13,13 +13,15 @@ import org.apache.spark.sql.types._
   * Two decode tiers:
   *  - REAL (`withImageMeta(real = true)`, [[resize]], [[extractPixelFeatures]]):
   *    JDK `javax.imageio` — PNG/JPEG/GIF/BMP decode, resize and pixel
-  *    features with zero external dependencies. Spec-tested on generated
-  *    images.
+  *    features with zero external dependencies. Oracle-gated end to end by
+  *    q71 (generated PNGs whose true dimensions the SQL oracle states as
+  *    closed-form values) and spec-tested on generated images.
   *  - FAKE (`withImageMeta` default): deterministic header-sniff +
-  *    length-derived dimensions, kept because the correctness gate's
-  *    external oracle (plain SQL) must reproduce the numbers; clearly
-  *    marked. Audio/video codecs are genuinely absent from the container,
-  *    so frame sampling remains plumbing-only.
+  *    length-derived dimensions — a TEST HELPER kept for plumbing tests
+  *    whose oracle must derive dimensions from plain SQL over text
+  *    length (q33); never the real decode path. Audio/video codecs are
+  *    genuinely absent from the container, so frame sampling remains
+  *    plumbing-only.
   */
 object Multimodal {
 
