@@ -456,6 +456,22 @@ object SparkEntry {
       back.df.select(col("c_custkey"), col("c_acctbal"),
         st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
     }),
+    "q72_flatgeobuf_roundtrip" -> ((s, d) => {
+      // gate the from-scratch FlatGeobuf writer+reader (flatbuffers codec,
+      // packed Hilbert R-tree, property encoding) end to end, INCLUDING a
+      // bbox read that must traverse the index and still match the plain-SQL
+      // range predicate exactly
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_fgbq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 3 === 2)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.FlatGeobuf.write(GeoDataFrame(sel, "geometry", Map("geometry" -> "EPSG:4326")),
+        s"$dir/pts.fgb")
+      val back = graft.io.FlatGeobuf.read(s, s"$dir/pts.fgb",
+        bbox = Some((10.0, 20.0, 60.0, 80.0)))
+      back.df.select(col("c_custkey"), col("c_name"),
+        st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -821,6 +837,9 @@ object SparkEntry {
         s"SELECT c_custkey, c_name, px AS x, py AS y FROM $pts WHERE c_custkey % 3 = 0",
       "q70_feather_roundtrip" ->
         s"SELECT c_custkey, c_acctbal, px AS x, py AS y FROM $pts WHERE c_custkey % 3 = 1",
+      "q72_flatgeobuf_roundtrip" ->
+        s"""SELECT c_custkey, c_name, px AS x, py AS y FROM $pts
+           | WHERE c_custkey % 3 = 2 AND px >= 10 AND px <= 60 AND py >= 20 AND py <= 80""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -12,11 +12,11 @@ import org.apache.spark.sql.SparkSession
 object GeoIO {
 
   /** Driver inferred from the extension: .shp/.zip (Shapefile),
-    * .geojson/.json/.ndjson (GeoJSON), .gpkg (GeoPackage),
-    * .feather/.arrow (Arrow IPC), .parquet or a parquet directory
-    * (GeoParquet). `layer` only applies to GPKG. `where` is an ANSI SQL
-    * boolean over the attribute columns, applied before `rows` slices
-    * (ref io/file.py:197-239 OGR SQL restriction). */
+    * .fgb (FlatGeobuf), .geojson/.json/.ndjson (GeoJSON), .gpkg
+    * (GeoPackage), .feather/.arrow (Arrow IPC), .parquet or a parquet
+    * directory (GeoParquet). `layer` only applies to GPKG. `where` is an
+    * ANSI SQL boolean over the attribute columns, applied before `rows`
+    * slices (ref io/file.py:197-239 OGR SQL restriction). */
   def readFile(spark: SparkSession, path: String,
                layer: Option[String] = None,
                bbox: Option[(Double, Double, Double, Double)] = None,
@@ -28,6 +28,8 @@ object GeoIO {
     def prune(g: GeoDataFrame): GeoDataFrame = IoFilters.pruneAndLimit(g, columns, rows, where)
     if (l.endsWith(".shp") || l.endsWith(".zip"))
       Shapefile.read(spark, path, bbox, columns, rows, mask, where)
+    else if (l.endsWith(".fgb"))
+      FlatGeobuf.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
       GeoJsonIO.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".gpkg"))
@@ -51,6 +53,7 @@ object GeoIO {
   def toFile(gdf: GeoDataFrame, path: String): Unit = {
     val l = path.toLowerCase
     if (l.endsWith(".shp")) Shapefile.write(gdf, path)
+    else if (l.endsWith(".fgb")) FlatGeobuf.write(gdf, path)
     else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
       GeoJsonIO.write(gdf, path)
     else if (l.endsWith(".feather") || l.endsWith(".arrow")) Feather.write(gdf, path)
