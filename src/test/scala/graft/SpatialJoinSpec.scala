@@ -278,6 +278,44 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a.toSeq == Seq(4.0))
   }
 
+  test("AQE splits a skewed grid-join cell and the join stays correct") {
+    // one grid cell holds ~98% of the points (a city-block hot spot) — the
+    // shape that melts a static partitioning at 100 TB. With skew-join on
+    // and test-sized thresholds, AQE must split the hot shuffle partition.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      // force the shuffle join: at test scale Catalyst would broadcast the
+      // tiny poly side and there would be no shuffle partition to split
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pts = ((0 until 20000).map(i => (i, 5.0 + (i % 100) * 1e-4, 5.0 + (i / 100) * 1e-4)) ++
+        (0 until 500).map(i => (20000 + i, (i % 50) * 2.0, (i / 50) * 2.0)))
+        .toDF("pid", "x", "y")
+        .withColumn("geometry", st_point(col("x"), col("y")))
+        .drop("x", "y")
+      val polys = squares("poly_id", (0, 0, 10, 10), (40, 40, 60, 60))
+      val j = SpatialJoin.sjoin(pts, polys, "intersects", "inner", broadcastThreshold = -1)
+      // hot block: all 20000; cold grid inside (0,0,10,10): x,y ∈ {0..10 even} → 6×6
+      assert(j.collect().length == 20036) // executes THIS plan → AQE finalizes
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot cell's join as skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("clip mask over the row cap raises instead of collecting to the driver") {
     val polys = squares("id", (0, 0, 4, 4))
     val bigMask = squares("id", (0 to 9).map(i => (i.toDouble, 0.0, i + 1.0, 1.0)): _*)
