@@ -472,6 +472,21 @@ object SparkEntry {
       back.df.select(col("c_custkey"), col("c_name"),
         st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y"))
     }),
+    "q73_csv_roundtrip" -> ((s, d) => {
+      // gate the CSV vector driver end to end: WKT column export (driver
+      // streaming path), schema-inferred read back, geometry re-parsed from
+      // WKT, attribute where= applied post-parse
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_csvq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 4 === 1)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.CsvWkt.write(GeoDataFrame(sel), s"$dir/pts.csv")
+      val back = graft.io.CsvWkt.read(s, s"$dir/pts.csv",
+        where = Some("c_custkey % 3 = 1"))
+      // CSV type inference narrows small ints; restore the source's long
+      back.df.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -840,6 +855,9 @@ object SparkEntry {
       "q72_flatgeobuf_roundtrip" ->
         s"""SELECT c_custkey, c_name, px AS x, py AS y FROM $pts
            | WHERE c_custkey % 3 = 2 AND px >= 10 AND px <= 60 AND py >= 20 AND py <= 80""".stripMargin.replace("\n", " "),
+      "q73_csv_roundtrip" ->
+        s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
+           | WHERE c_custkey % 4 = 1 AND c_custkey % 3 = 1""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -13,8 +13,8 @@ object GeoIO {
 
   /** Driver inferred from the extension: .shp/.zip (Shapefile),
     * .fgb (FlatGeobuf), .geojson/.json/.ndjson (GeoJSON), .gpkg
-    * (GeoPackage), .feather/.arrow (Arrow IPC), .parquet or a parquet
-    * directory (GeoParquet). `layer` only applies to GPKG. `where` is an
+    * (GeoPackage), .csv (WKT or X/Y columns), .feather/.arrow (Arrow
+    * IPC), .parquet or a parquet directory (GeoParquet). `layer` only applies to GPKG. `where` is an
     * ANSI SQL boolean over the attribute columns, applied before `rows`
     * slices (ref io/file.py:197-239 OGR SQL restriction). */
   def readFile(spark: SparkSession, path: String,
@@ -34,6 +34,8 @@ object GeoIO {
       GeoJsonIO.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".gpkg"))
       Gpkg.read(spark, path, layer, bbox, columns, rows, mask, where)
+    else if (l.endsWith(".csv"))
+      CsvWkt.read(spark, path, None, bbox, columns, rows, mask, where)
     else if (l.endsWith(".feather") || l.endsWith(".arrow"))
       prune(Feather.read(spark, path, columns, bbox, mask))
     else {
@@ -58,6 +60,7 @@ object GeoIO {
       GeoJsonIO.write(gdf, path)
     else if (l.endsWith(".feather") || l.endsWith(".arrow")) Feather.write(gdf, path)
     else if (l.endsWith(".gpkg")) Gpkg.write(gdf, path)
+    else if (l.endsWith(".csv")) CsvWkt.write(gdf, path)
     else GeoParquet.write(gdf, path)
   }
 
