@@ -487,6 +487,19 @@ object SparkEntry {
       back.df.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
         round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
     }),
+    "q74_kml_roundtrip" -> ((s, d) => {
+      // gate the KML driver end to end: typed Schema/SimpleData export,
+      // StAX streaming read back, geometry + attribute types restored
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_kmlq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 5 === 2)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.Kml.write(GeoDataFrame(sel), s"$dir/pts.kml")
+      val back = graft.io.Kml.read(s, s"$dir/pts.kml",
+        where = Some("c_custkey % 2 = 0"))
+      back.df.select(col("c_custkey"), col("c_name"),
+        round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -858,6 +871,9 @@ object SparkEntry {
       "q73_csv_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 4 = 1 AND c_custkey % 3 = 1""".stripMargin.replace("\n", " "),
+      "q74_kml_roundtrip" ->
+        s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
+           | WHERE c_custkey % 5 = 2 AND c_custkey % 2 = 0""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -13,8 +13,8 @@ object GeoIO {
 
   /** Driver inferred from the extension: .shp/.zip (Shapefile),
     * .fgb (FlatGeobuf), .geojson/.json/.ndjson (GeoJSON), .gpkg
-    * (GeoPackage), .csv (WKT or X/Y columns), .feather/.arrow (Arrow
-    * IPC), .parquet or a parquet directory (GeoParquet). `layer` only applies to GPKG. `where` is an
+    * (GeoPackage), .csv (WKT or X/Y columns), .kml, .feather/.arrow
+    * (Arrow IPC), .parquet or a parquet directory (GeoParquet). `layer` only applies to GPKG. `where` is an
     * ANSI SQL boolean over the attribute columns, applied before `rows`
     * slices (ref io/file.py:197-239 OGR SQL restriction). */
   def readFile(spark: SparkSession, path: String,
@@ -36,6 +36,8 @@ object GeoIO {
       Gpkg.read(spark, path, layer, bbox, columns, rows, mask, where)
     else if (l.endsWith(".csv"))
       CsvWkt.read(spark, path, None, bbox, columns, rows, mask, where)
+    else if (l.endsWith(".kml"))
+      Kml.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".feather") || l.endsWith(".arrow"))
       prune(Feather.read(spark, path, columns, bbox, mask))
     else {
@@ -61,6 +63,7 @@ object GeoIO {
     else if (l.endsWith(".feather") || l.endsWith(".arrow")) Feather.write(gdf, path)
     else if (l.endsWith(".gpkg")) Gpkg.write(gdf, path)
     else if (l.endsWith(".csv")) CsvWkt.write(gdf, path)
+    else if (l.endsWith(".kml")) Kml.write(gdf, path)
     else GeoParquet.write(gdf, path)
   }
 
