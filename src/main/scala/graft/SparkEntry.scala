@@ -323,6 +323,38 @@ object SparkEntry {
           col("image_meta.width").as("width"), col("image_meta.height").as("height"),
           col("image_meta.channels").as("channels"))
     }),
+    "q75_audio_decode_real" -> ((s, d) => {
+      // REAL javax.sound WAV decode under the oracle gate: each row's WAV is
+      // GENERATED on executors (16-bit mono PCM sine) at a sample rate and
+      // frame count derived from doc_id, so the decoded header fields must
+      // reproduce the closed-form values the SQL oracle states
+      val gen = udf((rate: Int, nframes: Int) => {
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val data = new Array[Byte](nframes * 2)
+        var i = 0
+        while (i < nframes) {
+          val v = (math.sin(2 * math.Pi * 440.0 * i / rate) * 0.5 * 32767).toInt.toShort
+          data(2 * i) = (v & 0xff).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nframes.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      })
+      val wavs = docs(s, d).select(col("doc_id"))
+        .withColumn("wav", gen((lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),
+          (lit(400) + col("doc_id") % 50).cast("int")))
+      Multimodal.withAudioMeta(wavs, "wav")
+        .select(col("doc_id"), col("audio_meta.format").as("format"),
+          col("audio_meta.sample_rate").as("sample_rate"),
+          col("audio_meta.channels").as("channels"),
+          col("audio_meta.bits").as("bits"),
+          col("audio_meta.frames").as("frames"))
+    }),
     "q34_simplify" -> ((s, d) => {
       val sl = supLines(s, d)
         .withColumn("mx", (col("x1") + col("x2")) / 2.0)
@@ -498,6 +530,33 @@ object SparkEntry {
       val back = graft.io.Kml.read(s, s"$dir/pts.kml",
         where = Some("c_custkey % 2 = 0"))
       back.df.select(col("c_custkey"), col("c_name"),
+        round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
+    "q76_gml_roundtrip" -> ((s, d) => {
+      // gate the GML driver end to end: ogr-namespace GML3 export with
+      // companion .xsd, StAX streaming read back, geometry + typed
+      // attributes restored
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_gmlq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 5 === 3)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.Gml.write(GeoDataFrame(sel), s"$dir/pts.gml")
+      val back = graft.io.Gml.read(s, s"$dir/pts.gml",
+        where = Some("c_custkey % 2 = 1"))
+      back.df.select(col("c_custkey"), col("c_name"),
+        round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
+    "q77_gpx_roundtrip" -> ((s, d) => {
+      // gate the GPX driver end to end: waypoint export with attribute
+      // columns riding in <extensions>, StAX streaming read back
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_gpxq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 5 === 4)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.Gpx.write(GeoDataFrame(sel), s"$dir/pts.gpx")
+      val back = graft.io.Gpx.read(s, s"$dir/pts.gpx",
+        where = Some("c_custkey % 2 = 0"))
+      back.df.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
         round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
     }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
@@ -766,6 +825,11 @@ object SparkEntry {
            | CAST(8 + doc_id % 16 AS INT) AS width,
            | CAST(8 + doc_id % 13 AS INT) AS height,
            | CAST(3 AS INT) AS channels FROM documents""".stripMargin.replace("\n", " "),
+      "q75_audio_decode_real" ->
+        s"""SELECT doc_id, 'wave' AS format,
+           | CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           | CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+           | CAST(400 + doc_id % 50 AS BIGINT) AS frames FROM documents""".stripMargin.replace("\n", " "),
       "q34_simplify" ->
         s"SELECT s_suppkey, 2 AS np FROM $sup WHERE NOT (x1 = x2 AND y1 = y2)",
       "q35_interpolate" ->
@@ -874,6 +938,12 @@ object SparkEntry {
       "q74_kml_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 2 AND c_custkey % 2 = 0""".stripMargin.replace("\n", " "),
+      "q76_gml_roundtrip" ->
+        s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
+           | WHERE c_custkey % 5 = 3 AND c_custkey % 2 = 1""".stripMargin.replace("\n", " "),
+      "q77_gpx_roundtrip" ->
+        s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
+           | WHERE c_custkey % 5 = 4 AND c_custkey % 2 = 0""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -13,8 +13,10 @@ object GeoIO {
 
   /** Driver inferred from the extension: .shp/.zip (Shapefile),
     * .fgb (FlatGeobuf), .geojson/.json/.ndjson (GeoJSON), .gpkg
-    * (GeoPackage), .csv (WKT or X/Y columns), .kml, .feather/.arrow
-    * (Arrow IPC), .parquet or a parquet directory (GeoParquet). `layer` only applies to GPKG. `where` is an
+    * (GeoPackage), .csv (WKT or X/Y columns), .kml, .gml, .gpx, .feather/.arrow
+    * (Arrow IPC), .parquet or a parquet directory (GeoParquet). `layer`
+    * applies to GPKG (table name) and GPX (waypoints/routes/tracks/
+    * route_points/track_points). `where` is an
     * ANSI SQL boolean over the attribute columns, applied before `rows`
     * slices (ref io/file.py:197-239 OGR SQL restriction). */
   def readFile(spark: SparkSession, path: String,
@@ -38,6 +40,10 @@ object GeoIO {
       CsvWkt.read(spark, path, None, bbox, columns, rows, mask, where)
     else if (l.endsWith(".kml"))
       Kml.read(spark, path, bbox, columns, rows, mask, where)
+    else if (l.endsWith(".gml"))
+      Gml.read(spark, path, bbox, columns, rows, mask, where)
+    else if (l.endsWith(".gpx"))
+      Gpx.read(spark, path, layer, bbox, columns, rows, mask, where)
     else if (l.endsWith(".feather") || l.endsWith(".arrow"))
       prune(Feather.read(spark, path, columns, bbox, mask))
     else {
@@ -64,12 +70,17 @@ object GeoIO {
     else if (l.endsWith(".gpkg")) Gpkg.write(gdf, path)
     else if (l.endsWith(".csv")) CsvWkt.write(gdf, path)
     else if (l.endsWith(".kml")) Kml.write(gdf, path)
+    else if (l.endsWith(".gml")) Gml.write(gdf, path)
+    else if (l.endsWith(".gpx")) Gpx.write(gdf, path)
     else GeoParquet.write(gdf, path)
   }
 
   /** Feature layers of a container format (ref list_layers, io/file.py:867). */
   def listLayers(spark: SparkSession, path: String): Seq[(String, String)] =
     if (path.toLowerCase.endsWith(".gpkg")) Gpkg.listLayers(spark, path)
+    else if (path.toLowerCase.endsWith(".gpx"))
+      Gpx.Layers.map(l => l -> (if (l == "waypoints" || l.endsWith("_points")) "Point"
+                                else if (l == "routes") "LineString" else "MultiLineString"))
     else throw new UnsupportedOperationException(
-      "list_layers: only GPKG containers carry multiple layers in this engine")
+      "list_layers: only GPKG and GPX containers carry multiple layers in this engine")
 }

@@ -19,9 +19,13 @@ import org.apache.spark.sql.types._
   *  - FAKE (`withImageMeta` default): deterministic header-sniff +
   *    length-derived dimensions — a TEST HELPER kept for plumbing tests
   *    whose oracle must derive dimensions from plain SQL over text
-  *    length (q33); never the real decode path. Audio/video codecs are
-  *    genuinely absent from the container, so frame sampling remains
-  *    plumbing-only.
+  *    length (q33); never the real decode path.
+  *
+  * Audio is REAL too: [[withAudioMeta]] / [[extractAudioFeatures]] decode
+  * WAV/AIFF/AU PCM through `javax.sound.sampled` (in every JRE), oracle-
+  * gated by q75 on generated WAVs with closed-form header values. Video
+  * codecs are genuinely absent from the container, so frame sampling
+  * remains plumbing-only.
   */
 object Multimodal {
 
@@ -146,6 +150,112 @@ object Multimodal {
         val norm = math.sqrt(out.map(v => v.toDouble * v).sum).toFloat
         if (norm > 0) out.map(_ / norm) else out
       }.orNull)
+    df.withColumn(outCol, u(col(binCol)))
+  }
+
+  // ---- audio (REAL decode via JDK javax.sound.sampled — WAV/AIFF/AU PCM) --
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("frames", LongType),
+    StructField("duration_ms", DoubleType),
+    StructField("size_bytes", LongType)))
+
+  /** REAL audio decode via the JDK sampled-sound stack: container format,
+    * sample rate, channel count, bit depth, and frame count from the parsed
+    * header. Null for bytes no installed reader accepts. WAV/AIFF/AU PCM are
+    * in every JRE; compressed codecs (mp3/ogg) would drop in through the
+    * same SPI without changing this plan shape. */
+  val decodeAudioRealU = udf((b: Array[Byte]) =>
+    if (b == null) None
+    else
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(b))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        Some((aff.getType.toString.toLowerCase,
+          math.round(fmt.getSampleRate).toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, frames,
+          frames * 1000.0 / fmt.getSampleRate, b.length.toLong))
+      } catch { case _: Exception => None })
+
+  /** Attach an audio-metadata struct column (always the real JDK decoder —
+    * unlike images there is no fake tier; WAV parsing needs no external
+    * codec). */
+  def withAudioMeta(df: DataFrame, binCol: String, metaCol: String = "audio_meta"): DataFrame =
+    df.withColumn(metaCol, decodeAudioRealU(col(binCol)))
+      .withColumn(metaCol, struct(
+        col(s"$metaCol._1").as("format"), col(s"$metaCol._2").as("sample_rate"),
+        col(s"$metaCol._3").as("channels"), col(s"$metaCol._4").as("bits"),
+        col(s"$metaCol._5").as("frames"), col(s"$metaCol._6").as("duration_ms"),
+        col(s"$metaCol._7").as("size_bytes")))
+
+  /** REAL audio features: decode to PCM, mix channels down, and emit
+    * `windows` per-window RMS values + overall peak + zero-crossing rate —
+    * the deterministic baseline an audio encoder would replace. Output
+    * length is `windows + 2`; null for undecodable rows. */
+  def extractAudioFeatures(df: DataFrame, binCol: String, windows: Int = 8,
+                           outCol: String = "audio_features"): DataFrame = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(b))
+          val fmt = ais.getFormat
+          // normalize to 16-bit signed PCM (the JDK converts PCM widths/
+          // encodings; compressed input would convert here too)
+          val target = new javax.sound.sampled.AudioFormat(
+            fmt.getSampleRate, 16, fmt.getChannels, true, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+          val bytes = pcm.readAllBytes()
+          pcm.close()
+          val ch = target.getChannels
+          val n = bytes.length / (2 * ch)
+          if (n == 0) null
+          else {
+            // channel mixdown to mono doubles
+            val mono = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              mono(i) = acc / ch
+              i += 1
+            }
+            val out = new Array[Float](windows + 2)
+            val counts = new Array[Int](windows)
+            var peak = 0.0
+            var zc = 0
+            i = 0
+            while (i < n) {
+              val w = math.min(windows - 1, i * windows / n)
+              out(w) = out(w) + (mono(i) * mono(i)).toFloat
+              counts(w) += 1
+              val a = math.abs(mono(i)); if (a > peak) peak = a
+              if (i > 0 && (mono(i) >= 0) != (mono(i - 1) >= 0)) zc += 1
+              i += 1
+            }
+            var w = 0
+            while (w < windows) {
+              if (counts(w) > 0) out(w) = math.sqrt(out(w) / counts(w)).toFloat
+              w += 1
+            }
+            out(windows) = peak.toFloat
+            out(windows + 1) = zc.toFloat / n
+            out
+          }
+        } catch { case _: Exception => null })
     df.withColumn(outCol, u(col(binCol)))
   }
 

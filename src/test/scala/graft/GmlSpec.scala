@@ -1,0 +1,135 @@
+package graft
+
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions._
+import graft.geom.Wkb
+import graft.io.{GeoIO, Gml}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("roundtrip preserves typed attributes (via companion .xsd) and geometry") {
+    val df = Seq(
+      (1L, "alpha & <co>", 1.5, true, 10.0, 20.0),
+      (2L, "beta", -0.25, false, -30.5, 45.25)).toDF("id", "name", "score", "flag", "x", "y")
+    val gdf0 = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val gdf = gdf0.copy(df = gdf0.df.drop("x", "y"))
+    val dir = java.nio.file.Files.createTempDirectory("gml").toString
+    Gml.write(gdf, s"$dir/pts.gml")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/pts.xsd")))
+    val back = Gml.read(spark, s"$dir/pts.gml")
+    assert(back.crs.get("geometry").contains("EPSG:4326"))
+    val rows = back.df.select(col("id"), col("name"), col("score"), col("flag"),
+      st_x(col("geometry")), st_y(col("geometry")))
+      .as[(Long, String, Double, Boolean, Double, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "alpha & <co>", 1.5, true, 10.0, 20.0),
+      (2L, "beta", -0.25, false, -30.5, 45.25)))
+  }
+
+  test("all geometry families roundtrip through GML3") {
+    val wkts = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))")
+    val df = wkts.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "wkt")
+    val gdf = GeoDataFrame(df.withColumn("geometry", st_geomfromwkt(col("wkt"))).drop("wkt"))
+    val dir = java.nio.file.Files.createTempDirectory("gmlg").toString
+    Gml.write(gdf, s"$dir/g.gml")
+    val back = Gml.read(spark, s"$dir/g.gml").df
+      .select(col("id"), st_astext(col("geometry")).as("wkt"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2)
+    wkts.zip(back).foreach { case (orig, got) =>
+      val a = Wkb.readWkt(orig); val b = Wkb.readWkt(got)
+      assert(a.equalsExact(b), s"$orig != $got")
+    }
+  }
+
+  test("reads hand-written GML2 (coordinates/outerBoundaryIs) without an xsd") {
+    val dir = java.nio.file.Files.createTempDirectory("gml2").toString
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs" xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.org/app">
+        |<gml:boundedBy><gml:Box><gml:coordinates>0,0 10,10</gml:coordinates></gml:Box></gml:boundedBy>
+        |<gml:featureMember><app:city>
+        |  <app:name>Delft</app:name>
+        |  <app:pop>100000</app:pop>
+        |  <app:geom><gml:Point srsName="EPSG:28992"><gml:coordinates>4.35,52.01</gml:coordinates></gml:Point></app:geom>
+        |</app:city></gml:featureMember>
+        |<gml:featureMember><app:city>
+        |  <app:name>Leiden</app:name>
+        |  <app:pop>120000</app:pop>
+        |  <app:geom><gml:Polygon srsName="EPSG:28992"><gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>0,0 4,0 4,4 0,4 0,0</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs></gml:Polygon></app:geom>
+        |</app:city></gml:featureMember>
+        |</wfs:FeatureCollection>""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/h.gml"), xml.getBytes("UTF-8"))
+    val g = Gml.read(spark, s"$dir/h.gml")
+    assert(g.df.count() == 2)
+    assert(g.df.columns.toSet == Set("name", "pop", "geometry"))
+    assert(g.crs.get("geometry").contains("EPSG:28992")) // sniffed from srsName
+    val delft = g.df.filter(col("name") === "Delft")
+      .select(col("pop"), round(st_x(col("geometry")), 2)).as[(String, Double)].head()
+    assert(delft == (("100000", 4.35))) // untyped without xsd -> string
+    val area = g.df.filter(col("name") === "Leiden")
+      .select(st_area(col("geometry"))).as[Double].head()
+    assert(area == 16.0)
+  }
+
+  test("reads GML3 posList with srsDimension=3 and featureMembers form") {
+    val dir = java.nio.file.Files.createTempDirectory("gml3").toString
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2" xmlns:app="http://example.org/app">
+        |<gml:featureMembers>
+        |<app:track><app:tid>7</app:tid>
+        |  <app:geom><gml:LineString><gml:posList srsDimension="3">0 0 1 2 2 3 4 0 5</gml:posList></gml:LineString></app:geom>
+        |</app:track>
+        |<app:track><app:tid>8</app:tid>
+        |  <app:geom><gml:Point><gml:pos>9 9</gml:pos></gml:Point></app:geom>
+        |</app:track>
+        |</gml:featureMembers>
+        |</gml:FeatureCollection>""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.gml"), xml.getBytes("UTF-8"))
+    val g = Gml.read(spark, s"$dir/t.gml")
+    assert(g.df.count() == 2)
+    val line = g.df.filter(col("tid") === "7")
+      .select(st_astext(col("geometry"))).as[String].head()
+    assert(line.contains("0 0 1") && line.contains("4 0 5")) // Z survives
+    val pt = g.df.filter(col("tid") === "8")
+      .select(st_x(col("geometry")), st_y(col("geometry"))).as[(Double, Double)].head()
+    assert(pt == ((9.0, 9.0)))
+  }
+
+  test("nulls survive and bbox/columns/where args + GeoIO dispatch work") {
+    val df = Seq((1L, "a", Some(1.0), Some(1.0)), (2L, "b", Some(50.0), Some(50.0)),
+      (3L, "a", Some(2.0), Some(2.0))).toDF("id", "kind", "x", "y")
+    val g0 = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gmlargs").toString
+    GeoIO.toFile(g0.copy(df = g0.df.drop("x", "y")), s"$dir/a.gml")
+    val filtered = GeoIO.readFile(spark, s"$dir/a.gml",
+      bbox = Some((0.0, 0.0, 10.0, 10.0)), columns = Some(Seq("id")),
+      where = Some("kind = 'a'"))
+    assert(filtered.df.columns.toSet == Set("id", "geometry"))
+    assert(filtered.df.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("distributed writePartitioned emits valid per-partition documents + shared xsd") {
+    val df = (1 to 40).map(i => (i.toLong, i * 1.0, i * 2.0)).toDF("id", "x", "y")
+    val g0 = GeoDataFrame.pointsFromXy(df.repartition(3), "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gmlpart").toString
+    Gml.writePartitioned(g0.copy(df = g0.df.drop("x", "y")), s"$dir/parts")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/parts/schema.xsd")))
+    val back = Gml.read(spark, s"$dir/parts")
+    assert(back.df.count() == 40)
+    assert(back.df.agg(sum("id")).as[Long].head() == (1 to 40).map(_.toLong).sum)
+    // typed via the shared xsd
+    assert(back.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+  }
+}

@@ -65,6 +65,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L) != feats(2L))
   }
 
+  private def wav(rate: Int, nframes: Int, channels: Int = 1,
+                  amp: Double = 0.5): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nframes * 2 * channels)
+    for (i <- 0 until nframes; c <- 0 until channels) {
+      val v = (math.sin(2 * math.Pi * 440.0 * i / rate) * amp * 32767).toInt.toShort
+      val off = (i * channels + c) * 2
+      data(off) = (v & 0xff).toByte
+      data(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nframes.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio decode: header fields from actual WAV bytes") {
+    val df = Seq(
+      (1L, wav(8000, 1600)),
+      (2L, wav(16000, 800, channels = 2)),
+      (3L, "not audio".getBytes("UTF-8"))).toDF("id", "media")
+    val meta = Multimodal.withAudioMeta(df, "media")
+      .select(col("id"), col("audio_meta.format"), col("audio_meta.sample_rate"),
+        col("audio_meta.channels"), col("audio_meta.bits"), col("audio_meta.frames"),
+        col("audio_meta.duration_ms"))
+      .collect().sortBy(_.getLong(0))
+    assert(meta(0).getString(1) == "wave" && meta(0).getInt(2) == 8000)
+    assert(meta(0).getInt(3) == 1 && meta(0).getInt(4) == 16 && meta(0).getLong(5) == 1600L)
+    assert(math.abs(meta(0).getDouble(6) - 200.0) < 1e-9) // 1600 frames @ 8 kHz
+    assert(meta(1).getInt(2) == 16000 && meta(1).getInt(3) == 2 && meta(1).getLong(5) == 800L)
+    assert(meta(2).isNullAt(1)) // undecodable -> null struct
+  }
+
+  test("audio features: sine RMS, peak, zero-crossing rate from real PCM") {
+    val df = Seq((1L, wav(8000, 8000, amp = 0.5)),
+                 (2L, wav(8000, 8000, channels = 2, amp = 0.5))).toDF("id", "media")
+    val feats = Multimodal.extractAudioFeatures(df, "media", windows = 4)
+      .select(col("id"), col("audio_features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).length == 6) // 4 windows + peak + zcr
+    // full-length 440 Hz sine at amplitude 0.5: RMS = 0.5/sqrt(2) ~ 0.3536
+    for (w <- 0 until 4) assert(math.abs(feats(1L)(w) - 0.3536) < 0.01)
+    assert(math.abs(feats(1L)(4) - 0.5) < 0.01) // peak
+    // 440 Hz at 8 kHz: 880 sign changes per second of samples
+    assert(math.abs(feats(1L)(5) - 880.0 / 8000) < 0.01)
+    // stereo mixdown of identical channels matches mono
+    for (i <- 0 until 6) assert(math.abs(feats(1L)(i) - feats(2L)(i)) < 1e-4)
+  }
+
   test("frame sampling multiplies rows by the sampled indices") {
     val df = Seq((1L, "videobytes".getBytes("UTF-8"))).toDF("id", "media")
     val frames = Multimodal.sampleFrames(df, "media", everyN = 8, totalFrames = 32)
