@@ -81,8 +81,11 @@ object Gml {
   private def sniffCrs(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.listStatus(p)
-    val first = if (st.isEmpty) p else st.filter(_.isFile).map(_.getPath).sortBy(_.getName).headOption.getOrElse(p)
+    // globStatus handles plain files, directories, AND glob patterns
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = matched.flatMap(st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st))
+    val first = files.map(_.getPath).sortBy(_.getName).headOption.getOrElse(p)
     val in = fs.open(first)
     val head = try {
       val buf = new Array[Byte](64 * 1024)

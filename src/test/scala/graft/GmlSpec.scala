@@ -131,5 +131,9 @@ class GmlSpec extends AnyFunSuite {
     assert(back.df.agg(sum("id")).as[Long].head() == (1 to 40).map(_.toLong).sum)
     // typed via the shared xsd
     assert(back.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    // glob paths must work too (CRS sniff must not listStatus a pattern)
+    val viaGlob = Gml.read(spark, s"$dir/parts/*.gml")
+    assert(viaGlob.df.count() == 40)
+    assert(viaGlob.crs.get("geometry").contains("EPSG:4326"))
   }
 }
