@@ -559,6 +559,48 @@ object SparkEntry {
       back.df.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
         round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
     }),
+    "q78_pii_redact" -> ((s, d) => {
+      // PII scrubbing under the oracle gate: PII shapes (email, URL, phone)
+      // are CONSTRUCTED around each doc's text, then redacted with the
+      // engine's native regexp chain; the oracle applies the same patterns
+      // with its own regex engine — the gate certifies the two dialects
+      // agree on real PII shapes, not just on pass-through text
+      val raw = concat(lit("u"), col("doc_id").cast("string"), lit("@mail-x.com "),
+        col("text"), lit(" see https://ex"), (col("doc_id") % 7).cast("string"),
+        lit(".org/p?q="), col("doc_id").cast("string"), lit(" or call 555-123-4567 now"))
+      docs(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          TextFunctions.piiUrlCount(col("raw")).as("n_urls"),
+          TextFunctions.piiEmailCount(col("raw")).as("n_emails"),
+          TextFunctions.piiPhoneCount(col("raw")).as("n_phones"),
+          TextFunctions.redactPii(col("raw")).as("redacted"))
+    }),
+    "q79_repetition_stats" -> ((s, d) => {
+      // Gopher/Dolma-style repetition signal: construct a 5-raw-line doc
+      // (one blank, one duplicated 'x', head line duplicated on even ids)
+      // and gate line splitting, blank dropping, distinct counting, and the
+      // duplicate-line fraction against closed-form values
+      val head = substring(trim(col("text")), 1, 10)
+      val raw = concat_ws("\n", head, lit("x"), lit(""),
+        when(col("doc_id") % 2 === 0, head)
+          .otherwise(concat(lit("y"), col("doc_id").cast("string"))),
+        lit("x"))
+      docs(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          TextFunctions.lineCount(col("raw")).as("n_lines"),
+          TextFunctions.distinctLineCount(col("raw")).as("n_distinct_lines"),
+          TextFunctions.dupLineFraction(col("raw")).as("dup_line_frac"))
+    }),
+    "q80_decontamination" -> ((s, d) => {
+      // benchmark decontamination: probe set = docs with doc_id % 97 = 0,
+      // corpus = the rest; overlap = count of the doc's distinct word
+      // bigrams that appear in any probe doc. Integer counts — the oracle
+      // reproduces the exact same sets via list comprehension SQL
+      val all = docs(s, d)
+      val probes = all.filter(col("doc_id") % 97 === 0)
+      val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      Dedup.contaminationOverlap(corpus, probes, "doc_id", "text", n = 2, minOverlap = 20)
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -944,6 +986,30 @@ object SparkEntry {
       "q77_gpx_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 4 AND c_custkey % 2 = 0""".stripMargin.replace("\n", " "),
+      "q78_pii_redact" ->
+        s"""SELECT doc_id,
+           | CAST(len(regexp_extract_all(raw, 'https?://\\S+')) AS INT) AS n_urls,
+           | CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           | CAST(len(regexp_extract_all(raw, '\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS INT) AS n_phones,
+           | regexp_replace(regexp_replace(regexp_replace(raw,
+           |   'https?://\\S+', '<URL>', 'g'),
+           |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |   '\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g') AS redacted
+           | FROM (SELECT doc_id, 'u' || doc_id || '@mail-x.com ' || text ||
+           |   ' see https://ex' || (doc_id % 7) || '.org/p?q=' || doc_id ||
+           |   ' or call 555-123-4567 now' AS raw FROM documents)""".stripMargin.replace("\n", " "),
+      "q79_repetition_stats" ->
+        s"""SELECT doc_id, CAST(4 AS INT) AS n_lines,
+           | CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END AS INT) AS n_distinct_lines,
+           | CAST(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 0.25 END AS DOUBLE) AS dup_line_frac
+           | FROM documents""".stripMargin.replace("\n", " "),
+      "q80_decontamination" ->
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           | gr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+           |   i -> t[i] || ' ' || t[i+1]))) AS sh FROM toks),
+           | probe AS (SELECT DISTINCT sh FROM gr WHERE doc_id % 97 = 0)
+           | SELECT g.doc_id, count(*) AS overlap FROM gr g JOIN probe p ON g.sh = p.sh
+           | WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id HAVING count(*) >= 20""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

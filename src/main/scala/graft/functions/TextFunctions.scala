@@ -199,6 +199,51 @@ object TextFunctions {
       Integer.bitCount(Character.digit(a.charAt(i), 16) ^ Character.digit(b.charAt(i), 16))
     }.sum))
 
+  /** Canonical text normalization for dedup keys / quality filters:
+    * lowercase, trim, collapse runs of whitespace to single spaces. Pure
+    * native expressions — stays inside whole-stage codegen. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  // PII patterns shared by redaction and counting. Restricted to syntax
+  // with identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+  // character classes, \d/\S, bounded repetition — no lookaround.
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII redaction for training corpora: URLs, then emails, then phone
+    * numbers → typed placeholder tokens (order matters — a URL may embed
+    * '@'). Native regexp_replace chain, codegen-friendly, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def piiUrlCount(c: Column): Column = regexp_count(c, lit(UrlPattern))
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(EmailPattern))
+  def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PhonePattern))
+
+  /** Non-blank trimmed lines of a document (Gopher/Dolma-style repetition
+    * filters operate on these). */
+  def linesOf(c: Column): Column =
+    filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+
+  def lineCount(c: Column): Column = size(linesOf(c))
+
+  def distinctLineCount(c: Column): Column = size(array_distinct(linesOf(c)))
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line —
+    * the Gopher repetition signal (high ⇒ boilerplate/spam). 0 for empty
+    * documents; rounded so either engine's double division hashes equal. */
+  def dupLineFraction(c: Column): Column = {
+    val l = linesOf(c)
+    when(size(l) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(l)).cast("double") / size(l), 6))
+  }
+
   /** Rolling polynomial fingerprint: fold over UTF-8 bytes,
     * h = (h * 131 + byte) mod (2^31 - 1), h0 = 0. SQL-reproducible. */
   val fingerprintU: UserDefinedFunction = udf((s: String) =>

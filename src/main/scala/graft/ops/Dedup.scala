@@ -225,4 +225,29 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Benchmark decontamination: for each corpus document, the number of its
+    * DISTINCT word n-grams that appear in ANY probe (benchmark) document;
+    * rows with `overlap >= minOverlap` are the contamination candidates a
+    * pipeline would drop or flag.
+    *
+    * Scale posture: benchmark sets are small by nature (eval suites, not
+    * corpora), so the probe n-gram set is broadcast and the corpus side is
+    * a map-side semi-join — the 100 TB corpus is never shuffled, and each
+    * doc contributes only its distinct n-grams (bounded by doc length). */
+  def contaminationOverlap(docs: DataFrame, probes: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 2, minOverlap: Int = 1): DataFrame = {
+    def grams(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as), tokens(col(textCol)).as("__t"))
+      .select(col(as),
+        explode(array_distinct(shinglesOfTokens(col("__t"), n))).as("__sh"))
+    val d = grams(docs, "__id")
+    val p = grams(probes, "__pid").select(col("__sh")).distinct()
+    d.join(broadcast(p), Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("__id").as(idCol), col("overlap"))
+  }
 }

@@ -13,7 +13,8 @@ class NewQueryOracleSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val checked = Seq("q75_audio_decode_real", "q76_gml_roundtrip", "q77_gpx_roundtrip")
+  private val checked = Seq("q75_audio_decode_real", "q76_gml_roundtrip",
+    "q77_gpx_roundtrip", "q79_repetition_stats")
 
   private def registerTables(): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",

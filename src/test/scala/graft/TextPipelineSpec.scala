@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-pipeline text operators: normalization, PII redaction,
+  * repetition (Gopher-style) line stats, benchmark decontamination. */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("normalizeText lowercases, trims, collapses whitespace") {
+    val df = Seq("  Mixed   CASE\t\ttext \n here  ").toDF("t")
+    val got = df.select(TextFunctions.normalizeText(col("t"))).as[String].head()
+    assert(got == "mixed case text here")
+  }
+
+  test("redactPii replaces URLs then emails then phones, counts match") {
+    val s = "mail a.user+x@sub.ex-ample.org or http://h.io/p?a=1#f and https://x.y " +
+      "call 555-123-4567 or +1 212.555.9999 done"
+    val df = Seq(s).toDF("t")
+    val row = df.select(
+      TextFunctions.redactPii(col("t")),
+      TextFunctions.piiUrlCount(col("t")),
+      TextFunctions.piiEmailCount(col("t")),
+      TextFunctions.piiPhoneCount(col("t"))).head()
+    assert(row.getString(0) ==
+      "mail <EMAIL> or <URL> and <URL> call <PHONE> or +1 <PHONE> done")
+    assert((row.getInt(1), row.getInt(2), row.getInt(3)) == ((2, 1, 2)))
+  }
+
+  test("pii patterns leave plain text untouched") {
+    val df = Seq("no pii here just words and 12 numbers 345").toDF("t")
+    assert(df.select(TextFunctions.redactPii(col("t"))).as[String].head() ==
+      "no pii here just words and 12 numbers 345")
+  }
+
+  test("line stats drop blanks, count distinct, compute dup fraction") {
+    val doc = "alpha\n x \n\nalpha\nbeta\n  \nx"
+    val df = Seq(doc, "").toDF("t")
+    val rows = df.select(
+      TextFunctions.lineCount(col("t")),
+      TextFunctions.distinctLineCount(col("t")),
+      TextFunctions.dupLineFraction(col("t"))).collect()
+    // lines: alpha, x, alpha, beta, x -> 5 total, 3 distinct
+    assert((rows(0).getInt(0), rows(0).getInt(1), rows(0).getDouble(2)) == ((5, 3, 0.4)))
+    assert((rows(1).getInt(0), rows(1).getInt(1), rows(1).getDouble(2)) == ((0, 0, 0.0)))
+  }
+
+  test("contaminationOverlap counts distinct shared bigrams vs the probe set") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),         // bigrams incl "the cat","cat sat"
+      (2L, "a dog ran far away today"),       // no overlap with probes
+      (3L, "the cat sat the cat sat again")). // duplicate bigrams count ONCE
+      toDF("doc_id", "text")
+    val probes = Seq((100L, "the cat sat quietly")).toDF("doc_id", "text")
+    val got = Dedup.contaminationOverlap(corpus, probes, "doc_id", "text",
+      n = 2, minOverlap = 1)
+      .as[(Long, Long)].collect().toMap
+    // probe bigrams: {the cat, cat sat, sat quietly}
+    assert(got == Map(1L -> 2L, 3L -> 2L)) // doc 2 filtered out entirely
+    // threshold filters
+    val strict = Dedup.contaminationOverlap(corpus, probes, "doc_id", "text",
+      n = 2, minOverlap = 3)
+    assert(strict.count() == 0)
+  }
+
+  test("contamination plan broadcasts the probe side (corpus never shuffled for the join)") {
+    val corpus = (1 to 100).map(i => (i.toLong, s"word$i follows word${i + 1} here")).toDF("doc_id", "text")
+    val probes = Seq((0L, "word5 follows word6")).toDF("doc_id", "text")
+    val plan = Dedup.contaminationOverlap(corpus, probes, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}
