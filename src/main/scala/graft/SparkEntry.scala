@@ -4,7 +4,7 @@ import graft.agg.GeoAggregates._
 import graft.functions.GeoFunctions._
 import graft.functions.TextFunctions
 import graft.join.{Clip, Overlay, SJoinNearest, SpatialJoin}
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -601,6 +601,23 @@ object SparkEntry {
       val corpus = all.filter(col("doc_id") % 97 =!= 0)
       Dedup.contaminationOverlap(corpus, probes, "doc_id", "text", n = 2, minOverlap = 20)
     }),
+    "q81_stratified_sample" -> ((s, d) => {
+      // deterministic data-mixing sample: per-group keep fractions decided
+      // by the rolling-fingerprint hash of "s:<id>" — reproducible across
+      // restarts and task retries (rand() is neither), and the oracle
+      // replays every keep decision exactly
+      val grouped = docs(s, d).withColumn("grp", (col("doc_id") % 3).cast("string"))
+      Sampling.stratifiedSample(grouped, "doc_id", "grp",
+        weights = Map("0" -> 0.5, "1" -> 0.2), defaultFraction = 0.05)
+        .select(col("doc_id"), col("grp"))
+    }),
+    "q82_pack_sequences" -> ((s, d) =>
+      // chunked sequence packing for training batches: sharded exclusive
+      // prefix-sum of token counts, pack = prefix div budget — one window
+      // pass, no global-order bottleneck
+      Sampling.packSequences(docs(s, d), "doc_id", "text",
+        budgetTokens = 512, shards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack"))),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -1010,6 +1027,20 @@ object SparkEntry {
            | probe AS (SELECT DISTINCT sh FROM gr WHERE doc_id % 97 = 0)
            | SELECT g.doc_id, count(*) AS overlap FROM gr g JOIN probe p ON g.sh = p.sh
            | WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id HAVING count(*) >= 20""".stripMargin.replace("\n", " "),
+      "q81_stratified_sample" ->
+        s"""SELECT doc_id, CAST(doc_id % 3 AS STRING) AS grp FROM documents
+           | WHERE substr(md5('s:' || doc_id), 1, 6) <
+           |   CASE WHEN doc_id % 3 = 0 THEN '800000'
+           |        WHEN doc_id % 3 = 1 THEN '333333' ELSE '0ccccc' END""".stripMargin.replace("\n", " "),
+      "q82_pack_sequences" ->
+        s"""SELECT doc_id, n_tokens, shard,
+           | CAST(floor(CAST(pre AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack
+           | FROM (SELECT doc_id, n_tokens, shard,
+           |   coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS pre
+           |   FROM (SELECT doc_id,
+           |     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |     doc_id % 8 AS shard FROM documents))""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

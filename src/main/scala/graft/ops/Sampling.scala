@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and batch-packing operators for training-data
+  * pipelines.
+  *
+  * Sampling is HASH-based, not `rand()`-based, on purpose: at 100 TB a
+  * sample must be reproducible across job restarts AND stable under task
+  * retry — `rand()` re-draws on a recomputed partition, silently changing
+  * the sample. The keep-decision is the first 24 bits of md5("salt:id")
+  * (native codegen `md5`, no UDF) compared as lowercase hex against the
+  * hex threshold floor(fraction·2²⁴) — bit-identical in any engine with a
+  * standard md5, so an external oracle replays every decision exactly.
+  * All operators here are pure map-side filters or windowed passes — no
+  * shuffle beyond the window's own shard exchange.
+  */
+object Sampling {
+
+  /** First 6 hex digits (24 bits) of md5("salt:id") — a uniform draw in
+    * [0, 2²⁴) encoded as lowercase hex. Changing the salt draws an
+    * independent sample. */
+  def hashHex(idCol: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))), 1, 6)
+
+  private def hexThreshold(fraction: Double): String =
+    f"${math.floor(fraction * (1 << 24)).toLong}%06x"
+
+  /** Keep each row with probability `fraction`, deterministically by id. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          salt: String = "s"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]; got $fraction")
+    if (fraction >= 1.0) df
+    else df.filter(hashHex(col(idCol), salt) < hexThreshold(fraction))
+  }
+
+  /** Stratified sampling with per-group fractions — the data-mixing
+    * primitive (e.g. keep 50% of `en`, 10% of everything else). Groups
+    * absent from `weights` fall back to `defaultFraction`. Map-side only:
+    * the group column is compared against literal thresholds, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+                       weights: Map[String, Double], defaultFraction: Double = 0.0,
+                       salt: String = "s"): DataFrame = {
+    require((defaultFraction +: weights.values.toSeq).forall(f => f >= 0 && f <= 1),
+      "all fractions must be in [0,1]")
+    // fraction 1.0 ⇒ threshold "1000000" (7 chars) which is lexicographically
+    // BELOW any 6-hex-digit draw — special-case it to the all-pass sentinel
+    def t(f: Double): String = if (f >= 1.0) "g" else hexThreshold(f)
+    val thresh = weights.toSeq.sortBy(_._1).foldLeft(lit(t(defaultFraction))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(t(f))).otherwise(acc)
+    }
+    df.filter(hashHex(col(idCol), salt) < thresh)
+  }
+
+  /** Chunked sequence packing: assign documents to fixed-token-budget packs
+    * in deterministic (shard, id) order; `pack` is the bin a doc STARTS in
+    * (a doc may straddle a boundary — the training loader splits it, the
+    * standard one-pass streaming-packing approximation, not a bin-packing
+    * solve). Sharding bounds the window: each shard's prefix-sum is an
+    * independent partition of the exchange, so there is no global-order
+    * single-partition bottleneck; packs are globally unique as
+    * (shard, pack). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long, shards: Int = 1024): DataFrame = {
+    require(budgetTokens > 0 && shards > 0, "budgetTokens and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
+      .withColumn("__pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack", floor(col("__pre").cast("double") / budgetTokens.toDouble).cast("long"))
+      .drop("__pre")
+  }
+}
