@@ -128,6 +128,25 @@ object Plans {
       kept.agg(count(lit(1)).as("n_docs"))
     }
 
+    section("Benchmark decontamination (broadcast n-gram semi-join)",
+      "The probe (benchmark) n-gram set is BROADCAST — the corpus side is a map-side " +
+        "BroadcastHashJoin with no corpus shuffle; each doc contributes only its distinct " +
+        "n-grams, and the only exchange is the final per-doc count aggregate.") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.contaminationOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 2, minOverlap = 20)
+    }
+
+    section("Deterministic sampling + sequence packing",
+      "Sampling is a pure map-side filter on codegen md5 (no exchange at all, retry-stable " +
+        "unlike rand()); packing's only exchange is the shard-key hash partition for the " +
+        "window prefix-sum — no global-order single-partition bottleneck.") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sampled = graft.ops.Sampling.deterministicSample(docs, "doc_id", 0.5)
+      graft.ops.Sampling.packSequences(sampled, "doc_id", "text", budgetTokens = 512, shards = 8)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)
