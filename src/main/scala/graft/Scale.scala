@@ -9,6 +9,56 @@ import org.apache.spark.sql.functions._
   * operators should scale ~linearly in rows (bounded shuffles, no quadratic
   * blowup), and the LSH/dedup plans should stay bucket-bounded. */
 object Scale {
+
+  /** Hand-maintained prose sections preserved across regeneration. */
+  private val StaticSections: String = "\n" + """## 100 TB cluster conf recipe
+
+The engine's mains (Bench/Verify/Scale) set these explicitly; a cluster
+deployment should carry them over and scale the sizes:
+
+```
+spark.sql.adaptive.enabled=true                  # runtime re-planning
+spark.sql.adaptive.skewJoin.enabled=true         # split hot partitions
+spark.sql.adaptive.advisoryPartitionSizeInBytes=64m
+spark.sql.shuffle.partitions=<2-3x total executor cores>
+spark.sql.files.maxPartitionBytes=128m           # scan-side task sizing
+spark.sql.extensions=graft.plans.GraftExtensions # bbox scan pushdown rule
+```
+
+Why it matters here specifically: the grid spatial join shuffles on a
+spatial CELL key, and real-world geometry is never uniform — one urban
+cell can carry orders of magnitude more rows than the median
+(`SpatialJoinSpec`'s "AQE splits a skewed grid-join cell" demonstrates a
+98%-hot cell being split by AQE while results stay exact). Grid sizing
+already bounds the duplication factor (`SpatialJoin.computeGrid` keeps
+cells ≥ 2× the average bbox edge), AQE then handles the residual skew at
+runtime — no salting pass needed on the spatial path. The LSH band joins
+shuffle on (band, minhash-key) where hot keys mean genuinely-duplicated
+content; AQE splits those buckets the same way while the verify step
+keeps precision exact.
+
+At 100 TB the advisory size is the knob that matters: 64 MB post-shuffle
+partitions keep the per-task geometry refine (JTS decode + prepared-
+geometry probe) inside executor memory next to the RefineCache, while
+`maxPartitionBytes` keeps scan tasks small enough that bbox row-group
+pruning (PushedFilters via BboxFastPath / GeoParquet covering stats)
+actually skips IO rather than reading 1 GB splits for a 1% selection.
+
+## Interchange formats at scale
+
+The XML-family drivers (KML/GML/GPX) and the other single-file formats
+(Shapefile/GPKG/FlatGeobuf) are INTERCHANGE formats: parallelism is per
+FILE (one streaming parser per task), and attribute-schema inference
+costs one extra pass over the parsed property strings. That is the right
+cost model for their real use — ingesting a corpus of many modest files —
+but none of them is a 100 TB analytics substrate: the engine's posture is
+convert once to GeoParquet (`GeoIO.readFile(...)` →
+`GeoParquet.write(...)`, which adds the covering bbox column + row-group
+stats) and run every repeated query against that. The per-partition
+writers (`writePartitioned`) exist so the conversion in BOTH directions
+stays distributed.
+"""
+
   def main(args: Array[String]): Unit = {
     val sf = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -79,6 +129,19 @@ object Scale {
       bench("exact dedup", mult) {
         (graft.ops.Dedup.exact(docs(mult), "doc_id", "text").count(), 0L)
       }
+      bench("contamination overlap", mult) {
+        val all = docs(mult)
+        (graft.ops.Dedup.contaminationOverlap(
+          all.filter(col("doc_id") % 97 =!= 0), all.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 2, minOverlap = 20).count(), 0L)
+      }
+      bench("stratified sample + pack", mult) {
+        val g = docs(mult).withColumn("grp", (col("doc_id") % 3).cast("string"))
+        val s = graft.ops.Sampling.stratifiedSample(g, "doc_id", "grp",
+          Map("0" -> 0.5, "1" -> 0.2), defaultFraction = 0.05)
+        (graft.ops.Sampling.packSequences(s, "doc_id", "text",
+          budgetTokens = 512, shards = 1024).count(), 0L)
+      }
     }
 
     val md = new StringBuilder
@@ -102,6 +165,7 @@ object Scale {
       md ++= f"| $op | ${a.rows} | ${a.secs}%.2f | ${b.rows} | ${b.secs}%.2f | ${c.rows} | ${c.secs}%.2f | ${c.secs / a.secs}%.1f |\n"
     }
     md ++= "\nGenerated by `sbt \"runMain graft.Scale\"`.\n"
+    md ++= StaticSections
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), md.toString)
     println("[scale] wrote SCALE.md")
     spark.stop()
