@@ -618,6 +618,16 @@ object SparkEntry {
       Sampling.packSequences(docs(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)
         .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack"))),
+    "q83_assemble_packs" -> ((s, d) => {
+      // training-chunk assembly: each pack's member docs concatenated in id
+      // order with a separator token; the oracle reproduces the exact chunk
+      // text (compared via md5) with an ordered string_agg
+      val packed = Sampling.packSequences(docs(s, d), "doc_id", "text",
+        budgetTokens = 512, shards = 8)
+      Sampling.assemblePacks(packed, "doc_id", "text")
+        .select(col("shard"), col("pack"), col("n_docs"), col("pack_tokens"),
+          md5(col("pack_text")).as("chunk_md5"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -1041,6 +1051,19 @@ object SparkEntry {
            |   FROM (SELECT doc_id,
            |     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
            |     doc_id % 8 AS shard FROM documents))""".stripMargin.replace("\n", " "),
+      "q83_assemble_packs" ->
+        s"""SELECT shard, pack, count(*) AS n_docs,
+           | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           | md5(string_agg(text, ' <doc> ' ORDER BY doc_id)) AS chunk_md5
+           | FROM (SELECT doc_id, text, n_tokens, shard,
+           |   CAST(floor(CAST(pre AS DOUBLE) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack
+           |   FROM (SELECT doc_id, text, n_tokens, shard,
+           |     coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS pre
+           |     FROM (SELECT doc_id, text,
+           |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |       doc_id % 8 AS shard FROM documents)))
+           | GROUP BY shard, pack""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -74,4 +74,17 @@ object Sampling {
       .withColumn("pack", floor(col("__pre").cast("double") / budgetTokens.toDouble).cast("long"))
       .drop("__pre")
   }
+
+  /** Assemble each pack's training chunk: member documents concatenated in
+    * id order with a separator token, plus doc/token counts. One groupBy on
+    * (shard, pack) — rows are already hash-partitioned by shard from the
+    * packing window, and a chunk's size is bounded by the token budget by
+    * construction, so the collect_list per group is small and safe. */
+  def assemblePacks(packed: DataFrame, idCol: String, textCol: String,
+                    sep: String = " <doc> "): DataFrame =
+    packed.groupBy(col("shard"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), sep).as("pack_text"))
 }

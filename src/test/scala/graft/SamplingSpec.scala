@@ -61,4 +61,32 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id", "pack").as[(Long, Long)].collect().toMap
     assert(rows.map(r => r._1 -> r._4).toMap == again)
   }
+
+  test("assemblePacks: chunks concatenate members in id order, counts add up") {
+    val df = Seq(
+      (1L, "one two"), (5L, "three"), (9L, "four five six"),
+      (2L, "seven"), (6L, "eight nine")).toDF("doc_id", "text")
+    val packed = Sampling.packSequences(df, "doc_id", "text", budgetTokens = 1000, shards = 2)
+    val chunks = Sampling.assemblePacks(packed, "doc_id", "text", sep = " | ")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // shard 1 = ids 1,5,9 in order; shard 0 = ids 2,6
+    assert(chunks((1L, 0L)) == ((3L, 6L, "one two | three | four five six")))
+    assert(chunks((0L, 0L)) == ((2L, 3L, "seven | eight nine")))
+    // pack token totals equal the sum of member token counts
+    val total = chunks.values.map(_._2).sum
+    assert(total == 9L) // 2+1+3 (shard 1) + 1+2 (shard 0)
+  }
+
+  test("redact and normalize are idempotent (fixed points under re-application)") {
+    import graft.functions.TextFunctions
+    val df = corpus(200).withColumn("raw",
+      concat(lit("u"), col("doc_id"), lit("@ex.org visit https://a.b/c  MIXED  Case ")))
+    val once = df.select(col("doc_id"), TextFunctions.redactPii(col("raw")).as("r1"),
+      TextFunctions.normalizeText(col("raw")).as("n1"))
+    val twice = once.select(col("doc_id"),
+      (TextFunctions.redactPii(col("r1")) === col("r1")).as("rfix"),
+      (TextFunctions.normalizeText(col("n1")) === col("n1")).as("nfix"))
+    assert(twice.filter(!col("rfix") || !col("nfix")).count() == 0)
+  }
 }
