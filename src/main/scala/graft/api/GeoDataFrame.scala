@@ -331,9 +331,28 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   }
   def count(): Long = df.count()
   def cache(): GeoDataFrame = { df.cache(); this }
+
+  /** Write in the format inferred from the extension (ref
+    * GeoDataFrame.to_file, io/file.py:614): .shp/.fgb/.geojson/.gpkg/.csv/
+    * .kml/.gml/.gpx/.feather, else GeoParquet. */
+  def toFile(path: String): Unit = graft.io.GeoIO.toFile(this, path)
+
+  /** GeoParquet write (ref to_parquet, io/arrow.py). */
+  def toParquet(path: String): Unit = graft.io.GeoParquet.write(this, path)
 }
 
 object GeoDataFrame {
+  /** read_file entry point (ref io/file.py:197): format inferred from the
+    * extension, with the reference's bbox/mask/columns/rows/where args. */
+  def readFile(spark: org.apache.spark.sql.SparkSession, path: String,
+               layer: Option[String] = None,
+               bbox: Option[(Double, Double, Double, Double)] = None,
+               mask: Option[Array[Byte]] = None,
+               columns: Option[Seq[String]] = None,
+               rows: Option[Int] = None,
+               where: Option[String] = None): GeoDataFrame =
+    graft.io.GeoIO.readFile(spark, path, layer, bbox, mask, columns, rows, where)
+
   /** points_from_xy constructor (ref array.py:293-343). */
   def pointsFromXy(df: DataFrame, x: String, y: String, geomName: String = "geometry",
                    crs: Option[String] = None): GeoDataFrame =

@@ -107,6 +107,16 @@ class GmlSpec extends AnyFunSuite {
     assert(pt == ((9.0, 9.0)))
   }
 
+  test("GeoDataFrame.toFile / readFile delegate to the format dispatch") {
+    val df = Seq((1L, 3.0, 4.0), (2L, 30.0, 40.0)).toDF("id", "x", "y")
+    val g0 = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gdfio").toString
+    g0.copy(df = g0.df.drop("x", "y")).toFile(s"$dir/a.gml")
+    val back = GeoDataFrame.readFile(spark, s"$dir/a.gml",
+      bbox = Some((0.0, 0.0, 10.0, 10.0)))
+    assert(back.df.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("nulls survive and bbox/columns/where args + GeoIO dispatch work") {
     val df = Seq((1L, "a", Some(1.0), Some(1.0)), (2L, "b", Some(50.0), Some(50.0)),
       (3L, "a", Some(2.0), Some(2.0))).toDF("id", "kind", "x", "y")
