@@ -95,8 +95,12 @@ object Gpx {
   /** Positioned on wpt/trkpt/rtept: lat/lon attributes; returns the coord
     * (Z from ele when present) plus the child attribute map. */
   private def readPt(r: XMLStreamReader): (Coordinate, Map[String, String]) = {
-    val lat = r.getAttributeValue(null, "lat").toDouble
-    val lon = r.getAttributeValue(null, "lon").toDouble
+    val latS = r.getAttributeValue(null, "lat")
+    val lonS = r.getAttributeValue(null, "lon")
+    require(latS != null && lonS != null,
+      s"malformed GPX: <${r.getLocalName}> without lat/lon attributes")
+    val lat = latS.toDouble
+    val lon = lonS.toDouble
     val props = collection.mutable.LinkedHashMap.empty[String, String]
     var ele = Double.NaN
     var depth = 1

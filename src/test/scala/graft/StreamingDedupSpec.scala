@@ -108,6 +108,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(GeomOps.frechetDensify(c, d, 0.1) == 4.0)
   }
 
+  test("stateless pipeline ops (sample, redact, quality) run under Structured Streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextFunctions
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // the ingest-shaped pipeline: hash-sample -> redact -> score, all
+    // map-side expressions, so the stream needs no state or watermark
+    val piped = graft.ops.Sampling.deterministicSample(stream, "doc_id", 0.5)
+      .withColumn("clean", TextFunctions.redactPii(col("text")))
+      .withColumn("q", TextFunctions.qualityScore(col("clean")))
+    val q = piped.writeStream.format("memory").queryName("sd_pipe")
+      .outputMode("append").start()
+    val rows = (0L until 200L).map(i => (i, s"doc $i contact u$i@ex.org ok"))
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select doc_id, clean from sd_pipe")
+      .as[(Long, String)].collect().toMap
+    // streaming sample = batch sample, decision for decision
+    val batchIds = graft.ops.Sampling.deterministicSample(
+      rows.toDF("doc_id", "text"), "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(got.keySet == batchIds)
+    assert(got.values.forall(_.contains("<EMAIL>")))
+  }
+
   test("shared_paths splits forward and backward components") {
     val a = Wkb.readWkt("LINESTRING (0 0, 10 0)")
     val sameDir = Wkb.readWkt("LINESTRING (2 0, 4 0)")
