@@ -347,6 +347,14 @@ object Gml {
     case '"' => "&quot;"; case c => c.toString
   }
 
+  /** Column names become XML ELEMENT names — launder to NCName form the way
+    * GDAL does (invalid chars → '_', leading non-letter prefixed). */
+  private[io] def xmlName(s: String): String = {
+    val cleaned = s.replaceAll("[^A-Za-z0-9_.-]", "_")
+    if (cleaned.isEmpty || (!cleaned.head.isLetter && cleaned.head != '_')) "_" + cleaned
+    else cleaned
+  }
+
   private def xsdType(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case org.apache.spark.sql.types.LongType    => "xs:long"
     case org.apache.spark.sql.types.IntegerType |
@@ -367,7 +375,7 @@ object Gml {
     val renderGeom = udf((b: Array[Byte]) =>
       if (b == null) "" else geomToGml(Wkb.read(b), srs))
     val attrXml = attrs.map { f =>
-      val nameEsc = xmlEscape(f.name)
+      val nameEsc = xmlName(f.name)
       when(col(f.name).isNull, lit(""))
         .otherwise(concat(lit(s"<ogr:$nameEsc>"),
           regexp_replace(regexp_replace(regexp_replace(col(f.name).cast("string"),
@@ -389,7 +397,7 @@ object Gml {
   private def writeXsd(gdf: GeoDataFrame, gmlPath: String): Unit = {
     val g = gdf.geometryCol
     val fields = gdf.df.schema.fields.filter(_.name != g).map(f =>
-      s"""<xs:element name="${xmlEscape(f.name)}" type="${xsdType(f.dataType)}"/>""").mkString("\n")
+      s"""<xs:element name="${xmlName(f.name)}" type="${xsdType(f.dataType)}"/>""").mkString("\n")
     val xsd = """<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
       """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema" xmlns:ogr="http://ogr.maptools.org/" targetNamespace="http://ogr.maptools.org/">""" +
       "\n" + fields + "\n</xs:schema>\n"

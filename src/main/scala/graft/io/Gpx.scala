@@ -254,7 +254,8 @@ object Gpx {
     }.mkString
     val extra = attrs.collect {
       case (k, v) if !AttrTags(k) && k != "ele" && v != null =>
-        s"<ogr:$k>${xmlEscape(v)}</ogr:$k>"
+        val kn = Gml.xmlName(k)
+        s"<ogr:$kn>${xmlEscape(v)}</ogr:$kn>"
     }.mkString
     val children = known + (if (extra.isEmpty) "" else s"<extensions>$extra</extensions>")
     def ptAttrs(c: Coordinate): String =

@@ -107,6 +107,16 @@ class GmlSpec extends AnyFunSuite {
     assert(pt == ((9.0, 9.0)))
   }
 
+  test("column names invalid as XML element names are laundered like GDAL") {
+    val df = Seq((1L, "v", 3.0, 4.0)).toDF("id", "my col!", "x", "y")
+    val g0 = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("gmln").toString
+    Gml.write(g0.copy(df = g0.df.drop("x", "y")), s"$dir/n.gml")
+    val back = Gml.read(spark, s"$dir/n.gml")
+    assert(back.df.columns.toSet == Set("id", "my_col_", "geometry"))
+    assert(back.df.select("my_col_").as[String].head() == "v")
+  }
+
   test("GeoDataFrame.toFile / readFile delegate to the format dispatch") {
     val df = Seq((1L, 3.0, 4.0), (2L, 30.0, 40.0)).toDF("id", "x", "y")
     val g0 = GeoDataFrame.pointsFromXy(df, "x", "y")
