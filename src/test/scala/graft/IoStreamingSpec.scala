@@ -136,9 +136,11 @@ class StreamingGeoSpec extends AnyFunSuite {
       .withColumn("geometry", st_point(col("x"), col("y")))
     val joined = StreamingGeo.sjoinAgainstStatic(stream, cells)
 
+    // data must be queued BEFORE start: AvailableNow snapshots the offsets
+    // available at query start, so a later addData races query termination
+    input.addData((1L, 10.0, 10.0), (2L, 80.0, 10.0), (3L, 200.0, 10.0))
     val q = joined.writeStream.format("memory").queryName("sj_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    input.addData((1L, 10.0, 10.0), (2L, 80.0, 10.0), (3L, 200.0, 10.0))
     q.processAllAvailable(); q.stop()
 
     val rows = spark.sql("select id, cell from sj_out").as[(Long, String)].collect().sortBy(_._1)
