@@ -332,10 +332,96 @@ object CrsTransform {
         math.toDegrees(2 * math.atan(math.exp((y - fn) * unit / a)) - math.Pi / 2))
   }
 
+  /** Airy 1830 ellipsoid (OSGB36 / British National Grid). */
+  val AIRY_A = 6377563.396
+  val AIRY_F = 1.0 / 299.3249646
+
+  /** 7-parameter Helmert datum shift (EPSG position-vector convention,
+    * method 9606), applied in geocentric coordinates with h=0. Parameters
+    * are FROM WGS84 TO the target datum; the inverse negates them (the
+    * standard small-angle approximation — sub-mm at these magnitudes).
+    * Grid-free accuracy for OSGB36 is ~2-5 m, the same class as GDAL
+    * without NTv2 grids — documented divergence from grid-shifted PROJ. */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+                           rxSec: Double, rySec: Double, rzSec: Double, sPpm: Double,
+                           aDst: Double, fDst: Double,
+                           aSrc: Double = WGS84_A, fSrc: Double = WGS84_F) {
+    private def toXyz(lon: Double, lat: Double, a: Double, f: Double): (Double, Double, Double) = {
+      val e2 = f * (2 - f)
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val n = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      (n * math.cos(phi) * math.cos(lam), n * math.cos(phi) * math.sin(lam),
+        n * (1 - e2) * math.sin(phi))
+    }
+    private def toGeodetic(x: Double, y: Double, z: Double, a: Double, f: Double): (Double, Double) = {
+      val e2 = f * (2 - f)
+      val p = math.hypot(x, y)
+      var phi = math.atan2(z, p * (1 - e2))
+      var i = 0
+      while (i < 12) {
+        val n = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+        phi = math.atan2(z + e2 * n * math.sin(phi), p)
+        i += 1
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+    }
+    private def apply7(x: Double, y: Double, z: Double, sign: Double): (Double, Double, Double) = {
+      val s = 1.0 + sign * sPpm * 1e-6
+      val rx = sign * math.toRadians(rxSec / 3600.0)
+      val ry = sign * math.toRadians(rySec / 3600.0)
+      val rz = sign * math.toRadians(rzSec / 3600.0)
+      (s * (x - rz * y + ry * z) + sign * tx,
+        s * (rz * x + y - rx * z) + sign * ty,
+        s * (-ry * x + rx * y + z) + sign * tz)
+    }
+    /** WGS84 geographic -> target-datum geographic. */
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y, z) = toXyz(lon, lat, aSrc, fSrc)
+      val (x2, y2, z2) = apply7(x, y, z, 1.0)
+      toGeodetic(x2, y2, z2, aDst, fDst)
+    }
+    /** Target-datum geographic -> WGS84. */
+    def inverse(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y, z) = toXyz(lon, lat, aDst, fDst)
+      val (x2, y2, z2) = apply7(x, y, z, -1.0)
+      toGeodetic(x2, y2, z2, aSrc, fSrc)
+    }
+  }
+
+  /** A projected CRS on a non-WGS84 datum: Helmert shift to the datum,
+    * then the map projection on that datum's ellipsoid. */
+  final case class DatumProjected(h: Helmert, proj: CrsTransform) extends CrsTransform {
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val (lo, la) = h.forward(lon, lat)
+      proj.forward(lo, la)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (lo, la) = proj.inverse(x, y)
+      h.inverse(lo, la)
+    }
+  }
+
+  /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
+    * OSGB36->WGS84 set in the OS coordinate-systems guide). */
+  private def osgb36Helmert: Helmert =
+    Helmert(tx = -446.448, ty = 125.157, tz = -542.060,
+      rxSec = -0.1502, rySec = -0.2470, rzSec = -0.8421, sPpm = 20.4894,
+      aDst = AIRY_A, fDst = AIRY_F)
+
   /** EPSG code -> transform to/from its geographic base (datum step to WGS84
-    * is a null transformation — centimetric for NAD83/GRS80, documented
-    * divergence). Parameter values are from the public EPSG registry. */
+    * is a null transformation — centimetric for NAD83/GRS80/ETRS89 — except
+    * where a Helmert shift is wired, e.g. OSGB36). Parameter values are
+    * from the public EPSG registry. */
   def forEpsg(code: Int): Option[CrsTransform] = code match {
+    case 4258 => Some(Identity) // ETRS89 geographic ~ WGS84 (cm-level)
+    case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM 28N..38N (GRS80 ~ WGS84)
+      Some(Utm(z - 25800, north = true))
+    case 27700 => // OSGB36 / British National Grid: Helmert + TM on Airy 1830
+      Some(DatumProjected(osgb36Helmert,
+        Tm(lat0 = 49.0, lonCm = -2.0, k0 = 0.9996012717,
+          fe = 400000.0, fn = -100000.0, a = AIRY_A, flattening = AIRY_F)))
+    case 4277 => // OSGB36 geographic (datum shift only)
+      Some(DatumProjected(osgb36Helmert, Identity))
     case 4326 | 4269 | 4267 => Some(Identity)
     case 3857 => Some(WebMercator)
     case 3395 => Some(WorldMercator)
@@ -376,9 +462,9 @@ object CrsTransform {
     if (from == to) return Identity
     def to4326(code: Int): CrsTransform = forEpsg(code).getOrElse(
       throw new IllegalArgumentException(
-        s"Unsupported CRS EPSG:$code — supported: 4326, 3857, 3395, UTM 326xx/327xx/269xx, " +
-          "2263, 2248, 3435, 5070, 26985, or any LCC/TM/Albers/Mercator CRS given as " +
-          "WKT/PROJJSON with its projection parameters"))
+        s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
+          "UTM 326xx/327xx/269xx/258xx, 27700, 2263, 2248, 3435, 5070, 26985, or any " +
+          "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection parameters"))
     compose(to4326(from), to4326(to))
   }
 

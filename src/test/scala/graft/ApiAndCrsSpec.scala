@@ -28,6 +28,41 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(lon - -73.9857) < 1e-6 && math.abs(lat - 40.7484) < 1e-6)
   }
 
+  test("27700 projection core matches the OS worked example (OSGB36 side, no datum step)") {
+    // "A guide to coordinate systems in Great Britain" worked example:
+    // OSGB36 lat 52°39'27.2531"N lon 1°43'4.5177"E -> E 651409.903 N 313177.270
+    val tm = CrsTransform.Tm(lat0 = 49.0, lonCm = -2.0, k0 = 0.9996012717,
+      fe = 400000.0, fn = -100000.0,
+      a = CrsTransform.AIRY_A, flattening = CrsTransform.AIRY_F)
+    val lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = tm.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.01, s"easting $e")
+    assert(math.abs(n - 313177.270) < 0.01, s"northing $n")
+  }
+
+  test("4326 -> 27700 British National Grid (Helmert datum shift) roundtrip") {
+    val t = CrsTransform.chain(4326, 27700)
+    // Royal Observatory Greenwich — grid ref ~ TQ 3889 7734 (grid-free
+    // Helmert is good to a few metres; assert within 15 m)
+    val (e, n) = t.forward(-0.0015, 51.4779)
+    assert(math.abs(e - 538890) < 15, s"easting $e")
+    assert(math.abs(n - 177320) < 15, s"northing $n")
+    val (lon, lat) = t.inverse(e, n)
+    assert(math.abs(lon - -0.0015) < 1e-7 && math.abs(lat - 51.4779) < 1e-7)
+    // OSGB36 geographic (4277) is the datum-only step of the same chain
+    val g = CrsTransform.chain(4326, 4277)
+    val (lo2, la2) = g.forward(-0.0015, 51.4779)
+    assert(math.abs(lo2 - -0.0015) < 0.01 && math.abs(la2 - 51.4779) < 0.01) // ~100 m shift
+    assert(math.abs(lo2 - -0.0015) > 1e-5 || math.abs(la2 - 51.4779) > 1e-5) // but nonzero
+  }
+
+  test("ETRS89 UTM zones alias WGS84 UTM (cm-level datum difference ignored)") {
+    val a = CrsTransform.chain(4326, 25832).forward(9.0, 52.0)
+    val b = CrsTransform.chain(4326, 32632).forward(9.0, 52.0)
+    assert(a == b)
+  }
+
   test("3857 -> 3395 via hub") {
     val t = CrsTransform.chain(3857, 3395)
     val (x, y) = t.forward(1113194.9079327357, 1118889.9748579594) // (10, 10) in 3857
@@ -41,7 +76,9 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    intercept[IllegalArgumentException](CrsTransform.chain(4326, 27700))
+    // 2154 (RGF93 / Lambert-93) is reachable only via full WKT/PROJJSON,
+    // not by bare EPSG code
+    intercept[IllegalArgumentException](CrsTransform.chain(4326, 2154))
   }
 
   test("4326 -> 2263 (NY Long Island state plane, ftUS — the nybb CRS)") {
