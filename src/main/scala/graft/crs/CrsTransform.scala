@@ -422,6 +422,14 @@ object CrsTransform {
           fe = 400000.0, fn = -100000.0, a = AIRY_A, flattening = AIRY_F)))
     case 4277 => // OSGB36 geographic (datum shift only)
       Some(DatumProjected(osgb36Helmert, Identity))
+    case 2154 => // RGF93 / Lambert-93 (France; RGF93 ~ WGS84, GRS80)
+      Some(Lcc2Sp(lat0 = 46.5, lon0 = 3.0, sp1 = 49.0, sp2 = 44.0,
+        fe = 700000.0, fn = 6600000.0, flattening = GRS80_F))
+    case z if z >= 28348 && z <= 28358 => // GDA94 / MGA zones 48-58 (~WGS84)
+      Some(Utm(z - 28300, north = false))
+    case 2193 => // NZGD2000 / New Zealand Transverse Mercator (~WGS84, GRS80)
+      Some(Tm(lat0 = 0.0, lonCm = 173.0, k0 = 0.9996,
+        fe = 1600000.0, fn = 10000000.0, flattening = GRS80_F))
     case 4326 | 4269 | 4267 => Some(Identity)
     case 3857 => Some(WebMercator)
     case 3395 => Some(WorldMercator)
@@ -463,8 +471,9 @@ object CrsTransform {
     def to4326(code: Int): CrsTransform = forEpsg(code).getOrElse(
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
-          "UTM 326xx/327xx/269xx/258xx, 27700, 2263, 2248, 3435, 5070, 26985, or any " +
-          "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection parameters"))
+          "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 2154, 2193, 2263, 2248, " +
+          "3435, 5070, 26985, or any LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON " +
+          "with its projection parameters"))
     compose(to4326(from), to4326(to))
   }
 

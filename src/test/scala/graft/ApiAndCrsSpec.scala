@@ -76,9 +76,27 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    // 2154 (RGF93 / Lambert-93) is reachable only via full WKT/PROJJSON,
-    // not by bare EPSG code
-    intercept[IllegalArgumentException](CrsTransform.chain(4326, 2154))
+    // 2056 (Swiss LV95, oblique mercator) has no wired transform
+    intercept[IllegalArgumentException](CrsTransform.chain(4326, 2056))
+  }
+
+  test("Lambert-93, MGA, and NZTM map their false origins exactly; roundtrip") {
+    // LCC-2SP false origin (lon0, lat0) -> (FE, FN) by definition
+    val l93 = CrsTransform.chain(4326, 2154)
+    val (fe, fn) = l93.forward(3.0, 46.5)
+    assert(math.abs(fe - 700000.0) < 1e-6 && math.abs(fn - 6600000.0) < 1e-6)
+    val (plon, plat) = l93.inverse(l93.forward(2.3522, 48.8566)._1, l93.forward(2.3522, 48.8566)._2)
+    assert(math.abs(plon - 2.3522) < 1e-7 && math.abs(plat - 48.8566) < 1e-7)
+    // NZTM: equator on the central meridian -> (FE, FN) exactly
+    val nz = CrsTransform.chain(4326, 2193)
+    val (ne, nn) = nz.forward(173.0, 0.0)
+    assert(math.abs(ne - 1600000.0) < 1e-6 && math.abs(nn - 10000000.0) < 1e-6)
+    val (wlon, wlat) = nz.inverse(nz.forward(174.7633, -36.8485)._1, nz.forward(174.7633, -36.8485)._2)
+    assert(math.abs(wlon - 174.7633) < 1e-7 && math.abs(wlat - -36.8485) < 1e-7)
+    // MGA zone 55 aliases UTM 55S
+    val a = CrsTransform.chain(4326, 28355).forward(144.9631, -37.8136) // Melbourne
+    val b = CrsTransform.chain(4326, 32755).forward(144.9631, -37.8136)
+    assert(a == b)
   }
 
   test("4326 -> 2263 (NY Long Island state plane, ftUS — the nybb CRS)") {
