@@ -57,6 +57,18 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(lo2 - -0.0015) > 1e-5 || math.abs(la2 - 51.4779) > 1e-5) // but nonzero
   }
 
+  test("27700 forward/inverse closes over the whole GB domain") {
+    val t = CrsTransform.chain(4326, 27700)
+    for (lon <- -8 to 2; lat <- 50 to 60) {
+      val (e, n) = t.forward(lon.toDouble, lat.toDouble)
+      val (lo, la) = t.inverse(e, n)
+      // Snyder series truncation grows with distance from the 2°W central
+      // meridian: ~5 cm at 6° out (lon -8). 2e-6 deg ~ 20 cm bound.
+      assert(math.abs(lo - lon) < 2e-6 && math.abs(la - lat) < 2e-6,
+        s"roundtrip drift at ($lon,$lat): ($lo,$la)")
+    }
+  }
+
   test("ETRS89 UTM zones alias WGS84 UTM (cm-level datum difference ignored)") {
     val a = CrsTransform.chain(4326, 25832).forward(9.0, 52.0)
     val b = CrsTransform.chain(4326, 32632).forward(9.0, 52.0)
