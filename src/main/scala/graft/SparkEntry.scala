@@ -628,6 +628,19 @@ object SparkEntry {
         .select(col("shard"), col("pack"), col("n_docs"), col("pack_tokens"),
           md5(col("pack_text")).as("chunk_md5"))
     }),
+    "q84_domain_filter" -> ((s, d) => {
+      // domain-blocklist filtering: URLs with doc-derived (mixed-case)
+      // hosts are constructed around each doc, hosts extracted+lowercased,
+      // and the blocklist decision gated against closed-form values
+      val raw = concat(col("text"), lit(" see https://Site"),
+        (col("doc_id") % 5).cast("string"), lit(".Example.com/p and http://blocked"),
+        (col("doc_id") % 3).cast("string"), lit(".org/x"))
+      docs(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          array_join(TextFunctions.urlHosts(col("raw")), ",").as("hosts"),
+          size(TextFunctions.urlHosts(col("raw"))).as("n_urls"),
+          TextFunctions.hasBlockedDomain(col("raw"), Seq("blocked0.org")).as("blocked"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -1064,6 +1077,15 @@ object SparkEntry {
            |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
            |       doc_id % 8 AS shard FROM documents)))
            | GROUP BY shard, pack""".stripMargin.replace("\n", " "),
+      "q84_domain_filter" ->
+        s"""SELECT doc_id,
+           | array_to_string(list_transform(regexp_extract_all(raw, 'https?://([^/\\s]+)', 1),
+           |   h -> lower(h)), ',') AS hosts,
+           | CAST(len(regexp_extract_all(raw, 'https?://([^/\\s]+)', 1)) AS INT) AS n_urls,
+           | (doc_id % 3 = 0) AS blocked
+           | FROM (SELECT doc_id, text || ' see https://Site' || (doc_id % 5) ||
+           |   '.Example.com/p and http://blocked' || (doc_id % 3) || '.org/x' AS raw
+           |   FROM documents)""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

@@ -226,6 +226,17 @@ object TextFunctions {
   def piiEmailCount(c: Column): Column = regexp_count(c, lit(EmailPattern))
   def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PhonePattern))
 
+  /** Hosts of all URLs in the text, lowercased in order of appearance —
+    * the input to domain-blocklist filtering (the C4/RefinedWeb pipeline
+    * step). Native regexp_extract_all, codegen-friendly. */
+  def urlHosts(c: Column): Column =
+    transform(regexp_extract_all(c, lit("https?://([^/\\s]+)"), lit(1)), h => lower(h))
+
+  /** True when any URL host in the text is on the blocklist (exact,
+    * lowercase match). Map-side only — a blocklist is a literal array. */
+  def hasBlockedDomain(c: Column, blocked: Seq[String]): Column =
+    arrays_overlap(urlHosts(c), array(blocked.map(b => lit(b.toLowerCase)): _*))
+
   /** Non-blank trimmed lines of a document (Gopher/Dolma-style repetition
     * filters operate on these). */
   def linesOf(c: Column): Column =

@@ -37,6 +37,23 @@ class TextPipelineSpec extends AnyFunSuite {
       "no pii here just words and 12 numbers 345")
   }
 
+  test("urlHosts extracts lowercased hosts in order; blocklist matches exactly") {
+    val df = Seq(
+      "visit https://WWW.Example.COM/a then http://sub.Bad.org/x?q=1 end",
+      "no urls at all",
+      "edge https://host-only.io").toDF("t")
+    val hosts = df.select(TextFunctions.urlHosts(col("t"))).as[Seq[String]].collect()
+    assert(hosts(0) == Seq("www.example.com", "sub.bad.org"))
+    assert(hosts(1) == Seq())
+    assert(hosts(2) == Seq("host-only.io"))
+    val blocked = df.select(TextFunctions.hasBlockedDomain(col("t"), Seq("sub.bad.org")))
+      .as[Boolean].collect().toSeq
+    assert(blocked == Seq(true, false, false))
+    // blocklist is exact-host: a parent domain does not match a subdomain
+    assert(df.select(TextFunctions.hasBlockedDomain(col("t"), Seq("bad.org")))
+      .as[Boolean].collect().toSeq == Seq(false, false, false))
+  }
+
   test("line stats drop blanks, count distinct, compute dup fraction") {
     val doc = "alpha\n x \n\nalpha\nbeta\n  \nx"
     val df = Seq(doc, "").toDF("t")
