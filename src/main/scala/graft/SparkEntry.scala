@@ -641,6 +641,21 @@ object SparkEntry {
           size(TextFunctions.urlHosts(col("raw"))).as("n_urls"),
           TextFunctions.hasBlockedDomain(col("raw"), Seq("blocked0.org")).as("blocked"))
     }),
+    "q85_paragraph_dedup" -> ((s, d) => {
+      // span-level dedup: docs are built with a globally-unique head, a
+      // boilerplate paragraph 'x' shared by EVERY doc (corpus count = N,
+      // discovered by the engine's corpus-wide count), and a unique tail —
+      // the cleaned text must equal the closed-form head+tail the oracle
+      // states
+      val raw = concat_ws("\n",
+        concat(lit("h"), col("doc_id").cast("string"), lit(" "),
+          substring(trim(col("text")), 1, 10)),
+        lit("x"),
+        concat(lit("u"), col("doc_id").cast("string")))
+      val built = docs(s, d).select(col("doc_id"), raw.as("text"))
+      Dedup.dropRepeatedParagraphs(built, "doc_id", "text", maxOccurrences = 2)
+        .select(col("doc_id"), col("n_paras_kept"), col("cleaned"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -1086,6 +1101,10 @@ object SparkEntry {
            | FROM (SELECT doc_id, text || ' see https://Site' || (doc_id % 5) ||
            |   '.Example.com/p and http://blocked' || (doc_id % 3) || '.org/x' AS raw
            |   FROM documents)""".stripMargin.replace("\n", " "),
+      "q85_paragraph_dedup" ->
+        s"""SELECT doc_id, CAST(2 AS BIGINT) AS n_paras_kept,
+           | 'h' || doc_id || ' ' || substr(trim(text), 1, 10) || chr(10) || 'u' || doc_id AS cleaned
+           | FROM documents""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,
            | round(greatest(CAST(0 AS DOUBLE), min(ax1) - max(ax0)) * greatest(CAST(0 AS DOUBLE), min(ay1) - max(ay0)), 6) AS iarea

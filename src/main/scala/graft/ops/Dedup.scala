@@ -226,6 +226,34 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Paragraph-level (span) dedup, Dolma-style: drop every paragraph whose
+    * trimmed content occurs more than `maxOccurrences` times ACROSS THE
+    * CORPUS, and reassemble each document from its surviving paragraphs in
+    * original order. Unlike document-level dedup this removes boilerplate
+    * (headers, navigation, license blocks) that rides inside otherwise
+    * unique documents.
+    *
+    * Scale posture: one shuffle on the paragraph key (md5-uniform) for the
+    * corpus-wide count; the hot-key set (count > max) is tiny relative to
+    * the corpus, so the anti-join broadcasts under AQE; reassembly groups
+    * by doc id (bounded by document size). Blank paragraphs are kept — they
+    * are structure, not content. */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                             maxOccurrences: Long = 1, sep: String = "\n"): DataFrame = {
+    val parts = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__p")))
+      .withColumn("__key", trim(col("__p")))
+    val hot = parts.filter(col("__key") =!= "")
+      .groupBy(col("__key")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxOccurrences)
+      .select(col("__key"))
+    val kept = parts.join(hot, Seq("__key"), "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        concat_ws(sep, transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          s => s.getField("__p"))).as("cleaned"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of its
     * DISTINCT word n-grams that appear in ANY probe (benchmark) document;
     * rows with `overlap >= minOverlap` are the contamination candidates a

@@ -66,6 +66,24 @@ class TextPipelineSpec extends AnyFunSuite {
     assert((rows(1).getInt(0), rows(1).getInt(1), rows(1).getDouble(2)) == ((0, 0, 0.0)))
   }
 
+  test("paragraph dedup drops corpus-repeated spans, keeps structure and order") {
+    val corpus = Seq(
+      (1L, "keep1\nDUP\n\nkeep2"),
+      (2L, "DUP\nother"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val cleaned = Dedup.dropRepeatedParagraphs(corpus, "doc_id", "text", maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // "DUP" occurs twice across the corpus -> dropped everywhere;
+    // blank paragraphs are structure and survive
+    assert(cleaned(1L) == ((3L, "keep1\n\nkeep2")))
+    assert(cleaned(2L) == ((1L, "other")))
+    assert(cleaned(3L) == ((1L, "solo")))
+    // with maxOccurrences = 2 nothing is hot and docs pass through intact
+    val loose = Dedup.dropRepeatedParagraphs(corpus, "doc_id", "text", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(loose(1L) == "keep1\nDUP\n\nkeep2")
+  }
+
   test("contaminationOverlap counts distinct shared bigrams vs the probe set") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),         // bigrams incl "the cat","cat sat"
