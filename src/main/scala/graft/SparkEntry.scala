@@ -656,6 +656,17 @@ object SparkEntry {
       Dedup.dropRepeatedParagraphs(built, "doc_id", "text", maxOccurrences = 2)
         .select(col("doc_id"), col("n_paras_kept"), col("cleaned"))
     }),
+    "q86_ngram_repetition" -> ((s, d) => {
+      // within-doc repetition: a 3-word phrase repeated k = 2 + doc_id % 3
+      // times has 3k-1 bigrams of which exactly 3 are distinct, so the
+      // duplicate fraction is the closed-form 1 - 3/(3k-1)
+      val k = (lit(2) + col("doc_id") % 3).cast("int")
+      val built = docs(s, d).select(col("doc_id"),
+        rtrim(repeat(lit("alpha beta gamma "), k)).as("looped"))
+      built.select(col("doc_id"),
+        TextFunctions.tokenCount(col("looped")).as("n_tokens"),
+        TextFunctions.dupNgramFraction(col("looped"), 2).as("dup_bigram_frac"))
+    }),
     "q61_intersection_all" -> ((s, d) => boxes(s, d)
       .groupBy(col("l_returnflag"))
       .agg(st_intersection_all_agg(col("box_a")).as("g"))
@@ -1104,6 +1115,10 @@ object SparkEntry {
       "q85_paragraph_dedup" ->
         s"""SELECT doc_id, CAST(2 AS BIGINT) AS n_paras_kept,
            | 'h' || doc_id || ' ' || substr(trim(text), 1, 10) || chr(10) || 'u' || doc_id AS cleaned
+           | FROM documents""".stripMargin.replace("\n", " "),
+      "q86_ngram_repetition" ->
+        s"""SELECT doc_id, CAST(3 * (2 + doc_id % 3) AS INT) AS n_tokens,
+           | round(CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE) / (3 * (2 + doc_id % 3) - 1), 6) AS dup_bigram_frac
            | FROM documents""".stripMargin.replace("\n", " "),
       "q61_intersection_all" ->
         s"""SELECT l_returnflag,

@@ -255,6 +255,15 @@ object TextFunctions {
       round(lit(1.0) - size(array_distinct(l)).cast("double") / size(l), 6))
   }
 
+  /** WITHIN-document duplicate word-n-gram fraction (Gopher's repetition
+    * family at the n-gram granularity): 1 − distinct/total n-grams. High
+    * values flag looping/templated text that line-level stats miss. */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
+  }
+
   /** Rolling polynomial fingerprint: fold over UTF-8 bytes,
     * h = (h * 131 + byte) mod (2^31 - 1), h0 = 0. SQL-reproducible. */
   val fingerprintU: UserDefinedFunction = udf((s: String) =>

@@ -66,6 +66,15 @@ class TextPipelineSpec extends AnyFunSuite {
     assert((rows(1).getInt(0), rows(1).getInt(1), rows(1).getDouble(2)) == ((0, 0, 0.0)))
   }
 
+  test("dupNgramFraction: looping text scores high, varied text scores 0") {
+    val df = Seq(
+      "a b c a b c a b c",  // 8 bigrams, 3 distinct -> 0.625
+      "all words here are different ones", // 5 bigrams all distinct -> 0.0
+      "x").toDF("t")        // no bigrams -> 0.0
+    val got = df.select(TextFunctions.dupNgramFraction(col("t"), 2)).as[Double].collect().toSeq
+    assert(got == Seq(0.625, 0.0, 0.0))
+  }
+
   test("paragraph dedup drops corpus-repeated spans, keeps structure and order") {
     val corpus = Seq(
       (1L, "keep1\nDUP\n\nkeep2"),
