@@ -335,6 +335,9 @@ object CrsTransform {
   /** Airy 1830 ellipsoid (OSGB36 / British National Grid). */
   val AIRY_A = 6377563.396
   val AIRY_F = 1.0 / 299.3249646
+  /** Bessel 1841 ellipsoid (Amersfoort / Dutch RD). */
+  val BESSEL_A = 6377397.155
+  val BESSEL_F = 1.0 / 299.1528128
 
   /** 7-parameter Helmert datum shift (EPSG position-vector convention,
     * method 9606), applied in geocentric coordinates with h=0. Parameters
@@ -401,6 +404,75 @@ object CrsTransform {
     }
   }
 
+  /** Oblique Stereographic, EPSG method 9809 (the "double projection":
+    * ellipsoid -> conformal sphere -> spherical stereographic) — the Dutch
+    * RD and several other national grids. Forward follows EPSG Guidance
+    * Note 7-2; the inverse is a damped 2-D Newton solve of the forward
+    * (finite-difference Jacobian, converges to sub-mm in <10 iterations) —
+    * numerically robust and self-verifying against the forward. */
+  final case class ObliqueStereo(lat0: Double, lon0: Double, k0: Double,
+                                 fe: Double, fn: Double, unit: Double = 1.0,
+                                 a: Double = WGS84_A, flattening: Double = WGS84_F)
+      extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val sin0 = math.sin(phi0)
+    private val rho0 = a * (1 - e2) / math.pow(1 - e2 * sin0 * sin0, 1.5)
+    private val nu0 = a / math.sqrt(1 - e2 * sin0 * sin0)
+    private val bigR = math.sqrt(rho0 * nu0)
+    private val n = math.sqrt(1 + e2 * math.pow(math.cos(phi0), 4) / (1 - e2))
+    private val s1 = (1 + sin0) / (1 - sin0)
+    private val s2 = (1 - e * sin0) / (1 + e * sin0)
+    private val w1 = math.pow(s1 * math.pow(s2, e), n)
+    private val sinChi00 = (w1 - 1) / (w1 + 1)
+    private val c = (n + sin0) * (1 - sinChi00) / ((n - sin0) * (1 + sinChi00))
+    private val w2 = c * w1
+    private val chi0 = math.asin((w2 - 1) / (w2 + 1))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val sa = (1 + math.sin(phi)) / (1 - math.sin(phi))
+      val sb = (1 - e * math.sin(phi)) / (1 + e * math.sin(phi))
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      val chi = math.asin((w - 1) / (w + 1))
+      val dLam = n * (lam - lam0)
+      val b = 1 + math.sin(chi) * math.sin(chi0) + math.cos(chi) * math.cos(chi0) * math.cos(dLam)
+      val x = 2 * bigR * k0 * math.cos(chi) * math.sin(dLam) / b
+      val y = 2 * bigR * k0 * (math.sin(chi) * math.cos(chi0) - math.cos(chi) * math.sin(chi0) * math.cos(dLam)) / b
+      (x / unit + fe, y / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      var lon = lon0
+      var lat = lat0
+      val epsDeg = 1e-7
+      var i = 0
+      while (i < 25) {
+        val (fx, fy) = forward(lon, lat)
+        val dx = x - fx
+        val dy = y - fy
+        if (math.abs(dx) < 1e-9 && math.abs(dy) < 1e-9) i = 25
+        else {
+          val (fxl, fyl) = forward(lon + epsDeg, lat)
+          val (fxp, fyp) = forward(lon, lat + epsDeg)
+          val j11 = (fxl - fx) / epsDeg; val j12 = (fxp - fx) / epsDeg
+          val j21 = (fyl - fy) / epsDeg; val j22 = (fyp - fy) / epsDeg
+          val det = j11 * j22 - j12 * j21
+          if (det == 0) i = 25
+          else {
+            lon += (dx * j22 - dy * j12) / det
+            lat += (dy * j11 - dx * j21) / det
+          }
+        }
+        i += 1
+      }
+      (lon, lat)
+    }
+  }
+
   /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
     * OSGB36->WGS84 set in the OS coordinate-systems guide). */
   private def osgb36Helmert: Helmert =
@@ -430,6 +502,14 @@ object CrsTransform {
     case 2193 => // NZGD2000 / New Zealand Transverse Mercator (~WGS84, GRS80)
       Some(Tm(lat0 = 0.0, lonCm = 173.0, k0 = 0.9996,
         fe = 1600000.0, fn = 10000000.0, flattening = GRS80_F))
+    case 28992 => // Amersfoort / RD New: Helmert + oblique stereographic on Bessel 1841
+      Some(DatumProjected(
+        Helmert(tx = -565.2369, ty = -50.0087, tz = -465.658,
+          rxSec = 0.406857, rySec = -0.350733, rzSec = 1.87035, sPpm = -4.0812,
+          aDst = BESSEL_A, fDst = BESSEL_F),
+        ObliqueStereo(lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600,
+          lon0 = 5.0 + 23.0 / 60 + 15.500 / 3600, k0 = 0.9999079,
+          fe = 155000.0, fn = 463000.0, a = BESSEL_A, flattening = BESSEL_F)))
     case 4326 | 4269 | 4267 => Some(Identity)
     case 3857 => Some(WebMercator)
     case 3395 => Some(WorldMercator)
@@ -471,9 +551,9 @@ object CrsTransform {
     def to4326(code: Int): CrsTransform = forEpsg(code).getOrElse(
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
-          "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 2154, 2193, 2263, 2248, " +
-          "3435, 5070, 26985, or any LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON " +
-          "with its projection parameters"))
+          "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
+          "2248, 3435, 5070, 26985, or any LCC/TM/Albers/Mercator CRS given as " +
+          "WKT/PROJJSON with its projection parameters"))
     compose(to4326(from), to4326(to))
   }
 

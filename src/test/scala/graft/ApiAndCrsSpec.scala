@@ -69,6 +69,32 @@ class CrsSpec extends AnyFunSuite {
     }
   }
 
+  test("28992 Dutch RD: projection origin exact, Amsterdam sane, Newton inverse closes") {
+    // on the OSGB36-style Amersfoort datum side, the projection origin maps
+    // to (FE, FN) by construction — independent of the Helmert parameters
+    val proj = CrsTransform.ObliqueStereo(lat0 = 52.0 + 9.0 / 60 + 22.178 / 3600,
+      lon0 = 5.0 + 23.0 / 60 + 15.500 / 3600, k0 = 0.9999079,
+      fe = 155000.0, fn = 463000.0,
+      a = CrsTransform.BESSEL_A, flattening = CrsTransform.BESSEL_F)
+    val (x0, y0) = proj.forward(5.0 + 23.0 / 60 + 15.500 / 3600, 52.0 + 9.0 / 60 + 22.178 / 3600)
+    assert(math.abs(x0 - 155000.0) < 1e-6 && math.abs(y0 - 463000.0) < 1e-6)
+    // full chain with datum shift: Amsterdam centrum is ~(121.4 km, 487.4 km)
+    val t = CrsTransform.chain(4326, 28992)
+    val (e, n) = t.forward(4.9041, 52.3676)
+    assert(math.abs(e - 121400) < 1500, s"easting $e")
+    assert(math.abs(n - 487300) < 1500, s"northing $n")
+    // Newton inverse closes the loop
+    val (lon, lat) = t.inverse(e, n)
+    // ~7 mm residual from the geodetic fixed-point tail in the datum step
+    assert(math.abs(lon - 4.9041) < 1e-7 && math.abs(lat - 52.3676) < 1e-7)
+    // domain sweep
+    for (lo <- 4 to 7; la <- 51 to 53) {
+      val (xx, yy) = t.forward(lo.toDouble, la.toDouble)
+      val (l2, p2) = t.inverse(xx, yy)
+      assert(math.abs(l2 - lo) < 1e-7 && math.abs(p2 - la) < 1e-7)
+    }
+  }
+
   test("ETRS89 UTM zones alias WGS84 UTM (cm-level datum difference ignored)") {
     val a = CrsTransform.chain(4326, 25832).forward(9.0, 52.0)
     val b = CrsTransform.chain(4326, 32632).forward(9.0, 52.0)
