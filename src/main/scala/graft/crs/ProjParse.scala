@@ -174,6 +174,9 @@ object ProjParse {
 
     if (m.contains("transversemercator") || m.contains("gausskruger"))
       Some(Tm(lat0, lon0, k0, fe, fn, unit, a, f))
+    else if (m.contains("obliquestereographic") || m.contains("doublestereographic") ||
+             m.contains("roussilhe"))
+      Some(ObliqueStereo(lat0, lon0, k0, fe, fn, unit, a, f))
     else if (m.contains("lambertconformalconic") || m.contains("lambertconicconformal")) {
       val s1 = sp1.getOrElse(lat0)
       val s2 = sp2.getOrElse(s1)

@@ -168,6 +168,30 @@ class ProjParseSpec extends AnyFunSuite {
     assert(math.abs(x - xr) < 1e-6 && math.abs(y - yr) < 1e-6)
   }
 
+  test("WKT1 Oblique_Stereographic (Dutch RD) parses to the wired projection") {
+    val wkt =
+      """PROJCS["Amersfoort / RD New", GEOGCS["Amersfoort",
+        | DATUM["Amersfoort", SPHEROID["Bessel 1841",6377397.155,299.1528128]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Oblique_Stereographic"],
+        | PARAMETER["latitude_of_origin",52.1561605555556],
+        | PARAMETER["central_meridian",5.38763888888889],
+        | PARAMETER["scale_factor",0.9999079],
+        | PARAMETER["false_easting",155000], PARAMETER["false_northing",463000],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).get
+    val wired = CrsTransform.ObliqueStereo(lat0 = 52.1561605555556, lon0 = 5.38763888888889,
+      k0 = 0.9999079, fe = 155000.0, fn = 463000.0,
+      a = CrsTransform.BESSEL_A, flattening = CrsTransform.BESSEL_F)
+    // same forward surface (projection only — the datum step is the
+    // registry's job, ProjParse resolves to the geographic base)
+    for (lon <- Seq(4.5, 5.5, 6.5); lat <- Seq(51.5, 52.5)) {
+      val (x1, y1) = parsed.forward(lon, lat)
+      val (x2, y2) = wired.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6, s"($lon,$lat)")
+    }
+  }
+
   test("geographic WKT resolves to identity (null datum shift)") {
     val wkt =
       """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
