@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. Spec: split(trim(text), '\s+'). */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens. Spec: the non-empty pieces of
+    * split(trim(text), '\s+'). The empty-filter matters only for text whose
+    * FIRST character is non-space whitespace (trim is ASCII-space-only, so
+    * the split would otherwise emit a phantom leading "" — caught by
+    * TextLawsSpec); the DuckDB oracle mirror len(regexp_split_to_array(
+    * trim(text),'\s+')) is identical on whitespace-clean corpus text. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -200,10 +206,13 @@ object TextFunctions {
     }.sum))
 
   /** Canonical text normalization for dedup keys / quality filters:
-    * lowercase, trim, collapse runs of whitespace to single spaces. Pure
-    * native expressions — stays inside whole-stage codegen. */
+    * lowercase, collapse runs of whitespace to single spaces, trim. The
+    * collapse runs FIRST: Spark's trim strips only ASCII spaces, so
+    * trimming before collapsing would leave a leading space behind a
+    * leading tab/newline and break idempotence (caught by TextLawsSpec).
+    * Pure native expressions — stays inside whole-stage codegen. */
   def normalizeText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   // PII patterns shared by redaction and counting. Restricted to syntax
   // with identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
