@@ -135,6 +135,32 @@ stays distributed.
           all.filter(col("doc_id") % 97 =!= 0), all.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 2, minOverlap = 20).count(), 0L)
       }
+      bench("paragraph span dedup", mult) {
+        // replication makes every paragraph corpus-hot at 4x/16x — worst-case
+        // hot-set size for the anti-join; output = every doc (left join back)
+        (graft.ops.Dedup.dropRepeatedParagraphs(docs(mult), "doc_id", "text",
+          maxOccurrences = 2).count(), 0L)
+      }
+      bench("pii redaction", mult) {
+        // map-side scalar chain; the filter on the computed columns keeps
+        // Catalyst from pruning the regexp work under count()
+        val raw = concat(lit("u"), col("doc_id").cast("string"), lit("@mail-x.com "),
+          col("text"), lit(" see https://ex.org/p?q="), col("doc_id").cast("string"),
+          lit(" or call 555-123-4567 now"))
+        val r = docs(mult).select(
+          graft.functions.TextFunctions.piiEmailCount(raw).as("ne"),
+          length(graft.functions.TextFunctions.redactPii(raw)).as("lr"))
+        (r.filter(col("ne") + col("lr") >= 0).count(), 0L)
+      }
+      bench("domain blocklist filter", mult) {
+        val raw = concat(col("text"), lit(" see https://Site"),
+          (col("doc_id") % 5).cast("string"), lit(".Example.com/p and http://blocked"),
+          (col("doc_id") % 3).cast("string"), lit(".org/x"))
+        val r = docs(mult).select(
+          size(graft.functions.TextFunctions.urlHosts(raw)).as("n_urls"),
+          graft.functions.TextFunctions.hasBlockedDomain(raw, Seq("blocked0.org")).as("blocked"))
+        (r.filter(col("n_urls") + when(col("blocked"), 1).otherwise(0) >= 0).count(), 0L)
+      }
       bench("stratified sample + pack", mult) {
         val g = docs(mult).withColumn("grp", (col("doc_id") % 3).cast("string"))
         val s = graft.ops.Sampling.stratifiedSample(g, "doc_id", "grp",

@@ -105,6 +105,13 @@ object SparkEntry {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+  /** documents + one synthetic EMPTY doc: the corpus has no empty/whitespace
+    * text, so q82/q83 append doc_id -8 (→ shard 0 under both Spark `pmod`
+    * and DuckDB `%`) to keep the tokens()-of-empty path inside the oracle
+    * gate — graft and DuckDB must both count 0 tokens for it. */
+  private def docsWithEmpty(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(spark.range(1).select(lit(-8L).as("doc_id"), lit("").as("text")))
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -406,6 +413,20 @@ object SparkEntry {
       .filter(col("l_orderkey") % 50 === 3)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(stLengthU(st_boundary(col("box_a"))), 6).as("blen"))),
+    "q87_interior_rings" -> ((s, d) => {
+      // count_interior_rings (ref base.py:629): even orderkeys get a 0.5x0.5
+      // hole punched strictly inside box_a (box width >= 2, height >= 1, the
+      // hole sits in the [0.25, 0.75] corner square), odd ones stay solid —
+      // hole count and closed-form area both verified
+      val b = boxes(s, d).filter(col("l_orderkey") % 25 === 4)
+      val hole = st_makebox(col("ax0") + lit(0.25), col("ay0") + lit(0.25),
+        col("ax0") + lit(0.75), col("ay0") + lit(0.75))
+      val poly = when(col("l_orderkey") % 2 === 0,
+        st_difference(col("box_a"), hole)).otherwise(col("box_a"))
+      b.select(col("l_orderkey"), col("l_linenumber"),
+        st_n_interior_rings(poly).as("n_holes"),
+        round(st_area(poly), 6).as("area"))
+    }),
     "q45_reverse_wkt" -> ((s, d) => supLines(s, d)
       .select(col("s_suppkey"), st_astext(st_reverse(col("line"))).as("wkt"))),
     "q46_wkt_parse" -> ((s, d) => pts(s, d)
@@ -614,15 +635,18 @@ object SparkEntry {
     "q82_pack_sequences" -> ((s, d) =>
       // chunked sequence packing for training batches: sharded exclusive
       // prefix-sum of token counts, pack = prefix div budget — one window
-      // pass, no global-order bottleneck
-      Sampling.packSequences(docs(s, d), "doc_id", "text",
+      // pass, no global-order bottleneck. A synthetic empty document
+      // (doc_id -8 → shard 0 in Spark pmod AND DuckDB %) rides along so the
+      // gate exercises the tokens()==0 degenerate path the corpus lacks.
+      Sampling.packSequences(docsWithEmpty(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)
         .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack"))),
     "q83_assemble_packs" -> ((s, d) => {
       // training-chunk assembly: each pack's member docs concatenated in id
       // order with a separator token; the oracle reproduces the exact chunk
-      // text (compared via md5) with an ordered string_agg
-      val packed = Sampling.packSequences(docs(s, d), "doc_id", "text",
+      // text (compared via md5) with an ordered string_agg. Includes the
+      // same synthetic empty doc as q82 (degenerate-token-count coverage).
+      val packed = Sampling.packSequences(docsWithEmpty(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)
       Sampling.assemblePacks(packed, "doc_id", "text")
         .select(col("shard"), col("pack"), col("n_docs"), col("pack_tokens"),
@@ -893,7 +917,7 @@ object SparkEntry {
         s"""SELECT doc_id, len(toks) AS n_tokens,
            | round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks) END, 6) AS stop_ratio,
            | round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END, 6) AS mean_wlen
-           | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)""".stripMargin.replace("\n", " "),
+           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin.replace("\n", " "),
       "q26_lang_id" ->
         s"""SELECT doc_id, (list_max([
            |  {'s': len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))), 'l': 'de'},
@@ -901,10 +925,10 @@ object SparkEntry {
            |  {'s': len(list_filter(toks, x -> x IN ('el','los','las','es','y'))), 'l': 'es'},
            |  {'s': len(list_filter(toks, x -> x IN ('le','la','les','et','est'))), 'l': 'fr'},
            |  {'s': len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2'))), 'l': 'zh'}])).l AS pred_lang
-           | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)""".stripMargin.replace("\n", " "),
+           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin.replace("\n", " "),
       "q27_quality" ->
         s"""SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE), CAST(1 AS DOUBLE))
-           | + least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+           | + least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
            | + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * CAST(5 AS DOUBLE)))
            | / CAST(3 AS DOUBLE), 6) AS quality FROM documents""".stripMargin.replace("\n", " "),
       "q29_embedding_topk" ->
@@ -972,7 +996,7 @@ object SparkEntry {
            | WHERE ax0 <= 40 AND 10 <= ax1 AND ay0 <= 40 AND 10 <= ay1""".stripMargin.replace("\n", " "),
       "q28_minhash_pairs" -> minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.3),
       "q30_simhash" ->
-        s"""WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\\s+'), tok -> md5(tok)) AS hs FROM documents),
+        s"""WITH t AS (SELECT doc_id, list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), tok -> md5(tok)) AS hs FROM documents),
            | bits AS (SELECT doc_id, list_transform(range(0, 64), j -> CASE WHEN
            |   list_sum(list_transform(hs, h -> CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
            |   THEN 1 ELSE 0 END) AS b FROM t)
@@ -995,6 +1019,12 @@ object SparkEntry {
       "q44_boundary_length" ->
         s"""SELECT l_orderkey, l_linenumber, round(CAST(2 AS DOUBLE) * ((ax1-ax0) + (ay1-ay0)), 6) AS blen
            | FROM $boxes WHERE l_orderkey % 50 = 3""".stripMargin.replace("\n", " "),
+      "q87_interior_rings" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           | CAST(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_holes,
+           | round((ax1-ax0) * (ay1-ay0)
+           |   - CASE WHEN l_orderkey % 2 = 0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) AS area
+           | FROM $boxes WHERE l_orderkey % 25 = 4""".stripMargin.replace("\n", " "),
       "q45_reverse_wkt" ->
         s"""SELECT s_suppkey, 'LINESTRING (' || ${fmtSql("x2")} || ' ' || ${fmtSql("y2")} || ', ' ||
            | ${fmtSql("x1")} || ' ' || ${fmtSql("y1")} || ')' AS wkt FROM $sup""".stripMargin.replace("\n", " "),
@@ -1070,7 +1100,7 @@ object SparkEntry {
            | CAST(CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE 0.25 END AS DOUBLE) AS dup_line_frac
            | FROM documents""".stripMargin.replace("\n", " "),
       "q80_decontamination" ->
-        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+        s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents),
            | gr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
            |   i -> t[i] || ' ' || t[i+1]))) AS sh FROM toks),
            | probe AS (SELECT DISTINCT sh FROM gr WHERE doc_id % 97 = 0)
@@ -1088,8 +1118,9 @@ object SparkEntry {
            |   coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS pre
            |   FROM (SELECT doc_id,
-           |     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           |     doc_id % 8 AS shard FROM documents))""".stripMargin.replace("\n", " "),
+           |     CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |     doc_id % 8 AS shard FROM (SELECT doc_id, text FROM documents
+           |       UNION ALL SELECT CAST(-8 AS BIGINT), '')))""".stripMargin.replace("\n", " "),
       "q83_assemble_packs" ->
         s"""SELECT shard, pack, count(*) AS n_docs,
            | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
@@ -1100,8 +1131,9 @@ object SparkEntry {
            |     coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS pre
            |     FROM (SELECT doc_id, text,
-           |       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           |       doc_id % 8 AS shard FROM documents)))
+           |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |       doc_id % 8 AS shard FROM (SELECT doc_id, text FROM documents
+           |         UNION ALL SELECT CAST(-8 AS BIGINT), ''))))
            | GROUP BY shard, pack""".stripMargin.replace("\n", " "),
       "q84_domain_filter" ->
         s"""SELECT doc_id,
@@ -1167,7 +1199,7 @@ object SparkEntry {
       "q67_pipeline" -> {
         val qualityExpr =
           """round((least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE), CAST(1 AS DOUBLE))
-            | + least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+            | + least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
             | + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END) * CAST(5 AS DOUBLE)))
             | / CAST(3 AS DOUBLE), 6)""".stripMargin.replace("\n", " ")
         val langExpr =
@@ -1178,13 +1210,13 @@ object SparkEntry {
             |  {'s': len(list_filter(toks0, x -> x IN ('le','la','les','et','est'))), 'l': 'fr'},
             |  {'s': len(list_filter(toks0, x -> x IN ('de5','shi4','le5','zai4','he2'))), 'l': 'zh'}])).l""".stripMargin.replace("\n", " ")
         s"""WITH f AS (
-           |  SELECT doc_id, text FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks0 FROM documents)
+           |  SELECT doc_id, text FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks0 FROM documents)
            |  WHERE $qualityExpr >= CAST(0.5 AS DOUBLE) AND $langExpr = 'en'),
            | ex AS (SELECT min(doc_id) AS doc_id, min(text) AS text, count(*) AS dup_count FROM f GROUP BY md5(text)),
            | nd AS (SELECT DISTINCT id_b AS doc_id FROM (${minhashOracle(k = 3, numHashes = 16, bands = 4, threshold = 0.5, src = "ex")})),
            | kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM nd))
            | SELECT count(*) AS n_docs,
-           |   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+           |   round(avg(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))), 4) AS avg_tokens,
            |   CAST(sum(dup_count) AS BIGINT) AS n_represented
            | FROM kept""".stripMargin.replace("\n", " ")
       },
@@ -1288,7 +1320,7 @@ object SparkEntry {
       case 3 => "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
       case _ => throw new IllegalArgumentException("oracle supports k=2,3")
     }
-    s"""WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
+    s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM $src),
        | sh AS (SELECT doc_id, $shingleExpr AS sh FROM tok WHERE len(toks) >= $k),
        | sigs AS (SELECT doc_id, sh, list_transform(range(0, $numHashes),
        |   j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM sh),

@@ -182,6 +182,7 @@ object GeoFunctions extends Serializable {
   val stZU: UserDefinedFunction = udf(g2d(GeomOps.pointZ))
   val stNPointsU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else Some(GeomOps.numPoints(rd(b))))
   val stNGeometriesU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else Some(GeomOps.numGeometries(rd(b))))
+  val stNInteriorRingsU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else Some(GeomOps.numInteriorRings(rd(b))))
   val stGeometryTypeU: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) null else GeomOps.geometryType(rd(b)))
   val stMinClearanceU: UserDefinedFunction = udf(g2d(GeomOps.minimumClearance))
   val stMinBoundingRadiusU: UserDefinedFunction = udf(g2d(GeomOps.minimumBoundingRadius))
@@ -200,6 +201,7 @@ object GeoFunctions extends Serializable {
   def st_z(g: Column): Column = stZU(g)
   def st_npoints(g: Column): Column = stNPointsU(g)
   def st_ngeometries(g: Column): Column = stNGeometriesU(g)
+  def st_n_interior_rings(g: Column): Column = stNInteriorRingsU(g)
   def st_geometrytype(g: Column): Column = stGeometryTypeU(g)
   def st_bounds(g: Column): Column = stBoundsU(g)
   def st_project(a: Column, b: Column, normalized: Column): Column = stProjectU(a, b, normalized)
@@ -494,6 +496,7 @@ object GeoFunctions extends Serializable {
     r.register("st_hausdorff_distance", stHausdorffU); r.register("st_frechet_distance", stFrechetU)
     r.register("st_x", stXU); r.register("st_y", stYU); r.register("st_z", stZU)
     r.register("st_npoints", stNPointsU); r.register("st_ngeometries", stNGeometriesU)
+    r.register("st_n_interior_rings", stNInteriorRingsU)
     r.register("st_geometrytype", stGeometryTypeU); r.register("st_bounds", stBoundsU)
     r.register("st_boundary", stBoundaryU); r.register("st_centroid", stCentroidU)
     r.register("st_representative_point", stRepresentativePointU)

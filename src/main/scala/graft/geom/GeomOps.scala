@@ -170,6 +170,13 @@ object GeomOps {
     case p: Polygon => (0 until p.getNumInteriorRing).map(p.getInteriorRingN(_): Geometry).toArray
     case _          => Array.empty
   }
+  /** Hole count (ref geopandas/base.py:629 `count_interior_rings`):
+    * polygons report their interior-ring count, everything else 0 —
+    * matching shapely's count_interior_rings semantics. */
+  def numInteriorRings(g: Geometry): Int = g match {
+    case p: Polygon => p.getNumInteriorRing
+    case _          => 0
+  }
   def extractUniquePoints(g: Geometry): Geometry = {
     val seen = scala.collection.mutable.LinkedHashSet[(Double, Double, Double)]()
     val coords = scala.collection.mutable.ArrayBuffer[Coordinate]()

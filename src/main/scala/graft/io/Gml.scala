@@ -54,11 +54,28 @@ object Gml {
   /** GDAL convention: `foo.gml` types live in `foo.xsd` next to it. Only
     * `xs:element name=... type=...` pairs are needed. */
   private def readXsdTypes(spark: SparkSession, path: String): Map[String, String] = {
-    val candidates = Seq(
-      new org.apache.hadoop.fs.Path(path.replaceAll("(?i)\\.gml$", "") + ".xsd"),
-      new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/schema.xsd"))
-    val fs = candidates.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val xsdPath = candidates.find(fs.exists).orNull
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Resolve globs/directories first (same globStatus discipline as
+    // sniffCrs): for `/dir/*.gml` the literal string rewrite would probe the
+    // non-path `/dir/*.xsd` and silently fall back to all-string typing,
+    // while the directory form found its schema — the two spellings must
+    // see the same .xsd companions.
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = matched.flatMap(st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st))
+    val gmls = files.map(_.getPath).sortBy(_.getName)
+      .filter(_.getName.toLowerCase.endsWith(".gml"))
+    val candidates =
+      gmls.map(g => new org.apache.hadoop.fs.Path(g.getParent,
+        g.getName.replaceAll("(?i)\\.gml$", "") + ".xsd")) ++
+      (gmls.map(_.getParent).distinct ++
+        matched.filter(_.isDirectory).map(_.getPath)).map(d =>
+        new org.apache.hadoop.fs.Path(d, "schema.xsd")) ++
+      Seq(new org.apache.hadoop.fs.Path(path.replaceAll("(?i)\\.gml$", "") + ".xsd"),
+        new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/schema.xsd"))
+    val xsdPath = candidates
+      .find(c => try fs.exists(c) catch { case _: Throwable => false }).orNull
     if (xsdPath == null) Map.empty
     else {
       val in = fs.open(xsdPath)
@@ -185,8 +202,11 @@ object Gml {
 
   private def propsToJson(props: collection.mutable.LinkedHashMap[String, String],
                           fieldTypes: Map[String, String]): String = {
+    // strict JSON-number grammar: '+5', '007', '5.' or '.5' would render as
+    // invalid JSON and null out the WHOLE row in from_json — such values
+    // fall through to the quoted-string branch instead
     def numericOk(s: String): Boolean =
-      s.nonEmpty && s.matches("[-+]?(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?")
+      s.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][-+]?\\d+)?")
     val parts = props.map { case (k, v) =>
       val rendered = fieldTypes.get(k) match {
         case Some("int") if numericOk(v) => v

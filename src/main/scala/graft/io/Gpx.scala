@@ -243,11 +243,13 @@ object Gpx {
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
-  /** Point rows → wpt elements; LineString/MultiLineString rows → trk
-    * elements (one trkseg per LineString part). Attribute columns whose
-    * names are GPX child tags are emitted as such; any OTHER column rides
-    * in `<extensions>` (GDAL's GPX_USE_EXTENSIONS surface) so arbitrary
-    * frames round-trip. */
+  /** Point rows → wpt elements; LineString rows → rte elements (one rtept
+    * per vertex) and MultiLineString rows → trk elements (one trkseg per
+    * part) — the same geometry→layer mapping as GDAL's GPX writer, so
+    * LineStrings round-trip through the `routes` layer and MultiLineStrings
+    * through `tracks`. Attribute columns whose names are GPX child tags are
+    * emitted as such; any OTHER column rides in `<extensions>` (GDAL's
+    * GPX_USE_EXTENSIONS surface) so arbitrary frames round-trip. */
   private[io] def rowXml(g: Geometry, attrs: Seq[(String, String)]): String = {
     val known = attrs.collect {
       case (k, v) if AttrTags(k) && v != null => s"<$k>${xmlEscape(v)}</$k>"
@@ -266,8 +268,8 @@ object Gpx {
       case p: Point =>
         s"<wpt ${ptAttrs(p.getCoordinate)}>${eleChild(p.getCoordinate)}$children</wpt>"
       case l: LineString =>
-        val seg = l.getCoordinates.map(c => s"<trkpt ${ptAttrs(c)}>${eleChild(c)}</trkpt>").mkString
-        s"<trk>$children<trkseg>$seg</trkseg></trk>"
+        val seg = l.getCoordinates.map(c => s"<rtept ${ptAttrs(c)}>${eleChild(c)}</rtept>").mkString
+        s"<rte>$children$seg</rte>"
       case ml: MultiLineString =>
         val segs = (0 until ml.getNumGeometries).map { i =>
           val seg = ml.getGeometryN(i).getCoordinates

@@ -90,6 +90,87 @@ object PostgisIO {
     out.write.mode(mode).jdbc(url, table, properties)
   }
 
+  // ----------------------------------------------------- DDL / type mapping
+
+  /** PostgreSQL column type for a Spark field (ref `io/sql.py:343-463` —
+    * the reference delegates typing to SQLAlchemy's postgres dialect; this
+    * is the mapping that surfaces for the frame types the engine writes). */
+  private[io] def pgType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType             => "bigint"
+      case IntegerType          => "integer"
+      case ShortType | ByteType => "smallint"
+      case DoubleType           => "double precision"
+      case FloatType            => "real"
+      case BooleanType          => "boolean"
+      case DateType             => "date"
+      case _: TimestampType     => "timestamp with time zone"
+      case d: DecimalType       => s"numeric(${d.precision},${d.scale})"
+      case BinaryType           => "bytea"
+      case _                    => "text"
+    }
+  }
+
+  /** Derby spelling of the same columns — lets the create-then-append write
+    * path run end-to-end in-container (no PostGIS server ships here). */
+  private[io] def derbyType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => "bigint"
+      case IntegerType => "integer"
+      case DoubleType  => "double"
+      case BooleanType => "boolean"
+      // CLOB, not LONG VARCHAR: Spark's Derby JDBC dialect binds StringType
+      // parameters as CLOB, and Derby refuses a CLOB bind on LONG VARCHAR
+      case _           => "clob"
+    }
+  }
+
+  /** How a target database spells CREATE TABLE column types: `geometry`
+    * renders the geometry column (PostGIS' typmod form carries subtype +
+    * SRID, e.g. `geometry(Point,4326)` — ref `io/sql.py:343-463`);
+    * `scalar` renders everything else. Parameterizing the dialect keeps ONE
+    * create-then-append code path that the Derby round-trip exercises while
+    * the PostGIS DDL text itself is pinned by unit test. */
+  final case class SqlDdlDialect(
+      geometry: (String, Int) => String,
+      scalar: org.apache.spark.sql.types.DataType => String)
+
+  val PostgisDdl: SqlDdlDialect =
+    SqlDdlDialect((gt, srid) => s"geometry($gt,$srid)", pgType)
+  val DerbyDdl: SqlDdlDialect =
+    SqlDdlDialect((_, _) => "clob", derbyType)
+
+  /** The CREATE TABLE statement `to_postgis` issues for a new table. */
+  def createTableDdl(gdf: GeoDataFrame, table: String, srid: Int,
+                     geometryType: String = "Geometry",
+                     dialect: SqlDdlDialect = PostgisDdl): String = {
+    val cols = gdf.df.schema.fields.map { f =>
+      val t = if (f.name == gdf.geometryCol) dialect.geometry(geometryType, srid)
+              else dialect.scalar(f.dataType)
+      "\"" + f.name + "\" " + t
+    }
+    s"CREATE TABLE $table (${cols.mkString(", ")})"
+  }
+
+  /** `to_postgis` against a PRE-CREATED table: issue the dialect's CREATE
+    * TABLE (PostGIS: geometry typmod column), then append through the same
+    * JDBC writer — the path a live server takes when the table is new
+    * (ref `io/sql.py:343-463`). */
+  def toPostgisWithDdl(gdf: GeoDataFrame, url: String, table: String, srid: Int,
+                       geometryType: String = "Geometry",
+                       dialect: SqlDdlDialect = PostgisDdl,
+                       properties: java.util.Properties = new java.util.Properties()): Unit = {
+    val ddl = createTableDdl(gdf, table, srid, geometryType, dialect)
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl) finally st.close()
+    } finally conn.close()
+    toPostgis(gdf, url, table, srid, properties, mode = "append")
+  }
+
   // --------------------------------------------------------------- helpers
 
   private[io] def hexToBytes(hex: String): Array[Byte] = {

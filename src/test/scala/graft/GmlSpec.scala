@@ -151,9 +151,48 @@ class GmlSpec extends AnyFunSuite {
     assert(back.df.agg(sum("id")).as[Long].head() == (1 to 40).map(_.toLong).sum)
     // typed via the shared xsd
     assert(back.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
-    // glob paths must work too (CRS sniff must not listStatus a pattern)
+    // glob paths must work too (CRS sniff must not listStatus a pattern) and
+    // must see the same .xsd companion as the directory spelling: same types
     val viaGlob = Gml.read(spark, s"$dir/parts/*.gml")
     assert(viaGlob.df.count() == 40)
     assert(viaGlob.crs.get("geometry").contains("EPSG:4326"))
+    assert(viaGlob.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("invalid-JSON numerics (+5, 007, 5.) fall back to strings, not null rows") {
+    // a malformed numeric rendered unquoted would invalidate the row's JSON
+    // and from_json would null out EVERY field of that feature
+    val dir = java.nio.file.Files.createTempDirectory("gmlnum").toString
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs" xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.org/app">
+        |<gml:featureMember><app:f>
+        |  <app:name>ok</app:name><app:v>42</app:v>
+        |  <app:geom><gml:Point><gml:coordinates>1,1</gml:coordinates></gml:Point></app:geom>
+        |</app:f></gml:featureMember>
+        |<gml:featureMember><app:f>
+        |  <app:name>plus</app:name><app:v>+5</app:v>
+        |  <app:geom><gml:Point><gml:coordinates>2,2</gml:coordinates></gml:Point></app:geom>
+        |</app:f></gml:featureMember>
+        |<gml:featureMember><app:f>
+        |  <app:name>padded</app:name><app:v>007</app:v>
+        |  <app:geom><gml:Point><gml:coordinates>3,3</gml:coordinates></gml:Point></app:geom>
+        |</app:f></gml:featureMember>
+        |</wfs:FeatureCollection>""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/n.gml"), xml.getBytes("UTF-8"))
+    val xsd =
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |<xs:element name="name" type="xs:string"/>
+        |<xs:element name="v" type="xs:int"/>
+        |</xs:schema>""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/n.xsd"), xsd.getBytes("UTF-8"))
+    val g = Gml.read(spark, s"$dir/n.gml")
+    assert(g.df.count() == 3)
+    // no nulled-out rows: every name survives alongside its value
+    val got = g.df.select(col("name"), col("v").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == Set("ok", "plus", "padded"))
+    assert(got("ok") == "42")
+    assert(got("plus") == "+5" && got("padded") == "007") // kept verbatim as strings
   }
 }

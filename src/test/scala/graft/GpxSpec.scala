@@ -34,27 +34,35 @@ class GpxSpec extends AnyFunSuite {
     assert(z1.contains("1234.5"))
   }
 
-  test("tracks layer: LineString/MultiLineString become trk/trkseg and back") {
+  test("GDAL layer mapping: LineString→rte (routes), MultiLineString→trk (tracks)") {
     val wkts = Seq(
-      (1L, "t1", "LINESTRING (0 0, 1 1, 2 0)"),
+      (1L, "r1", "LINESTRING (0 0, 1 1, 2 0)"),
       (2L, "t2", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))"))
     val df = wkts.toDF("id", "name", "wkt")
     val gdf = GeoDataFrame(df.withColumn("geometry", st_geomfromwkt(col("wkt"))).drop("wkt"))
     val dir = java.nio.file.Files.createTempDirectory("gpxt").toString
     Gpx.write(gdf, s"$dir/t.gpx")
+    // LineStrings round-trip through the routes layer (GDAL writes them as rte)
+    val routes = Gpx.read(spark, s"$dir/t.gpx", layer = Some("routes")).df
+    assert(routes.count() == 1)
+    val r1 = routes.filter(col("name") === "r1")
+      .select(st_astext(col("geometry"))).as[String].head()
+    assert(r1.startsWith("LINESTRING") && r1.contains("2 0"))
     val tracks = Gpx.read(spark, s"$dir/t.gpx", layer = Some("tracks")).df
-    assert(tracks.count() == 2)
+    assert(tracks.count() == 1)
     val t2 = tracks.filter(col("name") === "t2")
       .select(st_astext(col("geometry"))).as[String].head()
     assert(t2.startsWith("MULTILINESTRING") && t2.contains("3 3"))
-    // per-vertex layer with GDAL's fid/segment columns
+    // per-vertex layers with GDAL's fid/segment columns
     val pts = Gpx.read(spark, s"$dir/t.gpx", layer = Some("track_points")).df
-    assert(pts.count() == 3 + 2 + 3)
+    assert(pts.count() == 2 + 3)
     assert(pts.columns.toSet.intersect(
       Set("track_fid", "track_seg_id", "track_seg_point_id")).size == 3)
-    val segs = pts.filter(col("track_fid") === 1)
+    val segs = pts.filter(col("track_fid") === 0)
       .select(col("track_seg_id").cast("int")).as[Int].collect().toSet
     assert(segs == Set(0, 1))
+    val rpts = Gpx.read(spark, s"$dir/t.gpx", layer = Some("route_points")).df
+    assert(rpts.count() == 3)
   }
 
   test("reads hand-written GPX with routes and route_points") {

@@ -84,6 +84,58 @@ class PostgisAndPinsSpec extends AnyFunSuite {
     assert(srid == 4326)
   }
 
+  test("EWKB SRID word matches the PostGIS wire format (flag 0x20000000 + LE srid)") {
+    // ref io/sql.py:300-315 — to_postgis writes hex-EWKB with include_srid;
+    // the type word must carry the 0x20000000 flag and the 4 LE srid bytes
+    def hexFor(srid: Int): String = Seq(Wkb.write(GeomOps.point(1, 2))).toDF("g")
+      .select(PostgisIO.encode_hex_ewkb(col("g"), lit(srid))).as[String].head()
+    // byte order 01 (NDR), type word 0x20000001 LE, then the srid word LE
+    assert(hexFor(4326).startsWith("0101000020E6100000")) // 4326 = 0x10E6
+    assert(hexFor(3857).startsWith("0101000020110F0000")) // 3857 = 0x0F11
+    assert(hexFor(27700).startsWith("0101000020346C0000")) // 27700 = 0x6C34
+    // and the srid reader inverts the word exactly
+    for (s <- Seq(4326, 3857, 27700)) {
+      val got = Seq(hexFor(s)).toDF("h").select(PostgisIO.ewkb_srid(col("h"))).head().getInt(0)
+      assert(got == s)
+    }
+  }
+
+  test("PostGIS CREATE TABLE DDL: geometry typmod + SQLAlchemy-style scalar types") {
+    val df = Seq((1L, "a", 1.5, true, Wkb.write(GeomOps.point(1, 2))))
+      .toDF("id", "name", "score", "flag", "geometry")
+    val gdf = graft.api.GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:4326"))
+    val ddl = PostgisIO.createTableDdl(gdf, "cities", srid = 4326, geometryType = "Point")
+    assert(ddl == """CREATE TABLE cities ("id" bigint, "name" text, "score" double precision, "flag" boolean, "geometry" geometry(Point,4326))""")
+    // default subtype is the untyped geometry typmod
+    assert(PostgisIO.createTableDdl(gdf, "t2", srid = 27700)
+      .endsWith(""""geometry" geometry(Geometry,27700))"""))
+  }
+
+  test("create-then-append write path round-trips through a pre-created table (Derby dialect)") {
+    // the SAME toPostgisWithDdl code path a live PostGIS takes, with the
+    // dialect swapped to Derby's spellings since no server ships here
+    val url = "jdbc:derby:memory:graftddl;create=true"
+    val pts = Seq(
+      (1, "alpha", Wkb.write(GeomOps.point(3, 4))),
+      (2, "beta", null.asInstanceOf[Array[Byte]])).toDF("id", "name", "geometry")
+    val gdf = graft.api.GeoDataFrame(pts, "geometry", Map("geometry" -> "EPSG:27700"))
+    PostgisIO.toPostgisWithDdl(gdf, url, "pre_rt", srid = 27700,
+      geometryType = "Point", dialect = PostgisIO.DerbyDdl)
+    val back = PostgisIO.readPostgis(spark, url,
+      """SELECT "id", "name", "geometry" AS "geom" FROM pre_rt""",
+      geomCol = "geom", crs = Some("EPSG:27700"))
+    val rows = back.df.select("id", "name", "geometry").collect()
+      .map(r => (r.getInt(0), Option(r.getAs[Array[Byte]](2)).map(Wkb.read))).sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0)._2.get.equalsExact(GeomOps.point(3, 4)))
+    assert(rows(1)._2.isEmpty)
+    // the pre-created table carried the EWKB srid over the wire
+    val srid = spark.read.jdbc(url, "pre_rt", new java.util.Properties())
+      .filter(col("id") === 1)
+      .select(PostgisIO.ewkb_srid(col("geometry").cast("string"))).head().getInt(0)
+    assert(srid == 27700)
+  }
+
   test("Pins: scan/project/filter plans skip the pin; shuffles and nondeterminism require it") {
     val base = Seq((1, "a"), (2, "b")).toDF("id", "s")
     assert(!Pins.needsPin(base))

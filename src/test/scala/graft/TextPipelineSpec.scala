@@ -93,6 +93,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(loose(1L) == "keep1\nDUP\n\nkeep2")
   }
 
+  test("paragraph dedup keeps a fully-boilerplate doc with n_paras_kept = 0") {
+    // doc 4 is NOTHING BUT the corpus-hot paragraph: it must survive in the
+    // output (n_paras_kept = 0, cleaned = '') rather than silently vanish —
+    // dropping the row would change corpus cardinality under the caller's feet
+    val corpus = Seq(
+      (1L, "unique1\nBOILER"),
+      (2L, "BOILER\nunique2"),
+      (4L, "BOILER")).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedParagraphs(corpus, "doc_id", "text", maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(4L) == ((0L, "")))
+    assert(got(1L) == ((1L, "unique1")))
+  }
+
   test("contaminationOverlap counts distinct shared bigrams vs the probe set") {
     val corpus = Seq(
       (1L, "the cat sat on the mat"),         // bigrams incl "the cat","cat sat"
