@@ -14,7 +14,8 @@ class NewQueryOracleSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
   private val checked = Seq("q75_audio_decode_real", "q76_gml_roundtrip",
-    "q77_gpx_roundtrip", "q79_repetition_stats", "q81_stratified_sample")
+    "q77_gpx_roundtrip", "q79_repetition_stats", "q81_stratified_sample",
+    "q87_interior_rings")
 
   private def registerTables(): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
