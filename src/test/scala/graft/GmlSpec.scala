@@ -28,6 +28,11 @@ class GmlSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       (1L, "alpha & <co>", 1.5, true, 10.0, 20.0),
       (2L, "beta", -0.25, false, -30.5, 45.25)))
+    // a glob spelling must resolve the per-file sibling .xsd the same way
+    val viaGlob = Gml.read(spark, s"$dir/*.gml")
+    assert(viaGlob.df.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(viaGlob.df.schema("flag").dataType == org.apache.spark.sql.types.BooleanType)
+    assert(viaGlob.df.count() == 2)
   }
 
   test("all geometry families roundtrip through GML3") {
