@@ -236,13 +236,14 @@ object Dedup {
     * Scale posture: one shuffle on the paragraph key (md5-uniform) for the
     * corpus-wide count. The hot-key set (count > max) is small on clean
     * corpora but corpus-scale in the worst case (heavy boilerplate), so the
-    * anti-join is planned as a plain join that AQE may broadcast when the
-    * hot side is small and otherwise degrades to a shuffle join on the
-    * md5-uniform paragraph key — correct either way. Reassembly groups by
-    * doc id (bounded by document size). Blank paragraphs are kept — they
-    * are structure, not content. Every input document appears in the
-    * output: a doc whose paragraphs are ALL corpus-hot survives with
-    * `n_paras_kept = 0, cleaned = ''` rather than silently vanishing. */
+    * hot lookup is planned as a plain LEFT join that AQE may broadcast when
+    * the hot side is small and otherwise degrades to a shuffle join on the
+    * md5-uniform paragraph key — correct either way. Reassembly is ONE
+    * groupBy on doc id (bounded by document size): hot paragraphs are
+    * flagged, not dropped, so every input document appears in the output by
+    * construction — a doc whose paragraphs are ALL corpus-hot survives with
+    * `n_paras_kept = 0, cleaned = ''` rather than silently vanishing.
+    * Blank paragraphs are kept — they are structure, not content. */
   def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
                              maxOccurrences: Long = 1, sep: String = "\n"): DataFrame = {
     val parts = df.select(col(idCol),
@@ -251,16 +252,14 @@ object Dedup {
     val hot = parts.filter(col("__key") =!= "")
       .groupBy(col("__key")).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxOccurrences)
-      .select(col("__key"))
-    val kept = parts.join(hot, Seq("__key"), "left_anti")
-    val assembled = kept.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras_kept"),
-        concat_ws(sep, transform(array_sort(collect_list(struct(col("__pos"), col("__p")))),
+      .select(col("__key"), lit(true).as("__hot"))
+    parts.join(hot, Seq("__key"), "left")
+      .groupBy(col(idCol))
+      .agg(count(when(col("__hot").isNull, 1)).as("n_paras_kept"),
+        concat_ws(sep, transform(
+          filter(array_sort(collect_list(struct(col("__pos"), col("__p"), col("__hot")))),
+            s => s.getField("__hot").isNull),
           s => s.getField("__p"))).as("cleaned"))
-    df.select(col(idCol)).join(assembled, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
   /** Benchmark decontamination: for each corpus document, the number of its
