@@ -147,6 +147,38 @@ object Plans {
       graft.ops.Sampling.packSequences(sampled, "doc_id", "text", budgetTokens = 512, shards = 8)
     }
 
+    section("Paragraph-level span dedup (single-groupBy reassembly)",
+      "Round-8 shape: hot paragraphs are flagged via ONE LEFT join against the " +
+        "corpus-hot set and filtered inside a single groupBy reassembly — a " +
+        "fully-boilerplate doc survives with n_paras_kept=0 instead of being " +
+        "dropped by an anti-join. Exchanges: the paragraph-hash aggregate and " +
+        "the doc_id reassembly; AQE broadcasts the hot set when it is small, " +
+        "else it degrades to a shuffled hash join.") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.dropRepeatedParagraphs(docs, "doc_id", "text", maxOccurrences = 2)
+    }
+
+    section("Interior-ring count + hole-punched area (q87)",
+      "count_interior_rings over constructed holed polygons: the whole query is " +
+        "scalar expressions in ONE WholeStageCodegen span over the scan — no " +
+        "exchange, no UDF boxing on the filter path.") {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("ax0", (col("l_partkey") % 50).cast("double"))
+        .withColumn("ay0", (col("l_suppkey") % 50).cast("double"))
+        .withColumn("ax1", (col("l_partkey") % 50 + 1 + col("l_linenumber")).cast("double"))
+        .withColumn("ay1", (col("l_suppkey") % 50 + 1 + col("l_orderkey") % 5).cast("double"))
+        .filter(col("l_orderkey") % 25 === 4)
+      import graft.functions.GeoFunctions._
+      val hole = st_makebox(col("ax0") + lit(0.25), col("ay0") + lit(0.25),
+        col("ax0") + lit(0.75), col("ay0") + lit(0.75))
+      val geom = when(col("l_orderkey") % 2 === 0,
+        st_difference(st_makebox(col("ax0"), col("ay0"), col("ax1"), col("ay1")), hole))
+        .otherwise(st_makebox(col("ax0"), col("ay0"), col("ax1"), col("ay1")))
+      l.select(col("l_orderkey"), col("l_linenumber"),
+        st_n_interior_rings(geom).as("n_holes"),
+        round(st_area(geom), 6).as("area"))
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

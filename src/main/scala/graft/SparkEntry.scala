@@ -106,12 +106,25 @@ object SparkEntry {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   /** documents + one synthetic EMPTY doc: the corpus has no empty/whitespace
-    * text, so q82/q83 append doc_id -8 (→ shard 0 under both Spark `pmod`
-    * and DuckDB `%`) to keep the tokens()-of-empty path inside the oracle
-    * gate — graft and DuckDB must both count 0 tokens for it. */
+    * text, so q82/q83 append a sentinel doc to keep the tokens()-of-empty
+    * path inside the oracle gate — graft and DuckDB must both count 0 tokens
+    * for it. The sentinel id is DERIVED as min(doc_id)-1 (round-8 review: a
+    * hard-coded -8 would silently double-count if a fixture ever contained
+    * that id); both oracle mirrors derive the identical value, and their
+    * shard formula is pmod-equivalent so a negative sentinel lands in the
+    * same shard on both engines. */
+  private def docsWithSentinel(spark: SparkSession, dir: String, text: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val sentinel = d.agg(min(col("doc_id")).as("m"))
+      .select((col("m") - 1).as("doc_id"), lit(text).as("text"))
+    d.unionByName(sentinel)
+  }
   private def docsWithEmpty(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("text"))
-      .unionByName(spark.range(1).select(lit(-8L).as("doc_id"), lit("").as("text")))
+    docsWithSentinel(spark, dir, "")
+  /** The DuckDB spelling of [[docsWithSentinel]] — inlined into oracle
+    * mirrors so both engines see the identical degenerate row. */
+  private def docsWithSentinelSql(text: String): String =
+    s"(SELECT doc_id, text FROM documents UNION ALL SELECT (SELECT min(doc_id) FROM documents) - 1, '$text')"
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -166,11 +179,19 @@ object SparkEntry {
       SpatialJoin.sjoin(pts(s, d), cells(s, d), predicate = "intersects", how = "inner")
         .groupBy(col("n_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))),
-    "q10_sjoin_grid" -> ((s, d) =>
-      SpatialJoin.sjoin(pts(s, d), cells(s, d), predicate = "intersects", how = "inner",
-        broadcastThreshold = -1L)
+    "q10_sjoin_grid" -> ((s, d) => {
+      // adversarial fixture: one NULL-geometry row rides in the probe side —
+      // the distributed grid sjoin must drop it (inner semantics) without
+      // NPE; the oracle mirrors it as a NULL-coordinate row the join
+      // predicate rejects
+      val base = pts(s, d)
+      val nullGeom = base.limit(1).withColumn("geometry",
+        lit(null).cast(org.apache.spark.sql.types.BinaryType))
+      SpatialJoin.sjoin(base.unionByName(nullGeom), cells(s, d),
+        predicate = "intersects", how = "inner", broadcastThreshold = -1L)
         .groupBy(col("n_nationkey"))
-        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))),
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
+    }),
     "q11_sjoin_left" -> ((s, d) => {
       val westCells = cells(s, d).filter(col("cx") < 3)
       SpatialJoin.sjoin(pts(s, d), westCells, predicate = "intersects", how = "left")
@@ -239,7 +260,12 @@ object SparkEntry {
         .withColumn("g2", st_point((col("p_partkey") * 7 % 100).cast("double"), (col("p_partkey") * 11 % 100).cast("double")))
         .withColumn("mp", stCollectU(array(col("g1"), col("g2"))))
       import graft.api.GeoDataFrame
-      GeoDataFrame(p.select(col("p_partkey"), col("mp")), "mp").explodeParts().df
+      // adversarial fixture: an EMPTY multi-geometry row (0 parts) rides in —
+      // explodeParts must emit no rows for it on both engines
+      val inp = p.select(col("p_partkey"), col("mp")).unionByName(
+        p.agg(min(col("p_partkey")).as("m")).select((col("m") - 1).as("p_partkey"),
+          st_geomfromwkt(lit("MULTIPOLYGON EMPTY")).as("mp")))
+      GeoDataFrame(inp, "mp").explodeParts().df
         .select(col("p_partkey"), col("part_index"), st_x(col("mp")).as("x"), st_y(col("mp")).as("y"))
     }),
     "q21_convex_hull" -> ((s, d) => {
@@ -270,14 +296,19 @@ object SparkEntry {
     "q24_dedup_exact" -> ((s, d) => docs(s, d)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))),
-    "q25_token_stats" -> ((s, d) => docs(s, d).select(col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
-      round(TextFunctions.meanWordLength(col("text")), 6).as("mean_wlen"))),
+    "q25_token_stats" -> ((s, d) =>
+      // adversarial fixture: a whitespace-only doc (0 tokens) rides in —
+      // ratio denominators must not divide by zero on either engine
+      docsWithSentinel(s, d, "   ").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextFunctions.meanWordLength(col("text")), 6).as("mean_wlen"))),
     "q26_lang_id" -> ((s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.langId(col("text")).as("pred_lang"))),
-    "q27_quality" -> ((s, d) => docs(s, d).select(col("doc_id"),
-      TextFunctions.qualityScore(col("text")).as("quality"))),
+    "q27_quality" -> ((s, d) =>
+      // same whitespace-only degenerate doc as q25 (0 tokens, 0 punct)
+      docsWithSentinel(s, d, "   ").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
     "q28_minhash_pairs" -> ((s, d) =>
       // 4 hashes per band → band-collision prob j^4: few false candidates
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.3)
@@ -409,10 +440,19 @@ object SparkEntry {
       .filter(col("l_orderkey") % 50 === 2)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(st_area(st_minimum_rotated_rectangle(col("box_a"))), 6).as("rr_area"))),
-    "q44_boundary_length" -> ((s, d) => boxes(s, d)
-      .filter(col("l_orderkey") % 50 === 3)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        round(stLengthU(st_boundary(col("box_a"))), 6).as("blen"))),
+    "q44_boundary_length" -> ((s, d) => {
+      // adversarial fixture: a fully collapsed box (zero extent in both
+      // axes) — its boundary is zero-length linework on both engines; the
+      // negative orderkey cannot collide with TPC-H keys
+      val base = boxes(s, d).filter(col("l_orderkey") % 50 === 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("box_a"))
+      val degen = s.range(1).select(lit(-47L).as("l_orderkey"),
+        lit(-1).cast("int").as("l_linenumber"),
+        st_makebox(lit(5.0), lit(5.0), lit(5.0), lit(5.0)).as("box_a"))
+      base.unionByName(degen)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(stLengthU(st_boundary(col("box_a"))), 6).as("blen"))
+    }),
     "q87_interior_rings" -> ((s, d) => {
       // count_interior_rings (ref base.py:629): even orderkeys get a 0.5x0.5
       // hole punched strictly inside box_a (box width >= 2, height >= 1, the
@@ -635,9 +675,9 @@ object SparkEntry {
     "q82_pack_sequences" -> ((s, d) =>
       // chunked sequence packing for training batches: sharded exclusive
       // prefix-sum of token counts, pack = prefix div budget — one window
-      // pass, no global-order bottleneck. A synthetic empty document
-      // (doc_id -8 → shard 0 in Spark pmod AND DuckDB %) rides along so the
-      // gate exercises the tokens()==0 degenerate path the corpus lacks.
+      // pass, no global-order bottleneck. A synthetic empty document (id
+      // derived as min(doc_id)-1, collision-proof) rides along so the gate
+      // exercises the tokens()==0 degenerate path the corpus lacks.
       Sampling.packSequences(docsWithEmpty(s, d), "doc_id", "text",
         budgetTokens = 512, shards = 8)
         .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack"))),
@@ -855,7 +895,12 @@ object SparkEntry {
            | NOT (ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AS disj
            | FROM $boxes WHERE l_orderkey % 20 = 0""".stripMargin.replace("\n", " "),
       "q09_sjoin_points_cells" -> sjoinOracle(pts, cells),
-      "q10_sjoin_grid" -> sjoinOracle(pts, cells),
+      // same degenerate row as the Spark side: one NULL-coordinate (missing
+      // geometry) probe row that the inner-join predicate drops
+      "q10_sjoin_grid" -> sjoinOracle(
+        s"""($pts UNION ALL (SELECT * REPLACE (CAST(NULL AS DOUBLE) AS px,
+           | CAST(NULL AS DOUBLE) AS py) FROM $pts LIMIT 1))""".stripMargin.replace("\n", " "),
+        cells),
       "q11_sjoin_left" ->
         s"""SELECT c_custkey, n_nationkey FROM $pts p LEFT JOIN
            | (SELECT * FROM $cells WHERE cx < 3) c
@@ -898,8 +943,12 @@ object SparkEntry {
       "q19_get_coordinates" ->
         s"SELECT s_suppkey, x1 AS x, y1 AS y FROM $sup UNION ALL SELECT s_suppkey, x2 AS x, y2 AS y FROM $sup",
       "q20_explode_parts" ->
+        // the Spark side unions in an EMPTY MULTIPOLYGON row (p_partkey =
+        // min-1); exploding 0 parts emits 0 rows, mirrored by the
+        // explicitly-empty third branch
         s"""SELECT p_partkey, 0 AS part_index, CAST(p_partkey % 100 AS DOUBLE) AS x, CAST(p_partkey * 3 % 100 AS DOUBLE) AS y FROM part
-           | UNION ALL SELECT p_partkey, 1 AS part_index, CAST(p_partkey * 7 % 100 AS DOUBLE) AS x, CAST(p_partkey * 11 % 100 AS DOUBLE) AS y FROM part""".stripMargin.replace("\n", " "),
+           | UNION ALL SELECT p_partkey, 1 AS part_index, CAST(p_partkey * 7 % 100 AS DOUBLE) AS x, CAST(p_partkey * 11 % 100 AS DOUBLE) AS y FROM part
+           | UNION ALL SELECT (SELECT min(p_partkey) - 1 FROM part), 0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) WHERE 1 = 0""".stripMargin.replace("\n", " "),
       "q21_convex_hull" ->
         s"""SELECT p_partkey, round(abs((xb - xa) * (yc - ya) - (xc - xa) * (yb - ya)) / CAST(2 AS DOUBLE), 6) AS hull_area
            | FROM (SELECT p_partkey, CAST(p_partkey % 100 AS DOUBLE) AS xa, CAST(p_partkey * 3 % 100 AS DOUBLE) AS ya,
@@ -917,7 +966,7 @@ object SparkEntry {
         s"""SELECT doc_id, len(toks) AS n_tokens,
            | round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks) END, 6) AS stop_ratio,
            | round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END, 6) AS mean_wlen
-           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents)""".stripMargin.replace("\n", " "),
+           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM ${docsWithSentinelSql("   ")})""".stripMargin.replace("\n", " "),
       "q26_lang_id" ->
         s"""SELECT doc_id, (list_max([
            |  {'s': len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))), 'l': 'de'},
@@ -930,7 +979,7 @@ object SparkEntry {
         s"""SELECT doc_id, round((least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE), CAST(1 AS DOUBLE))
            | + least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
            | + greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - (CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * CAST(5 AS DOUBLE)))
-           | / CAST(3 AS DOUBLE), 6) AS quality FROM documents""".stripMargin.replace("\n", " "),
+           | / CAST(3 AS DOUBLE), 6) AS quality FROM ${docsWithSentinelSql("   ")}""".stripMargin.replace("\n", " "),
       "q29_embedding_topk" ->
         s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            | scored AS (SELECT vec_id,
@@ -1017,8 +1066,11 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber, round((ax1-ax0) * (ay1-ay0), 6) AS rr_area
            | FROM $boxes WHERE l_orderkey % 50 = 2""".stripMargin.replace("\n", " "),
       "q44_boundary_length" ->
+        // + the Spark side's collapsed zero-extent box: boundary length 0
         s"""SELECT l_orderkey, l_linenumber, round(CAST(2 AS DOUBLE) * ((ax1-ax0) + (ay1-ay0)), 6) AS blen
-           | FROM $boxes WHERE l_orderkey % 50 = 3""".stripMargin.replace("\n", " "),
+           | FROM $boxes WHERE l_orderkey % 50 = 3
+           | UNION ALL SELECT CAST(-47 AS BIGINT), CAST(-1 AS INT),
+           |   round(CAST(2 AS DOUBLE) * ((CAST(5.0 AS DOUBLE) - CAST(5.0 AS DOUBLE)) + (CAST(5.0 AS DOUBLE) - CAST(5.0 AS DOUBLE))), 6)""".stripMargin.replace("\n", " "),
       "q87_interior_rings" ->
         s"""SELECT l_orderkey, l_linenumber,
            | CAST(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_holes,
@@ -1119,8 +1171,8 @@ object SparkEntry {
            |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS pre
            |   FROM (SELECT doc_id,
            |     CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-           |     doc_id % 8 AS shard FROM (SELECT doc_id, text FROM documents
-           |       UNION ALL SELECT CAST(-8 AS BIGINT), '')))""".stripMargin.replace("\n", " "),
+           |     ((doc_id % 8) + 8) % 8 AS shard FROM (SELECT doc_id, text FROM documents
+           |       UNION ALL SELECT (SELECT min(doc_id) FROM documents) - 1, '')))""".stripMargin.replace("\n", " "),
       "q83_assemble_packs" ->
         s"""SELECT shard, pack, count(*) AS n_docs,
            | CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
@@ -1132,8 +1184,8 @@ object SparkEntry {
            |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS pre
            |     FROM (SELECT doc_id, text,
            |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-           |       doc_id % 8 AS shard FROM (SELECT doc_id, text FROM documents
-           |         UNION ALL SELECT CAST(-8 AS BIGINT), ''))))
+           |       ((doc_id % 8) + 8) % 8 AS shard FROM (SELECT doc_id, text FROM documents
+           |         UNION ALL SELECT (SELECT min(doc_id) FROM documents) - 1, ''))))
            | GROUP BY shard, pack""".stripMargin.replace("\n", " "),
       "q84_domain_filter" ->
         s"""SELECT doc_id,

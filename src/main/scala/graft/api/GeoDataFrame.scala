@@ -90,6 +90,13 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   def area: DataFrame = { warnIfGeographic("area"); df.withColumn("area", st_area(geometry)) }
   def length: DataFrame = { warnIfGeographic("length"); df.withColumn("length", st_length(geometry)) }
   def bounds: DataFrame = df.withColumn("bounds", st_bounds(geometry))
+  /** Interior-ring count per geometry (ref count_interior_rings, base.py:629);
+    * 0 for non-polygons, summed across a MultiPolygon's members. */
+  def countInteriorRings: DataFrame =
+    df.withColumn("count_interior_rings", st_n_interior_rings(geometry))
+  /** Interior rings as an array-of-linework column (ref interiors,
+    * geoseries.py — list of LinearRings per polygon). */
+  def interiors: DataFrame = df.withColumn("interiors", st_interiors(geometry))
   def centroid: GeoDataFrame = { warnIfGeographic("centroid"); copy(df = derived(st_centroid(geometry))) }
   def boundary: GeoDataFrame = copy(df = derived(st_boundary(geometry)))
   def envelope: GeoDataFrame = copy(df = derived(st_envelope(geometry)))

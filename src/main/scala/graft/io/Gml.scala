@@ -74,22 +74,30 @@ object Gml {
         new org.apache.hadoop.fs.Path(d, "schema.xsd")) ++
       Seq(new org.apache.hadoop.fs.Path(path.replaceAll("(?i)\\.gml$", "") + ".xsd"),
         new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/schema.xsd"))
-    val xsdPath = candidates
-      .find(c => try fs.exists(c) catch { case _: Throwable => false }).orNull
-    if (xsdPath == null) Map.empty
-    else {
+    // ALL existing companions are merged, not just the first name-sorted one:
+    // with heterogeneous per-file schemas under a glob, single-pick silently
+    // stamped one file's types on every file. Conflicts widen (int+double →
+    // double, anything else → string) so no file's values can violate the
+    // merged type and null rows in from_json.
+    val existing = candidates.distinct
+      .filter(c => try fs.exists(c) catch { case _: Throwable => false })
+    def widen(a: String, b: String): String =
+      if (a == b) a
+      else if (Set(a, b) == Set("int", "double")) "double"
+      else "string"
+    existing.foldLeft(Map.empty[String, String]) { (acc, xsdPath) =>
       val in = fs.open(xsdPath)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val el = """<xs:element[^>]*name="([^"]+)"[^>]*type="xs:(\w+)"""".r
-      el.findAllMatchIn(text).map { m =>
+      el.findAllMatchIn(text).foldLeft(acc) { (m0, m) =>
         val t = m.group(2) match {
           case "int" | "long" | "integer" | "short" | "byte" => "int"
           case "double" | "float" | "decimal"                => "double"
           case "boolean"                                     => "bool"
           case _                                             => "string"
         }
-        m.group(1) -> t
-      }.toMap
+        m0.updated(m.group(1), m0.get(m.group(1)).map(widen(_, t)).getOrElse(t))
+      }
     }
   }
 
@@ -202,16 +210,29 @@ object Gml {
 
   private def propsToJson(props: collection.mutable.LinkedHashMap[String, String],
                           fieldTypes: Map[String, String]): String = {
-    // strict JSON-number grammar: '+5', '007', '5.' or '.5' would render as
-    // invalid JSON and null out the WHOLE row in from_json — such values
-    // fall through to the quoted-string branch instead
+    // strict JSON-number grammar: an invalid number in rendered JSON nulls
+    // out the WHOLE row in from_json
     def numericOk(s: String): Boolean =
       s.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][-+]?\\d+)?")
+    // GDAL coerces tolerable spellings in xsd-numeric fields ('+5'→5,
+    // '007'→7, '5.'→5, '.5'→0.5); quoting them instead would downgrade the
+    // whole inferred column to string. Normalize first, quote only what
+    // still fails the strict grammar.
+    def normalizeNum(s: String): String = {
+      var t = s.trim
+      val neg = t.startsWith("-")
+      if (t.startsWith("+") || t.startsWith("-")) t = t.substring(1)
+      t = t.replaceFirst("^0+(?=\\d)", "")
+      if (t.startsWith(".")) t = "0" + t
+      if (t.endsWith(".")) t = t.dropRight(1)
+      (if (neg) "-" else "") + t
+    }
     val parts = props.map { case (k, v) =>
+      lazy val norm = normalizeNum(v)
       val rendered = fieldTypes.get(k) match {
-        case Some("int") if numericOk(v) => v
-        case Some("double") if numericOk(v) =>
-          if (v.contains('.') || v.contains('e') || v.contains('E')) v else v + ".0"
+        case Some("int") if numericOk(norm) => norm
+        case Some("double") if numericOk(norm) =>
+          if (norm.contains('.') || norm.contains('e') || norm.contains('E')) norm else norm + ".0"
         case Some("bool") if v == "true" || v == "false" => v
         case _ => IoFilters.jsonString(v)
       }

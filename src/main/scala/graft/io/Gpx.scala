@@ -250,10 +250,17 @@ object Gpx {
     * through `tracks`. Attribute columns whose names are GPX child tags are
     * emitted as such; any OTHER column rides in `<extensions>` (GDAL's
     * GPX_USE_EXTENSIONS surface) so arbitrary frames round-trip. */
+  /** GPX 1.1 xsd child order, one canonical sequence consistent with BOTH
+    * wptType (… time … name cmt desc src … sym type …) and rte/trkType
+    * (name cmt desc src … number type …) — frame column order must not leak
+    * into the document or strict validators reject it. */
+  private val TagOrder: Map[String, Int] =
+    Seq("time", "name", "cmt", "desc", "src", "sym", "number", "type").zipWithIndex.toMap
+
   private[io] def rowXml(g: Geometry, attrs: Seq[(String, String)]): String = {
     val known = attrs.collect {
-      case (k, v) if AttrTags(k) && v != null => s"<$k>${xmlEscape(v)}</$k>"
-    }.mkString
+      case (k, v) if AttrTags(k) && v != null => k -> s"<$k>${xmlEscape(v)}</$k>"
+    }.sortBy(kv => TagOrder.getOrElse(kv._1, Int.MaxValue)).map(_._2).mkString
     val extra = attrs.collect {
       case (k, v) if !AttrTags(k) && k != "ele" && v != null =>
         val kn = Gml.xmlName(k)

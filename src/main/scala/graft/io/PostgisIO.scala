@@ -79,15 +79,37 @@ object PostgisIO {
   }
 
   /** `to_postgis` (ref io/sql.py:343-463): write with the geometry encoded
-    * as hex-EWKB; create the real geometry column afterwards with
-    * `ALTER TABLE ... USING ST_GeomFromEWKB(decode(geom,'hex'))` or insert
-    * through a view — the encoding matches what PostGIS ingests. */
+    * as hex-EWKB. Into a pre-typed `geometry(...)` column (the
+    * [[toPostgisWithDdl]] path) PostgreSQL accepts the hex string through
+    * its implicit text→geometry cast — but ONLY when the parameter is sent
+    * untyped, which [[withPgStringtype]] guarantees. Into an untyped table
+    * the column lands as varchar; convert afterwards with
+    * `ALTER TABLE ... USING ST_GeomFromEWKB(decode(geom,'hex'))`. */
   def toPostgis(gdf: GeoDataFrame, url: String, table: String, srid: Int,
                 properties: java.util.Properties = new java.util.Properties(),
                 mode: String = "error"): Unit = {
     val out = gdf.df.withColumn(gdf.geometryCol,
       encodeHexEwkbU(col(gdf.geometryCol), lit(srid)))
-    out.write.mode(mode).jdbc(url, table, properties)
+    out.write.mode(mode).jdbc(url, table, withPgStringtype(url, properties))
+  }
+
+  /** pgJDBC binds String parameters as `varchar`, and PostgreSQL has no
+    * implicit varchar→geometry cast — so appending hex-EWKB into a
+    * `geometry(Type,srid)` column fails with "column is of type geometry
+    * but expression is of type character varying" unless the connection
+    * sets `stringtype=unspecified` (strings then bind as unknown-typed
+    * literals and the server's text→geometry cast applies). Defaulted for
+    * PostgreSQL URLs; a caller-provided value always wins; non-PG URLs
+    * (e.g. the Derby test harness) are untouched. */
+  private[graft] def withPgStringtype(url: String,
+                                      properties: java.util.Properties): java.util.Properties = {
+    if (!url.startsWith("jdbc:postgresql")) properties
+    else {
+      val p = new java.util.Properties()
+      p.putAll(properties)
+      if (!p.containsKey("stringtype")) p.setProperty("stringtype", "unspecified")
+      p
+    }
   }
 
   // ----------------------------------------------------- DDL / type mapping
@@ -163,12 +185,13 @@ object PostgisIO {
                        dialect: SqlDdlDialect = PostgisDdl,
                        properties: java.util.Properties = new java.util.Properties()): Unit = {
     val ddl = createTableDdl(gdf, table, srid, geometryType, dialect)
-    val conn = java.sql.DriverManager.getConnection(url, properties)
+    val props = withPgStringtype(url, properties)
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(ddl) finally st.close()
     } finally conn.close()
-    toPostgis(gdf, url, table, srid, properties, mode = "append")
+    toPostgis(gdf, url, table, srid, props, mode = "append")
   }
 
   // --------------------------------------------------------------- helpers

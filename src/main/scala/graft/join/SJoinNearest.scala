@@ -18,6 +18,12 @@ import org.locationtech.jts.geom.Envelope
   */
 object SJoinNearest {
 
+  /** Diagnostic: how many radius-expansion rounds the LAST unbounded
+    * distributed nearest (gridNearestAuto) executed on this driver. Driver-
+    * side only; `graft.Scale` records it as SCALE.md evidence that the
+    * multi-round plan converges in O(1) rounds on clustered data. */
+  private[graft] val lastAutoRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def sjoinNearest(left: DataFrame, right: DataFrame, how: String = "inner",
                    leftGeom: String = "geometry", rightGeom: String = "geometry",
                    lsuffix: String = "left", rsuffix: String = "right",
@@ -102,6 +108,7 @@ object SJoinNearest {
       radius *= 4
       rounds += 1
     }
+    lastAutoRounds.set(rounds)
     val inner = acc.getOrElse(lw.limit(0))
     val res = how match {
       case "left" =>

@@ -201,6 +201,20 @@ class GeoDataFrameSpec extends AnyFunSuite {
     assert(gdf.cx(-1, -1, 10, 10).count() == 2)
   }
 
+  test("countInteriorRings / interiors accessors mirror the SQL functions") {
+    val donut = Wkb.write(Wkb.readWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"))
+    val solid = Wkb.write(Wkb.readWkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    val pt = Wkb.write(GeomOps.point(1, 2))
+    val g = GeoDataFrame(Seq((1, donut), (2, solid), (3, pt)).toDF("id", "geometry"))
+    val counts = g.countInteriorRings.select(col("id"), col("count_interior_rings"))
+      .as[(Int, Int)].collect().toMap
+    assert(counts == Map(1 -> 1, 2 -> 0, 3 -> 0))
+    val ringCount = g.interiors.select(col("id"), size(col("interiors")))
+      .as[(Int, Int)].collect().toMap
+    assert(ringCount(1) == 1 && ringCount(2) == 0)
+  }
+
   test("setCrs refuses silent override; toCrs transforms") {
     intercept[IllegalArgumentException](gdf.setCrs("EPSG:3857"))
     val m = gdf.toCrs("EPSG:3857")

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contention-defense triggers (Bench.triggerReason): which
+  * first-pass timings earn a fresh re-measurement, and why. Pinned here so
+  * a floor/ratio tweak that silently exempts a regression class (the
+  * round-8 review found exactly that: `med > 0.15` exempted every
+  * sub-150 ms query) breaks a test instead of an audit. */
+class BenchTriggerSpec extends AnyFunSuite {
+
+  test("regressed: a sub-150 ms query slowing 12x now trips the trigger") {
+    // 0.01 s -> 0.12 s is a genuine 12x regression the old 0.15 floor hid
+    assert(Bench.triggerReason(Seq(0.12, 0.12, 0.12), Some(0.01)).contains("regressed"))
+    // below the 0.10 s floor stays exempt — noise-dominated territory
+    assert(Bench.triggerReason(Seq(0.09, 0.09, 0.09), Some(0.01)).isEmpty)
+    // within 2x of the previous median: not a regression
+    assert(Bench.triggerReason(Seq(0.5, 0.5, 0.5), Some(0.4)).isEmpty)
+    // no previous artifact: the regression leg cannot fire
+    assert(Bench.triggerReason(Seq(5.0, 5.0, 5.0), None).isEmpty)
+  }
+
+  test("spread: reps spanning >4x flag in-run contention without any previous file") {
+    assert(Bench.triggerReason(Seq(0.4, 0.5, 2.5), None).contains("spread"))
+    // median below the 0.3 s spread floor: exempt
+    assert(Bench.triggerReason(Seq(0.05, 0.06, 0.25), None).isEmpty)
+  }
+
+  test("both triggers at once report the combined reason") {
+    // med 0.6 > 2 * 0.2 (regressed) and 2.8/0.4 = 7x span (spread)
+    assert(Bench.triggerReason(Seq(0.4, 0.6, 2.8), Some(0.2)).contains("regressed+spread"))
+  }
+
+  test("empty timings (all-error query) never trigger") {
+    assert(Bench.triggerReason(Seq.empty, Some(0.1)).isEmpty)
+  }
+}

@@ -35,6 +35,30 @@ class GmlSpec extends AnyFunSuite {
     assert(viaGlob.df.count() == 2)
   }
 
+  test("GML writer child order matches GDAL's ogr layout and the companion .xsd") {
+    // GDAL's GML writer puts <ogr:geometryProperty> first inside the
+    // feature, then attributes in schema order; the companion .xsd's
+    // xs:element sequence must list attributes in the same order the
+    // features emit them (frame column order) or validation fails
+    val df = Seq((1L, "n", 2.5, 10.0, 20.0)).toDF("id", "name", "score", "x", "y")
+    val gdf0 = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val gdf = gdf0.copy(df = gdf0.df.drop("x", "y"))
+    val dir = java.nio.file.Files.createTempDirectory("gmlord").toString
+    Gml.write(gdf, s"$dir/o.gml")
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/o.gml")), "UTF-8")
+    val marks = Seq("<gml:featureMember>", "<ogr:feature>", "<ogr:geometryProperty>",
+      "</ogr:geometryProperty>", "<ogr:id>", "<ogr:name>", "<ogr:score>", "</ogr:feature>")
+    val pos = marks.map { m => val i = xml.indexOf(m); assert(i >= 0, s"missing $m"); i }
+    assert(pos == pos.sorted, s"GML child order violated: ${marks.zip(pos)}")
+    // the .xsd element sequence mirrors the attribute emit order
+    val xsd = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/o.xsd")), "UTF-8")
+    val xsdPos = Seq("\"id\"", "\"name\"", "\"score\"").map { m =>
+      val i = xsd.indexOf(m); assert(i >= 0, s"missing $m in xsd"); i }
+    assert(xsdPos == xsdPos.sorted)
+  }
+
   test("all geometry families roundtrip through GML3") {
     val wkts = Seq(
       "POINT (1 2)",
@@ -164,24 +188,30 @@ class GmlSpec extends AnyFunSuite {
     assert(viaGlob.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
   }
 
-  test("invalid-JSON numerics (+5, 007, 5.) fall back to strings, not null rows") {
-    // a malformed numeric rendered unquoted would invalidate the row's JSON
-    // and from_json would null out EVERY field of that feature
+  test("tolerable numerics (+5, 007, 5.) normalize like GDAL; rows never null out") {
+    // GDAL coerces these spellings in an xs:int field to 5/7/5; quoting them
+    // instead would downgrade the whole inferred column to string, and
+    // rendering them raw would invalidate the row's JSON and from_json would
+    // null out EVERY field of that feature
     val dir = java.nio.file.Files.createTempDirectory("gmlnum").toString
     val xml =
       """<?xml version="1.0" encoding="UTF-8"?>
         |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs" xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.org/app">
         |<gml:featureMember><app:f>
-        |  <app:name>ok</app:name><app:v>42</app:v>
+        |  <app:name>ok</app:name><app:v>42</app:v><app:w>1</app:w>
         |  <app:geom><gml:Point><gml:coordinates>1,1</gml:coordinates></gml:Point></app:geom>
         |</app:f></gml:featureMember>
         |<gml:featureMember><app:f>
-        |  <app:name>plus</app:name><app:v>+5</app:v>
+        |  <app:name>plus</app:name><app:v>+5</app:v><app:w>1.2.3</app:w>
         |  <app:geom><gml:Point><gml:coordinates>2,2</gml:coordinates></gml:Point></app:geom>
         |</app:f></gml:featureMember>
         |<gml:featureMember><app:f>
-        |  <app:name>padded</app:name><app:v>007</app:v>
+        |  <app:name>padded</app:name><app:v>007</app:v><app:w>2</app:w>
         |  <app:geom><gml:Point><gml:coordinates>3,3</gml:coordinates></gml:Point></app:geom>
+        |</app:f></gml:featureMember>
+        |<gml:featureMember><app:f>
+        |  <app:name>dot</app:name><app:v>5.</app:v><app:w>3</app:w>
+        |  <app:geom><gml:Point><gml:coordinates>4,4</gml:coordinates></gml:Point></app:geom>
         |</app:f></gml:featureMember>
         |</wfs:FeatureCollection>""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/n.gml"), xml.getBytes("UTF-8"))
@@ -189,15 +219,66 @@ class GmlSpec extends AnyFunSuite {
       """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
         |<xs:element name="name" type="xs:string"/>
         |<xs:element name="v" type="xs:int"/>
+        |<xs:element name="w" type="xs:int"/>
         |</xs:schema>""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/n.xsd"), xsd.getBytes("UTF-8"))
     val g = Gml.read(spark, s"$dir/n.gml")
-    assert(g.df.count() == 3)
-    // no nulled-out rows: every name survives alongside its value
-    val got = g.df.select(col("name"), col("v").cast("string"))
+    assert(g.df.count() == 4)
+    // v stays a NUMERIC column with GDAL's parse of every spelling
+    assert(g.df.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val got = g.df.select(col("name"), col("v"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ok" -> 42L, "plus" -> 5L, "padded" -> 7L, "dot" -> 5L))
+    // a GENUINELY non-numeric value ('1.2.3') still quotes — its row keeps
+    // every other field instead of nulling out (column decays to string)
+    val w = g.df.select(col("name"), col("w").cast("string"))
       .as[(String, String)].collect().toMap
-    assert(got.keySet == Set("ok", "plus", "padded"))
-    assert(got("ok") == "42")
-    assert(got("plus") == "+5" && got("padded") == "007") // kept verbatim as strings
+    assert(w("plus") == "1.2.3" && w("ok") == "1" && w("dot") == "3")
+  }
+
+  test("glob over heterogeneous per-file schemas merges ALL .xsd companions") {
+    // a.xsd types only `va`; b.xsd types only `vb`. Before the merge fix the
+    // first name-sorted sibling won, so b's numeric column decayed to string.
+    // A field typed differently across siblings widens: int+double -> double,
+    // otherwise -> string.
+    val dir = java.nio.file.Files.createTempDirectory("gmlhet").toString
+    def fc(body: String) =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs" xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://example.org/app">
+         |$body
+         |</wfs:FeatureCollection>""".stripMargin
+    val aXml = fc(
+      """<gml:featureMember><app:f>
+        |  <app:va>7</app:va><app:d>3</app:d><app:s>1</app:s>
+        |  <app:geom><gml:Point><gml:coordinates>1,1</gml:coordinates></gml:Point></app:geom>
+        |</app:f></gml:featureMember>""".stripMargin)
+    val bXml = fc(
+      """<gml:featureMember><app:f>
+        |  <app:vb>2.5</app:vb><app:d>1.5</app:d><app:s>x</app:s>
+        |  <app:geom><gml:Point><gml:coordinates>2,2</gml:coordinates></gml:Point></app:geom>
+        |</app:f></gml:featureMember>""".stripMargin)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.gml"), aXml.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.gml"), bXml.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.xsd"),
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |<xs:element name="va" type="xs:int"/>
+        |<xs:element name="d" type="xs:int"/>
+        |<xs:element name="s" type="xs:int"/>
+        |</xs:schema>""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.xsd"),
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |<xs:element name="vb" type="xs:double"/>
+        |<xs:element name="d" type="xs:double"/>
+        |<xs:element name="s" type="xs:string"/>
+        |</xs:schema>""".stripMargin.getBytes("UTF-8"))
+    val g = Gml.read(spark, s"$dir/*.gml")
+    assert(g.df.count() == 2)
+    import org.apache.spark.sql.types._
+    assert(g.df.schema("va").dataType == LongType)   // from a.xsd
+    assert(g.df.schema("vb").dataType == DoubleType) // from b.xsd — merged in
+    assert(g.df.schema("d").dataType == DoubleType)  // int+double widens
+    assert(g.df.schema("s").dataType == StringType)  // conflict -> string
+    val dVals = g.df.select(col("d")).as[Option[Double]].collect().flatten.sorted.toSeq
+    assert(dVals == Seq(1.5, 3.0))
   }
 }

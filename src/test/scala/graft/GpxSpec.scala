@@ -34,6 +34,42 @@ class GpxSpec extends AnyFunSuite {
     assert(z1.contains("1234.5"))
   }
 
+  test("GPX 1.1 child order is schema-pinned, independent of frame column order") {
+    // rteType/trkType xsd sequence: name < cmt < desc < src < number < type,
+    // all metadata and <extensions> BEFORE the first <rtept>/<trkseg>;
+    // wptType: <ele> first, then time < name < desc. Columns are deliberately
+    // in ANTI-schema order so a writer that leaks column order fails here.
+    val df = Seq(
+      (1L, "t", "d & x", "n", "LINESTRING (0 0, 1 1)"),
+      (2L, "t2", "d2", "n2", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+      (3L, "t3", "d3", "n3", "POINT Z (5 6 77.5)"))
+      .toDF("id", "type", "desc", "name", "wkt")
+    val gdf = GeoDataFrame(df.withColumn("geometry", st_geomfromwkt(col("wkt"))).drop("wkt"))
+    val dir = java.nio.file.Files.createTempDirectory("gpxord").toString
+    Gpx.write(gdf, s"$dir/o.gpx")
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/o.gpx")), "UTF-8")
+
+    def inside(tag: String): String = {
+      val s = xml.indexOf(s"<$tag>"); val e = xml.indexOf(s"</$tag>", s)
+      assert(s >= 0 && e > s, s"missing <$tag> element"); xml.substring(s, e)
+    }
+    def ordered(scope: String, marks: String*): Unit = {
+      val pos = marks.map { m => val i = scope.indexOf(m); assert(i >= 0, s"missing $m in $scope"); i }
+      assert(pos == pos.sorted, s"order violated: ${marks.zip(pos)}")
+    }
+    // route: metadata in xsd order, extensions after them, rtept LAST
+    ordered(inside("rte"), "<name>", "<desc>", "<type>", "<extensions>", "<rtept")
+    // track: same prefix, trkseg last
+    ordered(inside("trk"), "<name>", "<desc>", "<type>", "<extensions>", "<trkseg>")
+    // waypoint: ele is the FIRST child, before any metadata
+    val wpt = { val s = xml.indexOf("<wpt "); val e = xml.indexOf("</wpt>", s); xml.substring(s, e) }
+    ordered(wpt, "<ele>", "<name>", "<desc>", "<type>", "<extensions>")
+    // and the document still round-trips with every attribute intact
+    val back = Gpx.read(spark, s"$dir/o.gpx", layer = Some("routes")).df
+    assert(back.filter(col("name") === "n").select(col("desc")).as[String].head() == "d & x")
+  }
+
   test("GDAL layer mapping: LineString→rte (routes), MultiLineString→trk (tracks)") {
     val wkts = Seq(
       (1L, "r1", "LINESTRING (0 0, 1 1, 2 0)"),

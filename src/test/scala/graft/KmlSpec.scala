@@ -29,6 +29,26 @@ class KmlSpec extends AnyFunSuite {
       (2L, "beta", -0.25, false, -30.5, 45.25)))
   }
 
+  test("KML 2.2 document child order is schema-pinned") {
+    // kml xsd: Document's shared <Schema> precedes Placemarks; within a
+    // Placemark the Feature children (ExtendedData) precede the geometry —
+    // a swapped emit is rejected by strict validators
+    val df = Seq((1L, "n", 10.0, 20.0)).toDF("id", "name", "x", "y")
+    val gdf0 = GeoDataFrame.pointsFromXy(df, "x", "y")
+    val gdf = gdf0.copy(df = gdf0.df.drop("x", "y"))
+    val dir = java.nio.file.Files.createTempDirectory("kmlord").toString
+    Kml.write(gdf, s"$dir/o.kml")
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/o.kml")), "UTF-8")
+    val marks = Seq("<Document>", "<Schema ", "<Placemark>", "<ExtendedData>",
+      "<SchemaData ", "<Point>", "<coordinates>")
+    val pos = marks.map { m => val i = xml.indexOf(m); assert(i >= 0, s"missing $m"); i }
+    assert(pos == pos.sorted, s"KML child order violated: ${marks.zip(pos)}")
+    // geometry is the LAST child of the Placemark: nothing between </Point>
+    // and </Placemark>
+    assert(xml.indexOf("</Point></Placemark>") >= 0)
+  }
+
   test("all geometry families roundtrip through KML") {
     val wkts = Seq(
       "POINT (1 2)",

@@ -136,6 +136,29 @@ class PostgisAndPinsSpec extends AnyFunSuite {
     assert(srid == 27700)
   }
 
+  test("PostgreSQL URLs default stringtype=unspecified so EWKB strings cast to geometry") {
+    // pgJDBC binds String params as varchar and PG has no implicit
+    // varchar→geometry cast — appending into a geometry(…) column needs the
+    // parameter sent untyped (stringtype=unspecified), or the server throws
+    // "column is of type geometry but expression is of type character varying"
+    val base = new java.util.Properties()
+    val pg = PostgisIO.withPgStringtype("jdbc:postgresql://h/db", base)
+    assert(pg.getProperty("stringtype") == "unspecified")
+    assert(base.getProperty("stringtype") == null) // caller's Properties untouched
+
+    // a caller-provided value always wins
+    val custom = new java.util.Properties()
+    custom.setProperty("stringtype", "varchar")
+    custom.setProperty("user", "u")
+    val kept = PostgisIO.withPgStringtype("jdbc:postgresql://h/db", custom)
+    assert(kept.getProperty("stringtype") == "varchar")
+    assert(kept.getProperty("user") == "u") // other props carried over
+
+    // non-PostgreSQL URLs (the Derby harness) are untouched
+    val derby = PostgisIO.withPgStringtype("jdbc:derby:memory:x", base)
+    assert(derby eq base)
+  }
+
   test("Pins: scan/project/filter plans skip the pin; shuffles and nondeterminism require it") {
     val base = Seq((1, "a"), (2, "b")).toDF("id", "s")
     assert(!Pins.needsPin(base))
