@@ -32,6 +32,33 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0, 0), (1, 1), (3, 0)))
   }
 
+  test("NULL probe geometries: inner drops, left keeps, on BOTH join paths") {
+    // missing geometry is a normal row state (reference isna surface); the
+    // join layers must treat it as no-match, never NPE — q10's oracle gate
+    // pins the grid/inner case end-to-end, this pins all four combinations
+    val polys = squares("poly_id", (0, 0, 2, 2))
+    val pts = points((1, 1), (9, 9))
+      .unionByName(Seq((7, null.asInstanceOf[Array[Byte]])).toDF("pid", "geometry"))
+    for (threshold <- Seq(Long.MaxValue, -1L)) { // broadcast path, grid path
+      val inner = SpatialJoin.sjoin(pts, polys, "intersects", "inner",
+        broadcastThreshold = threshold)
+      assert(inner.select("pid").as[Int].collect().toSeq == Seq(0),
+        s"inner @threshold=$threshold")
+      val left = SpatialJoin.sjoin(pts, polys, "intersects", "left",
+        broadcastThreshold = threshold)
+      val rows = left.select("pid", "poly_id").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq
+      assert(rows == Seq((0, 0), (1, -1), (7, -1)), s"left @threshold=$threshold")
+    }
+    // unbounded nearest (distributed auto path): null row can never match;
+    // how=left re-attaches it with a null distance
+    val nn = SJoinNearest.sjoinNearest(pts, polys, how = "left",
+      distanceCol = Some("d"), broadcastThreshold = -1)
+    val nnRows = nn.select("pid", "d").collect()
+      .map(r => (r.getInt(0), !r.isNullAt(1))).sorted.toSeq
+    assert(nnRows == Seq((0, true), (1, true), (7, false)))
+  }
+
   test("sjoin left keeps unmatched with nulls; within flips to contains semantics") {
     val polys = squares("poly_id", (0, 0, 2, 2))
     val pts = points((1, 1), (5, 5))
