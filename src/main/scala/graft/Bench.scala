@@ -144,9 +144,9 @@ object Bench {
         }
     val prev: Map[String, Double] = prevPath.map(parsePrev).getOrElse(Map.empty)
 
-    val suspects: Seq[(String, String)] = firstPass.collect {
-      case (name, times, None) if triggerReason(times, prev.get(name)).nonEmpty =>
-        name -> triggerReason(times, prev.get(name)).get
+    val suspects: Seq[(String, String)] = firstPass.flatMap {
+      case (name, times, None) => triggerReason(times, prev.get(name)).map(name -> _)
+      case _                   => None
     }
     val second: Map[String, Seq[Double]] = suspects.map { case (name, _) =>
       val (times, err) = measure(selected(name))

@@ -123,8 +123,10 @@ object SparkEntry {
     docsWithSentinel(spark, dir, "")
   /** The DuckDB spelling of [[docsWithSentinel]] — inlined into oracle
     * mirrors so both engines see the identical degenerate row. */
-  private def docsWithSentinelSql(text: String): String =
-    s"(SELECT doc_id, text FROM documents UNION ALL SELECT (SELECT min(doc_id) FROM documents) - 1, '$text')"
+  private def docsWithSentinelSql(text: String): String = {
+    val esc = text.replace("'", "''") // keep the DuckDB literal well-formed for any future sentinel
+    s"(SELECT doc_id, text FROM documents UNION ALL SELECT (SELECT min(doc_id) FROM documents) - 1, '$esc')"
+  }
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 

@@ -222,6 +222,9 @@ object Gml {
       var t = s.trim
       val neg = t.startsWith("-")
       if (t.startsWith("+") || t.startsWith("-")) t = t.substring(1)
+      // a second sign ('+-5') is not a GDAL-tolerable spelling — return the
+      // raw value so numericOk rejects it and it stays a quoted string
+      if (t.startsWith("+") || t.startsWith("-")) return s
       t = t.replaceFirst("^0+(?=\\d)", "")
       if (t.startsWith(".")) t = "0" + t
       if (t.endsWith(".")) t = t.dropRight(1)

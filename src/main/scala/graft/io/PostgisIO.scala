@@ -106,7 +106,10 @@ object PostgisIO {
     if (!url.startsWith("jdbc:postgresql")) properties
     else {
       val p = new java.util.Properties()
-      p.putAll(properties)
+      // stringPropertyNames walks the defaults chain of a Properties built
+      // with `new Properties(defaults)`; putAll would copy own entries only
+      // and silently drop a user/password stored as defaults
+      properties.stringPropertyNames().forEach(k => p.setProperty(k, properties.getProperty(k)))
       if (!p.containsKey("stringtype")) p.setProperty("stringtype", "unspecified")
       p
     }

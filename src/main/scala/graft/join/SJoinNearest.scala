@@ -24,6 +24,12 @@ object SJoinNearest {
     * multi-round plan converges in O(1) rounds on clustered data. */
   private[graft] val lastAutoRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Diagnostic: logical-plan node count of the `remaining` frame when the
+    * LAST unbounded search exited its loop. The per-round localCheckpoint
+    * keeps this O(1) in the round count — a growing value would mean round
+    * k is re-executing rounds 1..k-1's anti-join chain. */
+  private[graft] val lastRemainingPlanNodes = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def sjoinNearest(left: DataFrame, right: DataFrame, how: String = "inner",
                    leftGeom: String = "geometry", rightGeom: String = "geometry",
                    lsuffix: String = "left", rsuffix: String = "right",
@@ -103,12 +109,17 @@ object SJoinNearest {
       val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
         Some(distanceCol.getOrElse("__graft_dist")), exclusive).cache()
       val matchedIds = matched.select(col("__graft_auto_lid")).distinct()
+      // localCheckpoint truncates the lineage each round: without it, round
+      // k's `limit(1).count()` action re-executes rounds 1..k-1's anti-join
+      // chain — quadratic re-scan on a distribution that needs many rounds
       remaining = remaining.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
+        .localCheckpoint()
       acc = Some(acc.map(_.unionByName(matched, allowMissingColumns = true)).getOrElse(matched))
       radius *= 4
       rounds += 1
     }
     lastAutoRounds.set(rounds)
+    lastRemainingPlanNodes.set(remaining.queryExecution.logical.collect { case p => p }.size)
     val inner = acc.getOrElse(lw.limit(0))
     val res = how match {
       case "left" =>

@@ -261,6 +261,24 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(grid == Seq((0, 7), (1, 7)))
   }
 
+  test("unbounded nearest loop truncates lineage per round (localCheckpoint)") {
+    // clustered stream: most points resolve in round 1, one point sits far
+    // enough away that the radius must expand — forcing >= 2 rounds
+    val near = (0 until 20).map(i => (i, Wkb.write(GeomOps.point(i * 0.1, 0.0))))
+    val farPt = Seq((99, Wkb.write(GeomOps.point(5e5, 5e5))))
+    val stream = (near ++ farPt).toDF("pid", "geometry")
+    val build = Seq((7, Wkb.write(GeomOps.point(1.0, 0.0)))).toDF("tid", "geometry")
+    val j = SJoinNearest.sjoinNearest(stream, build, distanceCol = Some("d"),
+      broadcastThreshold = -1)
+    assert(j.count() == 21)
+    assert(SJoinNearest.lastAutoRounds.get() >= 2,
+      s"expected a multi-round run, got ${SJoinNearest.lastAutoRounds.get()}")
+    // after localCheckpoint the remaining frame is a bare checkpointed scan:
+    // node count must be O(1), independent of how many rounds executed
+    assert(SJoinNearest.lastRemainingPlanNodes.get() <= 4,
+      s"remaining plan grew to ${SJoinNearest.lastRemainingPlanNodes.get()} nodes — lineage not truncated")
+  }
+
   test("total_bounds skips empty geometries") {
     val df = Seq(
       (0, Wkb.write(GeomOps.point(5, 6))),
