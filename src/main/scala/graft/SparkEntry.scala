@@ -861,6 +861,320 @@ object SparkEntry {
             .otherwise(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
         .filter(col("cosine") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // -- round 10: closed-form oracle gates for the constructive-geometry and
+    // coordinate-exact operator tail. Every fixture is integer-parameterized
+    // off n_nationkey so the DuckDB mirror can derive the expected scalars /
+    // WKT strings by construction (grid polygonize -> k^2 unit faces, grid
+    // delaunay -> 2(k-1)^2 triangles, rectangle MIC -> center + min-side/2,
+    // parallel segments -> exact hausdorff/frechet, etc.).
+    "q88_polygonize" -> ((s, d) => {
+      // ref base.py:6545 (shapely.polygonize): NODED unit segments of a k x k
+      // grid polygonize into exactly k^2 faces of area 1
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("k", (col("n_nationkey") % 3 + 2).cast("int"))
+      val segs = expr(
+        "concat(" +
+          "transform(sequence(0, (k+1)*k - 1), h -> concat('(', h % k, ' ', h div k, ', ', h % k + 1, ' ', h div k, ')')), " +
+          "transform(sequence(0, (k+1)*k - 1), v -> concat('(', v div k, ' ', v % k, ', ', v div k, ' ', v % k + 1, ')')))")
+      n.withColumn("mls", concat(lit("MULTILINESTRING ("), array_join(segs, ", "), lit(")")))
+        .withColumn("faces", stPolygonizeU(st_parts(st_geomfromwkt(col("mls")))))
+        .select(col("n_nationkey"), st_ngeometries(col("faces")).as("n_faces"),
+          round(st_area(col("faces")), 6).as("total_area"))
+    }),
+    "q89_polygonize_full" -> ((s, d) => {
+      // full=True 4-output form (ref base.py:6592): same noded grid plus one
+      // dangling segment -> k^2 polygons, 0 cut edges, exactly that dangle
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("k", (col("n_nationkey") % 3 + 2).cast("int"))
+      val segs = expr(
+        "concat(" +
+          "transform(sequence(0, (k+1)*k - 1), h -> concat('(', h % k, ' ', h div k, ', ', h % k + 1, ' ', h div k, ')')), " +
+          "transform(sequence(0, (k+1)*k - 1), v -> concat('(', v div k, ' ', v % k, ', ', v div k, ' ', v % k + 1, ')')))")
+      n.withColumn("mls", concat(lit("MULTILINESTRING ("), array_join(segs, ", "), lit(", (0 0, -1 -1))")))
+        .withColumn("pf", st_polygonize_full(st_parts(st_geomfromwkt(col("mls")))))
+        .select(col("n_nationkey"),
+          st_ngeometries(col("pf").getField("polygons")).as("n_polys"),
+          st_ngeometries(col("pf").getField("cut_edges")).as("n_cuts"),
+          st_ngeometries(col("pf").getField("dangles")).as("n_dangles"),
+          st_astext(col("pf").getField("dangles")).as("dangles_wkt"))
+    }),
+    "q90_delaunay" -> ((s, d) => {
+      // ref base.py:1243 (delaunay_triangles): a k x k unit point grid
+      // triangulates into 2(k-1)^2 triangles covering area (k-1)^2
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("k", (col("n_nationkey") % 3 + 2).cast("int"))
+        .withColumn("mp", expr(
+          "concat('MULTIPOINT (', array_join(transform(sequence(0, k*k - 1), i -> concat('(', i % k, ' ', i div k, ')')), ', '), ')')"))
+      n.withColumn("tri", stDelaunayU(st_geomfromwkt(col("mp")), lit(0.0), lit(false)))
+        .select(col("n_nationkey"), st_ngeometries(col("tri")).as("n_tri"),
+          round(st_area(col("tri")), 6).as("area"))
+    }),
+    "q91_constrained_delaunay" -> ((s, d) => {
+      // ref base.py:1286 (constrained_delaunay_triangles): a 6-vertex L-shape
+      // triangulates (no Steiner points) into exactly v-2 = 4 triangles whose
+      // union is the polygon itself -> area 12*sc^2
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("sc", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("ell", expr(
+          "concat('POLYGON ((0 0, ', 4*sc, ' 0, ', 4*sc, ' ', 2*sc, ', ', 2*sc, ' ', 2*sc, ', ', 2*sc, ' ', 4*sc, ', 0 ', 4*sc, ', 0 0))')"))
+      n.withColumn("tri", st_constrained_delaunay(st_geomfromwkt(col("ell"))))
+        .select(col("n_nationkey"), st_ngeometries(col("tri")).as("n_tri"),
+          round(st_area(col("tri")), 6).as("area"))
+    }),
+    "q92_voronoi" -> ((s, d) => {
+      // ref base.py:1301 (voronoi_polygons with extend_to): m x m sites at
+      // odd coordinates clipped to box(0,0,2m,2m) -> m^2 congruent 2x2 cells
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("m", (col("n_nationkey") % 2 + 2).cast("int"))
+        .withColumn("sites", expr(
+          "concat('MULTIPOINT (', array_join(transform(sequence(0, m*m - 1), i -> concat('(', 2*(i % m) + 1, ' ', 2*(i div m) + 1, ')')), ', '), ')')"))
+        .withColumn("vor", stVoronoiExtendU(st_geomfromwkt(col("sites")), lit(0.0), lit(false),
+          st_makebox(lit(0.0), lit(0.0), (col("m") * 2).cast("double"), (col("m") * 2).cast("double"))))
+      n.select(col("n_nationkey"), explode(st_parts(col("vor"))).as("cell"))
+        .select(col("n_nationkey"), st_area(col("cell")).as("ca"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_cells"), round(min(col("ca")), 6).as("min_area"),
+          round(max(col("ca")), 6).as("max_area"), round(sum(col("ca")), 6).as("sum_area"))
+    }),
+    "q93_inscribed_circle" -> ((s, d) => {
+      // ref base.py:1853 (maximum_inscribed_circle): for a square of side sq
+      // the radius line runs from the exact center, length sq/2 (the initial
+      // grid cell of the JTS search is already the optimum, so the center is
+      // exact, not tolerance-dependent)
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("sq", (col("n_nationkey") % 5 + 1).cast("double"))
+        .withColumn("mic", stMaxInscribedCircleU(
+          st_makebox(lit(0.0), lit(0.0), col("sq"), col("sq")), lit(1e-7)))
+      n.select(col("n_nationkey"),
+        round(st_x(st_interpolate(col("mic"), lit(0.0), lit(false))), 6).as("cx"),
+        round(st_y(st_interpolate(col("mic"), lit(0.0), lit(false))), 6).as("cy"),
+        round(st_length(col("mic")), 6).as("r"))
+    }),
+    "q94_min_clearance" -> ((s, d) => {
+      // ref base.py:1914/1945 (minimum_clearance + line): for an axis-aligned
+      // w x h rectangle the clearance is min(w,h) (closest vertex-to-
+      // nonadjacent-edge distance), and the clearance line has that length
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("w", (col("n_nationkey") % 4 + 2).cast("double"))
+        .withColumn("h", (col("n_nationkey") % 2 + 1).cast("double"))
+        .withColumn("g", st_makebox(lit(0.0), lit(0.0), col("w"), col("h")))
+      n.select(col("n_nationkey"),
+        round(stMinClearanceU(col("g")), 6).as("clearance"),
+        round(st_length(stMinClearanceLineU(col("g"))), 6).as("line_len"))
+    }),
+    "q95_build_area" -> ((s, d) => {
+      // ref base.py:6632 (build_area): outer ring box(0,0,4sc,4sc) + inner
+      // ring box(sc,sc,2sc,2sc) assemble into one polygon with one hole,
+      // area 16sc^2 - sc^2 = 15sc^2
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("sc", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("gc", expr(
+          "concat('GEOMETRYCOLLECTION (LINESTRING (0 0, 0 ', 4*sc, ', ', 4*sc, ' ', 4*sc, ', ', 4*sc, ' 0, 0 0), " +
+            "LINESTRING (', sc, ' ', sc, ', ', sc, ' ', 2*sc, ', ', 2*sc, ' ', 2*sc, ', ', 2*sc, ' ', sc, ', ', sc, ' ', sc, '))')"))
+        .withColumn("ba", stBuildAreaU(st_geomfromwkt(col("gc"))))
+      n.select(col("n_nationkey"), round(st_area(col("ba")), 6).as("area"),
+        st_n_interior_rings(col("ba")).as("n_holes"))
+    }),
+    "q96_hausdorff_frechet" -> ((s, d) => {
+      // ref base.py:4166/4281: for parallel overlapping segments a=(0,0)-(10,0)
+      // and b=(0,dd)-(l2,dd) with l2 >= 10, both discrete distances equal
+      // sqrt((l2-10)^2 + dd^2) exactly (all intermediate doubles are small
+      // integers, so both engines compute the identical IEEE sqrt input)
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("l2", (col("n_nationkey") % 5 + 10).cast("double"))
+        .withColumn("dd", (col("n_nationkey") % 4 + 1).cast("double"))
+        .withColumn("la", st_makeline(st_point(lit(0.0), lit(0.0)), st_point(lit(10.0), lit(0.0))))
+        .withColumn("lb", st_makeline(st_point(lit(0.0), col("dd")), st_point(col("l2"), col("dd"))))
+      n.select(col("n_nationkey"),
+        round(st_hausdorff_distance(col("la"), col("lb")), 6).as("hd"),
+        round(st_frechet_distance(col("la"), col("lb")), 6).as("fd"))
+    }),
+    "q97_shortest_project" -> ((s, d) => {
+      // ref base.py:4949 (shortest_line) + base.py:5827 (project): against the
+      // horizontal segment (0,2)-(10,2) the nearest point of (px,py) is
+      // (clamp(px,0,10), 2) -- exact integers end to end
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("px", (col("n_nationkey") % 15).cast("int"))
+        .withColumn("py", (col("n_nationkey") % 4 + 3).cast("int"))
+        .withColumn("pt", st_point(col("px").cast("double"), col("py").cast("double")))
+        .withColumn("seg", st_makeline(st_point(lit(0.0), lit(2.0)), st_point(lit(10.0), lit(2.0))))
+      n.select(col("n_nationkey"),
+        st_astext(stShortestLineU(col("pt"), col("seg"))).as("short_wkt"),
+        round(st_project(col("seg"), col("pt"), lit(false)), 6).as("proj"),
+        round(st_project(col("seg"), col("pt"), lit(true)), 6).as("proj_n"))
+    }),
+    "q98_normalize_orient" -> ((s, d) => {
+      // ref base.py:2063 (normalize) + base.py:2112 (orient_polygons): JTS
+      // canonical polygon form is the CW ring starting at the minimum
+      // coordinate; a CCW ring rotated to another start vertex must come back
+      // as exactly that string. Lines normalize smaller-endpoint-first.
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("x0", (col("n_nationkey") % 5).cast("int"))
+        .withColumn("y0", (col("n_nationkey") % 3).cast("int"))
+        .withColumn("x1", (col("n_nationkey") % 5 + 1 + col("n_nationkey") % 4).cast("int"))
+        .withColumn("y1", (col("n_nationkey") % 3 + 1 + col("n_nationkey") % 2).cast("int"))
+        .withColumn("ccw_in", expr(
+          "concat('POLYGON ((', x1, ' ', y0, ', ', x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0, ', ', x1, ' ', y0, '))')"))
+        .withColumn("canon", expr(
+          "concat('POLYGON ((', x0, ' ', y0, ', ', x0, ' ', y1, ', ', x1, ' ', y1, ', ', x1, ' ', y0, ', ', x0, ' ', y0, '))')"))
+        .withColumn("line_in", expr("concat('LINESTRING (', x1, ' ', y1, ', ', x0, ' ', y0, ')')"))
+      n.select(col("n_nationkey"),
+        st_astext(st_normalize(st_geomfromwkt(col("ccw_in")))).as("norm_poly"),
+        st_astext(st_normalize(st_geomfromwkt(col("line_in")))).as("norm_line"),
+        st_astext(st_orient_polygons(st_geomfromwkt(col("canon")), lit(false))).as("ccw_wkt"),
+        st_astext(st_orient_polygons(st_geomfromwkt(col("canon")), lit(true))).as("cw_wkt"))
+    }),
+    "q99_exterior_points" -> ((s, d) => {
+      // ref base.py:2493 (exterior) / base.py:2654 (extract_unique_points) /
+      // base.py:2750 (remove_repeated_points) / base.py:2439 (force_2d) --
+      // integer fixtures whose expected WKT is derivable by construction
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("a", (col("n_nationkey") % 4).cast("int"))
+        .withColumn("b", (col("n_nationkey") % 3).cast("int"))
+        .withColumn("c", (col("n_nationkey") % 4 + 1 + col("n_nationkey") % 2).cast("int"))
+        .withColumn("e", (col("n_nationkey") % 3 + 2).cast("int"))
+        .withColumn("dupline", expr(
+          "concat('LINESTRING (', a, ' ', b, ', ', a, ' ', b, ', ', c, ' ', b, ', ', c, ' ', b, ', ', c, ' ', e, ')')"))
+      n.select(col("n_nationkey"),
+        st_astext(st_exterior(st_makebox(col("a").cast("double"), col("b").cast("double"),
+          col("c").cast("double"), col("e").cast("double")))).as("exterior_wkt"),
+        st_astext(stExtractUniquePointsU(st_geomfromwkt(col("dupline")))).as("unique_wkt"),
+        st_astext(stRemoveRepeatedU(st_geomfromwkt(col("dupline")), lit(0.0))).as("dedup_wkt"),
+        st_astext(st_force_2d(st_point_z(col("a").cast("double"), col("b").cast("double"), lit(9.0)))).as("flat_wkt"))
+    }),
+    "q100_linemerge_geomn" -> ((s, d) => {
+      // ref base.py:3026 (line_merge + directed=True) + base.py:2850
+      // (get_geometry): two touching segments merge into one line undirected;
+      // with the second segment reversed the directed merge must NOT join
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("a", (col("n_nationkey") % 4).cast("int"))
+        .withColumn("b", (col("n_nationkey") % 3).cast("int"))
+        .withColumn("c", (col("n_nationkey") % 4 + 1 + col("n_nationkey") % 2).cast("int"))
+        .withColumn("e", (col("n_nationkey") % 3 + 2).cast("int"))
+        .withColumn("mlsf", expr(
+          "concat('MULTILINESTRING ((', a, ' ', b, ', ', c, ' ', b, '), (', c, ' ', b, ', ', c, ' ', e, '))')"))
+        .withColumn("mlsr", expr(
+          "concat('MULTILINESTRING ((', a, ' ', b, ', ', c, ' ', b, '), (', c, ' ', e, ', ', c, ' ', b, '))')"))
+        .withColumn("mp", expr(
+          "concat('MULTIPOINT ((', a, ' ', b, '), (', c, ' ', b, '), (', c, ' ', e, '))')"))
+      n.select(col("n_nationkey"),
+        st_astext(stLineMergeU(st_geomfromwkt(col("mlsf")))).as("merged_wkt"),
+        st_ngeometries(stLineMergeU(st_geomfromwkt(col("mlsf")))).as("n_merged"),
+        st_ngeometries(st_line_merge_directed(st_geomfromwkt(col("mlsr")))).as("n_directed"),
+        st_astext(st_geometry_n(st_geomfromwkt(col("mp")), lit(1))).as("geomn_wkt"))
+    }),
+    "q101_offset_precision" -> ((s, d) => {
+      // ref base.py:3106 (offset_curve) + base.py:2795 (set_precision): the
+      // offset of a horizontal segment is the exact translated segment (left
+      // for +dd, right for -dd, direction preserved); snapping (n+.25, n+.75)
+      // to a 0.5 grid rounds half-up to (n+.5, n+1)
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("a", (col("n_nationkey") % 3).cast("int"))
+        .withColumn("b", (col("n_nationkey") % 4 + 1).cast("int"))
+        .withColumn("l", (col("n_nationkey") % 5 + 5).cast("int"))
+        .withColumn("dd", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("seg", st_makeline(st_point(col("a").cast("double"), col("b").cast("double")),
+          st_point((col("a") + col("l")).cast("double"), col("b").cast("double"))))
+      n.select(col("n_nationkey"),
+        st_astext(st_offset_curve(col("seg"), col("dd").cast("double"), lit(8), lit(1), lit(5.0))).as("off_pos_wkt"),
+        st_astext(st_offset_curve(col("seg"), -col("dd").cast("double"), lit(8), lit(1), lit(5.0))).as("off_neg_wkt"),
+        st_astext(stSetPrecisionU(st_point(col("n_nationkey").cast("double") + lit(0.25),
+          col("n_nationkey").cast("double") + lit(0.75)), lit(0.5))).as("prec_wkt"))
+    }),
+    "q102_mbc_concave_repr" -> ((s, d) => {
+      // ref base.py:1395 (minimum_bounding_circle geometry: buffer fans put
+      // vertices exactly at center +- r on both axes) + base.py:1136
+      // (concave_hull ratio 1 = convex hull of a box) + base.py:878
+      // (representative_point of a rectangle = its center)
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("w", (col("n_nationkey") % 4 + 1).cast("double"))
+        .withColumn("h", (col("n_nationkey") % 3 + 1).cast("double"))
+        .withColumn("g", st_makebox(lit(0.0), lit(0.0), col("w"), col("h")))
+        .withColumn("bd", st_bounds(st_minimum_bounding_circle(col("g"))))
+        .withColumn("ch", st_concave_hull(col("g"), lit(1.0), lit(false)))
+        .withColumn("rp", st_representative_point(col("g")))
+      n.select(col("n_nationkey"),
+        round(col("bd").getField("xmin"), 6).as("bx0"),
+        round(col("bd").getField("ymin"), 6).as("by0"),
+        round(col("bd").getField("xmax"), 6).as("bx1"),
+        round(col("bd").getField("ymax"), 6).as("by1"),
+        round(st_area(col("ch")), 6).as("ch_area"),
+        st_npoints(col("ch")).as("ch_npts"),
+        round(st_x(col("rp")), 6).as("rx"),
+        round(st_y(col("rp")), 6).as("ry"))
+    }),
+    "q103_shared_valid" -> ((s, d) => {
+      // ref base.py:5009 (shared_paths: collinear overlap lands in the same-
+      // direction vs opposite-direction component by construction) +
+      // base.py:1761 (make_valid: a bowtie splits into 2 triangles, area 8sc^2)
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("aa", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("bb", (col("n_nationkey") % 3 + 2 + col("n_nationkey") % 4).cast("int"))
+        .withColumn("sc", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("base", st_makeline(st_point(lit(0.0), lit(0.0)), st_point(lit(10.0), lit(0.0))))
+        .withColumn("fwd", st_makeline(st_point(col("aa").cast("double"), lit(0.0)),
+          st_point(col("bb").cast("double"), lit(0.0))))
+        .withColumn("rev", st_makeline(st_point(col("bb").cast("double"), lit(0.0)),
+          st_point(col("aa").cast("double"), lit(0.0))))
+        .withColumn("bow", expr(
+          "concat('POLYGON ((0 0, ', 4*sc, ' ', 4*sc, ', ', 4*sc, ' 0, 0 ', 4*sc, ', 0 0))')"))
+        .withColumn("mv", st_make_valid(st_geomfromwkt(col("bow"))))
+      n.select(col("n_nationkey"),
+        st_astext(st_shared_paths(col("base"), col("fwd"))).as("fwd_wkt"),
+        st_astext(st_shared_paths(col("base"), col("rev"))).as("rev_wkt"),
+        round(st_area(col("mv")), 6).as("mv_area"),
+        st_ngeometries(col("mv")).as("mv_n"))
+    }),
+    "q104_sample_points" -> ((s, d) => {
+      // ref geoseries.py sample_points: count is exact, every point falls in
+      // the source box, and the seeded sampler is deterministic (the strong
+      // determinism gate is DeterminismSpec + the speculation Verify pass)
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("w", (col("n_nationkey") % 4 + 2).cast("double"))
+        .withColumn("h", (col("n_nationkey") % 3 + 2).cast("double"))
+        .withColumn("cnt", (col("n_nationkey") % 5 + 10).cast("int"))
+        .withColumn("g", st_makebox(lit(0.0), lit(0.0), col("w"), col("h")))
+        .withColumn("sp", st_sample_points(col("g"), col("cnt"), lit(42L)))
+        .withColumn("sp2", st_sample_points(col("g"), col("cnt"), lit(42L)))
+        .withColumn("bd", st_bounds(col("sp")))
+      n.select(col("n_nationkey"),
+        st_ngeometries(col("sp")).as("n_pts"),
+        (col("bd").getField("xmin") >= 0.0 && col("bd").getField("ymin") >= 0.0 &&
+          col("bd").getField("xmax") <= col("w") && col("bd").getField("ymax") <= col("h")).as("in_box"),
+        st_equals_exact(col("sp"), col("sp2"), lit(0.0)).as("deterministic"))
+    }),
+    "q105_simplify_coverage" -> ((s, d) => {
+      // ref geoseries.py simplify_coverage (JTS CoverageSimplifier): two
+      // rectangles sharing a zigzag boundary simplify (tol 0.5 > zigzag
+      // amplitude 0.2) to two exact 2x2 squares -- area preserved per part
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("t", (col("n_nationkey") % 4).cast("int"))
+        .withColumn("lw", expr(
+          "concat('POLYGON ((0 ', t, ', 0 ', t+2, ', 2 ', t+2, ', 1.8 ', t+1.5, ', 2.2 ', t+1, ', 1.8 ', t+0.5, ', 2 ', t, ', 0 ', t, '))')"))
+        .withColumn("rw", expr(
+          "concat('POLYGON ((2 ', t, ', 1.8 ', t+0.5, ', 2.2 ', t+1, ', 1.8 ', t+1.5, ', 2 ', t+2, ', 4 ', t+2, ', 4 ', t, ', 2 ', t, '))')"))
+        .withColumn("parts", st_simplify_coverage(
+          array(st_geomfromwkt(col("lw")), st_geomfromwkt(col("rw"))), lit(0.5)))
+      n.select(col("n_nationkey"), explode(col("parts")).as("pg"))
+        .select(col("n_nationkey"), st_area(col("pg")).as("pa"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_parts"), round(min(col("pa")), 6).as("min_area"),
+          round(max(col("pa")), 6).as("max_area"), round(sum(col("pa")), 6).as("sum_area"))
+    }),
+    "q106_transform_coords" -> ((s, d) => {
+      // ref base.py:6675 (transform with a coordinate function): integer
+      // line endpoints through (x,y) -> (x+1, 2y) stay exact
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("a", (col("n_nationkey") % 4).cast("int"))
+        .withColumn("b", (col("n_nationkey") % 3).cast("int"))
+        .withColumn("c", (col("n_nationkey") % 4 + 1 + col("n_nationkey") % 2).cast("int"))
+        .withColumn("e", (col("n_nationkey") % 3 + 2).cast("int"))
+        .withColumn("seg", st_makeline(st_point(col("a").cast("double"), col("b").cast("double")),
+          st_point(col("c").cast("double"), col("e").cast("double"))))
+      n.select(col("n_nationkey"),
+        st_astext(st_transform_coords(col("seg"))((x, y, z) => (x + 1.0, 2.0 * y, z))).as("tx_wkt"))
     })
   )
 
@@ -1322,7 +1636,123 @@ object SparkEntry {
            |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
            |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
            |   FROM e a JOIN e b ON a.vec_id < b.vec_id)
-           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " ")
+           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " "),
+
+      // -- round 10: closed-form mirrors for the constructive/coordinate-exact
+      // tail. Every expected value below is derived from the fixture
+      // construction (grid combinatorics, rectangle symmetry, exact integer
+      // coordinates), never copied from engine output.
+      "q88_polygonize" ->
+        s"""SELECT n_nationkey, CAST(k * k AS INT) AS n_faces,
+           | round(CAST(k * k AS DOUBLE), 6) AS total_area
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 2 AS k FROM nation)""".stripMargin.replace("\n", " "),
+      "q89_polygonize_full" ->
+        s"""SELECT n_nationkey, CAST(k * k AS INT) AS n_polys, CAST(0 AS INT) AS n_cuts,
+           | CAST(1 AS INT) AS n_dangles, 'LINESTRING (0 0, -1 -1)' AS dangles_wkt
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 2 AS k FROM nation)""".stripMargin.replace("\n", " "),
+      "q90_delaunay" ->
+        s"""SELECT n_nationkey, CAST(2 * (k - 1) * (k - 1) AS INT) AS n_tri,
+           | round(CAST((k - 1) * (k - 1) AS DOUBLE), 6) AS area
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 2 AS k FROM nation)""".stripMargin.replace("\n", " "),
+      "q91_constrained_delaunay" ->
+        s"""SELECT n_nationkey, CAST(4 AS INT) AS n_tri,
+           | round(CAST(12 * sc * sc AS DOUBLE), 6) AS area
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 1 AS sc FROM nation)""".stripMargin.replace("\n", " "),
+      "q92_voronoi" ->
+        s"""SELECT n_nationkey, CAST(m * m AS BIGINT) AS n_cells,
+           | round(CAST(4 AS DOUBLE), 6) AS min_area, round(CAST(4 AS DOUBLE), 6) AS max_area,
+           | round(CAST(4 * m * m AS DOUBLE), 6) AS sum_area
+           | FROM (SELECT n_nationkey, n_nationkey % 2 + 2 AS m FROM nation)""".stripMargin.replace("\n", " "),
+      "q93_inscribed_circle" ->
+        s"""SELECT n_nationkey,
+           | round(CAST(n_nationkey % 5 + 1 AS DOUBLE) / 2, 6) AS cx,
+           | round(CAST(n_nationkey % 5 + 1 AS DOUBLE) / 2, 6) AS cy,
+           | round(CAST(n_nationkey % 5 + 1 AS DOUBLE) / 2, 6) AS r
+           | FROM nation""".stripMargin.replace("\n", " "),
+      "q94_min_clearance" ->
+        s"""SELECT n_nationkey,
+           | round(CAST(least(n_nationkey % 4 + 2, n_nationkey % 2 + 1) AS DOUBLE), 6) AS clearance,
+           | round(CAST(least(n_nationkey % 4 + 2, n_nationkey % 2 + 1) AS DOUBLE), 6) AS line_len
+           | FROM nation""".stripMargin.replace("\n", " "),
+      "q95_build_area" ->
+        s"""SELECT n_nationkey, round(CAST(15 * sc * sc AS DOUBLE), 6) AS area, CAST(1 AS INT) AS n_holes
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 1 AS sc FROM nation)""".stripMargin.replace("\n", " "),
+      "q96_hausdorff_frechet" ->
+        s"""SELECT n_nationkey,
+           | round(sqrt(CAST((l2 - 10) * (l2 - 10) + dd * dd AS DOUBLE)), 6) AS hd,
+           | round(sqrt(CAST((l2 - 10) * (l2 - 10) + dd * dd AS DOUBLE)), 6) AS fd
+           | FROM (SELECT n_nationkey, n_nationkey % 5 + 10 AS l2, n_nationkey % 4 + 1 AS dd FROM nation)""".stripMargin.replace("\n", " "),
+      "q97_shortest_project" ->
+        s"""SELECT n_nationkey,
+           | concat('LINESTRING (', CAST(px AS VARCHAR), ' ', CAST(py AS VARCHAR), ', ',
+           |   CAST(least(px, 10) AS VARCHAR), ' 2)') AS short_wkt,
+           | round(CAST(least(px, 10) AS DOUBLE), 6) AS proj,
+           | round(CAST(least(px, 10) AS DOUBLE) / 10, 6) AS proj_n
+           | FROM (SELECT n_nationkey, n_nationkey % 15 AS px, n_nationkey % 4 + 3 AS py FROM nation)""".stripMargin.replace("\n", " "),
+      "q98_normalize_orient" ->
+        s"""SELECT n_nationkey,
+           | concat('POLYGON ((', x0, ' ', y0, ', ', x0, ' ', y1, ', ', x1, ' ', y1, ', ', x1, ' ', y0, ', ', x0, ' ', y0, '))') AS norm_poly,
+           | concat('LINESTRING (', x0, ' ', y0, ', ', x1, ' ', y1, ')') AS norm_line,
+           | concat('POLYGON ((', x0, ' ', y0, ', ', x1, ' ', y0, ', ', x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0, '))') AS ccw_wkt,
+           | concat('POLYGON ((', x0, ' ', y0, ', ', x0, ' ', y1, ', ', x1, ' ', y1, ', ', x1, ' ', y0, ', ', x0, ' ', y0, '))') AS cw_wkt
+           | FROM (SELECT n_nationkey,
+           |   CAST(n_nationkey % 5 AS VARCHAR) AS x0, CAST(n_nationkey % 3 AS VARCHAR) AS y0,
+           |   CAST(n_nationkey % 5 + 1 + n_nationkey % 4 AS VARCHAR) AS x1,
+           |   CAST(n_nationkey % 3 + 1 + n_nationkey % 2 AS VARCHAR) AS y1 FROM nation)""".stripMargin.replace("\n", " "),
+      "q99_exterior_points" ->
+        s"""SELECT n_nationkey,
+           | concat('LINESTRING (', a, ' ', b, ', ', a, ' ', e, ', ', c, ' ', e, ', ', c, ' ', b, ', ', a, ' ', b, ')') AS exterior_wkt,
+           | concat('MULTIPOINT ((', a, ' ', b, '), (', c, ' ', b, '), (', c, ' ', e, '))') AS unique_wkt,
+           | concat('LINESTRING (', a, ' ', b, ', ', c, ' ', b, ', ', c, ' ', e, ')') AS dedup_wkt,
+           | concat('POINT (', a, ' ', b, ')') AS flat_wkt
+           | FROM (SELECT n_nationkey,
+           |   CAST(n_nationkey % 4 AS VARCHAR) AS a, CAST(n_nationkey % 3 AS VARCHAR) AS b,
+           |   CAST(n_nationkey % 4 + 1 + n_nationkey % 2 AS VARCHAR) AS c,
+           |   CAST(n_nationkey % 3 + 2 AS VARCHAR) AS e FROM nation)""".stripMargin.replace("\n", " "),
+      "q100_linemerge_geomn" ->
+        s"""SELECT n_nationkey,
+           | concat('LINESTRING (', a, ' ', b, ', ', c, ' ', b, ', ', c, ' ', e, ')') AS merged_wkt,
+           | CAST(1 AS INT) AS n_merged, CAST(2 AS INT) AS n_directed,
+           | concat('POINT (', c, ' ', b, ')') AS geomn_wkt
+           | FROM (SELECT n_nationkey,
+           |   CAST(n_nationkey % 4 AS VARCHAR) AS a, CAST(n_nationkey % 3 AS VARCHAR) AS b,
+           |   CAST(n_nationkey % 4 + 1 + n_nationkey % 2 AS VARCHAR) AS c,
+           |   CAST(n_nationkey % 3 + 2 AS VARCHAR) AS e FROM nation)""".stripMargin.replace("\n", " "),
+      "q101_offset_precision" ->
+        s"""SELECT n_nationkey,
+           | concat('LINESTRING (', a, ' ', b + dd, ', ', a + l, ' ', b + dd, ')') AS off_pos_wkt,
+           | concat('LINESTRING (', a, ' ', b - dd, ', ', a + l, ' ', b - dd, ')') AS off_neg_wkt,
+           | concat('POINT (', n_nationkey, '.5 ', n_nationkey + 1, ')') AS prec_wkt
+           | FROM (SELECT n_nationkey, n_nationkey % 3 AS a, n_nationkey % 4 + 1 AS b,
+           |   n_nationkey % 5 + 5 AS l, n_nationkey % 3 + 1 AS dd FROM nation)""".stripMargin.replace("\n", " "),
+      "q102_mbc_concave_repr" ->
+        s"""SELECT n_nationkey,
+           | round(CAST(w AS DOUBLE) / 2 - sqrt(CAST(w * w + h * h AS DOUBLE)) / 2, 6) AS bx0,
+           | round(CAST(h AS DOUBLE) / 2 - sqrt(CAST(w * w + h * h AS DOUBLE)) / 2, 6) AS by0,
+           | round(CAST(w AS DOUBLE) / 2 + sqrt(CAST(w * w + h * h AS DOUBLE)) / 2, 6) AS bx1,
+           | round(CAST(h AS DOUBLE) / 2 + sqrt(CAST(w * w + h * h AS DOUBLE)) / 2, 6) AS by1,
+           | round(CAST(w * h AS DOUBLE), 6) AS ch_area, CAST(5 AS INT) AS ch_npts,
+           | round(CAST(w AS DOUBLE) / 2, 6) AS rx, round(CAST(h AS DOUBLE) / 2, 6) AS ry
+           | FROM (SELECT n_nationkey, n_nationkey % 4 + 1 AS w, n_nationkey % 3 + 1 AS h FROM nation)""".stripMargin.replace("\n", " "),
+      "q103_shared_valid" ->
+        s"""SELECT n_nationkey,
+           | concat('GEOMETRYCOLLECTION (MULTILINESTRING ((', aa, ' 0, ', bb, ' 0)), MULTILINESTRING EMPTY)') AS fwd_wkt,
+           | concat('GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, MULTILINESTRING ((', aa, ' 0, ', bb, ' 0)))') AS rev_wkt,
+           | round(CAST(8 * sc * sc AS DOUBLE), 6) AS mv_area, CAST(2 AS INT) AS mv_n
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 1 AS aa,
+           |   n_nationkey % 3 + 2 + n_nationkey % 4 AS bb, n_nationkey % 3 + 1 AS sc FROM nation)""".stripMargin.replace("\n", " "),
+      "q104_sample_points" ->
+        s"""SELECT n_nationkey, CAST(n_nationkey % 5 + 10 AS INT) AS n_pts,
+           | TRUE AS in_box, TRUE AS deterministic FROM nation""".stripMargin.replace("\n", " "),
+      "q105_simplify_coverage" ->
+        s"""SELECT n_nationkey, CAST(2 AS BIGINT) AS n_parts,
+           | round(CAST(4 AS DOUBLE), 6) AS min_area, round(CAST(4 AS DOUBLE), 6) AS max_area,
+           | round(CAST(8 AS DOUBLE), 6) AS sum_area FROM nation""".stripMargin.replace("\n", " "),
+      "q106_transform_coords" ->
+        s"""SELECT n_nationkey,
+           | concat('LINESTRING (', a + 1, ' ', 2 * b, ', ', c + 1, ' ', 2 * e, ')') AS tx_wkt
+           | FROM (SELECT n_nationkey, n_nationkey % 4 AS a, n_nationkey % 3 AS b,
+           |   n_nationkey % 4 + 1 + n_nationkey % 2 AS c, n_nationkey % 3 + 2 AS e FROM nation)""".stripMargin.replace("\n", " ")
     )
   }
 

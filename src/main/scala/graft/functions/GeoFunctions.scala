@@ -463,6 +463,14 @@ object GeoFunctions extends Serializable {
     stPolygonizeFullU(arr).cast("struct<polygons:binary,cut_edges:binary,dangles:binary,invalid_rings:binary>")
   def st_shared_paths(a: Column, b: Column): Column = stSharedPathsU(a, b)
 
+  /** Coverage-preserving boundary simplification over a grouped coverage
+    * (ref geoseries.py simplify_coverage; JTS CoverageSimplifier). Input and
+    * output are an array-of-geometries column, one array per coverage. */
+  val stSimplifyCoverageU: UserDefinedFunction = udf((arr: Seq[Array[Byte]], tol: Double) =>
+    if (arr == null) null
+    else GeomOps.simplifyCoverage(arr.filter(_ != null).map(rd), tol).map(Wkb.write).toSeq)
+  def st_simplify_coverage(arr: Column, tol: Column): Column = stSimplifyCoverageU(arr, tol)
+
   /** UTM zone estimation from a lon/lat point (ref array.py:1190-1276). */
   val stEstimateUtmU: UserDefinedFunction = udf((b: Array[Byte]) =>
     if (b == null) None
@@ -548,6 +556,7 @@ object GeoFunctions extends Serializable {
     r.register("ewkb_encode_hex", graft.io.PostgisIO.encodeHexEwkbU)
     r.register("st_polygonize", stPolygonizeU)
     r.register("st_polygonize_full", stPolygonizeFullU)
+    r.register("st_simplify_coverage", stSimplifyCoverageU)
   }
 }
 

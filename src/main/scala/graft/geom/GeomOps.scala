@@ -178,11 +178,15 @@ object GeomOps {
     case _          => 0
   }
   def extractUniquePoints(g: Geometry): Geometry = {
-    val seen = scala.collection.mutable.LinkedHashSet[(Double, Double, Double)]()
+    // key on raw bits, not Double values: a 2-D coordinate carries Z = NaN,
+    // and primitive NaN != NaN would defeat the dedup entirely; +0.0 folds
+    // -0.0 into 0.0 and doubleToLongBits canonicalizes every NaN payload
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d + 0.0)
+    val seen = scala.collection.mutable.HashSet[(Long, Long, Long)]()
     val coords = scala.collection.mutable.ArrayBuffer[Coordinate]()
     g.getCoordinates.foreach { c =>
-      val k = (c.x, c.y, c.getZ)
-      if (!seen.contains(k)) { seen += k; coords += c }
+      val k = (bits(c.x), bits(c.y), bits(c.getZ))
+      if (seen.add(k)) coords += c
     }
     gf.createMultiPointFromCoords(coords.toArray)
   }
