@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: 4 task attempts so DeterminismSpec can
+      // inject first-attempt failures and observe the retry actually rerun;
+      // tests that expect task errors to propagate still fail (after retries)
+      .master("local[4, 4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
