@@ -237,7 +237,15 @@ stays distributed.
     }
     md ++= "\nGenerated by `sbt \"runMain graft.Scale\"`.\n"
     md ++= StaticSections
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"), md.toString)
+    // preserve the ScaleSuite full-suite section across regeneration
+    val scalePath = java.nio.file.Paths.get("SCALE.md")
+    val prior = if (java.nio.file.Files.exists(scalePath))
+      java.nio.file.Files.readString(scalePath) else ""
+    val i = prior.indexOf(ScaleSuite.SectionStart)
+    val j = prior.indexOf(ScaleSuite.SectionEnd)
+    if (i >= 0 && j >= i)
+      md ++= "\n" + prior.substring(i, j + ScaleSuite.SectionEnd.length) + "\n"
+    java.nio.file.Files.writeString(scalePath, md.toString)
     println("[scale] wrote SCALE.md")
     spark.stop()
   }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-suite replication soak: every `SparkEntry` query measured at 1x and
+  * at Nx-replicated data (ids shifted so keys stay unique, same layout as
+  * `Scale.replicate`), per-query ratios banked into SCALE.md between the
+  * `suite-soak` markers (both Scale and ScaleSuite preserve each other's
+  * section on regeneration). The per-operator `Scale` harness covers 12
+  * chosen operators at 1x/4x/16x; this catches superlinear behavior in the
+  * ~90 queries that harness never touches.
+  *
+  * Ratio reading: a ratio <= N means shuffle-bounded plans (fixed overhead
+  * amortizes); >> N on a non-trivial absolute time means superlinear input
+  * work — EXCEPT for the pair-generating dedup queries, where replication
+  * turns every doc/vector into an N-member duplicate cluster and the correct
+  * output itself grows ~N^2 (see the Scale section prose).
+  */
+object ScaleSuite {
+
+  private[graft] val SectionStart = "<!-- suite-soak:start -->"
+  private[graft] val SectionEnd = "<!-- suite-soak:end -->"
+
+  /** Replace (or append) the marked section in an existing markdown body. */
+  private[graft] def spliceSection(existing: String, section: String): String = {
+    val block = s"$SectionStart\n$section\n$SectionEnd"
+    val i = existing.indexOf(SectionStart)
+    val j = existing.indexOf(SectionEnd)
+    if (i >= 0 && j >= i) existing.substring(0, i) + block + existing.substring(j + SectionEnd.length)
+    else existing.stripTrailing() + "\n\n" + block + "\n"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.BboxFastPath.install(spark)
+
+    // ---- build the Nx dir: same unique-id replication as Scale ------------
+    val dirN = s"/tmp/graft_suite_${mult}x"
+    val step = 10000000L
+    val idCols = Map(
+      "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey"), "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+    idCols.foreach { case (t, ids) =>
+      val base = spark.read.parquet(s"$sf/$t.parquet")
+      val rep = (0 until mult).map { k =>
+        ids.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(k * step)))
+      }.reduce(_.unionByName(_))
+      rep.write.mode("overwrite").parquet(s"$dirN/$t.parquet")
+    }
+    println(s"[suite] replicated ${idCols.size} tables at ${mult}x -> $dirN")
+
+    // ---- measure: warmup + median of `reps`, same action as Bench ---------
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Option[Double], Long) = {
+      var rows = 0L
+      try { rows = fn(spark, dir).count() } catch { case _: Throwable => () } // warmup
+      val times = collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        try { rows = fn(spark, dir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => () }
+      }
+      spark.sharedState.cacheManager.clearCache()
+      val sorted = times.sorted
+      (if (sorted.isEmpty) None else Some(sorted(sorted.size / 2)), rows)
+    }
+
+    case class R(name: String, s1: Option[Double], r1: Long, sN: Option[Double], rN: Long) {
+      def ratio: Option[Double] = for (a <- s1; b <- sN; if a > 1e-4) yield b / a
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (s1, r1) = measure(fn, sf)
+      val (sN, rN) = measure(fn, dirN)
+      val r = R(name, s1, r1, sN, rN)
+      println(f"[suite] $name%-28s 1x=${s1.getOrElse(-1.0)}%6.2fs ${mult}x=${sN.getOrElse(-1.0)}%6.2fs ratio=${r.ratio.getOrElse(-1.0)}%5.1f")
+      r
+    }
+
+    // outliers: ratio beyond mult with a non-noise absolute time at Nx
+    val flagged = results.filter(r => r.ratio.exists(_ > mult) && r.sN.exists(_ > 0.3))
+    val errs = results.filter(r => r.s1.isEmpty || r.sN.isEmpty)
+
+    val sb = new StringBuilder
+    sb ++= s"## Full-suite ${mult}x replication soak (round 10)\n\n"
+    sb ++= s"Every `SparkEntry` query (${results.size}) measured at 1x (sf0.1) and at\n"
+    sb ++= s"${mult}x-replicated tables (unique ids), local[$cpus], warmup + median of $reps.\n"
+    sb ++= "Pair-generating dedup queries legitimately exceed the input ratio because\n"
+    sb ++= s"replication multiplies the OUTPUT ~N^2 (every row gains $mult exact clones);\n"
+    sb ++= "they are marked `output^2`. Queries whose fixtures are key-filtered (e.g.\n"
+    sb ++= "q60's vec_id < 2000 bound) keep 1x work by construction and sit near 1.0.\n\n"
+    sb ++= s"| query | s @1x | rows @1x | s @${mult}x | rows @${mult}x | ${mult}x/1x | note |\n|---|---|---|---|---|---|---|\n"
+    val quadratic = Set("q28_minhash_pairs", "q59_ngram_jaccard", "q60_embedding_pairs",
+      "q64_minhash_fast", "q65_embedding_lsh")
+    results.sortBy(r => -r.ratio.getOrElse(999.0)).foreach { r =>
+      val note =
+        if (quadratic.contains(r.name)) "output^2"
+        else if (r.ratio.exists(_ > mult) && r.sN.exists(_ > 0.3)) "FLAG"
+        else ""
+      sb ++= f"| ${r.name} | ${r.s1.getOrElse(-1.0)}%.2f | ${r.r1} | ${r.sN.getOrElse(-1.0)}%.2f | ${r.rN} | ${r.ratio.getOrElse(-1.0)}%.1f | $note |\n"
+    }
+    sb ++= s"\nFlagged (> ${mult}x ratio, > 0.3 s absolute, not output-bound): " +
+      (if (flagged.filterNot(f => quadratic.contains(f.name)).isEmpty) "none"
+       else flagged.filterNot(f => quadratic.contains(f.name)).map(_.name).mkString(", ")) + ".\n"
+    if (errs.nonEmpty) sb ++= s"Errored: ${errs.map(_.name).mkString(", ")}.\n"
+    sb ++= "\nGenerated by `sbt \"runMain graft.ScaleSuite\"`.\n"
+
+    val scalePath = java.nio.file.Paths.get("SCALE.md")
+    val existing = if (java.nio.file.Files.exists(scalePath))
+      java.nio.file.Files.readString(scalePath) else "# SCALE\n"
+    java.nio.file.Files.writeString(scalePath, spliceSection(existing, sb.toString))
+    println(s"[suite] wrote SCALE.md section; flagged=${flagged.size} errs=${errs.size}")
+    spark.stop()
+  }
+}
