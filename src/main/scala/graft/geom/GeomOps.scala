@@ -195,9 +195,7 @@ object GeomOps {
     OffsetCurve.getCurve(g, distance, quadSegs, joinStyle, mitreLimit)
   }
   def removeRepeatedPoints(g: Geometry, tolerance: Double): Geometry =
-    org.locationtech.jts.geom.util.GeometryFixer.fix(removeRepeatedImpl(g, tolerance)) match {
-      case fixed => fixed
-    }
+    org.locationtech.jts.geom.util.GeometryFixer.fix(removeRepeatedImpl(g, tolerance))
   private def removeRepeatedImpl(g: Geometry, tol: Double): Geometry = {
     val ed = new org.locationtech.jts.geom.util.GeometryEditor(gf)
     ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
