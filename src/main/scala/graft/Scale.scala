@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   * blowup), and the LSH/dedup plans should stay bucket-bounded. */
 object Scale {
 
+  /** N×-replicate a table with ids shifted so keys stay unique. Shared by
+    * the per-operator harness below and the full-suite `ScaleSuite` soak —
+    * both must use the same layout or their ratios stop being comparable. */
+  private[graft] def replicate(df: DataFrame, n: Int, idCols: Seq[String]): DataFrame = {
+    val step = 10000000L
+    (0 until n).map { k =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * step)))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hand-maintained prose sections preserved across regeneration. */
   private val StaticSections: String = "\n" + """## 100 TB cluster conf recipe
 
@@ -74,13 +84,6 @@ stays distributed.
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.BboxFastPath.install(spark)
     import graft.functions.GeoFunctions._
-
-    def replicate(df: DataFrame, n: Int, idCols: Seq[String]): DataFrame = {
-      val step = 10000000L
-      (0 until n).map { k =>
-        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * step)))
-      }.reduce(_.unionByName(_))
-    }
 
     def pts(mult: Int): DataFrame = {
       val c = replicate(spark.read.parquet(s"$sf/customer.parquet"), mult, Seq("c_custkey"))

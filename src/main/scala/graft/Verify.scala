@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Parse `SPARK_GRAFT_EXTRA_CONF` ("k=v,k=v"). A comma inside a value
+    * (e.g. excludedRules=ruleA,ruleB) is re-joined onto the preceding pair
+    * — a token without '=' can only be a value fragment; a LEADING token
+    * without '=' has nothing to attach to and is dropped with a warning
+    * instead of crashing the run with a MatchError. */
+  private[graft] def parseExtraConf(s: String): Seq[(String, String)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).foldLeft(List.empty[(String, String)]) {
+      case (acc, tok) if tok.contains("=") =>
+        val Array(k, v) = tok.split("=", 2); (k, v) :: acc
+      case ((k, v) :: rest, tok) => (k, s"$v,$tok") :: rest
+      case (Nil, tok) =>
+        System.err.println(s"[verify] ignoring malformed SPARK_GRAFT_EXTRA_CONF token '$tok' (no '=')")
+        Nil
+    }.reverse
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query names to run (default: all)
@@ -22,11 +38,8 @@ object Verify {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     // optional scheduler-level overrides, e.g. the speculation soak:
     //   SPARK_GRAFT_EXTRA_CONF="spark.speculation=true,spark.speculation.quantile=0.5"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      }
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap(parseExtraConf)
+      .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.BboxFastPath.install(spark)

@@ -468,7 +468,9 @@ object GeoFunctions extends Serializable {
     * output are an array-of-geometries column, one array per coverage. */
   val stSimplifyCoverageU: UserDefinedFunction = udf((arr: Seq[Array[Byte]], tol: Double) =>
     if (arr == null) null
-    else GeomOps.simplifyCoverage(arr.filter(_ != null).map(rd), tol).map(Wkb.write).toSeq)
+    // output is positional (one simplified geometry per input slot) — keep
+    // null slots in place; GeomOps substitutes an empty polygon for them
+    else GeomOps.simplifyCoverage(arr.map(b => if (b == null) null else rd(b)), tol).map(Wkb.write).toSeq)
   def st_simplify_coverage(arr: Column, tol: Column): Column = stSimplifyCoverageU(arr, tol)
 
   /** UTM zone estimation from a lon/lat point (ref array.py:1190-1276). */

@@ -25,9 +25,10 @@ object SJoinNearest {
   private[graft] val lastAutoRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Diagnostic: logical-plan node count of the `remaining` frame when the
-    * LAST unbounded search exited its loop. The per-round localCheckpoint
-    * keeps this O(1) in the round count — a growing value would mean round
-    * k is re-executing rounds 1..k-1's anti-join chain. */
+    * LAST unbounded search exited its loop. The per-round checkpoint
+    * (reliable when a checkpoint dir is set, local otherwise) keeps this
+    * O(1) in the round count — a growing value would mean round k is
+    * re-executing rounds 1..k-1's anti-join chain. */
   private[graft] val lastRemainingPlanNodes = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   def sjoinNearest(left: DataFrame, right: DataFrame, how: String = "inner",
@@ -109,11 +110,17 @@ object SJoinNearest {
       val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
         Some(distanceCol.getOrElse("__graft_dist")), exclusive).cache()
       val matchedIds = matched.select(col("__graft_auto_lid")).distinct()
-      // localCheckpoint truncates the lineage each round: without it, round
+      // Checkpointing truncates the lineage each round: without it, round
       // k's `limit(1).count()` action re-executes rounds 1..k-1's anti-join
-      // chain — quadratic re-scan on a distribution that needs many rounds
-      remaining = remaining.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
-        .localCheckpoint()
+      // chain — quadratic re-scan on a distribution that needs many rounds.
+      // With a checkpoint dir configured (any real cluster deployment) use
+      // the RELIABLE variant: localCheckpoint pins blocks to executors, so
+      // losing one to preemption/decommission after round k would fail the
+      // job unrecoverably; HDFS-backed checkpoint survives executor loss.
+      val anti = remaining.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
+      remaining =
+        if (anti.sparkSession.sparkContext.getCheckpointDir.isDefined) anti.checkpoint()
+        else anti.localCheckpoint()
       acc = Some(acc.map(_.unionByName(matched, allowMissingColumns = true)).getOrElse(matched))
       radius *= 4
       rounds += 1

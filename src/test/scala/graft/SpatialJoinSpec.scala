@@ -279,6 +279,28 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"remaining plan grew to ${SJoinNearest.lastRemainingPlanNodes.get()} nodes — lineage not truncated")
   }
 
+  test("unbounded nearest loop uses reliable checkpoint when a dir is configured") {
+    // same multi-round workload as above, but through the cluster-safe path:
+    // with a checkpoint dir set the loop must use Dataset.checkpoint (blocks
+    // survive executor loss) instead of executor-pinned localCheckpoint
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val near = (0 until 20).map(i => (i, Wkb.write(GeomOps.point(i * 0.1, 0.0))))
+      val farPt = Seq((99, Wkb.write(GeomOps.point(5e5, 5e5))))
+      val stream = (near ++ farPt).toDF("pid", "geometry")
+      val build = Seq((7, Wkb.write(GeomOps.point(1.0, 0.0)))).toDF("tid", "geometry")
+      val j = SJoinNearest.sjoinNearest(stream, build, distanceCol = Some("d"),
+        broadcastThreshold = -1)
+      assert(j.count() == 21)
+      assert(j.select("tid").distinct().as[Int].collect().toSeq == Seq(7))
+      assert(SJoinNearest.lastAutoRounds.get() >= 2)
+      assert(SJoinNearest.lastRemainingPlanNodes.get() <= 4,
+        "reliable checkpoint must truncate lineage just like the local variant")
+    } finally sc.setCheckpointDir(null) // restore the default local-mode path
+  }
+
   test("total_bounds skips empty geometries") {
     val df = Seq(
       (0, Wkb.write(GeomOps.point(5, 6))),

@@ -52,4 +52,25 @@ class SqlRegistrationSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - 0.5) < 1e-9)
     assert(row.getInt(4) == 4326)
   }
+
+  test("st_simplify_coverage keeps null slots positional (empty substitute, no drop)") {
+    GeoFunctions.registerAll(spark)
+    import graft.geom.Wkb
+    import spark.implicits._
+    // two polygons sharing a jagged edge, with a NULL in the middle slot:
+    // output must stay index-aligned with input (the arrays_zip re-attach in
+    // GeoDataFrame.simplifyCoverage pairs results back by position)
+    val a = Wkb.write(Wkb.readWkt("POLYGON ((0 0, 0 10, 5 10, 5.1 7, 4.9 5, 5.1 3, 5 0, 0 0))"))
+    val b = Wkb.write(Wkb.readWkt("POLYGON ((5 10, 10 10, 10 0, 5 0, 5.1 3, 4.9 5, 5.1 7, 5 10))"))
+    val parts = Seq((a, b)).toDF("a", "b")
+      .selectExpr("st_simplify_coverage(array(a, NULL, b), 1.0D) AS parts")
+      .head().getSeq[Array[Byte]](0)
+    assert(parts.length == 3, "null slot must not be dropped")
+    assert(Wkb.read(parts(1)).isEmpty, "null slot becomes the empty-polygon substitute")
+    assert(!Wkb.read(parts(0)).isEmpty && !Wkb.read(parts(2)).isEmpty)
+    // the real geometries were actually simplified and stayed at their slots
+    assert(Wkb.read(parts(2)).getNumPoints < Wkb.read(b).getNumPoints)
+    assert(math.abs(Seq(parts(0), parts(2)).map(Wkb.read(_).getArea).sum
+      - (Wkb.read(a).getArea + Wkb.read(b).getArea)) < 1e-6)
+  }
 }
