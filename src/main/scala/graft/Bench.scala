@@ -106,13 +106,13 @@ object Bench {
     // fast-looking wall time that masks a regression.
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[Double], Option[String]) = {
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
+      try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => () } // warmup
       val times = collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => err = Some("err: " + e.getClass.getSimpleName) }
+        catch { case scala.util.control.NonFatal(e) => err = Some("err: " + e.getClass.getSimpleName) }
       }
       // drop this query's cached plans before the next one: a long run
       // otherwise accumulates every .cache()d subtree in storage memory,

@@ -130,7 +130,7 @@ stays distributed.
     val out = scala.collection.mutable.ArrayBuffer[M]()
     val nnRounds = scala.collection.mutable.LinkedHashMap[Int, Int]()
     def bench(op: String, mult: Int, warm: Boolean = true)(f: => (Long, Long)): Unit = {
-      if (warm) { try f catch { case _: Throwable => () } }
+      if (warm) { try f catch { case scala.util.control.NonFatal(_) => () } }
       val t0 = System.nanoTime()
       val (rows, _) = f
       out += M(s"$op @${mult}x", rows, (System.nanoTime() - t0) / 1e9)
