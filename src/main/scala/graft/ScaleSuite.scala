@@ -97,7 +97,7 @@ object ScaleSuite {
     // any superlinear ratio it shows is a real regression and must FLAG.
     val quadratic = Set("q28_minhash_pairs", "q59_ngram_jaccard",
       "q64_minhash_fast", "q65_embedding_lsh")
-    val keyFiltered = Set("q60_embedding_pairs")
+    val keyFiltered = Set("q60_embedding_pairs", "q107_knn_graph")
     // outliers: ratio beyond mult with a non-noise absolute time at Nx,
     // excluding the output-bound set — ONE definition, used by both the
     // markdown section and the console summary below

@@ -1175,6 +1175,87 @@ object SparkEntry {
           st_point(col("c").cast("double"), col("e").cast("double"))))
       n.select(col("n_nationkey"),
         st_astext(st_transform_coords(col("seg"))((x, y, z) => (x + 1.0, 2.0 * y, z))).as("tx_wkt"))
+    }),
+    "q107_knn_graph" -> ((s, d) => {
+      // kNN graph over the multi-table LSH band join (Similarity.knnJoin).
+      // The oracle is the BRUTE-FORCE top-k per id on the key-filtered
+      // subset, so any LSH recall miss among the true top-k fails the hash
+      // (the q65 gate philosophy); the subset bound keeps work at 1x under
+      // replication like q60. 32 one-bit bands make the per-pair miss
+      // probability (theta/pi)^32 — vanishing even for the ~0.25-cosine
+      // neighbours a random-embedding top-3 contains (16x4-bit banding,
+      // the selective-at-scale shape q65 gates, measurably misses those).
+      val e = embs(s, d).filter(col("vec_id") < 500)
+      Similarity.knnJoin(e, "vec_id", "embedding", k = 3, planes = 32, bands = 32)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+    "q108_densify_distances" -> ((s, d) => {
+      // ref base.py:4166 (hausdorff densify=) / base.py:4281 (frechet
+      // densify=). Hausdorff fixture: A = horizontal line y=h over [0,w];
+      // B = the two vertical edges x=0 and x=w of height 2h. Plain discrete
+      // HD = h (B's corners to A); densified samples on A reach w/2
+      // (frac 0.5) and w/3 (frac 0.34 — JTS rint(1/0.34) = 3 subsegments,
+      // exercising the rint semantics). Frechet fixture: segment (0,0)-(L,0)
+      // vs the hat through (L/2,e): plain = sqrt((L/2)^2 + e^2) (the apex is
+      // forced to pair with an endpoint); frac 0.5 adds midpoints so the
+      // worst forced pair is the quarter-point, sqrt((L/4)^2 + (e/2)^2);
+      // frac 0.25 -> max(e, sqrt((L/8)^2 + (3e/4)^2)). w % 6 = 0, L % 8 = 0
+      // and e even by construction, so every coordinate (and every squared
+      // distance) is exact and both engines sqrt the same IEEE value.
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("h", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("w", ((col("n_nationkey") % 3 + 2) * 6).cast("int"))
+        .withColumn("l2", ((col("n_nationkey") % 3 + 2) * 4).cast("int"))
+        .withColumn("e", ((col("n_nationkey") % 2 + 1) * 2).cast("int"))
+        .withColumn("ha", st_makeline(st_point(lit(0.0), col("h").cast("double")),
+          st_point(col("w").cast("double"), col("h").cast("double"))))
+        .withColumn("hb", st_geomfromwkt(concat(
+          lit("MULTILINESTRING ((0 0, 0 "), col("h") * 2, lit("), ("),
+          col("w"), lit(" 0, "), col("w"), lit(" "), col("h") * 2, lit("))"))))
+        .withColumn("fa", st_makeline(st_point(lit(0.0), lit(0.0)),
+          st_point((col("l2") * 2).cast("double"), lit(0.0))))
+        .withColumn("fb", st_geomfromwkt(concat(
+          lit("LINESTRING (0 0, "), col("l2"), lit(" "), col("e"),
+          lit(", "), col("l2") * 2, lit(" 0)"))))
+      n.select(col("n_nationkey"),
+        round(st_hausdorff_distance(col("ha"), col("hb")), 6).as("hd"),
+        round(st_hausdorff_distance(col("ha"), col("hb"), lit(0.5)), 6).as("hd_d05"),
+        round(st_hausdorff_distance(col("ha"), col("hb"), lit(0.34)), 6).as("hd_d034"),
+        round(st_frechet_distance(col("fa"), col("fb")), 6).as("fr"),
+        round(st_frechet_distance(col("fa"), col("fb"), lit(0.5)), 6).as("fr_d05"),
+        round(st_frechet_distance(col("fa"), col("fb"), lit(0.25)), 6).as("fr_d025"))
+    }),
+    "q109_interiors_zm" -> ((s, d) => {
+      // ref base.py:1624 (interiors list accessor), base.py:843 (m accessor,
+      // JTS XYZM), base.py:3108 (geom_equals_identical). The two holes come
+      // back in stored (WKT input) order as LINESTRING linework; POINT ZM
+      // carries M through the WKB codec; the rotated-start square is
+      // geometrically equal but not structurally identical. Integer coords.
+      val n = s.read.parquet(s"$d/nation.parquet")
+        .withColumn("a", (col("n_nationkey") % 3 + 1).cast("int"))
+        .withColumn("b", (col("n_nationkey") % 4 + 1).cast("int"))
+        .withColumn("poly", st_geomfromwkt(concat(
+          lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), ("),
+          col("a"), lit(" "), col("a"), lit(", "), col("a") + 1, lit(" "), col("a"), lit(", "),
+          col("a") + 1, lit(" "), col("a") + 1, lit(", "), col("a"), lit(" "), col("a") + 1, lit(", "),
+          col("a"), lit(" "), col("a"), lit("), ("),
+          col("a") + 4, lit(" "), col("a"), lit(", "), col("a") + 5, lit(" "), col("a"), lit(", "),
+          col("a") + 5, lit(" "), col("a") + 1, lit(", "), col("a") + 4, lit(" "), col("a") + 1, lit(", "),
+          col("a") + 4, lit(" "), col("a"), lit("))"))))
+        .withColumn("zm", st_geomfromwkt(concat(
+          lit("POINT ZM ("), col("a"), lit(" "), col("b"), lit(" 5 7)"))))
+        .withColumn("sq", st_geomfromwkt(concat(
+          lit("POLYGON ((0 0, "), col("b"), lit(" 0, "), col("b"), lit(" "), col("b"),
+          lit(", 0 "), col("b"), lit(", 0 0))"))))
+        .withColumn("sqrot", st_geomfromwkt(concat(
+          lit("POLYGON (("), col("b"), lit(" 0, "), col("b"), lit(" "), col("b"),
+          lit(", 0 "), col("b"), lit(", 0 0, "), col("b"), lit(" 0))"))))
+      n.select(col("n_nationkey"),
+          posexplode(st_interiors(col("poly"))).as(Seq("ring_idx", "ring")),
+          st_m(col("zm")).as("m_val"), st_has_m(col("zm")).as("has_m"),
+          st_geom_equals_identical(col("sq"), col("sqrot")).as("ident_rot"),
+          st_equals(col("sq"), col("sqrot")).as("eq_rot"))
+        .withColumn("ring_wkt", st_astext(col("ring"))).drop("ring")
     })
   )
 
@@ -1752,7 +1833,37 @@ object SparkEntry {
         s"""SELECT n_nationkey,
            | concat('LINESTRING (', a + 1, ' ', 2 * b, ', ', c + 1, ' ', 2 * e, ')') AS tx_wkt
            | FROM (SELECT n_nationkey, n_nationkey % 4 AS a, n_nationkey % 3 AS b,
-           |   n_nationkey % 4 + 1 + n_nationkey % 2 AS c, n_nationkey % 3 + 2 AS e FROM nation)""".stripMargin.replace("\n", " ")
+           |   n_nationkey % 4 + 1 + n_nationkey % 2 AS c, n_nationkey % 3 + 2 AS e FROM nation)""".stripMargin.replace("\n", " "),
+      "q107_knn_graph" ->
+        s"""WITH e AS (SELECT * FROM embeddings WHERE vec_id < 500),
+           | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+           |   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+           | r AS (SELECT id_a, id_b, cosine,
+           |   row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rk FROM p)
+           | SELECT id_a, id_b, round(cosine, 6) AS cosine FROM r WHERE rk <= 3""".stripMargin.replace("\n", " "),
+      "q108_densify_distances" ->
+        s"""SELECT n_nationkey,
+           | round(CAST(h AS DOUBLE), 6) AS hd,
+           | round(CAST(w AS DOUBLE) / 2, 6) AS hd_d05,
+           | round(CAST(w AS DOUBLE) / 3, 6) AS hd_d034,
+           | round(sqrt(CAST(l2 * l2 + e * e AS DOUBLE)), 6) AS fr,
+           | round(sqrt(CAST((l2 // 2) * (l2 // 2) + (e // 2) * (e // 2) AS DOUBLE)), 6) AS fr_d05,
+           | round(greatest(CAST(e AS DOUBLE),
+           |   sqrt(CAST((l2 // 4) * (l2 // 4) AS DOUBLE) + (0.75 * e) * (0.75 * e))), 6) AS fr_d025
+           | FROM (SELECT n_nationkey, n_nationkey % 3 + 1 AS h, (n_nationkey % 3 + 2) * 6 AS w,
+           |   (n_nationkey % 3 + 2) * 4 AS l2, (n_nationkey % 2 + 1) * 2 AS e FROM nation)""".stripMargin.replace("\n", " "),
+      "q109_interiors_zm" ->
+        s"""WITH base AS (SELECT n_nationkey, n_nationkey % 3 + 1 AS a, n_nationkey % 4 + 1 AS b FROM nation)
+           | SELECT n_nationkey, 0 AS ring_idx,
+           |  concat('LINESTRING (', a, ' ', a, ', ', a + 1, ' ', a, ', ', a + 1, ' ', a + 1, ', ', a, ' ', a + 1, ', ', a, ' ', a, ')') AS ring_wkt,
+           |  CAST(7 AS DOUBLE) AS m_val, true AS has_m, false AS ident_rot, true AS eq_rot FROM base
+           | UNION ALL
+           | SELECT n_nationkey, 1 AS ring_idx,
+           |  concat('LINESTRING (', a + 4, ' ', a, ', ', a + 5, ' ', a, ', ', a + 5, ' ', a + 1, ', ', a + 4, ' ', a + 1, ', ', a + 4, ' ', a, ')') AS ring_wkt,
+           |  CAST(7 AS DOUBLE) AS m_val, true AS has_m, false AS ident_rot, true AS eq_rot FROM base""".stripMargin.replace("\n", " ")
     )
   }
 

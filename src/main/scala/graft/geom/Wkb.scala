@@ -16,6 +16,9 @@ object Wkb {
   private val reader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
   private val writer2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
   private val writer3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
+  // XYZM writer: JTS intersects the requested ordinates with what the
+  // coordinate sequence actually carries, so XYM geometries write M-only
+  private val writer4 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(4))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => {
     val w = new WKTWriter(4)
@@ -27,6 +30,7 @@ object Wkb {
 
   def write(g: Geometry): Array[Byte] =
     if (g == null) null
+    else if (hasM(g)) writer4.get.write(g)
     else if (hasZ(g)) writer3.get.write(g)
     else writer2.get.write(g)
 
@@ -41,5 +45,15 @@ object Wkb {
     if (g.isEmpty) return false
     val c = g.getCoordinate
     c != null && !java.lang.Double.isNaN(c.getZ)
+  }
+
+  /** True if the first coordinate carries an M (reference `base.py:843
+    * has_m`) — same first-coordinate convention as [[hasZ]]. Without this
+    * probe the codec silently dropped M: measured geometries parsed fine
+    * but lost M on the very first column write (caught by the q109 gate). */
+  def hasM(g: Geometry): Boolean = {
+    if (g.isEmpty) return false
+    val c = g.getCoordinate
+    c != null && !java.lang.Double.isNaN(c.getM)
   }
 }

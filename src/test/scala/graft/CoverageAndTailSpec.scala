@@ -83,6 +83,13 @@ class CoverageAndTailSpec extends AnyFunSuite {
     // WKT ZM round-trip
     val zm = Wkb.readWkt("POINT ZM (1 2 3 4)")
     assert(GeomOps.hasM(zm) && GeomOps.pointM(zm) == 4.0)
+    // WKB COLUMN round-trip: the codec must pick the XYZM writer, not the
+    // XYZ one — M used to be dropped on the first write (q109 regression)
+    val rt = Wkb.read(Wkb.write(zm))
+    assert(GeomOps.hasM(rt) && GeomOps.pointM(rt) == 4.0)
+    assert(rt.getCoordinate.getZ == 3.0)
+    val zmLine = Wkb.read(Wkb.write(Wkb.readWkt("LINESTRING ZM (0 0 1 2, 3 4 5 6)")))
+    assert(GeomOps.hasM(zmLine) && zmLine.getCoordinates.last.getM == 6.0)
   }
 
   test("geomEqualsIdentical: exact structural equality incl. Z, unlike equalsTopo") {
