@@ -179,6 +179,16 @@ object Plans {
         round(st_area(geom), 6).as("area"))
     }
 
+    section("kNN graph (q107: banded LSH self-join + per-id top-k window)",
+      "Candidate pairs come from the (band, key) equi-join — a plain shuffled " +
+        "hash join on small integer keys, never a cartesian; vectors re-attach " +
+        "by id via joins AQE broadcasts at gate scale; the per-id top-k is one " +
+        "rank window over the symmetrized pair set. Output-bounded like the " +
+        "other banded-LSH plans: corpus^2 never materializes.") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 500)
+      graft.ops.Similarity.knnJoin(e, "vec_id", "embedding", k = 3, planes = 32, bands = 32)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)
