@@ -190,8 +190,13 @@ object FlatGeobuf {
     val buf = t.buf
     def coords: Array[Coordinate] = {
       val (base, n) = t.vector(1)
-      Array.tabulate(n / 2)(i =>
-        new Coordinate(buf.getDouble(base + 16 * i), buf.getDouble(base + 16 * i + 8)))
+      val (zBase, zN) = t.vector(2) // spec z vector, one double per coordinate
+      Array.tabulate(n / 2) { i =>
+        val x = buf.getDouble(base + 16 * i)
+        val y = buf.getDouble(base + 16 * i + 8)
+        if (zBase >= 0 && i < zN) new Coordinate(x, y, buf.getDouble(zBase + 8 * i))
+        else new Coordinate(x, y)
+      }
     }
     def ends(totalPairs: Int): Array[Int] = {
       val (base, n) = t.vector(0)
@@ -350,7 +355,8 @@ object FlatGeobuf {
     val index =
       if (rowsIn.nonEmpty) PackedRTree.build(sortedBoxes, offsets, 16) else Array.empty[Byte]
     val header = buildHeader(fields, colTypes, headerType, rowsIn.length,
-      if (rowsIn.isEmpty) 0 else 16, (ex0, ey0, ex1, ey1), crsCode)
+      if (rowsIn.isEmpty) 0 else 16, (ex0, ey0, ex1, ey1), crsCode,
+      hasZ = geoms.exists(g => g != null && graft.geom.Wkb.hasZ(g)))
     val out = new java.io.ByteArrayOutputStream(
       8 + 4 + header.length + index.length + acc.toInt)
     out.write(Magic)
@@ -368,7 +374,7 @@ object FlatGeobuf {
   private def buildHeader(fields: Array[StructField], colTypes: Array[Int], geomType: Int,
                           count: Int, nodeSize: Int,
                           env: (Double, Double, Double, Double),
-                          crsCode: Option[Int]): Array[Byte] = {
+                          crsCode: Option[Int], hasZ: Boolean = false): Array[Byte] = {
     val b = new FlatBuf.Builder(512)
     val colOffs = fields.zip(colTypes).map { case (f, t) =>
       val nameOff = b.createString(f.name)
@@ -391,6 +397,7 @@ object FlatGeobuf {
     b.slotOffset(0, nameOff)
     b.slotOffset(1, envVec)
     b.slotByte(2, geomType.toByte, 0)
+    b.slotByte(3, (if (hasZ) 1 else 0).toByte, 0) // spec header.fbs has_z
     b.slotOffset(7, colsVec)
     b.slotLong(8, count.toLong, 0L)
     b.slotShort(9, nodeSize.toShort, 16)
@@ -429,22 +436,30 @@ object FlatGeobuf {
         b.slotOffset(7, pv)
         b.endTable()
       case _ =>
-        val (xy, ends) = flatCoords(g)
+        val (cs, ends) = flatCoords(g)
         val endsOff = if (ends.length > 1) b.createIntVector(ends) else 0
-        val xyOff = b.createDoubleVector(xy)
+        val xyOff = b.createDoubleVector(cs.flatMap(c => Array(c.x, c.y)))
+        // spec z vector: emitted only when the linework carries Z (absent Z
+        // in a mixed sequence becomes 0, like GDAL's 2.5D promotion)
+        val zOff =
+          if (cs.exists(c => !java.lang.Double.isNaN(c.getZ)))
+            b.createDoubleVector(cs.map(c =>
+              if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ))
+          else 0
         b.startTable(8)
         b.slotOffset(0, endsOff)
         b.slotOffset(1, xyOff)
+        b.slotOffset(2, zOff)
         if (withType) b.slotByte(6, code.toByte, 0)
         b.endTable()
     }
   }
 
-  /** Flat xy + cumulative per-part end indices (in coordinate pairs). */
-  private def flatCoords(g: Geometry): (Array[Double], Array[Int]) = g.getGeometryType match {
+  /** Flattened coordinates + cumulative per-part end indices (in pairs). */
+  private def flatCoords(g: Geometry): (Array[Coordinate], Array[Int]) = g.getGeometryType match {
     case "Point" | "LineString" | "MultiPoint" =>
       val cs = g.getCoordinates
-      (cs.flatMap(c => Array(c.x, c.y)), Array(cs.length))
+      (cs, Array(cs.length))
     case "Polygon" =>
       val p = g.asInstanceOf[org.locationtech.jts.geom.Polygon]
       val rings: Array[Array[Coordinate]] =
@@ -456,13 +471,13 @@ object FlatGeobuf {
     case other => throw new IllegalArgumentException(s"flatCoords: $other")
   }
 
-  private def flatParts(parts: Array[Array[Coordinate]]): (Array[Double], Array[Int]) = {
-    val xy = parts.flatMap(_.flatMap(c => Array(c.x, c.y)))
+  private def flatParts(parts: Array[Array[Coordinate]]): (Array[Coordinate], Array[Int]) = {
+    val cs = parts.flatten
     val ends = new Array[Int](parts.length)
     var acc = 0
     var i = 0
     while (i < parts.length) { acc += parts(i).length; ends(i) = acc; i += 1 }
-    (xy, ends)
+    (cs, ends)
   }
 
   private def encodeProps(row: Row, fields: Array[StructField], geomIdx: Int,

@@ -267,8 +267,15 @@ object Gml {
     while (depth > 0 && r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
         case "pos" | "posList" =>
-          val dim = Option(r.getAttributeValue(null, "srsDimension")).map(_.toInt).getOrElse(2)
-          out ++= parsePosList(r.getElementText, dim)
+          val isPos = r.getLocalName == "pos"
+          val attr = Option(r.getAttributeValue(null, "srsDimension")).map(_.toInt)
+          val text = r.getElementText
+          // a bare <gml:pos> holds exactly ONE coordinate, so its dimension
+          // is its number count (GDAL reads it the same way); posList without
+          // srsDimension stays 2-D per the GDAL default
+          val dim = attr.getOrElse(
+            if (isPos && text.trim.split("\\s+").count(_.nonEmpty) >= 3) 3 else 2)
+          out ++= parsePosList(text, dim)
         case "coordinates" =>
           val cs = Option(r.getAttributeValue(null, "cs")).getOrElse(",")
           out ++= parseGml2Coordinates(r.getElementText, cs)
@@ -356,13 +363,19 @@ object Gml {
     if (java.lang.Double.isNaN(c.getZ)) base else base + " " + fmt(c.getZ)
   }.mkString(" ")
 
+  /** ` srsDimension="3"` when the linework carries Z — without it a reader
+    * (ours included, before round 10) groups the posList numbers in pairs
+    * and silently drops every third ordinate on the round-trip. */
+  private def dimAttr(cs: Array[Coordinate]): String =
+    if (cs.exists(c => !java.lang.Double.isNaN(c.getZ))) " srsDimension=\"3\"" else ""
+
   private[io] def geomToGml(g: Geometry, srs: String = ""): String = g match {
     case p: Point =>
-      s"<gml:Point$srs><gml:pos>${posText(p.getCoordinates)}</gml:pos></gml:Point>"
+      s"<gml:Point$srs><gml:pos${dimAttr(p.getCoordinates)}>${posText(p.getCoordinates)}</gml:pos></gml:Point>"
     case rg: LinearRing =>
-      s"<gml:LinearRing><gml:posList>${posText(rg.getCoordinates)}</gml:posList></gml:LinearRing>"
+      s"<gml:LinearRing><gml:posList${dimAttr(rg.getCoordinates)}>${posText(rg.getCoordinates)}</gml:posList></gml:LinearRing>"
     case l: LineString =>
-      s"<gml:LineString$srs><gml:posList>${posText(l.getCoordinates)}</gml:posList></gml:LineString>"
+      s"<gml:LineString$srs><gml:posList${dimAttr(l.getCoordinates)}>${posText(l.getCoordinates)}</gml:posList></gml:LineString>"
     case p: Polygon =>
       val outer = s"<gml:exterior>${geomToGml(p.getExteriorRing)}</gml:exterior>"
       val holes = (0 until p.getNumInteriorRing)

@@ -2,6 +2,7 @@ package graft
 
 import graft.api.GeoDataFrame
 import graft.geom.{GeomOps, Wkb}
+import graft.functions.GeoFunctions.st_astext
 import graft.io.{FlatGeobuf, GeoIO, PackedRTree}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -180,6 +181,26 @@ class FlatGeobufSpec extends AnyFunSuite {
     val back = GeoIO.readFile(spark, path, columns = Some(Seq("id")), where = Some("id = 2"))
     assert(back.df.columns.toSeq == Seq("id", "geometry"))
     assert(back.df.select("id").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("Z round-trips through the spec z vector for all linework shapes") {
+    // round 10: the codec was XY-only; the geometry table's z slot (id 2)
+    // now carries one double per coordinate, and the header sets has_z
+    val df = Seq(
+      (1L, "POINT Z (1 2 3)"),
+      (2L, "LINESTRING Z (0 0 1, 4 0 5)"),
+      (3L, "POLYGON Z ((0 0 1, 4 0 2, 4 4 3, 0 4 4, 0 0 1))"),
+      (4L, "MULTILINESTRING Z ((0 0 7, 1 1 8), (2 2 9, 3 3 10))")).toDF("id", "wkt")
+    val g0 = GeoDataFrame.fromWkt(df, "wkt")
+    val dir = java.nio.file.Files.createTempDirectory("fgbz").toString
+    FlatGeobuf.write(g0.copy(df = g0.df.drop("wkt")), s"$dir/z.fgb")
+    val back = FlatGeobuf.read(spark, s"$dir/z.fgb")
+    val w = back.df.select(col("id"), st_astext(col("geometry"))).as[(Long, String)]
+      .collect().toMap
+    assert(w(1L) == "POINT Z(1 2 3)")
+    assert(w(2L) == "LINESTRING Z(0 0 1, 4 0 5)")
+    assert(w(3L) == "POLYGON Z((0 0 1, 4 0 2, 4 4 3, 0 4 4, 0 0 1))")
+    assert(w(4L) == "MULTILINESTRING Z((0 0 7, 1 1 8), (2 2 9, 3 3 10))")
   }
 
   test("empty frame round-trips (no index written)") {

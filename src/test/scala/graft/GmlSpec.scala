@@ -136,6 +136,24 @@ class GmlSpec extends AnyFunSuite {
     assert(pt == ((9.0, 9.0)))
   }
 
+  test("WRITE side emits srsDimension=3 so Z survives our own round-trip") {
+    // regression: the writer used to emit 3-number posList/pos text without
+    // the attribute, so the reader's 2-D default silently dropped every
+    // third ordinate (and mis-paired linework coordinates) on read-back
+    val df = Seq((1L, "POINT Z (1 2 3)"), (2L, "LINESTRING Z (0 0 1, 4 0 5)")).toDF("id", "wkt")
+    val g0 = GeoDataFrame.fromWkt(df, "wkt")
+    val dir = java.nio.file.Files.createTempDirectory("gmlz").toString
+    Gml.write(g0.copy(df = g0.df.drop("wkt")), s"$dir/z.gml")
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/z.gml")), "UTF-8")
+    assert(raw.contains("srsDimension=\"3\""))
+    val back = Gml.read(spark, s"$dir/z.gml")
+    val w = back.df.select(col("id"), st_astext(col("geometry"))).as[(Long, String)]
+      .collect().toMap
+    assert(w(1L) == "POINT Z(1 2 3)")
+    assert(w(2L) == "LINESTRING Z(0 0 1, 4 0 5)")
+  }
+
   test("column names invalid as XML element names are laundered like GDAL") {
     val df = Seq((1L, "v", 3.0, 4.0)).toDF("id", "my col!", "x", "y")
     val g0 = GeoDataFrame.pointsFromXy(df, "x", "y")
