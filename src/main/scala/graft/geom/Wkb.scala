@@ -16,9 +16,21 @@ object Wkb {
   private val reader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
   private val writer2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
   private val writer3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
-  // XYZM writer: JTS intersects the requested ordinates with what the
-  // coordinate sequence actually carries, so XYM geometries write M-only
+  // XYZM writer — for sequences that actually carry Z (dimension 4).
   private val writer4 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(4))
+  // XYM-only writer: WKBWriter hardcodes M at ordinate index 3, but an XYM
+  // CoordinateArraySequence is dimension 3 with M at index 2 — asking a
+  // dimension-4 writer for it throws "Invalid ordinate index: 3". Restricting
+  // a dimension-3 writer to {X,Y,M} makes it read index 2 and set the EWKB
+  // M flag, which WKBReader round-trips back to CoordinateXYM.
+  private val writerM = ThreadLocal.withInitial[WKBWriter](() => {
+    val w = new WKBWriter(3)
+    w.setOutputOrdinates(java.util.EnumSet.of(
+      org.locationtech.jts.io.Ordinate.X,
+      org.locationtech.jts.io.Ordinate.Y,
+      org.locationtech.jts.io.Ordinate.M))
+    w
+  })
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => {
     val w = new WKTWriter(4)
@@ -30,6 +42,7 @@ object Wkb {
 
   def write(g: Geometry): Array[Byte] =
     if (g == null) null
+    else if (hasM(g) && !hasZ(g)) writerM.get.write(g)
     else if (hasM(g)) writer4.get.write(g)
     else if (hasZ(g)) writer3.get.write(g)
     else writer2.get.write(g)

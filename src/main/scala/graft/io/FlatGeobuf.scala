@@ -4,7 +4,7 @@ import graft.api.GeoDataFrame
 import graft.geom.{Hilbert, Wkb}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
-import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.{Coordinate, CoordinateXYM, CoordinateXYZM, Geometry, GeometryFactory}
 
 /** FlatGeobuf read/write — implemented from the PUBLIC format specification
   * (https://flatgeobuf.org, spec/ in the flatgeobuf repo): an 8-byte magic
@@ -190,11 +190,17 @@ object FlatGeobuf {
     val buf = t.buf
     def coords: Array[Coordinate] = {
       val (base, n) = t.vector(1)
-      val (zBase, zN) = t.vector(2) // spec z vector, one double per coordinate
+      val (zBase, zN) = t.vector(2) // spec z / m vectors, one double per coordinate
+      val (mBase, mN) = t.vector(3)
       Array.tabulate(n / 2) { i =>
         val x = buf.getDouble(base + 16 * i)
         val y = buf.getDouble(base + 16 * i + 8)
-        if (zBase >= 0 && i < zN) new Coordinate(x, y, buf.getDouble(zBase + 8 * i))
+        val hasZ = zBase >= 0 && i < zN
+        val hasM = mBase >= 0 && i < mN
+        if (hasZ && hasM)
+          new CoordinateXYZM(x, y, buf.getDouble(zBase + 8 * i), buf.getDouble(mBase + 8 * i))
+        else if (hasM) new CoordinateXYM(x, y, buf.getDouble(mBase + 8 * i))
+        else if (hasZ) new Coordinate(x, y, buf.getDouble(zBase + 8 * i))
         else new Coordinate(x, y)
       }
     }
@@ -356,7 +362,8 @@ object FlatGeobuf {
       if (rowsIn.nonEmpty) PackedRTree.build(sortedBoxes, offsets, 16) else Array.empty[Byte]
     val header = buildHeader(fields, colTypes, headerType, rowsIn.length,
       if (rowsIn.isEmpty) 0 else 16, (ex0, ey0, ex1, ey1), crsCode,
-      hasZ = geoms.exists(g => g != null && graft.geom.Wkb.hasZ(g)))
+      hasZ = geoms.exists(g => g != null && graft.geom.Wkb.hasZ(g)),
+      hasM = geoms.exists(g => g != null && graft.geom.Wkb.hasM(g)))
     val out = new java.io.ByteArrayOutputStream(
       8 + 4 + header.length + index.length + acc.toInt)
     out.write(Magic)
@@ -374,7 +381,8 @@ object FlatGeobuf {
   private def buildHeader(fields: Array[StructField], colTypes: Array[Int], geomType: Int,
                           count: Int, nodeSize: Int,
                           env: (Double, Double, Double, Double),
-                          crsCode: Option[Int], hasZ: Boolean = false): Array[Byte] = {
+                          crsCode: Option[Int], hasZ: Boolean = false,
+                          hasM: Boolean = false): Array[Byte] = {
     val b = new FlatBuf.Builder(512)
     val colOffs = fields.zip(colTypes).map { case (f, t) =>
       val nameOff = b.createString(f.name)
@@ -398,6 +406,7 @@ object FlatGeobuf {
     b.slotOffset(1, envVec)
     b.slotByte(2, geomType.toByte, 0)
     b.slotByte(3, (if (hasZ) 1 else 0).toByte, 0) // spec header.fbs has_z
+    b.slotByte(4, (if (hasM) 1 else 0).toByte, 0) // spec header.fbs has_m
     b.slotOffset(7, colsVec)
     b.slotLong(8, count.toLong, 0L)
     b.slotShort(9, nodeSize.toShort, 16)
@@ -446,10 +455,16 @@ object FlatGeobuf {
             b.createDoubleVector(cs.map(c =>
               if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ))
           else 0
+        val mOff =
+          if (cs.exists(c => !java.lang.Double.isNaN(c.getM)))
+            b.createDoubleVector(cs.map(c =>
+              if (java.lang.Double.isNaN(c.getM)) 0.0 else c.getM))
+          else 0
         b.startTable(8)
         b.slotOffset(0, endsOff)
         b.slotOffset(1, xyOff)
         b.slotOffset(2, zOff)
+        b.slotOffset(3, mOff)
         if (withType) b.slotByte(6, code.toByte, 0)
         b.endTable()
     }

@@ -20,8 +20,9 @@ import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing}
   * file's headers (a few KB). No driver-side row loop.
   *
   * Supported shape types: Null(0), Point(1), PolyLine(3), Polygon(5),
-  * MultiPoint(8) and their Z variants (11/13/15/18); M values are parsed
-  * past but not retained (matching the engine's XY(Z) column model).
+  * MultiPoint(8), their Z variants (11/13/15/18) including the optional
+  * trailing measure band (XYZM), and the M variants (21/23/25/28); the
+  * ESRI "no data" convention (M < −10^38) reads back as absent.
   * DBF field types: C→string, N/F→double (long when 0 decimals), L→boolean,
   * D→string. Deleted records (0x2A flag) are skipped.
   */
@@ -195,14 +196,19 @@ object Shapefile {
     case other                            => other // GeometryCollection etc. — never encodable
   }
 
+  /** Shape type for the whole file: Z shapes (11/13/15/18) when the data
+    * carries Z (their record layout ends with an optional measure band, so
+    * XYZM needs no separate type), M shapes (21/23/25/28) for M-without-Z —
+    * the same promotion GDAL's shapefile driver applies. */
   private def dominantShapeType(geoms: Array[Geometry]): Int = {
     val base = geoms.find(g => g != null && !g.isEmpty)
     val hasZ = base.exists(Wkb.hasZ)
+    val hasM = base.exists(Wkb.hasM)
     base.map(_.getGeometryType match {
-      case "Point"                           => if (hasZ) 11 else 1
-      case "MultiPoint"                      => if (hasZ) 18 else 8
-      case "LineString" | "MultiLineString"  => if (hasZ) 13 else 3
-      case _                                 => if (hasZ) 15 else 5
+      case "Point"                           => if (hasZ) 11 else if (hasM) 21 else 1
+      case "MultiPoint"                      => if (hasZ) 18 else if (hasM) 28 else 8
+      case "LineString" | "MultiLineString"  => if (hasZ) 13 else if (hasM) 23 else 3
+      case _                                 => if (hasZ) 15 else if (hasM) 25 else 5
     }).getOrElse(1)
   }
 
@@ -226,22 +232,32 @@ object Shapefile {
       return b.array()
     }
     val withZ = shapeType >= 11 && shapeType <= 18 && Wkb.hasZ(g)
+    // M-type files carry a mandatory measure band; Z-type records append the
+    // spec's optional one when the geometry is measured (XYZM)
+    val withM = (shapeType >= 21 && shapeType <= 28) || (withZ && Wkb.hasM(g))
+    def mOf(c: Coordinate): Double = if (java.lang.Double.isNaN(c.getM)) 0.0 else c.getM
     shapeType match {
-      case 1 | 11 =>
+      case 1 | 11 | 21 =>
         val c = g.getCoordinate
-        val b = ByteBuffer.allocate(if (withZ) 4 + 24 + 8 else 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
-        b.putInt(if (withZ) 11 else 1).putDouble(c.x).putDouble(c.y)
-        if (withZ) { b.putDouble(c.getZ); b.putDouble(0.0) } // Z then M
-        b.array()
-      case 8 | 18 =>
+        if (shapeType == 21) {
+          val b = ByteBuffer.allocate(4 + 24).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(21).putDouble(c.x).putDouble(c.y).putDouble(mOf(c))
+          b.array()
+        } else {
+          val b = ByteBuffer.allocate(if (withZ) 4 + 32 else 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(if (withZ) 11 else 1).putDouble(c.x).putDouble(c.y)
+          if (withZ) { b.putDouble(c.getZ); b.putDouble(mOf(c)) } // Z then M
+          b.array()
+        }
+      case 8 | 18 | 28 =>
         val cs = g.getCoordinates
-        writeMultiPoint(g, cs, withZ)
+        writeMultiPoint(g, cs, withZ, withM)
       case _ =>
-        // PolyLine (3/13) and Polygon (5/15) share the parts/points layout
-        val isPoly = shapeType == 5 || shapeType == 15
+        // PolyLine (3/13/23) and Polygon (5/15/25) share the parts/points layout
+        val isPoly = shapeType % 10 == 5
         val parts: Array[Array[Coordinate]] =
           if (isPoly) polygonRings(g) else lineParts(g)
-        writePartsRecord(g, if (isPoly) (if (withZ) 15 else 5) else (if (withZ) 13 else 3), parts, withZ)
+        writePartsRecord(g, isPoly, parts, withZ, withM)
     }
   }
 
@@ -266,28 +282,35 @@ object Shapefile {
     out.toArray
   }
 
-  private def writeMultiPoint(g: Geometry, cs: Array[Coordinate], withZ: Boolean): Array[Byte] = {
+  private def writeMultiPoint(g: Geometry, cs: Array[Coordinate], withZ: Boolean,
+                              withM: Boolean): Array[Byte] = {
     val e = g.getEnvelopeInternal
     val n = cs.length
-    val size = 4 + 32 + 4 + 16 * n + (if (withZ) 16 + 8 * n else 0)
+    val band = 16 + 8 * n
+    val size = 4 + 32 + 4 + 16 * n + (if (withZ) band else 0) + (if (withM) band else 0)
     val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-    b.putInt(if (withZ) 18 else 8)
+    b.putInt(if (withZ) 18 else if (withM) 28 else 8)
     b.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
     b.putInt(n)
     cs.foreach(c => b.putDouble(c.x).putDouble(c.y))
-    if (withZ) {
-      val zs = cs.map(c => if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ)
-      b.putDouble(zs.min).putDouble(zs.max)
-      zs.foreach(b.putDouble)
-    }
+    if (withZ) putBand(b, cs.map(c => if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ))
+    if (withM) putBand(b, cs.map(c => if (java.lang.Double.isNaN(c.getM)) 0.0 else c.getM))
     b.array()
   }
 
-  private def writePartsRecord(g: Geometry, stype: Int, parts: Array[Array[Coordinate]],
-                               withZ: Boolean): Array[Byte] = {
+  private def putBand(b: ByteBuffer, vs: Array[Double]): Unit = {
+    b.putDouble(vs.min).putDouble(vs.max)
+    vs.foreach(b.putDouble)
+  }
+
+  private def writePartsRecord(g: Geometry, isPoly: Boolean, parts: Array[Array[Coordinate]],
+                               withZ: Boolean, withM: Boolean): Array[Byte] = {
+    val stype = (if (isPoly) 5 else 3) + (if (withZ) 10 else if (withM) 20 else 0)
     val e = g.getEnvelopeInternal
     val nPts = parts.map(_.length).sum
-    val size = 4 + 32 + 8 + 4 * parts.length + 16 * nPts + (if (withZ) 16 + 8 * nPts else 0)
+    val band = 16 + 8 * nPts
+    val size = 4 + 32 + 8 + 4 * parts.length + 16 * nPts +
+      (if (withZ) band else 0) + (if (withM) band else 0)
     val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
     b.putInt(stype)
     b.putDouble(e.getMinX).putDouble(e.getMinY).putDouble(e.getMaxX).putDouble(e.getMaxY)
@@ -295,11 +318,9 @@ object Shapefile {
     var start = 0
     parts.foreach { p => b.putInt(start); start += p.length }
     parts.foreach(_.foreach(c => b.putDouble(c.x).putDouble(c.y)))
-    if (withZ) {
-      val zs = parts.flatten.map(c => if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ)
-      b.putDouble(zs.min).putDouble(zs.max)
-      zs.foreach(b.putDouble)
-    }
+    val flat = parts.flatten
+    if (withZ) putBand(b, flat.map(c => if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ))
+    if (withM) putBand(b, flat.map(c => if (java.lang.Double.isNaN(c.getM)) 0.0 else c.getM))
     b.array()
   }
 
@@ -425,24 +446,48 @@ object Shapefile {
     out.toArray
   }
 
+  /** ESRI "no data" measure convention: any M below −10^38 means absent. */
+  private val MNoData = -1e38
+
   private def parseShape(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val f = Wkb.factory
     val stype = le32(b, off)
-    val hasZ = stype >= 11 && stype <= 18
+    // coordinate builder honoring whichever of Z/M are present
+    def coord(x: Double, y: Double, z: Double, m: Double): Coordinate = {
+      val withZ = !java.lang.Double.isNaN(z)
+      val withM = !java.lang.Double.isNaN(m) && m > MNoData
+      if (withZ && withM) new org.locationtech.jts.geom.CoordinateXYZM(x, y, z, m)
+      else if (withM) new org.locationtech.jts.geom.CoordinateXYM(x, y, m)
+      else if (withZ) new Coordinate(x, y, z)
+      else new Coordinate(x, y)
+    }
+    // measure band for an n-point record: right after the points for M types,
+    // after the z band for Z types (optional there, so probe by record
+    // length); an all-NoData band collapses to "absent"
+    def mAt(n: Int, ptsEnd: Int): Int => Double = {
+      val mOff = (if (stype >= 11 && stype <= 18) ptsEnd + 16 + 8 * n else ptsEnd) + 16
+      if (stype >= 11 && stype <= 28 && mOff + 8 * n <= off + len &&
+          (0 until n).exists(i => leD(b, mOff + 8 * i) > MNoData))
+        i => leD(b, mOff + 8 * i)
+      else _ => Double.NaN
+    }
     val g: Geometry = stype match {
       case 0 => null
-      case 1 | 21 => // Point / PointM
-        f.createPoint(new Coordinate(leD(b, off + 4), leD(b, off + 12)))
-      case 11 => // PointZ
-        f.createPoint(new Coordinate(leD(b, off + 4), leD(b, off + 12), leD(b, off + 20)))
+      case 1 => f.createPoint(new Coordinate(leD(b, off + 4), leD(b, off + 12)))
+      case 21 => // PointM: x, y, m
+        f.createPoint(coord(leD(b, off + 4), leD(b, off + 12), Double.NaN, leD(b, off + 20)))
+      case 11 => // PointZ: x, y, z [, m]
+        val m = if (len >= 36) leD(b, off + 28) else Double.NaN
+        f.createPoint(coord(leD(b, off + 4), leD(b, off + 12), leD(b, off + 20), m))
       case 8 | 18 | 28 => { // MultiPoint(Z/M)
         val n = le32(b, off + 36)
         val ptsOff = off + 40
         val zOff = ptsOff + 16 * n + 16 // skip zmin/zmax
+        val withZ = stype == 18 && zOff + 8 * n <= off + len
+        val m = mAt(n, ptsOff + 16 * n)
         val pts = Array.tabulate(n) { i =>
-          val c = new Coordinate(leD(b, ptsOff + 16 * i), leD(b, ptsOff + 16 * i + 8))
-          if (stype == 18 && zOff + 8 * i + 8 <= off + len) c.setZ(leD(b, zOff + 8 * i))
-          c
+          coord(leD(b, ptsOff + 16 * i), leD(b, ptsOff + 16 * i + 8),
+            if (withZ) leD(b, zOff + 8 * i) else Double.NaN, m(i))
         }
         f.createMultiPointFromCoords(pts)
       }
@@ -453,15 +498,15 @@ object Shapefile {
         val ptsOff = partsOff + 4 * nParts
         val zOff = ptsOff + 16 * nPoints + 16
         val withZ = (stype == 13 || stype == 15) && zOff + 8 * nPoints <= off + len
+        val m = mAt(nPoints, ptsOff + 16 * nPoints)
         val parts = Array.tabulate(nParts)(i => le32(b, partsOff + 4 * i))
         val partCoords: Array[Array[Coordinate]] = Array.tabulate(nParts) { pi =>
           val start = parts(pi)
           val end = if (pi + 1 < nParts) parts(pi + 1) else nPoints
           Array.tabulate(end - start) { j =>
             val i = start + j
-            val c = new Coordinate(leD(b, ptsOff + 16 * i), leD(b, ptsOff + 16 * i + 8))
-            if (withZ) c.setZ(leD(b, zOff + 8 * i))
-            c
+            coord(leD(b, ptsOff + 16 * i), leD(b, ptsOff + 16 * i + 8),
+              if (withZ) leD(b, zOff + 8 * i) else Double.NaN, m(i))
           }
         }
         if (stype == 3 || stype == 13 || stype == 23) {

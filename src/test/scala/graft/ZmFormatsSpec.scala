@@ -14,9 +14,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - WKB-carrying containers (GeoParquet, Feather, GPKG) round-trip M
   *    verbatim (the geometry payload IS our WKB);
   *  - WKT text (CSV-WKT) round-trips via the 4-dim WKT writer/reader;
-  *  - coordinate-schema formats (Shapefile Z-shapes, KML/GML/GPX tuples,
-  *    FlatGeobuf xy+z vectors) have no M slot: they must keep XY(Z) and
-  *    drop M without corrupting the file or throwing.
+  *  - FlatGeobuf round-trips full XYZM via the spec's per-coordinate z/m
+  *    vectors (feature.fbs slots 2/3, header has_z/has_m);
+  *  - Shapefile round-trips M through the Z-shape record's optional
+  *    measure band (XYZM) and the M shape types 21/23/25/28 (XYM);
+  *  - XML tuple formats (KML/GML/GPX) have no M slot: they must keep
+  *    XY(Z) and drop M without corrupting the file or throwing.
   *
   * Reference semantics: GeoPandas carries M wherever shapely/GEOS does and
   * its OGR writers degrade exactly like this (ref `base.py:843` has_m;
@@ -70,6 +73,22 @@ class ZmFormatsSpec extends AnyFunSuite {
     assert(p3(1L) == (true, pointZmOut) && p3(2L) == (true, lineZmOut))
   }
 
+  test("XYM without Z survives the column codec (was: first write threw)") {
+    // WKBWriter(4) hardcodes M at ordinate index 3, but an XYM sequence is
+    // dimension 3 with M at index 2 — POINT M crashed on the very first
+    // Wkb.write until the ordinate-restricted writerM path
+    val g = gdf(1L -> "POINT M (1 2 9)", 2L -> "LINESTRING M (0 0 5, 3 4 6)")
+    val p = probe(g)
+    assert(p(1L) == (true, "POINT M(1 2 9)"))
+    assert(p(2L) == (true, "LINESTRING M(0 0 5, 3 4 6)"))
+
+    val d = tmp("gpqm")
+    GeoParquet.write(g, s"$d/t.parquet")
+    val p1 = probe(GeoParquet.read(spark, s"$d/t.parquet"))
+    assert(p1(1L) == (true, "POINT M(1 2 9)"))
+    assert(p1(2L) == (true, "LINESTRING M(0 0 5, 3 4 6)"))
+  }
+
   test("WKT text (CSV) round-trips M through the 4-dim writer") {
     val g = gdf(1L -> pointZm, 2L -> lineZm)
     val d = tmp("csv")
@@ -78,14 +97,37 @@ class ZmFormatsSpec extends AnyFunSuite {
     assert(p(1L) == (true, pointZmOut) && p(2L) == (true, lineZmOut))
   }
 
-  test("coordinate-schema formats keep XY(Z), drop M, and stay readable") {
-    val g = gdf(1L -> pointZm)
-    val gl = gdf(1L -> lineZm)
-
-    val d1 = tmp("shp")
-    Shapefile.write(g, s"$d1/t.shp")
+  test("Shapefile round-trips M: Z-shape measure band (ZM) and M shape types (XYM)") {
+    val d1 = tmp("shpzm")
+    Shapefile.write(gdf(1L -> pointZm), s"$d1/t.shp")
     val p1 = probe(Shapefile.read(spark, s"$d1/t.shp"))
-    assert(!p1(1L)._1 && p1(1L)._2.startsWith("POINT Z(1 2 3"))
+    assert(p1(1L) == (true, pointZmOut))
+
+    val d2 = tmp("shpzml")
+    Shapefile.write(gdf(1L -> lineZm), s"$d2/t.shp")
+    val p2 = probe(Shapefile.read(spark, s"$d2/t.shp"))
+    assert(p2(1L) == (true, lineZmOut))
+
+    val d3 = tmp("shpm")
+    Shapefile.write(gdf(1L -> "POINT M (1 2 9)"), s"$d3/t.shp")
+    val p3 = probe(Shapefile.read(spark, s"$d3/t.shp"))
+    assert(p3(1L) == (true, "POINT M(1 2 9)"))
+
+    val d4 = tmp("shpml")
+    Shapefile.write(gdf(1L -> "LINESTRING M (0 0 5, 3 4 6)"), s"$d4/t.shp")
+    val p4 = probe(Shapefile.read(spark, s"$d4/t.shp"))
+    assert(p4(1L) == (true, "LINESTRING M(0 0 5, 3 4 6)"))
+
+    // polygon through the ring-orientation path, ZM and M forms
+    val polyZm = "POLYGON ZM ((0 0 1 5, 4 0 2 6, 4 4 3 7, 0 4 4 8, 0 0 1 5))"
+    val d5 = tmp("shppoly")
+    Shapefile.write(gdf(1L -> polyZm), s"$d5/t.shp")
+    val p5 = probe(Shapefile.read(spark, s"$d5/t.shp"))
+    assert(p5(1L)._1 && p5(1L)._2.startsWith("POLYGON ZM"))
+  }
+
+  test("XML tuple formats keep XY(Z), drop M, and stay readable") {
+    val g = gdf(1L -> pointZm)
 
     val d2 = tmp("kml")
     Kml.write(g, s"$d2/t.kml")
@@ -101,10 +143,20 @@ class ZmFormatsSpec extends AnyFunSuite {
     Gpx.write(g, s"$d4/t.gpx")
     val p4 = probe(Gpx.read(spark, s"$d4/t.gpx"))
     assert(!p4(1L)._1 && p4(1L)._2.startsWith("POINT Z(1 2 3"))
+  }
 
-    val d5 = tmp("fgb")
-    FlatGeobuf.write(gl, s"$d5/t.fgb")
-    val p5 = probe(FlatGeobuf.read(spark, s"$d5/t.fgb"))
-    assert(!p5(1L)._1 && p5(1L)._2.startsWith("LINESTRING Z(0 0 1"))
+  test("FlatGeobuf round-trips full XYZM through the spec z and m vectors") {
+    val g = gdf(1L -> pointZm, 2L -> lineZm)
+    val d = tmp("fgbm")
+    FlatGeobuf.write(g, s"$d/t.fgb")
+    val p = probe(FlatGeobuf.read(spark, s"$d/t.fgb"))
+    assert(p(1L) == (true, pointZmOut) && p(2L) == (true, lineZmOut))
+
+    // XYM without Z: m vector alone, no 2.5D promotion on read-back
+    val gm = gdf(1L -> "POINT M (1 2 9)")
+    val d2 = tmp("fgbxym")
+    FlatGeobuf.write(gm, s"$d2/t.fgb")
+    val pm = probe(FlatGeobuf.read(spark, s"$d2/t.fgb"))
+    assert(pm(1L) == (true, "POINT M(1 2 9)"))
   }
 }
