@@ -43,13 +43,17 @@ object GeoParquet {
     // distinct geometry types) — separate totalBounds / distinct scans would
     // read the input three times in total at 100 TB
     val stats = gdf.df
-      .select(st_bounds(col(g)).as("__b"), stGeometryTypeU(col(g)).as("__t"))
+      .select(st_bounds(col(g)).as("__b"),
+        // spec geometry_types entries carry a " Z" suffix for 3D
+        concat(stGeometryTypeU(col(g)),
+          when(st_hasz(col(g)), lit(" Z")).otherwise(lit(""))).as("__t"))
       .agg(min("__b.xmin"), min("__b.ymin"), max("__b.xmax"), max("__b.ymax"),
         sort_array(collect_set(col("__t"))))
       .head()
     def dbl(i: Int): Double = if (stats.isNullAt(i)) Double.NaN else stats.getDouble(i)
     val (x0, y0, x1, y1) = (dbl(0), dbl(1), dbl(2), dbl(3))
     val types = stats.getSeq[String](4)
+    val baseTypes = types.map(_.stripSuffix(" Z")).distinct
     if (spatialSort)
       df = df.repartitionByRange(numPartitions.getOrElse(df.rdd.getNumPartitions),
         st_hilbert(col(g), lit(x0), lit(y0), lit(x1), lit(y1), lit(12)))
@@ -61,9 +65,9 @@ object GeoParquet {
     val encoding =
       if (geometryEncoding.equalsIgnoreCase("WKB")) "WKB"
       else if (geometryEncoding.equalsIgnoreCase("geoarrow")) {
-        require(types.length == 1, s"geoarrow encoding requires one geometry type, found: ${types.mkString(", ")}")
-        GeoArrowCodec.encodingFor(types.head).getOrElse(throw new IllegalArgumentException(
-          s"geometry type ${types.head} has no geoarrow encoding"))
+        require(baseTypes.length == 1, s"geoarrow encoding requires one geometry type, found: ${types.mkString(", ")}")
+        GeoArrowCodec.encodingFor(baseTypes.head).getOrElse(throw new IllegalArgumentException(
+          s"geometry type ${baseTypes.head} has no geoarrow encoding"))
       } else geometryEncoding.toLowerCase
     if (encoding != "WKB")
       df = df.withColumn(g, GeoArrowCodec.fromWkb(encoding, col(g)))

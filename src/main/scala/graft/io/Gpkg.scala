@@ -124,6 +124,15 @@ object Gpkg {
       .map(graft.geom.Wkb.read).orNull)
     val typeNames = geoms.filter(_ != null).map(_.getGeometryType.toUpperCase).distinct
     val geomType = if (typeNames.length == 1) typeNames.head else "GEOMETRY"
+    // gpkg_geometry_columns z/m: 0 = prohibited, 1 = mandatory, 2 = optional
+    def dimFlag(p: org.locationtech.jts.geom.Geometry => Boolean): Long = {
+      val present = geoms.filter(gm => gm != null && !gm.isEmpty)
+      if (present.nonEmpty && present.forall(p)) 1L
+      else if (present.exists(p)) 2L
+      else 0L
+    }
+    val zFlag = dimFlag(graft.geom.Wkb.hasZ)
+    val mFlag = dimFlag(graft.geom.Wkb.hasM)
     val env = new org.locationtech.jts.geom.Envelope()
     geoms.foreach(gm => if (gm != null && !gm.isEmpty) env.expandToInclude(gm.getEnvelopeInternal))
 
@@ -191,7 +200,7 @@ object Gpkg {
 
     val geomColsSql = "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
     val geomColsRoot = w.buildTable(Seq((1L, w.record(Seq(
-      layer, g, geomType, srsId.toLong, 0L, 0L)))))
+      layer, g, geomType, srsId.toLong, zFlag, mFlag)))))
 
     // sqlite_master (root at page 1): (type, name, tbl_name, rootpage, sql)
     val master = Seq(
