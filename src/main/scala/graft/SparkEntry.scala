@@ -1256,6 +1256,54 @@ object SparkEntry {
           st_geom_equals_identical(col("sq"), col("sqrot")).as("ident_rot"),
           st_equals(col("sq"), col("sqrot")).as("eq_rot"))
         .withColumn("ring_wkt", st_astext(col("ring"))).drop("ring")
+    }),
+    "q110_gopher_rules" -> ((s, d) => {
+      // Gopher document-quality rules (Rae et al. 2021 App. A1.1): symbol/
+      // word ratio, bullet + ellipsis line fractions, alphabetic-word
+      // fraction, required-stopword hits, and the composite keep. The doc
+      // is the real text's 40-char head recomposed into four lines with
+      // known bullet/ellipsis/symbol structure; the oracle rebuilds the
+      // SAME string and applies the same (rounded) rules, so every branch
+      // of every rule is inside the hash.
+      val head = substring(trim(col("text")), 1, 40)
+      val raw = concat_ws("\n",
+        concat(head, lit(" and that have with...")),
+        lit("• bullet item one"),
+        when(col("doc_id") % 3 === 0, lit("- second bullet")).otherwise(lit("plain line of words")),
+        lit("## 42 100"))
+      docs(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("raw")).as("n_words"),
+          TextFunctions.symbolWordRatio(col("raw")).as("symbol_ratio"),
+          TextFunctions.bulletLineFraction(col("raw")).as("bullet_frac"),
+          TextFunctions.ellipsisLineFraction(col("raw")).as("ellipsis_frac"),
+          TextFunctions.alphaWordFraction(col("raw")).as("alpha_frac"),
+          TextFunctions.gopherStopwordHits(col("raw")).as("stop_hits"),
+          TextFunctions.gopherKeep(col("raw"), minWords = 5).as("keep"))
+    }),
+    "q111_c4_filters" -> ((s, d) => {
+      // C4 cleaning recipe (Raffel et al. 2020 §2.2): line-level keep
+      // (terminal punctuation + ≥5 words + no javascript), page-level
+      // lorem-ipsum / curly-brace flags, sentence-count floor. Four of the
+      // five constructed lines exercise a distinct drop reason; the cleaned
+      // text is compared by md5 so the exact surviving line content (and
+      // join order) is inside the hash.
+      val head = substring(trim(col("text")), 1, 30)
+      val raw = concat_ws("\n",
+        concat(head, lit(" so this sentence runs long enough.")),
+        lit("too short."),
+        lit("this line has no terminal punctuation at all"),
+        when(col("doc_id") % 7 === 0, lit("enable javascript to view this page."))
+          .otherwise(lit("a perfectly normal closing sentence here.")),
+        when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("final words stay where they are.")))
+      docs(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          md5(TextFunctions.c4CleanLines(col("raw"))).as("clean_md5"),
+          TextFunctions.c4SentenceCount(col("raw")).as("n_sentences"),
+          TextFunctions.hasLoremIpsum(col("raw")).as("has_lorem"),
+          TextFunctions.hasCurlyBrace(col("raw")).as("has_brace"),
+          TextFunctions.c4Keep(col("raw")).as("keep"))
     })
   )
 
@@ -1863,7 +1911,49 @@ object SparkEntry {
            | UNION ALL
            | SELECT n_nationkey, 1 AS ring_idx,
            |  concat('LINESTRING (', a + 4, ' ', a, ', ', a + 5, ' ', a, ', ', a + 5, ' ', a + 1, ', ', a + 4, ' ', a + 1, ', ', a + 4, ' ', a, ')') AS ring_wkt,
-           |  CAST(7 AS DOUBLE) AS m_val, true AS has_m, false AS ident_rot, true AS eq_rot FROM base""".stripMargin.replace("\n", " ")
+           |  CAST(7 AS DOUBLE) AS m_val, true AS has_m, false AS ident_rot, true AS eq_rot FROM base""".stripMargin.replace("\n", " "),
+      "q110_gopher_rules" ->
+        s"""WITH raw AS (SELECT doc_id,
+           |  concat(substr(trim(text), 1, 40), ' and that have with...', chr(10),
+           |    '• bullet item one', chr(10),
+           |    CASE WHEN doc_id % 3 = 0 THEN '- second bullet' ELSE 'plain line of words' END, chr(10),
+           |    '## 42 100') AS r FROM documents),
+           | tok AS (SELECT doc_id, r,
+           |  list_filter(regexp_split_to_array(trim(r), '\\s+'), x -> x <> '') AS toks,
+           |  list_filter(list_transform(string_split(r, chr(10)), l -> trim(l)), l -> l <> '') AS ls FROM raw),
+           | m AS (SELECT doc_id,
+           |  len(toks) AS n_words,
+           |  round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(regexp_extract_all(r, '#')) + len(regexp_extract_all(r, '\\.\\.\\.|…')) AS DOUBLE) / len(toks) END, 6) AS symbol_ratio,
+           |  round(CASE WHEN len(ls) = 0 THEN 0 ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•\\-\\*]'))) AS DOUBLE) / len(ls) END, 6) AS bullet_frac,
+           |  round(CASE WHEN len(ls) = 0 THEN 0 ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS DOUBLE) / len(ls) END, 6) AS ellipsis_frac,
+           |  round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) END, 6) AS alpha_frac,
+           |  len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+           |  round(CASE WHEN len(toks) = 0 THEN 0 ELSE CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(toks) END, 6) AS mean_wlen
+           |  FROM tok)
+           | SELECT doc_id, n_words, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+           |  (n_words BETWEEN 5 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+           |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+           |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep FROM m""".stripMargin.replace("\n", " "),
+      "q111_c4_filters" ->
+        s"""WITH raw AS (SELECT doc_id,
+           |  concat(substr(trim(text), 1, 30), ' so this sentence runs long enough.', chr(10),
+           |    'too short.', chr(10),
+           |    'this line has no terminal punctuation at all', chr(10),
+           |    CASE WHEN doc_id % 7 = 0 THEN 'enable javascript to view this page.' ELSE 'a perfectly normal closing sentence here.' END, chr(10),
+           |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet consectetur.' ELSE 'final words stay where they are.' END) AS r FROM documents),
+           | cl AS (SELECT doc_id, r,
+           |  array_to_string(list_filter(
+           |    list_filter(list_transform(string_split(r, chr(10)), l -> trim(l)), l -> l <> ''),
+           |    l -> regexp_matches(l, '[.!?"]$$')
+           |     AND len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x <> '')) >= 5
+           |     AND NOT contains(lower(l), 'javascript')), chr(10)) AS clean FROM raw)
+           | SELECT doc_id, md5(clean) AS clean_md5,
+           |  len(regexp_extract_all(clean, '[.!?]')) AS n_sentences,
+           |  contains(lower(r), 'lorem ipsum') AS has_lorem,
+           |  contains(r, '{') AS has_brace,
+           |  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+           |   AND NOT contains(lower(r), 'lorem ipsum') AND NOT contains(r, '{')) AS keep
+           | FROM cl""".stripMargin.replace("\n", " ")
     )
   }
 

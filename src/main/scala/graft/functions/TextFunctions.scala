@@ -273,6 +273,98 @@ object TextFunctions {
       round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6))
   }
 
+  // ------------------------------------------------ Gopher document rules
+  // (Rae et al. 2021, arXiv:2112.11446 Appendix A1.1 — the published
+  // document-quality rule set most large-scale text pipelines start from.)
+  // Every metric is a native-function expression over the q25 token model
+  // (whitespace tokens) and the linesOf line model, rounded so the DuckDB
+  // oracle hashes identical; the keep decision compares the ROUNDED values
+  // so a boundary ratio cannot flip between engines.
+
+  /** (# occurrences of '#' or '...'/'…') / word count — Gopher drops docs
+    * above 0.1 (symbol-heavy markup/code). 0 for empty docs. */
+  def symbolWordRatio(c: Column): Column = {
+    val symbols = regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.|…"))
+    when(tokenCount(c) === 0, lit(0.0))
+      .otherwise(round(symbols.cast("double") / tokenCount(c), 6))
+  }
+
+  /** Fraction of non-blank lines starting with a bullet ('•', '-', '*');
+    * Gopher drops docs above 0.9. */
+  def bulletLineFraction(c: Column): Column = {
+    val l = linesOf(c)
+    when(size(l) === 0, lit(0.0)).otherwise(
+      round(size(filter(l, x => x.rlike("^[•\\-\\*]"))).cast("double") / size(l), 6))
+  }
+
+  /** Fraction of non-blank lines ending with an ellipsis; Gopher drops
+    * docs above 0.3 (truncated/teaser boilerplate). */
+  def ellipsisLineFraction(c: Column): Column = {
+    val l = linesOf(c)
+    when(size(l) === 0, lit(0.0)).otherwise(
+      round(size(filter(l, x => x.rlike("(\\.\\.\\.|…)$"))).cast("double") / size(l), 6))
+  }
+
+  /** Fraction of words containing at least one alphabetic character;
+    * Gopher requires ≥ 0.8. */
+  def alphaWordFraction(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0)).otherwise(
+      round(size(filter(tokens(c), x => x.rlike("[A-Za-z]"))).cast("double") / tokenCount(c), 6))
+
+  /** Gopher's required-stopword signal: how many of the eight words
+    * {the, be, to, of, and, that, have, with} appear (lowercased); docs
+    * with fewer than 2 are dropped as non-prose. */
+  def gopherStopwordHits(c: Column): Column =
+    size(array_intersect(
+      array_distinct(transform(tokens(c), w => lower(w))),
+      array(GopherStopwords.map(lit): _*)))
+
+  private[graft] val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The composite Gopher keep decision over the metrics above plus the
+    * q25 word-count/mean-word-length bounds. Thresholds are the paper's;
+    * word bounds are parameters because sf-scale test corpora sit far
+    * below the paper's 50-word floor. */
+  def gopherKeep(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
+    tokenCount(c).between(minWords, maxWords) &&
+      round(meanWordLength(c), 6).between(3.0, 10.0) &&
+      symbolWordRatio(c) <= 0.1 &&
+      bulletLineFraction(c) <= 0.9 &&
+      ellipsisLineFraction(c) <= 0.3 &&
+      alphaWordFraction(c) >= 0.8 &&
+      gopherStopwordHits(c) >= 2
+
+  // --------------------------------------------------- C4 line-level clean
+  // (Raffel et al. 2020, JMLR 21(140) §2.2 — the C4 cleaning recipe.)
+
+  /** A line survives C4 cleaning when it ends in terminal punctuation
+    * (.!?") — quote-terminated sentences included — carries at least
+    * `minLineWords` words, and does not mention javascript. */
+  private def c4LineKeep(l: Column, minLineWords: Int): Column =
+    l.rlike("[.!?\"]$") &&
+      size(filter(split(l, "\\s+"), x => x =!= "")) >= minLineWords &&
+      !lower(l).contains("javascript")
+
+  /** C4-cleaned text: surviving lines re-joined with newlines. */
+  def c4CleanLines(c: Column, minLineWords: Int = 5): Column =
+    array_join(filter(linesOf(c), l => c4LineKeep(l, minLineWords)), "\n")
+
+  def hasLoremIpsum(c: Column): Column = lower(c).contains("lorem ipsum")
+
+  def hasCurlyBrace(c: Column): Column = c.contains("{")
+
+  /** Terminal-punctuation marks in the cleaned text — C4's sentence-count
+    * proxy (pages under `minSentences` are dropped). */
+  def c4SentenceCount(c: Column, minLineWords: Int = 5): Column =
+    regexp_count(c4CleanLines(c, minLineWords), lit("[.!?]"))
+
+  /** The composite C4 page decision: ≥ minSentences sentences after line
+    * cleaning, no lorem-ipsum placeholder, no curly brace (code). */
+  def c4Keep(c: Column, minSentences: Int = 3, minLineWords: Int = 5): Column =
+    c4SentenceCount(c, minLineWords) >= minSentences &&
+      !hasLoremIpsum(c) && !hasCurlyBrace(c)
+
   /** Rolling polynomial fingerprint: fold over UTF-8 bytes,
     * h = (h * 131 + byte) mod (2^31 - 1), h0 = 0. SQL-reproducible. */
   val fingerprintU: UserDefinedFunction = udf((s: String) =>

@@ -133,4 +133,64 @@ class TextPipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("Gopher rules: closed-form metrics on a constructed document") {
+    // lines: ["aa bb...", "• x", "- y", "zz"] — 2 of 4 bullets, 1 of 4
+    // ellipsis-terminated; tokens: [aa, bb..., •, x, -, y, zz] — 7 words,
+    // one '...' symbol, 5 alphabetic words
+    val doc = "aa bb...\n• x\n- y\nzz"
+    val r = Seq(doc).toDF("t").select(
+      TextFunctions.tokenCount(col("t")),
+      TextFunctions.symbolWordRatio(col("t")),
+      TextFunctions.bulletLineFraction(col("t")),
+      TextFunctions.ellipsisLineFraction(col("t")),
+      TextFunctions.alphaWordFraction(col("t")),
+      TextFunctions.gopherStopwordHits(col("t"))).head()
+    assert(r.getInt(0) == 7)
+    assert(r.getDouble(1) == 0.142857) // 1/7
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == 0.714286) // 5/7
+    assert(r.getInt(5) == 0)
+
+    // prose passes the composite; symbol-heavy and stopword-free text fails
+    val prose = "the value of and that have with be good words here today."
+    val probe = Seq(prose, "## ### #### ##### highly symbolic", "")
+      .toDF("t").select(TextFunctions.gopherKeep(col("t"), minWords = 5))
+      .as[Boolean].collect().toSeq
+    assert(probe == Seq(true, false, false))
+  }
+
+  test("C4 line cleaning: each drop reason fires; page flags and keep compose") {
+    val doc = List(
+      "this first sentence is long enough to stay.", // kept
+      "too short.",                                  // < 5 words
+      "this line has no terminal punctuation at all", // no terminal punct
+      "enable javascript to view this page.",        // javascript
+      "the closing sentence also stays right here!"  // kept
+    ).mkString("\n")
+    val r = Seq(doc).toDF("t").select(
+      TextFunctions.c4CleanLines(col("t")),
+      TextFunctions.c4SentenceCount(col("t")),
+      TextFunctions.hasLoremIpsum(col("t")),
+      TextFunctions.hasCurlyBrace(col("t")),
+      TextFunctions.c4Keep(col("t"))).head()
+    assert(r.getString(0) ==
+      "this first sentence is long enough to stay.\nthe closing sentence also stays right here!")
+    assert(r.getInt(1) == 2)
+    assert(!r.getBoolean(2) && !r.getBoolean(3))
+    assert(!r.getBoolean(4)) // 2 sentences < the 3-sentence floor
+
+    val flagged = Seq("lorem ipsum dolor.", "var x = { a: 1 }")
+      .toDF("t").select(TextFunctions.hasLoremIpsum(col("t")),
+        TextFunctions.hasCurlyBrace(col("t"))).collect()
+    assert(flagged(0).getBoolean(0) && !flagged(0).getBoolean(1))
+    assert(!flagged(1).getBoolean(0) && flagged(1).getBoolean(1))
+
+    // quote-terminated sentences survive (C4 keeps end-quotation lines)
+    val quoted = "she said \"this is a fine quoted sentence here.\""
+    val kept = Seq(quoted).toDF("t")
+      .select(TextFunctions.c4CleanLines(col("t"))).as[String].head()
+    assert(kept == quoted)
+  }
 }
