@@ -1304,6 +1304,29 @@ object SparkEntry {
           TextFunctions.hasLoremIpsum(col("raw")).as("has_lorem"),
           TextFunctions.hasCurlyBrace(col("raw")).as("has_brace"),
           TextFunctions.c4Keep(col("raw")).as("keep"))
+    }),
+    "q112_connected_components" -> ((s, d) => {
+      // transitive near-dup clustering: large-star/small-star connected
+      // components over a constructed pair graph. Per 12-id block the edges
+      // build a diameter-4 component {0,1,2,3,5} (chain 0-1-2-3 plus a 3~5
+      // bridge — any one-hop canonicalization labels 5 wrong), a reversed
+      // edge {6,10}, a self-loop singleton {8}, and a duplicated edge; the
+      // oracle computes the same components by recursive closure.
+      val ids = docs(s, d).select(col("doc_id").as("id"))
+      def shift(delta: Int, gs: Seq[Int]) = ids.select(col("id").as("ia"))
+        .filter((col("ia") % 12).isin(gs.map(_.toLong): _*))
+        .join(ids.select(col("id").as("ib")), col("ib") === col("ia") + delta)
+      val e1 = shift(1, Seq(0, 1, 2))
+      val e2 = shift(2, Seq(3))
+      val e3 = shift(4, Seq(6)).select(col("ib").as("ia"), col("ia").as("ib")) // reversed
+      val e4 = ids.filter(col("id") % 12 === 8).select(col("id").as("ia"), col("id").as("ib"))
+      val e5 = shift(1, Seq(1)) // duplicate of part of e1
+      val edges = e1.select("ia", "ib").unionAll(e2.select("ia", "ib"))
+        .unionAll(e3.select("ia", "ib")).unionAll(e4).unionAll(e5.select("ia", "ib"))
+      val cc = Dedup.connectedComponents(edges, "ia", "ib")
+      cc.withColumn("csize",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
+        .select(col("id").as("doc_id"), col("component"), col("csize"))
     })
   )
 
@@ -1953,7 +1976,27 @@ object SparkEntry {
            |  contains(r, '{') AS has_brace,
            |  (len(regexp_extract_all(clean, '[.!?]')) >= 3
            |   AND NOT contains(lower(r), 'lorem ipsum') AND NOT contains(r, '{')) AS keep
-           | FROM cl""".stripMargin.replace("\n", " ")
+           | FROM cl""".stripMargin.replace("\n", " "),
+      "q112_connected_components" ->
+        // recursive min-label closure over the same constructed pair graph;
+        // components are bounded (≤5 nodes) by construction so the closure
+        // CTE stays linear in the node count
+        s"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+           | raw AS (
+           |  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 1 WHERE a.id % 12 IN (0, 1, 2)
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 2 WHERE a.id % 12 = 3
+           |  UNION ALL SELECT b.id, a.id FROM ids a JOIN ids b ON b.id = a.id + 4 WHERE a.id % 12 = 6
+           |  UNION ALL SELECT id, id FROM ids WHERE id % 12 = 8
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 1 WHERE a.id % 12 = 1),
+           | nodes AS (SELECT DISTINCT u AS id FROM raw UNION SELECT v FROM raw),
+           | edges AS (SELECT u, v FROM raw WHERE u <> v UNION SELECT v, u FROM raw WHERE u <> v),
+           | reach AS (
+           |  SELECT id AS src, id AS dst FROM nodes
+           |  UNION
+           |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
+           | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+           | sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+           | SELECT comp.doc_id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin.replace("\n", " ")
     )
   }
 

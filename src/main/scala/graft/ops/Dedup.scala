@@ -115,14 +115,85 @@ object Dedup {
     bandedJaccardPairs(sig, bands, numHashes / bands, threshold)
   }
 
-  /** Cluster representative per near-dup group: smallest id among all pairs
-    * (single-pass union approximation: id → min(id over its pairs ∪ self)). */
+  /** Distributed connected components over an undirected pair list, via the
+    * alternating large-star / small-star algorithm (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — public MapReduce
+    * formulation, re-expressed as DataFrame window aggregations).
+    *
+    * Input: candidate pairs (`aCol`, `bCol`) — e.g. the output of
+    * [[minhashPairs]] / [[simhashPairs]] / [[embeddingPairs]]. Output: one
+    * row per node that appears in any pair, with its `component` label (=
+    * the smallest node id reachable from it). Dedup pipelines need the
+    * TRANSITIVE closure: near-dup chains A~B, B~C with no direct A~C pair
+    * must still collapse to one cluster, which a one-hop min-neighbor map
+    * gets wrong.
+    *
+    * Scale posture: each round is two window aggregations partitioned by
+    * node id (shuffle on a near-uniform key); no step ever collects a
+    * component onto the driver or into a single row, and intermediate edge
+    * counts are bounded by the input (large-star emits one edge per
+    * larger-neighbor, small-star one per smaller-neighbor plus one per
+    * node). Rounds are O(log n) by the paper's potential argument; each
+    * round is `localCheckpoint`ed so round k's plan does not re-execute
+    * rounds 1..k-1 (same lineage-truncation posture as the nearest-join
+    * rounds). Convergence is detected by an edge-set fixpoint. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIterations: Int = 50): DataFrame = {
+    val init = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    // keep self-loops out of the star steps but their nodes in the output
+    val nodes = init.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    var edges = init.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // large-star: for each node u, link every strictly-larger neighbor to
+      // the minimum of its neighborhood (including u itself)
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val wu = Window.partitionBy("u")
+      val large = sym
+        .withColumn("__m", least(min(col("v")).over(wu), col("u")))
+        .filter(col("v") > col("u"))
+        .select(greatest(col("v"), col("__m")).as("u"), least(col("v"), col("__m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges already point (larger -> smaller); link each
+      // smaller neighbor AND u itself to the minimum smaller neighbor
+      val ws = Window.partitionBy("u")
+      val withMin = large.withColumn("__m", min(col("v")).over(ws))
+        .withColumn("__rn", row_number().over(ws.orderBy(col("v"))))
+      val small = withMin.select(col("v").as("u"), col("__m").as("v"))
+        .union(withMin.filter(col("__rn") === 1).select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      edges = small
+      it += 1
+    }
+    // fixpoint edges form stars (child -> root); roots and isolated nodes
+    // (self-loop-only inputs) label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+  }
+
+  /** Cluster representative per near-dup group: each document is labeled
+    * with the smallest id in its TRANSITIVE near-dup cluster (connected
+    * components over the verified pair graph — chains A~B~C collapse to one
+    * cluster even without a direct A~C pair). Rows with no near-dup pair
+    * keep their own id. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, k, numHashes, bands, threshold)
-    val mapping = pairs.groupBy(col("id_b").as(idCol)).agg(min("id_a").as("__canon"))
-    df.join(mapping, Seq(idCol), "left")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("__canon"))
+    df.join(labels, Seq(idCol), "left")
       .withColumn("canonical_id", coalesce(col("__canon"), col(idCol)))
       .drop("__canon")
   }

@@ -159,6 +159,63 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(m(10L) == 10L && m(20L) == 10L && m(30L) == 30L)
   }
 
+  test("connectedComponents collapses chains transitively (large-star/small-star)") {
+    // chain 1-2-3-4-5 given only as consecutive pairs: one-hop min-neighbor
+    // would label 5 with 4; the transitive answer is 1 for every node
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(8L) == 8L && got(9L) == 8L)
+  }
+
+  test("connectedComponents tolerates duplicates, reversed edges, self-loops") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 1L), (7L, 7L), (3L, 2L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+  }
+
+  test("connectedComponents matches a local union-find on a random graph") {
+    val rng = new scala.util.Random(7)
+    val n = 300
+    val edges = Seq.fill(260)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // root of the union-find tree is the component minimum because
+        // unions always point the larger root at the smaller
+        find(id.toInt).toLong
+      }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("minhashDedup canonicalizes transitive chains A~B~C without a direct A~C pair") {
+    // B shares >=90% shingles with both A and C, but A and C differ enough
+    // that only the chain connects them — canonical id must still be A's
+    val mid = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (10L, s"STARTA $mid"),
+      (20L, s"$mid"),
+      (30L, s"$mid ENDC"))
+      .toDF("doc_id", "text")
+    // Jaccard(10,20) = Jaccard(20,30) = 10/11 ≈ 0.909; Jaccard(10,30) = 10/12
+    val out = Dedup.minhashDedup(corpus, "doc_id", "text", k = 3, threshold = 0.9)
+    val m = out.select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 20L), (20L, 30L)))
+    assert(m(10L) == 10L && m(20L) == 10L && m(30L) == 10L)
+  }
+
   test("knnJoin returns k best bucket-mates per id, symmetric pairs") {
     val knn = Similarity.knnJoin(embs.limit(200), "vec_id", "embedding", k = 3)
     val counts = knn.groupBy("id_a").agg(count(lit(1)).as("n")).select("n").as[Long].collect()
