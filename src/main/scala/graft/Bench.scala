@@ -102,7 +102,7 @@ object Bench {
     // baseline (BASELINE.md): at sf0.1 a cold run is dominated by one-time
     // whole-stage-codegen compilation (~1-2 s/query), which asv also
     // excludes. Steady-state is what a long-running 100 TB job sees.
-    // A failing query must surface as "err" + non-zero exit, never as a
+    // A failing query must surface as "err" in the JSON, never as a
     // fast-looking wall time that masks a regression.
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[Double], Option[String]) = {
@@ -214,6 +214,11 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
-    if (nErr > 0) sys.exit(1)
+    // NOTE: do NOT exit nonzero on per-query errors — the driver treats a
+    // nonzero runner as "no bench this round" and discards the JSON line
+    // (round 10 lost its whole bench record to one erring query). The
+    // "errors" count + per-query "err: …" values in the JSON are the
+    // regression signal; CORRECTNESS gates failures independently.
+    ()
   }
 }

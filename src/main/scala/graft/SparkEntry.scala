@@ -285,11 +285,12 @@ object SparkEntry {
       .select(col("c_nationkey"), st_npoints(col("g")).as("n_distinct_pts"))),
     "q23_events_window" -> ((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
-      // ts is TIMESTAMP(NANOS): read as long nanos under
-      // spark.sql.legacy.parquet.nanosAsLong, else as a timestamp
+      // ts is long nanos when the parquet type is TIMESTAMP(NANOS) (read
+      // under spark.sql.legacy.parquet.nanosAsLong), else a real timestamp —
+      // ANSI mode forbids timestamp→double casts, so go through unix_micros
       val tsSec = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => col("ts").cast("double") / 1.0e9
-        case _                                   => col("ts").cast("double")
+        case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)).cast("double") / 1.0e6
       }
       ev.withColumn("win", (floor(tsSec / 300.0) * 300).cast("long"))
         .groupBy(col("win"), col("event_type"))
@@ -744,7 +745,7 @@ object SparkEntry {
       val ev = s.read.parquet(s"$d/events.parquet")
       val tsSec = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => col("ts").cast("double") / 1.0e9
-        case _                                   => col("ts").cast("double")
+        case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)).cast("double") / 1.0e6
       }
       val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("sec")
       ev.withColumn("sec", tsSec)

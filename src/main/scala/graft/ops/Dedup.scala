@@ -128,57 +128,90 @@ object Dedup {
     * must still collapse to one cluster, which a one-hop min-neighbor map
     * gets wrong.
     *
-    * Scale posture: each round is two window aggregations partitioned by
-    * node id (shuffle on a near-uniform key); no step ever collects a
-    * component onto the driver or into a single row, and intermediate edge
-    * counts are bounded by the input (large-star emits one edge per
-    * larger-neighbor, small-star one per smaller-neighbor plus one per
-    * node). Rounds are O(log n) by the paper's potential argument; each
-    * round is `localCheckpoint`ed so round k's plan does not re-execute
-    * rounds 1..k-1 (same lineage-truncation posture as the nearest-join
-    * rounds). Convergence is detected by an edge-set fixpoint. */
+    * Scale posture: each round computes per-node neighborhood minima via
+    * `groupBy(u).agg(min(v))` (map-side partial aggregation — a hub node's
+    * min reaches the reducer as one pre-combined row per upstream
+    * partition, never its full neighborhood) joined back on `u`; that
+    * equi-join is the only place a hub's edges co-locate, and AQE
+    * skew-split can break it up (unlike the window formulation this
+    * replaced, which pinned the whole neighborhood into one task). No step
+    * ever collects a component onto the driver or into a single row, and
+    * intermediate edge counts are bounded by the input (large-star emits
+    * one edge per larger-neighbor, small-star one per smaller-neighbor
+    * plus one per node). Rounds are O(log n) by the paper's potential
+    * argument; each round is `localCheckpoint`ed so round k's plan does
+    * not re-execute rounds 1..k-1 (same lineage-truncation posture as the
+    * nearest-join rounds), and the previous round's checkpoint blocks are
+    * unpersisted once the new round is materialized, so executor storage
+    * stays O(current edge set) instead of growing with round count.
+    * Convergence is an edge-set fixpoint checked cheaply: both sides are
+    * distinct-normalized, so equal counts plus one empty set difference
+    * imply equality (the count gate short-circuits exceptAll on every
+    * shrinking round). If `maxIterations` is hit before the fixpoint the
+    * result is still well-defined — final labels aggregate min-per-node,
+    * so a node with residual multi-edges gets its smallest known root (a
+    * coarser, never-duplicated labeling) and a warning is logged. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
                           maxIterations: Int = 50): DataFrame = {
     val init = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
+    val sc = init.sparkSession.sparkContext
+    // localCheckpoint registers its materialized RDD in the persistent-RDD
+    // registry; snapshot the registry around the call so the blocks can be
+    // dropped once the next round supersedes them
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.collect { case (k, r) if !before(k) => r }.toSeq)
+    }
     // keep self-loops out of the star steps but their nodes in the output
     val nodes = init.select(explode(array(col("u"), col("v"))).as("id")).distinct()
-    var edges = init.filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    var converged = edges.isEmpty
+    var (edges, edgeRdds) = checkpointTracked(
+      init.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct())
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var it = 0
     while (!converged && it < maxIterations) {
       // large-star: for each node u, link every strictly-larger neighbor to
       // the minimum of its neighborhood (including u itself)
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val wu = Window.partitionBy("u")
-      val large = sym
-        .withColumn("__m", least(min(col("v")).over(wu), col("u")))
+      val largeMin = sym.groupBy(col("u")).agg(min(col("v")).as("__nm"))
+      val large = sym.join(largeMin, Seq("u"))
+        .withColumn("__m", least(col("__nm"), col("u")))
         .filter(col("v") > col("u"))
         .select(greatest(col("v"), col("__m")).as("u"), least(col("v"), col("__m")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star: edges already point (larger -> smaller); link each
       // smaller neighbor AND u itself to the minimum smaller neighbor
-      val ws = Window.partitionBy("u")
-      val withMin = large.withColumn("__m", min(col("v")).over(ws))
-        .withColumn("__rn", row_number().over(ws.orderBy(col("v"))))
-      val small = withMin.select(col("v").as("u"), col("__m").as("v"))
-        .union(withMin.filter(col("__rn") === 1).select(col("u"), col("__m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-        .localCheckpoint()
-      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
-      edges = small
+      val smallMin = large.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      val (small, smallRdds) = checkpointTracked(
+        large.join(smallMin, Seq("u")).select(col("v").as("u"), col("__m").as("v"))
+          .union(smallMin.select(col("u"), col("__m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+          .distinct())
+      // both sides are distinct (u, v) sets: same count + nothing in
+      // small∖edges ⇒ equal sets; the count gate skips exceptAll whenever
+      // the edge set is still shrinking
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.exceptAll(edges).isEmpty
+      edgeRdds.foreach(_.unpersist(blocking = false))
+      edges = small; edgeRdds = smallRdds; edgeCount = smallCount
       it += 1
     }
-    // fixpoint edges form stars (child -> root); roots and isolated nodes
-    // (self-loop-only inputs) label themselves
-    nodes.join(edges.select(col("u").as("id"), col("v").as("__root")), Seq("id"), "left")
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: no fixpoint after $maxIterations rounds" +
+        " — labels fall back to min-known-root per node (coarser clusters possible)")
+    // fixpoint edges form stars (child -> root); aggregate min-per-node so a
+    // non-converged residual (multiple edges per u) still yields exactly one
+    // label per node. Roots and isolated nodes (self-loop-only inputs) label
+    // themselves.
+    val roots = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__root"))
+    nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
   }
 

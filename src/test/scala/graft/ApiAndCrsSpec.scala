@@ -417,8 +417,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val events = spark.readStream.schema(schema).parquet(dir)
+    // ts is long nanos under nanosAsLong, else a (NTZ) timestamp — ANSI
+    // forbids timestamp→double, so cast timestamps straight to TimestampType
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (col("ts").cast("double") / 1e9).cast("timestamp")
+      case _ => col("ts").cast("timestamp")
+    }
     val agg = events
-      .withColumn("sec", (col("ts").cast("double") / 1e9).cast("timestamp"))
+      .withColumn("sec", tsCol)
       .withWatermark("sec", "10 minutes")
       .groupBy(window(col("sec"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))

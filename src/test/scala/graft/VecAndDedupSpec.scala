@@ -198,6 +198,22 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("connectedComponents at maxIterations emits exactly one label per node (no dup rows)") {
+    // a 64-node path needs several star rounds to reach the fixpoint;
+    // capping at 1 iteration exercises the non-converged exit. The contract:
+    // still exactly one row per node (min-known-root aggregation), every
+    // label is a node id from the same true component, and label <= id —
+    // so a downstream dedup join can never duplicate document rows.
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIterations = 1).as[(Long, Long)].collect()
+    assert(got.length == 64, "one row per node even without convergence")
+    assert(got.map(_._1).distinct.length == 64, "no duplicate node rows")
+    assert(got.forall { case (id, c) => c <= id && c >= 1L })
+    // and the same input converges to all-1 labels when uncapped
+    val full = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(full.forall(_._2 == 1L))
+  }
+
   test("minhashDedup canonicalizes transitive chains A~B~C without a direct A~C pair") {
     // B shares >=90% shingles with both A and C, but A and C differ enough
     // that only the chain connects them — canonical id must still be A's
