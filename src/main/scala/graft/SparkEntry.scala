@@ -1328,6 +1328,39 @@ object SparkEntry {
       cc.withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
         .select(col("id").as("doc_id"), col("component"), col("csize"))
+    }),
+    "q113_unigram_lm" -> ((s, d) =>
+      // CCNet-style LM quality proxy: unigram LM trained on the corpus
+      // itself, documents scored by mean token negative-log-likelihood
+      graft.ops.LmQuality.unigramNllScore(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), round(col("avg_nll"), 4).as("avg_nll"))),
+    "q114_dsir_weights" -> ((s, d) => {
+      // DSIR importance weights: hashed uni+bi-gram models fit on the
+      // 'en' slice (target) vs the whole corpus (raw); per-doc log ratio
+      val raw = docs(s, d)
+      graft.ops.LmQuality.importanceWeights(raw, raw.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 64)
+        .select(col("doc_id"), col("n_grams"), round(col("log_weight"), 4).as("log_weight"))
+    }),
+    "q115_url_canonicalize" -> ((s, d) => {
+      // URL-level dedup normalization on constructed fixtures whose
+      // canonical form is known by construction (the oracle writes the
+      // EXPECTED string directly — nothing mirrored): four messy variants
+      // per doc cycle case, www, default/non-default ports, trailing
+      // slashes, scrambled + tracking query params, and fragments
+      val m = col("doc_id") % 4
+      val url = when(m === 0, concat(lit("HTTP://WWW."), col("source"),
+          lit(".Example.COM:80/Data/"), col("doc_id").cast("string"),
+          lit("/?b=2&utm_source=feed&a=1&fbclid=zz#Sec")))
+        .when(m === 1, concat(lit("http://"), col("source"), lit(".example.com/Data/"),
+          col("doc_id").cast("string"), lit("?ref=x")))
+        .when(m === 2, concat(lit("HTTPS://www."), col("source"), lit(".EXAMPLE.com:443/Data/"),
+          col("doc_id").cast("string"), lit("/?b=2&utm_campaign=x&a=1")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".Example.com:8443/Data/"),
+          col("doc_id").cast("string")))
+      val canon = TextFunctions.canonicalizeUrl(url)
+      docs(s, d).select(col("doc_id"), canon.as("canon_url"),
+        TextFunctions.urlHost(canon).as("host"))
     })
   )
 
@@ -1997,7 +2030,59 @@ object SparkEntry {
            |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
            | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
            | sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
-           | SELECT comp.doc_id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin.replace("\n", " ")
+           | SELECT comp.doc_id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin.replace("\n", " "),
+      "q113_unigram_lm" ->
+        // unigram-LM mean NLL mirrored exactly: p(tok) = corpus_count/total
+        // (no smoothing — every scored token is in the vocabulary), score =
+        // ln(total) − mean(ln(count))
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | t AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+           | tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+           | vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY tok),
+           | tot AS (SELECT sum(cnt) AS total FROM vocab),
+           | per AS (SELECT doc_id, sum(tf) AS n_tokens, sum(tf * ln(CAST(cnt AS DOUBLE))) AS s
+           |   FROM tf JOIN vocab USING (tok) GROUP BY doc_id)
+           | SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  round(CASE WHEN per.n_tokens IS NULL OR per.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+           |    ELSE ln(CAST(total AS DOUBLE)) - s / per.n_tokens END, 4) + CAST(0 AS DOUBLE) AS avg_nll
+           | FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id) CROSS JOIN tot""".stripMargin.replace("\n", " "),
+      "q114_dsir_weights" ->
+        // DSIR hashed bag-of-n-grams mirrored exactly: features = unigrams
+        // + space-joined bigrams, bucket = first two hex chars of md5 read
+        // base-16 (strpos arithmetic) mod 64, add-one smoothing over the
+        // dense bucket domain, weight = Σ_b count_b · ln(p_en(b)/p_raw(b))
+        s"""WITH tok AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+           |   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gr FROM tok),
+           | b AS (SELECT doc_id, lang,
+           |   ((strpos('0123456789abcdef', substr(md5(gr), 1, 1)) - 1) * 16
+           |    + (strpos('0123456789abcdef', substr(md5(gr), 2, 1)) - 1)) % 64 AS bk FROM g),
+           | dom AS (SELECT unnest(range(0, 64)) AS bk),
+           | tgt AS (SELECT dom.bk, count(b.bk) AS n FROM dom LEFT JOIN b ON b.bk = dom.bk AND b.lang = 'en' GROUP BY dom.bk),
+           | raw AS (SELECT dom.bk, count(b.bk) AS n FROM dom LEFT JOIN b ON b.bk = dom.bk GROUP BY dom.bk),
+           | ratio AS (SELECT tgt.bk,
+           |   ln((tgt.n + 1) / (CAST((SELECT sum(n) FROM tgt) AS DOUBLE) + 64))
+           |   - ln((raw.n + 1) / (CAST((SELECT sum(n) FROM raw) AS DOUBLE) + 64)) AS lr
+           |   FROM tgt JOIN raw USING (bk)),
+           | perdoc AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY 1, 2),
+           | w AS (SELECT doc_id, sum(c) AS n_grams, sum(c * lr) AS lw FROM perdoc JOIN ratio USING (bk) GROUP BY doc_id)
+           | SELECT d.doc_id, CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+           |  round(coalesce(w.lw, 0), 4) + CAST(0 AS DOUBLE) AS log_weight
+           | FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)""".stripMargin.replace("\n", " "),
+      "q115_url_canonicalize" ->
+        // closed-form by construction: the oracle writes the EXPECTED
+        // canonical string for each fixture variant directly — scheme/host
+        // lowercased, www. and default ports dropped, trailing slash and
+        // fragment gone, tracking params removed, survivors sorted
+        s"""SELECT doc_id,
+           | CASE doc_id % 4
+           |  WHEN 0 THEN 'http://' || source || '.example.com/Data/' || doc_id || '?a=1&b=2'
+           |  WHEN 1 THEN 'http://' || source || '.example.com/Data/' || doc_id
+           |  WHEN 2 THEN 'https://' || source || '.example.com/Data/' || doc_id || '?a=1&b=2'
+           |  ELSE 'https://' || source || '.example.com:8443/Data/' || doc_id END AS canon_url,
+           | CASE WHEN doc_id % 4 = 3 THEN source || '.example.com:8443'
+           |  ELSE source || '.example.com' END AS host
+           | FROM documents""".stripMargin.replace("\n", " ")
     )
   }
 

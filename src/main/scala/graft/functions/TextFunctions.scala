@@ -246,6 +246,50 @@ object TextFunctions {
   def hasBlockedDomain(c: Column, blocked: Seq[String]): Column =
     arrays_overlap(urlHosts(c), array(blocked.map(b => lit(b.toLowerCase)): _*))
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: tracking junk that
+    * makes otherwise-identical URLs distinct (the standard URL-dedup
+    * normalization in web-crawl pipelines). */
+  private val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+  /** Canonical form of a single absolute URL, for exact URL-level dedup of
+    * crawled documents. Spec (deterministic, no UDF — every step is a
+    * codegen'd native expression):
+    *   1. scheme and host lowercased; a leading `www.` and the scheme's
+    *      default port (`:80` for http, `:443` for https) are dropped;
+    *   2. the fragment (`#…`) is dropped;
+    *   3. trailing `/` runs are stripped from the path (case preserved);
+    *   4. tracking query params (utm_*, fbclid, gclid, msclkid, ref) are
+    *      removed and the survivors are sorted bytewise and re-joined, so
+    *      parameter order never distinguishes two URLs; an emptied query
+    *      loses its `?`.
+    * Input without a `scheme://` prefix yields NULL (not a crawlable
+    * absolute URL). Map-side scalar — at 100 TB this runs in the scan
+    * projection; dedup is then a plain groupBy on the canonical string. */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(c, "^[^#]*?\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.rlike(TrackingParamPattern))), "&")
+    when(scheme === "", lit(null).cast("string")).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(params === "", lit("")).otherwise(concat(lit("?"), params))))
+  }
+
+  /** Host of a canonicalized (or any absolute) URL, lowercased, without a
+    * leading `www.` — the key for host-level aggregation and blocklists. */
+  def urlHost(c: Column): Column = {
+    val h = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    when(h === "", lit(null).cast("string")).otherwise(regexp_replace(h, "^www\\.", ""))
+  }
+
   /** Non-blank trimmed lines of a document (Gopher/Dolma-style repetition
     * filters operate on these). */
   def linesOf(c: Column): Column =
