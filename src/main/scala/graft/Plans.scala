@@ -189,6 +189,26 @@ object Plans {
       graft.ops.Similarity.knnJoin(e, "vec_id", "embedding", k = 3, planes = 32, bands = 32)
     }
 
+    section("Unigram-LM NLL scoring (q113: corpus-trained quality proxy)",
+      "Tokens reduce to per-doc (token, tf) via a partial-aggregated groupBy " +
+        "before touching the vocabulary, so the vocab equi-join carries one " +
+        "row per DISTINCT term per doc (not per occurrence); the Zipf-hot " +
+        "join key is AQE-skew-splittable, and the corpus total rides along " +
+        "as a 1-row broadcast. No window, no driver collect.") {
+      graft.ops.LmQuality.unigramNllScore(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }
+
+    section("DSIR importance weights (q114: hashed n-gram log-ratio)",
+      "Both multinomial models are ≤64-row aggregations (fully map-side " +
+        "combinable); the ratio table enters the per-doc scoring join as an " +
+        "explicit broadcast, so the raw corpus is scanned twice and never " +
+        "shuffled on a wide key.") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.LmQuality.importanceWeights(d, d.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 64)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

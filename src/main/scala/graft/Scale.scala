@@ -191,6 +191,19 @@ stays distributed.
           graft.functions.TextFunctions.hasBlockedDomain(raw, Seq("blocked0.org")).as("blocked"))
         (r.filter(col("n_urls") + when(col("blocked"), 1).otherwise(0) >= 0).count(), 0L)
       }
+      bench("unigram LM score", mult) {
+        // two aggregation shuffles + one vocab equi-join; replication keeps
+        // the vocabulary CONSTANT while occurrences grow N× — time must
+        // track occurrences (the tf reduction), not vocab join fanout
+        (graft.ops.LmQuality.unigramNllScore(docs(mult), "doc_id", "text").count(), 0L)
+      }
+      bench("dsir importance weights", mult) {
+        // model fit = ≤64-row aggregations; scoring joins a broadcast ratio
+        // table — the corpus is traversed twice and never shuffled wide
+        val all = docs(mult)
+        (graft.ops.LmQuality.importanceWeights(all, all.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 64).count(), 0L)
+      }
       bench("sjoin_nearest unbounded clustered", mult) {
         // the one §2.4 operator that had no measured scaling row: forced
         // down the distributed radius-doubling path (broadcastThreshold=-1,
