@@ -38,32 +38,76 @@ object Dedup {
   /** Shared LSH band-join core: `sig` has (__id, __sh, __sig) where __sig is
     * an array (any element type — cast to string for the band key). The band
     * join carries ONLY (band, key, id) — the shingle arrays would otherwise
-    * be shuffled once per band; they re-attach by id after pair dedup. */
+    * be shuffled once per band; they re-attach by id after pair dedup.
+    *
+    * Exact duplicates are collapsed BEFORE banding: rows with identical
+    * shingle content (md5 of the shingle list — the same content-identity
+    * precedent as [[exact]]) band once per DISTINCT document, and member
+    * pairs expand back afterward. Identical documents share every band key,
+    * so the expanded pair set is provably the one direct banding produces —
+    * but candidate volume inside a bucket stays quadratic in DISTINCT
+    * content only, not in duplication. On a web corpus (or a replication
+    * scale test) where hot documents repeat thousands of times, direct
+    * banding makes m copies contribute m² candidate rows per bucket per
+    * band; collapsed, they contribute 1, and the m·(m−1)/2 true pairs
+    * materialize once, output-bound, in the expansion join. */
   private def bandedJaccardPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
                                  threshold: Double): DataFrame = {
     val shingleTable = sig.select(col("__id"), col("__sh")).cache()
-    val banded = sig.select(col("__id"),
+    // U+0001-separated content key: unambiguous (a "|" would conflate
+    // ("ab","c") with ("a","bc"))
+    val keyed = sig.select(col("__id"), md5(concat_ws("\u0001", col("__sh"))).as("__gk"))
+    val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
+    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id"))
+    val reps = sig.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+    val banded = reps.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", transform(
           slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string"))))))
         .as(Seq("__band", "__key")))
 
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
-    val candidates = a.join(b, Seq("__band", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-      .join(shingleTable.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
-      .join(shingleTable.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
-
-    candidates
-      .withColumn("jaccard",
-        when(size(array_union(col("__sh_a"), col("__sh_b"))) === 0, 0.0)
-          .otherwise(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-            size(array_union(col("__sh_a"), col("__sh_b")))))
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"))
+    val repPairs = a.join(b, Seq("__band", "__key"))
+      .filter(col("__ra") < col("__rb"))
+      .select("__ra", "__rb")
+      .dropDuplicates("__ra", "__rb")
+    // VERIFY AT THE REP LEVEL, then expand: members carry their rep's exact
+    // shingle content, so jaccard(member_a, member_b) ≡ jaccard(rep_a,
+    // rep_b) — one verification per distinct-content pair instead of one
+    // per member pair. On a duplication-heavy corpus the member-level
+    // candidate set is |repPairs|·m² while the verified output is a
+    // (usually far smaller) subset; verifying first makes the expansion
+    // output-bound.
+    def jac(sa: Column, sb: Column): Column =
+      when(size(array_union(sa, sb)) === 0, 0.0)
+        .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
+    val repVerified = repPairs
+      .join(shingleTable.select(col("__id").as("__ra"), col("__sh").as("__sh_a")), Seq("__ra"))
+      .join(shingleTable.select(col("__id").as("__rb"), col("__sh").as("__sh_b")), Seq("__rb"))
+      .withColumn("jaccard", jac(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
-      .drop("__sh_a", "__sh_b")
+      .select("__ra", "__rb", "jaccard")
+    // members of the same content group pair with each other; their jaccard
+    // is the self-similarity of the group's content (1.0 for non-empty
+    // shingle lists), computed through the same expression for parity
+    val selfJac = shingleTable
+      .join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+      .select(col("__id").as("__rid"), jac(col("__sh"), col("__sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val within = memb.as("x").join(memb.as("y"),
+        col("x.__rid") === col("y.__rid") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"), col("x.__rid").as("__rid"))
+      .join(selfJac, Seq("__rid"))
+      .select("id_a", "id_b", "jaccard")
+    // cross-group expansion of the verified pairs: disjoint from `within`
+    // and internally distinct — no extra dedup shuffle
+    val cross = repVerified
+      .join(memb.select(col("__rid").as("__ra"), col("__id").as("__ma")), Seq("__ra"))
+      .join(memb.select(col("__rid").as("__rb"), col("__id").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    within.unionByName(cross)
   }
 
   private def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
@@ -275,7 +319,10 @@ object Dedup {
     * single-table 8-plane variant this replaces. Candidates are verified
     * with exact cosine (native VecDot/VecNorm kernels), so precision is 1;
     * the band join carries only (band, key, id) and the quadratic work is
-    * bucket-bounded — the 100 TB-safe shape. */
+    * bucket-bounded over DISTINCT vectors — exact duplicates collapse to a
+    * representative before banding, cosine is verified once per distinct
+    * pair, and member pairs expand output-bound afterward (see the
+    * bandedJaccardPairs scale note) — the 100 TB-safe shape. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int = 0, planes: Int = 192, bands: Int = 24,
                      seed: Long = 42L, threshold: Double = 0.95): DataFrame = {
@@ -314,20 +361,55 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull).repartition(par).cache()
-    // band join carries only (band, key, id); vectors re-attach by id
-    val banded = base.select(col("__id"),
+    // collapse exact-duplicate vectors before banding (same argument as
+    // bandedJaccardPairs: identical vectors share every band key, so
+    // rep-level pairs + member expansion reproduce the direct pair set
+    // exactly, while bucket candidate volume stays quadratic in DISTINCT
+    // vectors only — duplicated embeddings are the norm in web corpora).
+    // Identity key = md5 over the stringified floats, NOT the raw array:
+    // a string equi-join stays a codegen'd hash join, whereas array-typed
+    // keys degrade the memb/reps joins out of the hash-join path.
+    val keyed = base.select(col("__id"),
+      md5(concat_ws("", transform(col("__v"), x => x.cast("string")))).as("__gk"))
+    val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
+    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
+    val reps = base.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+    // band join carries only (band, key, rep id); vectors re-attach by id
+    val banded = reps.select(col("__id"),
       posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
-    a.join(b, Seq("__band", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
-      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"))
+    val repPairs = a.join(b, Seq("__band", "__key"))
+      .filter(col("__ra") < col("__rb"))
+      .select("__ra", "__rb")
+      .dropDuplicates("__ra", "__rb")
+    // VERIFY AT THE REP LEVEL, then expand: members are bit-identical to
+    // their rep, so cosine(member_a, member_b) ≡ cosine(rep_a, rep_b) —
+    // one cosine per distinct-vector pair instead of one per member pair.
+    // On correlated data the rep candidate set can be a sizable fraction of
+    // all rep pairs; multiplying that by m² member fanout BEFORE the verify
+    // was measured at 53M verifications for a 240k output (16× replicated
+    // sf0.1) — verifying first makes the expansion output-bound.
+    val repVerified = repPairs
+      .join(reps.select(col("__id").as("__ra"), col("__v").as("__va")), Seq("__ra"))
+      .join(reps.select(col("__id").as("__rb"), col("__v").as("__vb")), Seq("__rb"))
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
+      .select("__ra", "__rb", "cosine")
+    val selfCos = reps
+      .select(col("__id").as("__rid"), Similarity.cosine(col("__v"), col("__v")).as("cosine"))
+      .filter(col("cosine") >= threshold) // drops NaN (zero vectors), like the pair path
+    val within = memb.as("x").join(memb.as("y"),
+        col("x.__rid") === col("y.__rid") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"), col("x.__rid").as("__rid"))
+      .join(selfCos, Seq("__rid"))
       .select("id_a", "id_b", "cosine")
+    val cross = repVerified
+      .join(memb.select(col("__rid").as("__ra"), col("__id").as("__ma")), Seq("__ra"))
+      .join(memb.select(col("__rid").as("__rb"), col("__id").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
+    within.unionByName(cross)
   }
 
   /** Paragraph-level (span) dedup, Dolma-style: drop every paragraph whose

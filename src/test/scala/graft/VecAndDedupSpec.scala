@@ -57,6 +57,42 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("duplicate collapse: pair sets on a duplication-heavy corpus equal brute force") {
+    // 3 exact copies of every vector (plus the original) — the shape that
+    // blows up direct banding quadratically. The collapsed path must emit
+    // exactly the brute-force pair set: all within-group pairs (cosine 1)
+    // plus every qualifying cross-group pair, each verified once per
+    // distinct-vector pair.
+    val dup = (0 to 2).map(k => embs.limit(40)
+      .select((col("vec_id") + k * 1000000L).as("vec_id"), col("embedding")))
+      .reduce(_.unionByName(_))
+    val lsh = Dedup.embeddingPairs(dup, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val e = dup.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val brute = e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("c", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("c") >= 0.95)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(brute.size >= 120, "every 3-copy group contributes C(3,2)=3 pairs")
+    assert(lsh == brute)
+    // same shape for the minhash path on duplicated text
+    val dupDocs = (0 to 2).map(k => docs.limit(40)
+      .select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+    val mh = Dedup.minhashPairsFast(dupDocs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh0 = dupDocs.select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bruteMh = sh0.as("a").join(sh0.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.99)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(bruteMh.size >= 120)
+    assert(mh == bruteMh)
+  }
+
   test("minhashPairsFast equals exact brute-force jaccard pairs (high-band config)") {
     // Comparing two DIFFERENT bandings (md5 vs xxhash) for set-equality
     // tests luck, not correctness: each misses a >=0.95 pair with prob
