@@ -58,7 +58,9 @@ object Dedup {
     // ("ab","c") with ("a","bc"))
     val keyed = sig.select(col("__id"), md5(concat_ws("\u0001", col("__sh"))).as("__gk"))
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
-    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id"))
+    // memb feeds the within self-join and both sides of the cross
+    // expansion — cache it so the md5-over-shingles keying runs once
+    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
     val reps = sig.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
     val banded = reps.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -289,18 +291,37 @@ object Dedup {
     val sig = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .filter(col("__sig").isNotNull)
-    val banded = sig.select(col("__id"), col("__sig"),
+    // duplication-proof like the other banded paths, with the signature
+    // itself as the collapse key: the output's hamming distance is a pure
+    // function of the two signatures, so rows sharing a signature are
+    // interchangeable — band once per DISTINCT signature, verify hamming
+    // once per signature pair, expand member pairs output-bound
+    val groups = sig.groupBy(col("__sig")).agg(min(col("__id")).as("__rid"))
+    val memb = sig.join(groups, Seq("__sig")).select(col("__rid"), col("__id"))
+    val reps = groups.select(col("__rid").as("__id"), col("__sig"))
+    val banded = reps.select(col("__id"), col("__sig"),
       posexplode(array((0 until bands).map(i =>
         substring(col("__sig"), bound(i) + 1, bound(i + 1) - bound(i))): _*))
         .as(Seq("__band", "__key")))
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    a.join(b, Seq("__band", "__key"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"), col("__sig").as("__sig_a"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"), col("__sig").as("__sig_b"))
+    val repVerified = a.join(b, Seq("__band", "__key"))
+      .filter(col("__ra") < col("__rb"))
+      .dropDuplicates("__ra", "__rb")
       .withColumn("hamming", hammingHexU(col("__sig_a"), col("__sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("__ra", "__rb", "hamming")
+    // same-signature members: hamming 0 by definition (maxHamming >= 0
+    // always admits them, matching the direct path)
+    val within = memb.as("x").join(memb.as("y"),
+        col("x.__rid") === col("y.__rid") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"), lit(0).as("hamming"))
+    val cross = repVerified
+      .join(memb.select(col("__rid").as("__ra"), col("__id").as("__ma")), Seq("__ra"))
+      .join(memb.select(col("__rid").as("__rb"), col("__id").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Exact n-gram Jaccard similarity for all LSH candidate pairs (wrapper
