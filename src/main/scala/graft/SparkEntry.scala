@@ -1361,6 +1361,16 @@ object SparkEntry {
       val canon = TextFunctions.canonicalizeUrl(url)
       docs(s, d).select(col("doc_id"), canon.as("canon_url"),
         TextFunctions.urlHost(canon).as("host"))
+    }),
+    "q116_gumbel_resample" -> ((s, d) => {
+      // DSIR end-to-end: importance weights → deterministic Gumbel top-k
+      // resample (the Efraimidis–Spirakis weighted sample, hash-derived so
+      // every selected id and its score replays in the oracle)
+      val raw = docs(s, d)
+      val w = graft.ops.LmQuality.importanceWeights(raw,
+        raw.filter(col("lang") === "en"), "doc_id", "text", buckets = 64)
+      graft.ops.Sampling.weightedTopK(w, "doc_id", "log_weight", k = 100, salt = "w1")
+        .select(col("doc_id"), round(col("__score"), 4).as("score"))
     })
   )
 
@@ -2051,24 +2061,22 @@ object SparkEntry {
         // + space-joined bigrams, bucket = first two hex chars of md5 read
         // base-16 (strpos arithmetic) mod 64, add-one smoothing over the
         // dense bucket domain, weight = Σ_b count_b · ln(p_en(b)/p_raw(b))
-        s"""WITH tok AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
-           | g AS (SELECT doc_id, lang, unnest(list_concat(toks,
-           |   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gr FROM tok),
-           | b AS (SELECT doc_id, lang,
-           |   ((strpos('0123456789abcdef', substr(md5(gr), 1, 1)) - 1) * 16
-           |    + (strpos('0123456789abcdef', substr(md5(gr), 2, 1)) - 1)) % 64 AS bk FROM g),
-           | dom AS (SELECT unnest(range(0, 64)) AS bk),
-           | tgt AS (SELECT dom.bk, count(b.bk) AS n FROM dom LEFT JOIN b ON b.bk = dom.bk AND b.lang = 'en' GROUP BY dom.bk),
-           | raw AS (SELECT dom.bk, count(b.bk) AS n FROM dom LEFT JOIN b ON b.bk = dom.bk GROUP BY dom.bk),
-           | ratio AS (SELECT tgt.bk,
-           |   ln((tgt.n + 1) / (CAST((SELECT sum(n) FROM tgt) AS DOUBLE) + 64))
-           |   - ln((raw.n + 1) / (CAST((SELECT sum(n) FROM raw) AS DOUBLE) + 64)) AS lr
-           |   FROM tgt JOIN raw USING (bk)),
-           | perdoc AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY 1, 2),
-           | w AS (SELECT doc_id, sum(c) AS n_grams, sum(c * lr) AS lw FROM perdoc JOIN ratio USING (bk) GROUP BY doc_id)
+        s"""$dsirWeightsCte
            | SELECT d.doc_id, CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
            |  round(coalesce(w.lw, 0), 4) + CAST(0 AS DOUBLE) AS log_weight
            | FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)""".stripMargin.replace("\n", " "),
+      "q116_gumbel_resample" ->
+        // the DSIR resample step: same weights CTE, Gumbel perturbation from
+        // the 24-bit md5 draw ((v + 0.5)/2²⁴ ∈ (0,1)), top-k by perturbed
+        // log-weight. hex24 is the 6-char strpos expansion of the engine's
+        // hashHex spec — every selected id and its score replayed exactly
+        s"""$dsirWeightsCte,
+           | lw AS (SELECT d.doc_id, coalesce(w.lw, 0) AS lw
+           |   FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)),
+           | sc AS (SELECT doc_id, lw + -ln(-ln((${hex24Sql("md5('w1:' || CAST(doc_id AS VARCHAR))")} + 0.5)
+           |   / CAST(16777216 AS DOUBLE))) AS score FROM lw)
+           | SELECT doc_id, round(score, 4) + CAST(0 AS DOUBLE) AS score
+           | FROM sc ORDER BY score DESC, doc_id LIMIT 100""".stripMargin.replace("\n", " "),
       "q115_url_canonicalize" ->
         // closed-form by construction: the oracle writes the EXPECTED
         // canonical string for each fixture variant directly — scheme/host
@@ -2126,6 +2134,37 @@ object SparkEntry {
 
   /** Shared MinHash-LSH oracle (mirrors Dedup.minhashPairs spec exactly).
     * `src` = the relation to read (doc_id, text) from. */
+  /** Numeric value of the first `n` lowercase-hex chars of `expr` (a string
+    * SQL expression), as nested strpos arithmetic — DuckDB-portable hex
+    * decode without a hex-literal cast. */
+  private def hexValSql(expr: String, n: Int): String =
+    (0 until n).map { i =>
+      s"(strpos('0123456789abcdef', substr($expr, ${i + 1}, 1)) - 1) * ${math.pow(16, n - 1 - i).toLong}"
+    }.mkString("(", " + ", ")")
+
+  /** 24-bit value of an md5 hex expression — the [[graft.ops.Sampling]]
+    * hashHex draw, oracle-side. */
+  private def hex24Sql(md5Expr: String): String = hexValSql(md5Expr, 6)
+
+  /** Shared CTE chain computing the q114 DSIR per-doc log-weights (table
+    * `w`: doc_id, n_grams, lw) — q116 reuses it for the resample step. */
+  private val dsirWeightsCte: String =
+    s"""WITH tok AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+       | g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+       |   list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gr FROM tok),
+       | b AS (SELECT doc_id, lang,
+       |   ((strpos('0123456789abcdef', substr(md5(gr), 1, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(md5(gr), 2, 1)) - 1)) % 64 AS bk FROM g),
+       | dom AS (SELECT unnest(range(0, 64)) AS bk),
+       | tgt AS (SELECT dom.bk, count(b.bk) AS n FROM dom LEFT JOIN b ON b.bk = dom.bk AND b.lang = 'en' GROUP BY dom.bk),
+       | raw AS (SELECT dom.bk, count(b.bk) AS n FROM dom LEFT JOIN b ON b.bk = dom.bk GROUP BY dom.bk),
+       | ratio AS (SELECT tgt.bk,
+       |   ln((tgt.n + 1) / (CAST((SELECT sum(n) FROM tgt) AS DOUBLE) + 64))
+       |   - ln((raw.n + 1) / (CAST((SELECT sum(n) FROM raw) AS DOUBLE) + 64)) AS lr
+       |   FROM tgt JOIN raw USING (bk)),
+       | perdoc AS (SELECT doc_id, bk, count(*) AS c FROM b GROUP BY 1, 2),
+       | w AS (SELECT doc_id, sum(c) AS n_grams, sum(c * lr) AS lw FROM perdoc JOIN ratio USING (bk) GROUP BY doc_id)""".stripMargin
+
   private def minhashOracle(k: Int, numHashes: Int, bands: Int, threshold: Double,
                             src: String = "documents"): String = {
     val rpb = numHashes / bands

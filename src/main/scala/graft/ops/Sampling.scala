@@ -55,6 +55,32 @@ object Sampling {
     df.filter(hashHex(col(idCol), salt) < thresh)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement via Gumbel top-k
+    * (Efraimidis–Spirakis/Gumbel-max: perturb each row's log-weight with an
+    * independent Gumbel draw, take the k largest — the result is a true
+    * weight-proportional sample). The Gumbel draw is hash-derived, not
+    * `rand()`: u = (hash24 + 0.5) / 2²⁴ from the [[hashHex]] spec (strictly
+    * inside (0,1), so the double log never sees 0), g = −ln(−ln(u)) —
+    * reproducible across restarts, task retries, and external oracles.
+    *
+    * This is the resample step of DSIR-style curation: feed it
+    * [[LmQuality.importanceWeights]]' `log_weight` and the kept set is
+    * distributionally tilted toward the target corpus.
+    *
+    * Scale posture: one map-side projection + a global top-k
+    * (TakeOrderedAndProject — per-partition heaps of size k, then one
+    * k-row merge on the driver side of the exchange; no global sort). */
+  def weightedTopK(df: DataFrame, idCol: String, logWeightCol: String, k: Int,
+                   salt: String = "s"): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    val u = (conv(hashHex(col(idCol), salt), 16, 10).cast("double") + 0.5) /
+      (1 << 24).toDouble
+    val score = col(logWeightCol) + -log(-log(u))
+    df.withColumn("__score", score)
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Chunked sequence packing: assign documents to fixed-token-budget packs
     * in deterministic (shard, id) order; `pack` is the bin a doc STARTS in
     * (a doc may straddle a boundary — the training loader splits it, the

@@ -29,6 +29,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(d.subsetOf(a)) // same hash, lower threshold
   }
 
+  test("weightedTopK: deterministic Gumbel top-k, weight-proportional, retry-stable") {
+    val df = (0 until 500).map(i =>
+      (i.toLong, if (i < 50) 10.0 else -10.0)).toDF("doc_id", "log_weight")
+    val a = Sampling.weightedTopK(df, "doc_id", "log_weight", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    // a 20-nat log-weight gap dwarfs any Gumbel draw (range ~±7 at n=500):
+    // the heavy 50 must be exactly the selected 50
+    assert(a == (0L until 50L).toSet)
+    // stable under repartition (a rand()-based perturbation would not be)
+    val b = Sampling.weightedTopK(df.repartition(17), "doc_id", "log_weight", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // equal weights: selection is a pure function of the salted hash —
+    // different salt, different sample
+    val eq = (0 until 500).map(i => (i.toLong, 0.0)).toDF("doc_id", "log_weight")
+    val s1 = Sampling.weightedTopK(eq, "doc_id", "log_weight", 100, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.weightedTopK(eq, "doc_id", "log_weight", 100, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size == 100 && s2.size == 100 && s1 != s2)
+  }
+
   test("stratifiedSample: per-group fractions and default") {
     val df = corpus(3000).withColumn("grp", (col("doc_id") % 3).cast("string"))
     val kept = Sampling.stratifiedSample(df, "doc_id", "grp",
