@@ -1371,6 +1371,25 @@ object SparkEntry {
         raw.filter(col("lang") === "en"), "doc_id", "text", buckets = 64)
       graft.ops.Sampling.weightedTopK(w, "doc_id", "log_weight", k = 100, salt = "w1")
         .select(col("doc_id"), round(col("__score"), 4).as("score"))
+    }),
+    "q117_semdedup" -> ((s, d) => {
+      // SemDeDup (arXiv:2303.09540): k-means cells bound the semantic-dup
+      // pair search; drop rule = "a smaller id within tau in my cell". The
+      // corpus has no near-dup embedding pair at gate scale (max cosine
+      // ~0.51), so two sentinel clones (ids derived max+1/max+2,
+      // collision-proof like the q82 sentinel) ride along — each must land
+      // in its original's cell and be dropped (cosine 1 >= tau), keeping
+      // the drop path inside the gate. Every stage (md5-sampled seeds, the
+      // rounded Lloyd step, assignment tie-breaks, the pair threshold) is
+      // mirrored by the oracle, so centroid drift or a keep-rule bug fails
+      // the hash.
+      val base = embs(s, d).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val mx = base.agg(max(col("vec_id")).as("__m"))
+      def clone(src: Long, off: Int) = base.filter(col("vec_id") === src)
+        .crossJoin(mx).select((col("__m") + off).as("vec_id"), col("embedding"))
+      Dedup.semDedup(base.unionByName(clone(1L, 1)).unionByName(clone(7L, 2)),
+        "vec_id", "embedding", clusters = 16, tau = 0.9)
     })
   )
 
@@ -2090,7 +2109,37 @@ object SparkEntry {
            |  ELSE 'https://' || source || '.example.com:8443/Data/' || doc_id END AS canon_url,
            | CASE WHEN doc_id % 4 = 3 THEN source || '.example.com:8443'
            |  ELSE source || '.example.com' END AS host
-           | FROM documents""".stripMargin.replace("\n", " ")
+           | FROM documents""".stripMargin.replace("\n", " "),
+      "q117_semdedup" ->
+        // the q68 centroid chain (md5-sampled seeds, one Lloyd step with
+        // 1e-6-rounded means, tie-break ORDER BY d, c) over the
+        // sentinel-augmented input, then within-cell pairs >= tau and the
+        // smaller-id keep rule
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+           | v AS (SELECT vec_id, embedding FROM base
+           |   UNION ALL SELECT (SELECT max(vec_id) FROM base) + 1, embedding FROM base WHERE vec_id = 1
+           |   UNION ALL SELECT (SELECT max(vec_id) FROM base) + 2, embedding FROM base WHERE vec_id = 7),
+           | seeds AS (SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS c,
+           |   embedding AS sv FROM v) WHERE c < 16),
+           | a0 AS (SELECT vec_id, embedding, c,
+           |   list_sum(list_transform(range(1, 65), i -> (CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)) * (CAST(embedding[i] AS DOUBLE) - CAST(sv[i] AS DOUBLE)))) AS d
+           |   FROM v CROSS JOIN seeds),
+           | asg AS (SELECT vec_id, embedding, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM a0) WHERE rk = 1),
+           | m AS (SELECT c, i, CAST(floor(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) / count(*) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS FLOAT) AS mval
+           |   FROM asg CROSS JOIN range(1, 65) t(i) GROUP BY c, i),
+           | cents AS (SELECT s.c, list(COALESCE(m.mval, s.sv[CAST(t.i AS INT)]) ORDER BY t.i) AS cv
+           |   FROM seeds s CROSS JOIN range(1, 65) t(i) LEFT JOIN m ON m.c = s.c AND m.i = t.i GROUP BY s.c),
+           | f0 AS (SELECT v.vec_id, v.embedding, cents.c,
+           |   list_sum(list_transform(range(1, 65), i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))) AS d
+           |   FROM v CROSS JOIN cents),
+           | fcell AS (SELECT vec_id, embedding, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM f0) WHERE rk = 1),
+           | pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM fcell a JOIN fcell b ON a.c = b.c AND a.vec_id < b.vec_id
+           |   WHERE list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= CAST(0.9 AS DOUBLE)),
+           | dup AS (SELECT DISTINCT ib FROM pr)
+           | SELECT f.vec_id, f.c AS cluster, (d.ib IS NULL) AS keep
+           | FROM fcell f LEFT JOIN dup d ON f.vec_id = d.ib""".stripMargin.replace("\n", " ")
     )
   }
 

@@ -493,4 +493,46 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
       .select(col("__id").as(idCol), col("overlap"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public arXiv:2303.09540):
+    * cluster the embedding space with k-means, then search for semantic
+    * duplicates (cosine ≥ `tau`) only WITHIN each cluster, keeping one
+    * representative per duplicate group. The clustering bounds the pair
+    * search: no cross-cluster pair is ever scored, so the quadratic work is
+    * per-cell, not corpus-wide — the paper's core scale argument.
+    *
+    * Determinism spec (the whole chain is plain-SQL-reproducible, like the
+    * IVF index it shares code with): centroids are
+    * [[Similarity.ivfCentroids]] — md5-id-sampled seeds refined by one
+    * Lloyd step with per-dimension means rounded to 1e-6 (summation-order
+    * independent) — and the keep rule is "drop a row iff a SMALLER id in
+    * its cluster is within `tau`" (the deterministic stand-in for the
+    * paper's keep-low-centroid-similarity rule; it keeps exactly one row
+    * per duplicate clique — the minimum id — and never empties a clique).
+    *
+    * Output: one row per non-null-vector input row — (idCol, cluster,
+    * keep). Scale posture: centroid assignment is map-side (broadcast
+    * centroids); the only shuffle is the equi-join on the cluster id, and
+    * a hot cell (embedding-space hub) is an AQE skew-split candidate like
+    * any skewed equi-join. `clusters` should grow with the corpus
+    * (n / target cell size) to hold the per-cell pair bound. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               clusters: Int = 16, tau: Double = 0.9): DataFrame = {
+    require(clusters > 0, s"clusters must be positive; got $clusters")
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, clusters)
+    val cells = Similarity.withIvfCell(
+      df.filter(col(vecCol).isNotNull), vecCol, cents, "cluster")
+      .select(col(idCol), col("cluster"), col(vecCol))
+    val a = cells.select(col(idCol).as("__ida"), col("cluster"), col(vecCol).as("__va"))
+    val b = cells.select(col(idCol).as("__idb"), col("cluster").as("__cb"), col(vecCol).as("__vb"))
+    val dup = a.join(b, col("cluster") === col("__cb") && col("__ida") < col("__idb"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= tau)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    cells.select(col(idCol), col("cluster"))
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        (!coalesce(col("__dup"), lit(false))).as("keep"))
+  }
 }

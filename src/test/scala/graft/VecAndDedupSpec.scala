@@ -273,4 +273,35 @@ class VecAndDedupSpec extends AnyFunSuite {
     val counts = knn.groupBy("id_a").agg(count(lit(1)).as("n")).select("n").as[Long].collect()
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
+
+  test("semDedup drops exactly the larger-id member of each within-cell dup pair") {
+    val base = embs.filter(col("embedding").isNotNull).select("vec_id", "embedding")
+    val mx = base.agg(max("vec_id")).as[Long].head()
+    val clones = base.filter(col("vec_id") === 3L)
+      .select(lit(mx + 1).as("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") === 3L)
+        .select(lit(mx + 2).as("vec_id"), col("embedding")))
+    val out = Dedup.semDedup(base.unionByName(clones), "vec_id", "embedding",
+      clusters = 8, tau = 0.9)
+    val byId = out.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // clones land in the original's cluster; both dropped (3 is the min id)
+    assert(byId(mx + 1)._1 == byId(3L)._1 && byId(mx + 2)._1 == byId(3L)._1)
+    assert(byId(3L)._2 && !byId(mx + 1)._2 && !byId(mx + 2)._2)
+    // exactly one row per input id, and a keep=true representative exists in
+    // every cluster that dropped anything
+    assert(out.count() == base.count() + 2)
+    val dropped = out.filter(!col("keep")).select("cluster").distinct().as[Int].collect().toSet
+    val kept = out.filter(col("keep")).select("cluster").distinct().as[Int].collect().toSet
+    assert(dropped.subsetOf(kept))
+  }
+
+  test("semDedup keep rule is not transitive-greedy: chain keeps the minimum only when linked") {
+    // a (id 0) ~ b (id 1) at cosine 1; c (id 2) orthogonal: c untouched
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding", clusters = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true))
+  }
 }
