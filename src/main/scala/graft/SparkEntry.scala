@@ -1390,7 +1390,17 @@ object SparkEntry {
         .crossJoin(mx).select((col("__m") + off).as("vec_id"), col("embedding"))
       Dedup.semDedup(base.unionByName(clone(1L, 1)).unionByName(clone(7L, 2)),
         "vec_id", "embedding", clusters = 16, tau = 0.9)
-    })
+    }),
+    "q118_token_budget_mix" -> ((s, d) =>
+      // mixing-recipe enforcement: per-domain token budgets consumed in
+      // hash order. src1's budget exceeds its corpus (all kept), src0's
+      // cuts mid-domain, everything else rides the default — so the gate
+      // covers full-keep, straddle and default paths. The oracle mirrors
+      // with ONE global window per domain; the engine's sharded
+      // prefix-sum + offset reconstruction must equal it exactly.
+      graft.ops.Sampling.tokenBudgetMix(docs(s, d), "doc_id", "text", "source",
+        budgets = Map("src0" -> 500L, "src1" -> 20000L), defaultBudget = 800L,
+        salt = "mix")),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2139,7 +2149,19 @@ object SparkEntry {
            |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= CAST(0.9 AS DOUBLE)),
            | dup AS (SELECT DISTINCT ib FROM pr)
            | SELECT f.vec_id, f.c AS cluster, (d.ib IS NULL) AS keep
-           | FROM fcell f LEFT JOIN dup d ON f.vec_id = d.ib""".stripMargin.replace("\n", " ")
+           | FROM fcell f LEFT JOIN dup d ON f.vec_id = d.ib""".stripMargin.replace("\n", " "),
+      "q118_token_budget_mix" ->
+        // one global window per domain ordered by (hash, id) — the exact
+        // total the engine's shard-prefix decomposition must reconstruct
+        s"""WITH t AS (SELECT doc_id, source,
+           |   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           |   substr(md5('mix:' || doc_id), 1, 6) AS h FROM documents),
+           | c AS (SELECT doc_id, source, n_tokens,
+           |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
+           | SELECT doc_id, source, n_tokens, cum_before,
+           |   cum_before < (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 20000 ELSE 800 END) AS keep
+           | FROM c""".stripMargin.replace("\n", " ")
     )
   }
 

@@ -113,4 +113,50 @@ object Sampling {
         sum(col("n_tokens")).as("pack_tokens"),
         array_join(transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
           s => s.getField(textCol)), sep).as("pack_text"))
+
+  /** Token-budget domain mixing: walk each domain's documents in a
+    * deterministic pseudo-random order (the [[hashHex]] draw, then id) and
+    * keep them until the domain's TOKEN budget is exhausted — the "sample
+    * this mixture to N billion tokens per domain" step of corpus assembly,
+    * where budgets come from a mixing recipe (e.g. DoReMi weights × total
+    * token target). A document whose run starts strictly inside the budget
+    * is kept whole (budgets may overshoot by at most one document — the
+    * same one-pass streaming convention as [[packSequences]]); domains
+    * absent from `budgets` fall back to `defaultBudget`.
+    *
+    * Scale posture: NO global-order window. The first hex char of the hash
+    * is a 16-way shard that is a PREFIX of the sort key, so per-(domain,
+    * shard) exclusive prefix-sums plus a cumulated per-shard offset (16
+    * rows per domain, broadcast back) reproduce the exact global
+    * per-domain running total — each window partition holds 1/16 of one
+    * domain, and widening the shard prefix bounds partitions at any
+    * corpus size. Output: every input row with its `n_tokens`,
+    * `cum_before` (tokens admitted to the domain before it) and `keep`. */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+                     domainCol: String, budgets: Map[String, Long],
+                     defaultBudget: Long = 0L, salt: String = "mix"): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val w = Window.partitionBy(col(domainCol), col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__h", hashHex(col(idCol), salt))
+      .withColumn("__shard", substring(col("__h"), 1, 1))
+      .withColumn("__pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val wo = Window.partitionBy(col(domainCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col(domainCol), col("__shard"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wo), lit(0L)))
+      .select(col(domainCol), col("__shard"), col("__off"))
+    // literal budget lookup — map-side, no join against a budget table
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (dom, b)) =>
+      when(col(domainCol) === dom, lit(b)).otherwise(acc)
+    }
+    base.join(broadcast(offs), Seq(domainCol, "__shard"))
+      .withColumn("cum_before", col("__off") + col("__pre"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_before"),
+        (col("cum_before") < budget).as("keep"))
+  }
 }

@@ -111,4 +111,32 @@ class SamplingSpec extends AnyFunSuite {
       (TextFunctions.normalizeText(col("n1")) === col("n1")).as("nfix"))
     assert(twice.filter(!col("rfix") || !col("nfix")).count() == 0)
   }
+
+  test("tokenBudgetMix: sharded prefix-sum equals one global window per domain") {
+    val df = corpus(1200).withColumn("dom", concat(lit("d"), col("doc_id") % 3))
+    val out = Sampling.tokenBudgetMix(df, "doc_id", "text", "dom",
+      budgets = Map("d0" -> 700L), defaultBudget = 400L).cache()
+    // reference: single global window (the oracle shape)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dom"))
+      .orderBy(Sampling.hashHex(col("doc_id"), "mix"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("ref_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("ref_cum"))
+    val diff = out.join(ref, "doc_id")
+      .filter(col("cum_before") =!= col("ref_cum")).count()
+    assert(diff == 0)
+    // keep set: every kept doc STARTS inside the budget; every dropped one
+    // starts at or past it; stable under repartition
+    assert(out.filter(col("dom") === "d0" && col("keep") && col("cum_before") >= 700).count() == 0)
+    assert(out.filter(col("dom") === "d0" && !col("keep") && col("cum_before") < 700).count() == 0)
+    assert(out.filter(col("dom") =!= "d0" && (col("keep") =!= (col("cum_before") < 400))).count() == 0)
+    val again = Sampling.tokenBudgetMix(df.repartition(17), "doc_id", "text", "dom",
+      budgets = Map("d0" -> 700L), defaultBudget = 400L)
+      .select("doc_id", "cum_before", "keep")
+    assert(out.select("doc_id", "cum_before", "keep").exceptAll(again).isEmpty)
+    out.unpersist()
+  }
 }
