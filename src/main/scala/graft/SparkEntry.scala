@@ -1401,6 +1401,14 @@ object SparkEntry {
       graft.ops.Sampling.tokenBudgetMix(docs(s, d), "doc_id", "text", "source",
         budgets = Map("src0" -> 500L, "src1" -> 20000L), defaultBudget = 800L,
         salt = "mix")),
+    "q119_cdc_dedup" -> ((s, d) =>
+      // content-defined chunking dedup profile: md5-rolling boundaries
+      // (trailing-8-char window, last-nibble-zero rule), chunk-hash
+      // ownership counts, per-doc duplicated-chunk totals. The empty
+      // sentinel doc rides along to pin the zero-chunk path; the small
+      // token vocabulary makes natural cross-doc chunk dups plentiful, so
+      // the dup join is exercised corpus-wide, not just on a plant.
+      Dedup.cdcDedupStats(docsWithEmpty(s, d), "doc_id", "text", k = 8)),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2161,7 +2169,28 @@ object SparkEntry {
            |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
            | SELECT doc_id, source, n_tokens, cum_before,
            |   cum_before < (CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 20000 ELSE 800 END) AS keep
-           | FROM c""".stripMargin.replace("\n", " ")
+           | FROM c""".stripMargin.replace("\n", " "),
+      "q119_cdc_dedup" ->
+        // the CDC chain re-derived in list SQL: boundary positions i where
+        // md5 of the trailing 8-char window ends in '0', cut list [0]+bn
+        // (+len unless already a boundary), chunk hashes between cuts,
+        // dup = hash owned by >= 2 distinct docs
+        s"""WITH docs2 AS ${docsWithSentinelSql("")},
+           | d AS (SELECT doc_id, text, len(text) AS l FROM docs2),
+           | b AS (SELECT doc_id, text, l,
+           |   CASE WHEN l >= 8 THEN list_filter(range(8, l + 1), i -> substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 32, 1) = '0')
+           |        ELSE [] END AS bn FROM d),
+           | c AS (SELECT doc_id, text, l,
+           |   CASE WHEN len(bn) > 0 AND bn[-1] = l THEN list_concat([0], bn)
+           |        ELSE list_append(list_concat([0], bn), l) END AS cuts FROM b WHERE l > 0),
+           | ch AS (SELECT doc_id, unnest(list_transform(range(1, len(cuts)),
+           |   j -> md5(substr(text, CAST(cuts[j] + 1 AS INT), CAST(cuts[j + 1] - cuts[j] AS INT))))) AS hsh FROM c),
+           | dup AS (SELECT hsh FROM ch GROUP BY hsh HAVING count(DISTINCT doc_id) >= 2),
+           | agg AS (SELECT ch.doc_id, count(*) AS n_chunks, count(dup.hsh) AS n_dup
+           |   FROM ch LEFT JOIN dup ON ch.hsh = dup.hsh GROUP BY ch.doc_id)
+           | SELECT dd.doc_id, CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           |   CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_chunks
+           | FROM (SELECT DISTINCT doc_id FROM docs2) dd LEFT JOIN agg a ON dd.doc_id = a.doc_id""".stripMargin.replace("\n", " ")
     )
   }
 

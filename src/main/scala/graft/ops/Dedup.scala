@@ -494,6 +494,75 @@ object Dedup {
       .select(col("__id").as(idCol), col("overlap"))
   }
 
+  /** Content-defined chunking (CDC): split each document at positions where
+    * the rolling window hash "lands on zero" — here, where the md5 of the
+    * trailing `k` characters ends in `boundaryHex` (boundary probability
+    * 16^-len(boundaryHex), so the expected chunk length is
+    * 16^len(boundaryHex) characters). Because a boundary depends only on
+    * the LOCAL window content, shared passages chunk identically in every
+    * document regardless of their offset — the property that makes
+    * chunk-hash dedup catch copied spans that whole-document or
+    * fixed-stride chunk hashing miss (the storage-dedup construction of
+    * Muthitacharoen et al., LBFS SOSP'01, re-expressed over text columns).
+    *
+    * Emits one row per chunk: (idCol, chunk_idx, chunk_hash, chunk_len).
+    * Chunk BODIES are never emitted — at corpus scale only the 16-byte
+    * hash shuffles, and a consumer re-derives any chunk locally from
+    * (doc, cuts). Rows with NULL or empty text produce no chunks. The
+    * whole pass is native higher-order functions (filter/transform over a
+    * position sequence + codegen md5) — no UDF, no shuffle. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, boundaryHex: String = "0"): DataFrame = {
+    require(k > 0, s"k must be positive; got $k")
+    require(boundaryHex.nonEmpty && boundaryHex.length < 32, "boundaryHex must be 1..31 hex chars")
+    val t = col(textCol)
+    val l = length(t)
+    val bh = boundaryHex.length
+    val bnds = when(l >= k,
+      filter(sequence(lit(k), l), i =>
+        substring(md5(t.substr(i - k + 1, lit(k))), 33 - bh, bh) === boundaryHex))
+      .otherwise(array().cast("array<int>"))
+    val cuts0 = concat(array(lit(0)), bnds)
+    val cuts = when(element_at(cuts0, -1) === l, cuts0)
+      .otherwise(concat(cuts0, array(l)))
+    df.filter(t.isNotNull && l > 0)
+      .select(col(idCol), t.as("__t"), cuts.as("__cuts"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__cuts")) - 2), j =>
+          col("__t").substr(element_at(col("__cuts"), j + 1) + 1,
+            element_at(col("__cuts"), j + 2) - element_at(col("__cuts"), j + 1)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        md5(col("col")).as("chunk_hash"), length(col("col")).as("chunk_len"))
+  }
+
+  /** Chunk-level duplication profile per document: `n_chunks` CDC chunks,
+    * of which `n_dup_chunks` have content that also appears in at least
+    * one OTHER document — the signal a pipeline thresholds to drop
+    * boilerplate-heavy or largely-copied documents (span-level dedup at
+    * chunk granularity, robust to offset shifts).
+    *
+    * Scale posture: chunking is map-side; the duplicate-hash set is one
+    * groupBy on the uniform md5 chunk key (count DISTINCT owners, map-side
+    * partial); the membership join is a hash equi-join on the same key.
+    * Documents with no chunks (empty text) surface with zero counts. */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, boundaryHex: String = "0"): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, k, boundaryHex)
+    val dup = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("chunk_hash"), lit(true).as("__dup"))
+    val perDoc = ch.join(dup, Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__dup"), 1)).as("n_dup_chunks"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" — public arXiv:2303.09540):
     * cluster the embedding space with k-means, then search for semantic

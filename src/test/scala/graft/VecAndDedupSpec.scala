@@ -274,6 +274,31 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
 
+  test("cdcChunks: partition of the text, and boundaries are offset-invariant") {
+    val shared = "the quick brown fox jumps over the lazy dog and keeps running far away " * 8
+    val df = Seq(
+      (1L, shared),
+      (2L, "XXXXX prefix of different length 12345 " + shared), // shifted copy
+      (3L, ""), (4L, null.asInstanceOf[String]), (5L, "tiny")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, "doc_id", "text", k = 8).cache()
+    // chunks partition each non-empty doc: lengths sum to text length
+    val lens = ch.groupBy("doc_id").agg(sum("chunk_len").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens(1L) == shared.length && lens(5L) == 4)
+    assert(!lens.contains(3L) && !lens.contains(4L)) // empty/null -> no chunks
+    // offset invariance: once past the perturbed prefix, doc 2 re-synchronizes
+    // on doc 1's boundaries, so nearly all of doc 1's chunk hashes recur in 2
+    val h1 = ch.filter(col("doc_id") === 1).select("chunk_hash").as[String].collect().toSet
+    val h2 = ch.filter(col("doc_id") === 2).select("chunk_hash").as[String].collect().toSet
+    assert(h1.nonEmpty && (h1 intersect h2).size >= h1.size - 2)
+    val stats = Dedup.cdcDedupStats(df, "doc_id", "text", k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats(3L) == ((0L, 0L)) && stats(4L) == ((0L, 0L)))
+    assert(stats(1L)._2 >= stats(1L)._1 - 2) // nearly every chunk of 1 is duplicated in 2
+    assert(stats(5L) == ((1L, 0L)))
+    ch.unpersist()
+  }
+
   test("semDedup drops exactly the larger-id member of each within-cell dup pair") {
     val base = embs.filter(col("embedding").isNotNull).select("vec_id", "embedding")
     val mx = base.agg(max("vec_id")).as[Long].head()
