@@ -1409,6 +1409,18 @@ object SparkEntry {
       // token vocabulary makes natural cross-doc chunk dups plentiful, so
       // the dup join is exercised corpus-wide, not just on a plant.
       Dedup.cdcDedupStats(docsWithEmpty(s, d), "doc_id", "text", k = 8)),
+    "q120_bpe_pair_counts" -> ((s, d) => {
+      // the first BPE training step: corpus word-freq table, char+</w>
+      // symbolization, adjacent-pair frequencies — the distributed agg
+      // every merge iteration re-runs (multi-merge training is spec-gated
+      // on the Sennrich fixture whose merge sequence is known by hand;
+      // this oracle pins the counting core exactly)
+      val w = graft.ops.Bpe.wordFreqs(docs(s, d), "text")
+        .withColumn("syms", graft.ops.Bpe.initSymbols(col("word")))
+      graft.ops.Bpe.pairCounts(w)
+        .orderBy(col("freq").desc, col("left"), col("right")).limit(20)
+        .select(col("left").as("pair_left"), col("right").as("pair_right"), col("freq"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2190,7 +2202,21 @@ object SparkEntry {
            |   FROM ch LEFT JOIN dup ON ch.hsh = dup.hsh GROUP BY ch.doc_id)
            | SELECT dd.doc_id, CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
            |   CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_chunks
-           | FROM (SELECT DISTINCT doc_id FROM docs2) dd LEFT JOIN agg a ON dd.doc_id = a.doc_id""".stripMargin.replace("\n", " ")
+           | FROM (SELECT DISTINCT doc_id FROM docs2) dd LEFT JOIN agg a ON dd.doc_id = a.doc_id""".stripMargin.replace("\n", " "),
+      "q120_bpe_pair_counts" ->
+        // adjacent symbol pairs of each distinct word (chars + '</w>'),
+        // weighted by corpus word frequency; top 20 under the engine's
+        // deterministic (freq desc, left, right) order
+        s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM
+           |   (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS word
+           |    FROM documents) GROUP BY word),
+           | pos AS (SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM w),
+           | p AS (SELECT substr(word, CAST(i AS INT), 1) AS pair_left,
+           |   CASE WHEN i < len(word) THEN substr(word, CAST(i + 1 AS INT), 1) ELSE '</w>' END AS pair_right,
+           |   freq FROM pos)
+           | SELECT pair_left, pair_right, CAST(sum(freq) AS BIGINT) AS freq
+           | FROM p GROUP BY pair_left, pair_right
+           | ORDER BY freq DESC, pair_left, pair_right LIMIT 20""".stripMargin.replace("\n", " ")
     )
   }
 
