@@ -209,6 +209,43 @@ object Plans {
         "doc_id", "text", buckets = 64)
     }
 
+    section("SemDeDup (q117: k-means cells bound the cosine pair search)",
+      "Centroid assignment is a map-side broadcast UDF; the only shuffle " +
+        "is the equi-join on the cluster id (SortMergeJoin/ShuffledHashJoin " +
+        "on one int key, AQE-splittable on a hot cell). No cross-cluster " +
+        "pair is ever scored — the SemDeDup scale argument in plan form.") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Dedup.semDedup(e, "vec_id", "embedding", clusters = 8, tau = 0.9)
+    }
+
+    section("CDC chunk dedup (q119: rolling-hash chunking, all native HOFs)",
+      "Chunking is one map-side projection (filter/transform over a " +
+        "position sequence + codegen md5 — no UDF); the dup profile is two " +
+        "hash aggregations on the uniform 16-byte chunk key plus one hash " +
+        "equi-join. Chunk bodies never shuffle — only their hashes.") {
+      graft.ops.Dedup.cdcDedupStats(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)
+    }
+
+    section("Token-budget mixing (q118: sharded per-domain prefix sums)",
+      "No global-order window: the 16-way hash-prefix shard bounds every " +
+        "window partition at 1/16 of a domain, and the shard offsets come " +
+        "back through an explicit broadcast join (16 rows per domain).") {
+      graft.ops.Sampling.tokenBudgetMix(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        "source", budgets = Map("src0" -> 500L), defaultBudget = 800L)
+    }
+
+    section("BPE pair counting (q120: the per-iteration training aggregation)",
+      "State is the DISTINCT word table, never the corpus: one corpus-scale " +
+        "word-count shuffle, then slice/zip_with pair explosion + a " +
+        "map-side-combinable sum per adjacent symbol pair.") {
+      val w = graft.ops.Bpe.wordFreqs(
+        spark.read.parquet(s"$dir/documents.parquet"), "text")
+        .withColumn("syms", graft.ops.Bpe.initSymbols(col("word")))
+      graft.ops.Bpe.pairCounts(w)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

@@ -218,6 +218,32 @@ stays distributed.
         (graft.ops.LmQuality.importanceWeights(all, all.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 64).count(), 0L)
       }
+      bench("semdedup embedding cells", mult) {
+        // replication clones every vector N times -> each clone set shares a
+        // cell and pairs at cosine 1, so the within-cell join's work grows
+        // ~N^2 per clique BY DESIGN (the dups to find are themselves N^2);
+        // output stays one row per input
+        (graft.ops.Dedup.semDedup(embs(mult), "vec_id", "embedding",
+          clusters = 16, tau = 0.9).count(), 0L)
+      }
+      bench("cdc chunk dedup", mult) {
+        // map-side chunking + two hash aggs on the uniform chunk key — must
+        // track rows ~linearly; replication multiplies every chunk's owner
+        // count, not the distinct-chunk domain
+        (graft.ops.Dedup.cdcDedupStats(docs(mult), "doc_id", "text", k = 8).count(), 0L)
+      }
+      bench("token budget mixing", mult) {
+        // sharded per-domain prefix sums: window partitions stay at
+        // domain/16 rows, offsets broadcast back
+        (graft.ops.Sampling.tokenBudgetMix(docs(mult), "doc_id", "text", "source",
+          budgets = Map("src0" -> 500L), defaultBudget = 800L).count(), 0L)
+      }
+      bench("bpe train 5 merges", mult) {
+        // corpus-scale word-freq shuffle + vocab-bounded merge loop;
+        // replication repeats text so the vocabulary is CONSTANT — time must
+        // track the counting pass, not the loop
+        (graft.ops.Bpe.train(docs(mult), "text", numMerges = 5).length.toLong, 0L)
+      }
       bench("sjoin_nearest unbounded clustered", mult) {
         // the one §2.4 operator that had no measured scaling row: forced
         // down the distributed radius-doubling path (broadcastThreshold=-1,
