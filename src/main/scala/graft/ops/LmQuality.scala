@@ -67,11 +67,13 @@ object LmQuality {
   private def bucket(gram: Column): Column =
     conv(substring(md5(gram), 1, 2), 16, 10).cast("int")
 
-  /** Unigrams + bigrams of the whitespace tokens — DSIR's feature space. */
-  private def grams(text: Column): Column = {
-    val t = TextFunctions.tokens(text)
+  /** Unigrams + bigrams over a PROJECTED token-array column — DSIR's
+    * feature space. The token array must be materialized in its own column
+    * first: handed the raw `tokens(text)` expression, the bigram lambda
+    * re-runs the regex split once per element (the `shingled()` pitfall —
+    * O(len²) regex work per document; measured 14× on the q116 gate). */
+  private def gramsOfTokens(t: Column): Column =
     concat(t, TextFunctions.shinglesOfTokens(t, 2))
-  }
 
   /** DSIR-style importance weight for every document of `raw`: fit hashed
     * bag-of-n-gram (uni+bi) multinomials on `target` and on `raw` (add-one
@@ -91,24 +93,31 @@ object LmQuality {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= 256, s"buckets must be in [2, 256], got $buckets")
-    def bucketCounts(df: DataFrame): DataFrame =
-      df.select(explode(grams(col(textCol))).as("__g"))
-        .select((bucket(col("__g")) % buckets).as("__b"))
-        .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    def bucketed(df: DataFrame, keepId: Boolean): DataFrame = {
+      val base = if (keepId) df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+                 else df.select(lit(0L).as(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+      base.select(col(idCol), explode(gramsOfTokens(col("__t"))).as("__g"))
+        .select(col(idCol), (bucket(col("__g")) % buckets).as("__b"))
+    }
+    // the raw corpus is exploded + hashed ONCE: the same bucketed rows feed
+    // the raw model's counts and the per-document scoring aggregation (the
+    // cached subtree is computed a single time inside the job)
+    val rawB = bucketed(raw, keepId = true).cache()
     // add-one smoothed log p(b) per model, joined into one ratio table on
     // the dense bucket domain (buckets with zero mass still get smoothing)
     val domain = raw.sparkSession.range(buckets.toLong).select(col("id").cast("int").as("__b"))
-    def logP(df: DataFrame, as: String): DataFrame = {
-      val cnts = domain.join(bucketCounts(df), Seq("__b"), "left")
+    def logP(bucketCounts: DataFrame, as: String): DataFrame = {
+      val cnts = domain.join(bucketCounts, Seq("__b"), "left")
         .select(col("__b"), coalesce(col("__n"), lit(0L)).as("__n"))
       cnts.crossJoin(broadcast(cnts.agg(sum(col("__n")).as("__tot"))))
         .select(col("__b"),
           log((col("__n") + 1).cast("double") / (col("__tot") + buckets).cast("double")).as(as))
     }
-    val ratio = logP(target, "__lt").join(logP(raw, "__lr"), Seq("__b"))
+    def counts(b: DataFrame): DataFrame = b.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val ratio = logP(counts(bucketed(target, keepId = false)), "__lt")
+      .join(logP(counts(rawB), "__lr"), Seq("__b"))
       .select(col("__b"), (col("__lt") - col("__lr")).as("__lratio"))
-    val perDoc = raw.select(col(idCol), explode(grams(col(textCol))).as("__g"))
-      .select(col(idCol), (bucket(col("__g")) % buckets).as("__b"))
+    val perDoc = rawB
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
       .join(broadcast(ratio), Seq("__b"))
       .groupBy(col(idCol))
