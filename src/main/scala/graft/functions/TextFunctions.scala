@@ -84,9 +84,20 @@ object TextFunctions {
     when(size(t) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(t) - k), i => concat_ws(" ", slice(t, i + 1, lit(k)))))
 
-  /** Word k-shingles joined by single spaces (convenience form; for hot
-    * paths, project `tokens` into a column and use [[shinglesOfTokens]]). */
-  def shingles(c: Column, k: Int): Column = shinglesOfTokens(tokens(c), k)
+  /** Word k-shingles joined by single spaces, directly from the TEXT
+    * column. Unlike [[shinglesOfTokens]] this needs no pre-projected token
+    * attribute: the shingle array is arrays_zip over k shifted slices, so
+    * every reference to the regex-split subtree sits OUTSIDE the lambda
+    * (a lambda body re-evaluates its subtrees per element — the previous
+    * delegation to shinglesOfTokens re-ran the split once per shingle,
+    * O(tokens²) per row). Same output, O(k·tokens) work. */
+  def shingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    val m = size(t) - (k - 1)
+    when(m <= 0, array().cast("array<string>")).otherwise(
+      transform(arrays_zip((0 until k).map(i => slice(t, lit(i + 1), m)): _*),
+        s => concat_ws(" ", (0 until k).map(i => s.getField(i.toString)): _*)))
+  }
 
   /** MinHash signature, oracle-reproducible spec: component j =
     * min over shingles of md5(j + ":" + shingle), as lowercase hex.
