@@ -20,6 +20,17 @@ object Bench {
       try src.mkString.trim.split(" ").take(3).mkString(" ") finally src.close()
     } catch { case _: Throwable => "" }
 
+  /** Count by executing the FULL physical plan (every output column, every
+    * join). A plain `df.count()` lets Catalyst prune work the query's
+    * consumers would pay for — in particular a final left join against a
+    * unique-keyed aggregate (the `distinct-ids ⋈ per-id-stats` shape many
+    * gates end in) is ELIMINATED under count, so the expensive aggregate
+    * never ran and the measurement lied (found via q116, whose top-k forces
+    * the same subtree q114's count silently skipped — 0.23 s vs ~5 s). All
+    * measurement harnesses (Bench/Scale/ScaleSuite) count through this. */
+  private[graft] def fullCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Per-query medians from a previous bench artifact — either our own
     * bench_full.json or a driver BENCH_r*.json (whose "tail" field holds a
     * truncated copy of the stdout line). Regex-extracted so a half-captured
@@ -106,12 +117,12 @@ object Bench {
     // fast-looking wall time that masks a regression.
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[Double], Option[String]) = {
-      try { fn(spark, sfDir).count() } catch { case scala.util.control.NonFatal(_) => () } // warmup
+      try { fullCount(fn(spark, sfDir)) } catch { case scala.util.control.NonFatal(_) => () } // warmup
       val times = collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        try { fullCount(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(e) => err = Some("err: " + e.getClass.getSimpleName) }
       }
       // drop this query's cached plans before the next one: a long run

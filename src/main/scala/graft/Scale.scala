@@ -69,6 +69,12 @@ writers (`writePartitioned`) exist so the conversion in BOTH directions
 stays distributed.
 """
 
+  private implicit class FullCountOps(df: DataFrame) {
+    /** measured action: full-plan execution (see Bench.fullCount — a plain
+      * count() lets Catalyst prune the unique-key left joins many ops end in) */
+    def fullCount: Long = Bench.fullCount(df)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
@@ -154,36 +160,36 @@ stays distributed.
     for (mult <- Seq(1, 4, 16)) {
       bench("sjoin broadcast pts-in-cells", mult) {
         val j = graft.join.SpatialJoin.sjoin(pts(mult), cells, "intersects", "inner")
-        (j.count(), 0L)
+        (j.fullCount, 0L)
       }
       bench("sjoin grid pts-in-cells", mult) {
         val j = graft.join.SpatialJoin.sjoin(pts(mult), cells, "intersects", "inner", broadcastThreshold = -1)
-        (j.count(), 0L)
+        (j.fullCount, 0L)
       }
       bench("dissolve by nation", mult) {
         val d = pts(mult).groupBy("c_nationkey").agg(graft.agg.GeoAggregates.st_union_agg(col("geometry")))
-        (d.count(), 0L)
+        (d.fullCount, 0L)
       }
       bench("minhash fast pairs", mult) {
-        (graft.ops.Dedup.minhashPairsFast(docs(mult), "doc_id", "text", 3, 16, 4, 0.95).count(), 0L)
+        (graft.ops.Dedup.minhashPairsFast(docs(mult), "doc_id", "text", 3, 16, 4, 0.95).fullCount, 0L)
       }
       bench("embedding LSH pairs", mult) {
-        (graft.ops.Dedup.embeddingPairs(embs(mult), "vec_id", "embedding", threshold = 0.95).count(), 0L)
+        (graft.ops.Dedup.embeddingPairs(embs(mult), "vec_id", "embedding", threshold = 0.95).fullCount, 0L)
       }
       bench("exact dedup", mult) {
-        (graft.ops.Dedup.exact(docs(mult), "doc_id", "text").count(), 0L)
+        (graft.ops.Dedup.exact(docs(mult), "doc_id", "text").fullCount, 0L)
       }
       bench("contamination overlap", mult) {
         val all = docs(mult)
         (graft.ops.Dedup.contaminationOverlap(
           all.filter(col("doc_id") % 97 =!= 0), all.filter(col("doc_id") % 97 === 0),
-          "doc_id", "text", n = 2, minOverlap = 20).count(), 0L)
+          "doc_id", "text", n = 2, minOverlap = 20).fullCount, 0L)
       }
       bench("paragraph span dedup", mult) {
         // replication makes every paragraph corpus-hot at 4x/16x — worst-case
         // hot-set size for the anti-join; output = every doc (left join back)
         (graft.ops.Dedup.dropRepeatedParagraphs(docs(mult), "doc_id", "text",
-          maxOccurrences = 2).count(), 0L)
+          maxOccurrences = 2).fullCount, 0L)
       }
       bench("pii redaction", mult) {
         // map-side scalar chain; the filter on the computed columns keeps
@@ -194,7 +200,7 @@ stays distributed.
         val r = docs(mult).select(
           graft.functions.TextFunctions.piiEmailCount(raw).as("ne"),
           length(graft.functions.TextFunctions.redactPii(raw)).as("lr"))
-        (r.filter(col("ne") + col("lr") >= 0).count(), 0L)
+        (r.filter(col("ne") + col("lr") >= 0).fullCount, 0L)
       }
       bench("domain blocklist filter", mult) {
         val raw = concat(col("text"), lit(" see https://Site"),
@@ -203,20 +209,20 @@ stays distributed.
         val r = docs(mult).select(
           size(graft.functions.TextFunctions.urlHosts(raw)).as("n_urls"),
           graft.functions.TextFunctions.hasBlockedDomain(raw, Seq("blocked0.org")).as("blocked"))
-        (r.filter(col("n_urls") + when(col("blocked"), 1).otherwise(0) >= 0).count(), 0L)
+        (r.filter(col("n_urls") + when(col("blocked"), 1).otherwise(0) >= 0).fullCount, 0L)
       }
       bench("unigram LM score", mult) {
         // two aggregation shuffles + one vocab equi-join; replication keeps
         // the vocabulary CONSTANT while occurrences grow N× — time must
         // track occurrences (the tf reduction), not vocab join fanout
-        (graft.ops.LmQuality.unigramNllScore(docs(mult), "doc_id", "text").count(), 0L)
+        (graft.ops.LmQuality.unigramNllScore(docs(mult), "doc_id", "text").fullCount, 0L)
       }
       bench("dsir importance weights", mult) {
         // model fit = ≤64-row aggregations; scoring joins a broadcast ratio
         // table — the corpus is traversed twice and never shuffled wide
         val all = docs(mult)
         (graft.ops.LmQuality.importanceWeights(all, all.filter(col("lang") === "en"),
-          "doc_id", "text", buckets = 64).count(), 0L)
+          "doc_id", "text", buckets = 64).fullCount, 0L)
       }
       bench("semdedup embedding cells", mult) {
         // replication clones every vector N times -> each clone set shares a
@@ -224,19 +230,19 @@ stays distributed.
         // ~N^2 per clique BY DESIGN (the dups to find are themselves N^2);
         // output stays one row per input
         (graft.ops.Dedup.semDedup(embs(mult), "vec_id", "embedding",
-          clusters = 16, tau = 0.9).count(), 0L)
+          clusters = 16, tau = 0.9).fullCount, 0L)
       }
       bench("cdc chunk dedup", mult) {
         // map-side chunking + two hash aggs on the uniform chunk key — must
         // track rows ~linearly; replication multiplies every chunk's owner
         // count, not the distinct-chunk domain
-        (graft.ops.Dedup.cdcDedupStats(docs(mult), "doc_id", "text", k = 8).count(), 0L)
+        (graft.ops.Dedup.cdcDedupStats(docs(mult), "doc_id", "text", k = 8).fullCount, 0L)
       }
       bench("token budget mixing", mult) {
         // sharded per-domain prefix sums: window partitions stay at
         // domain/16 rows, offsets broadcast back
         (graft.ops.Sampling.tokenBudgetMix(docs(mult), "doc_id", "text", "source",
-          budgets = Map("src0" -> 500L), defaultBudget = 800L).count(), 0L)
+          budgets = Map("src0" -> 500L), defaultBudget = 800L).fullCount, 0L)
       }
       bench("bpe train 5 merges", mult) {
         // corpus-scale word-freq shuffle + vocab-bounded merge loop;
@@ -250,7 +256,7 @@ stays distributed.
         // no max_distance) on the Zipf-clustered worst case
         val j = graft.join.SJoinNearest.sjoinNearest(clusteredPts(mult), clusteredRefs,
           how = "inner", distanceCol = Some("d"), broadcastThreshold = -1)
-        val n = j.count()
+        val n = j.fullCount
         nnRounds(mult) = graft.join.SJoinNearest.lastAutoRounds.get()
         (n, 0L)
       }
@@ -259,7 +265,7 @@ stays distributed.
         val s = graft.ops.Sampling.stratifiedSample(g, "doc_id", "grp",
           Map("0" -> 0.5, "1" -> 0.2), defaultFraction = 0.05)
         (graft.ops.Sampling.packSequences(s, "doc_id", "text",
-          budgetTokens = 512, shards = 1024).count(), 0L)
+          budgetTokens = 512, shards = 1024).fullCount, 0L)
       }
     }
 

@@ -68,11 +68,11 @@ object ScaleSuite {
     import scala.util.control.NonFatal
     def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Option[Double], Long) = {
       var rows = 0L
-      try { rows = fn(spark, dir).count() } catch { case NonFatal(_) => () } // warmup
+      try { rows = Bench.fullCount(fn(spark, dir)) } catch { case NonFatal(_) => () } // warmup
       val times = collection.mutable.ArrayBuffer.empty[Double]
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
-        try { rows = fn(spark, dir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        try { rows = Bench.fullCount(fn(spark, dir)); times += (System.nanoTime() - t0) / 1e9 }
         catch { case NonFatal(_) => () }
       }
       spark.sharedState.cacheManager.clearCache()

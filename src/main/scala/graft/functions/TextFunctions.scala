@@ -440,7 +440,7 @@ object TextFunctions {
   }
 }
 
-private[functions] object Md5 {
+private[graft] object Md5 {
   val tl: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
   private val prefixes = new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
@@ -448,7 +448,7 @@ private[functions] object Md5 {
     prefixes.computeIfAbsent(j, (k: Int) => (k.toString + ":").getBytes("UTF-8"))
 }
 
-private[functions] object Hex {
+private[graft] object Hex {
   private val digits = "0123456789abcdef".toCharArray
   def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)

@@ -509,30 +509,49 @@ object Dedup {
     * Chunk BODIES are never emitted — at corpus scale only the 16-byte
     * hash shuffles, and a consumer re-derives any chunk locally from
     * (doc, cuts). Rows with NULL or empty text produce no chunks. The
-    * whole pass is native higher-order functions (filter/transform over a
-    * position sequence + codegen md5) — no UDF, no shuffle. */
+    * rolling pass is one UDF with a THREAD-LOCAL MessageDigest (the
+    * minhashMd5U precedent — the native md5 expression constructs a fresh
+    * digest per call, which at one call per character position measured
+    * ~5× slower on the q119 gate); map-side, no shuffle. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, boundaryHex: String = "0"): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(boundaryHex.nonEmpty && boundaryHex.length < 32, "boundaryHex must be 1..31 hex chars")
-    val t = col(textCol)
-    val l = length(t)
-    val bh = boundaryHex.length
-    val bnds = when(l >= k,
-      filter(sequence(lit(k), l), i =>
-        substring(md5(t.substr(i - k + 1, lit(k))), 33 - bh, bh) === boundaryHex))
-      .otherwise(array().cast("array<int>"))
-    val cuts0 = concat(array(lit(0)), bnds)
-    val cuts = when(element_at(cuts0, -1) === l, cuts0)
-      .otherwise(concat(cuts0, array(l)))
-    df.filter(t.isNotNull && l > 0)
-      .select(col(idCol), t.as("__t"), cuts.as("__cuts"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("__cuts")) - 2), j =>
-          col("__t").substr(element_at(col("__cuts"), j + 1) + 1,
-            element_at(col("__cuts"), j + 2) - element_at(col("__cuts"), j + 1)))))
-      .select(col(idCol), col("pos").as("chunk_idx"),
-        md5(col("col")).as("chunk_hash"), length(col("col")).as("chunk_len"))
+    val kk = k
+    val bh = boundaryHex
+    val u = udf((text: String) => Dedup.cdcChunkRows(text, kk, bh))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(u(col(textCol))).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.chunk_hash").as("chunk_hash"), col("__c.chunk_len").as("chunk_len"))
+  }
+
+  /** One CDC chunk row (see [[cdcChunks]]). */
+  case class CdcChunk(chunk_idx: Int, chunk_hash: String, chunk_len: Int)
+
+  /** The per-document rolling pass: boundary after char i (1-based, i ≥ k)
+    * iff md5 of chars (i-k, i] ends in `boundaryHex`; chunk hash = md5 of
+    * the chunk's chars. Hashes are over UTF-8 bytes of the CHAR substring —
+    * identical to the native md5(substr(...)) spec the oracle mirrors. */
+  private[ops] def cdcChunkRows(text: String, k: Int, boundaryHex: String): Seq[CdcChunk] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val md = graft.functions.Md5.tl.get()
+    def hex(s: String): String = {
+      md.reset()
+      graft.functions.Hex.toHex(md.digest(s.getBytes("UTF-8")))
+    }
+    val l = text.length
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    var i = k
+    while (i <= l) {
+      if (hex(text.substring(i - k, i)).endsWith(boundaryHex)) cuts += i
+      i += 1
+    }
+    if (cuts.last != l) cuts += l
+    (0 until cuts.length - 1).map { j =>
+      val c = text.substring(cuts(j), cuts(j + 1))
+      CdcChunk(j, hex(c), c.length)
+    }
   }
 
   /** Chunk-level duplication profile per document: `n_chunks` CDC chunks,
