@@ -206,7 +206,11 @@ object Bench {
     // record — incl. per-rep times — goes to bench_full.json (committed).
     val json = "{\"metric\":\"total\",\"value\":" + fmt3(total) +
       ",\"unit\":\"sec\",\"errors\":" + nErr + ",\"reps\":" + reps +
-      ",\"stat\":\"median\",\"sf\":\"" + sfDir + "\"" +
+      // action=full_plan since round 11: every query executes its complete
+      // physical plan (Bench.fullCount) — earlier rounds' plain count()
+      // let Catalyst prune final unique-key joins and agg expressions, so
+      // per-query numbers are NOT comparable across that boundary
+      ",\"stat\":\"median\",\"action\":\"full_plan\",\"sf\":\"" + sfDir + "\"" +
       ",\"loadavg_before\":\"" + loadBefore + "\",\"loadavg_after\":\"" + loadAfter + "\"" +
       ",\"remeasured\":" + remeasured +
       ",\"index_build\":" + builds + ",\"queries\":" + qs + "}"

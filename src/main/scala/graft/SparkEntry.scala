@@ -369,22 +369,28 @@ object SparkEntry {
       // GENERATED on executors (16-bit mono PCM sine) at a sample rate and
       // frame count derived from doc_id, so the decoded header fields must
       // reproduce the closed-form values the SQL oracle states
+      // WAV bytes are hand-assembled (canonical 44-byte PCM header, same
+      // form AudioSystem.write emits) rather than produced by the decoder's
+      // own stack: the decoder is then validated against independently
+      // constructed bytes, and the generator avoids AudioSystem's global
+      // provider lock (which serialized executor threads — the suite-soak
+      // q75 flag)
       val gen = udf((rate: Int, nframes: Int) => {
-        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
-        val data = new Array[Byte](nframes * 2)
+        val dataLen = nframes * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
         var i = 0
         while (i < nframes) {
-          val v = (math.sin(2 * math.Pi * 440.0 * i / rate) * 0.5 * 32767).toInt.toShort
-          data(2 * i) = (v & 0xff).toByte
-          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          bb.putShort((math.sin(2 * math.Pi * 440.0 * i / rate) * 0.5 * 32767).toInt.toShort)
           i += 1
         }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, nframes.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        bos.toByteArray
+        bb.array()
       })
       val wavs = docs(s, d).select(col("doc_id"))
         .withColumn("wav", gen((lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),

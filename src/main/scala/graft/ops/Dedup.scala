@@ -609,9 +609,12 @@ object Dedup {
                clusters: Int = 16, tau: Double = 0.9): DataFrame = {
     require(clusters > 0, s"clusters must be positive; got $clusters")
     val cents = Similarity.ivfCentroids(df, idCol, vecCol, clusters)
+    // cached: the assignment UDF otherwise re-runs on both pair-join sides
+    // AND the output projection (3 scans + 3 assignment passes)
     val cells = Similarity.withIvfCell(
       df.filter(col(vecCol).isNotNull), vecCol, cents, "cluster")
       .select(col(idCol), col("cluster"), col(vecCol))
+      .cache()
     val a = cells.select(col(idCol).as("__ida"), col("cluster"), col(vecCol).as("__va"))
     val b = cells.select(col(idCol).as("__idb"), col("cluster").as("__cb"), col(vecCol).as("__vb"))
     val dup = a.join(b, col("cluster") === col("__cb") && col("__ida") < col("__idb"))

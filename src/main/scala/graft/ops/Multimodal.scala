@@ -164,14 +164,49 @@ object Multimodal {
     StructField("duration_ms", DoubleType),
     StructField("size_bytes", LongType)))
 
-  /** REAL audio decode via the JDK sampled-sound stack: container format,
-    * sample rate, channel count, bit depth, and frame count from the parsed
-    * header. Null for bytes no installed reader accepts. WAV/AIFF/AU PCM are
-    * in every JRE; compressed codecs (mp3/ogg) would drop in through the
-    * same SPI without changing this plan shape. */
+  /** RIFF/WAVE header fields parsed directly from the chunk list — the
+    * same values `AudioSystem.getAudioFileFormat` reports for a WAV (pinned
+    * by MultimodalSpec), without its cost: every AudioSystem entry point
+    * funnels through a GLOBAL synchronized provider registry
+    * (`JDK13Services.getProviders`), and at one lookup per row 32 executor
+    * threads serialize on that lock — the suite soak flagged q75 at 7.8×
+    * for a 4× replication from exactly this. frames = data size /
+    * blockAlign, the JDK's own rule. Returns None for anything that is not
+    * a well-formed PCM-family RIFF so the caller can fall back. */
+  private def riffWaveMeta(b: Array[Byte]): Option[(String, Int, Int, Int, Long, Double, Long)] = {
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) | ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmtOff < 0 || dataLen < 0)) {
+      val id = tag(off); val len = u32(off + 4)
+      if (id == "fmt ") fmtOff = off + 8
+      else if (id == "data") dataLen = math.min(len, (b.length - off - 8).toLong)
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataLen < 0) return None
+    val codec = u16(fmtOff)
+    if (codec != 1 && codec != 6 && codec != 7) return None // PCM/alaw/ulaw only — else fall back
+    val channels = u16(fmtOff + 2)
+    val rate = u32(fmtOff + 4).toInt
+    val blockAlign = u16(fmtOff + 12)
+    val bits = u16(fmtOff + 14)
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0) return None
+    val frames = dataLen / blockAlign
+    Some(("wave", rate, channels, bits, frames, frames * 1000.0 / rate, b.length.toLong))
+  }
+
+  /** REAL audio decode: WAV headers are parsed directly from the RIFF
+    * chunks (identical fields, no global provider lock — see
+    * [[riffWaveMeta]]); everything else (AIFF/AU, compressed codecs via
+    * SPI) goes through the JDK sampled-sound stack. Null for bytes no
+    * parser accepts. */
   val decodeAudioRealU = udf((b: Array[Byte]) =>
     if (b == null) None
-    else
+    else riffWaveMeta(b).orElse(
       try {
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(b))
@@ -181,7 +216,7 @@ object Multimodal {
           math.round(fmt.getSampleRate).toInt, fmt.getChannels,
           fmt.getSampleSizeInBits, frames,
           frames * 1000.0 / fmt.getSampleRate, b.length.toLong))
-      } catch { case _: Exception => None })
+      } catch { case _: Exception => None }))
 
   /** Attach an audio-metadata struct column (always the real JDK decoder —
     * unlike images there is no fake tier; WAV parsing needs no external

@@ -100,6 +100,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(2).isNullAt(1)) // undecodable -> null struct
   }
 
+  test("non-RIFF containers (AU) still decode through the AudioSystem fallback") {
+    // the RIFF fast path (provider-lock-free) must not cost AIFF/AU support
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val data = new Array[Byte](400 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 400L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "media")
+    val m = Multimodal.withAudioMeta(df, "media")
+      .select(col("audio_meta.format"), col("audio_meta.sample_rate"),
+        col("audio_meta.frames")).head()
+    assert(m.getString(0) == "au" && m.getInt(1) == 8000 && m.getLong(2) == 400L)
+  }
+
   test("audio features: sine RMS, peak, zero-crossing rate from real PCM") {
     val df = Seq((1L, wav(8000, 8000, amp = 0.5)),
                  (2L, wav(8000, 8000, channels = 2, amp = 0.5))).toDF("id", "media")
