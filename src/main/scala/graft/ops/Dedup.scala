@@ -533,7 +533,7 @@ object Dedup {
     * iff md5 of chars (i-k, i] ends in `boundaryHex`; chunk hash = md5 of
     * the chunk's chars. Hashes are over UTF-8 bytes of the CHAR substring —
     * identical to the native md5(substr(...)) spec the oracle mirrors. */
-  private[ops] def cdcChunkRows(text: String, k: Int, boundaryHex: String): Seq[CdcChunk] = {
+  private[graft] def cdcChunkRows(text: String, k: Int, boundaryHex: String): Seq[CdcChunk] = {
     if (text == null || text.isEmpty) return Seq.empty
     val md = graft.functions.Md5.tl.get()
     def hex(s: String): String = {
