@@ -1427,6 +1427,40 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("left"), col("right")).limit(20)
         .select(col("left").as("pair_left"), col("right").as("pair_right"), col("freq"))
     }),
+    "q121_html_to_text" -> ((s, d) => {
+      // WET-style HTML -> text over constructed pages: script/style
+      // payloads (with a '<' inside the js), comments, block tags, inline
+      // tags, and all six entities are exercised per row. The oracle
+      // replays the identical pattern chain through DuckDB's RE2 —
+      // certifying the Java/RE2 dialect agreement the function's pattern
+      // restrictions claim (the q78 PII precedent).
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>.c { color: red }</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden --><div>A &amp;B &lt;tag&gt;&nbsp;C &quot;q&#39; <b>bold</b></div></body></html>"))
+      docs(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.htmlToText(html).as("clean"))
+    }),
+    "q122_warc_roundtrip" -> ((s, d) => {
+      // Common Crawl-style ingest: documents exported once per JVM as WARC
+      // response records (gzipped, multi-member-tolerant decode), read back
+      // through the spec parser, ids re-derived from the target URI and
+      // bodies from the HTTP payload. The oracle is the documents table
+      // itself — any header/length/payload-boundary bug breaks the hash.
+      val dir = memoIndex(s"q122_warc:$d") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+        val src = docs(s, d).select(
+          concat(lit("http://corpus.example/doc/"), col("doc_id")).as("uri"), col("text"))
+        graft.io.Warc.write(src, s"$tmp/corpus.warc.gz", "uri", "text", gzip = true)
+        tmp
+      }
+      graft.io.Warc.read(s, s"$dir/corpus.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_body").as("text"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2222,7 +2256,30 @@ object SparkEntry {
            |   freq FROM pos)
            | SELECT pair_left, pair_right, CAST(sum(freq) AS BIGINT) AS freq
            | FROM p GROUP BY pair_left, pair_right
-           | ORDER BY freq DESC, pair_left, pair_right LIMIT 20""".stripMargin.replace("\n", " ")
+           | ORDER BY freq DESC, pair_left, pair_right LIMIT 20""".stripMargin.replace("\n", " "),
+      "q121_html_to_text" ->
+        // the same pattern chain through DuckDB's RE2 ('g' = global, block
+        // tags -> chr(10), plain replace() for the literal entities)
+        s"""WITH h AS (SELECT doc_id,
+           |   '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>.c { color: red }</style></head><body><h1>Doc '
+           |   || doc_id || '</h1><p>' || text ||
+           |   '</p><!-- hidden --><div>A &amp;B &lt;tag&gt;&nbsp;C &quot;q&#39; <b>bold</b></div></body></html>' AS html
+           |   FROM documents),
+           | s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+           | s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+           | s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+           | s4 AS (SELECT doc_id, regexp_replace(t, '(?i)</?(p|br|div|h[1-6]|li|tr|ul|ol|table|blockquote)(\\s[^>]*)?/?>', chr(10), 'g') AS t FROM s3),
+           | s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s4),
+           | s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+           |   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s5),
+           | s7 AS (SELECT doc_id, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s6),
+           | s8 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s7),
+           | s9 AS (SELECT doc_id, regexp_replace(t, '\\n+', chr(10), 'g') AS t FROM s8)
+           | SELECT doc_id, trim(regexp_replace(t, '^\\n+|\\n+$$', '', 'g')) AS clean FROM s9""".stripMargin.replace("\n", " "),
+      "q122_warc_roundtrip" ->
+        // closed-form: the WARC writer/parser round-trip must reproduce the
+        // source table exactly
+        "SELECT doc_id, text FROM documents"
     )
   }
 

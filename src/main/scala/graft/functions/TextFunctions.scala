@@ -225,6 +225,32 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** HTML → text extraction (the WET step every web-crawl pipeline runs
+    * before C4/Gopher filtering): drop script/style payloads and comments,
+    * turn block-level tags into line breaks, strip remaining tags, decode
+    * the common entities (&amp;amp; last so entity-encoded entities don't
+    * double-decode), then collapse whitespace. A native regexp_replace
+    * chain — codegen-friendly, map-side, and restricted to syntax with
+    * identical Java/RE2 semantics (inline (?is) flags and non-greedy
+    * quantifiers, NO backreferences — RE2 has none, which is why script
+    * and style are separate passes instead of one alternation with \\1). */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|br|div|h[1-6]|li|tr|ul|ol|table|blockquote)(\\s[^>]*)?/?>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
+    val tightNl = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val oneNl = regexp_replace(tightNl, "\\n+", "\n")
+    // trim() strips only spaces — edge newlines need their own pass
+    trim(regexp_replace(oneNl, "^\\n+|\\n+$", ""))
+  }
+
   // PII patterns shared by redaction and counting. Restricted to syntax
   // with identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
   // character classes, \d/\S, bounded repetition — no lookaround.
