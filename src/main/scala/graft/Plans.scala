@@ -246,6 +246,16 @@ object Plans {
       graft.ops.Bpe.pairCounts(w)
     }
 
+    section("HTML -> text extraction (q121: native regexp chain)",
+      "The entire WET step is one projection of chained regexp_replace " +
+        "expressions inside WholeStageCodegen — no UDF, no shuffle; at " +
+        "corpus scale this runs in the scan stage next to the filters.") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        graft.functions.TextFunctions.htmlToText(
+          concat(lit("<p>"), col("text"), lit("</p>"))).as("clean"))
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)
