@@ -256,6 +256,25 @@ object Plans {
           concat(lit("<p>"), col("text"), lit("</p>"))).as("clean"))
     }
 
+    section("BM25 scoring (q123: literal term filter before any shuffle)",
+      "The query's term set is an `In` filter applied in the exploded scan " +
+        "projection — only (doc, matching-term) rows reach the tf shuffle; " +
+        "document frequency and corpus stats come back as broadcasts, so " +
+        "the corpus itself never shuffles and never joins anything big.") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Retrieval.bm25Scores(d, "doc_id", "text", Seq("spark", "hash", "window"))
+    }
+
+    section("Bloom-filter probe (q124: bounded sketch broadcast)",
+      "The sketch is at most `bits` rows regardless of corpus size, so the " +
+        "probe is a BroadcastHashJoin after a map-side bucket explode — an " +
+        "incremental batch is deduped against a 100 TB corpus without ever " +
+        "joining the corpus.") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val sk = graft.ops.Dedup.bloomSketch(d.filter(col("doc_id") % 3 =!= 0), "text")
+      graft.ops.Dedup.bloomNovel(d, sk, "doc_id", "text")
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

@@ -1461,6 +1461,48 @@ object SparkEntry {
         .select(regexp_extract(col("target_uri"), "/doc/(-?\\d+)$", 1).cast("long").as("doc_id"),
           col("http_body").as("text"))
     }),
+    "q123_bm25_scores" -> ((s, d) => {
+      // retrieval-based data selection / decontamination: BM25 of every
+      // document against a bag-of-words query. The three terms hit the
+      // corpus vocabulary at different document frequencies, so the idf
+      // spread, tf saturation and length normalization are all inside the
+      // hash. Zero-match documents pin the score-0 left-join path.
+      graft.ops.Retrieval.bm25Scores(docs(s, d), "doc_id", "text",
+          Seq("spark", "hash", "window"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+    }),
+    "q124_bloom_novel" -> ((s, d) => {
+      // incremental cross-snapshot dedup: the Bloom sketch is built over
+      // the doc_id % 3 != 0 slice (the "previous snapshot"), then the WHOLE
+      // table probes it. Slice members must flag possibly_seen (no false
+      // negatives); the held-out third flags only on exact-dup text or a
+      // deterministic bucket collision — the oracle replays the identical
+      // md5-bucket arithmetic, so the false-positive set is inside the hash.
+      val all = docs(s, d)
+      val sketch = graft.ops.Dedup.bloomSketch(
+        all.filter(col("doc_id") % 3 =!= 0), "text", bits = 4096, hashes = 3)
+      graft.ops.Dedup.bloomNovel(all, sketch, "doc_id", "text",
+        bits = 4096, hashes = 3)
+    }),
+    "q125_readability" -> ((s, d) => {
+      // Dolma-style readability taggers. Corpus text is single-sentence
+      // word soup, so ' table ' occurrences are rewritten to sentence
+      // breaks first (mirrored verbatim by the oracle) — document sentence
+      // counts then vary and both formulas' per-sentence terms are
+      // exercised; the vowel-group syllable heuristic runs on every word.
+      val tf = graft.functions.TextFunctions
+      val base = docs(s, d).select(col("doc_id"),
+        replace(col("text"), lit(" table "), lit(". ")).as("__tx"))
+      base.select(col("doc_id"), tf.tokens(col("__tx")).as("__toks"),
+          tf.sentenceCount(col("__tx")).as("__sents"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("words"),
+          col("__sents").cast("long").as("sentences"),
+          tf.syllableCount(col("__toks")).cast("long").as("syllables"))
+        .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          round(tf.fleschReadingEase(col("words"), col("sentences"), col("syllables")), 4).as("flesch"),
+          round(tf.fkGradeLevel(col("words"), col("sentences"), col("syllables")), 4).as("fk_grade"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2279,7 +2321,59 @@ object SparkEntry {
       "q122_warc_roundtrip" ->
         // closed-form: the WARC writer/parser round-trip must reproduce the
         // source table exactly
-        "SELECT doc_id, text FROM documents"
+        "SELECT doc_id, text FROM documents",
+      "q123_bm25_scores" ->
+        // BM25 mirrored exactly: Lucene idf ln(1+(N−df+0.5)/(df+0.5)), tf
+        // saturation and length normalization in the engine's operation
+        // order; constants CAST AS DOUBLE so DuckDB's decimal literals
+        // don't fold differently from the engine's double literals
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM dl),
+           | t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+           |   WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+           | df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           | sc AS (SELECT tf.doc_id,
+           |   sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (CAST(1.2 AS DOUBLE) + 1)
+           |     / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / (sumdl / n)))) AS s
+           |   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st GROUP BY tf.doc_id)
+           | SELECT d.doc_id, round(coalesce(sc.s, 0), 4) + CAST(0 AS DOUBLE) AS bm25
+           | FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin.replace("\n", " "),
+      "q124_bloom_novel" ->
+        // relational Bloom filter mirrored exactly: bucket i = first 5 hex
+        // chars of md5('i:' || md5(text)) mod 4096 (strpos expansion of the
+        // engine's conv), sketch = distinct buckets of the doc_id%3!=0
+        // slice, possibly_seen = every bucket present
+        s"""WITH h AS (SELECT doc_id, md5(text) AS hk FROM documents),
+           | bkt AS (SELECT doc_id, list_distinct([
+           |   ${hexValSql("md5('0:' || hk)", 5)} % 4096,
+           |   ${hexValSql("md5('1:' || hk)", 5)} % 4096,
+           |   ${hexValSql("md5('2:' || hk)", 5)} % 4096]) AS bks FROM h),
+           | sk AS (SELECT DISTINCT unnest(bks) AS bucket FROM bkt WHERE doc_id % 3 <> 0),
+           | bb AS (SELECT doc_id, unnest(bks) AS bucket FROM bkt),
+           | j AS (SELECT bb.doc_id, CASE WHEN sk.bucket IS NULL THEN 0 ELSE 1 END AS hit
+           |   FROM bb LEFT JOIN sk ON bb.bucket = sk.bucket)
+           | SELECT doc_id, min(hit) = 1 AS possibly_seen FROM j GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      "q125_readability" ->
+        // Flesch / FK mirrored exactly over the same sentence rewrite,
+        // whitespace tokens, [.!?]+ sentence split and [aeiouy]+ vowel-group
+        // syllable heuristic (floored at 1 per word / 1 sentence per doc)
+        s"""WITH x AS (SELECT doc_id, replace(text, ' table ', '. ') AS tx FROM documents),
+           | tok AS (SELECT doc_id,
+           |   list_filter(regexp_split_to_array(trim(tx), '\\s+'), s -> s <> '') AS toks,
+           |   greatest(1, len(list_filter(regexp_split_to_array(tx, '[.!?]+'), s -> trim(s) <> ''))) AS sents FROM x),
+           | syl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS words, CAST(sents AS BIGINT) AS sentences,
+           |   CAST(coalesce(list_sum(list_transform(toks,
+           |     w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) AS BIGINT) AS syllables FROM tok)
+           | SELECT doc_id, words, sentences, syllables,
+           |  round(CASE WHEN words = 0 THEN CAST(0 AS DOUBLE) ELSE
+           |    CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+           |    - CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) END, 4) + CAST(0 AS DOUBLE) AS flesch,
+           |  round(CASE WHEN words = 0 THEN CAST(0 AS DOUBLE) ELSE
+           |    CAST(0.39 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+           |    + CAST(11.8 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) - CAST(15.59 AS DOUBLE) END, 4) + CAST(0 AS DOUBLE) AS fk_grade
+           | FROM syl""".stripMargin.replace("\n", " ")
     )
   }
 

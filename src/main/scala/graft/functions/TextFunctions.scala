@@ -416,6 +416,47 @@ object TextFunctions {
       alphaWordFraction(c) >= 0.8 &&
       gopherStopwordHits(c) >= 2
 
+  // ------------------------------------------------- readability taggers
+  // (Flesch 1948 / Kincaid et al. 1975 — the standard readability
+  // formulas, over the engine's whitespace tokens and a vowel-group
+  // syllable heuristic. Dolma-style per-document quality *taggers*:
+  // attributes a curation pipeline stores alongside each document and
+  // filters on later, rather than a hard keep decision.)
+
+  /** Heuristic syllable counts for a pre-projected token ARRAY column:
+    * number of maximal [aeiouy]+ vowel groups in the lowercased word,
+    * floored at 1 (so "rhythm"-like vowel-free words still count one).
+    * Takes the token array like [[shinglesOfTokens]] — handed a raw
+    * `tokens(text)` expression, the per-element lambda would re-run the
+    * regex split once per word. */
+  def syllablesOfTokens(t: Column): Column =
+    transform(t, w => greatest(lit(1), size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))))
+
+  /** Total syllables over a pre-projected token array. */
+  def syllableCount(t: Column): Column =
+    aggregate(syllablesOfTokens(t), lit(0), (acc, x) => acc + x)
+
+  /** Sentence count: non-blank segments between terminal-punctuation runs
+    * ([.!?]+), floored at 1 so the readability denominators are defined
+    * for fragment-only documents. */
+  def sentenceCount(c: Column): Column =
+    greatest(lit(1), size(filter(split(c, "[.!?]+"), s => trim(s) =!= "")))
+
+  /** Flesch reading ease from pre-computed word / sentence / syllable
+    * counts: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    * 0.0 for word-free documents. Higher = easier text. */
+  def fleschReadingEase(words: Column, sentences: Column, syllables: Column): Column =
+    when(words === 0, lit(0.0)).otherwise(
+      lit(206.835) - lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+        lit(84.6) * (syllables.cast("double") / words.cast("double")))
+
+  /** Flesch–Kincaid grade level: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59; 0.0 for word-free documents. */
+  def fkGradeLevel(words: Column, sentences: Column, syllables: Column): Column =
+    when(words === 0, lit(0.0)).otherwise(
+      lit(0.39) * (words.cast("double") / sentences.cast("double")) +
+        lit(11.8) * (syllables.cast("double") / words.cast("double")) - lit(15.59))
+
   // --------------------------------------------------- C4 line-level clean
   // (Raffel et al. 2020, JMLR 21(140) §2.2 — the C4 cleaning recipe.)
 

@@ -626,4 +626,54 @@ object Dedup {
       .select(col(idCol), col("cluster"),
         (!coalesce(col("__dup"), lit(false))).as("keep"))
   }
+
+  /** The `hashes` Bloom-filter bucket indices of a document's content key
+    * (md5 of the text), as a distinct int array in [0, bits). Bucket i =
+    * the first 5 hex chars (20 bits) of md5("i:" ++ contentKey) mod `bits`
+    * — native codegen md5/conv, no UDF, and the same arithmetic is
+    * replayable in plain SQL (the [[graft.ops.Sampling.hashHex]] idiom). */
+  def bloomBuckets(textC: org.apache.spark.sql.Column, bits: Int, hashes: Int): org.apache.spark.sql.Column = {
+    require(bits > 0 && bits <= (1 << 20), s"bits must be in (0, 2^20]; got $bits")
+    require(hashes > 0, s"hashes must be positive; got $hashes")
+    val key = md5(textC)
+    array_distinct(array((0 until hashes).map { i =>
+      conv(substring(md5(concat(lit(s"$i:"), key)), 1, 5), 16, 10).cast("int") % bits
+    }: _*))
+  }
+
+  /** Relational Bloom filter over a corpus snapshot: the DISTINCT set of
+    * [[bloomBuckets]] indices across every document. This is the
+    * incremental-dedup sketch a crawl pipeline keeps between snapshots —
+    * "have I seen this exact content before?" answered without joining the
+    * new batch against the old corpus.
+    *
+    * Scale posture: the sketch is AT MOST `bits` rows regardless of corpus
+    * size (the whole point — a 100 TB corpus reduces to a ≤`bits`-row
+    * table, broadcastable to every probe). Building it is one map-side
+    * bucket projection + a distinct on a bounded-cardinality key (partial
+    * aggregation collapses each partition to ≤`bits` rows before the
+    * shuffle). Like any Bloom filter: false positives possible (rate ≈
+    * fill^hashes), false negatives impossible. */
+  def bloomSketch(corpus: DataFrame, textCol: String,
+                  bits: Int = 4096, hashes: Int = 3): DataFrame =
+    corpus.select(explode(bloomBuckets(col(textCol), bits, hashes)).as("bucket"))
+      .distinct()
+
+  /** Probe a new batch against a [[bloomSketch]]: one row per batch
+    * document, (idCol, possibly_seen). `possibly_seen = true` iff ALL of
+    * the document's buckets are present in the sketch — exact duplicates
+    * of sketched content are always flagged (no false negatives);
+    * a novel document is falsely flagged with probability ≈ fill^hashes.
+    *
+    * Scale posture: the sketch side is ≤ `bits` rows → broadcast hash
+    * join; the probe is map-side after the bucket explode (≤ `hashes`
+    * rows per document) and one groupBy on the batch id. The batch never
+    * joins the corpus. */
+  def bloomNovel(batch: DataFrame, sketch: DataFrame, idCol: String, textCol: String,
+                 bits: Int = 4096, hashes: Int = 3): DataFrame =
+    batch
+      .select(col(idCol), explode_outer(bloomBuckets(col(textCol), bits, hashes)).as("bucket"))
+      .join(broadcast(sketch.withColumn("__hit", lit(1))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg((min(coalesce(col("__hit"), lit(0))) === 1).as("possibly_seen"))
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-scale lexical retrieval — the BM25 ranking function (Robertson &
+  * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and Beyond";
+  * idf form is the Lucene variant ln(1 + (N − df + 0.5)/(df + 0.5)), which
+  * is non-negative for every df). Training-data pipelines use this for
+  * retrieval-based decontamination (find corpus documents that *retrieve*
+  * a benchmark question, not just share n-grams) and for targeted data
+  * selection (pull documents matching a topic query out of a 100 TB crawl).
+  *
+  * Everything is native DataFrame composition over the engine-wide
+  * whitespace tokenization ([[TextFunctions.tokens]]) — no UDFs, fully
+  * reproducible by a plain-SQL oracle.
+  *
+  * Scale posture: the query's term set is a LITERAL `isin` filter applied
+  * in the exploded scan projection, so the only rows that ever reach a
+  * shuffle are (doc, matching-term) occurrences — the corpus itself never
+  * shuffles. Document length is carried through that same projection
+  * (`first` inside the tf aggregate), so no second join against a
+  * per-document length table. Document frequencies aggregate the already
+  * tiny (doc, term) distinct set and come back as a broadcast; the corpus
+  * row count + total length ride along as a 1-row broadcast. The final
+  * per-document score is one groupBy on the id of the matching subset.
+  */
+object Retrieval {
+
+  /** BM25 score of every document of `docs` against the bag-of-words query
+    * `queryTerms`. Output: one row per input document, (idCol, bm25) —
+    * documents matching no query term score 0.0.
+    *
+    * @param k1 term-frequency saturation (BM25 default 1.2)
+    * @param b  length normalization (BM25 default 0.75)
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.distinct
+    val withDl = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    // N and total length: a 1-row broadcast (avgdl = __sumdl / __n, derived
+    // identically on the oracle side — never pre-divided, so both engines
+    // round the same expression)
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    // (doc, term) term frequencies restricted to the query's literal term
+    // set BEFORE the shuffle; document length rides along via first()
+    val tf = withDl
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(terms: _*))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    // document frequency per query term: ≤ |terms| rows, broadcast back
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / (col("__sumdl") / col("__n")))))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+  }
+
+  /** Top-`k` documents by BM25 score (ties broken by ascending id — fully
+    * deterministic). Runs as TakeOrderedAndProject: per-partition heaps,
+    * no global sort. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+}
