@@ -1503,6 +1503,17 @@ object SparkEntry {
           round(tf.fleschReadingEase(col("words"), col("sentences"), col("syllables")), 4).as("flesch"),
           round(tf.fkGradeLevel(col("words"), col("sentences"), col("syllables")), 4).as("fk_grade"))
     }),
+    "q126_kmeans_cells" -> ((s, d) => {
+      // full k-means (3 rounded Lloyd iterations over the q68 one-step
+      // spec) + final cell assignment: the oracle replays seeding and every
+      // iteration as chained CTEs, so centroid drift in ANY round moves
+      // assignments and fails the hash. The vec_id bound keeps the oracle's
+      // k·n·iters cross-join tractable and the soak work at 1x.
+      val e = embs(s, d).filter(col("vec_id") < 500)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 3)
+      Similarity.withIvfCell(e, "embedding", cents, "cell")
+        .select(col("vec_id"), col("cell"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2373,8 +2384,41 @@ object SparkEntry {
            |  round(CASE WHEN words = 0 THEN CAST(0 AS DOUBLE) ELSE
            |    CAST(0.39 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
            |    + CAST(11.8 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) - CAST(15.59 AS DOUBLE) END, 4) + CAST(0 AS DOUBLE) AS fk_grade
-           | FROM syl""".stripMargin.replace("\n", " ")
+           | FROM syl""".stripMargin.replace("\n", " "),
+      "q126_kmeans_cells" ->
+        // full k-means mirrored exactly: md5-sample seeds, then every
+        // rounded Lloyd iteration as a chained (assign, mean, centroid)
+        // CTE triple — same distance spec, tie-break, 1e-6 mean rounding
+        // and empty-cell carry-forward as the q68 single step
+        kmeansCellsOracle(k = 8, iters = 3, dim = 64, subset = "vec_id < 500")
     )
+  }
+
+  /** Chained-CTE SQL mirror of [[graft.ops.Similarity.kmeansCentroids]] +
+    * final cell assignment: seeds (md5-order sample), then per iteration t
+    * the (a_t assign, g_t argmin, m_t rounded means, c_t carry-forward
+    * centroids) chain — the q68 one-step oracle generalized to any
+    * iteration count. */
+  private def kmeansCellsOracle(k: Int, iters: Int, dim: Int, subset: String): String = {
+    val d1 = dim + 1
+    def sqdist(vec: String, cent: String): String =
+      s"list_sum(list_transform(range(1, $d1), i -> (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE)) * (CAST($vec[i] AS DOUBLE) - CAST($cent[i] AS DOUBLE))))"
+    val sb = new StringBuilder
+    sb ++= s"WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE $subset AND embedding IS NOT NULL), "
+    sb ++= s"seeds AS (SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INT) AS c, embedding AS sv FROM v) WHERE c < $k), "
+    sb ++= "c0 AS (SELECT c, sv AS cv FROM seeds)"
+    for (t <- 1 to iters) {
+      sb ++= s", a$t AS (SELECT vec_id, embedding, c, ${sqdist("embedding", "cv")} AS d FROM v CROSS JOIN c${t - 1})"
+      sb ++= s", g$t AS (SELECT vec_id, embedding, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM a$t) WHERE rk = 1)"
+      sb ++= s", m$t AS (SELECT c, i, CAST(floor(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) / count(*) * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000 AS FLOAT) AS mval " +
+        s"FROM g$t CROSS JOIN range(1, $d1) t(i) GROUP BY c, i)"
+      sb ++= s", c$t AS (SELECT p.c, list(COALESCE(m.mval, p.cv[CAST(t.i AS INT)]) ORDER BY t.i) AS cv " +
+        s"FROM c${t - 1} p CROSS JOIN range(1, $d1) t(i) LEFT JOIN m$t m ON m.c = p.c AND m.i = t.i GROUP BY p.c)"
+    }
+    sb ++= s", af AS (SELECT vec_id, c, ${sqdist("embedding", "cv")} AS d FROM v CROSS JOIN c$iters)"
+    sb ++= ", gf AS (SELECT vec_id, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk FROM af) WHERE rk = 1)"
+    sb ++= " SELECT vec_id, c AS cell FROM gf"
+    sb.toString
   }
 
   /** Full SQL reproduction of the Hilbert curve index: the xy2d

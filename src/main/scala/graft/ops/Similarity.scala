@@ -150,24 +150,55 @@ object Similarity {
     * floor(sum/n · 10^6 + 0.5)/10^6 cast to float: rounding makes the value
     * independent of double-summation order, so engine and oracle agree
     * bit-for-bit. Cells that attract no rows keep their seed vector. */
-  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Float]] = {
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Float]] =
+    kmeansCentroids(df, idCol, vecCol, k, iters = 1)
+
+  /** Full deterministic k-means: the [[ivfCentroids]] md5-sample seeding
+    * refined by `iters` rounded Lloyd iterations — the real clustering
+    * path for IVF index builds and [[graft.ops.Dedup.semDedup]] cells when
+    * one step isn't converged enough. Every iteration keeps the
+    * oracle-reproducible spec (double accumulation, 10⁻⁶-rounded means,
+    * empty cells keep their previous centroid), so any iteration count is
+    * replayable as chained plain-SQL CTEs.
+    *
+    * Scale posture: each iteration is one map-side assignment pass
+    * (broadcast centroids, no shuffle of the vectors) plus one
+    * partial-aggregated groupBy on the cell id that reduces to k·dim
+    * doubles on the driver — per-iteration cost is a single corpus scan,
+    * and k·dim stays tiny by design (centroids must broadcast). This is
+    * an index-BUILD cost, paid once per snapshot and amortized over every
+    * probe. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      iters: Int): Array[Array[Float]] = {
+    require(iters >= 1, s"iters must be >= 1; got $iters")
     val seedRows = df.select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
       .withColumn("__h", md5(col("__id")))
       .orderBy("__h").limit(k)
       .select("__v").collect().map(_.getSeq[Float](0).toArray)
     if (seedRows.isEmpty) return Array.empty
-    val bc = df.sparkSession.sparkContext.broadcast(seedRows)
+    var cents = seedRows
+    var it = 0
+    while (it < iters) { cents = lloydStep(df, vecCol, cents); it += 1 }
+    cents
+  }
+
+  /** One rounded Lloyd step: assign every vector to its nearest centroid
+    * (map-side, broadcast), take per-cell means via native array aggs,
+    * round to 10⁻⁶ (summation-order independence), keep the previous
+    * centroid for empty cells. */
+  private def lloydStep(df: DataFrame, vecCol: String,
+                        cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
     val assignU = udf((v: Seq[Float]) => if (v == null) -1 else nearestCentroid(v, bc.value))
-    // one Lloyd step: per-cell mean (sum + count via native aggs on the array)
-    val dim = seedRows(0).length
+    val dim = cents(0).length
     val assigned = df.select(col(vecCol).as("__v")).filter(col("__v").isNotNull)
       .withColumn("__c", assignU(col("__v")))
     val sums = assigned.groupBy("__c")
       .agg(count(lit(1)).as("__n"),
         array((0 until dim).map(i => sum(element_at(col("__v"), i + 1).cast("double"))): _*).as("__s"))
       .collect()
-    val out = seedRows.map(_.clone())
+    val out = cents.map(_.clone())
     sums.foreach { r =>
       val c = r.getInt(0)
       if (c >= 0) {

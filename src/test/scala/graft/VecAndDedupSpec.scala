@@ -184,6 +184,51 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(restricted.select("vec_id").as[Long].collect().contains(3L))
   }
 
+  test("kmeansCentroids: one iteration is exactly ivfCentroids; build is deterministic") {
+    val one = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 16, iters = 1)
+    val ivf = Similarity.ivfCentroids(embs, "vec_id", "embedding", k = 16)
+    assert(one.zip(ivf).forall { case (a, b) => a.sameElements(b) })
+    val three = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 16, iters = 3)
+    val three2 = Similarity.kmeansCentroids(embs, "vec_id", "embedding", k = 16, iters = 3)
+    assert(three.zip(three2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("kmeansCentroids converges to two well-separated cluster means by iteration") {
+    import spark.implicits._
+    // two tight clusters around (0,0) and (100,100); md5-order seeding can
+    // start both seeds anywhere, but by 5 iterations the 2-means solution
+    // must place one centroid inside each cluster
+    val pts = ((1 to 20).map(i => (i.toLong, Array(0.0f + i * 0.01f, 0.0f))) ++
+      (21 to 40).map(i => (i.toLong, Array(100.0f + i * 0.01f, 100.0f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, "vec_id", "embedding", k = 2, iters = 5)
+    assert(cents.length == 2)
+    val near = (c: Array[Float], x: Float, y: Float) =>
+      math.abs(c(0) - x) < 5 && math.abs(c(1) - y) < 5
+    assert(cents.exists(c => near(c, 0.1f, 0f)) && cents.exists(c => near(c, 100.3f, 100f)),
+      s"centroids ${cents.map(_.mkString("(", ",", ")")).mkString(" ")} must land one per cluster")
+    // assignment under the converged centroids splits the clusters exactly
+    val cells = Similarity.withIvfCell(pts, "embedding", cents, "cell")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    assert((1 to 20).map(i => cells(i.toLong)).distinct.size == 1)
+    assert((21 to 40).map(i => cells(i.toLong)).distinct.size == 1)
+    assert(cells(1L) != cells(40L))
+  }
+
+  test("kmeansCentroids: a cell that attracts no vectors keeps its previous centroid") {
+    import spark.implicits._
+    // k = 3 over two distinct points: at most two cells can own rows, the
+    // third must carry its seed forward through every iteration unchanged
+    val pts = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansCentroids(pts, "vec_id", "embedding", k = 3, iters = 1)
+    val after = Similarity.kmeansCentroids(pts, "vec_id", "embedding", k = 3, iters = 4)
+    // every final centroid is either an occupied-cell mean or a seed value
+    assert(after.length == 3)
+    val seedSet = seeds.map(_.toSeq).toSet ++ Set(Seq(0f, 0f), Seq(10f, 10f))
+    assert(after.forall(c => seedSet.contains(c.toSeq)),
+      s"unexpected centroid drift: ${after.map(_.mkString("(", ",", ")")).mkString(" ")}")
+  }
+
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
