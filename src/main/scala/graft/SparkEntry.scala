@@ -1514,6 +1514,18 @@ object SparkEntry {
       Similarity.withIvfCell(e, "embedding", cents, "cell")
         .select(col("vec_id"), col("cell"))
     }),
+    "q127_corpus_report" -> ((s, d) =>
+      // the per-(lang, source) curation report with ROLLUP margins — doc /
+      // token / char counts and the exact-duplicate overhang
+      // (n_docs − n_distinct) at every grouping level, in ONE shuffle
+      graft.ops.CorpusStats.corpusReport(docs(s, d), "text", "lang", "source")),
+    "q128_length_quantiles" -> ((s, d) =>
+      // exact per-source token-length quantiles (linear interpolation, the
+      // quantile_cont definition) — corpus length-distribution reporting
+      graft.ops.CorpusStats.lengthQuantiles(docs(s, d), "text", "source")
+        .select(col("source"), col("n_docs"),
+          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"), round(col("p90"), 4).as("p90"))),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2390,7 +2402,26 @@ object SparkEntry {
         // rounded Lloyd iteration as a chained (assign, mean, centroid)
         // CTE triple — same distance spec, tie-break, 1e-6 mean rounding
         // and empty-cell carry-forward as the q68 single step
-        kmeansCellsOracle(k = 8, iters = 3, dim = 64, subset = "vec_id < 500")
+        kmeansCellsOracle(k = 8, iters = 3, dim = 64, subset = "vec_id < 500"),
+      "q127_corpus_report" ->
+        // ROLLUP margins mirrored; '(all)' tags grouped-out levels (lang /
+        // source are never NULL in the data, so coalesce is unambiguous)
+        s"""SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS source,
+           | CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+           | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           | CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+           | FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin.replace("\n", " "),
+      "q128_length_quantiles" ->
+        // linear-interpolation quantiles: DuckDB quantile_cont and the
+        // engine's percentile share the p*(n-1) definition
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           | round(quantile_cont(tc, 0.25), 4) + CAST(0 AS DOUBLE) AS p25,
+           | round(quantile_cont(tc, 0.5), 4) + CAST(0 AS DOUBLE) AS p50,
+           | round(quantile_cont(tc, 0.75), 4) + CAST(0 AS DOUBLE) AS p75,
+           | round(quantile_cont(tc, 0.9), 4) + CAST(0 AS DOUBLE) AS p90
+           | FROM (SELECT source, len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tc FROM documents)
+           | GROUP BY source""".stripMargin.replace("\n", " ")
     )
   }
 

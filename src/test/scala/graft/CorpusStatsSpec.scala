@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{CorpusStats, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus reporting (rollup report, exact quantiles) and the streaming
+  * use of the relational Bloom sketch across micro-batches. */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c", "en", "s1"),
+    (2L, "a b c", "en", "s1"), // exact dup of 1
+    (3L, "d e", "en", "s2"),
+    (4L, "f", "de", "s1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("corpusReport: rollup margins, counts and duplicate overhang") {
+    val rows = CorpusStats.corpusReport(docs, "text", "lang", "source")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // leaf levels
+    assert(rows(("en", "s1")) == ((2L, 6L, 10L, 1L)), "dup overhang: 2 docs, 1 distinct")
+    assert(rows(("en", "s2")) == ((1L, 2L, 3L, 1L)))
+    assert(rows(("de", "s1")) == ((1L, 1L, 1L, 1L)))
+    // lang margins + grand total
+    assert(rows(("en", "(all)")) == ((3L, 8L, 13L, 2L)))
+    assert(rows(("de", "(all)")) == ((1L, 1L, 1L, 1L)))
+    assert(rows(("(all)", "(all)")) == ((4L, 9L, 14L, 3L)))
+    assert(rows.size == 3 + 2 + 1, "leafs + lang margins + grand total")
+  }
+
+  test("corpusReport computes all rollup levels in one shuffle (Expand, single Exchange before agg)") {
+    val plan = CorpusStats.corpusReport(docs, "text", "lang", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must expand grouping sets, not run per-level jobs:\n$plan")
+  }
+
+  test("lengthQuantiles: exact linear-interpolation percentiles") {
+    val d = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val r = CorpusStats.lengthQuantiles(d, "text", "source")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    // lengths 1..5: p25 = 1 + 0.25*4 = 2, p50 = 3, p75 = 4, p90 = 4.6
+    assert(r == (("s", 5L, 2.0, 3.0, 4.0, 4.6)))
+  }
+
+  test("bloom sketch accumulates across streaming micro-batches (incremental crawl dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // the cross-snapshot pattern: fold each micro-batch's bucket set into
+    // the running sketch (distinct union — still bounded by `bits`), flag
+    // each batch against the sketch as it stood BEFORE the batch
+    var sketch = spark.emptyDataFrame.select(lit(0).as("bucket")).limit(0)
+    val flagged = collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val b = batch.cache()
+      flagged ++= Dedup.bloomNovel(b, sketch, "doc_id", "text", bits = 1 << 16, hashes = 3)
+        .as[(Long, Boolean)](org.apache.spark.sql.Encoders.product[(Long, Boolean)])
+        .collect()
+      sketch = sketch.union(Dedup.bloomSketch(b, "text", bits = 1 << 16, hashes = 3))
+        .distinct().localCheckpoint()
+      b.unpersist(); ()
+    }.start()
+    input.addData((1L, "first crawl page"), (2L, "second crawl page"))
+    q.processAllAvailable()
+    input.addData((3L, "first crawl page"), (4L, "brand new page"))
+    q.processAllAvailable(); q.stop()
+    val m = flagged.toMap
+    assert(!m(1L) && !m(2L), "batch 1 probes an empty sketch")
+    assert(m(3L), "batch-1 content arriving in batch 2 must flag possibly_seen")
+    assert(!m(4L), "novel batch-2 content must pass")
+  }
+}
