@@ -1490,6 +1490,12 @@ object SparkEntry {
       // breaks first (mirrored verbatim by the oracle) — document sentence
       // counts then vary and both formulas' per-sentence terms are
       // exercised; the vowel-group syllable heuristic runs on every word.
+      // The GATE carries the formulas multiplied out to exact integers
+      // (flesch·1000·s·w and fk·100·s·w): integer-ratio inputs with
+      // 2-decimal constants land exactly on .xxxx5 rounding boundaries
+      // (e.g. fk = 7.98125 at w=32), where BigDecimal-HALF_UP and DuckDB's
+      // double round legitimately disagree — measured at sf0.1, doc 1794.
+      // The double-returning API is spec-gated (RetrievalSpec, 1e-9).
       val tf = graft.functions.TextFunctions
       val base = docs(s, d).select(col("doc_id"),
         replace(col("text"), lit(" table "), lit(". ")).as("__tx"))
@@ -1500,8 +1506,16 @@ object SparkEntry {
           col("__sents").cast("long").as("sentences"),
           tf.syllableCount(col("__toks")).cast("long").as("syllables"))
         .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
-          round(tf.fleschReadingEase(col("words"), col("sentences"), col("syllables")), 4).as("flesch"),
-          round(tf.fkGradeLevel(col("words"), col("sentences"), col("syllables")), 4).as("fk_grade"))
+          // flesch·1000·s·w = 206835·s·w − 1015·w² − 84600·sy·s (0 if w=0)
+          when(col("words") === 0, lit(0L)).otherwise(
+            lit(206835L) * col("sentences") * col("words")
+              - lit(1015L) * col("words") * col("words")
+              - lit(84600L) * col("syllables") * col("sentences")).as("flesch_num"),
+          // fk·100·s·w = 39·w² + 1180·sy·s − 1559·s·w (0 if w=0)
+          when(col("words") === 0, lit(0L)).otherwise(
+            lit(39L) * col("words") * col("words")
+              + lit(1180L) * col("syllables") * col("sentences")
+              - lit(1559L) * col("sentences") * col("words")).as("fk_num"))
     }),
     "q126_kmeans_cells" -> ((s, d) => {
       // full k-means (3 rounded Lloyd iterations over the q68 one-step
@@ -2381,7 +2395,9 @@ object SparkEntry {
       "q125_readability" ->
         // Flesch / FK mirrored exactly over the same sentence rewrite,
         // whitespace tokens, [.!?]+ sentence split and [aeiouy]+ vowel-group
-        // syllable heuristic (floored at 1 per word / 1 sentence per doc)
+        // syllable heuristic (floored at 1 per word / 1 sentence per doc).
+        // Formulas carried as exact BIGINT numerators (flesch·1000·s·w,
+        // fk·100·s·w) — float-boundary-free (see the query comment)
         s"""WITH x AS (SELECT doc_id, replace(text, ' table ', '. ') AS tx FROM documents),
            | tok AS (SELECT doc_id,
            |   list_filter(regexp_split_to_array(trim(tx), '\\s+'), s -> s <> '') AS toks,
@@ -2390,12 +2406,10 @@ object SparkEntry {
            |   CAST(coalesce(list_sum(list_transform(toks,
            |     w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) AS BIGINT) AS syllables FROM tok)
            | SELECT doc_id, words, sentences, syllables,
-           |  round(CASE WHEN words = 0 THEN CAST(0 AS DOUBLE) ELSE
-           |    CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
-           |    - CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) END, 4) + CAST(0 AS DOUBLE) AS flesch,
-           |  round(CASE WHEN words = 0 THEN CAST(0 AS DOUBLE) ELSE
-           |    CAST(0.39 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
-           |    + CAST(11.8 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) - CAST(15.59 AS DOUBLE) END, 4) + CAST(0 AS DOUBLE) AS fk_grade
+           |  CASE WHEN words = 0 THEN 0 ELSE
+           |    206835 * sentences * words - 1015 * words * words - 84600 * syllables * sentences END AS flesch_num,
+           |  CASE WHEN words = 0 THEN 0 ELSE
+           |    39 * words * words + 1180 * syllables * sentences - 1559 * sentences * words END AS fk_num
            | FROM syl""".stripMargin.replace("\n", " "),
       "q126_kmeans_cells" ->
         // full k-means mirrored exactly: md5-sample seeds, then every
