@@ -256,6 +256,20 @@ object Plans {
           concat(lit("<p>"), col("text"), lit("</p>"))).as("clean"))
     }
 
+    section("GeomSimplify rule: constructed-point distance fuses to HYPOT arithmetic",
+      "st_distance(st_point, st_point) would pay two WKB writes + two " +
+        "parses + a JTS DistanceOp per row; the optimizer rule rewrites it " +
+        "to Catalyst Hypot over the raw coordinates (bit-exact — JTS point " +
+        "distance IS Math.hypot), keeping the hot loop pure arithmetic " +
+        "inside WholeStageCodegen. Stored WKB columns are never touched.") {
+      graft.plans.GeomSimplify.install(spark)
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      l.select(st_distance(
+          st_point((col("l_partkey") % 50).cast("double"), (col("l_suppkey") % 50).cast("double")),
+          st_point((col("l_partkey") * 3 % 50).cast("double"), (col("l_suppkey") * 5 % 50).cast("double")))
+        .as("dist"))
+    }
+
     section("BM25 scoring (q123: literal term filter before any shuffle)",
       "The query's term set is an `In` filter applied in the exploded scan " +
         "projection — only (doc, matching-term) rows reach the tf shuffle; " +

@@ -27,13 +27,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, StructType}
   */
 object BboxFastPath extends Rule[LogicalPlan] {
 
-  /** Append to a LIVE session's extra optimizations (tests, engine session
-    * builders). Cluster deployments can instead set
+  /** Append the engine's Catalyst rules (this one + [[GeomSimplify]]) to a
+    * LIVE session's extra optimizations (tests, engine session builders).
+    * Cluster deployments can instead set
     * `spark.sql.extensions=graft.plans.GraftExtensions`. */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
+    GeomSimplify.install(spark)
+  }
 
   private def isBboxStruct(dt: DataType): Boolean = dt match {
     case s: StructType => Seq("xmin", "ymin", "xmax", "ymax").forall(n =>
@@ -131,6 +134,8 @@ object BboxFastPath extends Rule[LogicalPlan] {
 /** `spark.sql.extensions` entry point registering the engine's Catalyst
   * rules on session build. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BboxFastPath)
+    e.injectOptimizerRule(_ => GeomSimplify)
+  }
 }
