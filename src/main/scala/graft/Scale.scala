@@ -260,6 +260,32 @@ stays distributed.
         nnRounds(mult) = graft.join.SJoinNearest.lastAutoRounds.get()
         (n, 0L)
       }
+      bench("bm25 scoring", mult) {
+        // literal term filter in the exploded projection: only matching
+        // (doc, term) rows shuffle; df + corpus stats broadcast back —
+        // time must track the scan, near-linearly
+        (graft.ops.Retrieval.bm25Scores(docs(mult), "doc_id", "text",
+          Seq("spark", "hash", "window")).fullCount, 0L)
+      }
+      bench("bloom sketch + probe", mult) {
+        // sketch cardinality is bounded by bits REGARDLESS of corpus size
+        // (replication repeats text → identical buckets), probe is a
+        // broadcast join after a ≤hashes-row explode — linear in rows
+        val all = docs(mult)
+        val sk = graft.ops.Dedup.bloomSketch(all.filter(col("doc_id") % 3 =!= 0),
+          "text", bits = 1 << 18, hashes = 3)
+        (graft.ops.Dedup.bloomNovel(all, sk, "doc_id", "text",
+          bits = 1 << 18, hashes = 3).fullCount, 0L)
+      }
+      bench("kmeans 3-iter build + assign", mult) {
+        // per iteration: one map-side broadcast assignment scan + a
+        // partial-agg groupBy reducing to k·dim doubles — 3 iterations =
+        // 3 scans + the final assignment pass, linear in rows
+        val e = embs(mult)
+        val cents = graft.ops.Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 16, iters = 3)
+        (graft.ops.Similarity.withIvfCell(e, "embedding", cents, "cell").fullCount, 0L)
+      }
       bench("stratified sample + pack", mult) {
         val g = docs(mult).withColumn("grp", (col("doc_id") % 3).cast("string"))
         val s = graft.ops.Sampling.stratifiedSample(g, "doc_id", "grp",

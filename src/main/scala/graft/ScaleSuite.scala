@@ -106,7 +106,7 @@ object ScaleSuite {
     val errs = results.filter(r => r.s1.isEmpty || r.sN.isEmpty)
 
     val sb = new StringBuilder
-    sb ++= s"## Full-suite ${mult}x replication soak (round 10)\n\n"
+    sb ++= s"## Full-suite ${mult}x replication soak\n\n"
     sb ++= s"Every `SparkEntry` query (${results.size}) measured at 1x (sf0.1) and at\n"
     sb ++= s"${mult}x-replicated tables (unique ids), local[$cpus], warmup + median of $reps.\n"
     sb ++= "Pair-generating dedup queries legitimately exceed the input ratio because\n"

@@ -1540,6 +1540,21 @@ object SparkEntry {
         .select(col("source"), col("n_docs"),
           round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
           round(col("p75"), 4).as("p75"), round(col("p90"), 4).as("p90"))),
+    "q129_quality_classifier" -> ((s, d) => {
+      // fastText-style corpus-trained quality classifier: 3 epochs of
+      // full-batch logistic regression over hashed token buckets (lang=en
+      // as the curated-slice label), then every document scored. The
+      // oracle replays every epoch as chained CTEs — logits rounded 1e-9
+      // before the sigmoid, weights 1e-6 after each epoch, so summation
+      // order and libm exp ulps cannot drift the hash (the q126 posture).
+      val all = docs(s, d)
+      val w = graft.ops.QualityClassifier.trainLogReg(all, "doc_id", "text",
+        col("lang") === "en", buckets = 64, epochs = 3, lr = 0.5)
+      graft.ops.QualityClassifier.scoreLogReg(all, "doc_id", "text",
+          col("lang") === "en", w)
+        .select(col("doc_id"), col("label"),
+          round(col("score"), 4).as("score"), col("keep"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2435,8 +2450,42 @@ object SparkEntry {
            | round(quantile_cont(tc, 0.75), 4) + CAST(0 AS DOUBLE) AS p75,
            | round(quantile_cont(tc, 0.9), 4) + CAST(0 AS DOUBLE) AS p90
            | FROM (SELECT source, len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tc FROM documents)
-           | GROUP BY source""".stripMargin.replace("\n", " ")
+           | GROUP BY source""".stripMargin.replace("\n", " "),
+      "q129_quality_classifier" ->
+        // every gradient-descent epoch replayed as (logit, sigmoid,
+        // gradient, weight-update) CTEs over the same hashed features —
+        // same 1e-9 logit / 1e-6 weight rounding as the engine
+        logRegOracle(buckets = 64, epochs = 3, lr = 0.5)
     )
+  }
+
+  /** Chained-CTE SQL mirror of [[graft.ops.QualityClassifier]]: hashed
+    * unigram-bucket features, then per epoch t the (z_t logits, p_t
+    * sigmoid, gr_t gradient, w_t rounded update) chain from w_0 = 0, and a
+    * final scoring pass under w_epochs. */
+  private def logRegOracle(buckets: Int, epochs: Int, lr: Double): String = {
+    val bk = s"((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % $buckets"
+    val sb = new StringBuilder
+    sb ++= "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok FROM documents), "
+    sb ++= s"f AS (SELECT doc_id, $bk AS bk, CAST(count(*) AS DOUBLE) AS x FROM tok GROUP BY doc_id, bk), "
+    sb ++= "y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y FROM documents), "
+    sb ++= "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+    sb ++= s"w0 AS (SELECT CAST(unnest(range(0, $buckets)) AS INT) AS bk, CAST(0 AS DOUBLE) AS w)"
+    def zp(t: Int, wTable: String, zName: String, pName: String): Unit = {
+      sb ++= s", $zName AS (SELECT f.doc_id, round(sum(w.w * f.x), 9) AS z FROM f JOIN $wTable w USING (bk) GROUP BY f.doc_id)"
+      sb ++= s", $pName AS (SELECT y.doc_id, y.y, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-coalesce(z.z, 0))) AS p " +
+        s"FROM y LEFT JOIN $zName z USING (doc_id))"
+    }
+    for (t <- 1 to epochs) {
+      zp(t, s"w${t - 1}", s"z$t", s"p$t")
+      sb ++= s", gr$t AS (SELECT f.bk, sum((p.p - p.y) * f.x) AS g FROM f JOIN p$t p USING (doc_id) GROUP BY f.bk)"
+      sb ++= s", w$t AS (SELECT w.bk, floor((w.w - $lr * coalesce(gr.g, 0) / n.n) * 1000000 + 0.5) / 1000000 AS w " +
+        s"FROM w${t - 1} w LEFT JOIN gr$t gr USING (bk) CROSS JOIN n)"
+    }
+    zp(epochs + 1, s"w$epochs", "zf", "pf")
+    sb ++= " SELECT doc_id, y AS label, round(p, 4) + CAST(0 AS DOUBLE) AS score, p >= 0.5 AS keep FROM pf"
+    sb.toString
   }
 
   /** Chained-CTE SQL mirror of [[graft.ops.Similarity.kmeansCentroids]] +

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** FastText-style linear quality classifier, trained on the corpus itself —
+  * the "model-based quality filter" step of the public LLM data recipes
+  * (GPT-3 / LLaMA data work trains a linear classifier over hashed
+  * bag-of-words features to score web documents against a curated target;
+  * Joulin et al. 2016 is the public architecture). Zero egress: features
+  * are hashed token buckets, labels come from any boolean column (a
+  * curated slice marker, [[TextFunctions.gopherKeep]] as weak labels, a
+  * language slice, …).
+  *
+  * Training is full-batch logistic regression by gradient descent with a
+  * deterministic, oracle-replayable spec (the [[Similarity.kmeansCentroids]]
+  * posture): per-document logits are rounded to 10⁻⁹ before the sigmoid and
+  * weights to 10⁻⁶ after every epoch, so double-summation order and libm
+  * `exp` ulp differences can never accumulate across epochs — each epoch is
+  * replayable as a plain-SQL CTE triple (logit, sigmoid, gradient).
+  *
+  * Scale posture: the feature extraction is one map-side projection +
+  * groupBy to (doc, bucket, count) — `buckets` is small by design, so the
+  * weight vector broadcasts. Per epoch: one groupBy(doc) for logits (the
+  * weight join is a broadcast), one groupBy(bucket) reducing to ≤`buckets`
+  * rows on the driver. Epoch count is a constant; every pass is one scan
+  * of the (doc, bucket) table, which callers should cache (the gate does).
+  */
+object QualityClassifier {
+
+  /** Hashed feature bucket of a token: first two hex chars of md5 read
+    * base-16, mod `buckets` — the [[LmQuality]] DSIR spec, portable to the
+    * oracle via strpos arithmetic. */
+  private def bucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 2), 16, 10).cast("int") % buckets
+
+  /** (idCol, __bk, __x) sparse feature counts: whitespace-token unigrams
+    * hashed into `buckets`. One narrow shuffle on (doc, bucket). */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 64): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), bucket(col("__tok"), buckets).as("__bk"))
+      .groupBy(col(idCol), col("__bk"))
+      .agg(count(lit(1)).cast("double").as("__x"))
+
+  /** Train `epochs` rounds of full-batch gradient descent from w = 0.
+    * Returns the weight vector (index = bucket id). Deterministic: replayed
+    * bit-for-bit by chained SQL CTEs (the q129 gate).
+    *
+    * Update rule per epoch: z_d = round(Σ_b w_b·x_db, 9);
+    * p_d = 1/(1+e^(−z_d)); grad_b = Σ_d (p_d − y_d)·x_db;
+    * w_b ← round(w_b − lr·grad_b/n, 6) with n = total documents. */
+  def trainLogReg(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: Column, buckets: Int = 64, epochs: Int = 3,
+                  lr: Double = 0.5): Array[Double] = {
+    val spark = docs.sparkSession
+    val feats = features(docs, idCol, textCol, buckets).cache()
+    val labels = docs.select(col(idCol),
+      when(labelCol, 1.0).otherwise(0.0).as("__y"))
+    val n = labels.count().toDouble
+    val w = Array.fill(buckets)(0.0)
+    for (_ <- 1 to epochs) {
+      val p = scored(feats, labels, w, idCol).select(col(idCol), col("__p"), col("__y"))
+      val grad = feats.join(p, Seq(idCol))
+        .groupBy(col("__bk"))
+        .agg(sum((col("__p") - col("__y")) * col("__x")).as("__g"))
+        .collect()
+      grad.foreach { r =>
+        val b = r.getInt(0)
+        val g = r.getDouble(1)
+        w(b) = math.floor((w(b) - lr * g / n) * 1e6 + 0.5) / 1e6
+      }
+    }
+    feats.unpersist()
+    w
+  }
+
+  /** Per-document sigmoid scores under `w`: (idCol, __y, __p). Documents
+    * with no features score the exact sigmoid of 0 = 0.5. */
+  private def scored(feats: DataFrame, labels: DataFrame, w: Array[Double],
+                     idCol: String): DataFrame = {
+    val wDf = broadcast(feats.sparkSession.createDataFrame(
+      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq).toDF("__bk", "__w"))
+    val z = feats.join(wDf, Seq("__bk"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__w") * col("__x")), 9).as("__z"))
+    labels.join(z, Seq(idCol), "left")
+      .select(col(idCol), col("__y"),
+        (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__z"), lit(0.0))))).as("__p"))
+  }
+
+  /** Score every document of `docs` with a trained weight vector:
+    * (idCol, label y, score p, keep = p ≥ 0.5). */
+  def scoreLogReg(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: Column, w: Array[Double]): DataFrame = {
+    val feats = features(docs, idCol, textCol, w.length)
+    val labels = docs.select(col(idCol),
+      when(labelCol, 1.0).otherwise(0.0).as("__y"))
+    scored(feats, labels, w, idCol)
+      .select(col(idCol), col("__y").as("label"), col("__p").as("score"),
+        (col("__p") >= 0.5).as("keep"))
+  }
+}

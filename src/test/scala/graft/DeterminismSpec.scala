@@ -98,6 +98,34 @@ class DeterminismSpec extends AnyFunSuite {
     assert(nInjected > 0, "no failure was injected — retry path not exercised")
     assert(retried == clean)
   }
+
+  test("bm25 scores are byte-identical under injected task retries") {
+    val df = corpus(2000)
+    def run(d: DataFrame) = graft.ops.Retrieval.bm25Scores(d, "doc_id", "text",
+        Seq("tok0", "w7", "z3"))
+      .select(col("doc_id"), round(col("bm25"), 9).as("s"))
+      .as[(Long, Double)].collect().sorted.toSeq
+    val clean = run(df)
+    assert(clean.exists(_._2 > 0), "fixture must match query terms")
+    val (retried, nInjected) = countingInjections { run(chaosified(df, "doc_id")) }
+    assert(nInjected > 0, "no failure was injected — retry path not exercised")
+    assert(retried == clean)
+  }
+
+  test("bloom sketch + probe flags are byte-identical under injected task retries") {
+    val df = corpus(2000)
+    def run(d: DataFrame) = {
+      val sk = Dedup.bloomSketch(d.filter(col("doc_id") % 3 =!= 0), "text",
+        bits = 1 << 14, hashes = 3)
+      Dedup.bloomNovel(d, sk, "doc_id", "text", bits = 1 << 14, hashes = 3)
+        .as[(Long, Boolean)].collect().sorted.toSeq
+    }
+    val clean = run(df)
+    assert(clean.exists(_._2) && clean.exists(!_._2), "both outcomes must occur")
+    val (retried, nInjected) = countingInjections { run(chaosified(df, "doc_id")) }
+    assert(nInjected > 0, "no failure was injected — retry path not exercised")
+    assert(retried == clean)
+  }
 }
 
 object DeterminismSpec {
