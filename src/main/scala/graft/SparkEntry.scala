@@ -1555,6 +1555,21 @@ object SparkEntry {
         .select(col("doc_id"), col("label"),
           round(col("score"), 4).as("score"), col("keep"))
     }),
+    "q130_image_phash_dedup" -> ((s, d) => {
+      // image near-dup via the DCT perceptual hash: each doc renders a
+      // 40×40 hashed-block pattern determined ONLY by doc_id % 7, so the
+      // hash collapses each class to one signature and hammingPairs must
+      // emit EXACTLY the same-class pairs at hamming 0 — a structural
+      // oracle (the pair set is closed-form) over a real PNG decode→hash
+      // pipeline. Block-noise classes sit ≥ 20 bits apart (spec-pinned
+      // ≥ 10), so τ=3 admits no cross-class pair; doc_id bound keeps soak
+      // work at 1x and the pair output closed-form.
+      val gen = udf((c: Int) => Multimodal.classPatternPng(c))
+      val imgs = docs(s, d).filter(col("doc_id") < 300).select(col("doc_id"))
+        .withColumn("img", gen((col("doc_id") % 7).cast("int")))
+      graft.ops.Dedup.hammingPairs(
+        Multimodal.pHash64(imgs, "img"), "doc_id", "phash", maxHamming = 3)
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2455,7 +2470,15 @@ object SparkEntry {
         // every gradient-descent epoch replayed as (logit, sigmoid,
         // gradient, weight-update) CTEs over the same hashed features —
         // same 1e-9 logit / 1e-6 weight rounding as the engine
-        logRegOracle(buckets = 64, epochs = 3, lr = 0.5)
+        logRegOracle(buckets = 64, epochs = 3, lr = 0.5),
+      "q130_image_phash_dedup" ->
+        // structural oracle: identical per-class renders collapse to one
+        // pHash, classes sit > τ bits apart (spec-pinned), so the pair set
+        // is exactly the same-class closure at hamming 0
+        s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+           | FROM documents a JOIN documents b
+           |  ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+           | WHERE a.doc_id < 300 AND b.doc_id < 300""".stripMargin.replace("\n", " ")
     )
   }
 

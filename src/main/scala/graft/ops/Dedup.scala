@@ -283,12 +283,22 @@ object Dedup {
     * it shares ≥1 band key and is found by the bucket join. (The chunks are
     * hex-aligned, 16 hex chars split as evenly as possible.) */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.withColumn("__graft_sig", simhash64(col(textCol))),
+      idCol, "__graft_sig", maxHamming)
+
+  /** Near-dup pairs for ANY 16-hex-char (64-bit) signature column within
+    * `maxHamming` bits — the banded engine under [[simhashPairs]], exposed
+    * for other signature families (perceptual image hashes, audio
+    * fingerprints). Same pigeonhole guarantee and the same
+    * duplication-proof collapse on the signature value. */
+  def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
     val bands = maxHamming + 1
     val bound = (0 to bands).map(i => 16 * i / bands) // hex-char chunk boundaries
-    val sig = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig"))
+    val sig = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .filter(col("__sig").isNotNull)
     // duplication-proof like the other banded paths, with the signature

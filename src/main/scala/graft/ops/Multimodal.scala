@@ -153,6 +153,110 @@ object Multimodal {
     df.withColumn(outCol, u(col(binCol)))
   }
 
+  /** 64-bit DCT perceptual hash (the classic pHash construction): decode,
+    * area-average to 32×32 grayscale (own deterministic loop — no
+    * Graphics2D, whose interpolation is implementation-defined), 2-D DCT-II,
+    * keep the top-left 8×8 low-frequency block, threshold each coefficient
+    * against the mean of the other 63 (DC excluded) → 16 lowercase hex
+    * chars, [[graft.functions.TextFunctions.simhash64]]-shaped so
+    * [[Dedup.hammingPairs]] bands it directly. Near-identical images (crop
+    * noise, re-encode, light edits) land within a few bits; unrelated
+    * images are ~32 bits apart. NULL for undecodable bytes. */
+  def pHash64(df: DataFrame, binCol: String, outCol: String = "phash"): DataFrame = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) null else decodeReal(b).map { case (_, img) => phashOf(img) }.orNull)
+    df.withColumn(outCol, u(col(binCol)))
+  }
+
+  /** Deterministic 40×40 block-noise PNG for pattern class `c` — the q130
+    * fixture generator, shared with the spec that pins the cross-class
+    * hash margin. Each 5×5 cell's luminance comes from an integer hash of
+    * (cell, class), giving broadband spectra well separated across
+    * classes (measured ≥ 20 bits pairwise). */
+  def classPatternPng(c: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(40, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 40) {
+      var x = 0
+      while (x < 40) {
+        val h = (x / 5) * 73856093 ^ (y / 5) * 19349663 ^ c * 83492791
+        val m = h * 0x9e3775cd
+        val lum = if (((m >>> 16) & 1) == 1) 255 else 0
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] def phashOf(img: java.awt.image.BufferedImage): String = {
+    val n = 32
+    // area-average luminance downsample (deterministic double math)
+    val g = Array.ofDim[Double](n, n)
+    val cnt = Array.ofDim[Int](n, n)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = math.min(n - 1, y * n / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(n - 1, x * n / w)
+        val rgb = img.getRGB(x, y)
+        g(cy)(cx) += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) { if (cnt(i)(j) > 0) g(i)(j) /= cnt(i)(j); j += 1 }
+      i += 1
+    }
+    // top-left 8x8 of the 2-D DCT-II (direct O(64·n²) evaluation)
+    val k = 8
+    val coef = Array.ofDim[Double](k, k)
+    var u0 = 0
+    while (u0 < k) {
+      var v0 = 0
+      while (v0 < k) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) {
+          val cu = math.cos(math.Pi * (2 * yy + 1) * u0 / (2.0 * n))
+          var xx = 0
+          while (xx < n) {
+            s += g(yy)(xx) * cu * math.cos(math.Pi * (2 * xx + 1) * v0 / (2.0 * n))
+            xx += 1
+          }
+          yy += 1
+        }
+        coef(u0)(v0) = s
+        v0 += 1
+      }
+      u0 += 1
+    }
+    val mean = (coef.map(_.sum).sum - coef(0)(0)) / 63.0
+    var bits = 0L
+    var idx = 0
+    var a = 0
+    while (a < k) {
+      var b2 = 0
+      while (b2 < k) {
+        if (coef(a)(b2) > mean) bits |= (1L << (63 - idx))
+        idx += 1
+        b2 += 1
+      }
+      a += 1
+    }
+    f"$bits%016x"
+  }
+
   // ---- audio (REAL decode via JDK javax.sound.sampled — WAV/AIFF/AU PCM) --
 
   val audioMetaSchema: StructType = StructType(Seq(

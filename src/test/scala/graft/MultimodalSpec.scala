@@ -131,6 +131,59 @@ class MultimodalSpec extends AnyFunSuite {
     for (i <- 0 until 6) assert(math.abs(feats(1L)(i) - feats(2L)(i)) < 1e-4)
   }
 
+  private def hamming(a: String, b: String): Int =
+    java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+
+  test("pHash64: identical bytes hash identically; NULL/undecodable stay null") {
+    val rows = Seq((1L, Multimodal.classPatternPng(0)), (2L, Multimodal.classPatternPng(0)),
+      (3L, Array[Byte](1, 2, 3)), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "img")
+    val got = Multimodal.pHash64(rows, "img").select(col("id"), col("phash"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).isDefined && got(1L) == got(2L))
+    assert(got(1L).get.length == 16 && got(1L).get.matches("[0-9a-f]{16}"))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
+  test("pHash64: the q130 pattern classes sit far apart (gate margin)") {
+    val hs = (0 until 7).map { c =>
+      Multimodal.pHash64(Seq((c.toLong, Multimodal.classPatternPng(c))).toDF("id", "img"), "img")
+        .select("phash").as[String].head()
+    }
+    for (i <- hs.indices; j <- (i + 1) until hs.length)
+      assert(hamming(hs(i), hs(j)) >= 10,
+        s"classes $i/$j only ${hamming(hs(i), hs(j))} bits apart — q130's tau=3 needs margin")
+  }
+
+  test("pHash64 is perceptual: pixel flips and lossy re-encode move few bits") {
+    val base = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.classPatternPng(0)))
+    val h0 = Multimodal.phashOf(base)
+    for (i <- 0 until 8) {
+      val x = (i * 13) % 40; val y = (i * 29) % 40
+      base.setRGB(x, y, base.getRGB(x, y) ^ 0xffffff)
+    }
+    assert(hamming(h0, Multimodal.phashOf(base)) <= 4, "8 flipped pixels must stay near")
+    // JPEG re-encode of the flat image: block artifacts only
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(base, "jpg", bos)
+    val rehashed = Multimodal.pHash64(Seq((1L, bos.toByteArray)).toDF("id", "img"), "img")
+      .select("phash").as[String].head()
+    assert(hamming(h0, rehashed) <= 8, "lossy re-encode must stay within a few bits")
+  }
+
+  test("hammingPairs on pHash finds exactly the planted duplicate image pairs") {
+    val imgs = Seq(
+      (1L, Multimodal.classPatternPng(0)), (2L, Multimodal.classPatternPng(0)),
+      (3L, Multimodal.classPatternPng(1)), (4L, Multimodal.classPatternPng(2)),
+      (5L, Multimodal.classPatternPng(1))).toDF("id", "img")
+    val pairs = graft.ops.Dedup.hammingPairs(
+        Multimodal.pHash64(imgs, "img"), "id", "phash", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 5L)))
+  }
+
   test("frame sampling multiplies rows by the sampled indices") {
     val df = Seq((1L, "videobytes".getBytes("UTF-8"))).toDF("id", "media")
     val frames = Multimodal.sampleFrames(df, "media", everyN = 8, totalFrames = 32)
