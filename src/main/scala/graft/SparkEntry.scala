@@ -1570,6 +1570,31 @@ object SparkEntry {
       graft.ops.Dedup.hammingPairs(
         Multimodal.pHash64(imgs, "img"), "doc_id", "phash", maxHamming = 3)
     }),
+    "q131_bm25_batch" -> ((s, d) => {
+      // batch decontamination retrieval: three queries ranked against the
+      // corpus in ONE job — overlapping query terms share the tf/df work,
+      // the all-miss query must vanish, and the per-query rounded-score
+      // ranking pins the top-k boundary deterministically
+      import s.implicits._
+      val qs = Seq((0L, "spark table"), (1L, "hash join window"), (2L, "zzzq qqz"))
+        .toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25TopKPerQuery(docs(s, d), "doc_id", "text",
+        qs, "qid", "qtext", k = 5)
+    }),
+    "q132_audio_fingerprint_dedup" -> ((s, d) => {
+      // audio near-dup via the energy-delta fingerprint: each doc renders
+      // a WAV whose loud/quiet window envelope depends ONLY on doc_id % 5,
+      // so the fingerprint collapses per class and hammingPairs must emit
+      // exactly the same-class pair closure at hamming 0 (the q130
+      // structural-oracle shape for the audio modality). Envelope classes
+      // sit far apart bit-wise (spec-pinned ≥ 10); τ=3 admits no
+      // cross-class pair; the doc_id bound keeps soak work at 1x.
+      val gen = udf((c: Int) => Multimodal.classToneWav(c))
+      val wavs = docs(s, d).filter(col("doc_id") < 300).select(col("doc_id"))
+        .withColumn("wav", gen((col("doc_id") % 5).cast("int")))
+      graft.ops.Dedup.hammingPairs(
+        Multimodal.audioFingerprint64(wavs, "wav"), "doc_id", "audio_fp", maxHamming = 3)
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2478,6 +2503,35 @@ object SparkEntry {
         s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
            | FROM documents a JOIN documents b
            |  ON a.doc_id % 7 = b.doc_id % 7 AND a.doc_id < b.doc_id
+           | WHERE a.doc_id < 300 AND b.doc_id < 300""".stripMargin.replace("\n", " "),
+      "q131_bm25_batch" ->
+        // the q123 BM25 mirror generalized per query: binarized query
+        // terms, shared tf/df CTEs, per-query rounded-score ranking
+        s"""WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext FROM (VALUES (0, 'spark table'),
+           |   (1, 'hash join window'), (2, 'zzzq qqz')) v(qid, qtext)),
+           | qt AS (SELECT qid, unnest(list_distinct(list_filter(regexp_split_to_array(trim(qtext), '\\s+'), x -> x <> ''))) AS term FROM q),
+           | tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+           | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl FROM dl),
+           | t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+           | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+           |   WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+           | df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           | sterm AS (SELECT tf.doc_id, tf.term,
+           |   ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * (CAST(1.2 AS DOUBLE) + 1)
+           |     / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / (sumdl / n))) AS s
+           |   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+           | pq AS (SELECT qt.qid, sterm.doc_id, round(sum(sterm.s), 4) AS bm25
+           |   FROM sterm JOIN qt USING (term) GROUP BY qt.qid, sterm.doc_id),
+           | r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk FROM pq)
+           | SELECT qid, doc_id, bm25 FROM r WHERE rk <= 5""".stripMargin.replace("\n", " "),
+      "q132_audio_fingerprint_dedup" ->
+        // structural oracle (q130 shape, audio modality): identical
+        // per-class envelopes collapse to one fingerprint, classes sit > τ
+        // bits apart (spec-pinned), pair set = same-class closure
+        s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+           | FROM documents a JOIN documents b
+           |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
            | WHERE a.doc_id < 300 AND b.doc_id < 300""".stripMargin.replace("\n", " ")
     )
   }

@@ -342,41 +342,15 @@ object Multimodal {
     val u = udf((b: Array[Byte]) =>
       if (b == null) null
       else
-        try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(b))
-          val fmt = ais.getFormat
-          // normalize to 16-bit signed PCM (the JDK converts PCM widths/
-          // encodings; compressed input would convert here too)
-          val target = new javax.sound.sampled.AudioFormat(
-            fmt.getSampleRate, 16, fmt.getChannels, true, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
-          val bytes = pcm.readAllBytes()
-          pcm.close()
-          val ch = target.getChannels
-          val n = bytes.length / (2 * ch)
-          if (n == 0) null
-          else {
-            // channel mixdown to mono doubles
-            val mono = new Array[Double](n)
-            var i = 0
-            while (i < n) {
-              var acc = 0.0
-              var c = 0
-              while (c < ch) {
-                val off = (i * ch + c) * 2
-                val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
-                acc += s / 32768.0
-                c += 1
-              }
-              mono(i) = acc / ch
-              i += 1
-            }
+        decodeMono(b) match {
+          case None => null
+          case Some(mono) =>
+            val n = mono.length
             val out = new Array[Float](windows + 2)
             val counts = new Array[Int](windows)
             var peak = 0.0
             var zc = 0
-            i = 0
+            var i = 0
             while (i < n) {
               val w = math.min(windows - 1, i * windows / n)
               out(w) = out(w) + (mono(i) * mono(i)).toFloat
@@ -393,8 +367,112 @@ object Multimodal {
             out(windows) = peak.toFloat
             out(windows + 1) = zc.toFloat / n
             out
+        })
+    df.withColumn(outCol, u(col(binCol)))
+  }
+
+  /** Deterministic 8 kHz 16-bit mono WAV for envelope class `c` — the q132
+    * fixture generator, shared with the spec that pins the cross-class
+    * fingerprint margin. 1300 frames = 65 fingerprint windows of 20
+    * frames; each window plays a 440 Hz tone either loud (0.6) or quiet
+    * (0.05) from an integer hash of (window, class), giving envelope
+    * shapes well separated across classes. Hand-assembled canonical PCM
+    * header (no AudioSystem writer — its global provider lock serializes
+    * executor threads; the q75 lesson). */
+  def classToneWav(c: Int): Array[Byte] = {
+    val rate = 8000
+    val nframes = 1300
+    val dataLen = nframes * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nframes) {
+      val w = i / 20
+      val h = (w * 73856093 ^ c * 83492791) * 0x9e3775cd
+      val amp = if (((h >>> 16) & 1) == 1) 0.6 else 0.05
+      bb.putShort((math.sin(2 * math.Pi * 440.0 * i / rate) * amp * 32767).toInt.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decode any JDK-supported audio container to mono [-1, 1] doubles
+    * (16-bit signed PCM normalization + channel mixdown) — the shared
+    * front end of [[extractAudioFeatures]] and [[audioFingerprint64]].
+    * None when no parser accepts the bytes or the stream is empty. */
+  private def decodeMono(b: Array[Byte]): Option[Array[Double]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val fmt = ais.getFormat
+      // normalize to 16-bit signed PCM (the JDK converts PCM widths/
+      // encodings; compressed input would convert here too)
+      val target = new javax.sound.sampled.AudioFormat(
+        fmt.getSampleRate, 16, fmt.getChannels, true, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+      val bytes = pcm.readAllBytes()
+      pcm.close()
+      val ch = target.getChannels
+      val n = bytes.length / (2 * ch)
+      if (n == 0) None
+      else {
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            acc += s / 32768.0
+            c += 1
           }
-        } catch { case _: Exception => null })
+          mono(i) = acc / ch
+          i += 1
+        }
+        Some(mono)
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit audio fingerprint: per-window RMS energy over 65 equal windows,
+    * bit i = energy(i) > energy(i+1) — the energy-delta construction the
+    * public audio-fingerprint family (Haitsma–Kalker 2002) builds on,
+    * reduced to one 64-bit word so [[Dedup.hammingPairs]] bands it like
+    * SimHash/pHash. Robust to gain-independent edits of the ENVELOPE shape
+    * (the comparison is ordinal, so uniform volume scaling preserves every
+    * bit); NULL for undecodable bytes. */
+  def audioFingerprint64(df: DataFrame, binCol: String,
+                         outCol: String = "audio_fp"): DataFrame = {
+    val u = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else decodeMono(b).map { mono =>
+        val nw = 65
+        val n = mono.length
+        val energy = new Array[Double](nw)
+        val counts = new Array[Int](nw)
+        var i = 0
+        while (i < n) {
+          val w = math.min(nw - 1, i * nw / n)
+          energy(w) += mono(i) * mono(i)
+          counts(w) += 1
+          i += 1
+        }
+        var w = 0
+        while (w < nw) { if (counts(w) > 0) energy(w) /= counts(w); w += 1 }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (energy(k) > energy(k + 1)) bits |= (1L << (63 - k))
+          k += 1
+        }
+        f"$bits%016x"
+      }.orNull)
     df.withColumn(outCol, u(col(binCol)))
   }
 

@@ -79,4 +79,55 @@ object Retrieval {
     bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(k)
+
+  /** Batch retrieval: top-`k` corpus documents for EVERY query of a query
+    * table at once — the decontamination shape (thousands of benchmark
+    * questions against a 100 TB corpus in one job, instead of one job per
+    * question). Query term frequency is binarized (distinct terms per
+    * query — the standard short-query BM25 form). Output: (qidCol, idCol,
+    * bm25), ranked per query on the ROUNDED (4 d.p.) score with ascending
+    * id tie-break — ranking on the rounded value makes the boundary
+    * deterministic when equal-score documents differ only in double
+    * summation order.
+    *
+    * Scale posture: the whole query table rides as broadcasts (its
+    * distinct-term set semi-joins the exploded corpus map-side, and the
+    * (query, term) pairs expand matched tf rows only); the corpus
+    * contributes one (doc, matching-term) reduction and one
+    * (query, doc) aggregation — both restricted to matches. The per-query
+    * top-k window partitions by query id, so no global sort. */
+  def bm25TopKPerQuery(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, qidCol: String, qtextCol: String,
+                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col(qidCol),
+      explode(array_distinct(TextFunctions.tokens(col(qtextCol)))).as("__term"))
+    val qTerms = qt.select(col("__term")).distinct()
+    val withDl = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__dl")).as("__sumdl"))
+    val tf = withDl
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
+      .join(broadcast(qTerms), Seq("__term"), "left_semi")
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).cast("double").as("__df"))
+    val scoredTerms = tf
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / (col("__sumdl") / col("__n")))))
+    val perQuery = scoredTerms.join(broadcast(qt), Seq("__term"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("__s")), 4).as("bm25"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("bm25").desc, col(idCol).asc)
+    perQuery.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
 }

@@ -184,6 +184,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (3L, 5L)))
   }
 
+  test("audioFingerprint64: identity, NULL safety, and the q132 class margin") {
+    val rows = Seq((1L, Multimodal.classToneWav(0)), (2L, Multimodal.classToneWav(0)),
+      (3L, Array[Byte](9, 9)), (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "wav")
+    val got = Multimodal.audioFingerprint64(rows, "wav").select(col("id"), col("audio_fp"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).isDefined && got(1L) == got(2L))
+    assert(got(1L).get.matches("[0-9a-f]{16}"))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    val fps = (0 until 5).map { c =>
+      Multimodal.audioFingerprint64(
+          Seq((c.toLong, Multimodal.classToneWav(c))).toDF("id", "wav"), "wav")
+        .select("audio_fp").as[String].head()
+    }
+    for (i <- fps.indices; j <- (i + 1) until fps.length)
+      assert(hamming(fps(i), fps(j)) >= 10,
+        s"classes $i/$j only ${hamming(fps(i), fps(j))} bits apart — q132's tau=3 needs margin")
+  }
+
+  test("audio fingerprint is gain-invariant (ordinal energy comparisons)") {
+    val base = Multimodal.classToneWav(1)
+    // halve every sample amplitude: same envelope SHAPE, half the volume
+    val half = base.clone()
+    var off = 44
+    while (off + 1 < half.length) {
+      val s = (((half(off + 1) << 8) | (half(off) & 0xff)).toShort / 2).toShort
+      half(off) = (s & 0xff).toByte; half(off + 1) = ((s >> 8) & 0xff).toByte
+      off += 2
+    }
+    val fps = Multimodal.audioFingerprint64(
+        Seq((1L, base), (2L, half)).toDF("id", "wav"), "wav")
+      .select("audio_fp").as[String].collect()
+    assert(fps(0) == fps(1), "uniform volume change must not move any bit")
+  }
+
   test("frame sampling multiplies rows by the sampled indices") {
     val df = Seq((1L, "videobytes".getBytes("UTF-8"))).toDF("id", "media")
     val frames = Multimodal.sampleFrames(df, "media", everyN = 8, totalFrames = 32)
