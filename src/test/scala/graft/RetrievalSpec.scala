@@ -56,6 +56,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
   }
 
+  test("bm25TopKPerQuery: per-query results equal the single-query path; all-miss query vanishes") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "d"), (4L, "a c c")).toDF("doc_id", "text")
+    val qs = Seq((10L, "a b"), (11L, "c"), (12L, "zz")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopKPerQuery(docs, "doc_id", "text", qs, "qid", "qtext", k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    def single(terms: Seq[String], k: Int) =
+      Retrieval.bm25Scores(docs, "doc_id", "text", terms)
+        .filter(col("bm25") > 0)
+        .select(col("doc_id"), round(col("bm25"), 4).as("s"))
+        .as[(Long, Double)].collect().sortBy(r => (-r._2, r._1)).take(k)
+    val exp = single(Seq("a", "b"), 2).map(r => (10L, r._1, r._2)).toSet ++
+      single(Seq("c"), 2).map(r => (11L, r._1, r._2)).toSet
+    assert(got == exp, s"got $got expected $exp")
+    assert(!got.exists(_._1 == 12L), "an all-miss query must produce no rows")
+  }
+
+  test("bm25TopKPerQuery: query table rides as broadcasts (no corpus-side wide join)") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val qs = Seq((10L, "a")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopKPerQuery(docs, "doc_id", "text", qs, "qid", "qtext", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no wide join may appear:\n$plan")
+  }
+
   // ----------------------------------------------------------------- Bloom
 
   test("bloom: exact duplicates of sketched content always flag (no false negatives)") {
