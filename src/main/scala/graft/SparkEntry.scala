@@ -1595,6 +1595,27 @@ object SparkEntry {
       graft.ops.Dedup.hammingPairs(
         Multimodal.audioFingerprint64(wavs, "wav"), "doc_id", "audio_fp", maxHamming = 3)
     }),
+    "q133_lsh_recall" -> ((s, d) => {
+      // the LSH tuning report: banded-minhash recall vs exact brute-force
+      // truth on a deterministic md5 sample (doc_id < 600 bound keeps the
+      // all-pairs truth fixed across scales) — sample spec, banding, both
+      // pair counts and the recall division all inside one hashed row
+      graft.ops.CorpusStats.lshRecallReport(
+        docs(s, d).filter(col("doc_id") < 600), "doc_id", "text",
+        sampleFraction = 0.5, salt = "r", k = 2, numHashes = 16, bands = 8,
+        threshold = 0.1)
+    }),
+    "q134_snapshot_diff" -> ((s, d) => {
+      // incremental-crawl snapshot report: old = doc_id % 3 != 1 slice,
+      // new = doc_id % 3 != 2 slice with every doc_id % 7 == 0 text
+      // edited — all four statuses populated, counts closed-form
+      val all = docs(s, d)
+      val old = all.filter(col("doc_id") % 3 =!= 1)
+      val nu = all.filter(col("doc_id") % 3 =!= 2)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.CorpusStats.snapshotDiff(old, nu, "doc_id", "text")
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2532,7 +2553,35 @@ object SparkEntry {
         s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
            | FROM documents a JOIN documents b
            |  ON a.doc_id % 5 = b.doc_id % 5 AND a.doc_id < b.doc_id
-           | WHERE a.doc_id < 300 AND b.doc_id < 300""".stripMargin.replace("\n", " ")
+           | WHERE a.doc_id < 300 AND b.doc_id < 300""".stripMargin.replace("\n", " "),
+      "q133_lsh_recall" -> {
+        // the whole report replayed: md5 sample keep decisions (q81 spec,
+        // fraction 0.5 → hex threshold 800000), exact all-pairs Jaccard
+        // truth, the full banded-minhash mirror for found, recall division
+        val baseSql = "(SELECT doc_id, text FROM documents WHERE doc_id < 600" +
+          " AND substr(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 6) < '800000')"
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM $baseSql base),
+           | sh AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh FROM tok WHERE len(toks) >= 2),
+           | p AS (SELECT CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN CAST(0 AS DOUBLE)
+           |    ELSE CAST(len(list_distinct(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) END AS j
+           |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+           | truth AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM p WHERE j >= 0.1),
+           | found AS (SELECT CAST(count(*) AS BIGINT) AS found_pairs FROM (${minhashOracle(2, 16, 8, 0.1, baseSql)}) q),
+           | ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM $baseSql base2)
+           | SELECT n_sample, truth_pairs, found_pairs,
+           |  round(CASE WHEN truth_pairs = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(found_pairs AS DOUBLE) / truth_pairs END, 6) AS recall
+           | FROM ns CROSS JOIN truth CROSS JOIN found""".stripMargin.replace("\n", " ")
+      },
+      "q134_snapshot_diff" ->
+        // full-outer content-key diff mirrored; the % 7 edit plants the
+        // 'changed' class, slice complements plant added/removed
+        s"""WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 3 <> 1),
+           | n AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS hn
+           |   FROM documents WHERE doc_id % 3 <> 2),
+           | j AS (SELECT CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
+           |   WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
+           |   FROM o FULL OUTER JOIN n USING (doc_id))
+           | SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY status""".stripMargin.replace("\n", " ")
     )
   }
 

@@ -40,6 +40,56 @@ object CorpusStats {
         coalesce(col("__source"), lit("(all)")).as("source"),
         col("n_docs"), col("n_tokens"), col("n_chars"), col("n_distinct"))
 
+  /** Snapshot diff between two corpus versions — the first report an
+    * incremental crawl pipeline computes: per-document content keys (md5)
+    * full-outer-joined on the id, classified added / removed / changed /
+    * unchanged, counted. One shuffle on the id; content never moves, only
+    * 16-byte keys. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__ho"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(when(col("__ho").isNull, "added")
+        .when(col("__hn").isNull, "removed")
+        .when(col("__ho") === col("__hn"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /** Measured recall of the banded MinHash path against exact brute-force
+    * ground truth on a DETERMINISTIC sample — how a 100 TB pipeline tunes
+    * (numHashes, bands, threshold) without an all-pairs pass over the
+    * corpus: the md5-keyed sample is retry-stable and replayable, truth is
+    * all-pairs only WITHIN the sample, and found ⊆ truth by construction
+    * (the banded path verifies exact Jaccard), so recall = found / truth.
+    * Output: one row (n_sample, truth_pairs, found_pairs, recall). */
+  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
+                      sampleFraction: Double, salt: String,
+                      k: Int = 2, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.4): DataFrame = {
+    val sample = Sampling.deterministicSample(docs, idCol, sampleFraction, salt)
+      .select(col(idCol), col(textCol))
+    val sh = sample
+      .select(col(idCol), TextFunctions.shingles(col(textCol), k).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val a = sh.select(col(idCol).as("__ia"), col("__sh").as("__sa"))
+    val b = sh.select(col(idCol).as("__ib"), col("__sh").as("__sb"))
+    val truth = a.join(b, col("__ia") < col("__ib"))
+      .select((size(array_intersect(array_distinct(col("__sa")), array_distinct(col("__sb")))).cast("double") /
+        size(array_union(col("__sa"), col("__sb"))).cast("double")).as("__j"))
+      .filter(col("__j") >= threshold)
+      .agg(count(lit(1)).cast("long").as("truth_pairs"))
+    val found = Dedup.minhashPairs(sample, idCol, textCol, k, numHashes, bands, threshold)
+      .agg(count(lit(1)).cast("long").as("found_pairs"))
+    val n = sample.agg(count(lit(1)).cast("long").as("n_sample"))
+    n.crossJoin(truth).crossJoin(found)
+      .select(col("n_sample"), col("truth_pairs"), col("found_pairs"),
+        round(when(col("truth_pairs") === 0L, lit(1.0))
+          .otherwise(col("found_pairs").cast("double") / col("truth_pairs").cast("double")), 6)
+          .as("recall"))
+  }
+
   /** Exact token-length quantiles per group (linear interpolation — the
     * percentile definition DuckDB's quantile_cont shares, so the numbers
     * are oracle-checkable). Exact rather than sketched: at corpus scale

@@ -47,6 +47,32 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r == (("s", 5L, 2.0, 3.0, 4.0, 4.6)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged with exact counts") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "goes away")).toDF("doc_id", "text")
+    val nu = Seq((1L, "same"), (2L, "has changed"), (4L, "brand new")).toDF("doc_id", "text")
+    val got = CorpusStats.snapshotDiff(old, nu, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("lshRecallReport: planted high-jaccard dups give recall 1; empty truth reports 1 by convention") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = (0 until 40).map { i =>
+      val text = if (i % 2 == 0) base else s"totally unrelated content number $i with words $i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val r = CorpusStats.lshRecallReport(corpus, "doc_id", "text",
+        sampleFraction = 1.0, salt = "s", k = 2, numHashes = 16, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 == 40 && r._2 == 190, "20 identical docs -> C(20,2) truth pairs")
+    assert(r._3 == 190 && r._4 == 1.0, "exact dups always collide -> full recall")
+    val none = CorpusStats.lshRecallReport(
+        Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text"),
+        "doc_id", "text", sampleFraction = 1.0, salt = "s", threshold = 0.9)
+      .as[(Long, Long, Long, Double)].head()
+    assert(none._2 == 0L && none._4 == 1.0)
+  }
+
   test("bloom sketch accumulates across streaming micro-batches (incremental crawl dedup)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
