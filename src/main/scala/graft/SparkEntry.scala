@@ -1616,6 +1616,22 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       graft.ops.CorpusStats.snapshotDiff(old, nu, "doc_id", "text")
     }),
+    "q135_minhash_incremental" -> ((s, d) => {
+      // incremental near-dup: the doc_id % 3 == 0 slice arrives as a new
+      // batch and probes the stored signatures of the rest — old text is
+      // never read, old-old pairs never emitted, and the output carries
+      // the signature-ESTIMATED jaccard (matching components / 16). The
+      // oracle replays signatures, banding, the new×all candidate join
+      // and the component-match estimate exactly.
+      val all = docs(s, d)
+      val oldSigs = graft.ops.Dedup.minhashSignatureTable(
+        all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2581,7 +2597,24 @@ object SparkEntry {
            | j AS (SELECT CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
            |   WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
            |   FROM o FULL OUTER JOIN n USING (doc_id))
-           | SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY status""".stripMargin.replace("\n", " ")
+           | SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY status""".stripMargin.replace("\n", " "),
+      "q135_minhash_incremental" ->
+        // signatures + banding replayed from the md5 minhash spec; new
+        // slice probes all, canonical distinct pairs, estimate = matching
+        // signature components / 16
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh FROM tok WHERE len(toks) >= 2),
+           | sigs AS (SELECT doc_id, list_transform(range(0, 16),
+           |   j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM sh),
+           | banded AS (SELECT doc_id, t.b AS band, md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), '|')) AS bkey
+           |   FROM sigs CROSS JOIN range(0, 4) t(b)),
+           | nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+           | cand AS (SELECT DISTINCT least(n.doc_id, a.doc_id) AS id_a, greatest(n.doc_id, a.doc_id) AS id_b
+           |   FROM nb n JOIN banded a ON n.band = a.band AND n.bkey = a.bkey AND n.doc_id <> a.doc_id),
+           | est AS (SELECT id_a, id_b,
+           |   CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
+           |   FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
+           | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " ")
     )
   }
 

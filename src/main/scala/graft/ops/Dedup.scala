@@ -128,6 +128,64 @@ object Dedup {
       .select(col("__id"), shinglesOfTokens(col("__t"), k).as("__sh"))
   }
 
+  /** Persistable MinHash signature table — the state an INCREMENTAL
+    * near-dup pipeline keeps between crawl snapshots: (idCol, minhash_sig)
+    * with the md5 signature spec, one row per document with ≥ k tokens.
+    * Write this to parquet once per snapshot; new batches then probe it
+    * via [[minhashPairsIncremental]] without ever re-reading old TEXT —
+    * the signature (numHashes × 32-byte hex strings) is the only thing
+    * that persists or shuffles. */
+  def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, numHashes: Int = 16): DataFrame =
+    shingled(df, idCol, textCol, k)
+      .select(col("__id").as(idCol), minhashMd5U(col("__sh"), lit(numHashes)).as("minhash_sig"))
+      .filter(col("minhash_sig").isNotNull)
+
+  /** Incremental near-dup probe: band-join a NEW batch's signatures
+    * against old + new, emit canonical (id_a, id_b, est_jaccard) pairs
+    * with the signature-estimated Jaccard (matching components /
+    * numHashes) at or above `threshold`. Old-old pairs are never emitted
+    * (the old corpus is already deduped); ids must be unique across both
+    * tables (caller contract — crawl snapshots use disjoint id ranges).
+    *
+    * The estimate replaces the exact-Jaccard verification of
+    * [[minhashPairs]] BY DESIGN: verification needs both documents' text,
+    * and the entire point of the stored-signature shape is that a new
+    * batch joins a 100 TB corpus's signatures — ≈ 0.5 KB/doc — instead of
+    * the corpus. E[estimate] = true Jaccard with variance j(1−j)/n. */
+  def minhashPairsIncremental(newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
+                              sigCol: String = "minhash_sig", numHashes: Int = 16,
+                              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rpb = numHashes / bands
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", transform(
+            slice(col("__sig"), b * rpb + 1, lit(rpb)), x => x.cast("string"))))))
+          .as(Seq("__band", "__key")))
+    val nb = banded(newSigs).select(col("__band"), col("__key"), col("__id").as("__idn"))
+    val ab = banded(newSigs).unionByName(banded(oldSigs))
+      .select(col("__band"), col("__key"), col("__id").as("__ida"))
+    val cand = nb.join(ab, Seq("__band", "__key"))
+      .filter(col("__idn") =!= col("__ida"))
+      .select(least(col("__idn"), col("__ida")).as("id_a"),
+        greatest(col("__idn"), col("__ida")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sigs = newSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig"))
+      .unionByName(oldSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig")))
+      .dropDuplicates("__sid")
+    cand
+      .join(sigs.select(col("__sid").as("id_a"), col("__sig").as("__sa")), Seq("id_a"))
+      .join(sigs.select(col("__sid").as("id_b"), col("__sig").as("__sb")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash LSH (md5 signature spec —
     * engine-independent, oracle-reproducible), verified with exact
     * shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.

@@ -229,6 +229,30 @@ class VecAndDedupSpec extends AnyFunSuite {
       s"unexpected centroid drift: ${after.map(_.mkString("(", ",", ")")).mkString(" ")}")
   }
 
+  test("incremental minhash: new batch probes stored signatures, old-old never emitted") {
+    import spark.implicits._
+    val mk = (id: Long, text: String) => (id, text)
+    // old snapshot: 1 and 2 are exact dups of each other (old-old — must
+    // NOT be emitted); new batch: 10 duplicates old-1, 11 is novel,
+    // 12 duplicates 11's batch-mate 13 (new-new — must be emitted)
+    val old = Seq(mk(1, "the quick brown fox jumps over the lazy dog"),
+      mk(2, "the quick brown fox jumps over the lazy dog"),
+      mk(3, "completely different old content here")).toDF("doc_id", "text")
+    val nu = Seq(mk(10, "the quick brown fox jumps over the lazy dog"),
+      mk(11, "novel new content nothing like it"),
+      mk(12, "shared new batch text exactly alike"),
+      mk(13, "shared new batch text exactly alike")).toDF("doc_id", "text")
+    val oldSigs = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2)
+    val newSigs = Dedup.minhashSignatureTable(nu, "doc_id", "text", k = 2)
+    val got = Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 10L), (2L, 10L), (12L, 13L)),
+      s"expected cross-slice + new-new dups only; got ${got.keySet}")
+    assert(got.values.forall(_ == 1.0), "exact dups estimate jaccard 1.0")
+    // the old-old dup (1,2) was already in the snapshot: never re-emitted
+    assert(!got.contains((1L, 2L)))
+  }
+
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
