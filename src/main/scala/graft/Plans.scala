@@ -289,6 +289,20 @@ object Plans {
       graft.ops.Dedup.bloomNovel(d, sk, "doc_id", "text")
     }
 
+    section("Incremental minhash probe (q135: new batch joins SIGNATURES, not text)",
+      "The stored snapshot state is the signature table (~0.5 KB/doc); a " +
+        "new batch bands its own signatures and equi-joins the stored " +
+        "band keys — the corpus text never appears in the plan, old-old " +
+        "pairs are filtered before the estimate, and the only wide join " +
+        "is on (band, key).") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val oldSigs = graft.ops.Dedup.minhashSignatureTable(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id")
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

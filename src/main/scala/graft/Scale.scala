@@ -286,6 +286,18 @@ stays distributed.
           k = 16, iters = 3)
         (graft.ops.Similarity.withIvfCell(e, "embedding", cents, "cell").fullCount, 0L)
       }
+      bench("incremental minhash probe", mult) {
+        // the stored-signature shape: only signatures band and join; time
+        // must track row count (signature computation + band join), with
+        // output growing as replication plants cross-slice clone pairs
+        val all = docs(mult)
+        val oldSigs = graft.ops.Dedup.minhashSignatureTable(
+          all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+        val newSigs = graft.ops.Dedup.minhashSignatureTable(
+          all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+        (graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id",
+          threshold = 0.9).fullCount, 0L)
+      }
       bench("stratified sample + pack", mult) {
         val g = docs(mult).withColumn("grp", (col("doc_id") % 3).cast("string"))
         val s = graft.ops.Sampling.stratifiedSample(g, "doc_id", "grp",

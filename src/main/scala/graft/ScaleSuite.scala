@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * at Nx-replicated data (ids shifted so keys stay unique, same layout as
   * `Scale.replicate`), per-query ratios banked into SCALE.md between the
   * `suite-soak` markers (both Scale and ScaleSuite preserve each other's
-  * section on regeneration). The per-operator `Scale` harness covers 12
-  * chosen operators at 1x/4x/16x; this catches superlinear behavior in the
-  * ~90 queries that harness never touches.
+  * section on regeneration). The per-operator `Scale` harness covers the
+  * chosen headline operators at 1x/4x/16x; this catches superlinear
+  * behavior in the long tail of queries that harness never touches.
   *
   * Ratio reading: a ratio <= N means shuffle-bounded plans (fixed overhead
   * amortizes); >> N on a non-trivial absolute time means superlinear input

@@ -152,7 +152,15 @@ object Dedup {
     * [[minhashPairs]] BY DESIGN: verification needs both documents' text,
     * and the entire point of the stored-signature shape is that a new
     * batch joins a 100 TB corpus's signatures — ≈ 0.5 KB/doc — instead of
-    * the corpus. E[estimate] = true Jaccard with variance j(1−j)/n. */
+    * the corpus. E[estimate] = true Jaccard with variance j(1−j)/n.
+    *
+    * Unlike [[minhashPairs]] this path has no exact-duplicate collapse
+    * (collapse keys need shingle content, which deliberately does not
+    * persist): a corpus-hot boilerplate document with m stored copies
+    * costs m rows per band bucket here. Snapshots produced by an
+    * exact-dedup pass (the normal pipeline order) don't carry such
+    * copies; if yours does, collapse identical SIGNATURES to a
+    * representative before storing. */
   def minhashPairsIncremental(newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
                               sigCol: String = "minhash_sig", numHashes: Int = 16,
                               bands: Int = 4, threshold: Double = 0.5): DataFrame = {
