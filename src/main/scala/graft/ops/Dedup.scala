@@ -141,6 +141,18 @@ object Dedup {
       .select(col("__id").as(idCol), minhashMd5U(col("__sh"), lit(numHashes)).as("minhash_sig"))
       .filter(col("minhash_sig").isNotNull)
 
+  /** [[minhashSignatureTable]] with the engine-native xxhash64 signature
+    * (whole-stage-codegen'd, no per-shingle digest UDF — the
+    * [[minhashPairsFast]] relationship). [[minhashPairsIncremental]] is
+    * signature-agnostic (banding and the component-match estimate only
+    * need equality), so snapshots stored with either spec probe
+    * identically — just never mix the two specs across snapshots. */
+  def minhashSignatureTableFast(df: DataFrame, idCol: String, textCol: String,
+                                k: Int = 3, numHashes: Int = 16): DataFrame =
+    shingled(df, idCol, textCol, k)
+      .select(col("__id").as(idCol), minhashFastU(col("__sh"), lit(numHashes)).as("minhash_sig"))
+      .filter(col("minhash_sig").isNotNull)
+
   /** Incremental near-dup probe: band-join a NEW batch's signatures
     * against old + new, emit canonical (id_a, id_b, est_jaccard) pairs
     * with the signature-estimated Jaccard (matching components /

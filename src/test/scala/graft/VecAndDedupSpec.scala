@@ -253,6 +253,20 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(!got.contains((1L, 2L)))
   }
 
+  test("incremental minhash fast signatures probe identically on planted dups") {
+    import spark.implicits._
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different old content here")).toDF("doc_id", "text")
+    val nu = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "novel new content nothing like it")).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsIncremental(
+        Dedup.minhashSignatureTableFast(nu, "doc_id", "text", k = 2),
+        Dedup.minhashSignatureTableFast(old, "doc_id", "text", k = 2),
+        "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((1L, 10L) -> 1.0), s"fast-signature probe: $got")
+  }
+
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
