@@ -112,6 +112,22 @@ class DeterminismSpec extends AnyFunSuite {
     assert(retried == clean)
   }
 
+  test("incremental minhash probe is byte-identical under injected task retries") {
+    val df = corpus(1200)
+    def run(d: DataFrame) = {
+      val oldSigs = Dedup.minhashSignatureTable(d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+      val newSigs = Dedup.minhashSignatureTable(d.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 9).as("e"))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    }
+    val clean = run(df)
+    assert(clean.nonEmpty, "fixture must produce pairs for the gate to bite")
+    val (retried, nInjected) = countingInjections { run(chaosified(df, "doc_id")) }
+    assert(nInjected > 0, "no failure was injected — retry path not exercised")
+    assert(retried == clean)
+  }
+
   test("bloom sketch + probe flags are byte-identical under injected task retries") {
     val df = corpus(2000)
     def run(d: DataFrame) = {
