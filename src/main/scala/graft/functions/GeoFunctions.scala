@@ -92,7 +92,8 @@ object GeoFunctions extends Serializable {
   import graft.functions.{expr => gexpr}
   def st_point(x: Column, y: Column): Column = exprCol(gexpr.StPoint(colExpr(x), colExpr(y)))
   def st_point_z(x: Column, y: Column, z: Column): Column = stPointZU(x, y, z)
-  def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column = stMakeBoxU(xmin, ymin, xmax, ymax)
+  def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    exprCol(gexpr.StMakeBox(colExpr(xmin), colExpr(ymin), colExpr(xmax), colExpr(ymax)))
   def st_makeline(a: Column, b: Column): Column = stMakeLineU(a, b)
   def st_geomfromwkt(s: Column): Column = stGeomFromWktU(s)
   def st_geomfromwkb(b: Column): Column = stGeomFromWkbU(b)
@@ -267,7 +268,7 @@ object GeoFunctions extends Serializable {
   def st_representative_point(g: Column): Column = stRepresentativePointU(g)
   def st_convex_hull(g: Column): Column = stConvexHullU(g)
   def st_concave_hull(g: Column, ratio: Column, allowHoles: Column): Column = stConcaveHullU(g, ratio, allowHoles)
-  def st_envelope(g: Column): Column = stEnvelopeU(g)
+  def st_envelope(g: Column): Column = exprCol(gexpr.StEnvelope(colExpr(g)))
   def st_minimum_rotated_rectangle(g: Column): Column = stMinRotatedRectU(g)
   def st_minimum_bounding_circle(g: Column): Column = stMinBoundingCircleU(g)
   def st_normalize(g: Column): Column = stNormalizeU(g)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.expr.{StDWithin, StDistance, StPoint, StX, StY}
+import graft.functions.expr.{StArea, StBoxArea, StDWithin, StDistance, StEnvBoxArea, StEnvelope, StMakeBox, StPoint, StX, StY}
 
 /** Algebraic simplification of geometry expression trees — the Catalyst
   * rule that keeps CONSTRUCTED-point hot paths out of WKB entirely.
@@ -57,5 +57,13 @@ object GeomSimplify extends Rule[LogicalPlan] {
       dist(ax, ay, bx, by)
     case StDWithin(StPoint(ax, ay), StPoint(bx, by), d) =>
       LessThanOrEqual(dist(ax, ay, bx, by), d)
+    // Constructed-BOX areas fuse to arithmetic kernels (no WKB, no JTS objects
+    // on the finite path — see GeomKernel.boxArea for the bit-exactness proof).
+    // st_envelope(st_makebox(…)) alone is deliberately NOT rewritten to the box:
+    // JTS Envelope.expandToInclude drops NaN coordinates, so for NaN corners the
+    // envelope is a DIFFERENT geometry than the box — only the full
+    // area∘envelope∘makebox composition has a safe fused kernel.
+    case StArea(StEnvelope(StMakeBox(x0, y0, x1, y1))) => StEnvBoxArea(x0, y0, x1, y1)
+    case StArea(StMakeBox(x0, y0, x1, y1)) => StBoxArea(x0, y0, x1, y1)
   }
 }

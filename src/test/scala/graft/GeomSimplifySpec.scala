@@ -59,6 +59,73 @@ class GeomSimplifySpec extends AnyFunSuite {
     assert(plan.contains("HYPOT") && !plan.toLowerCase.contains("stdwithin"), plan)
   }
 
+  test("st_area(st_envelope(st_makebox)) fuses to arithmetic, bit-exact vs the WKB path") {
+    installed()
+    // inverted corners, degenerate axes, negative zero, subnormals — every
+    // branch of the Envelope-normalize + toGeometry shape dispatch
+    val df = Seq(
+      (0.0, 0.0, 3.0, 4.0), (3.0, 4.0, 0.0, 0.0), (10.5, -2.25, 10.5, 7.0),
+      (1.0, 2.0, 1.0, 2.0), (-0.0, 1.0, 0.0, 5.0), (1e-300, 0.0, 3e-300, 2e-300),
+      (-7.125, 8.5, 2.375, -9.25))
+      .toDF("x0", "y0", "x1", "y1").repartition(2)
+    val cols = Seq(col("x0"), col("y0"), col("x1"), col("y1"))
+    val q = df.select(
+      st_area(st_envelope(st_makebox(cols(0), cols(1), cols(2), cols(3)))).as("a_env"),
+      st_area(st_makebox(cols(0), cols(1), cols(2), cols(3))).as("a_box"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("stmakebox") && !plan.toLowerCase.contains("stenvelope"),
+      s"no WKB box construction may survive the rewrite:\n$plan")
+    val got = q.as[(Double, Double)].collect().toSeq.sorted
+    val exp = df.as[(Double, Double, Double, Double)].collect().map { case (x0, y0, x1, y1) =>
+      val box = GeomKernel.makeBox(x0, y0, x1, y1)
+      (GeomKernel.area(GeomKernel.envelope(box)), GeomKernel.area(box))
+    }.toSeq.sorted
+    assert(got == exp, "fused box area must be bit-exact vs the JTS WKB path")
+  }
+
+  test("box-area kernels match JTS exactly on NaN/Inf corners (fallback path)") {
+    // NaN corner with a DEGENERATE other axis: JTS envelope drops the NaN and
+    // yields a finite line (area 0.0) while the box ring itself sums to NaN —
+    // the two kernels must reproduce both answers, not each other's
+    val cases = Seq(
+      (Double.NaN, 1.0, 5.0, 1.0), (Double.NaN, 1.0, 5.0, 9.0),
+      (Double.NaN, Double.NaN, Double.NaN, Double.NaN),
+      (Double.NegativeInfinity, 0.0, Double.PositiveInfinity, 2.0),
+      (Double.PositiveInfinity, 3.0, Double.PositiveInfinity, 3.0),
+      (1e308, 1e308, -1e308, -1e308)) // finite but sum overflows -> fallback
+    // NB: a box whose NORMALIZED min corner is NaN throws in JTS itself
+    // (LinearRing "closed" check is NaN==NaN -> false) — parity then means
+    // the fused kernel throws the same way, not that it returns a number.
+    import scala.util.Try
+    def cmp(a: Try[Double], b: Try[Double], tag: String): Unit = (a, b) match {
+      case (scala.util.Success(x), scala.util.Success(y)) =>
+        assert(java.lang.Double.compare(x, y) == 0, s"$tag: $x != $y")
+      case (scala.util.Failure(x), scala.util.Failure(y)) =>
+        assert(x.getClass == y.getClass, s"$tag: ${x.getClass} != ${y.getClass}")
+      case _ => fail(s"$tag: one side threw, the other returned: $a vs $b")
+    }
+    for ((x0, y0, x1, y1) <- cases) {
+      cmp(Try(GeomKernel.boxArea(x0, y0, x1, y1)),
+        Try(GeomKernel.area(GeomKernel.makeBox(x0, y0, x1, y1))), s"boxArea($x0,$y0,$x1,$y1)")
+      cmp(Try(GeomKernel.envBoxArea(x0, y0, x1, y1)),
+        Try(GeomKernel.area(GeomKernel.envelope(GeomKernel.makeBox(x0, y0, x1, y1)))),
+        s"envBoxArea($x0,$y0,$x1,$y1)")
+    }
+  }
+
+  test("fused box area preserves null-coordinate semantics") {
+    installed()
+    val df = Seq((Some(1.0), Some(2.0), Some(3.0), Some(4.0)),
+      (None, Some(2.0), Some(3.0), Some(4.0)), (Some(1.0), Some(2.0), Some(3.0), None))
+      .toDF("x0", "y0", "x1", "y1").repartition(2)
+    val q = df.select(st_area(st_envelope(
+      st_makebox(col("x0"), col("y0"), col("x1"), col("y1")))).as("a"))
+    val rows = q.as[Option[Double]].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows == Map(Some(4.0) -> 1, None -> 2),
+      "a NULL in any corner must null the fused area, like the unfused chain")
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")
