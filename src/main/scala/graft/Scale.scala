@@ -298,6 +298,32 @@ stays distributed.
         (graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id",
           threshold = 0.9).fullCount, 0L)
       }
+      bench("knn graph selective banding", mult) {
+        // the adaptive knnJoin defaults (20-bit band keys, tables solved
+        // from the 0.9/0.9 threshold/recall target): replication clones
+        // every vector, so banding work stays bounded by DISTINCT vectors
+        // (clone collapse) while each clone's true top-k (its clones at
+        // cosine 1) must still surface — time must track rows, not pairs²
+        (graft.ops.Similarity.knnJoin(embs(mult), "vec_id", "embedding", k = 3).fullCount, 0L)
+      }
+      bench("connected components uniform", mult) {
+        // baseline CC shape: short chains (o_orderkey -> +1 within groups of
+        // 8) — many small components, no skew
+        val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
+        val pairs = o.filter(col("o_orderkey") % 8 =!= 7)
+          .select(col("o_orderkey").as("id_a"), (col("o_orderkey") + 1).as("id_b"))
+        (graft.ops.Dedup.connectedComponents(pairs).fullCount, 0L)
+      }
+      bench("connected components hub-skew", mult) {
+        // adversarial star: ONE hub node linked to every order key (the
+        // boilerplate-corpus shape — a template paragraph pairing with
+        // millions of documents). The groupBy-min + AQE-splittable-join
+        // formulation must hold here; the window formulation it replaced
+        // would pin the hub's whole neighborhood into a single task
+        val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
+        val pairs = o.select(lit(0L).as("id_a"), col("o_orderkey").as("id_b"))
+        (graft.ops.Dedup.connectedComponents(pairs).fullCount, 0L)
+      }
       bench("stratified sample + pack", mult) {
         val g = docs(mult).withColumn("grp", (col("doc_id") % 3).cast("string"))
         val s = graft.ops.Sampling.stratifiedSample(g, "doc_id", "grp",

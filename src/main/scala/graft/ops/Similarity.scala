@@ -268,14 +268,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Pick a multi-table LSH banding for [[knnJoin]]: band keys are fixed at
+    * `KnnRpb` = 20 bits (≥ 2^20 buckets per table — random pairs collide at
+    * ~1e-6 per table, so bucket candidate volume stays ~linear in DISTINCT
+    * vectors instead of degrading toward all-pairs), and the table count is
+    * solved from the recall target at the tuning threshold:
+    * bands = ceil(ln(1−recall) / ln(1−p^rpb)), p = 1 − arccos(t)/π.
+    * At the 0.9/0.9 defaults that is 50 tables × 20 planes = 1000
+    * hyperplanes — 20-bit keys make each table sparse, the 50 tables buy
+    * the recall back. Low tuning thresholds (< ~0.7) are unattainable at
+    * 20-bit keys within the table cap; the cap logs the effective recall
+    * and callers who genuinely want low-threshold graphs should pass
+    * explicit coarse banding (as the q107 exhaustive-recall gate does). */
+  private[graft] val KnnRpb = 20
+  private[graft] val KnnMaxBands = 128
+  private[graft] def knnBanding(threshold: Double, recall: Double): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"tuning threshold must be in (0,1), got $threshold")
+    require(recall > 0 && recall < 1, s"recall target must be in (0,1), got $recall")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perBand = math.pow(p, KnnRpb)
+    val want = math.ceil(math.log1p(-recall) / math.log1p(-perBand)).toLong
+    val bands = math.max(4L, math.min(KnnMaxBands.toLong, want)).toInt
+    if (want > bands)
+      System.err.println(f"[graft] knnJoin banding: recall target $recall%.2f at threshold " +
+        f"$threshold%.2f needs $want tables of $KnnRpb-bit keys; capped at $bands " +
+        f"(effective recall ${1 - math.pow(1 - perBand, bands.toDouble)}%.3f) — pass explicit " +
+        "planes/bands for low-threshold graphs")
+    (KnnRpb * bands, bands)
+  }
+
   /** All-pairs top-k neighbour join via multi-table LSH buckets (for
     * building kNN graphs at scale): returns (id_a, id_b, cosine), the k
-    * best per id_a among bucket-mates across all hash tables. */
+    * best per id_a among bucket-mates across all hash tables.
+    *
+    * Defaults are threshold-adaptive ([[knnBanding]]): 20-bit band keys
+    * (selective at corpus scale — a 4-bit default here used to mean 16
+    * buckets per table, O(n²/16) candidate work per band at 100 TB) with
+    * the table count solved from the 0.9-recall target at the 0.9-cosine
+    * tuning point. `threshold` tunes banding selectivity, it is NOT a hard
+    * filter — candidates below it are kept when found, just with reduced
+    * recall. Pass explicit `planes`/`bands` (> 0) to override, e.g. the
+    * q107 gate's 32×1-bit exhaustive-recall configuration. */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              planes: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+              planes: Int = -1, bands: Int = -1, seed: Long = 42L,
+              threshold: Double = 0.9, recall: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (pl, bd) =
+      if (planes > 0 && bands > 0) (planes, bands)
+      else {
+        require(planes <= 0 && bands <= 0, "pass both planes and bands, or neither")
+        knnBanding(threshold, recall)
+      }
     val pairs = Dedup.embeddingPairs(df, idCol, vecCol,
-      dim = 0, planes = planes, bands = bands, seed = seed, threshold = -1.0)
+      dim = 0, planes = pl, bands = bd, seed = seed, threshold = -1.0)
     val sym = pairs.select(col("id_a"), col("id_b"), col("cosine"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
     val w = Window.partitionBy("id_a").orderBy(col("cosine").desc, col("id_b").asc)

@@ -357,6 +357,32 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(counts.nonEmpty && counts.forall(_ <= 3))
   }
 
+  test("knnJoin adaptive defaults: >=20-bit band keys, recall solved from the threshold") {
+    // the banding math itself: 20-bit keys fixed, tables from the recall target
+    val (pl9, bd9) = Similarity.knnBanding(0.9, 0.9)
+    assert(pl9 / bd9 == Similarity.KnnRpb, "band keys must stay >= 20 bits")
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val eff = 1.0 - math.pow(1.0 - math.pow(p, Similarity.KnnRpb), bd9.toDouble)
+    assert(eff >= 0.9, s"solved table count must hit the recall target, got $eff")
+    // sharper threshold -> fewer tables needed
+    val (_, bd95) = Similarity.knnBanding(0.95, 0.9)
+    assert(bd95 < bd9)
+    // unattainable low threshold caps the table count instead of exploding
+    val (plLo, bdLo) = Similarity.knnBanding(0.45, 0.9)
+    assert(bdLo == Similarity.KnnMaxBands && plLo == bdLo * Similarity.KnnRpb)
+    // exact clones (cosine 1) share every band key, so the selective default
+    // still finds them with certainty — the dedup-graph shape at scale
+    val cloned = embs.limit(50).unionByName(
+      embs.limit(50).withColumn("vec_id", col("vec_id") + 1000000L))
+    val knn = Similarity.knnJoin(cloned, "vec_id", "embedding", k = 1)
+    val top = knn.filter(col("id_a") < 1000000L)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.minBy(t => (-t._3, t._2))).toMap
+    assert(top.size == 50 && top.forall { case (a, (_, b, c)) =>
+      b == a + 1000000L && math.abs(c - 1.0) < 1e-12 },
+      "every vector's top-1 under adaptive defaults must be its exact clone at cosine ~1.0")
+  }
+
   test("cdcChunks: partition of the text, and boundaries are offset-invariant") {
     val shared = "the quick brown fox jumps over the lazy dog and keeps running far away " * 8
     val df = Seq(
