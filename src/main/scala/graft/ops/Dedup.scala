@@ -177,16 +177,38 @@ object Dedup {
                               sigCol: String = "minhash_sig", numHashes: Int = 16,
                               bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // SPEC GUARDS — a mixed-spec probe would silently return garbage
+    // (disjoint band keys -> missed pairs, or mis-scaled estimates):
+    // 1. md5 signatures are array<string>, xxhash fast signatures are
+    //    array<bigint>; mixing them across snapshots would be silently
+    //    string-coerced by the union below — reject at call time instead.
+    val newT = newSigs.schema(sigCol).dataType
+    val oldT = oldSigs.schema(sigCol).dataType
+    require(newT == oldT,
+      s"signature spec mismatch: $sigCol is $newT in the new batch but $oldT in the stored " +
+        "snapshot — md5 (minhashSignatureTable) and xxhash (minhashSignatureTableFast) " +
+        "signatures must never mix across snapshots")
+    // 2. a snapshot written with a different numHashes would band only a
+    //    prefix and mis-scale est_jaccard; the width check is fused into
+    //    the band-key projection so it cannot be pruned and fails loudly
+    //    at execution on the first offending row.
     val rpb = numHashes / bands
     def banded(df: DataFrame) = df
       .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", transform(
-            slice(col("__sig"), b * rpb + 1, lit(rpb)), x => x.cast("string"))))))
+          b => when(size(col("__sig")) === numHashes,
+            md5(concat_ws("|", transform(
+              slice(col("__sig"), b * rpb + 1, lit(rpb)), x => x.cast("string")))))
+            .otherwise(raise_error(concat(
+              lit(s"minhash spec mismatch: probe expects numHashes=$numHashes but stored " +
+                s"signature has "), size(col("__sig")).cast("string"), lit(" components"))))))
           .as(Seq("__band", "__key")))
-    val nb = banded(newSigs).select(col("__band"), col("__key"), col("__id").as("__idn"))
-    val ab = banded(newSigs).unionByName(banded(oldSigs))
+    // the banded new side feeds both the probe side and the new∪old side —
+    // cache it so the signature banding runs once, not twice
+    val nbd = banded(newSigs).cache()
+    val nb = nbd.select(col("__band"), col("__key"), col("__id").as("__idn"))
+    val ab = nbd.unionByName(banded(oldSigs))
       .select(col("__band"), col("__key"), col("__id").as("__ida"))
     val cand = nb.join(ab, Seq("__band", "__key"))
       .filter(col("__idn") =!= col("__ida"))

@@ -267,6 +267,30 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == Map((1L, 10L) -> 1.0), s"fast-signature probe: $got")
   }
 
+  test("incremental minhash rejects mixed signature specs and width mismatches loudly") {
+    import spark.implicits._
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val nu = Seq((10L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    // md5 snapshot probed with xxhash batch (and vice versa): array<string>
+    // vs array<bigint> — must fail AT CALL TIME, not silently string-coerce
+    val exc = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsIncremental(
+        Dedup.minhashSignatureTableFast(nu, "doc_id", "text", k = 2),
+        Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2), "doc_id")
+    }
+    assert(exc.getMessage.contains("signature spec mismatch"))
+    // same spec but a snapshot stored with numHashes=32 probed at the
+    // default 16: banding must raise at execution, not band a prefix and
+    // emit mis-scaled estimates
+    val old32 = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2, numHashes = 32)
+    val new16 = Dedup.minhashSignatureTable(nu, "doc_id", "text", k = 2, numHashes = 16)
+    val e2 = intercept[Exception] {
+      Dedup.minhashPairsIncremental(new16, old32, "doc_id", numHashes = 16).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("minhash spec mismatch"),
+      s"width mismatch must raise in-plan: ${e2.getMessage}")
+  }
+
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
