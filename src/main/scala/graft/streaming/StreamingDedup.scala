@@ -28,6 +28,41 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__graft_digest")
       .drop("__graft_digest")
 
+  /** Cross-batch incremental MinHash near-dup — the streaming face of the
+    * stored-signature snapshot shape ([[graft.ops.Dedup.minhashSignatureTable]]
+    * / [[graft.ops.Dedup.minhashPairsIncremental]], and the same foreachBatch
+    * fold as the streaming Bloom sketch): each micro-batch's signatures probe
+    * the signature table accumulated from all PRIOR batches (plus the batch
+    * itself, for new-new pairs). Old-old pairs never re-emit, and old TEXT is
+    * never re-read — only the ≤0.5 KB/doc signatures persist across batches,
+    * `localCheckpoint`-truncated so batch k's plan does not replay batches
+    * 1..k-1. A 100 TB deployment would swap the in-memory fold for a parquet
+    * signature table (write each batch's newSigs, read it back next batch) —
+    * the probe call is identical.
+    *
+    * `onPairs` receives each batch's (id_a, id_b, est_jaccard) frame and the
+    * epoch id; ids must be unique across the whole stream (the
+    * minhashPairsIncremental caller contract — crawl snapshots use disjoint
+    * id ranges). Caller starts the returned writer. */
+  def minhashIncremental(stream: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5)
+                        (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var sigs: Option[DataFrame] = None
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        batch, idCol, textCol, k, numHashes).localCheckpoint()
+      val old = sigs.getOrElse(newSigs.limit(0))
+      onPairs(graft.ops.Dedup.minhashPairsIncremental(newSigs, old, idCol,
+        numHashes = numHashes, bands = bands, threshold = threshold), epoch)
+      // previous checkpoint blocks are released by the ContextCleaner once
+      // this union supersedes them (same posture as connectedComponents)
+      sigs = Some(old.unionByName(newSigs).localCheckpoint())
+      ()
+    }
+  }
+
   case class BandDoc(bkey: String, id: Long, sig: String)
   case class BucketState(docs: List[(Long, String)])
   case class DupPair(id_a: Long, id_b: Long, hamming: Int)

@@ -108,6 +108,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(GeomOps.frechetDensify(c, d, 0.1) == 4.0)
   }
 
+  test("streaming incremental minhash: cross-batch pairs found, old-old suppressed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val perBatch = collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Long)])]
+    val q = StreamingDedup.minhashIncremental(stream, "doc_id", "text",
+        k = 2, threshold = 0.9) { (pairs, epoch) =>
+      perBatch += epoch -> pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      ()
+    }.start()
+    // batch 1: a new-new dup pair inside the batch
+    input.addData((1L, dup), (2L, dup), (3L, "completely different starter content"))
+    q.processAllAvailable()
+    // batch 2: one doc duplicating batch 1 (cross-batch), one novel
+    input.addData((10L, dup), (11L, "novel second batch content here"))
+    q.processAllAvailable()
+    // batch 3: another dup — finds ALL earlier copies, re-emits none of them
+    input.addData((20L, dup))
+    q.processAllAvailable(); q.stop()
+    val byEpoch = perBatch.toMap
+    assert(byEpoch(0L) == Set((1L, 2L)), s"batch 1 new-new: ${byEpoch(0L)}")
+    assert(byEpoch(1L) == Set((1L, 10L), (2L, 10L)),
+      s"batch 2 must pair with BOTH stored copies and never re-emit (1,2): ${byEpoch(1L)}")
+    assert(byEpoch(2L) == Set((1L, 20L), (2L, 20L), (10L, 20L)),
+      s"batch 3 must pair with all three stored copies only: ${byEpoch(2L)}")
+  }
+
   test("stateless pipeline ops (sample, redact, quality) run under Structured Streaming") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.TextFunctions
