@@ -1632,6 +1632,26 @@ object SparkEntry {
           numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
     }),
+    "q136_nearest_exclusive_grid" -> ((s, d) => {
+      // sjoin_nearest exclusive= + max_distance= through the DISTRIBUTED
+      // grid path (broadcastThreshold=-1 forces it) — ref sindex.py:373-479
+      // `exclusive`, sjoin.py:589-741 max_distance; both flags were
+      // spec-only on this path before. Closed-form fixture: anchors at the
+      // 25 nation-cell corners ({0,20,..,80}²). Points landing exactly ON
+      // an anchor (c_custkey % 200 == 0 — the 7x/13x deci-grid puts them
+      // there) must SKIP their own zero-distance anchor and 4-way-tie at
+      // distance 20 under the 25.0 cap (rank keeps all ties); the far
+      // corner of the domain sits > 25 from every anchor and must drop
+      // (inner). The oracle cross-joins all 25 anchors and replays the
+      // exclusive filter, cap and rank directly.
+      val anchors = cells(s, d).select(col("n_nationkey"),
+        st_point(col("x0"), col("y0")).as("geometry"))
+      graft.join.SJoinNearest.sjoinNearest(
+          pts(s, d).select(col("c_custkey"), col("geometry")), anchors,
+          how = "inner", maxDistance = Some(25.0), distanceCol = Some("dist"),
+          exclusive = true, broadcastThreshold = -1)
+        .select(col("c_custkey"), col("n_nationkey"), round(col("dist"), 4).as("dist"))
+    }),
   )
 
   /** Collect helper for building multipoints from an array of geometries. */
@@ -2614,7 +2634,25 @@ object SparkEntry {
            | est AS (SELECT id_a, id_b,
            |   CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
            |   FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
-           | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " ")
+           | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " "),
+      "q136_nearest_exclusive_grid" ->
+        // exclusive nearest under a distance cap, replayed exhaustively:
+        // all 25 anchors per point, drop the exact-location anchor
+        // (exclusive), cap at 25, rank() keeps equidistant ties. Distances
+        // here are sums of exact deci-grid squares, so sqrt vs the
+        // engine's Math.hypot agree bit-for-bit at the cap boundary
+        // (Pythagorean boundary pairs are integer-exact in both).
+        s"""WITH p AS (SELECT c_custkey, px, py FROM $pts),
+           | a AS (SELECT n_nationkey, CAST(n_nationkey % 5 * 20 AS DOUBLE) AS ax,
+           |   CAST(floor(n_nationkey / CAST(5 AS DOUBLE)) * 20 AS DOUBLE) AS ay FROM nation),
+           | c AS (SELECT c_custkey, n_nationkey,
+           |   sqrt((px - ax) * (px - ax) + (py - ay) * (py - ay)) AS d
+           |   FROM p CROSS JOIN a
+           |   WHERE NOT (px = ax AND py = ay)
+           |     AND sqrt((px - ax) * (px - ax) + (py - ay) * (py - ay)) <= CAST(25 AS DOUBLE)),
+           | r AS (SELECT c_custkey, n_nationkey, d,
+           |   rank() OVER (PARTITION BY c_custkey ORDER BY d) AS rk FROM c)
+           | SELECT c_custkey, n_nationkey, round(d, 4) AS dist FROM r WHERE rk = 1""".stripMargin.replace("\n", " ")
     )
   }
 
