@@ -129,6 +129,12 @@ object Bench {
       // otherwise accumulates every .cache()d subtree in storage memory,
       // and late queries pay eviction churn unrelated to their own plan
       spark.sharedState.cacheManager.clearCache()
+      // and nudge the collector (same as Scale.bench): BENCH_r11's q116
+      // reps grew monotonically 1.18→2.87→5.62 inside one measurement —
+      // GC/codegen-cache pressure accumulated from earlier queries, not
+      // load. Reclaiming between queries keeps the re-measure machinery
+      // for real host contention instead of self-inflicted heap churn.
+      System.gc()
       (times.toSeq, err)
     }
 
@@ -156,8 +162,12 @@ object Bench {
     val prev: Map[String, Double] = prevPath.map(parsePrev).getOrElse(Map.empty)
 
     val suspects: Seq[(String, String)] = firstPass.flatMap {
-      case (name, times, None) => triggerReason(times, prev.get(name)).map(name -> _)
-      case _                   => None
+      // a driver-tail artifact holds SHORT 2-decimal keys ("q03"), our own
+      // bench_full.json holds full names — look up both
+      case (name, times, None) =>
+        val prevMed = prev.get(name).orElse(prev.get(name.takeWhile(_ != '_')))
+        triggerReason(times, prevMed).map(name -> _)
+      case _ => None
     }
     val second: Map[String, Seq[Double]] = suspects.map { case (name, _) =>
       val (times, err) = measure(selected(name))
@@ -175,7 +185,17 @@ object Bench {
         (name, out, times, t2)
       }
 
+    // stdout carries SHORT query keys ("q03") at 2-decimal precision so the
+    // whole line stays inside the driver's ~2k-char tail window (BENCH_r11's
+    // 4.2 KB line was cut mid-map every round → "parsed": null); the
+    // full-name, ms-precision map goes to bench_full.json as queries_full
+    def short(k: String): String = k.takeWhile(_ != '_')
+    def fmt2(v: Double): String = (math.rint(v * 100) / 100).toString
     val qs = results.map {
+      case (k, Right(v), _, _) => "\"" + short(k) + "\":" + fmt2(v)
+      case (k, Left(e), _, _)  => "\"" + short(k) + "\":\"" + e.takeWhile(_ != '"') + "\""
+    }.mkString("{", ",", "}")
+    val qsFull = results.map {
       case (k, Right(v), _, _) => "\"" + k + "\":" + fmt3(v)
       case (k, Left(e), _, _)  => "\"" + k + "\":\"" + e.takeWhile(_ != '"') + "\""
     }.mkString("{", ",", "}")
@@ -188,9 +208,9 @@ object Bench {
     }
     val total = results.collect { case (_, Right(v), _, _) => v }.sum
     val nErr = results.count(_._2.isLeft)
-    // both medians + which pass won go in the stdout line itself (round-8
-    // advice: a min-pick hidden in the sibling file can't be audited from
-    // the driver's truncated tail alone)
+    // both medians + which pass won are auditable in bench_full.json; the
+    // stdout line carries the remeasure COUNT (the full record blew the
+    // driver's tail budget — round-11 nit)
     val firstMed = firstPass.map { case (n, t, _) => n -> median(t) }.toMap
     val remeasured = suspects.map { case (name, reason) =>
       val m1 = firstMed(name)
@@ -200,10 +220,11 @@ object Bench {
       "{\"q\":\"" + name + "\",\"reason\":\"" + reason + "\",\"med1\":" + fmt3(m1) +
         ",\"med2\":" + m2s + ",\"won\":\"" + won + "\"}"
     }.mkString("[", ",", "]")
-    // stdout contract: ONE JSON line. The driver keeps only a ~2k-char TAIL
-    // of the log, so the per-query map goes LAST (tail keeps the end), values
-    // are ms-rounded to shrink the line, and the untruncated full-precision
-    // record — incl. per-rep times — goes to bench_full.json (committed).
+    // stdout contract: ONE JSON line, the LAST thing printed, small enough
+    // (~1.8 KB at 135 queries) that the driver's ~2k-char tail holds the
+    // WHOLE line — every earlier round's 4 KB line was cut mid-map and
+    // recorded as "parsed": null. Full precision, full names, per-rep
+    // times and the remeasure audit live in bench_full.json (committed).
     val json = "{\"metric\":\"total\",\"value\":" + fmt3(total) +
       ",\"unit\":\"sec\",\"errors\":" + nErr + ",\"reps\":" + reps +
       // action=full_plan since round 11: every query executes its complete
@@ -212,9 +233,8 @@ object Bench {
       // per-query numbers are NOT comparable across that boundary
       ",\"stat\":\"median\",\"action\":\"full_plan\",\"sf\":\"" + sfDir + "\"" +
       ",\"loadavg_before\":\"" + loadBefore + "\",\"loadavg_after\":\"" + loadAfter + "\"" +
-      ",\"remeasured\":" + remeasured +
+      ",\"remeasured\":" + suspects.length +
       ",\"index_build\":" + builds + ",\"queries\":" + qs + "}"
-    println(json)
     // full-precision sibling with per-rep evidence: reps1 = main pass,
     // reps2 = the fresh contention re-measurement (only for suspects)
     val detail = results.map { case (name, _, t1, t2) =>
@@ -223,12 +243,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson = json.dropRight(1) +
       ",\"prev_bench\":\"" + prevPath.map(_.toString).getOrElse("") + "\"" +
+      ",\"remeasured_detail\":" + remeasured +
+      ",\"queries_full\":" + qsFull +
       ",\"rep_times\":" + detail + "}"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
+    // print LAST, after every Spark shutdown message, so the driver's tail
+    // capture ends with the complete line
+    println(json)
     // NOTE: do NOT exit nonzero on per-query errors — the driver treats a
     // nonzero runner as "no bench this round" and discards the JSON line
     // (round 10 lost its whole bench record to one erring query). The
