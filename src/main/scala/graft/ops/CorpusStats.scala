@@ -17,8 +17,9 @@ object CorpusStats {
   /** Per-(lang, source) corpus report with ROLLUP margins: every row
     * carries doc count, token count, character sum and the number of
     * DISTINCT texts (md5 content key — `n_docs - n_distinct` is the exact
-    * duplicate overhang). Grouped-out rollup levels surface as
-    * '(all)' so the margins are self-describing.
+    * duplicate overhang). Grouped-out rollup levels surface as '(all)'
+    * via `grouping()` — margin rows are self-describing even when the
+    * group columns contain genuine NULL values (which stay NULL).
     *
     * One shuffle computes all three grouping levels (Spark expands the
     * rollup before the exchange and partial-aggregates each level
@@ -31,13 +32,18 @@ object CorpusStats {
         col(textCol).as("__text"))
       .rollup(col("__lang"), col("__source"))
       .agg(
+        // grouping() = 1 exactly on rollup-margin rows: a genuine NULL
+        // lang/source VALUE keeps its NULL (distinguishable from the
+        // '(all)' margins), where the previous coalesce conflated the two
+        grouping(col("__lang")).as("__gl"),
+        grouping(col("__source")).as("__gs"),
         count(lit(1)).cast("long").as("n_docs"),
         sum(TextFunctions.tokenCount(col("__text"))).cast("long").as("n_tokens"),
         sum(length(col("__text"))).cast("long").as("n_chars"),
         countDistinct(md5(col("__text"))).cast("long").as("n_distinct"))
       .select(
-        coalesce(col("__lang"), lit("(all)")).as("lang"),
-        coalesce(col("__source"), lit("(all)")).as("source"),
+        when(col("__gl") === 1, lit("(all)")).otherwise(col("__lang")).as("lang"),
+        when(col("__gs") === 1, lit("(all)")).otherwise(col("__source")).as("source"),
         col("n_docs"), col("n_tokens"), col("n_chars"), col("n_distinct"))
 
   /** Snapshot diff between two corpus versions — the first report an

@@ -248,7 +248,12 @@ object Multimodal {
     while (a < k) {
       var b2 = 0
       while (b2 < k) {
-        if (coef(a)(b2) > mean) bits |= (1L << (63 - idx))
+        // DC (0,0) is excluded from the mean AND from the signature (bit 0
+        // is a fixed 0, the classic pHash construction): DC ~ the image's
+        // total luminance always exceeds the AC mean, so emitting it would
+        // spend a signature bit on a constant — 63 discriminating AC bits
+        // are what the hamming comparisons actually see either way
+        if ((a != 0 || b2 != 0) && coef(a)(b2) > mean) bits |= (1L << (63 - idx))
         idx += 1
         b2 += 1
       }

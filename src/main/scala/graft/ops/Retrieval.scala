@@ -29,8 +29,11 @@ import graft.functions.TextFunctions
 object Retrieval {
 
   /** BM25 score of every document of `docs` against the bag-of-words query
-    * `queryTerms`. Output: one row per input document, (idCol, bm25) —
-    * documents matching no query term score 0.0.
+    * `queryTerms`. Output: one row per DISTINCT document id, (idCol, bm25)
+    * — documents matching no query term score 0.0. Ids are expected unique
+    * (one document per id); if duplicates arrive anyway, their term
+    * frequencies merge into one id-level score (the per-id groupBy) and
+    * exactly one output row is emitted per id — never duplicated rows.
     *
     * @param k1 term-frequency saturation (BM25 default 1.2)
     * @param b  length normalization (BM25 default 0.75)
@@ -66,7 +69,9 @@ object Retrieval {
         col("__idf") * col("__tf") * lit(k1 + 1.0) /
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / (col("__sumdl") / col("__n")))))
       .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    // distinct mirrors the oracle's SELECT DISTINCT doc_id: a duplicated id
+    // would otherwise fan the left join out into duplicate score rows
+    docs.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
 
