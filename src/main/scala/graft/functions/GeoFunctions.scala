@@ -162,7 +162,7 @@ object GeoFunctions extends Serializable {
   def st_covers(a: Column, b: Column): Column = stCoversU(a, b)
   def st_covered_by(a: Column, b: Column): Column = stCoveredByU(a, b)
   def st_crosses(a: Column, b: Column): Column = stCrossesU(a, b)
-  def st_disjoint(a: Column, b: Column): Column = stDisjointU(a, b)
+  def st_disjoint(a: Column, b: Column): Column = exprCol(gexpr.StDisjoint(colExpr(a), colExpr(b)))
   def st_overlaps(a: Column, b: Column): Column = stOverlapsU(a, b)
   def st_touches(a: Column, b: Column): Column = stTouchesU(a, b)
   def st_equals(a: Column, b: Column): Column = stEqualsU(a, b)

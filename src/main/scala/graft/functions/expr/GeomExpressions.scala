@@ -45,6 +45,56 @@ object GeomKernel {
       else (maxx - minx) * (maxy - miny)
     } else GeomOps.makeBox(xa, ya, xb, yb).getArea
 
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = !Wkb.read(a).intersects(Wkb.read(b))
+
+  @inline private def allFinite(a: Double, b: Double, c: Double, d: Double,
+                                e: Double, f: Double, g: Double, h: Double): Boolean =
+    java.lang.Double.isFinite(a + b + c + d + e + f + g + h)
+
+  /** `st_intersects(st_makebox(A), st_makebox(B))` fused to interval
+    * arithmetic. Every `makeBox` geometry — full rectangle, axis-parallel
+    * segment (one degenerate axis), or point (both degenerate) — equals its
+    * CLOSED envelope as a point set, so two of them intersect iff their
+    * normalized intervals overlap on both axes (closed comparisons). The
+    * finite-path equivalence to JTS (envelope shortcut + RectangleIntersects)
+    * is pinned by an exhaustive 65k-case spec over every box topology;
+    * NaN/Inf corners fall back to the real JTS construction (no WKB). */
+  def boxIntersectsBox(ax: Double, ay: Double, axx: Double, ayy: Double,
+                       bx: Double, by: Double, bxx: Double, byy: Double): Boolean =
+    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)) {
+      val aminx = if (ax < axx) ax else axx; val amaxx = if (ax < axx) axx else ax
+      val aminy = if (ay < ayy) ay else ayy; val amaxy = if (ay < ayy) ayy else ay
+      val bminx = if (bx < bxx) bx else bxx; val bmaxx = if (bx < bxx) bxx else bx
+      val bminy = if (by < byy) by else byy; val bmaxy = if (by < byy) byy else by
+      aminx <= bmaxx && bminx <= amaxx && aminy <= bmaxy && bminy <= amaxy
+    } else GeomOps.makeBox(ax, ay, axx, ayy).intersects(GeomOps.makeBox(bx, by, bxx, byy))
+
+  /** `st_contains(st_makebox(A), st_makebox(B))` fused. Containment of
+    * closed boxes is the subset interval test, but JTS `contains` also
+    * demands an INTERIOR point in common — a B lying wholly in A's boundary
+    * (an edge segment, a corner point) is covered-but-not-contained. The
+    * interior test depends on A's topology: open-box for a full rectangle,
+    * open-segment for a degenerate axis, point-equality when A is a point.
+    * Exhaustively pinned against JTS like [[boxIntersectsBox]]. */
+  def boxContainsBox(ax: Double, ay: Double, axx: Double, ayy: Double,
+                     bx: Double, by: Double, bxx: Double, byy: Double): Boolean =
+    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)) {
+      val aminx = if (ax < axx) ax else axx; val amaxx = if (ax < axx) axx else ax
+      val aminy = if (ay < ayy) ay else ayy; val amaxy = if (ay < ayy) ayy else ay
+      val bminx = if (bx < bxx) bx else bxx; val bmaxx = if (bx < bxx) bxx else bx
+      val bminy = if (by < byy) by else byy; val bmaxy = if (by < byy) byy else by
+      val subset = bminx >= aminx && bmaxx <= amaxx && bminy >= aminy && bmaxy <= amaxy
+      if (!subset) false
+      else {
+        val degx = aminx == amaxx
+        val degy = aminy == amaxy
+        if (!degx && !degy) bmaxx > aminx && bminx < amaxx && bmaxy > aminy && bminy < amaxy
+        else if (degx && degy) bminx == bmaxx && bminy == bmaxy // point A: B must be that point
+        else if (degx) bmaxy > aminy && bminy < amaxy // vertical segment A (x pinned by subset)
+        else bmaxx > aminx && bminx < amaxx // horizontal segment A
+      }
+    } else GeomOps.makeBox(ax, ay, axx, ayy).contains(GeomOps.makeBox(bx, by, bxx, byy))
+
   /** `st_area(st_envelope(st_makebox(…)))`. For finite coordinates the
     * envelope of a box IS the box, so this equals [[boxArea]]; NaN inputs
     * diverge (JTS `Envelope.expandToInclude` silently DROPS NaN coordinates,
@@ -193,4 +243,69 @@ case class StEnvBoxArea(first: Expression, second: Expression,
       c.asInstanceOf[Double], d.asInstanceOf[Double])
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression) = copy(a, b, c, d)
+}
+
+/** 8 double coordinates (box A corners, box B corners) → boolean, null iff
+  * any input is null — exactly the null semantics of the fused
+  * makebox→predicate chain it replaces. Catalyst has no arity-8 convenience
+  * base, so eval/codegen are spelled out; the generated code stays a plain
+  * static call inside whole-stage codegen like the other kernels. */
+abstract class GeomOctonaryPredicate extends Expression {
+  def kernelName: String
+  def kernel(a: Double, b: Double, c: Double, d: Double,
+             e: Double, f: Double, g: Double, h: Double): Boolean
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = new Array[Double](8)
+    var i = 0
+    while (i < 8) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vs(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    kernel(vs(0), vs(1), vs(2), vs(3), vs(4), vs(5), vs(6), vs(7))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val anyNull = evals.map(e => s"${e.isNull}").mkString(" || ")
+    val args = evals.map(e => s"${e.value}").mkString(", ")
+    ev.copy(code = code"""
+      ${evals.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $anyNull;
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.expr.GeomKernel.$kernelName($args);
+      }""")
+  }
+}
+
+case class StBoxIntersectsBox(children: Seq[Expression]) extends GeomOctonaryPredicate {
+  require(children.length == 8, "StBoxIntersectsBox takes 8 coordinate expressions")
+  def kernelName = "boxIntersectsBox"
+  def kernel(a: Double, b: Double, c: Double, d: Double,
+             e: Double, f: Double, g: Double, h: Double): Boolean =
+    GeomKernel.boxIntersectsBox(a, b, c, d, e, f, g, h)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+case class StBoxContainsBox(children: Seq[Expression]) extends GeomOctonaryPredicate {
+  require(children.length == 8, "StBoxContainsBox takes 8 coordinate expressions")
+  def kernelName = "boxContainsBox"
+  def kernel(a: Double, b: Double, c: Double, d: Double,
+             e: Double, f: Double, g: Double, h: Double): Boolean =
+    GeomKernel.boxContainsBox(a, b, c, d, e, f, g, h)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+case class StDisjoint(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  def kernelName = "disjoint"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.disjoint(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.expr.{StArea, StBoxArea, StDWithin, StDistance, StEnvBoxArea, StEnvelope, StMakeBox, StPoint, StX, StY}
+import graft.functions.expr.{StArea, StBoxArea, StBoxContainsBox, StBoxIntersectsBox, StContains, StDWithin, StDisjoint, StDistance, StEnvBoxArea, StEnvelope, StIntersects, StMakeBox, StPoint, StWithin, StX, StY}
 
 /** Algebraic simplification of geometry expression trees — the Catalyst
   * rule that keeps CONSTRUCTED-point hot paths out of WKB entirely.
@@ -48,7 +48,8 @@ object GeomSimplify extends Rule[LogicalPlan] {
                    bx: Expression, by: Expression): Expression =
     Hypot(Subtract(ax, bx), Subtract(ay, by))
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  /** One fusion step on an already-inlined expression tree, or None. */
+  private val fuse: PartialFunction[Expression, Expression] = {
     // st_x(st_point(x, y)) = x, NULL also when y is NULL (the point would
     // have been NULL); if x itself is NULL the value branch is NULL anyway
     case StX(StPoint(x, y)) => If(IsNull(y), Literal(null, DoubleType), x)
@@ -65,5 +66,87 @@ object GeomSimplify extends Rule[LogicalPlan] {
     // area∘envelope∘makebox composition has a safe fused kernel.
     case StArea(StEnvelope(StMakeBox(x0, y0, x1, y1))) => StEnvBoxArea(x0, y0, x1, y1)
     case StArea(StMakeBox(x0, y0, x1, y1)) => StBoxArea(x0, y0, x1, y1)
+    // Constructed-box PREDICATES fuse to interval arithmetic (a constructed
+    // point is the degenerate box (x,y,x,y) — same kernels). Contains/within
+    // carry JTS's interior-point requirement through the degenerate-topology
+    // case analysis in GeomKernel.boxContainsBox, pinned exhaustively vs JTS.
+    case StIntersects(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
+      StBoxIntersectsBox(Seq(a, b, c, d, e, f, g, h))
+    case StIntersects(StMakeBox(a, b, c, d), StPoint(x, y)) =>
+      StBoxIntersectsBox(Seq(a, b, c, d, x, y, x, y))
+    case StIntersects(StPoint(x, y), StMakeBox(a, b, c, d)) =>
+      StBoxIntersectsBox(Seq(x, y, x, y, a, b, c, d))
+    case StDisjoint(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
+      Not(StBoxIntersectsBox(Seq(a, b, c, d, e, f, g, h)))
+    case StDisjoint(StMakeBox(a, b, c, d), StPoint(x, y)) =>
+      Not(StBoxIntersectsBox(Seq(a, b, c, d, x, y, x, y)))
+    case StDisjoint(StPoint(x, y), StMakeBox(a, b, c, d)) =>
+      Not(StBoxIntersectsBox(Seq(x, y, x, y, a, b, c, d)))
+    case StContains(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
+      StBoxContainsBox(Seq(a, b, c, d, e, f, g, h))
+    case StContains(StMakeBox(a, b, c, d), StPoint(x, y)) =>
+      StBoxContainsBox(Seq(a, b, c, d, x, y, x, y))
+    case StWithin(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
+      StBoxContainsBox(Seq(e, f, g, h, a, b, c, d)) // within(a,b) = contains(b,a)
+    case StWithin(StPoint(x, y), StMakeBox(a, b, c, d)) =>
+      StBoxContainsBox(Seq(a, b, c, d, x, y, x, y))
+  }
+
+  /** Cross-projection fusion. `CollapseProject` refuses to inline a
+    * constructed geometry that is referenced more than once (it would
+    * duplicate the construction), so the common
+    * `withColumn("box", st_makebox(…)) … select(st_intersects(box, …))`
+    * shape never forms a single fusable tree — the q08 plan keeps two
+    * Projects and every predicate still round-trips WKB. This pass looks
+    * at adjacent Project pairs, substitutes the child's constructed-geometry
+    * aliases (StMakeBox / StPoint / StEnvelope chains) into the parent's
+    * geometry expressions, and keeps the substitution ONLY where a fusion
+    * pattern then fires — a reference that does not fuse keeps reading the
+    * child's column, so construction work is never duplicated. Aliases left
+    * dead by fusion are pruned from the child (extraOptimizations run after
+    * Catalyst's ColumnPruning, which would otherwise keep computing them);
+    * grandchild attributes the fused arithmetic now needs are passed
+    * through, with a safe bail-out if they are not available. */
+  private def fuseAcrossProjects(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ org.apache.spark.sql.catalyst.plans.logical.Project(list,
+        child @ org.apache.spark.sql.catalyst.plans.logical.Project(childList, grandchild)) =>
+      val geomDefs: Map[ExprId, Expression] = childList.collect {
+        case a @ Alias(g, _) if g.exists {
+          case _: StMakeBox | _: StPoint => true
+          case _ => false
+        } => a.exprId -> g
+      }.toMap
+      if (geomDefs.isEmpty) p
+      else {
+        var fusedAny = false
+        val newList = list.map { ne =>
+          ne.transformUp { case node =>
+            if (node.isInstanceOf[AttributeReference]) node
+            else {
+              val inlined = node.transform {
+                case ar: AttributeReference if geomDefs.contains(ar.exprId) => geomDefs(ar.exprId)
+              }
+              if (fuse.isDefinedAt(inlined)) { fusedAny = true; fuse(inlined) } else node
+            }
+          }.asInstanceOf[NamedExpression]
+        }
+        if (!fusedAny) p
+        else {
+          val needed = AttributeSet(newList.flatMap(_.references))
+          val keptChild = childList.filter(ne => needed.contains(ne.toAttribute))
+          val passThrough = (needed -- AttributeSet(keptChild.map(_.toAttribute))).toSeq
+          if (!AttributeSet(passThrough).subsetOf(grandchild.outputSet)) p // can't resolve — bail
+          else org.apache.spark.sql.catalyst.plans.logical.Project(newList,
+            org.apache.spark.sql.catalyst.plans.logical.Project(
+              keptChild ++ passThrough, grandchild))
+        }
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val sameTree = plan.transformAllExpressions {
+      case e if fuse.isDefinedAt(e) => fuse(e)
+    }
+    fuseAcrossProjects(sameTree)
   }
 }

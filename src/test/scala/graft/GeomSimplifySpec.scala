@@ -126,6 +126,65 @@ class GeomSimplifySpec extends AnyFunSuite {
       "a NULL in any corner must null the fused area, like the unfused chain")
   }
 
+  test("box predicate kernels match JTS on every 3-value box topology (6561 pairs, exhaustive)") {
+    // coords from {0,1,2} in raw (possibly inverted) order: full rectangles,
+    // vertical/horizontal segments, points, touching edges, shared corners,
+    // containment, boundary-only coverage — every topology class JTS's
+    // intersects/contains distinguish on axis-aligned boxes
+    val vals = Seq(0.0, 1.0, 2.0)
+    val boxes = for (a <- vals; b <- vals; c <- vals; d <- vals) yield (a, b, c, d)
+    var n = 0
+    for ((ax, ay, axx, ayy) <- boxes; (bx, by, bxx, byy) <- boxes) {
+      val ga = GeomKernel.makeBox(ax, ay, axx, ayy)
+      val gb = GeomKernel.makeBox(bx, by, bxx, byy)
+      val jtsInter = GeomKernel.intersects(ga, gb)
+      val jtsCont = GeomKernel.contains(ga, gb)
+      assert(GeomKernel.boxIntersectsBox(ax, ay, axx, ayy, bx, by, bxx, byy) == jtsInter,
+        s"intersects mismatch: A=($ax,$ay,$axx,$ayy) B=($bx,$by,$bxx,$byy)")
+      assert(GeomKernel.boxContainsBox(ax, ay, axx, ayy, bx, by, bxx, byy) == jtsCont,
+        s"contains mismatch: A=($ax,$ay,$axx,$ayy) B=($bx,$by,$bxx,$byy)")
+      n += 1
+    }
+    assert(n == 6561)
+    // non-finite corners route to the JTS fallback (same object, no WKB)
+    assert(GeomKernel.boxIntersectsBox(Double.NegativeInfinity, 0, 5, 1, 0, 0, 1, 1) ==
+      graft.geom.GeomOps.makeBox(Double.NegativeInfinity, 0, 5, 1)
+        .intersects(graft.geom.GeomOps.makeBox(0, 0, 1, 1)))
+  }
+
+  test("constructed-box predicates fuse to interval arithmetic with null semantics kept") {
+    installed()
+    val df = Seq(
+      (0.0, 0.0, 4.0, 4.0, 1.0, 1.0, 3.0, 3.0),   // B inside A
+      (0.0, 0.0, 4.0, 4.0, 4.0, 0.0, 8.0, 4.0),   // edge touch
+      (0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0),   // disjoint
+      (0.0, 0.0, 4.0, 4.0, 0.0, 1.0, 0.0, 2.0))   // B = segment on A's boundary
+      .toDF("ax", "ay", "axx", "ayy", "bx", "by", "bxx", "byy").repartition(2)
+    def boxA = st_makebox(col("ax"), col("ay"), col("axx"), col("ayy"))
+    def boxB = st_makebox(col("bx"), col("by"), col("bxx"), col("byy"))
+    val q = df.select(col("ax"), col("bx"),
+      st_intersects(boxA, boxB).as("i"), st_contains(boxA, boxB).as("c"),
+      st_within(boxB, boxA).as("w"), st_disjoint(boxA, boxB).as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("stmakebox"),
+      s"no WKB box construction may survive predicate fusion:\n$plan")
+    val rows = q.collect().map(r => (r.getDouble(0), r.getDouble(1)) ->
+      (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(rows((0.0, 1.0)) == ((true, true, true, false)))   // inside
+    assert(rows((0.0, 4.0)) == ((true, false, false, false))) // touch: intersects only
+    assert(rows((0.0, 2.0)) == ((false, false, false, true))) // disjoint
+    assert(rows((0.0, 0.0)) == ((true, false, false, false))) // boundary segment: covered, not contained
+    // null coordinate nulls the predicate (as the unfused chain does)
+    val withNull = Seq((Some(0.0), Some(0.0), Some(4.0), Some(4.0),
+        Option.empty[Double], Some(1.0), Some(3.0), Some(3.0)))
+      .toDF("ax", "ay", "axx", "ayy", "bx", "by", "bxx", "byy").repartition(2)
+    val nv = withNull.select(st_intersects(
+        st_makebox(col("ax"), col("ay"), col("axx"), col("ayy")),
+        st_makebox(col("bx"), col("by"), col("bxx"), col("byy"))).as("i"))
+      .collect()(0)
+    assert(nv.isNullAt(0), "null corner must null the fused predicate")
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")
