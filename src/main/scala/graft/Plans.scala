@@ -270,6 +270,27 @@ object Plans {
         .as("dist"))
     }
 
+    section("GeomSimplify rule: constructed-box predicates fuse across projections",
+      "withColumn(box_a, st_makebox)...select(st_intersects(box_a, box_b)) " +
+        "is the q08 shape CollapseProject refuses to inline (multi-referenced " +
+        "construction). The cross-projection fusion pass substitutes the " +
+        "constructed-box aliases into the predicates, fuses them to octonary " +
+        "interval kernels (exhaustively JTS-exact incl. boundary/degenerate " +
+        "topology), and prunes the dead box columns — the plan collapses to " +
+        "ONE Project of pure arithmetic over the scan, no WKB anywhere.") {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      l.withColumn("box_a", st_makebox((col("l_partkey") % 50).cast("double"),
+          (col("l_suppkey") % 50).cast("double"),
+          (col("l_partkey") % 50 + 1).cast("double"), (col("l_suppkey") % 50 + 2).cast("double")))
+        .withColumn("box_b", st_makebox((col("l_partkey") * 3 % 50).cast("double"),
+          (col("l_suppkey") * 5 % 50).cast("double"),
+          (col("l_partkey") * 3 % 50 + 2).cast("double"), (col("l_suppkey") * 5 % 50 + 1).cast("double")))
+        .select(col("l_orderkey"),
+          st_intersects(col("box_a"), col("box_b")).as("inter"),
+          st_contains(col("box_a"), col("box_b")).as("cont"),
+          st_disjoint(col("box_a"), col("box_b")).as("disj"))
+    }
+
     section("BM25 scoring (q123: literal term filter before any shuffle)",
       "The query's term set is an `In` filter applied in the exploded scan " +
         "projection — only (doc, matching-term) rows reach the tf shuffle; " +

@@ -1632,6 +1632,19 @@ object SparkEntry {
           numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
     }),
+    "q137_corpus_report_nulls" -> ((s, d) => {
+      // the round-11 advice finding, gated: rollup margins are labeled via
+      // grouping(), so a GENUINE NULL lang/source group value stays NULL —
+      // distinguishable from the '(all)' margin rows with its own counts.
+      // The fixture nulls lang on doc_id%7==0 and source on doc_id%11==0;
+      // the oracle replays GROUPING() labeling over the same ROLLUP.
+      val d2 = docs(s, d)
+        .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+        .withColumn("source", when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("source")))
+      graft.ops.CorpusStats.corpusReport(d2, "text", "lang", "source")
+    }),
     "q136_nearest_exclusive_grid" -> ((s, d) => {
       // sjoin_nearest exclusive= + max_distance= through the DISTRIBUTED
       // grid path (broadcastThreshold=-1 forces it) — ref sindex.py:373-479
@@ -2635,6 +2648,16 @@ object SparkEntry {
            |   CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
            |   FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
            | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " "),
+      "q137_corpus_report_nulls" ->
+        s"""WITH d AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           |   CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source, text FROM documents)
+           | SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+           | CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+           | CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+           | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           | CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+           | FROM d GROUP BY ROLLUP(lang, source)""".stripMargin.replace("\n", " "),
       "q136_nearest_exclusive_grid" ->
         // exclusive nearest under a distance cap, replayed exhaustively:
         // all 25 anchors per point, drop the exact-location anchor
