@@ -298,6 +298,40 @@ stays distributed.
         (graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id",
           threshold = 0.9).fullCount, 0L)
       }
+      bench("box predicates fused scan", mult) {
+        // constructed-box intersects/contains over the full lineitem scan,
+        // fused by GeomSimplify to interval kernels (PLANS.md dump) — the
+        // telemetry-bbox shape at 100 TB. Compare with the "wkb path" row:
+        // same predicates, boxes built via the UDF constructor the rule
+        // cannot see, so every row pays WKB write+parse+JTS.
+        val l = replicate(spark.read.parquet(s"$sf/lineitem.parquet"), mult, Seq("l_orderkey"))
+        val withBoxes = l
+          .withColumn("box_a", st_makebox((col("l_partkey") % 50).cast("double"),
+            (col("l_suppkey") % 50).cast("double"),
+            (col("l_partkey") % 50 + 2).cast("double"), (col("l_suppkey") % 50 + 3).cast("double")))
+          .withColumn("box_b", st_makebox((col("l_partkey") * 3 % 50).cast("double"),
+            (col("l_suppkey") * 5 % 50).cast("double"),
+            (col("l_partkey") * 3 % 50 + 1).cast("double"), (col("l_suppkey") * 5 % 50 + 4).cast("double")))
+        val r = withBoxes.select(
+          st_intersects(col("box_a"), col("box_b")).as("i"),
+          st_contains(col("box_a"), col("box_b")).as("c"))
+        (r.filter(col("i") || col("c") || lit(true)).fullCount, 0L)
+      }
+      bench("box predicates wkb path", mult) {
+        val l = replicate(spark.read.parquet(s"$sf/lineitem.parquet"), mult, Seq("l_orderkey"))
+        val mk = graft.functions.GeoFunctions.stMakeBoxU
+        val withBoxes = l
+          .withColumn("box_a", mk((col("l_partkey") % 50).cast("double"),
+            (col("l_suppkey") % 50).cast("double"),
+            (col("l_partkey") % 50 + 2).cast("double"), (col("l_suppkey") % 50 + 3).cast("double")))
+          .withColumn("box_b", mk((col("l_partkey") * 3 % 50).cast("double"),
+            (col("l_suppkey") * 5 % 50).cast("double"),
+            (col("l_partkey") * 3 % 50 + 1).cast("double"), (col("l_suppkey") * 5 % 50 + 4).cast("double")))
+        val r = withBoxes.select(
+          st_intersects(col("box_a"), col("box_b")).as("i"),
+          st_contains(col("box_a"), col("box_b")).as("c"))
+        (r.filter(col("i") || col("c") || lit(true)).fullCount, 0L)
+      }
       bench("knn graph selective banding", mult) {
         // the adaptive knnJoin defaults (20-bit band keys, tables solved
         // from the 0.9/0.9 threshold/recall target): replication clones
