@@ -1632,6 +1632,25 @@ object SparkEntry {
           numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
     }),
+    "q138_aligned_distance" -> ((s, d) => {
+      // the reference's index-aligned cross-frame binary op
+      // (base.py:27-71 align=True) in its explicit-key Spark spelling
+      // (GeoDataFrame.alignedDistance): left = customer points, right = a
+      // second frame keyed by c_custkey with an 11x/17x-derived point, only
+      // keys with c_custkey % 3 == 0 present — missing partners must yield
+      // NULL distance (pandas NaN alignment), matched ones the point
+      // distance. Fuses to Hypot via GeomSimplify; round(.,4) is provably
+      // boundary-safe on the deci-grid (no sqrt(m)/10 sits within 6e-12 of
+      // a 4th-decimal half-boundary).
+      import graft.api.GeoDataFrame
+      val left = GeoDataFrame(pts(s, d).select(col("c_custkey"), col("geometry")))
+      val right = GeoDataFrame(pts(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          st_point((col("c_custkey") * 11 % 1000).cast("double") / 10.0,
+            (col("c_custkey") * 17 % 1000).cast("double") / 10.0).as("geometry")))
+      left.alignedDistance(right, Seq("c_custkey"))
+        .select(col("c_custkey"), round(col("distance"), 4).as("dist"))
+    }),
     "q137_corpus_report_nulls" -> ((s, d) => {
       // the round-11 advice finding, gated: rollup margins are labeled via
       // grouping(), so a GENUINE NULL lang/source group value stays NULL —
@@ -2648,6 +2667,15 @@ object SparkEntry {
            |   CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
            |   FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
            | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " "),
+      "q138_aligned_distance" ->
+        s"""SELECT c.c_custkey,
+           | CASE WHEN c.c_custkey % 3 = 0 THEN round(sqrt(
+           |   (px - CAST(c.c_custkey * 11 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE))
+           |     * (px - CAST(c.c_custkey * 11 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE))
+           |   + (py - CAST(c.c_custkey * 17 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE))
+           |     * (py - CAST(c.c_custkey * 17 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE))), 4)
+           | ELSE NULL END AS dist
+           | FROM $pts c""".stripMargin.replace("\n", " "),
       "q137_corpus_report_nulls" ->
         s"""WITH d AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
            |   CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source, text FROM documents)

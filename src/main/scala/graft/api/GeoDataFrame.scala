@@ -298,6 +298,45 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
   def clipByRect(xmin: Double, ymin: Double, xmax: Double, ymax: Double): GeoDataFrame =
     GeoDataFrame(Clip.clipByRect(df, xmin, ymin, xmax, ymax, geometryCol), geometryCol, crs)
 
+  // ---- cross-frame aligned binary ops (ref base.py:27-87) ------------------
+
+  /** Cross-frame element-wise binary op — the reference's index-aligned form
+    * (`_delegate_binary_method`, base.py:27-71) re-expressed with an EXPLICIT
+    * key, the Spark-native spelling of "align": rows pair by equality on
+    * `on`, the op applies to the two active geometries, and keys present on
+    * only one side behave like pandas' NaN-alignment (left rows with no
+    * partner get a NULL result; unmatched right rows are dropped — use an
+    * outer join directly for the symmetric form). Duplicate keys fan out
+    * pairwise, exactly as duplicate index labels do in pandas. CRS equality
+    * is enforced like every other cross-frame op (array.py:96-139).
+    *
+    * The equi-join broadcasts or shuffles on the key per Catalyst/AQE — at
+    * 100 TB this is a plain hash join, never a row-position zip (Spark rows
+    * are unordered; a positional align would need a global sort). */
+  def alignedBinary(other: GeoDataFrame, on: Seq[String],
+                    op: (Column, Column) => Column,
+                    resultName: String = "result"): DataFrame = {
+    require(on.nonEmpty, "alignedBinary needs at least one key column")
+    checkCrs(other)
+    val rhs = other.df.select((on.map(col) :+ other.geometry.as("__g_align")): _*)
+    df.join(rhs, on, "left")
+      .withColumn(resultName, op(geometry, col("__g_align")))
+      .drop("__g_align")
+  }
+
+  /** Key-aligned distance (ref geoseries distance(align=True)). */
+  def alignedDistance(other: GeoDataFrame, on: Seq[String]): DataFrame =
+    alignedBinary(other, on, st_distance(_, _), "distance")
+
+  /** Key-aligned intersects (ref binary predicate with align=True). */
+  def alignedIntersects(other: GeoDataFrame, on: Seq[String]): DataFrame =
+    alignedBinary(other, on, st_intersects(_, _), "intersects")
+
+  /** Key-aligned geometric intersection (ref binary geo op, align=True). */
+  def alignedIntersection(other: GeoDataFrame, on: Seq[String]): GeoDataFrame =
+    copy(df = alignedBinary(other, on, st_intersection(_, _), "__g_new")
+      .drop(geometryCol).withColumnRenamed("__g_new", geometryCol))
+
   private def checkCrs(other: GeoDataFrame): Unit = {
     (activeCrs, other.activeCrs) match {
       case (Some(a), Some(b)) =>

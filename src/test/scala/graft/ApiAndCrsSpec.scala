@@ -344,6 +344,30 @@ class GeoDataFrameSpec extends AnyFunSuite {
     val df = Seq((1, Wkb.write(Wkb.readWkt("LINESTRING (0 0, 1 1, 2 2)")))).toDF("id", "geometry")
     assert(GeoDataFrame(df).getCoordinates.count() == 3)
   }
+
+  test("aligned binary ops: key alignment, NaN-style nulls, dup-key fanout, CRS check") {
+    import spark.implicits._
+    def pt(x: Double, y: Double) = Wkb.write(GeomOps.point(x, y))
+    val left = GeoDataFrame(Seq((1L, pt(0, 0)), (2L, pt(10, 0)), (3L, pt(5, 5)))
+      .toDF("k", "geometry"))
+    val right = GeoDataFrame(Seq((1L, pt(3, 4)), (2L, pt(10, 2)), (2L, pt(10, 7)))
+      .toDF("k", "geometry"))
+    val d = left.alignedDistance(right, Seq("k"))
+      .select(col("k"), col("distance")).as[(Long, Option[Double])].collect().toSeq.sorted
+    // key 2 duplicated on the right -> pairwise fanout (pandas dup-label
+    // semantics); key 3 unmatched -> NULL (pandas NaN alignment)
+    assert(d == Seq((1L, Some(5.0)), (2L, Some(2.0)), (2L, Some(7.0)), (3L, None)))
+    val inter = left.alignedIntersects(right, Seq("k"))
+      .select(col("k"), col("intersects")).as[(Long, Option[Boolean])].collect().toSeq
+    assert(inter.contains((3L, None)) && inter.contains((1L, Some(false))))
+    // geometric variant keeps the frame geometry column
+    val g = left.alignedIntersection(right, Seq("k"))
+    assert(g.df.columns.contains("geometry") && g.df.count() == 4)
+    // CRS mismatch rejected like every cross-frame op
+    val wgs = left.setCrs("EPSG:4326")
+    val merc = right.setCrs("EPSG:3857")
+    intercept[IllegalArgumentException](wgs.alignedDistance(merc, Seq("k")))
+  }
 }
 
 class PipelineOpsSpec extends AnyFunSuite {
