@@ -51,6 +51,21 @@ object GeomKernel {
                                 e: Double, f: Double, g: Double, h: Double): Boolean =
     java.lang.Double.isFinite(a + b + c + d + e + f + g + h)
 
+  /** JTS 1.20's RelateNG engine (the path `within`, and degenerate-pair
+    * `intersects`, take — no rectangle fast path) loses robustness once
+    * coordinate PRODUCTS underflow: below ~sqrt(Double.MinValue) ≈ 1.5e-154
+    * its orientation arithmetic flushes to zero and `a.within(b)` stops
+    * agreeing with `b.contains(a)` — JTS disagreeing with itself (measured:
+    * 0 mismatches in 500k trials per decade down to 1e-150; thousands at
+    * 1e-160 and below). The interval kernels therefore take the arithmetic
+    * fast path only when every coordinate is 0 or ≥ 1e-150 in magnitude,
+    * and route tinier inputs to the REAL JTS call of the exact operation,
+    * preserving bit-parity with the unfused path at every scale. */
+  @inline private def tiny(x: Double): Boolean = x != 0.0 && math.abs(x) < 1e-150
+  @inline private def anyTiny(a: Double, b: Double, c: Double, d: Double,
+                              e: Double, f: Double, g: Double, h: Double): Boolean =
+    tiny(a) || tiny(b) || tiny(c) || tiny(d) || tiny(e) || tiny(f) || tiny(g) || tiny(h)
+
   /** `st_intersects(st_makebox(A), st_makebox(B))` fused to interval
     * arithmetic. Every `makeBox` geometry — full rectangle, axis-parallel
     * segment (one degenerate axis), or point (both degenerate) — equals its
@@ -61,7 +76,8 @@ object GeomKernel {
     * NaN/Inf corners fall back to the real JTS construction (no WKB). */
   def boxIntersectsBox(ax: Double, ay: Double, axx: Double, ayy: Double,
                        bx: Double, by: Double, bxx: Double, byy: Double): Boolean =
-    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)) {
+    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)
+        && !anyTiny(ax, ay, axx, ayy, bx, by, bxx, byy)) {
       val aminx = if (ax < axx) ax else axx; val amaxx = if (ax < axx) axx else ax
       val aminy = if (ay < ayy) ay else ayy; val amaxy = if (ay < ayy) ayy else ay
       val bminx = if (bx < bxx) bx else bxx; val bmaxx = if (bx < bxx) bxx else bx
@@ -78,7 +94,8 @@ object GeomKernel {
     * Exhaustively pinned against JTS like [[boxIntersectsBox]]. */
   def boxContainsBox(ax: Double, ay: Double, axx: Double, ayy: Double,
                      bx: Double, by: Double, bxx: Double, byy: Double): Boolean =
-    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)) {
+    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)
+        && !anyTiny(ax, ay, axx, ayy, bx, by, bxx, byy)) {
       val aminx = if (ax < axx) ax else axx; val amaxx = if (ax < axx) axx else ax
       val aminy = if (ay < ayy) ay else ayy; val amaxy = if (ay < ayy) ayy else ay
       val bminx = if (bx < bxx) bx else bxx; val bmaxx = if (bx < bxx) bxx else bx
@@ -94,6 +111,19 @@ object GeomKernel {
         else bmaxx > aminx && bminx < amaxx // horizontal segment A
       }
     } else GeomOps.makeBox(ax, ay, axx, ayy).contains(GeomOps.makeBox(bx, by, bxx, byy))
+
+  /** `st_within(st_makebox(A), st_makebox(B))`. Semantically the reversed
+    * [[boxContainsBox]], BUT the fallback calls JTS `within` itself: below
+    * the 1e-150 guard JTS 1.20's within (RelateNG, no rectangle shortcut)
+    * and contains (RectangleContains) genuinely disagree with each other,
+    * and fusion parity means matching what `a.within(b)` returns — not what
+    * it "should" return. */
+  def boxWithinBox(ax: Double, ay: Double, axx: Double, ayy: Double,
+                   bx: Double, by: Double, bxx: Double, byy: Double): Boolean =
+    if (allFinite(ax, ay, axx, ayy, bx, by, bxx, byy)
+        && !anyTiny(ax, ay, axx, ayy, bx, by, bxx, byy))
+      boxContainsBox(bx, by, bxx, byy, ax, ay, axx, ayy)
+    else GeomOps.makeBox(ax, ay, axx, ayy).within(GeomOps.makeBox(bx, by, bxx, byy))
 
   /** `st_area(st_envelope(st_makebox(…)))`. For finite coordinates the
     * envelope of a box IS the box, so this equals [[boxArea]]; NaN inputs
@@ -289,6 +319,16 @@ case class StBoxIntersectsBox(children: Seq[Expression]) extends GeomOctonaryPre
   def kernel(a: Double, b: Double, c: Double, d: Double,
              e: Double, f: Double, g: Double, h: Double): Boolean =
     GeomKernel.boxIntersectsBox(a, b, c, d, e, f, g, h)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+case class StBoxWithinBox(children: Seq[Expression]) extends GeomOctonaryPredicate {
+  require(children.length == 8, "StBoxWithinBox takes 8 coordinate expressions")
+  def kernelName = "boxWithinBox"
+  def kernel(a: Double, b: Double, c: Double, d: Double,
+             e: Double, f: Double, g: Double, h: Double): Boolean =
+    GeomKernel.boxWithinBox(a, b, c, d, e, f, g, h)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.expr.{StArea, StBoxArea, StBoxContainsBox, StBoxIntersectsBox, StContains, StDWithin, StDisjoint, StDistance, StEnvBoxArea, StEnvelope, StIntersects, StMakeBox, StPoint, StWithin, StX, StY}
+import graft.functions.expr.{StArea, StBoxArea, StBoxContainsBox, StBoxIntersectsBox, StBoxWithinBox, StContains, StDWithin, StDisjoint, StDistance, StEnvBoxArea, StEnvelope, StIntersects, StMakeBox, StPoint, StWithin, StX, StY}
 
 /** Algebraic simplification of geometry expression trees — the Catalyst
   * rule that keeps CONSTRUCTED-point hot paths out of WKB entirely.
@@ -86,10 +86,13 @@ object GeomSimplify extends Rule[LogicalPlan] {
       StBoxContainsBox(Seq(a, b, c, d, e, f, g, h))
     case StContains(StMakeBox(a, b, c, d), StPoint(x, y)) =>
       StBoxContainsBox(Seq(a, b, c, d, x, y, x, y))
+    // within keeps its OWN kernel (not reversed contains): below the tiny-
+    // coordinate guard JTS within and contains disagree with each other,
+    // and the fallback must call the actual operation (GeomKernel.boxWithinBox)
     case StWithin(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
-      StBoxContainsBox(Seq(e, f, g, h, a, b, c, d)) // within(a,b) = contains(b,a)
+      StBoxWithinBox(Seq(a, b, c, d, e, f, g, h))
     case StWithin(StPoint(x, y), StMakeBox(a, b, c, d)) =>
-      StBoxContainsBox(Seq(a, b, c, d, x, y, x, y))
+      StBoxWithinBox(Seq(x, y, x, y, a, b, c, d))
   }
 
   /** Cross-projection fusion. `CollapseProject` refuses to inline a
@@ -107,40 +110,80 @@ object GeomSimplify extends Rule[LogicalPlan] {
     * Catalyst's ColumnPruning, which would otherwise keep computing them);
     * grandchild attributes the fused arithmetic now needs are passed
     * through, with a safe bail-out if they are not available. */
-  private def fuseAcrossProjects(plan: LogicalPlan): LogicalPlan = plan transform {
-    case p @ org.apache.spark.sql.catalyst.plans.logical.Project(list,
-        child @ org.apache.spark.sql.catalyst.plans.logical.Project(childList, grandchild)) =>
-      val geomDefs: Map[ExprId, Expression] = childList.collect {
-        case a @ Alias(g, _) if g.exists {
-          case _: StMakeBox | _: StPoint => true
-          case _ => false
-        } => a.exprId -> g
-      }.toMap
-      if (geomDefs.isEmpty) p
+  private def constructedDefs(childList: Seq[NamedExpression]): Map[ExprId, Expression] =
+    childList.collect {
+      case a @ Alias(g, _) if g.exists {
+        case _: StMakeBox | _: StPoint => true
+        case _ => false
+      } => a.exprId -> g
+    }.toMap
+
+  /** Substitute constructed-geometry aliases into `e` wherever the result
+    * fuses; returns the rewritten expression and whether anything fused. */
+  private def fuseWithDefs(e: Expression, defs: Map[ExprId, Expression]): (Expression, Boolean) = {
+    var fusedAny = false
+    val out = e.transformUp { case node =>
+      if (node.isInstanceOf[AttributeReference]) node
       else {
-        var fusedAny = false
-        val newList = list.map { ne =>
-          ne.transformUp { case node =>
-            if (node.isInstanceOf[AttributeReference]) node
-            else {
-              val inlined = node.transform {
-                case ar: AttributeReference if geomDefs.contains(ar.exprId) => geomDefs(ar.exprId)
-              }
-              if (fuse.isDefinedAt(inlined)) { fusedAny = true; fuse(inlined) } else node
-            }
-          }.asInstanceOf[NamedExpression]
+        val inlined = node.transform {
+          case ar: AttributeReference if defs.contains(ar.exprId) => defs(ar.exprId)
         }
-        if (!fusedAny) p
-        else {
-          val needed = AttributeSet(newList.flatMap(_.references))
-          val keptChild = childList.filter(ne => needed.contains(ne.toAttribute))
-          val passThrough = (needed -- AttributeSet(keptChild.map(_.toAttribute))).toSeq
-          if (!AttributeSet(passThrough).subsetOf(grandchild.outputSet)) p // can't resolve — bail
-          else org.apache.spark.sql.catalyst.plans.logical.Project(newList,
-            org.apache.spark.sql.catalyst.plans.logical.Project(
-              keptChild ++ passThrough, grandchild))
-        }
+        if (fuse.isDefinedAt(inlined)) { fusedAny = true; fuse(inlined) } else node
       }
+    }
+    (out, fusedAny)
+  }
+
+  private def fuseAcrossProjects(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    plan transform {
+      // Project over Filter over Project — the filter shape
+      // (`withColumn(box).filter(st_intersects(box, …)).select(…)`): fuse in
+      // both the condition and the projection, then prune aliases the fusion
+      // left dead from the bottom Project (the Filter is transparent).
+      case p @ Project(list, Filter(cond, child @ Project(childList, grandchild))) =>
+        val defs = constructedDefs(childList)
+        if (defs.isEmpty) p
+        else {
+          val fusedList = list.map(ne => fuseWithDefs(ne, defs))
+          val (newCond, fc) = fuseWithDefs(cond, defs)
+          if (!fc && !fusedList.exists(_._2)) p
+          else {
+            val newList = fusedList.map(_._1.asInstanceOf[NamedExpression])
+            val needed = AttributeSet(newList.flatMap(_.references)) ++ newCond.references
+            val keptChild = childList.filter(ne => needed.contains(ne.toAttribute))
+            val passThrough = (needed -- AttributeSet(keptChild.map(_.toAttribute))).toSeq
+            if (!AttributeSet(passThrough).subsetOf(grandchild.outputSet)) p
+            else Project(newList, Filter(newCond, Project(keptChild ++ passThrough, grandchild)))
+          }
+        }
+      case p @ Project(list, child @ Project(childList, grandchild)) =>
+        val defs = constructedDefs(childList)
+        if (defs.isEmpty) p
+        else {
+          val fusedList = list.map(ne => fuseWithDefs(ne, defs))
+          if (!fusedList.exists(_._2)) p
+          else {
+            val newList = fusedList.map(_._1.asInstanceOf[NamedExpression])
+            val needed = AttributeSet(newList.flatMap(_.references))
+            val keptChild = childList.filter(ne => needed.contains(ne.toAttribute))
+            val passThrough = (needed -- AttributeSet(keptChild.map(_.toAttribute))).toSeq
+            if (!AttributeSet(passThrough).subsetOf(grandchild.outputSet)) p // can't resolve — bail
+            else Project(newList, Project(keptChild ++ passThrough, grandchild))
+          }
+        }
+      // bare Filter directly over the constructing Project (no Project above
+      // after earlier optimization): fuse the condition — the construction
+      // itself stays in the child for downstream consumers, so this saves
+      // the per-row predicate WKB parse + JTS, not the construction.
+      case f @ Filter(cond, child @ Project(childList, _)) =>
+        val defs = constructedDefs(childList)
+        if (defs.isEmpty) f
+        else {
+          val (newCond, fc) = fuseWithDefs(cond, defs)
+          if (!fc) f else Filter(newCond, child)
+        }
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -185,6 +185,82 @@ class GeomSimplifySpec extends AnyFunSuite {
     assert(nv.isNullAt(0), "null corner must null the fused predicate")
   }
 
+  test("predicate in a FILTER over constructed boxes fuses (and prunes when projected)") {
+    installed()
+    // parquet-backed source: a LocalRelation would let Catalyst push the
+    // deterministic filter through the repartition and constant-fold the
+    // whole plan away before the rule can be observed
+    val dir = java.nio.file.Files.createTempDirectory("gsfilter").toString
+    Seq((0.0, 0.0, 4.0, 4.0, 2.0, 2.0, 6.0, 6.0), (0.0, 0.0, 1.0, 1.0, 5.0, 5.0, 6.0, 6.0))
+      .toDF("ax", "ay", "axx", "ayy", "bx", "by", "bxx", "byy")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .withColumn("box_a", st_makebox(col("ax"), col("ay"), col("axx"), col("ayy")))
+      .withColumn("box_b", st_makebox(col("bx"), col("by"), col("bxx"), col("byy")))
+    val q = df.filter(st_intersects(col("box_a"), col("box_b"))).select(col("ax"), col("bx"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("stboxintersectsbox"),
+      s"filter condition over constructed boxes must fuse:\n$plan")
+    assert(!plan.toLowerCase.contains("stmakebox"),
+      s"projected-away boxes must be pruned after filter fusion:\n$plan")
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(0.0), "only the overlapping pair survives")
+  }
+
+  test("randomized differential: fused native paths == unfusable UDF paths") {
+    installed()
+    import graft.functions.GeoFunctions.{stMakeBoxU, stPointU, stIntersectsU, stContainsU,
+      stWithinU, stDisjointU, stAreaU, stEnvelopeU, stDistanceU}
+    val rng = new scala.util.Random(20260814)
+    def coord(): Double = rng.nextInt(5) match {
+      case 0 => rng.nextInt(9) - 4.0
+      case 1 => (rng.nextInt(81) - 40) / 10.0
+      case 2 => -0.0
+      case 3 => rng.nextDouble() * 1e-300 // subnormal territory
+      case _ => rng.nextDouble() * 100 - 50
+    }
+    val rows = Seq.fill(300)((coord(), coord(), coord(), coord(),
+      coord(), coord(), coord(), coord()))
+    val df = rows.toDF("ax", "ay", "axx", "ayy", "bx", "by", "bxx", "byy").repartition(3)
+      .withColumn("box_a", st_makebox(col("ax"), col("ay"), col("axx"), col("ayy")))
+      .withColumn("box_b", st_makebox(col("bx"), col("by"), col("bxx"), col("byy")))
+      .withColumn("pa", st_point(col("ax"), col("ay")))
+      .withColumn("pb", st_point(col("bx"), col("by")))
+      // UDF twins: the rule cannot see ScalaUDF, so these are the unfused truth
+      .withColumn("ubox_a", stMakeBoxU(col("ax"), col("ay"), col("axx"), col("ayy")))
+      .withColumn("ubox_b", stMakeBoxU(col("bx"), col("by"), col("bxx"), col("byy")))
+      .withColumn("upa", stPointU(col("ax"), col("ay")))
+      .withColumn("upb", stPointU(col("bx"), col("by")))
+    val q = df.select(col("ax"),
+      st_intersects(col("box_a"), col("box_b")).as("i"),
+      stIntersectsU(col("ubox_a"), col("ubox_b")).as("ui"),
+      st_contains(col("box_a"), col("box_b")).as("c"),
+      stContainsU(col("ubox_a"), col("ubox_b")).as("uc"),
+      st_within(col("box_a"), col("box_b")).as("w"),
+      stWithinU(col("ubox_a"), col("ubox_b")).as("uw"),
+      st_disjoint(col("box_a"), col("box_b")).as("dj"),
+      stDisjointU(col("ubox_a"), col("ubox_b")).as("udj"),
+      st_intersects(col("box_a"), col("pb")).as("ip"),
+      stIntersectsU(col("ubox_a"), col("upb")).as("uip"),
+      st_contains(col("box_a"), col("pb")).as("cp"),
+      stContainsU(col("ubox_a"), col("upb")).as("ucp"),
+      st_area(st_envelope(col("box_a"))).as("ar"),
+      stAreaU(stEnvelopeU(col("ubox_a"))).as("uar"),
+      st_distance(col("pa"), col("pb")).as("d"),
+      stDistanceU(col("upa"), col("upb")).as("ud"))
+    val plan = q.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("stboxintersectsbox") && plan.contains("stboxcontainsbox")
+      && plan.contains("hypot"), s"fusions must fire in the differential plan:\n$plan")
+    q.collect().foreach { r =>
+      for (off <- Seq(1, 3, 5, 7, 9, 11)) // boolean pairs
+        assert(r.getBoolean(off) == r.getBoolean(off + 1),
+          s"bool mismatch at col $off for ax=${r.getDouble(0)}: $r")
+      assert(java.lang.Double.compare(r.getDouble(13), r.getDouble(14)) == 0,
+        s"area mismatch: $r")
+      assert(java.lang.Double.compare(r.getDouble(15), r.getDouble(16)) == 0,
+        s"distance mismatch: $r")
+    }
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")
