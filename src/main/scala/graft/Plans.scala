@@ -291,6 +291,24 @@ object Plans {
           st_disjoint(col("box_a"), col("box_b")).as("disj"))
     }
 
+    section("Bucketed co-located join: corpus ⋈ side-table with ZERO Exchange",
+      "Per-document side tables (scores, labels, signature snapshots) join " +
+        "back to the corpus on doc_id constantly; storing both sides " +
+        "bucketed on that key (io.Bucketed: bucketBy+sortBy into the " +
+        "catalog) makes every such equi-join shuffle-free — SortMergeJoin " +
+        "with NO Exchange on either side, so a 100 TB corpus is never " +
+        "re-partitioned for a join it was already laid out for. The merge " +
+        "hint pins the at-scale strategy (tiny demo tables would broadcast).") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_bucketed").toString
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.io.Bucketed.write(d.select(col("doc_id"), col("lang"), col("source")),
+        "plans_b_docs", s"$tmp/docs", "doc_id", buckets = 8)
+      graft.io.Bucketed.write(d.select(col("doc_id"), length(col("text")).as("score")),
+        "plans_b_scores", s"$tmp/scores", "doc_id", buckets = 8)
+      graft.io.Bucketed.read(spark, "plans_b_docs").hint("merge")
+        .join(graft.io.Bucketed.read(spark, "plans_b_scores").hint("merge"), Seq("doc_id"))
+    }
+
     section("BM25 scoring (q123: literal term filter before any shuffle)",
       "The query's term set is an `In` filter applied in the exploded scan " +
         "projection — only (doc, matching-term) rows reach the tf shuffle; " +

@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table storage for CO-LOCATED joins — the third leg of the
+  * join strategy triad (broadcast small dims / shuffle + AQE / bucketed
+  * co-location) the engine leans on at 100 TB.
+  *
+  * A pipeline's per-document side tables (quality scores, language tags,
+  * near-dup cluster labels, MinHash signature snapshots) are joined back to
+  * the corpus on the SAME key over and over. Writing both sides bucketed by
+  * that key (`bucketBy` + `sortBy`, hash-partitioned into a fixed bucket
+  * count recorded in the catalog) makes every subsequent equi-join
+  * shuffle-free: Spark matches bucket specs and plans a SortMergeJoin with
+  * NO Exchange on either side — the 100 TB corpus is never re-partitioned
+  * for a join it was already laid out for. `BucketedJoinSpec` pins exactly
+  * that plan shape (zero Exchange operators, join present).
+  *
+  * Scale notes:
+  *  - pick `buckets` once per key domain (≈ total-cores × small multiple;
+  *    both sides must match for the exchange-free plan);
+  *  - `sortBy` on the key lets the merge join skip the per-task sort when
+  *    bucket files are single-file (spark.sql.sources.v1 bucketing reads
+  *    sorted buckets; with multiple files per bucket Spark inserts only a
+  *    local sort, never a shuffle);
+  *  - bucket pruning: equality filters on the bucket key scan 1/buckets of
+  *    the files.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed (and in-bucket sorted) table at `path`,
+    * registered as `table` in the session catalog. Overwrites. */
+  def write(df: DataFrame, table: String, path: String,
+            keyCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .option("path", path)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog —
+    * reading the parquet path directly would LOSE the bucket spec and
+    * reintroduce the shuffle). */
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
