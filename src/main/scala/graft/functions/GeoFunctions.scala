@@ -94,7 +94,7 @@ object GeoFunctions extends Serializable {
   def st_point_z(x: Column, y: Column, z: Column): Column = stPointZU(x, y, z)
   def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     exprCol(gexpr.StMakeBox(colExpr(xmin), colExpr(ymin), colExpr(xmax), colExpr(ymax)))
-  def st_makeline(a: Column, b: Column): Column = stMakeLineU(a, b)
+  def st_makeline(a: Column, b: Column): Column = exprCol(gexpr.StMakeLine(colExpr(a), colExpr(b)))
   def st_geomfromwkt(s: Column): Column = stGeomFromWktU(s)
   def st_geomfromwkb(b: Column): Column = stGeomFromWkbU(b)
   def st_geomfromwkt(s: Column, onInvalid: String): Column = stGeomFromWktModeU(s, lit(onInvalid))

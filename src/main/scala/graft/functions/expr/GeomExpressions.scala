@@ -23,6 +23,8 @@ object GeomKernel {
     Wkb.read(a).isWithinDistance(Wkb.read(b), d)
   def makeBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
     Wkb.write(GeomOps.makeBox(xmin, ymin, xmax, ymax))
+  def makeLine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Wkb.write(GeomOps.makeLine(Wkb.read(a), Wkb.read(b)))
   def envelope(b: Array[Byte]): Array[Byte] = Wkb.write(GeomOps.envelope(Wkb.read(b)))
 
   /** `st_area(st_makebox(…))` fused to arithmetic, bit-exact vs the JTS path.
@@ -221,6 +223,15 @@ case class StLength(child: Expression) extends GeomUnaryDouble {
   def kernelName = "length"
   override protected def nullSafeEval(b: Any): Any = GeomKernel.length(b.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+case class StMakeLine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.makeLine(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.expr.GeomKernel.makeLine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 case class StEnvelope(child: Expression) extends UnaryExpression {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.expr.{StArea, StBoxArea, StBoxContainsBox, StBoxIntersectsBox, StBoxWithinBox, StContains, StDWithin, StDisjoint, StDistance, StEnvBoxArea, StEnvelope, StIntersects, StMakeBox, StPoint, StWithin, StX, StY}
+import graft.functions.expr.{StArea, StBoxArea, StBoxContainsBox, StBoxIntersectsBox, StBoxWithinBox, StContains, StDWithin, StDisjoint, StDistance, StEnvBoxArea, StEnvelope, StIntersects, StLength, StMakeBox, StMakeLine, StPoint, StWithin, StX, StY}
 
 /** Algebraic simplification of geometry expression trees — the Catalyst
   * rule that keeps CONSTRUCTED-point hot paths out of WKB entirely.
@@ -55,6 +55,12 @@ object GeomSimplify extends Rule[LogicalPlan] {
     case StX(StPoint(x, y)) => If(IsNull(y), Literal(null, DoubleType), x)
     case StY(StPoint(x, y)) => If(IsNull(x), Literal(null, DoubleType), y)
     case StDistance(StPoint(ax, ay), StPoint(bx, by)) =>
+      dist(ax, ay, bx, by)
+    // 2-point segment length IS the endpoint distance, and JTS 1.20's
+    // Length.ofLine sums Math.hypot per segment (checked in bytecode) —
+    // the same Hypot the distance fusion emits, so this is unconditionally
+    // bit-exact, constructed-segment telemetry never touches WKB
+    case StLength(StMakeLine(StPoint(ax, ay), StPoint(bx, by))) =>
       dist(ax, ay, bx, by)
     case StDWithin(StPoint(ax, ay), StPoint(bx, by), d) =>
       LessThanOrEqual(dist(ax, ay, bx, by), d)

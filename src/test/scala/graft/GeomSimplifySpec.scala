@@ -261,6 +261,23 @@ class GeomSimplifySpec extends AnyFunSuite {
     }
   }
 
+  test("st_length of a constructed 2-point segment fuses to hypot, bit-exact") {
+    installed()
+    val df = Seq((0.0, 0.0, 3.0, 4.0), (1e-300, 0.0, 2e-300, 0.0),
+        (-7.125, 8.5, 2.375, -9.25), (5.0, 5.0, 5.0, 5.0))
+      .toDF("ax", "ay", "bx", "by").repartition(2)
+    val q = df.select(st_length(st_makeline(
+      st_point(col("ax"), col("ay")), st_point(col("bx"), col("by")))).as("len"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HYPOT") && !plan.toLowerCase.contains("stmakeline"),
+      s"segment length must fuse to arithmetic:\n$plan")
+    val got = q.as[Double].collect().toSeq.sorted
+    val exp = df.as[(Double, Double, Double, Double)].collect().map { case (ax, ay, bx, by) =>
+      GeomKernel.length(GeomKernel.makeLine(GeomKernel.point(ax, ay), GeomKernel.point(bx, by)))
+    }.toSeq.sorted
+    assert(got == exp, "fused length must be bit-exact vs the JTS kernel path")
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")
