@@ -560,6 +560,43 @@ object GeoFunctions extends Serializable {
     r.register("st_polygonize", stPolygonizeU)
     r.register("st_polygonize_full", stPolygonizeFullU)
     r.register("st_simplify_coverage", stSimplifyCoverageU)
+
+    // HOT-PATH NATIVE OVERRIDES — registered after (and shadowing) the UDF
+    // twins above, so SQL strings get the same codegen expressions the
+    // Column API builds, and therefore the same GeomSimplify fusions
+    // (constructed-point distance → Hypot, box predicates → interval
+    // kernels, …). Numeric arguments are cast to double because native
+    // expressions do no implicit coercion (a SQL integer literal would
+    // ClassCastException where the UDF path silently coerced); geometry
+    // arguments pass through raw, like the Column API.
+    {
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+      import org.apache.spark.sql.types.DoubleType
+      val fr = spark.sessionState.functionRegistry
+      def reg(name: String, arity: Int)(b: Seq[Expression] => Expression): Unit =
+        fr.registerFunction(FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.GeoFunctions", name),
+          { args: Seq[Expression] =>
+            require(args.length == arity, s"$name takes $arity arguments, got ${args.length}")
+            b(args)
+          })
+      def d(e: Expression): Expression = Cast(e, DoubleType)
+      reg("st_point", 2)(a => gexpr.StPoint(d(a(0)), d(a(1))))
+      reg("st_makebox", 4)(a => gexpr.StMakeBox(d(a(0)), d(a(1)), d(a(2)), d(a(3))))
+      reg("st_makeline", 2)(a => gexpr.StMakeLine(a(0), a(1)))
+      reg("st_envelope", 1)(a => gexpr.StEnvelope(a(0)))
+      reg("st_intersects", 2)(a => gexpr.StIntersects(a(0), a(1)))
+      reg("st_contains", 2)(a => gexpr.StContains(a(0), a(1)))
+      reg("st_within", 2)(a => gexpr.StWithin(a(0), a(1)))
+      reg("st_disjoint", 2)(a => gexpr.StDisjoint(a(0), a(1)))
+      reg("st_area", 1)(a => gexpr.StArea(a(0)))
+      reg("st_length", 1)(a => gexpr.StLength(a(0)))
+      reg("st_x", 1)(a => gexpr.StX(a(0)))
+      reg("st_y", 1)(a => gexpr.StY(a(0)))
+      reg("st_distance", 2)(a => gexpr.StDistance(a(0), a(1)))
+      reg("st_dwithin", 3)(a => gexpr.StDWithin(a(0), a(1), d(a(2))))
+    }
   }
 }
 

@@ -48,21 +48,68 @@ object GeomSimplify extends Rule[LogicalPlan] {
                    bx: Expression, by: Expression): Expression =
     Hypot(Subtract(ax, bx), Subtract(ay, by))
 
+  /** A box-family operand: an StMakeBox construction, an StPoint (the
+    * degenerate box), or a CONSTANT WKB literal that is provably
+    * box-equivalent — ConstantFolding runs before extraOptimizations, so
+    * `st_makebox(1, 1, 9, 9)` reaches this rule as a binary literal. A
+    * literal qualifies when its point set equals its closed envelope
+    * (equalsTopo against the canonical box — topological predicates depend
+    * only on point sets, so corner substitution is exact) and every corner
+    * is 0 or ≥1e-150 in magnitude (below that, equalsTopo itself runs on
+    * RelateNG's unreliable arithmetic — leave such literals unfused). */
+  private object BoxArgs {
+    def unapply(e: Expression): Option[Seq[Expression]] = e match {
+      case StMakeBox(a, b, c, d) => Some(Seq(a, b, c, d))
+      case StPoint(x, y) => Some(Seq(x, y, x, y))
+      case Literal(bytes: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
+        try {
+          val g = graft.geom.Wkb.read(bytes)
+          val env = g.getEnvelopeInternal
+          val cs = Seq(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+          if (cs.exists(v => !java.lang.Double.isFinite(v) ||
+              (v != 0.0 && math.abs(v) < 1e-150))) None
+          else if (g.equalsTopo(graft.geom.GeomOps.makeBox(
+              env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)))
+            Some(cs.map(v => Literal(v, DoubleType)))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
+  /** A point operand: an StPoint construction or a constant WKB Point
+    * literal (any coordinates — JTS point distance is Math.hypot for every
+    * input, so no magnitude guard is needed). */
+  private object PointArgs {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case StPoint(x, y) => Some((x, y))
+      case Literal(bytes: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
+        try {
+          graft.geom.Wkb.read(bytes) match {
+            case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
+              Some((Literal(p.getX, DoubleType), Literal(p.getY, DoubleType)))
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
   /** One fusion step on an already-inlined expression tree, or None. */
   private val fuse: PartialFunction[Expression, Expression] = {
     // st_x(st_point(x, y)) = x, NULL also when y is NULL (the point would
     // have been NULL); if x itself is NULL the value branch is NULL anyway
     case StX(StPoint(x, y)) => If(IsNull(y), Literal(null, DoubleType), x)
     case StY(StPoint(x, y)) => If(IsNull(x), Literal(null, DoubleType), y)
-    case StDistance(StPoint(ax, ay), StPoint(bx, by)) =>
+    case StDistance(PointArgs(ax, ay), PointArgs(bx, by)) =>
       dist(ax, ay, bx, by)
     // 2-point segment length IS the endpoint distance, and JTS 1.20's
     // Length.ofLine sums Math.hypot per segment (checked in bytecode) —
     // the same Hypot the distance fusion emits, so this is unconditionally
     // bit-exact, constructed-segment telemetry never touches WKB
-    case StLength(StMakeLine(StPoint(ax, ay), StPoint(bx, by))) =>
+    case StLength(StMakeLine(PointArgs(ax, ay), PointArgs(bx, by))) =>
       dist(ax, ay, bx, by)
-    case StDWithin(StPoint(ax, ay), StPoint(bx, by), d) =>
+    case StDWithin(PointArgs(ax, ay), PointArgs(bx, by), d) =>
       LessThanOrEqual(dist(ax, ay, bx, by), d)
     // Constructed-BOX areas fuse to arithmetic kernels (no WKB, no JTS objects
     // on the finite path — see GeomKernel.boxArea for the bit-exactness proof).
@@ -76,29 +123,17 @@ object GeomSimplify extends Rule[LogicalPlan] {
     // point is the degenerate box (x,y,x,y) — same kernels). Contains/within
     // carry JTS's interior-point requirement through the degenerate-topology
     // case analysis in GeomKernel.boxContainsBox, pinned exhaustively vs JTS.
-    case StIntersects(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
-      StBoxIntersectsBox(Seq(a, b, c, d, e, f, g, h))
-    case StIntersects(StMakeBox(a, b, c, d), StPoint(x, y)) =>
-      StBoxIntersectsBox(Seq(a, b, c, d, x, y, x, y))
-    case StIntersects(StPoint(x, y), StMakeBox(a, b, c, d)) =>
-      StBoxIntersectsBox(Seq(x, y, x, y, a, b, c, d))
-    case StDisjoint(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
-      Not(StBoxIntersectsBox(Seq(a, b, c, d, e, f, g, h)))
-    case StDisjoint(StMakeBox(a, b, c, d), StPoint(x, y)) =>
-      Not(StBoxIntersectsBox(Seq(a, b, c, d, x, y, x, y)))
-    case StDisjoint(StPoint(x, y), StMakeBox(a, b, c, d)) =>
-      Not(StBoxIntersectsBox(Seq(x, y, x, y, a, b, c, d)))
-    case StContains(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
-      StBoxContainsBox(Seq(a, b, c, d, e, f, g, h))
-    case StContains(StMakeBox(a, b, c, d), StPoint(x, y)) =>
-      StBoxContainsBox(Seq(a, b, c, d, x, y, x, y))
+    // BoxArgs covers StMakeBox, StPoint (degenerate box) and provably-box
+    // constant WKB literals — each side independently, so column-vs-constant
+    // scans (the `.cx`/clip shape) fuse too. At least one side must be a
+    // CONSTRUCTION or a literal: stored WKB columns never match BoxArgs.
+    case StIntersects(BoxArgs(a), BoxArgs(b)) => StBoxIntersectsBox(a ++ b)
+    case StDisjoint(BoxArgs(a), BoxArgs(b)) => Not(StBoxIntersectsBox(a ++ b))
+    case StContains(BoxArgs(a), BoxArgs(b)) => StBoxContainsBox(a ++ b)
     // within keeps its OWN kernel (not reversed contains): below the tiny-
     // coordinate guard JTS within and contains disagree with each other,
     // and the fallback must call the actual operation (GeomKernel.boxWithinBox)
-    case StWithin(StMakeBox(a, b, c, d), StMakeBox(e, f, g, h)) =>
-      StBoxWithinBox(Seq(a, b, c, d, e, f, g, h))
-    case StWithin(StPoint(x, y), StMakeBox(a, b, c, d)) =>
-      StBoxWithinBox(Seq(x, y, x, y, a, b, c, d))
+    case StWithin(BoxArgs(a), BoxArgs(b)) => StBoxWithinBox(a ++ b)
   }
 
   /** Cross-projection fusion. `CollapseProject` refuses to inline a

@@ -31,6 +31,37 @@ class SqlRegistrationSpec extends AnyFunSuite {
     assert(agg.getDouble(0) == 4.0)
   }
 
+  test("SQL strings get the native expressions and GeomSimplify fusions") {
+    GeoFunctions.registerAll(spark)
+    graft.plans.GeomSimplify.install(spark)
+    spark.range(5).createOrReplaceTempView("sqlfuse")
+    // integer arguments on purpose: the native builders must cast (a UDF
+    // would have coerced silently; the raw expression would ClassCastException)
+    val q = spark.sql(
+      """SELECT id,
+        |  st_length(st_makeline(st_point(CAST(id AS DOUBLE), 0.0D),
+        |                        st_point(0.0D, CAST(id AS DOUBLE)))) AS seg,
+        |  st_distance(st_point(id, 0), st_point(0, id)) AS dist,
+        |  st_intersects(st_makebox(0, 0, id, id), st_makebox(1, 1, 9, 9)) AS i,
+        |  st_area(st_envelope(st_makebox(0, 0, id, 2))) AS a
+        |FROM sqlfuse""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HYPOT"), s"SQL point distance/length must fuse:\n$plan")
+    assert(plan.toLowerCase.contains("stboxintersectsbox")
+      && plan.toLowerCase.contains("stenvboxarea"),
+      s"SQL box predicate and envelope-area must fuse:\n$plan")
+    assert(!plan.toLowerCase.contains("stmakebox") && !plan.toLowerCase.contains("stpoint"),
+      s"no WKB construction may survive in the SQL plan:\n$plan")
+    val rows = q.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getDouble(4))).toMap
+    for (i <- 0L until 5L) {
+      val h = math.hypot(i.toDouble, i.toDouble)
+      assert(rows(i)._1 == h && rows(i)._2 == h)
+      assert(rows(i)._3 == (i >= 1), s"id=$i intersects")
+      assert(rows(i)._4 == i * 2.0)
+    }
+  }
+
   test("round-3 SQL surface: coverage agg, M/identical/precision, grid overlays, EWKB") {
     GeoFunctions.registerAll(spark)
     GeoAggregates.registerAll(spark)
