@@ -224,6 +224,40 @@ object GeomSimplify extends Rule[LogicalPlan] {
           val (newCond, fc) = fuseWithDefs(cond, defs)
           if (!fc) f else Filter(newCond, child)
         }
+      // JOIN conditions over constructed geometries: a naive expression join
+      // (`a.join(b, st_dwithin(ga, gb, d))`) runs as a nested-loop join that
+      // evaluates the predicate per PAIR — at n×m pairs the WKB parse + JTS
+      // call dominates everything. Substituting the child Projects' aliases
+      // fuses the per-pair work to arithmetic; the constructions themselves
+      // still evaluate only per ROW in the children, so no pruning is needed
+      // (and the engine's SpatialJoin remains the right tool — this guards
+      // the naive spelling from being 10× worse than it has to be).
+      case j @ org.apache.spark.sql.catalyst.plans.logical.Join(
+          left, right, jt, Some(cond), hint) =>
+        val defs =
+          (left match { case Project(cl, _) => constructedDefs(cl); case _ => Map.empty[ExprId, Expression] }) ++
+          (right match { case Project(cl, _) => constructedDefs(cl); case _ => Map.empty[ExprId, Expression] })
+        if (defs.isEmpty) j
+        else {
+          val (newCond, fc) = fuseWithDefs(cond, defs)
+          if (!fc) j
+          else {
+            // the fused condition references raw coordinates that column
+            // pruning may have dropped from the child Projects — pass them
+            // through (ADDING attributes to a child is safe for every
+            // ancestor; removing is not, so dead geometry aliases stay)
+            val needed = newCond.references
+            def extend(side: LogicalPlan): LogicalPlan = side match {
+              case p @ Project(cl, g) =>
+                val missing = (needed -- p.outputSet).filter(g.outputSet.contains).toSeq
+                if (missing.isEmpty) p else Project(cl ++ missing, g)
+              case other => other
+            }
+            val (nl, nr) = (extend(left), extend(right))
+            if (!needed.subsetOf(nl.outputSet ++ nr.outputSet)) j // can't resolve — bail
+            else org.apache.spark.sql.catalyst.plans.logical.Join(nl, nr, jt, Some(newCond), hint)
+          }
+        }
     }
   }
 

@@ -278,6 +278,21 @@ class GeomSimplifySpec extends AnyFunSuite {
     assert(got == exp, "fused length must be bit-exact vs the JTS kernel path")
   }
 
+  test("naive expression-join conditions over constructed points fuse to arithmetic") {
+    installed()
+    val a = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0)).toDF("ia", "ax", "ay").repartition(2)
+      .withColumn("ga", st_point(col("ax"), col("ay")))
+    val b = Seq((10L, 0.0, 3.0), (20L, 50.0, 50.0)).toDF("ib", "bx", "by").repartition(2)
+      .withColumn("gb", st_point(col("bx"), col("by")))
+    val j = a.join(b, st_dwithin(col("ga"), col("gb"), lit(5.0)))
+      .select(col("ia"), col("ib"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("HYPOT") && !plan.toLowerCase.contains("stdwithin"),
+      s"the per-pair join predicate must fuse to arithmetic:\n$plan")
+    assert(j.as[(Long, Long)].collect().toSet == Set((1L, 10L)),
+      "only the pair within distance 5 joins")
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")
