@@ -291,6 +291,27 @@ object Plans {
           st_disjoint(col("box_a"), col("box_b")).as("disj"))
     }
 
+    section("GeomSimplify rule: naive expression-join predicate fuses per-pair arithmetic",
+      "a.join(b, st_dwithin(ga, gb, d)) evaluates its condition once per " +
+        "PAIR in a nested-loop join — the worst place to pay WKB parse + " +
+        "JTS. The rule substitutes the constructed points into the " +
+        "condition and fuses it to HYPOT <= d; the constructions still " +
+        "evaluate once per ROW in the children. (SpatialJoin remains the " +
+        "right tool — this guards the naive spelling.)") {
+      val c = spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"),
+          st_point((col("c_custkey") * 7 % 1000).cast("double") / 10.0,
+            (col("c_custkey") * 13 % 1000).cast("double") / 10.0).as("ga"))
+      val s = spark.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_suppkey") <= 50)
+        .select(col("s_suppkey"),
+          st_point((col("s_suppkey") * 17 % 1000).cast("double") / 10.0,
+            (col("s_suppkey") * 23 % 1000).cast("double") / 10.0).as("gb"))
+      c.join(s, st_dwithin(col("ga"), col("gb"), lit(1.5)))
+        .select(col("c_custkey"), col("s_suppkey"))
+    }
+
     section("Bucketed co-located join: corpus ⋈ side-table with ZERO Exchange",
       "Per-document side tables (scores, labels, signature snapshots) join " +
         "back to the corpus on doc_id constantly; storing both sides " +
