@@ -90,10 +90,18 @@ object GeoFunctions extends Serializable {
   // registration and as reference implementations
   import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression => colExpr}
   import graft.functions.{expr => gexpr}
-  def st_point(x: Column, y: Column): Column = exprCol(gexpr.StPoint(colExpr(x), colExpr(y)))
+  // coordinate args are Cast to Double like the SQL builders below: the
+  // native expressions have no implicit input casts (AbstractDataType is
+  // private[sql]), so an integer column/literal that the old ScalaUDF path
+  // silently coerced would CCE in the kernel — for foldable args already
+  // during ConstantFolding. SimplifyCasts removes the no-op double→double.
+  private def dcast(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(colExpr(c),
+      org.apache.spark.sql.types.DoubleType)
+  def st_point(x: Column, y: Column): Column = exprCol(gexpr.StPoint(dcast(x), dcast(y)))
   def st_point_z(x: Column, y: Column, z: Column): Column = stPointZU(x, y, z)
   def st_makebox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
-    exprCol(gexpr.StMakeBox(colExpr(xmin), colExpr(ymin), colExpr(xmax), colExpr(ymax)))
+    exprCol(gexpr.StMakeBox(dcast(xmin), dcast(ymin), dcast(xmax), dcast(ymax)))
   def st_makeline(a: Column, b: Column): Column = exprCol(gexpr.StMakeLine(colExpr(a), colExpr(b)))
   def st_geomfromwkt(s: Column): Column = stGeomFromWktU(s)
   def st_geomfromwkb(b: Column): Column = stGeomFromWkbU(b)

@@ -205,8 +205,15 @@ object Dedup {
                 s"signature has "), size(col("__sig")).cast("string"), lit(" components"))))))
           .as(Seq("__band", "__key")))
     // the banded new side feeds both the probe side and the new∪old side —
-    // cache it so the signature banding runs once, not twice
-    val nbd = banded(newSigs).cache()
+    // materialize it so the signature banding runs once, not twice.
+    // localCheckpoint (eager), NOT .cache(): a cache entry is held by the
+    // session's CacheManager forever, so a foreachBatch caller
+    // (StreamingDedup.minhashIncremental) would accumulate one cached
+    // banding per micro-batch for the stream's lifetime. Checkpoint blocks
+    // are instead released by the ContextCleaner as soon as the batch's
+    // DataFrames are dropped — the same posture the streaming caller uses
+    // for its signature fold.
+    val nbd = banded(newSigs).localCheckpoint()
     val nb = nbd.select(col("__band"), col("__key"), col("__id").as("__idn"))
     val ab = nbd.unionByName(banded(oldSigs))
       .select(col("__band"), col("__key"), col("__id").as("__ida"))

@@ -60,7 +60,12 @@ object GeomSimplify extends Rule[LogicalPlan] {
   private object BoxArgs {
     def unapply(e: Expression): Option[Seq[Expression]] = e match {
       case StMakeBox(a, b, c, d) => Some(Seq(a, b, c, d))
-      case StPoint(x, y) => Some(Seq(x, y, x, y))
+      // the degenerate-box expansion DUPLICATES x and y inside one kernel —
+      // a nondeterministic coordinate (st_point(rand(), 0)) would give a
+      // single "point" inconsistent corners, so only deterministic
+      // coordinates qualify (same reason CollapseProject guards inlining)
+      case StPoint(x, y) if x.deterministic && y.deterministic =>
+        Some(Seq(x, y, x, y))
       case Literal(bytes: Array[Byte], org.apache.spark.sql.types.BinaryType) =>
         try {
           val g = graft.geom.Wkb.read(bytes)
@@ -153,7 +158,14 @@ object GeomSimplify extends Rule[LogicalPlan] {
     * through, with a safe bail-out if they are not available. */
   private def constructedDefs(childList: Seq[NamedExpression]): Map[ExprId, Expression] =
     childList.collect {
-      case a @ Alias(g, _) if g.exists {
+      // deterministic only: substitution re-evaluates the construction at
+      // each fused site (filter condition, join condition, every parent
+      // projection that fuses) — a nondeterministic construction
+      // (st_point(rand()*10, 0)) would take DIFFERENT values per site, so
+      // a filter could pass a row whose projected geometry disagrees with
+      // the value the predicate tested. Predicate pushdown and
+      // CollapseProject guard on deterministic for exactly this reason.
+      case a @ Alias(g, _) if g.deterministic && g.exists {
         case _: StMakeBox | _: StPoint => true
         case _ => false
       } => a.exprId -> g
@@ -222,7 +234,14 @@ object GeomSimplify extends Rule[LogicalPlan] {
         if (defs.isEmpty) f
         else {
           val (newCond, fc) = fuseWithDefs(cond, defs)
-          if (!fc) f else Filter(newCond, child)
+          // the fused condition references the construction's RAW coordinate
+          // columns — if the child Project does not pass them through (e.g. a
+          // nondeterministic sibling column blocked predicate pushdown, so
+          // this Filter sits over a Project that dropped the coordinates),
+          // the rewrite would produce an unresolvable plan. Bail out, same
+          // guard as the Project/Filter/Project case above.
+          if (!fc || !newCond.references.subsetOf(child.outputSet)) f
+          else Filter(newCond, child)
         }
       // JOIN conditions over constructed geometries: a naive expression join
       // (`a.join(b, st_dwithin(ga, gb, d))`) runs as a nested-loop join that
@@ -255,7 +274,18 @@ object GeomSimplify extends Rule[LogicalPlan] {
             }
             val (nl, nr) = (extend(left), extend(right))
             if (!needed.subsetOf(nl.outputSet ++ nr.outputSet)) j // can't resolve — bail
-            else org.apache.spark.sql.catalyst.plans.logical.Join(nl, nr, jt, Some(newCond), hint)
+            else {
+              val newJoin =
+                org.apache.spark.sql.catalyst.plans.logical.Join(nl, nr, jt, Some(newCond), hint)
+              // extend() may have widened a child's output; if this Join is
+              // the plan ROOT (collected directly) the row encoder binds by
+              // ordinal against the ANALYZED schema, so extra columns would
+              // shift the right side's values. Restore the node's original
+              // output with a Project, as Catalyst rules that introduce
+              // auxiliary attributes do.
+              if (newJoin.output == j.output) newJoin
+              else org.apache.spark.sql.catalyst.plans.logical.Project(j.output, newJoin)
+            }
           }
         }
     }

@@ -293,6 +293,79 @@ class GeomSimplifySpec extends AnyFunSuite {
       "only the pair within distance 5 joins")
   }
 
+  test("nondeterministic constructions are never substituted across projections") {
+    installed()
+    // st_point(rand()*10, 0) re-evaluated at each fused site would let a
+    // filter pass a row whose projected point disagrees with the tested
+    // value — the rule must leave the construction alone (and the plan valid)
+    val dir = java.nio.file.Files.createTempDirectory("gsnondet").toString
+    Seq(1.0, 2.0, 3.0).toDF("x").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .withColumn("p", st_point(rand(42) * 10, lit(0.0)))
+    val q = df.filter(st_intersects(col("p"), st_makebox(lit(-1.0), lit(-1.0),
+      lit(11.0), lit(1.0)))).select(col("x"), col("p"))
+    val plan = q.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("stpoint"),
+      s"nondeterministic construction must not be substituted/fused:\n$plan")
+    assert(q.collect().length == 3) // every point lands in the box; plan must bind
+  }
+
+  test("bare filter fusion bails when the child project drops the raw coordinates") {
+    installed()
+    // a nondeterministic SIBLING column blocks Catalyst's predicate pushdown,
+    // so the Filter sits directly over a Project that outputs only (box, r) —
+    // the fused condition would reference x0..y1 the child no longer has.
+    // The guard must bail (valid plan, correct rows) instead of fusing.
+    val dir = java.nio.file.Files.createTempDirectory("gsbail").toString
+    Seq((0.0, 0.0, 4.0, 4.0), (7.0, 7.0, 8.0, 8.0))
+      .toDF("x0", "y0", "x1", "y1").write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select(st_makebox(col("x0"), col("y0"), col("x1"), col("y1")).as("box"),
+        rand(7).as("r"))
+      .filter(st_intersects(col("box"), st_makebox(lit(1.0), lit(1.0), lit(3.0), lit(3.0))))
+    val rows = q.collect() // pre-guard this failed attribute binding
+    assert(rows.length == 1, "only the first box overlaps (1,1,3,3)")
+  }
+
+  test("root-level join fusion preserves the analyzed output schema") {
+    installed()
+    // children whose Projects DROP the raw coordinates (select, not
+    // withColumn): join-condition fusion must pass the coordinates through
+    // AND restore the join's original output, or the ordinal-bound row
+    // encoder reads shifted columns on a direct collect()
+    val a = Seq((1L, 0.0, 0.0), (2L, 10.0, 0.0)).toDF("ia", "ax", "ay").repartition(2)
+      .select(col("ia"), st_point(col("ax"), col("ay")).as("ga"))
+    val b = Seq((10L, 0.0, 3.0), (20L, 50.0, 50.0)).toDF("ib", "bx", "by").repartition(2)
+      .select(col("ib"), st_point(col("bx"), col("by")).as("gb"))
+    val j = a.join(b, st_dwithin(col("ga"), col("gb"), lit(5.0)))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("HYPOT"), s"join condition must still fuse:\n$plan")
+    assert(j.columns.toSeq == Seq("ia", "ga", "ib", "gb"))
+    val rows = j.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) == 1L && r.getLong(2) == 10L, s"ids shifted: $r")
+    assert(GeomKernel.x(r.getAs[Array[Byte]](1)) == 0.0 &&
+      GeomKernel.y(r.getAs[Array[Byte]](3)) == 3.0,
+      "geometry columns must hold the original (unshifted) points")
+  }
+
+  test("st_point/st_makebox coerce integer inputs to double (no kernel CCE)") {
+    installed()
+    // foldable integer args previously hit ClassCastException inside
+    // ConstantFolding (the native expressions had no input casts)
+    val area = spark.range(1)
+      .select(st_area(st_makebox(lit(0), lit(0), lit(2), lit(3))).as("a"))
+      .as[Double].head()
+    assert(area == 6.0)
+    val df = Seq((1, 2, 4)).toDF("x", "y", "d").repartition(2)
+    val got = df.select(
+        st_x(st_point(col("x"), col("y"))).as("px"),
+        st_area(st_makebox(col("x"), col("y"), col("d"), col("d"))).as("a"))
+      .as[(Double, Double)].head()
+    assert(got == ((1.0, 6.0)))
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")

@@ -135,6 +135,13 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"batch 2 must pair with BOTH stored copies and never re-emit (1,2): ${byEpoch(1L)}")
     assert(byEpoch(2L) == Set((1L, 20L), (2L, 20L), (10L, 20L)),
       s"batch 3 must pair with all three stored copies only: ${byEpoch(2L)}")
+    // the probe's banded-new-side materialization must NOT go through the
+    // session CacheManager: a cache entry per micro-batch would accumulate
+    // for the stream's lifetime (round-12 advice). localCheckpoint blocks
+    // are instead released by the ContextCleaner once the batch's frames
+    // are dropped, so after three batches the cache must still be empty.
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "incremental minhash probe must not leave CacheManager entries behind")
   }
 
   test("stateless pipeline ops (sample, redact, quality) run under Structured Streaming") {
