@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run's stdout RAW instead of through sbt's logger: the
+// driver parses graft.Bench's single JSON stdout line from a ~2k-char tail,
+// and the logger's "[info] " prefix kept that line from parsing as JSON
+// (BENCH_r12 "parsed": null even though the line survived whole).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

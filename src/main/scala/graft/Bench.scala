@@ -61,16 +61,20 @@ object Bench {
   private def fmt3(v: Double): String = (math.rint(v * 1000) / 1000).toString
 
   /** Why a query deserves ONE fresh re-measurement, or None.
-    * "regressed" = median >2x the previous artifact's median, with a
+    * "regressed" = median >1.5x the previous artifact's median, with a
     * 0.10 s floor (round-8 review: the old 0.15 floor silently exempted
     * every sub-150 ms query from regression detection; below 0.10 s the
     * numbers are JVM-noise-dominated and a ratio alone would re-measure
-    * half the suite). "spread" = this run's own reps span >4x max/min —
+    * half the suite). The threshold was 2x through round 12 — which let
+    * 1.5-2x load-contamination artifacts (q65/q53/q28, judged against the
+    * quiet ScaleSuite numbers) slip past the re-measure pass; the widened
+    * trigger costs a few extra re-runs and catches that band.
+    * "spread" = this run's own reps span >4x max/min —
     * contention inside the measurement itself, no previous file needed. */
   private[graft] def triggerReason(times: Seq[Double], prevMed: Option[Double]): Option[String] = {
     if (times.isEmpty) return None
     val med = median(times)
-    val regressed = prevMed.exists(p => p > 0 && med > 2 * p && med > 0.10)
+    val regressed = prevMed.exists(p => p > 0 && med > 1.5 * p && med > 0.10)
     val spread = times.max > 4 * math.max(times.min, 1e-3) && med > 0.3
     (regressed, spread) match {
       case (true, true)  => Some("regressed+spread")
@@ -105,6 +109,21 @@ object Bench {
     // then signal, not noise.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // settle gate: if the host is still busy (e.g. the evidence sweep's
+    // soaks just finished), wait for the 1-min loadavg to drop below ~1.5
+    // before measuring anything — BENCH_r12 started at loadavg 3.6 and its
+    // q65/q53/q28 medians read 1.5-2.2x above the same queries measured on
+    // a quiet machine minutes earlier. Bounded wait so a genuinely shared
+    // host can't stall the bench forever; the waited seconds are reported.
+    def load1(): Double =
+      try loadavg().split(" ").headOption.map(_.toDouble).getOrElse(0.0)
+      catch { case _: Throwable => 0.0 }
+    val settleStart = System.nanoTime()
+    val settleCap = sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "300").toInt
+    while (load1() > 1.5 && (System.nanoTime() - settleStart) / 1e9 < settleCap)
+      Thread.sleep(10000)
+    val settleSec = math.rint((System.nanoTime() - settleStart) / 1e9).toInt
 
     val loadBefore = loadavg()
 
@@ -191,21 +210,29 @@ object Bench {
     // full-name, ms-precision map goes to bench_full.json as queries_full
     def short(k: String): String = k.takeWhile(_ != '_')
     def fmt2(v: Double): String = (math.rint(v * 100) / 100).toString
-    val qs = results.map {
-      case (k, Right(v), _, _) => "\"" + short(k) + "\":" + fmt2(v)
+    def fmt1(v: Double): String = (math.rint(v * 10) / 10).toString
+    def qsWith(fmt: Double => String) = results.map {
+      case (k, Right(v), _, _) => "\"" + short(k) + "\":" + fmt(v)
       case (k, Left(e), _, _)  => "\"" + short(k) + "\":\"" + e.takeWhile(_ != '"') + "\""
     }.mkString("{", ",", "}")
+    val qs = qsWith(fmt2)
     val qsFull = results.map {
       case (k, Right(v), _, _) => "\"" + k + "\":" + fmt3(v)
       case (k, Left(e), _, _)  => "\"" + k + "\":\"" + e.takeWhile(_ != '"') + "\""
     }.mkString("{", ",", "}")
     // index BUILD phases (q63/q68 build their stored index once per JVM, at
     // warmup — see SparkEntry.memoIndex), reported apart from query medians
-    val builds = {
+    // stdout carries the short form ("bq63": — the b prefix keeps these out
+    // of parsePrev's q-key regex, so a later round never mistakes a build
+    // time for a query median); full path-suffixed keys go to bench_full
+    val buildsSeq = {
       import scala.jdk.CollectionConverters._
       SparkEntry.indexBuildSec.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }.mkString("{", ",", "}")
     }
+    val builds = buildsSeq
+      .map { case (k, v) => "\"b" + short(k) + "\":" + fmt2(v) }.mkString("{", ",", "}")
+    val buildsFull = buildsSeq
+      .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v), _, _) => v }.sum
     val nErr = results.count(_._2.isLeft)
     // both medians + which pass won are auditable in bench_full.json; the
@@ -221,20 +248,25 @@ object Bench {
         ",\"med2\":" + m2s + ",\"won\":\"" + won + "\"}"
     }.mkString("[", ",", "]")
     // stdout contract: ONE JSON line, the LAST thing printed, small enough
-    // (~1.8 KB at 135 queries) that the driver's ~2k-char tail holds the
-    // WHOLE line — every earlier round's 4 KB line was cut mid-map and
-    // recorded as "parsed": null. Full precision, full names, per-rep
-    // times and the remeasure audit live in bench_full.json (committed).
-    val json = "{\"metric\":\"total\",\"value\":" + fmt3(total) +
+    // (≤~1.6 KB) that the driver's ~2k-char tail holds the WHOLE line with
+    // headroom for sbt's trailing [success] line — every pre-r12 round's
+    // 4 KB line was cut mid-map and recorded as "parsed": null, and r12's
+    // 1.9 KB line left no headroom. If 2-decimal per-query values push the
+    // line past 1.6 KB, it degrades to 1-decimal (full ms precision always
+    // lives in bench_full.json). build.sbt routes the forked run's stdout
+    // raw (StdoutOutput), so the line carries no "[info] " prefix either.
+    def jsonWith(queries: String) = "{\"metric\":\"total\",\"value\":" + fmt3(total) +
       ",\"unit\":\"sec\",\"errors\":" + nErr + ",\"reps\":" + reps +
       // action=full_plan since round 11: every query executes its complete
       // physical plan (Bench.fullCount) — earlier rounds' plain count()
       // let Catalyst prune final unique-key joins and agg expressions, so
       // per-query numbers are NOT comparable across that boundary
       ",\"stat\":\"median\",\"action\":\"full_plan\",\"sf\":\"" + sfDir + "\"" +
-      ",\"loadavg_before\":\"" + loadBefore + "\",\"loadavg_after\":\"" + loadAfter + "\"" +
-      ",\"remeasured\":" + suspects.length +
-      ",\"index_build\":" + builds + ",\"queries\":" + qs + "}"
+      ",\"load0\":\"" + loadBefore + "\",\"load1\":\"" + loadAfter + "\"" +
+      ",\"settle\":" + settleSec + ",\"remeasured\":" + suspects.length +
+      ",\"index_build\":" + builds + ",\"queries\":" + queries + "}"
+    val json2 = jsonWith(qs)
+    val json = if (json2.length <= 1600) json2 else jsonWith(qsWith(fmt1))
     // full-precision sibling with per-rep evidence: reps1 = main pass,
     // reps2 = the fresh contention re-measurement (only for suspects)
     val detail = results.map { case (name, _, t1, t2) =>
@@ -244,6 +276,7 @@ object Bench {
     val fullJson = json.dropRight(1) +
       ",\"prev_bench\":\"" + prevPath.map(_.toString).getOrElse("") + "\"" +
       ",\"remeasured_detail\":" + remeasured +
+      ",\"index_build_full\":" + buildsFull +
       ",\"queries_full\":" + qsFull +
       ",\"rep_times\":" + detail + "}"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
