@@ -28,23 +28,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
+  /** Validate + backtick-quote a (possibly dotted db.table) name.
+    * Quoting lets RESERVED WORDS (`table`, `order`, …) survive the DDL and
+    * identifier parsers; validation catches characters Spark's catalog
+    * rejects regardless of quoting (SessionCatalog.validateName allows only
+    * [A-Za-z0-9_]) — an unquoted/unvalidated `crawl-2026` otherwise fails
+    * deep inside CTAS with a confusing parse or catalog error. */
+  private def quoted(table: String): String = {
+    val parts = table.split('.')
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_]+")),
+      s"invalid table name '$table': Spark's session catalog only accepts " +
+        "letters, digits and underscores in table/schema names " +
+        "(use corpus_2026, not corpus-2026)")
+    parts.map(p => "`" + p + "`").mkString(".")
+  }
+
   /** Write `df` as a bucketed (and in-bucket sorted) table at `path`,
     * registered as `table` in the session catalog. Overwrites. */
   def write(df: DataFrame, table: String, path: String,
             keyCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${quoted(table)}")
     df.write
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .option("path", path)
       .format("parquet")
       .mode("overwrite")
-      .saveAsTable(table)
+      .saveAsTable(quoted(table))
   }
 
   /** Read a bucketed table back (bucket metadata comes from the catalog —
     * reading the parquet path directly would LOSE the bucket spec and
     * reintroduce the shuffle). */
-  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(quoted(table))
 }

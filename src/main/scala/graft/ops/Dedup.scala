@@ -192,18 +192,7 @@ object Dedup {
     //    prefix and mis-scale est_jaccard; the width check is fused into
     //    the band-key projection so it cannot be pruned and fails loudly
     //    at execution on the first offending row.
-    val rpb = numHashes / bands
-    def banded(df: DataFrame) = df
-      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-      .select(col("__id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => when(size(col("__sig")) === numHashes,
-            md5(concat_ws("|", transform(
-              slice(col("__sig"), b * rpb + 1, lit(rpb)), x => x.cast("string")))))
-            .otherwise(raise_error(concat(
-              lit(s"minhash spec mismatch: probe expects numHashes=$numHashes but stored " +
-                s"signature has "), size(col("__sig")).cast("string"), lit(" components"))))))
-          .as(Seq("__band", "__key")))
+    def banded(df: DataFrame) = bandedSigs(df, idCol, sigCol, numHashes, bands)
     // the banded new side feeds both the probe side and the new∪old side —
     // materialize it so the signature banding runs once, not twice.
     // localCheckpoint (eager), NOT .cache(): a cache entry is held by the
@@ -228,6 +217,104 @@ object Dedup {
     cand
       .join(sigs.select(col("__sid").as("id_a"), col("__sig").as("__sa")), Seq("id_a"))
       .join(sigs.select(col("__sid").as("id_b"), col("__sig").as("__sb")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Band-key projection shared by the incremental probes: explode each
+    * signature into `bands` md5 band keys — (__id, __band, __key) — with
+    * the numHashes width check fused into the projection (cannot be
+    * pruned; fails loudly on the first offending row). */
+  private def bandedSigs(df: DataFrame, idCol: String, sigCol: String,
+                         numHashes: Int, bands: Int): DataFrame = {
+    val rpb = numHashes / bands
+    df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => when(size(col("__sig")) === numHashes,
+            md5(concat_ws("|", transform(
+              slice(col("__sig"), b * rpb + 1, lit(rpb)), x => x.cast("string")))))
+            .otherwise(raise_error(concat(
+              lit(s"minhash spec mismatch: probe expects numHashes=$numHashes but stored " +
+                s"signature has "), size(col("__sig")).cast("string"), lit(" components"))))))
+          .as(Seq("__band", "__key")))
+  }
+
+  /** Persist a [[minhashSignatureTable]] snapshot as a BUCKETED table
+    * (hash-bucketed + sorted on `idCol` via [[graft.io.Bucketed]]) — the
+    * storage layout [[minhashPairsIncrementalStored]] is shaped for: the
+    * probe's per-id signature lookups then reach the snapshot scan with no
+    * Exchange on the stored side. Pick `buckets` once per corpus (≈ cores ×
+    * a small multiple) and keep it stable across snapshots. */
+  def writeSignatureSnapshot(sigs: DataFrame, table: String, path: String,
+                             idCol: String, buckets: Int): Unit =
+    graft.io.Bucketed.write(sigs, table, path, idCol, buckets)
+
+  /** Read a signature snapshot back WITH its bucket metadata (reading the
+    * parquet path directly would lose the layout and reintroduce the
+    * stored-side shuffle). */
+  def readSignatureSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame =
+    graft.io.Bucketed.read(spark, table)
+
+  /** [[minhashPairsIncremental]] restructured for a SMALL new batch probing
+    * a HUGE stored snapshot (the 100 TB steady state) — same results, but
+    * the stored side is never exchanged:
+    *
+    *  - band-candidate join: the new side's banded keys are explicitly
+    *    `broadcast()`, so the snapshot's banding scan streams through a
+    *    BroadcastHashJoin with no shuffle of the (corpus-sized) stored side;
+    *  - signature lookups: each pair id is first resolved against the
+    *    (broadcast) new batch, then LEFT-joined against the stored snapshot
+    *    on the id itself — when the snapshot was written with
+    *    [[writeSignatureSnapshot]] (bucketed by id), that equi-join reads
+    *    the bucketed layout and only the candidate side moves.
+    *
+    * The plain [[minhashPairsIncremental]] remains the right call when the
+    * two sides are comparable in size (its symmetric shuffle beats
+    * broadcasting a non-small new batch). Contract is identical: ids unique
+    * across both tables, old-old pairs never emitted, signature specs must
+    * match. */
+  def minhashPairsIncrementalStored(newSigs: DataFrame, storedSigs: DataFrame,
+                                    idCol: String, sigCol: String = "minhash_sig",
+                                    numHashes: Int = 16, bands: Int = 4,
+                                    threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val newT = newSigs.schema(sigCol).dataType
+    val oldT = storedSigs.schema(sigCol).dataType
+    require(newT == oldT,
+      s"signature spec mismatch: $sigCol is $newT in the new batch but $oldT in the stored " +
+        "snapshot — md5 (minhashSignatureTable) and xxhash (minhashSignatureTableFast) " +
+        "signatures must never mix across snapshots")
+    // banded new side feeds the probe AND the new-new candidate join —
+    // localCheckpoint (not cache) for the same foreachBatch posture as
+    // minhashPairsIncremental
+    val nbd = bandedSigs(newSigs, idCol, sigCol, numHashes, bands).localCheckpoint()
+    val nb = nbd.select(col("__band"), col("__key"), col("__id").as("__idn"))
+    val oldBanded = bandedSigs(storedSigs, idCol, sigCol, numHashes, bands)
+      .select(col("__band"), col("__key"), col("__id").as("__ida"))
+    val newBanded = nbd.select(col("__band"), col("__key"), col("__id").as("__ida"))
+    val cand = broadcast(nb).join(oldBanded, Seq("__band", "__key"))
+      .unionByName(nb.join(newBanded, Seq("__band", "__key")))
+      .filter(col("__idn") =!= col("__ida"))
+      .select(least(col("__idn"), col("__ida")).as("id_a"),
+        greatest(col("__idn"), col("__ida")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // per-id signature lookup: new batch broadcast, stored snapshot joined
+    // on its own bucket key (ids unique across sides -> exactly one hit)
+    val newL = newSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig"))
+    val oldL = storedSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig"))
+    def withSig(df: DataFrame, pairCol: String, out: String): DataFrame =
+      df.join(broadcast(newL.select(col("__sid").as(pairCol), col("__sig").as(out + "_n"))),
+          Seq(pairCol), "left")
+        .join(oldL.select(col("__sid").as(pairCol), col("__sig").as(out + "_o")),
+          Seq(pairCol), "left")
+        .withColumn(out, coalesce(col(out + "_n"), col(out + "_o")))
+        .drop(out + "_n", out + "_o")
+    withSig(withSig(cand, "id_a", "__sa"), "id_b", "__sb")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), b => b))
           .cast("double") / numHashes)

@@ -40,6 +40,25 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS b_docs"); spark.sql("DROP TABLE IF EXISTS b_scores")
   }
 
+  test("reserved words are quoted; catalog-invalid names fail early with a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("bucketedq").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // a reserved word as a table name: quoting carries it through
+    // DROP/CTAS/read (unquoted it's a parse error)
+    Bucketed.write(df, "table", s"$dir/h1", "k", buckets = 2)
+    assert(Bucketed.read(spark, "table").count() == 2)
+    // overwriting exercises the DROP TABLE path with the same quoted name
+    Bucketed.write(df.filter(col("k") === 1L), "table", s"$dir/h2", "k", buckets = 2)
+    assert(Bucketed.read(spark, "table").count() == 1)
+    spark.sql("DROP TABLE IF EXISTS `table`")
+    // a hyphen is invalid in Spark's session catalog even when quoted —
+    // the writer must say so up front, not fail deep inside CTAS
+    val e = intercept[IllegalArgumentException] {
+      Bucketed.write(df, "crawl-2026", s"$dir/h3", "k", buckets = 2)
+    }
+    assert(e.getMessage.contains("crawl-2026") && e.getMessage.contains("underscores"))
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     val dir = java.nio.file.Files.createTempDirectory("bucketed2").toString
     val a = (0L until 100L).map(i => (i, i * 2)).toDF("k", "va")

@@ -267,6 +267,57 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == Map((1L, 10L) -> 1.0), s"fast-signature probe: $got")
   }
 
+  test("stored-snapshot probe: bucketed snapshot never exchanges before its joins; results match") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sigsnap").toString
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different old content here")).toDF("doc_id", "text")
+    val nu = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "novel new content nothing like it"),
+      (12L, "shared new batch text exactly alike"),
+      (13L, "shared new batch text exactly alike")).toDF("doc_id", "text")
+    val oldSigs = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2)
+    val newSigs = Dedup.minhashSignatureTable(nu, "doc_id", "text", k = 2)
+    Dedup.writeSignatureSnapshot(oldSigs, "b_sigsnap", s"$dir/sigs", "doc_id", buckets = 4)
+    try {
+      val stored = Dedup.readSignatureSnapshot(spark, "b_sigsnap")
+      val expect = Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id", threshold = 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      // merge hint pins the 100 TB-realistic strategy for the id lookup —
+      // at test scale the planner would happily broadcast the tiny snapshot
+      // (same idiom as BucketedJoinSpec)
+      val probe = Dedup.minhashPairsIncrementalStored(newSigs, stored.hint("merge"),
+        "doc_id", threshold = 0.9)
+      assert(probe.as[(Long, Long, Double)].collect().toSet == expect,
+        "stored-side probe must emit exactly the plain incremental probe's pairs")
+      assert(expect.map(p => (p._1, p._2)) == Set((1L, 10L), (2L, 10L), (12L, 13L)))
+      // plan audit (static plan — AQE would hide the tree in stages): the
+      // snapshot scan's rows must reach their FIRST join un-exchanged, both
+      // in the banding probe (new side broadcast) and the id lookup
+      // (bucketed layout). Exchanges above the join shrink candidate pairs,
+      // not the corpus — those are fine.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan2 = Dedup.minhashPairsIncrementalStored(newSigs, stored.hint("merge"),
+          "doc_id", threshold = 0.9).queryExecution.executedPlan
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.mkString(",").contains(dir) => Seq(anc)
+          case other => other.children.flatMap(c => paths(c, other :: anc))
+        }
+        val found = paths(plan2, Nil)
+        assert(found.nonEmpty, s"snapshot scans must appear in the plan:\n$plan2")
+        for (path <- found) {
+          val belowJoin = path.takeWhile(n => !n.getClass.getSimpleName.contains("Join"))
+          assert(!belowJoin.exists(_.getClass.getSimpleName.contains("Exchange")),
+            s"stored snapshot rows must not be exchanged before their join:\n$plan2")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.sql("DROP TABLE IF EXISTS b_sigsnap")
+  }
+
   test("incremental minhash rejects mixed signature specs and width mismatches loudly") {
     import spark.implicits._
     val old = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
