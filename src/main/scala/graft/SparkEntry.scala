@@ -1651,6 +1651,21 @@ object SparkEntry {
       left.alignedDistance(right, Seq("c_custkey"))
         .select(col("c_custkey"), round(col("distance"), 4).as("dist"))
     }),
+    "q139_cosine_lsh_recall" -> ((s, d) => {
+      // the cosine-LSH tuning report (Similarity.knnBanding's measured
+      // counterpart): md5-sampled vectors, brute-force cosine truth within
+      // the sample, banded Rademacher-plane candidates (the md5 plane spec
+      // the ANN bucket index shares, so the oracle replays buckets
+      // exactly), measured recall next to the analytic prediction. The
+      // vec_id < 400 bound keeps the all-pairs truth fixed across scales;
+      // 8 tables x 5 planes at t=0.45 lands measured recall strictly
+      // inside (0,1) on this data — the report demonstrably DETECTS
+      // imperfect recall instead of saturating at either end.
+      graft.ops.CorpusStats.cosineLshRecallReport(
+        embs(s, d).filter(col("vec_id") < 400), "vec_id", "embedding",
+        sampleFraction = 0.5, salt = "cr", planes = 40, bands = 8,
+        threshold = 0.45)
+    }),
     "q137_corpus_report_nulls" -> ((s, d) => {
       // the round-11 advice finding, gated: rollup margins are labeled via
       // grouping(), so a GENUINE NULL lang/source group value stays NULL —
@@ -2676,6 +2691,40 @@ object SparkEntry {
            |     * (py - CAST(c.c_custkey * 17 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE))), 4)
            | ELSE NULL END AS dist
            | FROM $pts c""".stripMargin.replace("\n", " "),
+      "q139_cosine_lsh_recall" ->
+        // full replay: md5 sample keep decisions (fraction 0.5 -> hex
+        // threshold 800000), the 40-plane Rademacher matrix from the
+        // md5('42:p:i') spec, per-band 5-bit bucket keys (first plane of a
+        // band = high bit), distinct banded candidates, double-precision
+        // cosine for truth and verification, recall division, and the
+        // 1-(1-p^rpb)^bands analytic prediction (bit-identical across
+        // JVM/DuckDB libm at these inputs; round(6) has 1e-10 margin)
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400
+           |   AND substr(md5('cr:' || CAST(vec_id AS VARCHAR)), 1, 6) < '800000' AND embedding IS NOT NULL),
+           | pls AS (SELECT list(pl ORDER BY p) AS pls FROM (
+           |   SELECT p, list_transform(range(0, 64), i ->
+           |     CASE WHEN substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+           |          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+           |   FROM range(0, 40) t(p))),
+           | bk AS (SELECT vec_id, t.b AS band,
+           |   CAST(list_sum(list_transform(range(0, 5), q ->
+           |     CASE WHEN list_sum(list_transform(range(1, 65), i -> pls.pls[CAST(t.b * 5 + q AS INT) + 1][CAST(i AS INT)] * CAST(embedding[i] AS DOUBLE))) >= 0
+           |          THEN CAST(pow(2, 4 - q) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS key
+           |   FROM base CROSS JOIN pls CROSS JOIN range(0, 8) t(b)),
+           | cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+           |   FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+           | cos AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS c
+           |   FROM base a JOIN base b ON a.vec_id < b.vec_id),
+           | truth AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM cos WHERE c >= CAST(0.45 AS DOUBLE)),
+           | found AS (SELECT CAST(count(*) AS BIGINT) AS found_pairs FROM cand JOIN cos USING (ia, ib) WHERE c >= CAST(0.45 AS DOUBLE)),
+           | ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM base)
+           | SELECT n_sample, CAST(40 AS INT) AS planes, CAST(8 AS INT) AS bands, truth_pairs, found_pairs,
+           |   round(CASE WHEN truth_pairs = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(found_pairs AS DOUBLE) / truth_pairs END, 6) AS recall,
+           |   round(1 - pow(1 - pow(1 - acos(CAST(0.45 AS DOUBLE)) / pi(), 5), 8), 6) AS predicted_recall
+           | FROM ns CROSS JOIN truth CROSS JOIN found""".stripMargin.replace("\n", " "),
       "q137_corpus_report_nulls" ->
         s"""WITH d AS (SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
            |   CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source, text FROM documents)

@@ -96,6 +96,73 @@ object CorpusStats {
           .as("recall"))
   }
 
+  /** Cosine-LSH recall report — the embedding-side sibling of
+    * [[lshRecallReport]], closing the tuning loop on
+    * [[Similarity.knnBanding]]: that helper PREDICTS recall analytically
+    * (bands solved from `1−(1−p^rpb)^bands ≥ recall`,
+    * `p = 1 − arccos(t)/π`); this report MEASURES it on a deterministic
+    * sample before a 100 TB run commits to a banding. Truth is all-pairs
+    * cosine ≥ threshold WITHIN the md5 sample only (the one quadratic step,
+    * bounded by the sample), candidates come from the multi-table
+    * Rademacher-plane banding ([[Similarity.radPlane]] md5 spec — the same
+    * deterministic planes the ANN bucket index uses, so a plain-SQL oracle
+    * replays bucket assignment exactly), and found ⊆ truth because banded
+    * candidates are cosine-verified. Output: one row (n_sample, planes,
+    * bands, truth_pairs, found_pairs, recall, predicted_recall) — measured
+    * vs predicted side by side.
+    *
+    * Defaults take the banding from [[Similarity.knnBanding]] at
+    * (threshold, recall); pass explicit `planes`/`bands` (> 0, divisible)
+    * to tune a specific configuration, e.g. coarser bands for
+    * low-threshold corpora where 20-bit keys are unattainable. */
+  def cosineLshRecallReport(embs: DataFrame, idCol: String, vecCol: String,
+                            sampleFraction: Double, salt: String,
+                            planes: Int = -1, bands: Int = -1,
+                            threshold: Double = 0.9, recall: Double = 0.9,
+                            seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val (pl, bd) =
+      if (planes > 0 && bands > 0) (planes, bands)
+      else {
+        require(planes <= 0 && bands <= 0, "pass both planes and bands, or neither")
+        Similarity.knnBanding(threshold, recall)
+      }
+    require(pl % bd == 0, "planes must be divisible by bands")
+    val rpb = pl / bd
+    val bandPlanes: Array[Array[Array[Double]]] = {
+      val all = Similarity.radPlane(pl, dim, seed)
+      Array.tabulate(bd)(b => all.slice(b * rpb, (b + 1) * rpb))
+    }
+    val sample = Sampling.deterministicSample(embs, idCol, sampleFraction, salt)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val keysU = udf((v: Seq[Float]) => bandPlanes.map(p => Similarity.bucketOf(v, p)))
+    val banded = sample
+      .select(col("__id"), posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))
+    val candIds = banded.select(col("__band"), col("__key"), col("__id").as("__ia"))
+      .join(banded.select(col("__band"), col("__key"), col("__id").as("__ib")),
+        Seq("__band", "__key"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib")).dropDuplicates("__ia", "__ib")
+    val va = sample.select(col("__id").as("__ia"), col("__v").as("__va"))
+    val vb = sample.select(col("__id").as("__ib"), col("__v").as("__vb"))
+    val found = candIds.join(va, Seq("__ia")).join(vb, Seq("__ib"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .agg(count(lit(1)).cast("long").as("found_pairs"))
+    val truth = va.join(vb, col("__ia") < col("__ib"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .agg(count(lit(1)).cast("long").as("truth_pairs"))
+    val n = sample.agg(count(lit(1)).cast("long").as("n_sample"))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val predicted = 1.0 - math.pow(1.0 - math.pow(p, rpb.toDouble), bd.toDouble)
+    n.crossJoin(truth).crossJoin(found)
+      .select(col("n_sample"), lit(pl).as("planes"), lit(bd).as("bands"),
+        col("truth_pairs"), col("found_pairs"),
+        round(when(col("truth_pairs") === 0L, lit(1.0))
+          .otherwise(col("found_pairs").cast("double") / col("truth_pairs").cast("double")), 6)
+          .as("recall"),
+        round(lit(predicted), 6).as("predicted_recall"))
+  }
+
   /** Exact token-length quantiles per group (linear interpolation — the
     * percentile definition DuckDB's quantile_cont shares, so the numbers
     * are oracle-checkable). Exact rather than sketched: at corpus scale
