@@ -312,6 +312,41 @@ object Plans {
         .select(col("c_custkey"), col("s_suppkey"))
     }
 
+    section("GeomSimplify rule: total_bounds over constructed points becomes columnar min/max",
+      "st_total_bounds_agg is a typed UDAF that builds WKB per row, parses " +
+        "it back and folds a JTS envelope. Over a CONSTRUCTED point column " +
+        "the aggregate rewrite replaces it with four Min/Max aggregates " +
+        "(plus sign-of-zero flag aggregates for math.min/max's -0.0/+0.0 " +
+        "tie semantics, and a null/NaN guard matching the WKB round-trip's " +
+        "empty-point convention) — one whole-stage-codegen HashAggregate " +
+        "over the raw coordinates, map-side partials, no per-row objects.") {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      l.withColumn("geometry", st_point(
+          (col("l_partkey") * 7 % 1000).cast("double") / 10.0,
+          (col("l_suppkey") * 13 % 1000).cast("double") / 10.0))
+        .agg(graft.agg.GeoAggregates.st_total_bounds_agg(col("geometry")).as("b"))
+    }
+
+    section("Incremental MinHash probe against a BUCKETED signature snapshot",
+      "The stored-snapshot probe (Dedup.minhashPairsIncrementalStored) " +
+        "never exchanges the snapshot: the banding candidate join " +
+        "broadcasts the small new batch's band keys, and the per-id " +
+        "signature lookups left-join the snapshot on its own bucket key " +
+        "(Dedup.writeSignatureSnapshot = Bucketed by id), so only " +
+        "candidate ids move. The merge hint pins the at-scale strategy.") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_sigsnap").toString
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val oldSigs = graft.ops.Dedup.minhashSignatureTable(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      graft.ops.Dedup.writeSignatureSnapshot(oldSigs, "plans_b_sigs",
+        s"$tmp/sigs", "doc_id", buckets = 8)
+      graft.ops.Dedup.minhashPairsIncrementalStored(newSigs,
+        graft.ops.Dedup.readSignatureSnapshot(spark, "plans_b_sigs").hint("merge"),
+        "doc_id", threshold = 0.9)
+    }
+
     section("Bucketed co-located join: corpus ⋈ side-table with ZERO Exchange",
       "Per-document side tables (scores, labels, signature snapshots) join " +
         "back to the corpus on doc_id constantly; storing both sides " +

@@ -332,6 +332,30 @@ stays distributed.
           st_contains(col("box_a"), col("box_b")).as("c"))
         (r.filter(col("i") || col("c") || lit(true)).fullCount, 0L)
       }
+      bench("total bounds fused agg", mult) {
+        // st_total_bounds_agg over a CONSTRUCTED point column: GeomSimplify
+        // rewrites the UDAF to four columnar min/max aggregates (+ sign-of-
+        // zero flags) — the whole scan stays in whole-stage codegen, no
+        // WKB object is ever built. Compare with the "wkb agg" row below.
+        // On lineitem (the big table) so the per-row kernel cost dominates
+        // the measurement rather than the scan of a small table.
+        val l = replicate(spark.read.parquet(s"$sf/lineitem.parquet"), mult, Seq("l_orderkey"))
+        val g = l.withColumn("geometry", st_point(
+          (col("l_partkey") * 7 % 1000).cast("double") / 10.0,
+          (col("l_suppkey") * 13 % 1000).cast("double") / 10.0))
+        (g.agg(graft.agg.GeoAggregates
+          .st_total_bounds_agg(col("geometry"))).fullCount, 0L)
+      }
+      bench("total bounds wkb agg", mult) {
+        // same aggregate, points built via the UDF constructor the rule
+        // cannot see: every row pays WKB write + parse + envelope fold
+        val l = replicate(spark.read.parquet(s"$sf/lineitem.parquet"), mult, Seq("l_orderkey"))
+        val g = l.withColumn("geometry", graft.functions.GeoFunctions.stPointU(
+          (col("l_partkey") * 7 % 1000).cast("double") / 10.0,
+          (col("l_suppkey") * 13 % 1000).cast("double") / 10.0))
+        (g.agg(graft.agg.GeoAggregates
+          .st_total_bounds_agg(col("geometry"))).fullCount, 0L)
+      }
       bench("knn graph selective banding", mult) {
         // the adaptive knnJoin defaults (20-bit band keys, tables solved
         // from the 0.9/0.9 threshold/recall target): replication clones
@@ -367,6 +391,18 @@ stays distributed.
       }
     }
 
+    // 64× stress rows for the two headline dedup paths: the N²-output
+    // shapes where extrapolation is least trustworthy — one more 4× step
+    // past the table above so the near-flat trend is measured, not assumed
+    for (mult <- Seq(64)) {
+      bench("minhash fast pairs", mult) {
+        (graft.ops.Dedup.minhashPairsFast(docs(mult), "doc_id", "text", 3, 16, 4, 0.95).fullCount, 0L)
+      }
+      bench("embedding LSH pairs", mult) {
+        (graft.ops.Dedup.embeddingPairs(embs(mult), "vec_id", "embedding", threshold = 0.95).fullCount, 0L)
+      }
+    }
+
     val md = new StringBuilder
     md ++= "# SCALE — measured scaling of headline operators\n\n"
     md ++= "sf0.1 tables replicated N× (unique ids), local[32], warm runs (codegen\n"
@@ -389,6 +425,22 @@ stays distributed.
       def get(suffix: String) = ms.find(_.op.endsWith(s"@${suffix}x")).get
       val (a, b, c) = (get("1"), get("4"), get("16"))
       md ++= f"| $op | ${a.rows} | ${a.secs}%.2f | ${b.rows} | ${b.secs}%.2f | ${c.rows} | ${c.secs}%.2f | ${c.secs / a.secs}%.1f |\n"
+    }
+    val stress = out.filter(_.op.endsWith("@64x"))
+    if (stress.nonEmpty) {
+      md ++= "\n## 64x stress rows (N2-output dedup paths)\n\n"
+      md ++= "One more 4x step for the two pair-emitting dedup shapes whose correct\n"
+      md ++= "output grows quadratically in the replication factor — the rows where\n"
+      md ++= "a 100 TB claim would otherwise rest on extrapolating the 16x trend.\n"
+      md ++= "The ratio column is secs(64x)/secs(16x): ~4 is row-linear; well below\n"
+      md ++= "16 (the output growth) means banding stays duplication-proof.\n\n"
+      md ++= "| operator | rows @64x | s @64x | 64x/16x |\n|---|---|---|---|\n"
+      stress.foreach { m =>
+        val op = m.op.split(" @")(0)
+        val base = out.find(_.op == s"$op @16x")
+        val ratio = base.map(b => f"${m.secs / b.secs}%.1f").getOrElse("-")
+        md ++= f"| $op | ${m.rows} | ${m.secs}%.2f | $ratio |\n"
+      }
     }
     if (nnRounds.nonEmpty) {
       md ++= "\nUnbounded `sjoin_nearest` (distributed radius-doubling path, Zipf-\n"

@@ -106,10 +106,17 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
     copy(df = derived(st_simplify(geometry, lit(tol), lit(preserveTopology))))
   def makeValid: GeoDataFrame = copy(df = derived(st_make_valid(geometry)))
 
-  /** (minx, miny, maxx, maxy) over the whole column (ref base.py:5288). */
+  /** (minx, miny, maxx, maxy) over the whole column (ref base.py:5288).
+    * Runs through [[graft.agg.GeoAggregates.TotalBoundsAgg]], which SKIPS
+    * empty geometries (the old per-row st_bounds + min/max spelling folded
+    * their JTS null envelope (0, 0, −1, −1) into the result — the
+    * reference ignores empties) and reports the reference's
+    * (nan, nan, nan, nan) for an all-null/empty column. For CONSTRUCTED
+    * point columns the GeomSimplify aggregate rewrite turns this into four
+    * columnar min/max aggregates — no per-row WKB at all. */
   def totalBounds: (Double, Double, Double, Double) = {
-    val r = df.select(st_bounds(geometry).as("b")).filter(col("b").isNotNull)
-      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax")).head()
+    val r = df.agg(graft.agg.GeoAggregates.st_total_bounds_agg(geometry).as("b"))
+      .select(col("b.xmin"), col("b.ymin"), col("b.xmax"), col("b.ymax")).head()
     (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 

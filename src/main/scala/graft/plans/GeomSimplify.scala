@@ -291,10 +291,127 @@ object GeomSimplify extends Rule[LogicalPlan] {
     }
   }
 
+  /** Aggregate pushdown for `st_total_bounds_agg` over CONSTRUCTED points:
+    * the UDAF path builds WKB per row, parses it back and folds a JTS
+    * envelope — for `st_point(x, y)` input that is algebraically four
+    * columnar min/max aggregates, which partial-aggregate map-side inside
+    * whole-stage codegen (the q39 scan shape becomes a pure arithmetic
+    * pass; at 100 TB, bounds of a telemetry point table should cost one
+    * columnar scan, not per-row allocation).
+    *
+    * Bit-exactness vs [[graft.agg.GeoAggregates.TotalBoundsAgg]] (every
+    * claim probed against the actual kernel, GeomSimplifySpec):
+    *  - a point contributes iff BOTH coordinates are non-null (StPoint is
+    *    null-safe) AND neither is NaN: JTS's WKBReader turns any point
+    *    with a NaN coordinate into POINT EMPTY on read (probed on jts-core
+    *    1.20), whose null envelope the kernel SKIPS — so the guard drops
+    *    NaN points entirely rather than poisoning an axis;
+    *  - min/max over the surviving (finite-or-infinite, non-NaN) doubles:
+    *    Spark's ordering Min/Max equals the kernel's math.min/max fold
+    *    EXCEPT at ±0.0 ties, where Spark's comparison treats -0.0 == 0.0
+    *    and keeps whichever arrived first (order-dependent!) while
+    *    math.min deterministically yields -0.0 (math.max +0.0). The
+    *    rewrite carries tiny any-(-0.0)/any-(+0.0) flag aggregates per
+    *    axis and rewrites a zero-valued min/max to the sign math.min/max
+    *    would produce;
+    *  - an all-null/all-empty group yields the kernel's
+    *    (NaN, NaN, NaN, NaN) via the IsNull override (reference
+    *    total_bounds returns all-nan there). */
+  private def fuseTotalBounds(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Max, Min}
+    import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+    import graft.agg.GeoAggregates.TotalBoundsAgg
+
+    def boundsStruct(x: Expression, y: Expression): Expression = {
+      // a null OR NaN coordinate (either axis) removes the whole point —
+      // see the WKBReader empty-point note in the scaladoc
+      def dead(v: Expression): Expression = Or(IsNull(v), IsNaN(v))
+      def guard(v: Expression, other: Expression): Expression =
+        If(Or(dead(v), dead(other)), Literal(null, DoubleType), v)
+      val xv = guard(x, y)
+      val yv = guard(y, x)
+      def aggE(f: AggregateFunction) =
+        AggregateExpression(f, Complete, isDistinct = false)
+      val nan = Literal(Double.NaN, DoubleType)
+      val zero = Literal(0.0, DoubleType)
+      // sign-of-zero witness: pow(v, −1) is −Inf for −0.0, +Inf for +0.0
+      // (raw Math.pow — no ANSI error and, unlike Spark's Atan2, no −0.0
+      // normalization; Divide is out because ANSI mode raises
+      // DIVIDE_BY_ZERO even under a guarding And — subexpression
+      // elimination hoists the division)
+      def invOf(v: Expression): Expression = Pow(v, Literal(-1.0, DoubleType))
+      def negZero(v: Expression): Expression =
+        And(EqualTo(v, zero), LessThan(invOf(v), zero))
+      def posZero(v: Expression): Expression =
+        And(EqualTo(v, zero), GreaterThan(invOf(v), zero))
+      def field(vals: Expression, isMin: Boolean): Expression = {
+        val m = aggE(if (isMin) Min(vals) else Max(vals))
+        // a zero-valued extreme gets the sign math.min/max would fold to:
+        // min is −0.0 iff ANY contributing −0.0 exists, max +0.0 iff any
+        // +0.0 — Spark's ordering Min/Max ties ±0.0 order-dependently
+        val flag = aggE(Max(if (isMin) negZero(vals) else posZero(vals)))
+        val zeroFixed =
+          If(flag, Literal(if (isMin) -0.0 else 0.0, DoubleType),
+            Literal(if (isMin) 0.0 else -0.0, DoubleType))
+        If(IsNull(m), nan, If(EqualTo(m, zero), zeroFixed, m))
+      }
+      CreateNamedStruct(Seq(
+        Literal("xmin"), field(xv, isMin = true),
+        Literal("ymin"), field(yv, isMin = true),
+        Literal("xmax"), field(xv, isMin = false),
+        Literal("ymax"), field(yv, isMin = false)))
+    }
+
+    plan transform {
+      case agg @ Aggregate(gs, aes, child, hint) =>
+        val defs = child match {
+          case Project(cl, _) => constructedDefs(cl)
+          case _ => Map.empty[ExprId, Expression]
+        }
+        var fusedAny = false
+        val newAes = aes.map { ne =>
+          ne.transform {
+            case ae @ AggregateExpression(sa: ScalaAggregator[_, _, _], Complete, false, None, _)
+                if sa.agg.isInstanceOf[TotalBoundsAgg] =>
+              val inlined = sa.children.head match {
+                case ar: AttributeReference if defs.contains(ar.exprId) => defs(ar.exprId)
+                case other => other
+              }
+              inlined match {
+                case StPoint(x, y) if x.deterministic && y.deterministic =>
+                  fusedAny = true
+                  boundsStruct(x, y)
+                case _ => ae
+              }
+          }.asInstanceOf[NamedExpression]
+        }
+        if (!fusedAny) agg
+        else {
+          val needed = AttributeSet(newAes.flatMap(_.references)) ++
+            AttributeSet(gs.flatMap(_.references))
+          child match {
+            // inlining exposed grandchild coordinate columns: keep the child
+            // aliases still referenced, pass raw coordinates through, and
+            // prune the now-dead construction (same posture as the
+            // cross-Project fusion above)
+            case Project(cl, g) =>
+              val kept = cl.filter(ne => needed.contains(ne.toAttribute))
+              val passThrough = (needed -- AttributeSet(kept.map(_.toAttribute))).toSeq
+              if (!AttributeSet(passThrough).subsetOf(g.outputSet)) agg // can't resolve — bail
+              else Aggregate(gs, newAes, Project(kept ++ passThrough, g), hint)
+            case other =>
+              if (!needed.subsetOf(other.outputSet)) agg
+              else Aggregate(gs, newAes, other, hint)
+          }
+        }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val sameTree = plan.transformAllExpressions {
       case e if fuse.isDefinedAt(e) => fuse(e)
     }
-    fuseAcrossProjects(sameTree)
+    fuseTotalBounds(fuseAcrossProjects(sameTree))
   }
 }

@@ -366,6 +366,52 @@ class GeomSimplifySpec extends AnyFunSuite {
     assert(got == ((1.0, 6.0)))
   }
 
+  test("st_total_bounds_agg over constructed points fuses to columnar min/max, bit-exact") {
+    installed()
+    import graft.agg.GeoAggregates.st_total_bounds_agg
+    import graft.functions.GeoFunctions.stPointU
+    val dir = java.nio.file.Files.createTempDirectory("gstb").toString
+    // nulls on either coordinate, NaN on one axis, ±0.0, negatives — every
+    // branch of the kernel's skip/poison semantics
+    Seq[(Integer, Option[Double], Option[Double])](
+      (1, Some(3.5), Some(-2.0)), (1, Some(-7.25), Some(4.0)), (1, None, Some(9.0)),
+      (1, Some(5.0), None), (2, Some(Double.NaN), Some(1.0)), (2, Some(2.0), Some(3.0)),
+      (3, None, None), (4, Some(0.0), Some(-0.0)), (4, Some(-0.0), Some(0.0)))
+      .toDF("grp", "x", "y").write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val fused = src.withColumn("g", st_point(col("x"), col("y")))
+      .groupBy(col("grp")).agg(st_total_bounds_agg(col("g")).as("tb"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("stpoint") && !plan.toLowerCase.contains("totalbounds"),
+      s"constructed-point total_bounds must fuse to min/max aggregates:\n$plan")
+    // UDF twin: ScalaUDF blocks the rewrite, so this is the unfused kernel truth
+    val kernel = src.withColumn("g", stPointU(col("x"), col("y")))
+      .groupBy(col("grp")).agg(st_total_bounds_agg(col("g")).as("tb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      val s = r.getStruct(1)
+      r.getInt(0) -> (0 to 3).map(i =>
+        java.lang.Double.doubleToLongBits(s.getDouble(i))).toSeq
+    }.toMap
+    val (got, exp) = (rows(fused), rows(kernel))
+    assert(got == exp, s"fused bounds must be bit-exact vs the WKB kernel: $got vs $exp")
+    // grp 2's NaN point became POINT EMPTY through the WKB round-trip and
+    // is SKIPPED (probed JTS WKBReader behavior) — only (2,3) contributes
+    val g2 = fused.filter(col("grp") === 2).select("tb.*").collect()(0)
+    assert((0 to 3).map(g2.getDouble) == Seq(2.0, 3.0, 2.0, 3.0))
+    // grp 3 (all-null) reports the reference's all-nan bounds
+    val g3 = fused.filter(col("grp") === 3).select("tb.*").collect()(0)
+    assert((0 to 3).forall(i => g3.getDouble(i).isNaN))
+    // grp 4: ±0.0 ties take math.min/max signs (min −0.0, max +0.0), not
+    // Spark's order-dependent first-seen zero
+    val g4 = fused.filter(col("grp") === 4).select("tb.*").collect()(0)
+    assert((0 to 3).map(i => java.lang.Double.doubleToLongBits(g4.getDouble(i))) ==
+      Seq(java.lang.Double.doubleToLongBits(-0.0), java.lang.Double.doubleToLongBits(-0.0), 0L, 0L))
+    // global (ungrouped) shape fuses too; NaN row skipped
+    val tb = src.withColumn("g", st_point(col("x"), col("y")))
+      .agg(st_total_bounds_agg(col("g")).as("tb")).select("tb.*").collect()(0)
+    assert((0 to 3).map(tb.getDouble) == Seq(-7.25, -2.0, 3.5, 4.0))
+  }
+
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
     installed()
     val df = Seq((0.0, 0.0, 3.0, 4.0)).toDF("ax", "ay", "bx", "by")
