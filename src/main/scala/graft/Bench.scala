@@ -255,7 +255,7 @@ object Bench {
     // line past 1.6 KB, it degrades to 1-decimal (full ms precision always
     // lives in bench_full.json). build.sbt routes the forked run's stdout
     // raw (StdoutOutput), so the line carries no "[info] " prefix either.
-    def jsonWith(queries: String) = "{\"metric\":\"total\",\"value\":" + fmt3(total) +
+    def jsonWith(queries: String, ib: Boolean) = "{\"metric\":\"total\",\"value\":" + fmt3(total) +
       ",\"unit\":\"sec\",\"errors\":" + nErr + ",\"reps\":" + reps +
       // action=full_plan since round 11: every query executes its complete
       // physical plan (Bench.fullCount) — earlier rounds' plain count()
@@ -264,9 +264,14 @@ object Bench {
       ",\"stat\":\"median\",\"action\":\"full_plan\",\"sf\":\"" + sfDir + "\"" +
       ",\"load0\":\"" + loadBefore + "\",\"load1\":\"" + loadAfter + "\"" +
       ",\"settle\":" + settleSec + ",\"remeasured\":" + suspects.length +
-      ",\"index_build\":" + builds + ",\"queries\":" + queries + "}"
-    val json2 = jsonWith(qs)
-    val json = if (json2.length <= 1600) json2 else jsonWith(qsWith(fmt1))
+      (if (ib) ",\"index_build\":" + builds else "") + ",\"queries\":" + queries + "}"
+    // progressive degrade, applied only when the line would crowd the
+    // driver's ~2k-char tail (line + trailing "[success] ..." must fit):
+    // full 2-decimal first; then 1-decimal; then also drop index_build
+    // (bench_full.json always keeps full precision and the build times)
+    val json = Seq(jsonWith(qs, ib = true), jsonWith(qsWith(fmt1), ib = true),
+        jsonWith(qsWith(fmt1), ib = false))
+      .find(_.length <= 1850).getOrElse(jsonWith(qsWith(fmt1), ib = false))
     // full-precision sibling with per-rep evidence: reps1 = main pass,
     // reps2 = the fresh contention re-measurement (only for suspects)
     val detail = results.map { case (name, _, t1, t2) =>

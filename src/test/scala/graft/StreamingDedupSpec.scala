@@ -135,11 +135,28 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"batch 2 must pair with BOTH stored copies and never re-emit (1,2): ${byEpoch(1L)}")
     assert(byEpoch(2L) == Set((1L, 20L), (2L, 20L), (10L, 20L)),
       s"batch 3 must pair with all three stored copies only: ${byEpoch(2L)}")
+  }
+
+  test("incremental minhash probe leaves no CacheManager entries behind") {
     // the probe's banded-new-side materialization must NOT go through the
     // session CacheManager: a cache entry per micro-batch would accumulate
     // for the stream's lifetime (round-12 advice). localCheckpoint blocks
     // are instead released by the ContextCleaner once the batch's frames
-    // are dropped, so after three batches the cache must still be empty.
+    // are dropped. Cleared up front because the session is shared across
+    // suites — the assertion is about entries THIS probe adds.
+    spark.sharedState.cacheManager.clearCache()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.minhashIncremental(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", k = 2) { (pairs, _) =>
+      pairs.count(); ()
+    }.start()
+    for (b <- 0 until 3) {
+      input.addData((10L * b, s"batch $b content one"), (10L * b + 1, s"batch $b content two"))
+      q.processAllAvailable()
+    }
+    q.stop()
     assert(spark.sharedState.cacheManager.isEmpty,
       "incremental minhash probe must not leave CacheManager entries behind")
   }
