@@ -54,8 +54,13 @@ object StreamingDedup {
       val newSigs = graft.ops.Dedup.minhashSignatureTable(
         batch, idCol, textCol, k, numHashes).localCheckpoint()
       val old = sigs.getOrElse(newSigs.limit(0))
-      onPairs(graft.ops.Dedup.minhashPairsIncremental(newSigs, old, idCol,
-        numHashes = numHashes, bands = bands, threshold = threshold), epoch)
+      val (pairs, banding) = graft.ops.Dedup.minhashPairsIncrementalTracked(
+        newSigs, old, idCol, numHashes = numHashes, bands = bands, threshold = threshold)
+      try onPairs(pairs, epoch)
+      // the probe's cached banding is per-batch state: without this
+      // unpersist, one CacheManager entry accumulates per micro-batch for
+      // the stream's lifetime (round-12 advice)
+      finally banding.unpersist(false)
       // previous checkpoint blocks are released by the ContextCleaner once
       // this union supersedes them (same posture as connectedComponents)
       sigs = Some(old.unionByName(newSigs).localCheckpoint())
