@@ -347,6 +347,29 @@ object Plans {
         "doc_id", threshold = 0.9)
     }
 
+    section("Incremental MinHash probe against a PRE-BANDED snapshot (q140)",
+      "writeBandedSnapshot persists the snapshot's (band, key, id) rows " +
+        "bucketed by the band key, so a probe reads stored band keys " +
+        "instead of re-exploding + re-hashing every stored signature — at " +
+        "100 TB that per-probe banding compute dwarfs the join itself. The " +
+        "snapshot scan carries no Generate and no Exchange; only the " +
+        "broadcast new batch and the candidate ids move.") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_bandsnap").toString
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val oldSigs = graft.ops.Dedup.minhashSignatureTable(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      graft.ops.Dedup.writeSignatureSnapshot(oldSigs, "plans_bsn_sigs",
+        s"$tmp/sigs", "doc_id", buckets = 8)
+      graft.ops.Dedup.writeBandedSnapshot(oldSigs, "plans_bsn_banded",
+        s"$tmp/banded", "doc_id", buckets = 8)
+      graft.ops.Dedup.minhashPairsIncrementalBanded(newSigs,
+        graft.ops.Dedup.readSignatureSnapshot(spark, "plans_bsn_sigs").hint("merge"),
+        graft.io.Bucketed.read(spark, "plans_bsn_banded").hint("merge"),
+        "doc_id", threshold = 0.9)
+    }
+
     section("Bucketed co-located join: corpus ⋈ side-table with ZERO Exchange",
       "Per-document side tables (scores, labels, signature snapshots) join " +
         "back to the corpus on doc_id constantly; storing both sides " +

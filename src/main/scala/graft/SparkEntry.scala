@@ -35,6 +35,26 @@ object SparkEntry {
       v
     }).asInstanceOf[T]
 
+  /** Shared oracle for q135/q140: signatures + banding replayed from the
+    * md5 minhash spec; new slice (doc_id % 3 == 0) probes all, canonical
+    * distinct pairs, estimate = matching signature components / 16. The
+    * two gates compute the same pairs by different engine paths (recomputed
+    * vs stored-banded snapshot), so they share one SQL mirror. */
+  private val incrementalMinhashOracle: String =
+    s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+       | sh AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh FROM tok WHERE len(toks) >= 2),
+       | sigs AS (SELECT doc_id, list_transform(range(0, 16),
+       |   j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM sh),
+       | banded AS (SELECT doc_id, t.b AS band, md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), '|')) AS bkey
+       |   FROM sigs CROSS JOIN range(0, 4) t(b)),
+       | nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+       | cand AS (SELECT DISTINCT least(n.doc_id, a.doc_id) AS id_a, greatest(n.doc_id, a.doc_id) AS id_b
+       |   FROM nb n JOIN banded a ON n.band = a.band AND n.bkey = a.bkey AND n.doc_id <> a.doc_id),
+       | est AS (SELECT id_a, id_b,
+       |   CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
+       |   FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
+       | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " ")
+
   // ---- shared geometry derivations (mirrored literally in the oracle SQL) --
 
   private def pts(spark: SparkSession, dir: String): DataFrame = {
@@ -1632,6 +1652,33 @@ object SparkEntry {
           numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
     }),
+    "q140_minhash_banded_snapshot" -> ((s, d) => {
+      // q135's semantics down the stored-BANDED snapshot path: band keys
+      // are read from the bucketed banded table written at snapshot time
+      // (writeBandedSnapshot) — the corpus is neither re-banded nor
+      // exchanged per probe; the signature snapshot feeds only the per-id
+      // estimate lookup. Snapshot build runs once per JVM (memoIndex, like
+      // the ANN index gates): the measured steady state is probe-only.
+      val all = docs(s, d)
+      val tag = (d.hashCode & 0x7fffffff).toString
+      memoIndex(s"q140_banded:$d") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bandsnap").toString
+        val oldSigs = graft.ops.Dedup.minhashSignatureTable(
+          all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+        graft.ops.Dedup.writeSignatureSnapshot(oldSigs, s"graft_q140_sigs_$tag",
+          s"$tmp/sigs", "doc_id", buckets = 8)
+        graft.ops.Dedup.writeBandedSnapshot(oldSigs, s"graft_q140_banded_$tag",
+          s"$tmp/banded", "doc_id", numHashes = 16, bands = 4, buckets = 8)
+        tmp
+      }
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      graft.ops.Dedup.minhashPairsIncrementalBanded(newSigs,
+          graft.ops.Dedup.readSignatureSnapshot(s, s"graft_q140_sigs_$tag"),
+          graft.io.Bucketed.read(s, s"graft_q140_banded_$tag"), "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
     "q138_aligned_distance" -> ((s, d) => {
       // the reference's index-aligned cross-frame binary op
       // (base.py:27-71 align=True) in its explicit-key Spark spelling
@@ -2665,23 +2712,11 @@ object SparkEntry {
            |   WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
            |   FROM o FULL OUTER JOIN n USING (doc_id))
            | SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY status""".stripMargin.replace("\n", " "),
-      "q135_minhash_incremental" ->
-        // signatures + banding replayed from the md5 minhash spec; new
-        // slice probes all, canonical distinct pairs, estimate = matching
-        // signature components / 16
-        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
-           | sh AS (SELECT doc_id, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS sh FROM tok WHERE len(toks) >= 2),
-           | sigs AS (SELECT doc_id, list_transform(range(0, 16),
-           |   j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM sh),
-           | banded AS (SELECT doc_id, t.b AS band, md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), '|')) AS bkey
-           |   FROM sigs CROSS JOIN range(0, 4) t(b)),
-           | nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
-           | cand AS (SELECT DISTINCT least(n.doc_id, a.doc_id) AS id_a, greatest(n.doc_id, a.doc_id) AS id_b
-           |   FROM nb n JOIN banded a ON n.band = a.band AND n.bkey = a.bkey AND n.doc_id <> a.doc_id),
-           | est AS (SELECT id_a, id_b,
-           |   CAST(len(list_filter(range(1, 17), i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE) / 16 AS ej
-           |   FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id)
-           | SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= 0.5""".stripMargin.replace("\n", " "),
+      "q135_minhash_incremental" -> incrementalMinhashOracle,
+      // identical semantics (and therefore oracle) to q135 — the engine
+      // path differs: q140 reads the stored side's band keys from the
+      // bucketed banded snapshot instead of recomputing them per probe
+      "q140_minhash_banded_snapshot" -> incrementalMinhashOracle,
       "q138_aligned_distance" ->
         s"""SELECT c.c_custkey,
            | CASE WHEN c.c_custkey % 3 = 0 THEN round(sqrt(

@@ -294,20 +294,88 @@ object Dedup {
                                     idCol: String, sigCol: String = "minhash_sig",
                                     numHashes: Int = 16, bands: Int = 4,
                                     threshold: Double = 0.5): DataFrame = {
+    requireSameSigSpec(newSigs, storedSigs, sigCol)
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    storedProbe(newSigs, storedSigs,
+      bandedSigs(storedSigs, idCol, sigCol, numHashes, bands)
+        .select(col("__band"), col("__key"), col("__id").as("__ida")),
+      idCol, sigCol, numHashes, bands, threshold)
+  }
+
+  /** Column name carrying the banding spec of a stored banded snapshot —
+    * a probe with mismatched numHashes/bands then fails loudly at
+    * analysis instead of silently missing every pair on disjoint keys. */
+  private def bandedKeyCol(numHashes: Int, bands: Int): String = s"key_${numHashes}x$bands"
+
+  /** Persist the BANDED projection of a signature snapshot — one row per
+    * (band, band-key, id), bucketed by the band key via
+    * [[graft.io.Bucketed]]. [[minhashPairsIncrementalBanded]] probes then
+    * skip re-banding the corpus entirely: at 100 TB the per-probe
+    * posexplode + per-slice md5 over every stored signature dwarfs the
+    * (already exchange-free) candidate join, and this moves that work to
+    * snapshot-write time, once. Storage is ~bands rows × (int + 32-char
+    * key + id) per document NEXT TO the signature snapshot (which the
+    * probe still needs for the estimate lookup — keep both). */
+  def writeBandedSnapshot(sigs: DataFrame, table: String, path: String,
+                          idCol: String, sigCol: String = "minhash_sig",
+                          numHashes: Int = 16, bands: Int = 4,
+                          buckets: Int = 64): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val kc = bandedKeyCol(numHashes, bands)
+    val b = bandedSigs(sigs, idCol, sigCol, numHashes, bands)
+      .select(col("__band").as("band"), col("__key").as(kc), col("__id").as(idCol))
+    graft.io.Bucketed.write(b, table, path, kc, buckets)
+  }
+
+  /** [[minhashPairsIncrementalStored]] probing a PRE-BANDED snapshot
+    * ([[writeBandedSnapshot]]): identical pairs, but the stored side's
+    * banding is read, not recomputed — the snapshot scan carries no
+    * explode and no hashing, and still reaches its join un-exchanged.
+    * `storedSigs` (the signature snapshot) is still required for the
+    * estimate lookup; the two tables must come from the same snapshot
+    * write (ids in one and not the other yield missed pairs / null-sig
+    * drops, the usual stale-index contract). */
+  def minhashPairsIncrementalBanded(newSigs: DataFrame, storedSigs: DataFrame,
+                                    storedBanded: DataFrame, idCol: String,
+                                    sigCol: String = "minhash_sig",
+                                    numHashes: Int = 16, bands: Int = 4,
+                                    threshold: Double = 0.5): DataFrame = {
+    requireSameSigSpec(newSigs, storedSigs, sigCol)
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val kc = bandedKeyCol(numHashes, bands)
+    require(storedBanded.columns.contains(kc),
+      s"banded snapshot spec mismatch: expected column $kc but the stored banded table has " +
+        s"[${storedBanded.columns.mkString(", ")}] — was it written with a different " +
+        "numHashes/bands than this probe?")
+    storedProbe(newSigs, storedSigs,
+      storedBanded.select(col("band").as("__band"), col(kc).as("__key"),
+        col(idCol).as("__ida")),
+      idCol, sigCol, numHashes, bands, threshold)
+  }
+
+  private def requireSameSigSpec(newSigs: DataFrame, storedSigs: DataFrame,
+                                 sigCol: String): Unit = {
     val newT = newSigs.schema(sigCol).dataType
     val oldT = storedSigs.schema(sigCol).dataType
     require(newT == oldT,
       s"signature spec mismatch: $sigCol is $newT in the new batch but $oldT in the stored " +
         "snapshot — md5 (minhashSignatureTable) and xxhash (minhashSignatureTableFast) " +
         "signatures must never mix across snapshots")
+  }
+
+  /** Shared tail of the stored-snapshot probes: candidates from the banded
+    * join (new side broadcast), per-id signature lookups (new batch
+    * broadcast, stored side joined on its own bucket key), estimate +
+    * threshold. `oldBanded` must already be (__band, __key, __ida). */
+  private def storedProbe(newSigs: DataFrame, storedSigs: DataFrame,
+                          oldBanded: DataFrame, idCol: String, sigCol: String,
+                          numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     // banded new side feeds the probe AND the new-new candidate join —
     // localCheckpoint (not cache) for the same foreachBatch posture as
-    // minhashPairsIncremental
+    // minhashPairsIncremental; the new batch is small by contract, so the
+    // eager materialization costs one pass over the BATCH, not the corpus
     val nbd = bandedSigs(newSigs, idCol, sigCol, numHashes, bands).localCheckpoint()
     val nb = nbd.select(col("__band"), col("__key"), col("__id").as("__idn"))
-    val oldBanded = bandedSigs(storedSigs, idCol, sigCol, numHashes, bands)
-      .select(col("__band"), col("__key"), col("__id").as("__ida"))
     val newBanded = nbd.select(col("__band"), col("__key"), col("__id").as("__ida"))
     val cand = broadcast(nb).join(oldBanded, Seq("__band", "__key"))
       .unionByName(nb.join(newBanded, Seq("__band", "__key")))

@@ -318,6 +318,63 @@ class VecAndDedupSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS b_sigsnap")
   }
 
+  test("pre-banded snapshot probe: no explode/hash above the stored scan; results match") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandsnap").toString
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different old content here")).toDF("doc_id", "text")
+    val nu = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "novel new content nothing like it")).toDF("doc_id", "text")
+    val oldSigs = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2)
+    val newSigs = Dedup.minhashSignatureTable(nu, "doc_id", "text", k = 2)
+    Dedup.writeSignatureSnapshot(oldSigs, "b_bsn_sigs", s"$dir/sigs", "doc_id", buckets = 4)
+    Dedup.writeBandedSnapshot(oldSigs, "b_bsn_banded", s"$dir/banded", "doc_id", buckets = 4)
+    try {
+      val sigs = Dedup.readSignatureSnapshot(spark, "b_bsn_sigs")
+      val banded = graft.io.Bucketed.read(spark, "b_bsn_banded")
+      val expect = Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id", threshold = 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+      val probe = Dedup.minhashPairsIncrementalBanded(newSigs, sigs.hint("merge"),
+        banded.hint("merge"), "doc_id", threshold = 0.9)
+      assert(probe.as[(Long, Long, Double)].collect().toSet == expect,
+        "pre-banded probe must emit exactly the plain incremental probe's pairs")
+      assert(expect.map(p => (p._1, p._2)) == Set((1L, 10L), (2L, 10L)))
+      // plan audit: the banded snapshot's rows must reach their first join
+      // with NO Exchange and NO Generate (the whole point — banding is
+      // read, never re-exploded/re-hashed per probe)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan2 = Dedup.minhashPairsIncrementalBanded(newSigs, sigs.hint("merge"),
+          banded.hint("merge"), "doc_id", threshold = 0.9).queryExecution.executedPlan
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        def paths(p: SparkPlan, anc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.mkString(",").contains(s"$dir/banded") => Seq(anc)
+          case other => other.children.flatMap(c => paths(c, other :: anc))
+        }
+        val found = paths(plan2, Nil)
+        assert(found.nonEmpty, s"banded snapshot scan must appear in the plan:\n$plan2")
+        for (path <- found) {
+          val belowJoin = path.takeWhile(n => !n.getClass.getSimpleName.contains("Join"))
+          assert(!belowJoin.exists(n => n.getClass.getSimpleName.contains("Exchange") ||
+              n.getClass.getSimpleName.contains("Generate")),
+            s"stored banding must be read as-is (no shuffle, no re-explode):\n$plan2")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // a probe with a different banding spec than the snapshot must fail
+      // loudly at call time, not silently miss every pair
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashPairsIncrementalBanded(newSigs, sigs, banded, "doc_id",
+          numHashes = 16, bands = 8)
+      }
+      assert(e.getMessage.contains("key_16x8"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_bsn_sigs")
+      spark.sql("DROP TABLE IF EXISTS b_bsn_banded")
+    }
+  }
+
   test("incremental minhash rejects mixed signature specs and width mismatches loudly") {
     import spark.implicits._
     val old = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
