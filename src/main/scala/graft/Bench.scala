@@ -267,11 +267,16 @@ object Bench {
       (if (ib) ",\"index_build\":" + builds else "") + ",\"queries\":" + queries + "}"
     // progressive degrade, applied only when the line would crowd the
     // driver's ~2k-char tail (line + trailing "[success] ..." must fit):
-    // full 2-decimal first; then 1-decimal; then also drop index_build
-    // (bench_full.json always keeps full precision and the build times)
+    // full 2-decimal first; then 1-decimal; then also drop index_build;
+    // terminal fallback drops the per-query map entirely (a line that
+    // ALWAYS parses beats per-query detail that gets truncated mid-map —
+    // bench_full.json always keeps full precision, build times and every
+    // query median, and the marker says where to look)
     val json = Seq(jsonWith(qs, ib = true), jsonWith(qsWith(fmt1), ib = true),
         jsonWith(qsWith(fmt1), ib = false))
-      .find(_.length <= 1850).getOrElse(jsonWith(qsWith(fmt1), ib = false))
+      .find(_.length <= 1850)
+      .getOrElse(jsonWith("{\"omitted\":\"" + results.length +
+        " medians exceed the stdout budget; see bench_full.json\"}", ib = false))
     // full-precision sibling with per-rep evidence: reps1 = main pass,
     // reps2 = the fresh contention re-measurement (only for suspects)
     val detail = results.map { case (name, _, t1, t2) =>

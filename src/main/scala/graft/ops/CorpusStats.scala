@@ -132,9 +132,16 @@ object CorpusStats {
       val all = Similarity.radPlane(pl, dim, seed)
       Array.tabulate(bd)(b => all.slice(b * rpb, (b + 1) * rpb))
     }
+    // the sample feeds four sub-plans (banding, both lookup sides, the
+    // truth cross-join, n_sample) — materialize it once instead of
+    // re-running the scan + md5 sample filter per consumer. localCheckpoint
+    // (not cache): blocks are released by the ContextCleaner when the
+    // report's frames drop, and the sample is small by construction so the
+    // eager pass is cheap.
     val sample = Sampling.deterministicSample(embs, idCol, sampleFraction, salt)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
+      .localCheckpoint()
     val keysU = udf((v: Seq[Float]) => bandPlanes.map(p => Similarity.bucketOf(v, p)))
     val banded = sample
       .select(col("__id"), posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))

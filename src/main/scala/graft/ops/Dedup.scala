@@ -180,12 +180,15 @@ object Dedup {
       bands, threshold)._1
 
   /** [[minhashPairsIncremental]] plus a handle on its cached banding, so a
-    * REPEATED caller (StreamingDedup.minhashIncremental's foreachBatch)
-    * can `unpersist` it once the batch's pairs are consumed — without
-    * that, one CacheManager entry accumulates per micro-batch for the
-    * stream's lifetime (round-12 advice). One-shot batch callers can use
-    * the plain method and let the session end reclaim the single entry. */
-  private[graft] def minhashPairsIncrementalTracked(
+    * REPEATED caller can `unpersist` the second element once the batch's
+    * pairs are consumed — without that, one CacheManager entry accumulates
+    * per probe for the session's lifetime (round-12 advice;
+    * StreamingDedup.minhashIncremental's foreachBatch does exactly this).
+    * Public because ANY long-lived incremental-ingest loop calling the
+    * probe per batch needs the release handle; one-shot batch callers can
+    * use the plain method and let the session end reclaim the single
+    * entry. */
+  def minhashPairsIncrementalTracked(
       newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
       sigCol: String = "minhash_sig", numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): (DataFrame, DataFrame) = {

@@ -354,13 +354,22 @@ object GeomSimplify extends Rule[LogicalPlan] {
         val zeroFixed =
           If(flag, Literal(if (isMin) -0.0 else 0.0, DoubleType),
             Literal(if (isMin) 0.0 else -0.0, DoubleType))
-        If(IsNull(m), nan, If(EqualTo(m, zero), zeroFixed, m))
+        If(EqualTo(m, zero), zeroFixed, m)
       }
+      // the kernel's finish() reports the all-NaN "empty" result whenever
+      // the folded xmin is +Inf — that conflates the genuinely-empty group
+      // with a group whose every x coordinate IS +Infinity, and it checks
+      // ONLY xmin (a +Inf ymin survives). Reproduce both quirks exactly:
+      // one shared condition on the xmin aggregate nukes all four fields.
+      // (The duplicated Min(xv) is deduplicated by PhysicalAggregation.)
+      val empty = Or(IsNull(aggE(Min(xv))),
+        EqualTo(aggE(Min(xv)), Literal(Double.PositiveInfinity, DoubleType)))
+      def guarded(e: Expression): Expression = If(empty, nan, e)
       CreateNamedStruct(Seq(
-        Literal("xmin"), field(xv, isMin = true),
-        Literal("ymin"), field(yv, isMin = true),
-        Literal("xmax"), field(xv, isMin = false),
-        Literal("ymax"), field(yv, isMin = false)))
+        Literal("xmin"), guarded(field(xv, isMin = true)),
+        Literal("ymin"), guarded(field(yv, isMin = true)),
+        Literal("xmax"), guarded(field(xv, isMin = false)),
+        Literal("ymax"), guarded(field(yv, isMin = false))))
     }
 
     plan transform {

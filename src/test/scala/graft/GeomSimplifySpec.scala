@@ -376,7 +376,13 @@ class GeomSimplifySpec extends AnyFunSuite {
     Seq[(Integer, Option[Double], Option[Double])](
       (1, Some(3.5), Some(-2.0)), (1, Some(-7.25), Some(4.0)), (1, None, Some(9.0)),
       (1, Some(5.0), None), (2, Some(Double.NaN), Some(1.0)), (2, Some(2.0), Some(3.0)),
-      (3, None, None), (4, Some(0.0), Some(-0.0)), (4, Some(-0.0), Some(0.0)))
+      (3, None, None), (4, Some(0.0), Some(-0.0)), (4, Some(-0.0), Some(0.0)),
+      // kernel finish() quirks: every x = +Inf conflates with the empty
+      // all-NaN result (grp 5), but a +Inf that is not the xmin survives
+      // (grp 6) — the fused path must reproduce both
+      (5, Some(Double.PositiveInfinity), Some(1.0)),
+      (5, Some(Double.PositiveInfinity), Some(7.0)),
+      (6, Some(Double.PositiveInfinity), Some(1.0)), (6, Some(2.0), Some(5.0)))
       .toDF("grp", "x", "y").write.mode("overwrite").parquet(dir)
     val src = spark.read.parquet(dir)
     val fused = src.withColumn("g", st_point(col("x"), col("y")))
@@ -406,10 +412,19 @@ class GeomSimplifySpec extends AnyFunSuite {
     val g4 = fused.filter(col("grp") === 4).select("tb.*").collect()(0)
     assert((0 to 3).map(i => java.lang.Double.doubleToLongBits(g4.getDouble(i))) ==
       Seq(java.lang.Double.doubleToLongBits(-0.0), java.lang.Double.doubleToLongBits(-0.0), 0L, 0L))
+    // grp 5: all-x-+Inf conflates with the kernel's empty sentinel (its
+    // finish() only tests xmin == +Inf) -> all-NaN, fused must agree
+    val g5 = fused.filter(col("grp") === 5).select("tb.*").collect()(0)
+    assert((0 to 3).forall(i => g5.getDouble(i).isNaN))
+    // grp 6: +Inf that is not the xmin survives as the xmax
+    val g6 = fused.filter(col("grp") === 6).select("tb.*").collect()(0)
+    assert((0 to 3).map(g6.getDouble) ==
+      Seq(2.0, 1.0, Double.PositiveInfinity, 5.0))
     // global (ungrouped) shape fuses too; NaN row skipped
     val tb = src.withColumn("g", st_point(col("x"), col("y")))
       .agg(st_total_bounds_agg(col("g")).as("tb")).select("tb.*").collect()(0)
-    assert((0 to 3).map(tb.getDouble) == Seq(-7.25, -2.0, 3.5, 4.0))
+    assert((0 to 3).map(tb.getDouble) ==
+      Seq(-7.25, -2.0, Double.PositiveInfinity, 7.0))
   }
 
   test("WKB columns from storage are never rewritten (rule fires on constructions only)") {
