@@ -275,15 +275,18 @@ object Bench {
     val json = Seq(jsonWith(qs, ib = true), jsonWith(qsWith(fmt1), ib = true),
         jsonWith(qsWith(fmt1), ib = false))
       .find(_.length <= 1850)
-      .getOrElse(jsonWith("{\"omitted\":\"" + results.length +
+      .getOrElse(jsonWith("{\"omitted\":\"" + results.count(_._2.isRight) +
         " medians exceed the stdout budget; see bench_full.json\"}", ib = false))
+    // bench_full.json is never degraded: always the full 2-decimal map +
+    // index_build, whatever the stdout line had to drop
+    val jsonFull = jsonWith(qs, ib = true)
     // full-precision sibling with per-rep evidence: reps1 = main pass,
     // reps2 = the fresh contention re-measurement (only for suspects)
     val detail = results.map { case (name, _, t1, t2) =>
       "\"" + name + "\":{\"reps1\":[" + t1.map(fmt3).mkString(",") + "]" +
         (if (t2.nonEmpty) ",\"reps2\":[" + t2.map(fmt3).mkString(",") + "]" else "") + "}"
     }.mkString("{", ",", "}")
-    val fullJson = json.dropRight(1) +
+    val fullJson = jsonFull.dropRight(1) +
       ",\"prev_bench\":\"" + prevPath.map(_.toString).getOrElse("") + "\"" +
       ",\"remeasured_detail\":" + remeasured +
       ",\"index_build_full\":" + buildsFull +

@@ -214,7 +214,7 @@ object Dedup {
     // not localCheckpoint: the columnar cache materializes PIPELINED inside
     // the first consuming job, while either checkpoint flavor costs an
     // extra full materialization pass (measured +35% on q135). The entry is
-    // returned to the (package-private) tracked caller so repeated probes
+    // returned by the Tracked variant so repeated probes
     // can unpersist it per batch.
     val nbd = banded(newSigs).cache()
     val nb = nbd.select(col("__band"), col("__key"), col("__id").as("__idn"))
