@@ -35,6 +35,17 @@ object SparkEntry {
       v
     }).asInstanceOf[T]
 
+  /** Collision-free catalog-identifier tag for a dataset dir: readable
+    * sanitized tail plus an md5 disambiguator (unlike `String.hashCode`,
+    * two distinct dirs cannot share a tag in practice). */
+  private def pathTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(
+      d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    val tail = d.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s"${tail}_$hex"
+  }
+
   /** Shared oracle for q135/q140: signatures + banding replayed from the
     * md5 minhash spec; new slice (doc_id % 3 == 0) probes all, canonical
     * distinct pairs, estimate = matching signature components / 16. The
@@ -1660,7 +1671,12 @@ object SparkEntry {
       // estimate lookup. Snapshot build runs once per JVM (memoIndex, like
       // the ANN index gates): the measured steady state is probe-only.
       val all = docs(s, d)
-      val tag = (d.hashCode & 0x7fffffff).toString
+      // table tag from the same collision-free key the memo uses: a
+      // sanitized dataset path plus an md5 disambiguator (String.hashCode
+      // collisions across two dataset dirs in one JVM would overwrite each
+      // other's snapshot tables while each memo still believed its build
+      // was live, silently probing the wrong corpus)
+      val tag = pathTag(d)
       memoIndex(s"q140_banded:$d") {
         val tmp = java.nio.file.Files.createTempDirectory("graft_bandsnap").toString
         val oldSigs = graft.ops.Dedup.minhashSignatureTable(
@@ -1678,6 +1694,27 @@ object SparkEntry {
           graft.io.Bucketed.read(s, s"graft_q140_banded_$tag"), "doc_id",
           numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }),
+    "q141_sjoin_auto_plan" -> ((s, d) => {
+      // q09's semantics down the AUTO-PLANNED path: geometry is round-
+      // tripped through parquet so both sides are genuinely STORED WKB
+      // columns (no construction for GeomSimplify to fuse), and the join is
+      // spelled as a plain predicate join — the shape that used to plan as
+      // a BroadcastNestedLoopJoin evaluating the predicate on every pair.
+      // AutoSpatialJoin rewrites it to the grid candidate join refined by
+      // the original condition; the oracle is q09's coordinate SQL.
+      graft.plans.AutoSpatialJoin.install(s)
+      val dir = memoIndex(s"q141_stored_geo:$d") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q141_").toString
+        pts(s, d).write.mode("overwrite").parquet(s"$tmp/pts")
+        cells(s, d).write.mode("overwrite").parquet(s"$tmp/cells")
+        tmp
+      }
+      val p = s.read.parquet(s"$dir/pts")
+      val c = s.read.parquet(s"$dir/cells")
+      p.join(c, st_intersects(p("geometry"), c("geometry")))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
     }),
     "q138_aligned_distance" -> ((s, d) => {
       // the reference's index-aligned cross-frame binary op
@@ -1781,6 +1818,11 @@ object SparkEntry {
            | NOT (ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1) AS disj
            | FROM $boxes WHERE l_orderkey % 20 = 0""".stripMargin.replace("\n", " "),
       "q09_sjoin_points_cells" -> sjoinOracle(pts, cells),
+      // identical semantics (and therefore oracle) to q09 — the engine path
+      // differs: q141 stores the geometry as opaque parquet WKB and spells
+      // the join as a plain predicate join, exercising the AutoSpatialJoin
+      // grid rewrite instead of the explicit sjoin API
+      "q141_sjoin_auto_plan" -> sjoinOracle(pts, cells),
       // same degenerate row as the Spark side: one NULL-coordinate (missing
       // geometry) probe row that the inner-join predicate drops
       "q10_sjoin_grid" -> sjoinOracle(

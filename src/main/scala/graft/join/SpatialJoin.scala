@@ -274,7 +274,7 @@ object SpatialJoin {
   // Grid (partitioned) strategy
   // -------------------------------------------------------------------------
 
-  private[join] case class GridSpec(xmin: Double, ymin: Double, xmax: Double, ymax: Double, nx: Int, ny: Int) {
+  private[graft] case class GridSpec(xmin: Double, ymin: Double, xmax: Double, ymax: Double, nx: Int, ny: Int) {
     def cellW: Double = if (nx == 0) 0 else math.max((xmax - xmin) / nx, 1e-12)
     def cellH: Double = if (ny == 0) 0 else math.max((ymax - ymin) / ny, 1e-12)
     def cellOf(x: Double, y: Double): Long = {
@@ -283,6 +283,13 @@ object SpatialJoin {
       cy * nx + cx
     }
     def cellsFor(exmin: Double, eymin: Double, exmax: Double, eymax: Double): Array[Long] = {
+      // inverted envelope = JTS "null envelope" of an EMPTY geometry (whose
+      // bounds read (0,0,-1,-1)); `!(a <= b)` also catches NaN bounds from
+      // NaN-coordinate geometries. Either way the geometry has no meaningful
+      // extent and every predicate this machinery serves is false on it —
+      // cover no cells instead of clamping garbage into cell 0 (or crashing
+      // on a negative array size when the clamped corners invert).
+      if (!(exmin <= exmax) || !(eymin <= eymax)) return Array.emptyLongArray
       val cx0 = math.min(nx - 1L, math.max(0L, math.floor((exmin - xmin) / cellW).toLong)).toInt
       val cx1 = math.min(nx - 1L, math.max(0L, math.floor((exmax - xmin) / cellW).toLong)).toInt
       val cy0 = math.min(ny - 1L, math.max(0L, math.floor((eymin - ymin) / cellH).toLong)).toInt
@@ -309,12 +316,12 @@ object SpatialJoin {
     * the grid, so geometries outside the sampled bounds land in edge cells
     * — the bbox-overlap precondition, exact refine and reference-cell dedup
     * all still hold for any grid; only skew can degrade, not correctness. */
-  private def computeGrid(l: DataFrame, lGeom: String, r: DataFrame, rGeom: String,
-                          expand: Double): GridSpec = {
+  private[graft] def computeGrid(l: DataFrame, lGeom: Column, r: DataFrame, rGeom: Column,
+                                 expand: Double): GridSpec = {
     val SampleFraction = 0.02
     val MinSampledRows = 2000L
-    def fullStats(df: DataFrame, g: String): (Double, Double, Double, Double, Long, Double, Double) = {
-      val b = graft.functions.GeoFunctions.st_bounds(col(g))
+    def fullStats(df: DataFrame, g: Column): (Double, Double, Double, Double, Long, Double, Double) = {
+      val b = graft.functions.GeoFunctions.st_bounds(g)
       val row = df.select(b.as("b")).filter(col("b").isNotNull)
         .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax"), count(lit(1)),
           avg(col("b.xmax") - col("b.xmin")), avg(col("b.ymax") - col("b.ymin"))).head()
@@ -322,7 +329,7 @@ object SpatialJoin {
       else (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3), row.getLong(4),
         row.getDouble(5), row.getDouble(6))
     }
-    def stats(df: DataFrame, g: String): (Double, Double, Double, Double, Long, Double, Double) = {
+    def stats(df: DataFrame, g: Column): (Double, Double, Double, Double, Long, Double, Double) = {
       val s = fullStats(df.sample(withReplacement = false, SampleFraction, seed = 42L), g)
       if (s._5 < MinSampledRows) fullStats(df, g) // small side: exact stats, still one cheap pass
       else (s._1, s._2, s._3, s._4, (s._5 / SampleFraction).toLong, s._6, s._7)
@@ -354,7 +361,7 @@ object SpatialJoin {
                        leftGeom: String, rightGeom: String, distance: Double): DataFrame = {
     import graft.functions.GeoFunctions.st_bounds
     val expand = if (predicate == "dwithin") distance else 0.0
-    val grid = computeGrid(l2, leftGeom, r2, rightGeom, expand)
+    val grid = computeGrid(l2, col(leftGeom), r2, col(rightGeom), expand)
 
     // outer hows re-join the id-stamped side against its own matched pairs;
     // the ids must agree across both evaluations. Pins.stampPinned

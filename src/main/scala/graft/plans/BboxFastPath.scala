@@ -36,6 +36,7 @@ object BboxFastPath extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
     GeomSimplify.install(spark)
+    AutoSpatialJoin.install(spark)
   }
 
   private def isBboxStruct(dt: DataType): Boolean = dt match {
@@ -137,5 +138,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BboxFastPath)
     e.injectOptimizerRule(_ => GeomSimplify)
+    // after GeomSimplify: constructed-geometry join conditions fuse to
+    // arithmetic first; the stored-geometry shapes left over grid-join
+    e.injectOptimizerRule(_ => AutoSpatialJoin)
   }
 }
