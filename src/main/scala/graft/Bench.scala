@@ -38,8 +38,8 @@ object Bench {
     * suffix and therefore never match. Known benign imprecision: the pair
     * that straddles the driver's ~2k-char truncation boundary can be cut
     * mid-digits (e.g. "0.833" captured as "0.83") — the error is below
-    * ms-rounding and only feeds the >=2x re-measure trigger, never a
-    * reported number. */
+    * ms-rounding and only feeds the re-measure trigger, never a reported
+    * number. */
   private def parsePrev(p: java.nio.file.Path): Map[String, Double] =
     try {
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -61,20 +61,24 @@ object Bench {
   private def fmt3(v: Double): String = (math.rint(v * 1000) / 1000).toString
 
   /** Why a query deserves ONE fresh re-measurement, or None.
-    * "regressed" = median >1.5x the previous artifact's median, with a
+    * "regressed" = median >1.25x the previous artifact's median, with a
     * 0.10 s floor (round-8 review: the old 0.15 floor silently exempted
     * every sub-150 ms query from regression detection; below 0.10 s the
     * numbers are JVM-noise-dominated and a ratio alone would re-measure
-    * half the suite). The threshold was 2x through round 12 — which let
-    * 1.5-2x load-contamination artifacts (q65/q53/q28, judged against the
-    * quiet ScaleSuite numbers) slip past the re-measure pass; the widened
-    * trigger costs a few extra re-runs and catches that band.
+    * half the suite). The threshold was 2x through round 12 and 1.5x in
+    * round 13 — each let a band of load-contamination artifacts ship as
+    * apparent regressions (r12: q65/q53/q28 at 1.5-2.2x; r13:
+    * q67/q10/q54/q61/q40/q59 at 1.3-1.6x, all 1x-flat in the quiet soak).
+    * At 1.25x the trigger covers every band the quiet-soak comparison has
+    * ever flagged (q67's r13 ratio was 1.299 — strictly-1.3 would have
+    * missed it); the cost is a handful of extra re-runs on genuinely
+    * moved queries.
     * "spread" = this run's own reps span >4x max/min —
     * contention inside the measurement itself, no previous file needed. */
   private[graft] def triggerReason(times: Seq[Double], prevMed: Option[Double]): Option[String] = {
     if (times.isEmpty) return None
     val med = median(times)
-    val regressed = prevMed.exists(p => p > 0 && med > 1.5 * p && med > 0.10)
+    val regressed = prevMed.exists(p => p > 0 && med > 1.25 * p && med > 0.10)
     val spread = times.max > 4 * math.max(times.min, 1e-3) && med > 0.3
     (regressed, spread) match {
       case (true, true)  => Some("regressed+spread")
@@ -165,7 +169,7 @@ object Bench {
     // ---- contention defense (round-6/7 phantom-regression fix) ----------
     // Compare against the previous round's medians (our own bench_full.json
     // if present, else the newest driver BENCH_r*.json tail). Any query
-    // whose median "regressed" >2x gets ONE fresh re-measurement after the
+    // whose median "regressed" (triggerReason) gets ONE fresh re-measurement after the
     // whole suite — if the first number was a host-contention artifact, the
     // re-run lands back at truth and the LOWER median is reported. A real
     // regression reproduces and keeps its (still slow) re-measured median.

@@ -175,9 +175,34 @@ object Dedup {
     * representative before storing. */
   def minhashPairsIncremental(newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
                               sigCol: String = "minhash_sig", numHashes: Int = 16,
-                              bands: Int = 4, threshold: Double = 0.5): DataFrame =
-    minhashPairsIncrementalTracked(newSigs, oldSigs, idCol, sigCol, numHashes,
-      bands, threshold)._1
+                              bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val (pairs, banding) = minhashPairsIncrementalTracked(newSigs, oldSigs, idCol,
+      sigCol, numHashes, bands, threshold)
+    trackBandingCache(banding)
+    pairs
+  }
+
+  /** Bounded FIFO of banding caches created by the PLAIN
+    * [[minhashPairsIncremental]] wrapper, so a caller probing in a loop
+    * without the Tracked handle still cannot accumulate one CacheManager
+    * entry per call for the session's lifetime: beyond the newest
+    * [[MaxLiveBandingCaches]] entries the oldest is unpersisted. Unpersist
+    * is always SAFE — a consumer still holding the old frame recomputes the
+    * banding instead of reading the cache — so the bound trades at worst a
+    * recompute on a pathological evaluation order for a hard memory cap.
+    * Callers that want exact per-batch release (streaming) keep using
+    * [[minhashPairsIncrementalTracked]]. */
+  private val MaxLiveBandingCaches = 8
+  private val liveBandingCaches = new java.util.ArrayDeque[DataFrame]()
+  private def trackBandingCache(df: DataFrame): Unit = liveBandingCaches.synchronized {
+    liveBandingCaches.addLast(df)
+    while (liveBandingCaches.size() > MaxLiveBandingCaches) {
+      try liveBandingCaches.removeFirst().unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+  private[graft] def liveBandingCacheCount: Int =
+    liveBandingCaches.synchronized(liveBandingCaches.size())
 
   /** [[minhashPairsIncremental]] plus a handle on its cached banding, so a
     * REPEATED caller can `unpersist` the second element once the batch's
@@ -319,14 +344,26 @@ object Dedup {
     * snapshot-write time, once. Storage is ~bands rows × (int + 32-char
     * key + id) per document NEXT TO the signature snapshot (which the
     * probe still needs for the estimate lookup — keep both). */
+  /** The banded projection [[writeBandedSnapshot]] persists — (band,
+    * key_NxB, id) with the banding spec fused into the key column's name —
+    * exposed so an in-memory incremental pipeline (streaming foreachBatch)
+    * can accumulate the same table across batches and probe it with
+    * [[minhashPairsIncrementalBanded]] without a filesystem snapshot. */
+  def bandedSnapshotProjection(sigs: DataFrame, idCol: String,
+                               sigCol: String = "minhash_sig",
+                               numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val kc = bandedKeyCol(numHashes, bands)
+    bandedSigs(sigs, idCol, sigCol, numHashes, bands)
+      .select(col("__band").as("band"), col("__key").as(kc), col("__id").as(idCol))
+  }
+
   def writeBandedSnapshot(sigs: DataFrame, table: String, path: String,
                           idCol: String, sigCol: String = "minhash_sig",
                           numHashes: Int = 16, bands: Int = 4,
                           buckets: Int = 64): Unit = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val kc = bandedKeyCol(numHashes, bands)
-    val b = bandedSigs(sigs, idCol, sigCol, numHashes, bands)
-      .select(col("__band").as("band"), col("__key").as(kc), col("__id").as(idCol))
+    val b = bandedSnapshotProjection(sigs, idCol, sigCol, numHashes, bands)
     graft.io.Bucketed.write(b, table, path, kc, buckets)
   }
 
@@ -389,7 +426,20 @@ object Dedup {
     // per-id signature lookup: new batch broadcast, stored snapshot joined
     // on its own bucket key (ids unique across sides -> exactly one hit)
     val newL = newSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig"))
-    val oldL = storedSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig"))
+    // width guard fused into the stored-side lookup projection: the PRE-
+    // BANDED probe never runs bandedSigs over storedSigs, so without this a
+    // signature snapshot written with a different numHashes than the banded
+    // table would silently mis-scale est_jaccard via zip_with null-padding.
+    // NULL signatures pass through (missing ids already yield null via the
+    // left join); the guard only rejects present-but-mis-sized rows. The
+    // projection preserves the bucketed scan's output partitioning on the
+    // id, so the exchange-free stored-side join is untouched.
+    val oldL = storedSigs.select(col(idCol).as("__sid"),
+      when(col(sigCol).isNull || size(col(sigCol)) === numHashes, col(sigCol))
+        .otherwise(raise_error(concat(
+          lit(s"minhash spec mismatch: probe expects numHashes=$numHashes but stored " +
+            "signature snapshot has "),
+          size(col(sigCol)).cast("string"), lit(" components")))).as("__sig"))
     def withSig(df: DataFrame, pairCol: String, out: String): DataFrame =
       df.join(broadcast(newL.select(col("__sid").as(pairCol), col("__sig").as(out + "_n"))),
           Seq(pairCol), "left")
@@ -575,9 +625,35 @@ object Dedup {
       s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
     val bands = maxHamming + 1
     val bound = (0 to bands).map(i => 16 * i / bands) // hex-char chunk boundaries
-    val sig = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .filter(col("__sig").isNotNull)
+    // spread a NARROW input (a single small file, a coalesced upstream)
+    // across the cores before the signature collapse — but only then: for
+    // an input that is already adequately partitioned (a bucketed
+    // signature table, a big scan) the round-robin repartition was one
+    // avoidable full exchange of the corpus (round-13 verdict), and the
+    // groupBy below shuffles on its own key anyway
+    val base = df.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // an upstream that already shuffled is spread across
+    // spark.sql.shuffle.partitions by construction — and probing its
+    // partition count via .rdd would force AQE stage materialization (a
+    // plan-time job); only scan-rooted NARROW inputs are probed (their
+    // .rdd is pure lineage, no job) and widened when genuinely narrow
+    def shuffles(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => true
+        case _ => false
+      }
+    val spread =
+      if (shuffles(base.queryExecution.analyzed)) base
+      else if (base.rdd.getNumPartitions * 2 < par) base.repartition(par)
+      else base
+    val sig = spread.filter(col("__sig").isNotNull)
     // duplication-proof like the other banded paths, with the signature
     // itself as the collapse key: the output's hamming distance is a pure
     // function of the two signatures, so rows sharing a signature are

@@ -68,6 +68,44 @@ object StreamingDedup {
     }
   }
 
+  /** [[minhashIncremental]] down the PRE-BANDED path — the streaming face
+    * of [[graft.ops.Dedup.minhashPairsIncrementalBanded]] (q140): alongside
+    * the signature fold, the band-key projection of every prior batch is
+    * accumulated too, so each micro-batch probes STORED band keys — the
+    * corpus accumulated so far is never re-exploded or re-hashed per batch
+    * (with the plain incremental probe, batch k re-bands all k-1 prior
+    * batches' signatures; here banding cost is once per row, at arrival).
+    * No cache handle to release either: the banded probe checkpoints only
+    * the small new batch internally. A 100 TB deployment swaps the two
+    * in-memory folds for the bucketed snapshot tables
+    * ([[graft.ops.Dedup.writeSignatureSnapshot]] /
+    * [[graft.ops.Dedup.writeBandedSnapshot]]) — the probe call is
+    * identical. Same contract: stream-unique ids, pairs per batch via
+    * `onPairs`, old-old pairs never re-emitted. */
+  def minhashIncrementalBanded(stream: DataFrame, idCol: String, textCol: String,
+                               k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                               threshold: Double = 0.5)
+                              (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var sigs: Option[DataFrame] = None
+    var bandedAcc: Option[DataFrame] = None
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val newSigs = graft.ops.Dedup.minhashSignatureTable(
+        batch, idCol, textCol, k, numHashes).localCheckpoint()
+      val newBanded = graft.ops.Dedup.bandedSnapshotProjection(
+        newSigs, idCol, numHashes = numHashes, bands = bands).localCheckpoint()
+      val oldSigs = sigs.getOrElse(newSigs.limit(0))
+      val oldBanded = bandedAcc.getOrElse(newBanded.limit(0))
+      val pairs = graft.ops.Dedup.minhashPairsIncrementalBanded(
+        newSigs, oldSigs, oldBanded, idCol,
+        numHashes = numHashes, bands = bands, threshold = threshold)
+      onPairs(pairs, epoch)
+      sigs = Some(oldSigs.unionByName(newSigs).localCheckpoint())
+      bandedAcc = Some(oldBanded.unionByName(newBanded).localCheckpoint())
+      ()
+    }
+  }
+
   case class BandDoc(bkey: String, id: Long, sig: String)
   case class BucketState(docs: List[(Long, String)])
   case class DupPair(id_a: Long, id_b: Long, hamming: Int)

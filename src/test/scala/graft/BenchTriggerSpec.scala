@@ -14,8 +14,11 @@ class BenchTriggerSpec extends AnyFunSuite {
     assert(Bench.triggerReason(Seq(0.12, 0.12, 0.12), Some(0.01)).contains("regressed"))
     // below the 0.10 s floor stays exempt — noise-dominated territory
     assert(Bench.triggerReason(Seq(0.09, 0.09, 0.09), Some(0.01)).isEmpty)
-    // within 2x of the previous median: not a regression
+    // at exactly 1.25x of the previous median: boundary stays exempt
     assert(Bench.triggerReason(Seq(0.5, 0.5, 0.5), Some(0.4)).isEmpty)
+    // the round-13 contention band (1.3-1.6x, code unchanged) now trips:
+    // q67 shipped 2.44 -> 3.17 (1.3x) while soaking 1x-flat
+    assert(Bench.triggerReason(Seq(3.17, 3.17, 3.17), Some(2.44)).contains("regressed"))
     // no previous artifact: the regression leg cannot fire
     assert(Bench.triggerReason(Seq(5.0, 5.0, 5.0), None).isEmpty)
   }

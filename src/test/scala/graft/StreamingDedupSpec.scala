@@ -137,6 +137,45 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"batch 3 must pair with all three stored copies only: ${byEpoch(2L)}")
   }
 
+  test("streaming pre-banded probe: same pairs as the plain path, stored side never re-banded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sharedState.cacheManager.clearCache()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val perBatch = collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Long)])]
+    val generatesPerBatch = collection.mutable.ArrayBuffer.empty[Int]
+    val q = StreamingDedup.minhashIncrementalBanded(stream, "doc_id", "text",
+        k = 2, threshold = 0.9) { (pairs, epoch) =>
+      val plan = pairs.queryExecution.executedPlan.toString
+      generatesPerBatch += "Generate".r.findAllMatchIn(plan).length
+      perBatch += epoch -> pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      ()
+    }.start()
+    input.addData((1L, dup), (2L, dup), (3L, "completely different starter content"))
+    q.processAllAvailable()
+    input.addData((10L, dup), (11L, "novel second batch content here"))
+    q.processAllAvailable()
+    input.addData((20L, dup))
+    q.processAllAvailable(); q.stop()
+    val byEpoch = perBatch.toMap
+    // identical pair sets to the plain incremental streaming path
+    assert(byEpoch(0L) == Set((1L, 2L)), s"batch 1 new-new: ${byEpoch(0L)}")
+    assert(byEpoch(1L) == Set((1L, 10L), (2L, 10L)), s"batch 2: ${byEpoch(1L)}")
+    assert(byEpoch(2L) == Set((1L, 20L), (2L, 20L), (10L, 20L)), s"batch 3: ${byEpoch(2L)}")
+    // the q140 economics: the probe plan carries NO Generate at all — the
+    // new batch's banding was materialized once at localCheckpoint time
+    // (bounded by batch size) and the accumulated corpus enters as stored
+    // band keys, never re-exploded/re-hashed (the plain incremental probe's
+    // plan re-bands the old side per batch)
+    assert(generatesPerBatch.forall(_ == 0),
+      s"stored side must never be re-banded per batch: generates=$generatesPerBatch")
+    // and no CacheManager entries accumulate (no cache handle to manage)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "banded streaming probe must leave no CacheManager entries behind")
+  }
+
   test("incremental minhash probe leaves no CacheManager entries behind") {
     // the probe's banded-new-side materialization must NOT go through the
     // session CacheManager: a cache entry per micro-batch would accumulate

@@ -399,6 +399,75 @@ class VecAndDedupSpec extends AnyFunSuite {
       s"width mismatch must raise in-plan: ${e2.getMessage}")
   }
 
+  test("banded probe raises on a signature snapshot whose width disagrees with the banded table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandsnap_mismatch").toString
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val nu = Seq((10L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val oldSigs16 = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2, numHashes = 16)
+    val oldSigs32 = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2, numHashes = 32)
+    // banded table from the 16-wide signatures, signature snapshot from a
+    // DIFFERENT (32-wide) write — the column-name check passes (key_16x4
+    // exists), candidates pair (1,10), and the estimate lookup must now
+    // raise on the 32-component stored signature instead of silently
+    // mis-scaling est_jaccard via zip_with null-padding
+    Dedup.writeSignatureSnapshot(oldSigs32, "b_bsn_mm_sigs", s"$dir/sigs", "doc_id", buckets = 2)
+    Dedup.writeBandedSnapshot(oldSigs16, "b_bsn_mm_banded", s"$dir/banded", "doc_id",
+      numHashes = 16, bands = 4, buckets = 2)
+    try {
+      val newSigs = Dedup.minhashSignatureTable(nu, "doc_id", "text", k = 2, numHashes = 16)
+      val e = intercept[Exception] {
+        Dedup.minhashPairsIncrementalBanded(newSigs,
+          Dedup.readSignatureSnapshot(spark, "b_bsn_mm_sigs"),
+          graft.io.Bucketed.read(spark, "b_bsn_mm_banded"), "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.0).collect()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("minhash spec mismatch"),
+        s"snapshot/banded-table width mismatch must raise in-plan: ${e.getMessage}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_bsn_mm_sigs")
+      spark.sql("DROP TABLE IF EXISTS b_bsn_mm_banded")
+    }
+  }
+
+  test("plain incremental wrapper keeps at most 8 live banding caches across looped probes") {
+    import spark.implicits._
+    val old = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val oldSigs = Dedup.minhashSignatureTable(old, "doc_id", "text", k = 2)
+    (0 until 12).foreach { i =>
+      val nu = Seq((100L + i, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minhashPairsIncremental(
+        Dedup.minhashSignatureTable(nu, "doc_id", "text", k = 2), oldSigs, "doc_id")
+      assert(pairs.count() == 1)
+    }
+    assert(Dedup.liveBandingCacheCount <= 8,
+      "the plain wrapper's banding caches must stay bounded (oldest unpersisted)")
+  }
+
+  test("hammingPairs spreads only NARROW inputs; shuffled inputs add no extra exchange") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hamm_spread").toString
+    val rows = (0 until 40).map(i => (i.toLong, f"${i.toLong * 0x9e3779b97f4a7c15L}%016x"))
+    rows.toDF("id", "sig").coalesce(1).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir) // one file, narrow → spread fires
+    val p1 = Dedup.hammingPairs(scan, "id", "sig", 3).queryExecution.executedPlan.toString
+    assert(p1.contains("RoundRobinPartitioning"),
+      s"a single-partition scan must be spread before the signature collapse:\n$p1")
+    // an input that already shuffled (groupBy upstream) is spread across
+    // shuffle.partitions by construction — no round-robin exchange on top
+    val shuffled = scan.groupBy("sig").agg(min("id").as("id")).select("id", "sig")
+    val p2 = Dedup.hammingPairs(shuffled, "id", "sig", 3).queryExecution.executedPlan.toString
+    assert(!p2.contains("RoundRobinPartitioning"),
+      s"an already-shuffled input must not pay an extra full exchange:\n$p2")
+    // both paths agree on results
+    val a = Dedup.hammingPairs(scan, "id", "sig", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Dedup.hammingPairs(shuffled, "id", "sig", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b)
+  }
+
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
