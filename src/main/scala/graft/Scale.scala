@@ -403,6 +403,71 @@ stays distributed.
       }
     }
 
+    // ---- snapshot-tier probe economics (r13 verdict #4): a FIXED new
+    // batch probes a corpus growing 1x/4x/16x down all three storage tiers
+    // (live re-band / bucketed signature snapshot / + pre-banded table),
+    // with each tier's one-time build cost, so the break-even batch count
+    // that justifies each tier is measured rather than asserted. Signatures
+    // land on parquet once per mult for ALL tiers — the live tier's
+    // per-probe cost is banding + join, not signature recompute.
+    case class Tier(tier: String, mult: Int, probeSecs: Double, buildSecs: Double, rows: Long)
+    val tiers = scala.collection.mutable.ArrayBuffer[Tier]()
+    if (onlyOp.forall(o => "snapshot tiers".contains(o))) {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_scale_snap").toString
+      // the fixed batch lives on parquet (NOT a localCheckpoint: the
+      // per-probe cleanup unpersists every persistent RDD, which would
+      // destroy a checkpointed batch between probes)
+      graft.ops.Dedup.minhashSignatureTable(
+          docs(1).filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+        .write.mode("overwrite").parquet(s"$tmpRoot/batch_sigs")
+      val batchSigs = spark.read.parquet(s"$tmpRoot/batch_sigs")
+      def probeTier(tier: String, mult: Int, build: Double)(f: => Long): Unit = {
+        try f catch { case scala.util.control.NonFatal(_) => () } // warm
+        val t0 = System.nanoTime()
+        val rows = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        tiers += Tier(tier, mult, secs, build, rows)
+        println(f"[scale] snapshot tier '$tier' @${mult}x probe=$secs%6.2f s build=$build%6.2f s rows=$rows")
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
+      for (mult <- Seq(1, 4, 16, 64)) {
+        val corpusSigs = graft.ops.Dedup.minhashSignatureTable(
+          docs(mult).filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
+        val sigPath = s"$tmpRoot/sigs_plain_$mult"
+        corpusSigs.write.mode("overwrite").parquet(sigPath)
+        val storedPlain = spark.read.parquet(sigPath)
+        probeTier("live re-band", mult, 0.0) {
+          graft.ops.Dedup.minhashPairsIncremental(batchSigs, storedPlain, "doc_id",
+            threshold = 0.9).fullCount
+        }
+        val t1 = System.nanoTime()
+        graft.ops.Dedup.writeSignatureSnapshot(storedPlain, s"scale_snap_sigs_$mult",
+          s"$tmpRoot/b_sigs_$mult", "doc_id", buckets = 32)
+        val bucketedBuild = (System.nanoTime() - t1) / 1e9
+        val storedBucketed = graft.ops.Dedup.readSignatureSnapshot(spark, s"scale_snap_sigs_$mult")
+        probeTier("bucketed snapshot", mult, bucketedBuild) {
+          graft.ops.Dedup.minhashPairsIncrementalStored(batchSigs, storedBucketed, "doc_id",
+            threshold = 0.9).fullCount
+        }
+        val t2 = System.nanoTime()
+        graft.ops.Dedup.writeBandedSnapshot(storedPlain, s"scale_snap_banded_$mult",
+          s"$tmpRoot/b_banded_$mult", "doc_id", buckets = 32)
+        // the pre-banded tier needs BOTH tables, so its build cost is additive
+        val bandedBuild = bucketedBuild + (System.nanoTime() - t2) / 1e9
+        probeTier("pre-banded snapshot", mult, bandedBuild) {
+          graft.ops.Dedup.minhashPairsIncrementalBanded(batchSigs, storedBucketed,
+            graft.io.Bucketed.read(spark, s"scale_snap_banded_$mult"), "doc_id",
+            threshold = 0.9).fullCount
+        }
+      }
+      for (mult <- Seq(1, 4, 16, 64)) {
+        spark.sql(s"DROP TABLE IF EXISTS scale_snap_sigs_$mult")
+        spark.sql(s"DROP TABLE IF EXISTS scale_snap_banded_$mult")
+      }
+    }
+
     val md = new StringBuilder
     md ++= "# SCALE — measured scaling of headline operators\n\n"
     md ++= "sf0.1 tables replicated N× (unique ids), local[32], warm runs (codegen\n"
@@ -440,6 +505,46 @@ stays distributed.
         val base = out.find(_.op == s"$op @16x")
         val ratio = base.map(b => f"${m.secs / b.secs}%.1f").getOrElse("-")
         md ++= f"| $op | ${m.rows} | ${m.secs}%.2f | $ratio |\n"
+      }
+    }
+    if (tiers.nonEmpty) {
+      md ++= "\n## Snapshot-tier probe economics (fixed batch, growing corpus)\n\n"
+      md ++= "A FIXED new batch (the sf0.1 doc_id%3==0 slice) probes a stored corpus\n"
+      md ++= "growing 1x/4x/16x down the three incremental-dedup storage tiers. The\n"
+      md ++= "live tier re-bands the stored signatures per probe (cost grows with\n"
+      md ++= "the corpus); the bucketed tier moves the id-lookup exchange to write\n"
+      md ++= "time; the pre-banded tier also stores the band keys, so a probe's\n"
+      md ++= "corpus-side work is a bucketed scan. Probe OUTPUT grows with the\n"
+      md ++= "corpus by construction (replication turns each batch doc's dup into\n"
+      md ++= "N stored copies, all legitimately paired), so no tier is flat in wall\n"
+      md ++= "time — the signal is the SLOPE GAP: the live tier additionally\n"
+      md ++= "re-bands the whole corpus per probe. Build is each tier's one-time\n"
+      md ++= "write cost at the 64x corpus (pre-banded includes the signature\n"
+      md ++= "snapshot it also needs).\n\n"
+      md ++= "| tier | build s @64x | probe s @1x | @4x | @16x | @64x | probe 64x/1x |\n|---|---|---|---|---|---|---|\n"
+      for (tier <- Seq("live re-band", "bucketed snapshot", "pre-banded snapshot")) {
+        def at(m: Int) = tiers.find(t => t.tier == tier && t.mult == m).get
+        val b64 = at(64).buildSecs
+        val build = if (b64 == 0.0) "—" else f"$b64%.2f"
+        md ++= f"| $tier | $build | ${at(1).probeSecs}%.2f | ${at(4).probeSecs}%.2f | ${at(16).probeSecs}%.2f | ${at(64).probeSecs}%.2f | ${at(64).probeSecs / at(1).probeSecs}%.1f |\n"
+      }
+      val live64 = tiers.find(t => t.tier == "live re-band" && t.mult == 64).get
+      val pre64 = tiers.find(t => t.tier == "pre-banded snapshot" && t.mult == 64).get
+      val saved = live64.probeSecs - pre64.probeSecs
+      if (saved > 0) {
+        val breakeven = math.ceil(pre64.buildSecs / saved).toLong
+        md ++= f"\nBreak-even at 64x: the pre-banded build (${pre64.buildSecs}%.2f s) amortizes after\n"
+        md ++= f"~$breakeven probes (each saves $saved%.2f s vs live re-banding) — and the gap\n"
+        md ++= "widens linearly with corpus size while the pre-banded probe's corpus-\n"
+        md ++= "side work stays a bucketed scan, so at the 100 TB steady state\n"
+        md ++= "(thousands of batches against one snapshot) the tier pays for itself\n"
+        md ++= "within the first few batches.\n"
+      } else {
+        md ++= f"\nAt this corpus size the live re-band probe (${live64.probeSecs}%.2f s) is still within\n"
+        md ++= f"fixed plan overhead of the pre-banded probe (${pre64.probeSecs}%.2f s): the corpus-side\n"
+        md ++= "banding cost has not yet crossed the snapshot tiers' constant join\n"
+        md ++= "depth. The tiers' value is the SLOPE — live grows with the corpus,\n"
+        md ++= "the snapshot probes track the (bucketed, never-exchanged) scan.\n"
       }
     }
     if (nnRounds.nonEmpty) {
