@@ -312,6 +312,37 @@ object Plans {
         .select(col("c_custkey"), col("s_suppkey"))
     }
 
+    section("AutoSpatialJoin rule: predicate join over STORED geometry becomes the grid join",
+      "a.join(b, st_intersects(a.g, b.g)) over stored WKB columns (the " +
+        "shape GeomSimplify cannot fuse — nothing is constructed) used to " +
+        "plan as a BroadcastNestedLoopJoin evaluating WKB parse + JTS on " +
+        "every pair. The rule rewrites it into the PBSM grid plan: both " +
+        "sides explode to covering grid cells, hash-join on the cell id, " +
+        "bbox-overlap prefilter, reference-cell dedup, then the EXACT " +
+        "original condition refines the candidates — bit-identical results " +
+        "with a real equi-join key (note the hash join on __graft_asj " +
+        "cells and the absence of any nested-loop join below).") {
+      graft.plans.AutoSpatialJoin.install(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("plans_asj").toString
+      spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          st_aswkb(st_point((col("c_custkey") * 7 % 1000).cast("double") / 10.0,
+            (col("c_custkey") * 13 % 1000).cast("double") / 10.0)).as("gp"))
+        .write.mode("overwrite").parquet(s"$tmp/pts")
+      spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"),
+          st_aswkb(st_makebox((col("n_nationkey") % 5 * 20).cast("double"),
+            (floor(col("n_nationkey") / 5.0) * 20).cast("double"),
+            (col("n_nationkey") % 5 * 20 + 20).cast("double"),
+            (floor(col("n_nationkey") / 5.0) * 20 + 20).cast("double"))).as("gc"))
+        .write.mode("overwrite").parquet(s"$tmp/cells")
+      val p = spark.read.parquet(s"$tmp/pts")
+      val n = spark.read.parquet(s"$tmp/cells")
+      p.join(n, st_intersects(col("gp"), col("gc")))
+        .select(col("c_custkey"), col("n_nationkey"))
+    }
+
     section("GeomSimplify rule: total_bounds over constructed points becomes columnar min/max",
       "st_total_bounds_agg is a typed UDAF that builds WKB per row, parses " +
         "it back and folds a JTS envelope. Over a CONSTRUCTED point column " +
