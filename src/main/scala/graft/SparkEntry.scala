@@ -1716,6 +1716,30 @@ object SparkEntry {
         .groupBy(col("n_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
     }),
+    "q142_sjoin_auto_left" -> ((s, d) => {
+      // q11's LEFT-join semantics down the AUTO-PLANNED path: both sides
+      // round-trip through parquet (genuinely stored WKB, both columns
+      // named `geometry` — the name-clash shape the rewrite must survive
+      // because it restores output attributes by exprId, not name), and
+      // the join is spelled `.join(c, st_intersects(...), "left")` — the
+      // last predicate-join spelling that still planned as a
+      // BroadcastNestedLoopJoin (round-14 verdict #2). AutoSpatialJoin
+      // stamps the outer side, inner-joins through the grid, and
+      // null-extends unmatched points; the oracle is q11's coordinate SQL.
+      graft.plans.AutoSpatialJoin.install(s)
+      val dir = memoIndex(s"q142_stored_geo:$d") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q142_").toString
+        pts(s, d).select(col("c_custkey"), col("geometry"))
+          .write.mode("overwrite").parquet(s"$tmp/pts")
+        cells(s, d).filter(col("cx") < 3).select(col("n_nationkey"), col("geometry"))
+          .write.mode("overwrite").parquet(s"$tmp/cells")
+        tmp
+      }
+      val p = s.read.parquet(s"$dir/pts")
+      val c = s.read.parquet(s"$dir/cells")
+      p.join(c, st_intersects(p("geometry"), c("geometry")), "left")
+        .select(col("c_custkey"), col("n_nationkey"))
+    }),
     "q138_aligned_distance" -> ((s, d) => {
       // the reference's index-aligned cross-frame binary op
       // (base.py:27-71 align=True) in its explicit-key Spark spelling
@@ -1823,6 +1847,15 @@ object SparkEntry {
       // the join as a plain predicate join, exercising the AutoSpatialJoin
       // grid rewrite instead of the explicit sjoin API
       "q141_sjoin_auto_plan" -> sjoinOracle(pts, cells),
+      // identical semantics (and oracle SQL) to q11 — the engine path
+      // differs: q142 stores the geometry as opaque parquet WKB and spells
+      // the join as a plain LEFT predicate join, exercising the
+      // AutoSpatialJoin outer rewrite (stamp outer side, grid inner join,
+      // null-extend) instead of the explicit sjoin(how="left") API
+      "q142_sjoin_auto_left" ->
+        s"""SELECT c_custkey, n_nationkey FROM $pts p LEFT JOIN
+           | (SELECT * FROM $cells WHERE cx < 3) c
+           | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1""".stripMargin.replace("\n", " "),
       // same degenerate row as the Spark side: one NULL-coordinate (missing
       // geometry) probe row that the inner-join predicate drops
       "q10_sjoin_grid" -> sjoinOracle(

@@ -167,12 +167,12 @@ object GeoFunctions extends Serializable {
   def st_contains(a: Column, b: Column): Column = exprCol(gexpr.StContains(colExpr(a), colExpr(b)))
   def st_contains_properly(a: Column, b: Column): Column = stContainsProperlyU(a, b)
   def st_within(a: Column, b: Column): Column = exprCol(gexpr.StWithin(colExpr(a), colExpr(b)))
-  def st_covers(a: Column, b: Column): Column = stCoversU(a, b)
-  def st_covered_by(a: Column, b: Column): Column = stCoveredByU(a, b)
-  def st_crosses(a: Column, b: Column): Column = stCrossesU(a, b)
+  def st_covers(a: Column, b: Column): Column = exprCol(gexpr.StCovers(colExpr(a), colExpr(b)))
+  def st_covered_by(a: Column, b: Column): Column = exprCol(gexpr.StCoveredBy(colExpr(a), colExpr(b)))
+  def st_crosses(a: Column, b: Column): Column = exprCol(gexpr.StCrosses(colExpr(a), colExpr(b)))
   def st_disjoint(a: Column, b: Column): Column = exprCol(gexpr.StDisjoint(colExpr(a), colExpr(b)))
-  def st_overlaps(a: Column, b: Column): Column = stOverlapsU(a, b)
-  def st_touches(a: Column, b: Column): Column = stTouchesU(a, b)
+  def st_overlaps(a: Column, b: Column): Column = exprCol(gexpr.StOverlaps(colExpr(a), colExpr(b)))
+  def st_touches(a: Column, b: Column): Column = exprCol(gexpr.StTouches(colExpr(a), colExpr(b)))
   def st_equals(a: Column, b: Column): Column = stEqualsU(a, b)
   def st_equals_exact(a: Column, b: Column, tol: Column): Column = stEqualsExactU(a, b, tol)
   def st_dwithin(a: Column, b: Column, d: Column): Column =
@@ -598,6 +598,11 @@ object GeoFunctions extends Serializable {
       reg("st_contains", 2)(a => gexpr.StContains(a(0), a(1)))
       reg("st_within", 2)(a => gexpr.StWithin(a(0), a(1)))
       reg("st_disjoint", 2)(a => gexpr.StDisjoint(a(0), a(1)))
+      reg("st_touches", 2)(a => gexpr.StTouches(a(0), a(1)))
+      reg("st_crosses", 2)(a => gexpr.StCrosses(a(0), a(1)))
+      reg("st_overlaps", 2)(a => gexpr.StOverlaps(a(0), a(1)))
+      reg("st_covers", 2)(a => gexpr.StCovers(a(0), a(1)))
+      reg("st_covered_by", 2)(a => gexpr.StCoveredBy(a(0), a(1)))
       reg("st_area", 1)(a => gexpr.StArea(a(0)))
       reg("st_length", 1)(a => gexpr.StLength(a(0)))
       reg("st_x", 1)(a => gexpr.StX(a(0)))

@@ -48,6 +48,11 @@ object GeomKernel {
     } else GeomOps.makeBox(xa, ya, xb, yb).getArea
 
   def disjoint(a: Array[Byte], b: Array[Byte]): Boolean = !Wkb.read(a).intersects(Wkb.read(b))
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean = Wkb.read(a).touches(Wkb.read(b))
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean = Wkb.read(a).crosses(Wkb.read(b))
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean = Wkb.read(a).overlaps(Wkb.read(b))
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean = Wkb.read(a).covers(Wkb.read(b))
+  def coveredBy(a: Array[Byte], b: Array[Byte]): Boolean = Wkb.read(a).coveredBy(Wkb.read(b))
 
   @inline private def allFinite(a: Double, b: Double, c: Double, d: Double,
                                 e: Double, f: Double, g: Double, h: Double): Boolean =
@@ -358,5 +363,45 @@ case class StDisjoint(left: Expression, right: Expression) extends GeomBinaryPre
   def kernelName = "disjoint"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     GeomKernel.disjoint(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+// The remaining JTS binary predicates whose truth implies bbox overlap —
+// native (codegen'd) twins of the UDFs so they stay inside whole-stage
+// codegen AND are pattern-matchable by plans.AutoSpatialJoin, which turns a
+// plain `a.join(b, st_touches(...))` spelling into the grid candidate join.
+
+case class StTouches(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  def kernelName = "touches"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.touches(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StCrosses(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  def kernelName = "crosses"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.crosses(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StOverlaps(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  def kernelName = "overlaps"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.overlaps(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StCovers(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  def kernelName = "covers"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.covers(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+case class StCoveredBy(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  def kernelName = "coveredBy"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.coveredBy(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }

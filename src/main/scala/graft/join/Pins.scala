@@ -1,7 +1,7 @@
 package graft.join
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 
 /** `monotonically_increasing_id` stamps are only stable across the two
@@ -39,6 +39,17 @@ private[graft] object Pins {
 
   private def unstable(plan: LogicalPlan): Boolean = {
     val nodeUnstable = plan match {
+      // LOCAL data is unstable even though it is a deterministic leaf: the
+      // id values over it depend on the evaluation CONTEXT, not just the
+      // rows — ConvertToLocalRelation folds an (evaluable) nondeterministic
+      // projection into driver-local rows with partitionIndex 0 (sequential
+      // ids) wherever the main optimizer sees it, while a copy of the same
+      // subtree injected after that batch (an optimizer-rule rewrite, a
+      // broadcast build) evaluates distributed with partition-masked ids —
+      // measured: the two diamond branches of a LocalRelation-rooted
+      // semi-join disagreed on every id past partition 0. File scans split
+      // deterministically from the file listing; local rows must pin.
+      case _: LocalRelation => true
       case _: LeafNode      => false
       case p: Project       => !p.projectList.forall(_.deterministic)
       case f: Filter        => !f.condition.deterministic

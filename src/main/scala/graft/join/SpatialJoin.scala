@@ -432,7 +432,7 @@ object SpatialJoin {
   * geometries inside `shapely.STRtree.query`, `sindex.py:129-130`).
   * ThreadLocal keeps the hot path contention-free across the 32 task
   * threads; LRU-bounded so a long scan cannot accumulate geometries. */
-private[join] object RefineCache {
+private[graft] object RefineCache {
   final class Entry(val geom: Geometry) {
     private var prep: PreparedGeometry = _
     def prepared: PreparedGeometry = {

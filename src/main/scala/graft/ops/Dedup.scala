@@ -638,21 +638,31 @@ object Dedup {
     // partition count via .rdd would force AQE stage materialization (a
     // plan-time job); only scan-rooted NARROW inputs are probed (their
     // .rdd is pure lineage, no job) and widened when genuinely narrow
-    def shuffles(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-      p.exists {
-        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => true
-        case _ => false
+    // Walk from the ROOT down: the first partitioning-determining node wins.
+    // A narrow coalesce(n) ABOVE a shuffle re-concentrates its output onto n
+    // partitions, so "contains a shuffle anywhere" was wrong both ways
+    // (round-14 advice): Some(true) = spread adequately, Some(false) =
+    // concentrated (repartition), None = pure narrow scan lineage — only
+    // then is `.rdd` probed (pure lineage, no AQE stage materialization).
+    def spreadState(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Boolean] =
+      p match {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition if !r.shuffle =>
+          Some(r.numPartitions * 2 >= par)
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => Some(true)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => Some(true)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => Some(true)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sort => Some(true)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Window => Some(true)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => Some(true)
+        case _: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => Some(true)
+        case _ => p.children.iterator.map(spreadState).collectFirst { case Some(s) => s }
       }
-    val spread =
-      if (shuffles(base.queryExecution.analyzed)) base
-      else if (base.rdd.getNumPartitions * 2 < par) base.repartition(par)
-      else base
+    val spread = spreadState(base.queryExecution.analyzed) match {
+      case Some(true)  => base
+      case Some(false) => base.repartition(par)
+      case None if base.rdd.getNumPartitions * 2 < par => base.repartition(par)
+      case None => base
+    }
     val sig = spread.filter(col("__sig").isNotNull)
     // duplication-proof like the other banded paths, with the signature
     // itself as the collapse key: the output's hamming distance is a pure

@@ -160,7 +160,9 @@ class PostgisAndPinsSpec extends AnyFunSuite {
   }
 
   test("Pins: scan/project/filter plans skip the pin; shuffles and nondeterminism require it") {
-    val base = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("pins_scan").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val base = spark.read.parquet(dir)
     assert(!Pins.needsPin(base))
     assert(!Pins.needsPin(base.filter(col("id") > 0).select(col("id"), upper(col("s")).as("u"))))
     assert(Pins.needsPin(base.repartition(3)))            // round-robin shuffle
@@ -168,15 +170,25 @@ class PostgisAndPinsSpec extends AnyFunSuite {
     assert(Pins.needsPin(base.groupBy("s").count()))      // aggregate
     assert(Pins.needsPin(base.join(base.select("id"), "id"))) // join
     assert(Pins.needsPin(base.withColumn("r", rand(1))))  // nondeterministic expr
+    // LOCAL (driver-held) rows are unstable by fiat: ConvertToLocalRelation
+    // can fold an id stamp into sequential driver rows in one consumer while
+    // a twin evaluates distributed with partition-masked ids (round-15 bug)
+    assert(Pins.needsPin(Seq((1, "a"), (2, "b")).toDF("id", "s")))
   }
 
   test("grid sjoin left over a stable upstream plans no checkpoint scan (no ExistingRDD)") {
-    val pts = Seq((0, Wkb.write(GeomOps.point(1, 1))), (1, Wkb.write(GeomOps.point(99, 99))))
-      .toDF("pid", "geometry")
+    val dir = java.nio.file.Files.createTempDirectory("pins_sjoin").toString
+    Seq((0, Wkb.write(GeomOps.point(1, 1))), (1, Wkb.write(GeomOps.point(99, 99))))
+      .toDF("pid", "geometry").write.mode("overwrite").parquet(s"$dir/pts")
+    val pts = spark.read.parquet(s"$dir/pts")
     val polys = Seq((7, Wkb.write(GeomOps.makeBox(0, 0, 2, 2)))).toDF("poly_id", "geometry")
     val j = SpatialJoin.sjoin(pts, polys, "intersects", "left", broadcastThreshold = -1)
     val plan = j.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("LogicalRDD"), s"stable upstream should not be checkpointed:\n$plan")
+    // the LEFT (outer, id-stamped) side is a parquet scan — stable, no pin;
+    // the right side of how="left" is never re-joined so it is not pinned
+    // either (LocalRelation only pins where ids must agree across twins)
+    assert(!plan.contains("LogicalRDD"), s"stable scan upstream should not be checkpointed:\n$plan")
+    assert(plan.contains("parquet"), s"left side must stay the parquet scan:\n$plan")
     // and the result is still correct
     val rows = j.select("pid", "poly_id").collect()
       .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).sorted.toSeq

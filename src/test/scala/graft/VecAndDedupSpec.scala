@@ -460,6 +460,13 @@ class VecAndDedupSpec extends AnyFunSuite {
     val p2 = Dedup.hammingPairs(shuffled, "id", "sig", 3).queryExecution.executedPlan.toString
     assert(!p2.contains("RoundRobinPartitioning"),
       s"an already-shuffled input must not pay an extra full exchange:\n$p2")
+    // a coalesce(1) is a RepartitionOperation but NARROW — it concentrates
+    // rows on one partition, the exact shape that must be spread (r14
+    // advice: the trait match treated it as already-shuffled)
+    val collapsed = shuffled.coalesce(1)
+    val p3 = Dedup.hammingPairs(collapsed, "id", "sig", 3).queryExecution.executedPlan.toString
+    assert(p3.contains("RoundRobinPartitioning"),
+      s"a coalesce(1)d upstream concentrates on one partition and must be spread:\n$p3")
     // both paths agree on results
     val a = Dedup.hammingPairs(scan, "id", "sig", 3)
       .as[(Long, Long, Int)].collect().toSet
