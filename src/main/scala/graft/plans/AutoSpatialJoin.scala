@@ -101,9 +101,11 @@ object AutoSpatialJoin extends Rule[LogicalPlan] {
     * a no-op and predicate joins keep Spark's nested-loop plan). */
   val EnabledConf = "spark.graft.autoSpatialJoin.enabled"
 
-  /** Counts grid-stats builds (cache misses) — observability for tests and
-    * tuning: explain + execute of one query must increment this once. */
-  private[graft] val gridStatsBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Counts grid-stats builds (memo misses, shared with the explicit grid
+    * sjoin) — observability for tests and tuning: explain + execute of one
+    * query must increment this once. */
+  private[graft] def gridStatsBuilds: java.util.concurrent.atomic.AtomicLong =
+    graft.join.GridMemo.statsBuilds
 
   /** Append to a live session, after [[GeomSimplify]] (constructed-geometry
     * join conditions must fuse to arithmetic before this rule looks for the
@@ -202,7 +204,8 @@ object AutoSpatialJoin extends Rule[LogicalPlan] {
   }
 
   private def rewritableType(jt: JoinType): Boolean = jt match {
-    case Inner | Cross | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case Inner | Cross | LeftOuter | RightOuter | FullOuter | LeftSemi | LeftAnti => true
+    case _: ExistenceJoin => true
     case _ => false
   }
 
@@ -238,22 +241,17 @@ object AutoSpatialJoin extends Rule[LogicalPlan] {
     }
 
   // ---------------------------------------------------------------------
-  // GridSpec memoization: the two sampled stats jobs run once per distinct
-  // (children, geometry exprs, expand) — not once per QueryExecution of the
-  // same query (explain + execute, re-executed DataFrames, AQE re-plans).
-  // Keys canonicalize the child plans (positional exprIds) and normalize
-  // the geometry exprs' attribute ids to their child-output ordinals, so
-  // two separately-built copies of the same query share an entry. A stale
-  // entry (files changed under the path) can only degrade cell balance,
-  // never correctness: cellsFor/cellOf clamp into any grid.
+  // GridSpec memoization (the session-wide [[graft.join.GridMemo]], shared
+  // with the explicit grid sjoin): the two sampled stats jobs run once per
+  // distinct (children, geometry exprs, expand) — not once per
+  // QueryExecution of the same query (explain + execute, re-executed
+  // DataFrames, AQE re-plans). Keys canonicalize the child plans
+  // (positional exprIds) and normalize the geometry exprs' attribute ids
+  // to their child-output ordinals, so two separately-built copies of the
+  // same query share an entry. A stale entry (files changed under the
+  // path) can only degrade cell balance, never correctness: cellsFor/
+  // cellOf clamp into any grid.
   // ---------------------------------------------------------------------
-  private val MaxGridEntries = 64
-  private val gridCache =
-    new java.util.LinkedHashMap[Any, SpatialJoin.GridSpec](MaxGridEntries * 2, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[Any, SpatialJoin.GridSpec]): Boolean =
-        size() > MaxGridEntries
-    }
-
   private def normalized(e: Expression, side: LogicalPlan): Expression = {
     val ord = side.output.map(_.exprId).zipWithIndex.toMap
     e.canonicalized.transform {
@@ -265,16 +263,11 @@ object AutoSpatialJoin extends Rule[LogicalPlan] {
   private def gridFor(j: Join, m: Matched, ldf: DataFrame, rdf: DataFrame): SpatialJoin.GridSpec = {
     val key = (j.left.canonicalized, j.right.canonicalized,
       normalized(m.lg, j.left), normalized(m.rg, j.right), m.expand)
-    val hit = gridCache.synchronized(Option(gridCache.get(key)))
-    hit.getOrElse {
-      gridStatsBuilds.incrementAndGet()
-      val g = SpatialJoin.computeGrid(ldf, exprCol(m.lg), rdf, exprCol(m.rg), m.expand)
-      gridCache.synchronized(gridCache.put(key, g))
-      g
-    }
+    graft.join.GridMemo.getOrCompute(key)(
+      SpatialJoin.computeGrid(ldf, exprCol(m.lg), rdf, exprCol(m.rg), m.expand))
   }
 
-  private[graft] def clearGridCache(): Unit = gridCache.synchronized(gridCache.clear())
+  private[graft] def clearGridCache(): Unit = graft.join.GridMemo.clear()
 
   // ---------------------------------------------------------------------
 
@@ -293,8 +286,10 @@ object AutoSpatialJoin extends Rule[LogicalPlan] {
         pairs.select(j.output.map(a => exprCol(a)): _*).queryExecution.analyzed
       case LeftOuter  => outerRewrite(spark, j, m, refinedCond, outerIsLeft = true)
       case RightOuter => outerRewrite(spark, j, m, refinedCond, outerIsLeft = false)
+      case FullOuter  => fullOuterRewrite(spark, j, m, refinedCond)
       case LeftSemi   => semiAnti(spark, j, m, refinedCond, "left_semi")
       case LeftAnti   => semiAnti(spark, j, m, refinedCond, "left_anti")
+      case ExistenceJoin(exists) => existence(spark, j, m, refinedCond, exists)
       case other      => throw new IllegalStateException(s"unreachable join type $other")
     }
   }
@@ -371,6 +366,61 @@ object AutoSpatialJoin extends Rule[LogicalPlan] {
           qualifier = orig.qualifier)
       }.toMap
     Project(j.output.map(a => restored.getOrElse(a.exprId, a)), reattached)
+  }
+
+  /** FullOuter rewrite: stamp BOTH sides, inner-join through the grid, then
+    * union (left-outer re-attach of the left side) with (anti-matched right
+    * rows null-extended on the left). Union keeps the first branch's
+    * attributes, so left attrs ride through with original exprIds and the
+    * final Project re-aliases the reserved `__graft_asj_m<i>` names back to
+    * the right side's exprIds — same restoration as [[outerRewrite]]. */
+  private def fullOuterRewrite(spark: SparkSession, j: Join, m: Matched,
+                               refinedCond: Column): LogicalPlan = {
+    val loid = s"${P}_loid"
+    val roid = s"${P}_roid"
+    val stampedL = Pins.stampPinned(ofRows(spark, j.left), loid)
+    val stampedR = Pins.stampPinned(ofRows(spark, j.right), roid)
+    val pairs = candidatePairs(spark, stampedL, stampedR, j, m, refinedCond)
+    val rightAttrs = j.right.output
+    val mNames = rightAttrs.indices.map(i => s"${P}_m$i")
+    val matches = pairs.select(
+      col(loid) +: rightAttrs.zip(mNames).map { case (a, n) => exprCol(a).as(n) }: _*)
+    val leftPart = stampedL.join(matches, Seq(loid), "left")
+      .select(j.left.output.map(a => exprCol(a)) ++ mNames.map(col): _*)
+    val rightUnmatched = stampedR
+      .join(pairs.select(col(roid)), Seq(roid), "left_anti")
+      .select(j.left.output.map(a => lit(null).cast(a.dataType).as(a.name)) ++
+        rightAttrs.zip(mNames).map { case (a, n) => exprCol(a).as(n) }: _*)
+    val unioned = leftPart.union(rightUnmatched).queryExecution.analyzed
+    val byName = unioned.output.map(a => a.name -> a).toMap
+    val restored: Map[ExprId, NamedExpression] =
+      rightAttrs.zip(mNames).map { case (orig, n) =>
+        orig.exprId -> Alias(byName(n), orig.name)(exprId = orig.exprId,
+          qualifier = orig.qualifier)
+      }.toMap
+    Project(j.output.map(a => restored.getOrElse(a.exprId, a)), unioned)
+  }
+
+  /** ExistenceJoin rewrite (the plan an IN/EXISTS subquery inside a
+    * disjunction lowers to): left rows all survive, plus a boolean flag —
+    * true iff some right row satisfies the condition. Distinct matched ids
+    * left-join back onto the stamped left side; the flag re-aliases to the
+    * join type's exists attribute (exprId preserved). */
+  private def existence(spark: SparkSession, j: Join, m: Matched,
+                        refinedCond: Column, exists: Attribute): LogicalPlan = {
+    val oid = s"${P}_oid"
+    val flag = s"${P}_flag"
+    val stamped = Pins.stampPinned(ofRows(spark, j.left), oid)
+    val pairs = candidatePairs(spark, stamped, ofRows(spark, j.right), j, m, refinedCond)
+    // groupBy, not .distinct(): Deduplicate is lowered to Aggregate by a
+    // main-optimizer batch that has already run when this rule fires
+    val flags = pairs.groupBy(col(oid)).agg(first(lit(true)).as(flag))
+    val re = stamped.join(flags, Seq(oid), "left").queryExecution.analyzed
+    val flagAttr = re.output.find(_.name == flag).get
+    Project(j.left.output :+
+      Alias(Coalesce(Seq(flagAttr, Literal.FalseLiteral)), exists.name)(
+        exprId = exists.exprId, qualifier = exists.qualifier),
+      re)
   }
 
   /** Semi/anti rewrite: the matched-id set from the grid pairs, then a

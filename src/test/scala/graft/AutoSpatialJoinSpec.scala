@@ -294,6 +294,81 @@ class AutoSpatialJoinSpec extends AnyFunSuite {
     assert(q.as[Int].collect().sorted.toSeq == hasMatch)
   }
 
+  test("FULL OUTER predicate join rewrites: both sides null-extend") {
+    installed()
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val (pts0, ptRows) = ptsDf(120, 85)
+    val pts = pts0.unionByName(
+      Seq((900, null.asInstanceOf[Array[Byte]])).toDF("pid", "ga"))
+    // one box far outside the domain never matches any point
+    val boxRows = (0 until 6).map { k =>
+      (k, GeomOps.makeBox(k * 15.0, k * 10.0, k * 15.0 + 12, k * 10.0 + 12))
+    } :+ ((77, GeomOps.makeBox(700, 700, 710, 710)))
+    val boxes = boxRows.map { case (i, g) => (i, Wkb.write(g)) }.toDF("bid", "gb")
+    val q = pts.join(boxes, st_intersects(col("ga"), col("gb")), "full").select("pid", "bid")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains(s"${AutoSpatialJoin.P}_lcell"), s"full outer must rewrite:\n$plan")
+    val matchedPairs = for {
+      (i, p) <- ptRows; (jj, b) <- boxRows if p.intersects(b)
+    } yield (Option(i), Option(jj))
+    val leftUn = (ptRows.map(_._1) :+ 900)
+      .filterNot(i => matchedPairs.exists(_._1.contains(i))).map(i => (Option(i), Option.empty[Int]))
+    val rightUn = boxRows.map(_._1)
+      .filterNot(jj => matchedPairs.exists(_._2.contains(jj))).map(jj => (Option.empty[Int], Option(jj)))
+    val brute = (matchedPairs ++ leftUn ++ rightUn).sorted
+    assert(brute.exists(_._1.isEmpty) && brute.exists(_._2.isEmpty) && matchedPairs.nonEmpty,
+      "fixture must exercise matched + both unmatched shapes")
+    assert(q.as[(Option[Int], Option[Int])].collect().sorted.toSeq == brute)
+    // parity with Spark's own nested-loop full outer (rule disabled)
+    spark.conf.set(AutoSpatialJoin.EnabledConf, "false")
+    try {
+      val naive = pts.join(boxes, st_intersects(col("ga"), col("gb")), "full")
+        .select("pid", "bid").as[(Option[Int], Option[Int])].collect().sorted.toSeq
+      assert(naive == brute)
+    } finally spark.conf.unset(AutoSpatialJoin.EnabledConf)
+  }
+
+  test("ExistenceJoin (IN/EXISTS inside a disjunction) rewrites with a correct flag") {
+    installed()
+    GeoFunctions.registerAll(spark)
+    val (pts, ptRows) = ptsDf(160, 87)
+    val (boxes, boxRows) = boxDf(6, 88)
+    pts.createOrReplaceTempView("asj_ex_pts")
+    boxes.createOrReplaceTempView("asj_ex_boxes")
+    // EXISTS under OR cannot lower to a plain semi join — Spark plans an
+    // ExistenceJoin whose flag feeds the disjunction
+    val q = spark.sql(
+      "SELECT p.pid FROM asj_ex_pts p WHERE p.pid % 50 = 0 OR EXISTS " +
+        "(SELECT 1 FROM asj_ex_boxes b WHERE st_intersects(p.ga, b.gb))")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains(s"${AutoSpatialJoin.P}_lcell"), s"existence join must rewrite:\n$plan")
+    val expected = ptRows.collect {
+      case (i, p) if i % 50 == 0 || boxRows.exists { case (_, b) => p.intersects(b) } => i
+    }.sorted
+    assert(q.as[Int].collect().sorted.toSeq == expected && expected.nonEmpty)
+    assert(expected.exists(_ % 50 != 0), "some rows must qualify via EXISTS alone")
+  }
+
+  test("explicit grid sjoin shares the GridSpec memo: repeated calls build stats once") {
+    val tmp = java.nio.file.Files.createTempDirectory("sjoin_memo").toString
+    ptsDf(150, 97)._1.withColumnRenamed("ga", "geometry")
+      .write.mode("overwrite").parquet(s"$tmp/a")
+    boxDf(8, 98)._1.withColumnRenamed("gb", "geometry")
+      .write.mode("overwrite").parquet(s"$tmp/b")
+    def j() = SpatialJoin.sjoin(
+      spark.read.parquet(s"$tmp/a"), spark.read.parquet(s"$tmp/b"),
+      "intersects", "inner", broadcastThreshold = -1)
+    val before = AutoSpatialJoin.gridStatsBuilds.get()
+    val n1 = j().count()
+    assert(n1 > 0)
+    assert(AutoSpatialJoin.gridStatsBuilds.get() - before == 1)
+    assert(j().count() == n1) // second sjoin call over the same data: memo hit
+    assert(AutoSpatialJoin.gridStatsBuilds.get() - before == 1,
+      "a repeated explicit grid sjoin must not re-run the sampled stats jobs")
+  }
+
   test("grid stats are memoized: explain + execute + identical re-build = one stats build") {
     installed()
     val tmp = java.nio.file.Files.createTempDirectory("asj_memo").toString
