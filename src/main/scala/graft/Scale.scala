@@ -420,6 +420,31 @@ stays distributed.
       }
     }
 
+    // Pre-gridded bucket-co-located storage (join/Gridded): the write-once
+    // cell layout moves grid stats, bbox compute, cell explode AND the
+    // join shuffle to write time — the steady-state probe is a
+    // zero-Exchange sort-merge over co-located buckets. Compare against
+    // the per-call "sjoin grid" rows above: same data, same join, no
+    // per-join setup.
+    if (onlyOp.forall(o => "gridded co-located sjoin".contains(o))) {
+      val gtmp = java.nio.file.Files.createTempDirectory("graft_scale_gridded").toString
+      for (mult <- Seq(1, 4, 16)) {
+        val p = pts(mult)
+        val spec = graft.join.Gridded.gridFor(p)
+        graft.join.Gridded.writeGridded(p, s"scale_gridded_pts_$mult", s"$gtmp/pts_$mult", spec)
+        graft.join.Gridded.writeGridded(cells, s"scale_gridded_cells_$mult", s"$gtmp/cells_$mult", spec)
+        bench("gridded co-located sjoin", mult) {
+          (graft.join.Gridded.sjoinGridded(
+            graft.join.Gridded.readGridded(spark, s"scale_gridded_pts_$mult"),
+            graft.join.Gridded.readGridded(spark, s"scale_gridded_cells_$mult")).fullCount, 0L)
+        }
+      }
+      for (mult <- Seq(1, 4, 16)) {
+        spark.sql(s"DROP TABLE IF EXISTS scale_gridded_pts_$mult")
+        spark.sql(s"DROP TABLE IF EXISTS scale_gridded_cells_$mult")
+      }
+    }
+
     // 64× stress rows for the two headline dedup paths: the N²-output
     // shapes where extrapolation is least trustworthy — one more 4× step
     // past the table above so the near-flat trend is measured, not assumed

@@ -1740,6 +1740,29 @@ object SparkEntry {
       p.join(c, st_intersects(p("geometry"), c("geometry")), "left")
         .select(col("c_custkey"), col("n_nationkey"))
     }),
+    "q143_sjoin_gridded" -> ((s, d) => {
+      // q09's semantics over PRE-GRIDDED bucket-co-located storage
+      // (join/Gridded.scala): both sides written ONCE against a shared
+      // grid spec — bbox + covering-cell columns computed at write,
+      // bucketed by the cell — so the repeated spatial join is a
+      // zero-Exchange sort-merge on the stored cell column plus the bbox
+      // prefilter and RefineCache refine. The spatial analog of the
+      // pre-banded minhash snapshot tier (q140); oracle = q09's SQL.
+      val tag = pathTag(d)
+      memoIndex(s"q143_gridded:$d") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q143_").toString
+        val p = pts(s, d)
+        val spec = graft.join.Gridded.gridFor(p)
+        graft.join.Gridded.writeGridded(p, s"graft_q143_pts_$tag", s"$tmp/pts", spec)
+        graft.join.Gridded.writeGridded(cells(s, d), s"graft_q143_cells_$tag", s"$tmp/cells", spec)
+        tmp
+      }
+      val gp = graft.join.Gridded.readGridded(s, s"graft_q143_pts_$tag")
+      val gc = graft.join.Gridded.readGridded(s, s"graft_q143_cells_$tag")
+      graft.join.Gridded.sjoinGridded(gp, gc, "intersects")
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
+    }),
     "q138_aligned_distance" -> ((s, d) => {
       // the reference's index-aligned cross-frame binary op
       // (base.py:27-71 align=True) in its explicit-key Spark spelling
@@ -1856,6 +1879,10 @@ object SparkEntry {
         s"""SELECT c_custkey, n_nationkey FROM $pts p LEFT JOIN
            | (SELECT * FROM $cells WHERE cx < 3) c
            | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1""".stripMargin.replace("\n", " "),
+      // identical semantics (and oracle) to q09 again — the engine path is
+      // the pre-gridded bucket-co-located storage join (write-once cell
+      // layout, zero-Exchange sort-merge at query time)
+      "q143_sjoin_gridded" -> sjoinOracle(pts, cells),
       // same degenerate row as the Spark side: one NULL-coordinate (missing
       // geometry) probe row that the inner-join predicate drops
       "q10_sjoin_grid" -> sjoinOracle(
