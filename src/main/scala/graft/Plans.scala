@@ -452,6 +452,49 @@ object Plans {
       graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id")
     }
 
+    section("Pre-gridded co-located spatial join (q143: ZERO Exchange on either side)",
+      "join/Gridded.writeGridded pays grid stats, bbox compute, the " +
+        "covering-cell explode AND the join shuffle once at write time " +
+        "(bucketed by the stored cell column); sjoinGridded then plans a " +
+        "SortMergeJoin over co-located buckets — no Exchange on either " +
+        "side, bbox prefilter + reference-cell dedup + RefineCache refine " +
+        "on top. The spatial analog of the pre-banded minhash snapshot: " +
+        "the repeated-join steady state at 100 TB reads the layout it " +
+        "already owns. The merge hint pins the at-scale strategy.") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_gridded").toString
+      val p = spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          st_point((col("c_custkey") * 7 % 1000).cast("double") / 10.0,
+            (col("c_custkey") * 13 % 1000).cast("double") / 10.0).as("geometry"))
+      val n = spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"),
+          st_makebox((col("n_nationkey") % 5 * 20).cast("double"),
+            (floor(col("n_nationkey") / 5.0) * 20).cast("double"),
+            (col("n_nationkey") % 5 * 20 + 20).cast("double"),
+            (floor(col("n_nationkey") / 5.0) * 20 + 20).cast("double")).as("geometry"))
+      val spec = graft.join.Gridded.gridFor(p)
+      graft.join.Gridded.writeGridded(p, "plans_gr_pts", s"$tmp/pts", spec)
+      graft.join.Gridded.writeGridded(n, "plans_gr_cells", s"$tmp/cells", spec)
+      graft.join.Gridded.sjoinGridded(
+        graft.join.Gridded.readGridded(spark, "plans_gr_pts").hint("merge"),
+        graft.join.Gridded.readGridded(spark, "plans_gr_cells").hint("merge"))
+        .select(col("c_custkey"), col("n_nationkey"))
+    }
+
+    section("Exact substring dedup (q144: window repetition decided on 8-byte hash keys)",
+      "Dedup.repeatedSpans is the distributed face of Lee et al.'s " +
+        "suffix-array dedup: token windows are map-side (tokenize + " +
+        "slice), occurrence counting shuffles only the xxhash64 window key " +
+        "with map-side partial aggregation (note the two-stage " +
+        "HashAggregate on __wh), and the wide window STRINGS move only in " +
+        "the candidate join + exact confirm — in a deduplicated corpus the " +
+        "small minority. The final merge is one window function " +
+        "partitioned by document.") {
+      graft.ops.Dedup.repeatedSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

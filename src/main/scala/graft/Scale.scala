@@ -445,6 +445,33 @@ stays distributed.
       }
     }
 
+    // Exact substring (repeated-span) dedup: replicas are token-salted so
+    // each carries the 1x corpus's duplication profile (cross-replica
+    // windows never collide) — a weak-scaling measurement of the real
+    // shape: window counting on 8-byte hash keys + candidate join +
+    // per-doc merge. The unsalted "fully duplicated" row is the
+    // pathological ceiling: EVERY window repeats across replicas, so all
+    // positions survive to the merge — output collapses to one whole-doc
+    // span per doc, and the measured cost bounds what a worst-case
+    // boilerplate corpus can do to the candidate stages.
+    if (onlyOp.forall(o => "repeated spans salted".contains(o) ||
+        "repeated spans fully duplicated".contains(o))) {
+      def salted(mult: Int): DataFrame = docs(mult)
+        .withColumn("__salt", (col("doc_id") / 10000000L).cast("long"))
+        .withColumn("text", concat_ws(" ",
+          transform(split(trim(col("text")), "\\s+"),
+            t => concat(t, lit("_"), col("__salt")))))
+        .drop("__salt")
+      for (mult <- Seq(1, 4, 16)) {
+        bench("repeated spans salted", mult) {
+          (graft.ops.Dedup.repeatedSpans(salted(mult), "doc_id", "text").fullCount, 0L)
+        }
+      }
+      bench("repeated spans fully duplicated", 4) {
+        (graft.ops.Dedup.repeatedSpans(docs(4), "doc_id", "text").fullCount, 0L)
+      }
+    }
+
     // 64× stress rows for the two headline dedup paths: the N²-output
     // shapes where extrapolation is least trustworthy — one more 4× step
     // past the table above so the near-flat trend is measured, not assumed

@@ -1763,6 +1763,22 @@ object SparkEntry {
         .groupBy(col("n_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("bal"))
     }),
+    "q144_repeated_spans" -> ((s, d) =>
+      // exact substring dedup (Lee et al. 2022): maximal repeated token
+      // spans (5-gram windows occurring >= 2x anywhere in the corpus,
+      // merged per document when their token intervals overlap or touch).
+      // Window counting shuffles 8-byte xxhash keys (map-side partial agg);
+      // the wide window strings only move for the candidate join + exact
+      // confirm (ops/Dedup.repeatedSpans).
+      Dedup.repeatedSpans(docs(s, d), "doc_id", "text", minTokens = 5)),
+    "q145_dup_span_stats" -> ((s, d) =>
+      // per-document duplicated-token profile over q144's spans: every doc
+      // surfaces (zeros when clean or shorter than the window).
+      Dedup.repeatedSpanStats(docs(s, d), "doc_id", "text", minTokens = 5)),
+    "q146_remove_spans" -> ((s, d) =>
+      // the removal step of ExactSubstr dedup: q144's spans cut out of the
+      // token stream with a native HOF filter+exists (no range join).
+      Dedup.removeRepeatedSpans(docs(s, d), "doc_id", "text", minTokens = 5)),
     "q138_aligned_distance" -> ((s, d) => {
       // the reference's index-aligned cross-frame binary op
       // (base.py:27-71 align=True) in its explicit-key Spark spelling
@@ -1883,6 +1899,29 @@ object SparkEntry {
       // the pre-gridded bucket-co-located storage join (write-once cell
       // layout, zero-Exchange sort-merge at query time)
       "q143_sjoin_gridded" -> sjoinOracle(pts, cells),
+      "q144_repeated_spans" -> (repeatedSpanCte(5) +
+        s""" SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           | CAST(max(pos) - min(pos) + 5 AS INT) AS span_tokens
+           | FROM grp GROUP BY doc_id, g""".stripMargin.replace("\n", " ")),
+      "q145_dup_span_stats" -> (repeatedSpanCte(5) +
+        s""" , spans AS (SELECT doc_id, max(pos) - min(pos) + 5 AS span_tokens
+           | FROM grp GROUP BY doc_id, g),
+           | per AS (SELECT doc_id, count(*) AS ns, sum(span_tokens) AS dup FROM spans GROUP BY doc_id)
+           | SELECT d.doc_id, CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           | CAST(coalesce(per.ns, 0) AS BIGINT) AS n_spans,
+           | CAST(coalesce(per.dup, 0) AS BIGINT) AS dup_tokens,
+           | round(CAST(coalesce(per.dup, 0) AS DOUBLE) /
+           |   greatest(CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS BIGINT), 1), 6) AS dup_frac
+           | FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin.replace("\n", " ")),
+      "q146_remove_spans" -> (repeatedSpanCte(5) +
+        s""" , spans AS (SELECT doc_id, min(pos) AS st, max(pos) - min(pos) + 5 AS ln FROM grp GROUP BY doc_id, g),
+           | spl AS (SELECT doc_id, list(struct_pack(st := st, ln := ln)) AS sp FROM spans GROUP BY doc_id),
+           | kept AS (SELECT tk.doc_id,
+           |   CASE WHEN spl.sp IS NULL THEN tk.t
+           |     ELSE list_filter(tk.t, (x, i) -> NOT len(list_filter(spl.sp, s -> s.st <= i AND i < s.st + s.ln)) > 0) END AS kt
+           |   FROM toks tk LEFT JOIN spl USING (doc_id))
+           | SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS cleaned,
+           | CAST(len(kt) AS BIGINT) AS n_tokens_kept FROM kept""".stripMargin.replace("\n", " ")),
       // same degenerate row as the Spark side: one NULL-coordinate (missing
       // geometry) probe row that the inner-join predicate drops
       "q10_sjoin_grid" -> sjoinOracle(
@@ -3048,4 +3087,21 @@ object SparkEntry {
     s"""SELECT n_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS bal FROM $pts p JOIN $cells c
        | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1
        | GROUP BY n_nationkey""".stripMargin.replace("\n", " ")
+
+  /** Shared CTE chain for the exact-substring (repeated-span) oracles
+    * (q144/q145): token windows of length `l` (1-based positions), windows
+    * occurring >= 2 times anywhere in the corpus, their positions merged
+    * per document into maximal groups when the gap is <= `l`
+    * (gaps-and-islands). Terminal CTE `grp` exposes (doc_id, pos, g). */
+  private def repeatedSpanCte(l: Int): String =
+    s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t FROM documents),
+       | win AS (SELECT doc_id, unnest(generate_series(1, len(t) - ${l - 1})) AS pos, t FROM toks WHERE len(t) >= $l),
+       | w2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+${l - 1}], ' ') AS w FROM win),
+       | rep AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),
+       | hits AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN rep USING (w)),
+       | flagged AS (SELECT doc_id, pos,
+       |   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l THEN 0 ELSE 1 END AS flag
+       |   FROM hits),
+       | grp AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |   FROM flagged)""".stripMargin.replace("\n", " ")
 }

@@ -1049,4 +1049,109 @@ object Dedup {
       .join(broadcast(sketch.withColumn("__hit", lit(1))), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg((min(coalesce(col("__hit"), lit(0))) === 1).as("possibly_seen"))
+
+  /** Exact substring (repeated-span) detection — the span-granular exact
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" (public arXiv:2107.06499), re-expressed as a
+    * shuffle-bounded Spark plan instead of a suffix array: a token window
+    * of length `minTokens` that occurs ≥ 2 times ANYWHERE in the corpus
+    * (any document, any offset, including twice in one document) marks its
+    * positions as duplicated; per document, marked positions whose token
+    * intervals overlap or touch (position gap ≤ `minTokens`) merge into
+    * maximal spans. Emits one row per maximal span:
+    * (idCol, span_start, span_tokens) with `span_start` the 1-based token
+    * index. Exactly the spans a pipeline cuts out (or thresholds on) to
+    * remove verbatim-copied passages that document-level dedup misses.
+    *
+    * Scale posture (the suffix array of the paper is a single-machine
+    * construction; this is the distributed equivalent): windows are
+    * map-side (tokenize + slice, one row per token position — linear in
+    * corpus tokens). Repetition is decided in two stages so the wide rows
+    * never shuffle twice: (1) count window occurrences by their 64-bit
+    * xxhash — an 8-byte key with map-side partial aggregation — and keep
+    * hashes with count ≥ 2 (in a deduplicated corpus a small minority);
+    * (2) equi-join windows back to that candidate set on the hash (AQE
+    * broadcasts it when small) and confirm count ≥ 2 on the exact window
+    * STRING within the surviving subset — hash collisions cannot create
+    * false spans. The merge is one window function partitioned by
+    * document (gaps-and-islands), bounded by per-document token count. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1; got $minTokens")
+    val L = minTokens
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= L)
+    val wins = toks
+      .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (L - 1))).as("__pos"),
+        col("__t"))
+      .withColumn("__w", concat_ws(" ", slice(col("__t"), col("__pos"), lit(L))))
+      .select(col(idCol), col("__pos"), col("__w"), xxhash64(col("__w")).as("__wh"))
+    val candHashes = wins.groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__wh"))
+    val cand = wins.join(candHashes, Seq("__wh"))
+    val repWins = cand.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__w"))
+    val hits = cand.join(repWins, Seq("__w")).select(col(idCol), col("__pos"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    hits
+      .withColumn("__flag",
+        when(col("__pos") - lag(col("__pos"), 1).over(byDoc) <= L, 0).otherwise(1))
+      .withColumn("__grp", sum(col("__flag")).over(byDoc))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).cast("int").as("span_start"),
+        (max(col("__pos")) - min(col("__pos")) + L).cast("int").as("span_tokens"))
+      .drop("__grp")
+  }
+
+  /** Cut the [[repeatedSpans]] spans OUT of each document — the removal
+    * step of Lee et al.'s ExactSubstr dedup (every occurrence of a
+    * duplicated span is dropped, their default). Emits every input
+    * document: (idCol, cleaned, n_tokens_kept), where `cleaned` is the
+    * surviving tokens joined with single spaces (whitespace is normalized
+    * by construction — spans are defined over the token stream, so the
+    * original inter-token whitespace has no meaning after cutting).
+    * Documents with no spans pass through with all tokens kept.
+    *
+    * Scale posture: spans per doc collapse to one bounded array
+    * (collect_list after the spans groupBy — bounded by doc token count /
+    * minTokens), the cut is a native HOF filter+exists over the token
+    * array (no range join, no UDF), and the only new shuffle beyond
+    * [[repeatedSpans]] is the spans' own per-doc groupBy + the equi-join
+    * back to the corpus. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 5): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, minTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("st"),
+        col("span_tokens").as("ln"))).as("__sp"))
+    val toks = tokens(col(textCol))
+    val kept = when(col("__sp").isNull, toks)
+      .otherwise(filter(toks, (_, i) =>
+        !exists(col("__sp"), s =>
+          s.getField("st") <= i + 1 && i + 1 < s.getField("st") + s.getField("ln"))))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol), concat_ws(" ", kept).as("cleaned"),
+        size(kept).cast("long").as("n_tokens_kept"))
+  }
+
+  /** Per-document duplication profile from [[repeatedSpans]]: token count,
+    * tokens inside repeated spans (maximal spans are disjoint by
+    * construction, so a plain sum is exact), and the duplicated fraction —
+    * the signal a pipeline thresholds to drop mostly-copied documents, or
+    * aggregates into the corpus-level "what fraction of our tokens are
+    * verbatim duplicates" number. Every input document surfaces, including
+    * those with no spans (zeros) and those shorter than `minTokens`. */
+  def repeatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                        minTokens: Int = 5): DataFrame = {
+    val perDoc = repeatedSpans(df, idCol, textCol, minTokens)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__ns"), sum(col("span_tokens")).cast("long").as("__dup"))
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__ns"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("__dup"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
 }

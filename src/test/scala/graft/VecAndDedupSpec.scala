@@ -646,4 +646,94 @@ class VecAndDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(out == Map(0L -> true, 1L -> false, 2L -> true))
   }
+
+  /** Local reference for [[Dedup.repeatedSpans]]: windows of length l that
+    * occur >= 2 times anywhere, positions merged per doc at gap <= l. */
+  private def bruteSpans(rows: Seq[(Long, String)], l: Int): Set[(Long, Int, Int)] = {
+    val wins = rows.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to toks.length - l).map(p => (id, p + 1, toks.slice(p, p + l).mkString(" ")))
+    }
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    wins.filter(w => cnt(w._3) >= 2).groupBy(_._1).flatMap { case (id, ws) =>
+      val ps = ws.map(_._2).distinct.sorted
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var (s, e) = (ps.head, ps.head)
+      for (p <- ps.tail) {
+        if (p - e <= l) e = p
+        else { spans += ((s, e - s + l)); s = p; e = p }
+      }
+      spans += ((s, e - s + l))
+      spans.map { case (st, len) => (id, st, len) }
+    }.toSet
+  }
+
+  test("repeatedSpans equals brute force on the corpus (l=5 and l=3)") {
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    for (l <- Seq(3, 5)) {
+      val got = Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = l)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == bruteSpans(rows, l), s"l=$l")
+    }
+  }
+
+  test("repeatedSpans: cross-doc, within-doc, and gap<l merge semantics") {
+    val df = Seq(
+      // doc 1/2 share "a b c d e f" -> windows at two positions each, merged
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f q"),
+      // doc 3 repeats "p q r s t" within itself at gap 7 > 5: two spans
+      (3L, "p q r s t z1 z2 p q r s t"),
+      // doc 4 is clean: no window occurs twice
+      (4L, "u1 u2 u3 u4 u5 u6"),
+      // doc 5 shorter than the window: never a candidate
+      (5L, "v1 v2")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 1, 6), (2L, 3, 6), (3L, 1, 5), (3L, 8, 5)))
+    assert(got == bruteSpans(Seq(
+      (1L, "a b c d e f g h"), (2L, "x y a b c d e f q"),
+      (3L, "p q r s t z1 z2 p q r s t"), (4L, "u1 u2 u3 u4 u5 u6"),
+      (5L, "v1 v2")), 5))
+  }
+
+  test("removeRepeatedSpans cuts exactly the span-covered tokens (brute parity)") {
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val l = 5
+    val covered = bruteSpans(rows, l).groupBy(_._1).view.mapValues(
+      _.flatMap { case (_, st, len) => st until (st + len) }.toSet).toMap
+    val expected = rows.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = toks.zipWithIndex.collect { case (tok, i) if !cov(i + 1) => tok }
+      id -> ((kept.mkString(" "), kept.length.toLong))
+    }.toMap
+    val got = Dedup.removeRepeatedSpans(docs, "doc_id", "text", minTokens = l)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the cut is real on this corpus: some doc lost tokens, some kept all
+    val nToks = rows.map { case (id, t) =>
+      id -> t.trim.split("\\s+").count(_.nonEmpty).toLong }.toMap
+    assert(got.exists { case (id, (_, n)) => n < nToks(id) })
+    assert(got.exists { case (id, (_, n)) => n == nToks(id) })
+  }
+
+  test("repeatedSpanStats: every doc surfaces; dup_tokens sums disjoint spans") {
+    val stats = Dedup.repeatedSpanStats(docs, "doc_id", "text", minTokens = 5)
+    assert(stats.count() == docs.count())
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", minTokens = 5)
+      .groupBy("doc_id").agg(sum("span_tokens").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = stats.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    for ((id, nTok, nSpans, dup, frac) <- rows) {
+      val (eDup, eN) = spans.getOrElse(id, (0L, 0L))
+      assert(dup == eDup && nSpans == eN, s"doc $id")
+      assert(dup <= nTok, s"doc $id: spans cover more tokens than the doc has")
+      assert(math.abs(frac - math.rint(dup.toDouble / math.max(nTok, 1L) * 1e6) / 1e6) < 1e-12)
+    }
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 == 0))
+  }
 }
