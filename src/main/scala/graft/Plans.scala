@@ -495,6 +495,25 @@ object Plans {
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
     }
 
+    section("Incremental exact-substring probe (q147: bucketed window snapshot, stored side never exchanged)",
+      "Dedup.repeatedSpansIncrementalStored probes a writeWindowSnapshot " +
+        "profile (one ~24-byte row per distinct window, 128-bit hash key, " +
+        "strings never stored, bucketed by __wh). The probe join keys ONLY " +
+        "on the bucket column — the 128-bit confirm is spelled `xor == 0` " +
+        "so Catalyst cannot widen the equi-key set and defeat the bucket " +
+        "co-location — so the stored side scans with SelectedBucketsCount " +
+        "and NO Exchange; only the new batch's 24-byte hash rows shuffle. " +
+        "At 100 TB the corpus is never re-windowed per batch.") {
+      val tmp = java.nio.file.Files.createTempDirectory("plans_winsnap").toString
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.writeWindowSnapshot(docs.filter(col("doc_id") % 3 =!= 0),
+        "plans_winsnap", s"$tmp/wins", "doc_id", "text", 5, 8)
+      graft.ops.Dedup.repeatedSpansIncrementalStored(
+        docs.filter(col("doc_id") % 3 === 0),
+        graft.io.Bucketed.read(spark, "plans_winsnap").hint("merge"),
+        "doc_id", "text", 5)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

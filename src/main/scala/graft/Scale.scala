@@ -454,14 +454,14 @@ stays distributed.
     // positions survive to the merge — output collapses to one whole-doc
     // span per doc, and the measured cost bounds what a worst-case
     // boilerplate corpus can do to the candidate stages.
+    def salted(mult: Int): DataFrame = docs(mult)
+      .withColumn("__salt", (col("doc_id") / 10000000L).cast("long"))
+      .withColumn("text", concat_ws(" ",
+        transform(split(trim(col("text")), "\\s+"),
+          t => concat(t, lit("_"), col("__salt")))))
+      .drop("__salt")
     if (onlyOp.forall(o => "repeated spans salted".contains(o) ||
         "repeated spans fully duplicated".contains(o))) {
-      def salted(mult: Int): DataFrame = docs(mult)
-        .withColumn("__salt", (col("doc_id") / 10000000L).cast("long"))
-        .withColumn("text", concat_ws(" ",
-          transform(split(trim(col("text")), "\\s+"),
-            t => concat(t, lit("_"), col("__salt")))))
-        .drop("__salt")
       for (mult <- Seq(1, 4, 16)) {
         bench("repeated spans salted", mult) {
           (graft.ops.Dedup.repeatedSpans(salted(mult), "doc_id", "text").fullCount, 0L)
@@ -549,6 +549,46 @@ stays distributed.
       }
     }
 
+    // ---- exact-substring window-snapshot economics (q147): a FIXED new
+    // batch (the salted 1x doc_id%3==0 slice) probes the window-hash
+    // profile of a corpus growing 1x/4x/16x, vs the full repeatedSpans
+    // recompute over corpus+batch you'd pay without the snapshot. Replicas
+    // are token-salted (cross-replica windows never collide) so the corpus
+    // carries the 1x duplication profile, and the batch shares replica 0's
+    // salt so its windows genuinely hit the stored profile.
+    case class WinTier(mult: Int, buildSecs: Double, probeSecs: Double,
+                       fullSecs: Double, rows: Long)
+    val winTiers = scala.collection.mutable.ArrayBuffer[WinTier]()
+    if (onlyOp.forall(o => "window snapshot".contains(o))) {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_scale_win").toString
+      salted(1).filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$tmpRoot/batch")
+      val batch = spark.read.parquet(s"$tmpRoot/batch")
+      for (mult <- Seq(1, 4, 16)) {
+        val corpus = salted(mult).filter(col("doc_id") % 3 =!= 0)
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.writeWindowSnapshot(corpus, s"scale_winsnap_$mult",
+          s"$tmpRoot/wins_$mult", "doc_id", "text", minTokens = 5, buckets = 32)
+        val build = (System.nanoTime() - t0) / 1e9
+        val stored = graft.io.Bucketed.read(spark, s"scale_winsnap_$mult")
+        def probe(): Long = graft.ops.Dedup.repeatedSpansIncrementalStored(
+          batch, stored, "doc_id", "text", minTokens = 5).fullCount
+        probe() // warm
+        val t1 = System.nanoTime()
+        val rows = probe()
+        val probeSecs = (System.nanoTime() - t1) / 1e9
+        def full(): Long = graft.ops.Dedup.repeatedSpans(
+          corpus.unionByName(batch), "doc_id", "text", minTokens = 5).fullCount
+        full() // warm
+        val t2 = System.nanoTime()
+        full()
+        val fullSecs = (System.nanoTime() - t2) / 1e9
+        winTiers += WinTier(mult, build, probeSecs, fullSecs, rows)
+        println(f"[scale] window snapshot @${mult}x build=$build%6.2f s probe=$probeSecs%6.2f s full=$fullSecs%6.2f s rows=$rows")
+      }
+      for (mult <- Seq(1, 4, 16)) spark.sql(s"DROP TABLE IF EXISTS scale_winsnap_$mult")
+    }
+
     val md = new StringBuilder
     md ++= "# SCALE — measured scaling of headline operators\n\n"
     md ++= "sf0.1 tables replicated N× (unique ids), local[32], warm runs (codegen\n"
@@ -626,6 +666,31 @@ stays distributed.
         md ++= "banding cost has not yet crossed the snapshot tiers' constant join\n"
         md ++= "depth. The tiers' value is the SLOPE — live grows with the corpus,\n"
         md ++= "the snapshot probes track the (bucketed, never-exchanged) scan.\n"
+      }
+    }
+    if (winTiers.nonEmpty) {
+      md ++= "\n## Exact-substring window-snapshot economics (q147)\n\n"
+      md ++= "A FIXED new batch (salted 1x doc_id%3==0 slice) probes the bucketed\n"
+      md ++= "window-hash profile (writeWindowSnapshot — 128-bit keys, strings never\n"
+      md ++= "stored) of a corpus growing 1x/4x/16x, vs the full repeatedSpans\n"
+      md ++= "recompute over corpus+batch that a snapshot-less pipeline pays per\n"
+      md ++= "batch. The probe's corpus-side work is a bucketed scan (no Exchange,\n"
+      md ++= "no re-windowing — PLANS.md pins the shape), so probe time tracks the\n"
+      md ++= "snapshot SCAN while the full recompute re-windows and re-shuffles the\n"
+      md ++= "whole corpus every batch.\n\n"
+      md ++= "| corpus | snapshot build s | probe s | full recompute s | full/probe | probe rows |\n|---|---|---|---|---|---|\n"
+      winTiers.foreach { t =>
+        md ++= f"| ${t.mult}x | ${t.buildSecs}%.2f | ${t.probeSecs}%.2f | ${t.fullSecs}%.2f | ${t.fullSecs / t.probeSecs}%.1f | ${t.rows} |\n"
+      }
+      val w16 = winTiers.find(_.mult == 16)
+      w16.foreach { t =>
+        val saved = t.fullSecs - t.probeSecs
+        if (saved > 0) {
+          val breakeven = math.ceil(t.buildSecs / saved).toLong
+          md ++= f"\nBreak-even at 16x: the snapshot build (${t.buildSecs}%.2f s) amortizes after\n"
+          md ++= f"~$breakeven probes (each saves $saved%.2f s vs full recompute), and the gap\n"
+          md ++= "widens with the corpus while probe cost tracks the bucketed scan.\n"
+        }
       }
     }
     if (nnRounds.nonEmpty) {

@@ -1775,6 +1775,32 @@ object SparkEntry {
       // per-document duplicated-token profile over q144's spans: every doc
       // surfaces (zeros when clean or shorter than the window).
       Dedup.repeatedSpanStats(docs(s, d), "doc_id", "text", minTokens = 5)),
+    "q147_spans_incremental" -> ((s, d) => {
+      // exact-substring dedup at the 100 TB steady state: the corpus's
+      // window-hash profile is stored ONCE (writeWindowSnapshot — 128-bit
+      // hash pairs bucketed by the first hash, window strings never
+      // stored), and each new batch probes it without the corpus being
+      // re-windowed or exchanged. Old corpus = doc_id % 3 != 0, new batch
+      // = doc_id % 3 == 0 (the q135/q140 split convention).
+      val all = docs(s, d)
+      val tag = pathTag(d)
+      memoIndex(s"q147_winsnap:$d") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_winsnap").toString
+        graft.ops.Dedup.writeWindowSnapshot(all.filter(col("doc_id") % 3 =!= 0),
+          s"graft_q147_wins_$tag", s"$tmp/wins", "doc_id", "text",
+          minTokens = 5, buckets = 8)
+        tmp
+      }
+      graft.ops.Dedup.repeatedSpansIncrementalStored(
+        all.filter(col("doc_id") % 3 === 0),
+        graft.io.Bucketed.read(s, s"graft_q147_wins_$tag"),
+        "doc_id", "text", minTokens = 5)
+    }),
+    "q148_top_windows" -> ((s, d) =>
+      // corpus boilerplate report: the 20 most-repeated 5-token windows
+      // (deterministic tie-break on the window string).
+      Dedup.topRepeatedWindows(docs(s, d), "doc_id", "text",
+        minTokens = 5, k = 20)),
     "q146_remove_spans" -> ((s, d) =>
       // the removal step of ExactSubstr dedup: q144's spans cut out of the
       // token stream with a native HOF filter+exists (no range join).
@@ -1913,6 +1939,21 @@ object SparkEntry {
            | round(CAST(coalesce(per.dup, 0) AS DOUBLE) /
            |   greatest(CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS BIGINT), 1), 6) AS dup_frac
            | FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin.replace("\n", " ")),
+      "q147_spans_incremental" -> (spanWindowBase(5) +
+        s""" , oldw AS (SELECT DISTINCT w FROM w2 WHERE doc_id % 3 <> 0),
+           | neww AS (SELECT doc_id, pos, w FROM w2 WHERE doc_id % 3 = 0),
+           | batchrep AS (SELECT w FROM neww GROUP BY w HAVING count(*) >= 2),
+           | hits AS (SELECT DISTINCT doc_id, pos FROM neww
+           |   WHERE w IN (SELECT w FROM oldw) OR w IN (SELECT w FROM batchrep))""".stripMargin.replace("\n", " ") +
+        spanMergeTail(5) +
+        s""" SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           | CAST(max(pos) - min(pos) + 5 AS INT) AS span_tokens
+           | FROM grp GROUP BY doc_id, g""".stripMargin.replace("\n", " ")),
+      "q148_top_windows" -> (spanWindowBase(5) +
+        s""" SELECT w AS "window", count(*) AS n_occurrences,
+           | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           | FROM w2 GROUP BY w HAVING count(*) >= 2
+           | ORDER BY n_occurrences DESC, w LIMIT 20""".stripMargin.replace("\n", " ")),
       "q146_remove_spans" -> (repeatedSpanCte(5) +
         s""" , spans AS (SELECT doc_id, min(pos) AS st, max(pos) - min(pos) + 5 AS ln FROM grp GROUP BY doc_id, g),
            | spl AS (SELECT doc_id, list(struct_pack(st := st, ln := ln)) AS sp FROM spans GROUP BY doc_id),
@@ -3088,20 +3129,29 @@ object SparkEntry {
        | ON p.px >= c.x0 AND p.px <= c.x1 AND p.py >= c.y0 AND p.py <= c.y1
        | GROUP BY n_nationkey""".stripMargin.replace("\n", " ")
 
-  /** Shared CTE chain for the exact-substring (repeated-span) oracles
-    * (q144/q145): token windows of length `l` (1-based positions), windows
-    * occurring >= 2 times anywhere in the corpus, their positions merged
-    * per document into maximal groups when the gap is <= `l`
-    * (gaps-and-islands). Terminal CTE `grp` exposes (doc_id, pos, g). */
-  private def repeatedSpanCte(l: Int): String =
+  /** Token-window base CTEs for the exact-substring oracles: `toks`
+    * (filtered token lists), `win` (1-based positions), `w2`
+    * (doc_id, pos, window string `w`). */
+  private def spanWindowBase(l: Int): String =
     s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t FROM documents),
        | win AS (SELECT doc_id, unnest(generate_series(1, len(t) - ${l - 1})) AS pos, t FROM toks WHERE len(t) >= $l),
-       | w2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+${l - 1}], ' ') AS w FROM win),
-       | rep AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),
-       | hits AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN rep USING (w)),
-       | flagged AS (SELECT doc_id, pos,
+       | w2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+${l - 1}], ' ') AS w FROM win)""".stripMargin.replace("\n", " ")
+
+  /** Gaps-and-islands merge tail over a CTE named `hits` (doc_id, pos):
+    * terminal CTE `grp` exposes (doc_id, pos, g). */
+  private def spanMergeTail(l: Int): String =
+    s""" , flagged AS (SELECT doc_id, pos,
        |   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $l THEN 0 ELSE 1 END AS flag
        |   FROM hits),
        | grp AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
        |   FROM flagged)""".stripMargin.replace("\n", " ")
+
+  /** Shared CTE chain for the exact-substring (repeated-span) oracles
+    * (q144/q145/q146): corpus-wide repeated windows merged to maximal
+    * spans. */
+  private def repeatedSpanCte(l: Int): String =
+    spanWindowBase(l) +
+      s""" , rep AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),
+         | hits AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN rep USING (w))""".stripMargin.replace("\n", " ") +
+      spanMergeTail(l)
 }

@@ -1075,33 +1075,56 @@ object Dedup {
     * STRING within the surviving subset — hash collisions cannot create
     * false spans. The merge is one window function partitioned by
     * document (gaps-and-islands), bounded by per-document token count. */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    minTokens: Int = 5): DataFrame = {
-    require(minTokens >= 1, s"minTokens must be >= 1; got $minTokens")
-    val L = minTokens
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= L)
-    val wins = toks
-      .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (L - 1))).as("__pos"),
+  /** One row per token window of length `l`: (idCol, __pos 1-based, __w
+    * window string, __wh xxhash64(__w)). Map-side only. */
+  private def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+                           l: Int): DataFrame = {
+    require(l >= 1, s"minTokens must be >= 1; got $l")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= l)
+      .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (l - 1))).as("__pos"),
         col("__t"))
-      .withColumn("__w", concat_ws(" ", slice(col("__t"), col("__pos"), lit(L))))
+      .withColumn("__w", concat_ws(" ", slice(col("__t"), col("__pos"), lit(l))))
       .select(col(idCol), col("__pos"), col("__w"), xxhash64(col("__w")).as("__wh"))
+  }
+
+  /** Merge duplicated window positions (idCol, __pos) into maximal spans:
+    * gaps-and-islands over one window partition per document. */
+  private def mergeSpanPositions(hits: DataFrame, idCol: String, l: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    hits
+      .withColumn("__flag",
+        when(col("__pos") - lag(col("__pos"), 1).over(byDoc) <= l, 0).otherwise(1))
+      .withColumn("__grp", sum(col("__flag")).over(byDoc))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).cast("int").as("span_start"),
+        (max(col("__pos")) - min(col("__pos")) + l).cast("int").as("span_tokens"))
+      .drop("__grp")
+  }
+
+  /** Window rows joined down to those whose window string occurs >= 2 times
+    * in `df`: the two-stage (hash count, then exact string confirm)
+    * candidate pipeline shared by [[repeatedSpans]] and
+    * [[topRepeatedWindows]]. */
+  private def repeatedWindowRows(df: DataFrame, idCol: String, textCol: String,
+                                 l: Int): DataFrame =
+    repeatedWindowRowsFromWins(tokenWindows(df, idCol, textCol, l))
+
+  private def repeatedWindowRowsFromWins(wins: DataFrame): DataFrame = {
     val candHashes = wins.groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__wh"))
     val cand = wins.join(candHashes, Seq("__wh"))
     val repWins = cand.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__w"))
-    val hits = cand.join(repWins, Seq("__w")).select(col(idCol), col("__pos"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    hits
-      .withColumn("__flag",
-        when(col("__pos") - lag(col("__pos"), 1).over(byDoc) <= L, 0).otherwise(1))
-      .withColumn("__grp", sum(col("__flag")).over(byDoc))
-      .groupBy(col(idCol), col("__grp"))
-      .agg(min(col("__pos")).cast("int").as("span_start"),
-        (max(col("__pos")) - min(col("__pos")) + L).cast("int").as("span_tokens"))
-      .drop("__grp")
+    cand.join(repWins, Seq("__w"))
   }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5): DataFrame =
+    mergeSpanPositions(
+      repeatedWindowRows(df, idCol, textCol, minTokens)
+        .select(col(idCol), col("__pos")),
+      idCol, minTokens)
 
   /** Cut the [[repeatedSpans]] spans OUT of each document — the removal
     * step of Lee et al.'s ExactSubstr dedup (every occurrence of a
@@ -1153,5 +1176,110 @@ object Dedup {
         coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("__dup"), lit(0L)) /
           greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /** Corpus boilerplate report: the `k` most-repeated token windows —
+    * (window, n_occurrences, n_docs), ordered by occurrences desc with the
+    * window string as the deterministic tie-break. The triage view over
+    * [[repeatedSpans]]'s signal: which exact passages dominate the
+    * duplication (license headers, navigation chrome, templated intros),
+    * to decide between span removal and a targeted blocklist.
+    *
+    * Scale posture: the same two-stage hash-count / string-confirm
+    * pipeline as [[repeatedSpans]] (wide strings shuffle only for the
+    * candidate subset), then a global top-k over the aggregated window
+    * rows (TakeOrderedAndProject — only k rows reach the driver side of
+    * the sort, never the window population). */
+  def topRepeatedWindows(df: DataFrame, idCol: String, textCol: String,
+                         minTokens: Int = 5, k: Int = 20): DataFrame =
+    repeatedWindowRows(df, idCol, textCol, minTokens)
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .select(col("__w").as("window"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("window"))
+      .limit(k)
+
+  /** The second, salted 64-bit window hash for the stored snapshot tier —
+    * with [[tokenWindows]]' `__wh` it forms a 128-bit key, so a stored
+    * window can be matched without storing its string (collision odds
+    * ~2⁻¹²⁸ per pair; the paper's suffix array is exact but single-node,
+    * the usual production substitutes — Bloom-filter dedup à la BFF/Dolma
+    * — are far weaker than 128 bits). */
+  private def saltedWinHash(w: Column): Column = xxhash64(lit("graft:win2"), w)
+
+  private def winCntCol(minTokens: Int): String = s"wcnt_l$minTokens"
+
+  /** Persist the corpus's window-hash profile for INCREMENTAL exact
+    * substring dedup: one row per distinct (128-bit hash pair) window —
+    * (__wh, __wh2, wcnt_l<minTokens> = occurrences) — bucketed by `__wh`.
+    * The window-length spec is fused into the count column's NAME, so a
+    * probe with a different `minTokens` fails loudly instead of silently
+    * matching nothing (the [[writeBandedSnapshot]] convention). Window
+    * STRINGS are never stored: at 100 TB the profile is ~24 bytes per
+    * distinct window vs the corpus text, and the 128-bit key stands in for
+    * string equality (see [[saltedWinHash]]). */
+  def writeWindowSnapshot(df: DataFrame, table: String, path: String,
+                          idCol: String, textCol: String,
+                          minTokens: Int = 5, buckets: Int = 32): Unit =
+    graft.io.Bucketed.write(
+      windowSnapshotProjection(df, idCol, textCol, minTokens),
+      table, path, "__wh", buckets)
+
+  /** The window-hash profile [[writeWindowSnapshot]] stores: one row per
+    * distinct (128-bit hash pair) window of `df` — (__wh, __wh2,
+    * wcnt_l<minTokens>). Exposed so incremental folds (the streaming face)
+    * can accumulate profiles without a catalog table; a probe accepts a
+    * profile with DUPLICATE (__wh, __wh2) rows (append-only fold) — hits
+    * are position-distinct before the span merge. */
+  def windowSnapshotProjection(df: DataFrame, idCol: String, textCol: String,
+                               minTokens: Int = 5): DataFrame =
+    tokenWindows(df, idCol, textCol, minTokens)
+      .select(col("__wh"), saltedWinHash(col("__w")).as("__wh2"))
+      .groupBy(col("__wh"), col("__wh2"))
+      .agg(count(lit(1)).as(winCntCol(minTokens)))
+
+  /** Incremental [[repeatedSpans]] for a NEW batch against a stored
+    * [[writeWindowSnapshot]] profile: a new document's window is
+    * duplicated when it occurs in the stored corpus (any count ≥ 1) OR
+    * ≥ 2 times within the new batch itself (exact string confirm, batch
+    * is local); positions merge to maximal spans exactly like the plain
+    * path. Emits (idCol, span_start, span_tokens) for the new docs only.
+    *
+    * Scale posture — the 100 TB steady state: the corpus's windows are
+    * NEVER recomputed per batch (the profile was paid once at write); the
+    * stored side is read through its bucket layout, so the probe join
+    * shuffles only the new batch's (8+8+8-byte) hash rows into the
+    * snapshot's bucketing and the snapshot itself has no Exchange. The
+    * batch-internal stage is the plain two-stage pipeline on the (small)
+    * batch alone. */
+  def repeatedSpansIncrementalStored(newDf: DataFrame, stored: DataFrame,
+                                     idCol: String, textCol: String,
+                                     minTokens: Int = 5): DataFrame = {
+    val cnt = winCntCol(minTokens)
+    require(stored.columns.contains(cnt),
+      s"window snapshot column $cnt not found (stored columns: " +
+        s"${stored.columns.mkString(", ")}) — was the snapshot written with " +
+        s"a different minTokens?")
+    val wins = tokenWindows(newDf, idCol, textCol, minTokens)
+      .withColumn("__wh2", saltedWinHash(col("__w")))
+    // corpus face: equi-join on the stored BUCKET column (__wh) keeps the
+    // snapshot Exchange-free. The 128-bit confirm (__wh2) must NOT be an
+    // equality between the two sides' columns: Catalyst would lift
+    // `__wh2 === __swh2` into the join as a second equi-key, widening the
+    // key set to (__wh, __wh2) — which no longer matches the bucket spec,
+    // so the planner disables the bucketed scan and shuffles BOTH sides
+    // (observed). Spelling it `xor == 0` (equal iff for 64-bit longs)
+    // keeps it a non-equi join residual and __wh the only join key.
+    val storedHits = wins.join(
+        stored.select(col("__wh"), col("__wh2").as("__swh2")), Seq("__wh"))
+      .filter(col("__wh2").bitwiseXOR(col("__swh2")) === 0L)
+      .select(col(idCol), col("__pos"))
+    // batch face: windows repeated within the new batch itself (same
+    // window DataFrame definition as the probe — one windowing spec, two
+    // plan branches)
+    val batchHits = repeatedWindowRowsFromWins(wins.drop("__wh2"))
+      .select(col(idCol), col("__pos"))
+    mergeSpanPositions(storedHits.union(batchHits).distinct(), idCol, minTokens)
   }
 }

@@ -106,6 +106,40 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming exact-substring (repeated-span) dedup — the streaming face
+    * of [[graft.ops.Dedup.repeatedSpansIncrementalStored]] (q147): the
+    * window-hash profile of every PRIOR batch is accumulated (an
+    * append-only fold of [[graft.ops.Dedup.windowSnapshotProjection]] —
+    * ~24-byte rows, window strings never kept), and each micro-batch
+    * probes it for spans duplicated against the corpus so far OR within
+    * the batch itself. Old documents are never re-tokenized or
+    * re-windowed per batch — windowing cost is once per document, at
+    * arrival. `onSpans` receives each batch's (idCol, span_start,
+    * span_tokens) frame and the epoch id. A 100 TB deployment swaps the
+    * in-memory fold for the bucketed snapshot table
+    * ([[graft.ops.Dedup.writeWindowSnapshot]], appended per batch and
+    * compacted offline) — the probe call is identical. Ids must be unique
+    * across the stream. Caller starts the returned writer. */
+  def repeatedSpansIncremental(stream: DataFrame, idCol: String, textCol: String,
+                               minTokens: Int = 5)
+                              (onSpans: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var profile: Option[DataFrame] = None
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val newProf = graft.ops.Dedup.windowSnapshotProjection(
+        batch, idCol, textCol, minTokens).localCheckpoint()
+      val old = profile.getOrElse(newProf.limit(0))
+      val spans = graft.ops.Dedup.repeatedSpansIncrementalStored(
+        batch, old, idCol, textCol, minTokens)
+      onSpans(spans, epoch)
+      // append-only fold: duplicate (__wh, __wh2) rows across batches are
+      // fine (probe hits are position-distinct before the span merge) —
+      // exactly the parquet-append posture of the stored deployment
+      profile = Some(old.unionByName(newProf).localCheckpoint())
+      ()
+    }
+  }
+
   case class BandDoc(bkey: String, id: Long, sig: String)
   case class BucketState(docs: List[(Long, String)])
   case class DupPair(id_a: Long, id_b: Long, hamming: Int)

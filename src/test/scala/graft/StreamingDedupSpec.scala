@@ -176,6 +176,38 @@ class StreamingDedupSpec extends AnyFunSuite {
       "banded streaming probe must leave no CacheManager entries behind")
   }
 
+  test("streaming repeated-span dedup: cross-batch + within-batch spans, old docs never re-emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val perBatch = collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Int, Int)])]
+    val q = StreamingDedup.repeatedSpansIncremental(stream, "doc_id", "text",
+        minTokens = 3) { (spans, epoch) =>
+      perBatch += epoch -> spans.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      ()
+    }.start()
+    // batch 1: doc 3 repeats "p q r" within itself (batch face); docs 1/2
+    // are clean — no cross-batch corpus exists yet
+    input.addData((1L, "a b c d e f"), (2L, "x y z w q"), (3L, "p q r p q r p q r"))
+    q.processAllAvailable()
+    // batch 2: doc 10 is an exact copy of (old) doc 1 — every window hits
+    // the stored profile -> one whole-doc span; doc 1 itself must NOT
+    // re-emit (old docs are never re-probed)
+    input.addData((10L, "a b c d e f"), (11L, "novel second batch content"))
+    q.processAllAvailable()
+    // batch 3: doc 20 embeds ONE stored window ("c d e", from batch 1's
+    // profile — two batches back) in fresh context -> a 3-token span at
+    // position 2
+    input.addData((20L, "zz c d e yy"))
+    q.processAllAvailable(); q.stop()
+    val byEpoch = perBatch.toMap
+    assert(byEpoch(0L) == Set((3L, 1, 9)), s"batch 1 within-batch span: ${byEpoch(0L)}")
+    assert(byEpoch(1L) == Set((10L, 1, 6)), s"batch 2 cross-batch copy: ${byEpoch(1L)}")
+    assert(byEpoch(2L) == Set((20L, 2, 3)), s"batch 3 embedded stored window: ${byEpoch(2L)}")
+  }
+
   test("incremental minhash probe leaves no CacheManager entries behind") {
     // the probe's banded-new-side materialization must NOT go through the
     // session CacheManager: a cache entry per micro-batch would accumulate

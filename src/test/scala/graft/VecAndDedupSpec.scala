@@ -647,24 +647,32 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(out == Map(0L -> true, 1L -> false, 2L -> true))
   }
 
-  /** Local reference for [[Dedup.repeatedSpans]]: windows of length l that
-    * occur >= 2 times anywhere, positions merged per doc at gap <= l. */
-  private def bruteSpans(rows: Seq[(Long, String)], l: Int): Set[(Long, Int, Int)] = {
-    val wins = rows.flatMap { case (id, t) =>
+  private def localWindows(rows: Seq[(Long, String)], l: Int): Seq[(Long, Int, String)] =
+    rows.flatMap { case (id, t) =>
       val toks = t.trim.split("\\s+").filter(_.nonEmpty)
       (0 to toks.length - l).map(p => (id, p + 1, toks.slice(p, p + l).mkString(" ")))
     }
+
+  private def mergeLocal(ps0: Seq[Int], l: Int): Seq[(Int, Int)] = {
+    val ps = ps0.distinct.sorted
+    if (ps.isEmpty) return Nil
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var (s, e) = (ps.head, ps.head)
+    for (p <- ps.tail) {
+      if (p - e <= l) e = p
+      else { spans += ((s, e - s + l)); s = p; e = p }
+    }
+    spans += ((s, e - s + l))
+    spans.toSeq
+  }
+
+  /** Local reference for [[Dedup.repeatedSpans]]: windows of length l that
+    * occur >= 2 times anywhere, positions merged per doc at gap <= l. */
+  private def bruteSpans(rows: Seq[(Long, String)], l: Int): Set[(Long, Int, Int)] = {
+    val wins = localWindows(rows, l)
     val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
     wins.filter(w => cnt(w._3) >= 2).groupBy(_._1).flatMap { case (id, ws) =>
-      val ps = ws.map(_._2).distinct.sorted
-      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      var (s, e) = (ps.head, ps.head)
-      for (p <- ps.tail) {
-        if (p - e <= l) e = p
-        else { spans += ((s, e - s + l)); s = p; e = p }
-      }
-      spans += ((s, e - s + l))
-      spans.map { case (st, len) => (id, st, len) }
+      mergeLocal(ws.map(_._2), l).map { case (st, len) => (id, st, len) }
     }.toSet
   }
 
@@ -718,6 +726,82 @@ class VecAndDedupSpec extends AnyFunSuite {
       id -> t.trim.split("\\s+").count(_.nonEmpty).toLong }.toMap
     assert(got.exists { case (id, (_, n)) => n < nToks(id) })
     assert(got.exists { case (id, (_, n)) => n == nToks(id) })
+  }
+
+  test("repeatedSpansIncrementalStored equals brute force; snapshot side joins bucketed") {
+    val dir = java.nio.file.Files.createTempDirectory("winsnap").toString
+    val l = 5
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val oldRows = rows.filter(_._1 % 3 != 0)
+    val newRows = rows.filter(_._1 % 3 == 0)
+    Dedup.writeWindowSnapshot(docs.filter(col("doc_id") % 3 =!= 0),
+      "t_winsnap", s"$dir/wins", "doc_id", "text", minTokens = l, buckets = 4)
+    val stored = graft.io.Bucketed.read(spark, "t_winsnap").hint("merge")
+    val out = Dedup.repeatedSpansIncrementalStored(
+      docs.filter(col("doc_id") % 3 === 0), stored, "doc_id", "text", minTokens = l)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    val oldWins = localWindows(oldRows, l).map(_._3).toSet
+    val newWins = localWindows(newRows, l)
+    val batchCnt = newWins.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = newWins
+      .filter(w => oldWins(w._3) || batchCnt(w._3) >= 2)
+      .groupBy(_._1).flatMap { case (id, ws) =>
+        mergeLocal(ws.map(_._2), l).map { case (st, len) => (id, st, len) }
+      }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the probe finds real corpus-duplicated spans
+
+    // at-scale shape: the snapshot is read through its bucket layout, and
+    // reading the same files as PLAIN parquet (bucket metadata lost) costs
+    // exactly one more shuffle in the identical query. Count exchanges in
+    // the FINALIZED adaptive plan only — AdaptiveSparkPlanExec.toString
+    // prints both the final and the initial plan, double-counting.
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllMatchIn(finalPlan(df)).length
+    assert(finalPlan(out).contains("SelectedBucketsCount"))
+    val plain = spark.read.parquet(s"$dir/wins").hint("merge")
+    val outPlain = Dedup.repeatedSpansIncrementalStored(
+      docs.filter(col("doc_id") % 3 === 0), plain, "doc_id", "text", minTokens = l)
+    assert(nExchanges(outPlain) == nExchanges(out) + 1,
+      "bucketed snapshot must save exactly the probe-join shuffle on the stored side")
+  }
+
+  test("window snapshot minTokens mismatch fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("winsnap_mm").toString
+    Dedup.writeWindowSnapshot(docs.limit(20), "t_winsnap_mm", s"$dir/w",
+      "doc_id", "text", minTokens = 4, buckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansIncrementalStored(docs.limit(5),
+        graft.io.Bucketed.read(spark, "t_winsnap_mm"), "doc_id", "text", minTokens = 5)
+    }
+    assert(e.getMessage.contains("wcnt_l5") && e.getMessage.contains("different minTokens"))
+  }
+
+  test("topRepeatedWindows: local parity with deterministic tie-break") {
+    val l = 3
+    val k = 15
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val wins = localWindows(rows, l)
+    val expected = wins.groupBy(_._3).view
+      .mapValues(ws => (ws.size.toLong, ws.map(_._1).distinct.size.toLong)).toSeq
+      .filter(_._2._1 >= 2)
+      .map { case (w, (n, d)) => (w, n, d) }
+      .sortBy { case (w, n, _) => (-n, w) }
+      .take(k)
+    val got = Dedup.topRepeatedWindows(docs, "doc_id", "text", minTokens = l, k = k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
   }
 
   test("repeatedSpanStats: every doc surfaces; dup_tokens sums disjoint spans") {
