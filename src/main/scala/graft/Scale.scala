@@ -607,10 +607,22 @@ stays distributed.
     md ++= "| operator | rows @1x | s @1x | rows @4x | s @4x | rows @16x | s @16x | 16x/1x |\n|---|---|---|---|---|---|---|---|\n"
     val byOp = out.groupBy(_.op.split(" @")(0))
     byOp.toSeq.sortBy(_._1).foreach { case (op, ms) =>
-      val m = ms.sortBy(_.op)
-      def get(suffix: String) = ms.find(_.op.endsWith(s"@${suffix}x")).get
-      val (a, b, c) = (get("1"), get("4"), get("16"))
-      md ++= f"| $op | ${a.rows} | ${a.secs}%.2f | ${b.rows} | ${b.secs}%.2f | ${c.rows} | ${c.secs}%.2f | ${c.secs / a.secs}%.1f |\n"
+      def get(suffix: String) = ms.find(_.op.endsWith(s"@${suffix}x"))
+      // ops swept at other tiers only (e.g. the fully-duplicated ceiling,
+      // @4x by design) emit in their own sections below, not this table
+      (get("1"), get("4"), get("16")) match {
+        case (Some(a), Some(b), Some(c)) =>
+          md ++= f"| $op | ${a.rows} | ${a.secs}%.2f | ${b.rows} | ${b.secs}%.2f | ${c.rows} | ${c.secs}%.2f | ${c.secs / a.secs}%.1f |\n"
+        case _ => ()
+      }
+    }
+    out.find(_.op == "repeated spans fully duplicated @4x").foreach { m =>
+      md ++= "\nPathological ceiling — repeated spans over a FULLY duplicated corpus\n"
+      md ++= "(4x unsalted replicas: EVERY window repeats, so all positions survive\n"
+      md ++= "to the per-doc merge and output collapses to one whole-doc span per\n"
+      md ++= f"doc): ${m.rows} spans in ${m.secs}%.2f s — the bound on what a worst-case\n"
+      md ++= "boilerplate corpus can do to the candidate stages (vs the salted\n"
+      md ++= "4x row above, which carries a realistic duplication profile).\n"
     }
     val stress = out.filter(_.op.endsWith("@64x"))
     if (stress.nonEmpty) {

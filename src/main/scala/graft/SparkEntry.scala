@@ -152,6 +152,23 @@ object SparkEntry {
   }
   private def docsWithEmpty(spark: SparkSession, dir: String): DataFrame =
     docsWithSentinel(spark, dir, "")
+  /** Constructed near-dup pair graph shared by q112/q149 (columns ia, ib):
+    * per 12-id block a diameter-4 chain component, a reversed edge, a
+    * self-loop singleton, and a duplicated edge — the shapes that break
+    * naive one-hop canonicalization. */
+  private def ccTestEdges(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select(col("doc_id").as("id"))
+    def shift(delta: Int, gs: Seq[Int]) = ids.select(col("id").as("ia"))
+      .filter((col("ia") % 12).isin(gs.map(_.toLong): _*))
+      .join(ids.select(col("id").as("ib")), col("ib") === col("ia") + delta)
+    val e1 = shift(1, Seq(0, 1, 2))
+    val e2 = shift(2, Seq(3))
+    val e3 = shift(4, Seq(6)).select(col("ib").as("ia"), col("ia").as("ib")) // reversed
+    val e4 = ids.filter(col("id") % 12 === 8).select(col("id").as("ia"), col("id").as("ib"))
+    val e5 = shift(1, Seq(1)) // duplicate of part of e1
+    e1.select("ia", "ib").unionAll(e2.select("ia", "ib"))
+      .unionAll(e3.select("ia", "ib")).unionAll(e4).unionAll(e5.select("ia", "ib"))
+  }
   /** The DuckDB spelling of [[docsWithSentinel]] — inlined into oracle
     * mirrors so both engines see the identical degenerate row. */
   private def docsWithSentinelSql(text: String): String = {
@@ -1345,26 +1362,28 @@ object SparkEntry {
     }),
     "q112_connected_components" -> ((s, d) => {
       // transitive near-dup clustering: large-star/small-star connected
-      // components over a constructed pair graph. Per 12-id block the edges
-      // build a diameter-4 component {0,1,2,3,5} (chain 0-1-2-3 plus a 3~5
-      // bridge — any one-hop canonicalization labels 5 wrong), a reversed
-      // edge {6,10}, a self-loop singleton {8}, and a duplicated edge; the
-      // oracle computes the same components by recursive closure.
-      val ids = docs(s, d).select(col("doc_id").as("id"))
-      def shift(delta: Int, gs: Seq[Int]) = ids.select(col("id").as("ia"))
-        .filter((col("ia") % 12).isin(gs.map(_.toLong): _*))
-        .join(ids.select(col("id").as("ib")), col("ib") === col("ia") + delta)
-      val e1 = shift(1, Seq(0, 1, 2))
-      val e2 = shift(2, Seq(3))
-      val e3 = shift(4, Seq(6)).select(col("ib").as("ia"), col("ia").as("ib")) // reversed
-      val e4 = ids.filter(col("id") % 12 === 8).select(col("id").as("ia"), col("id").as("ib"))
-      val e5 = shift(1, Seq(1)) // duplicate of part of e1
-      val edges = e1.select("ia", "ib").unionAll(e2.select("ia", "ib"))
-        .unionAll(e3.select("ia", "ib")).unionAll(e4).unionAll(e5.select("ia", "ib"))
-      val cc = Dedup.connectedComponents(edges, "ia", "ib")
+      // components over a constructed pair graph (ccTestEdges). Per 12-id
+      // block the edges build a diameter-4 component {0,1,2,3,5} (chain
+      // 0-1-2-3 plus a 3~5 bridge — any one-hop canonicalization labels 5
+      // wrong), a reversed edge {6,10}, a self-loop singleton {8}, and a
+      // duplicated edge; the oracle computes the same components by
+      // recursive closure.
+      val cc = Dedup.connectedComponents(ccTestEdges(s, d), "ia", "ib")
       cc.withColumn("csize",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("component")))
         .select(col("id").as("doc_id"), col("component"), col("csize"))
+    }),
+    "q149_cluster_keep_best" -> ((s, d) => {
+      // quality-aware survivor selection: over the q112 pair graph, keep
+      // the highest-scoring doc per transitive cluster (score = token
+      // count; ties -> smallest id). Every doc outside the graph survives
+      // as its own singleton.
+      val scored = docs(s, d).select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= lit("")))
+          .cast("long").as("score"))
+      Dedup.keepClusterRepresentatives(scored, ccTestEdges(s, d),
+          "doc_id", "score", "ia", "ib")
+        .select(col("doc_id"), col("component"), col("csize"), col("score"))
     }),
     "q113_unigram_lm" -> ((s, d) =>
       // CCNet-style LM quality proxy: unigram LM trained on the corpus
@@ -2581,22 +2600,22 @@ object SparkEntry {
         // recursive min-label closure over the same constructed pair graph;
         // components are bounded (≤5 nodes) by construction so the closure
         // CTE stays linear in the node count
-        s"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
-           | raw AS (
-           |  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 1 WHERE a.id % 12 IN (0, 1, 2)
-           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 2 WHERE a.id % 12 = 3
-           |  UNION ALL SELECT b.id, a.id FROM ids a JOIN ids b ON b.id = a.id + 4 WHERE a.id % 12 = 6
-           |  UNION ALL SELECT id, id FROM ids WHERE id % 12 = 8
-           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 1 WHERE a.id % 12 = 1),
-           | nodes AS (SELECT DISTINCT u AS id FROM raw UNION SELECT v FROM raw),
-           | edges AS (SELECT u, v FROM raw WHERE u <> v UNION SELECT v, u FROM raw WHERE u <> v),
-           | reach AS (
-           |  SELECT id AS src, id AS dst FROM nodes
-           |  UNION
-           |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
-           | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
-           | sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
-           | SELECT comp.doc_id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin.replace("\n", " "),
+        (ccClosureCte +
+          s""" , sz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+             | SELECT comp.doc_id, comp.component, sz.csize FROM comp JOIN sz USING (component)""".stripMargin.replace("\n", " ")),
+      "q149_cluster_keep_best" ->
+        // same recursive closure; then every doc gets a cluster (graph
+        // label or its own id), and the per-cluster winner is the max
+        // token-count row with the smallest id breaking ties
+        (ccClosureCte +
+          s""" , lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             |   CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> x <> '')) AS BIGINT) AS score
+             |   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+             | csz AS (SELECT component, count(*) AS csize FROM lab GROUP BY component),
+             | rk AS (SELECT doc_id, component, score,
+             |   row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id) AS rn FROM lab)
+             | SELECT rk.doc_id, rk.component, csz.csize, rk.score
+             | FROM rk JOIN csz USING (component) WHERE rn = 1""".stripMargin.replace("\n", " ")),
       "q113_unigram_lm" ->
         // unigram-LM mean NLL mirrored exactly: p(tok) = corpus_count/total
         // (no smoothing — every scored token is in the vocabulary), score =
@@ -3149,6 +3168,26 @@ object SparkEntry {
   /** Shared CTE chain for the exact-substring (repeated-span) oracles
     * (q144/q145/q146): corpus-wide repeated windows merged to maximal
     * spans. */
+  /** Recursive min-label closure over the constructed [[ccTestEdges]] pair
+    * graph (shared by the q112/q149 oracles): terminal CTE `comp` exposes
+    * (doc_id, component) for every GRAPH node — docs outside the graph are
+    * absent and must be defaulted by the caller. */
+  private val ccClosureCte: String =
+    s"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+       | raw AS (
+       |  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 1 WHERE a.id % 12 IN (0, 1, 2)
+       |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 2 WHERE a.id % 12 = 3
+       |  UNION ALL SELECT b.id, a.id FROM ids a JOIN ids b ON b.id = a.id + 4 WHERE a.id % 12 = 6
+       |  UNION ALL SELECT id, id FROM ids WHERE id % 12 = 8
+       |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 1 WHERE a.id % 12 = 1),
+       | nodes AS (SELECT DISTINCT u AS id FROM raw UNION SELECT v FROM raw),
+       | edges AS (SELECT u, v FROM raw WHERE u <> v UNION SELECT v, u FROM raw WHERE u <> v),
+       | reach AS (
+       |  SELECT id AS src, id AS dst FROM nodes
+       |  UNION
+       |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
+       | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin.replace("\n", " ")
+
   private def repeatedSpanCte(l: Int): String =
     spanWindowBase(l) +
       s""" , rep AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),

@@ -588,6 +588,36 @@ object Dedup {
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
   }
 
+  /** Quality-aware survivor selection over a near-dup pair graph: keep ONE
+    * document per transitive cluster — the highest `scoreCol`, ties broken
+    * toward the smallest id (deterministic across retries/repartitions).
+    * The usual final step of near-dup dedup when copies differ in quality
+    * (boilerplate-stripped vs raw, truncated vs full): min-id
+    * canonicalization ([[minhashDedup]]) keeps an arbitrary copy; this
+    * keeps the best one. Documents in no pair survive as their own
+    * singleton cluster. Output: the surviving rows of `df` plus
+    * `component` (cluster label) and `csize` (cluster population).
+    *
+    * Scale posture: connected components over the pair graph (edge-bound,
+    * see [[connectedComponents]]), then one shuffle each for the label
+    * join, the per-component `min_by` winner (map-side partial agg — at
+    * most one candidate row per component per partition reaches the
+    * shuffle), and the winner's row-recovery join, all on cluster/id keys
+    * — never on text. `scoreCol` must be numeric (it is negated for the
+    * min_by ordering). */
+  def keepClusterRepresentatives(df: DataFrame, pairs: DataFrame,
+                                 idCol: String, scoreCol: String,
+                                 aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component").as("__cc"))
+    val labeled = df.join(labels, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("__cc"), col(idCol))).drop("__cc")
+    val winners = labeled.groupBy(col("component"))
+      .agg(min_by(col(idCol), struct(negate(col(scoreCol)), col(idCol))).as(idCol),
+        count(lit(1)).as("csize"))
+    labeled.join(winners, Seq(idCol, "component"))
+  }
+
   /** Cluster representative per near-dup group: each document is labeled
     * with the smallest id in its TRANSITIVE near-dup cluster (connected
     * components over the verified pair graph — chains A~B~C collapse to one

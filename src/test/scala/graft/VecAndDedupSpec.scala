@@ -804,6 +804,19 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("keepClusterRepresentatives: best score per transitive cluster, ties to smallest id") {
+    // chain 1~2~3 (no direct 1~3 edge): one TRANSITIVE cluster; scores tie
+    // at the top (2 and 3) -> smallest id wins; 10 is in no pair ->
+    // singleton survivor; 20~21 -> higher score wins
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (20L, 3L), (21L, 7L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.keepClusterRepresentatives(rows, pairs, "id", "score")
+      .select("id", "component", "csize", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((2L, 1L, 3L, 9L), (10L, 10L, 1L, 1L), (21L, 20L, 2L, 7L)))
+  }
+
   test("repeatedSpanStats: every doc surfaces; dup_tokens sums disjoint spans") {
     val stats = Dedup.repeatedSpanStats(docs, "doc_id", "text", minTokens = 5)
     assert(stats.count() == docs.count())
