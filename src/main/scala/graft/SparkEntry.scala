@@ -3165,9 +3165,6 @@ object SparkEntry {
        | grp AS (SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
        |   FROM flagged)""".stripMargin.replace("\n", " ")
 
-  /** Shared CTE chain for the exact-substring (repeated-span) oracles
-    * (q144/q145/q146): corpus-wide repeated windows merged to maximal
-    * spans. */
   /** Recursive min-label closure over the constructed [[ccTestEdges]] pair
     * graph (shared by the q112/q149 oracles): terminal CTE `comp` exposes
     * (doc_id, component) for every GRAPH node — docs outside the graph are
@@ -3188,6 +3185,9 @@ object SparkEntry {
        |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
        | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin.replace("\n", " ")
 
+  /** Shared CTE chain for the exact-substring (repeated-span) oracles
+    * (q144/q145/q146): corpus-wide repeated windows merged to maximal
+    * spans. */
   private def repeatedSpanCte(l: Int): String =
     spanWindowBase(l) +
       s""" , rep AS (SELECT w FROM w2 GROUP BY w HAVING count(*) >= 2),

@@ -1230,13 +1230,22 @@ object Dedup {
       .orderBy(col("n_occurrences").desc, col("window"))
       .limit(k)
 
-  /** The second, salted 64-bit window hash for the stored snapshot tier —
-    * with [[tokenWindows]]' `__wh` it forms a 128-bit key, so a stored
-    * window can be matched without storing its string (collision odds
-    * ~2⁻¹²⁸ per pair; the paper's suffix array is exact but single-node,
-    * the usual production substitutes — Bloom-filter dedup à la BFF/Dolma
-    * — are far weaker than 128 bits). */
-  private def saltedWinHash(w: Column): Column = xxhash64(lit("graft:win2"), w)
+  /** The second 64-bit window hash for the stored snapshot tier — with
+    * [[tokenWindows]]' `__wh` (xxhash64) it forms a 128-bit key, so a
+    * stored window can be matched without storing its string. Built from a
+    * DIFFERENT hash family than `__wh` — two 32-bit Murmur3 lanes (Spark's
+    * codegen'd `hash`, plain and salted) packed into one long — so the two
+    * halves fail independently rather than being xxhash64-of-the-same-bytes
+    * twice. For random inputs the combined collision odds are ~2⁻¹²⁸;
+    * neither family is cryptographic, so an adversarial corpus could still
+    * engineer collisions the string-free stored tier cannot confirm away —
+    * callers needing adversarial robustness should keep the plain
+    * [[repeatedSpans]] path (exact string confirm). Still far stronger
+    * than the usual production substitutes (Bloom-filter dedup à la
+    * BFF/Dolma); the paper's suffix array is exact but single-node. */
+  private def saltedWinHash(w: Column): Column =
+    shiftleft(hash(w).cast("long"), 32)
+      .bitwiseOR(hash(lit("graft:win2"), w).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
 
   private def winCntCol(minTokens: Int): String = s"wcnt_l$minTokens"
 

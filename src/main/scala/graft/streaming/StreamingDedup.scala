@@ -20,6 +20,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
+  /** Replay-idempotent accumulator for `foreachBatch` folds. Spark may
+    * re-run a micro-batch with the SAME epoch id (failure between the
+    * fold and the sink commit, or a sink-commit retry); a naive
+    * `state = fold(state, batch)` would then fold the batch twice, and —
+    * worse for the dedup probes here — the replayed batch would probe a
+    * state that already contains ITSELF, emitting spurious self-hits
+    * (every window/signature of the batch "already in the corpus").
+    * This keeps the previous epoch's state alongside the current one:
+    * a replayed epoch probes the PRE-fold state and the commit is a
+    * no-op, so probe output is identical across replays and the fold
+    * lands exactly once per epoch.
+    *
+    * Driver-memory state only: on query RESTART (new foreachBatch
+    * closure) the accumulator starts empty — under-detecting, never
+    * mis-detecting. Deployments needing restart-proof folds swap in the
+    * persistent snapshot tables (write each batch's projection, probe
+    * the table) — the probe calls are identical. */
+  private[graft] final class EpochFold[S](empty: S) {
+    private var cur: S = empty
+    private var pre: S = empty
+    private var last: Long = Long.MinValue
+    def isReplay(epoch: Long): Boolean = epoch == last
+    /** State the batch should probe: pre-fold state when `epoch` is a
+      * replay of the last committed epoch, current state otherwise. */
+    def probeState(epoch: Long): S = if (isReplay(epoch)) pre else cur
+    /** Fold the epoch's contribution exactly once; no-op on replay. */
+    def commit(epoch: Long)(next: => S): Unit =
+      if (!isReplay(epoch)) { val n = next; pre = cur; cur = n; last = epoch }
+  }
+
   /** Exact streaming dedup on content digest, state bounded by watermark. */
   def exactDedup(stream: DataFrame, textCol: String, tsCol: String,
                  watermark: String = "10 minutes"): DataFrame =
@@ -43,17 +73,29 @@ object StreamingDedup {
     * `onPairs` receives each batch's (id_a, id_b, est_jaccard) frame and the
     * epoch id; ids must be unique across the whole stream (the
     * minhashPairsIncremental caller contract — crawl snapshots use disjoint
-    * id ranges). Caller starts the returned writer. */
+    * id ranges). Epoch replays are idempotent ([[EpochFold]]): a re-run
+    * batch probes the pre-fold signature table (so it never pairs against
+    * itself) and the fold lands once. Caller starts the returned writer. */
   def minhashIncremental(stream: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                          threshold: Double = 0.5)
                         (onPairs: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var sigs: Option[DataFrame] = None
-    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      minhashBatchFn(idCol, textCol, k, numHashes, bands, threshold)(onPairs))
+
+  /** The per-batch body of [[minhashIncremental]], exposed for replay
+    * specs (a `foreachBatch` closure cannot be re-invoked from a test). */
+  private[graft] def minhashBatchFn(idCol: String, textCol: String,
+                                    k: Int, numHashes: Int, bands: Int,
+                                    threshold: Double)
+                                   (onPairs: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = {
+    val fold = new EpochFold[Option[DataFrame]](None)
+    (batch: DataFrame, epoch: Long) => {
       val newSigs = graft.ops.Dedup.minhashSignatureTable(
         batch, idCol, textCol, k, numHashes).localCheckpoint()
-      val old = sigs.getOrElse(newSigs.limit(0))
+      val old = fold.probeState(epoch).getOrElse(newSigs.limit(0))
       val (pairs, banding) = graft.ops.Dedup.minhashPairsIncrementalTracked(
         newSigs, old, idCol, numHashes = numHashes, bands = bands, threshold = threshold)
       try onPairs(pairs, epoch)
@@ -63,7 +105,7 @@ object StreamingDedup {
       finally banding.unpersist(false)
       // previous checkpoint blocks are released by the ContextCleaner once
       // this union supersedes them (same posture as connectedComponents)
-      sigs = Some(old.unionByName(newSigs).localCheckpoint())
+      fold.commit(epoch)(Some(old.unionByName(newSigs).localCheckpoint()))
       ()
     }
   }
@@ -81,27 +123,39 @@ object StreamingDedup {
     * ([[graft.ops.Dedup.writeSignatureSnapshot]] /
     * [[graft.ops.Dedup.writeBandedSnapshot]]) — the probe call is
     * identical. Same contract: stream-unique ids, pairs per batch via
-    * `onPairs`, old-old pairs never re-emitted. */
+    * `onPairs`, old-old pairs never re-emitted, epoch replays idempotent
+    * ([[EpochFold]] — both folds advance together, so a replayed batch
+    * probes the pre-fold signature AND band tables). */
   def minhashIncrementalBanded(stream: DataFrame, idCol: String, textCol: String,
                                k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                                threshold: Double = 0.5)
                               (onPairs: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var sigs: Option[DataFrame] = None
-    var bandedAcc: Option[DataFrame] = None
-    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      minhashBandedBatchFn(idCol, textCol, k, numHashes, bands, threshold)(onPairs))
+
+  /** The per-batch body of [[minhashIncrementalBanded]], exposed for
+    * replay specs. */
+  private[graft] def minhashBandedBatchFn(idCol: String, textCol: String,
+                                          k: Int, numHashes: Int, bands: Int,
+                                          threshold: Double)
+                                         (onPairs: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = {
+    val fold = new EpochFold[Option[(DataFrame, DataFrame)]](None)
+    (batch: DataFrame, epoch: Long) => {
       val newSigs = graft.ops.Dedup.minhashSignatureTable(
         batch, idCol, textCol, k, numHashes).localCheckpoint()
       val newBanded = graft.ops.Dedup.bandedSnapshotProjection(
         newSigs, idCol, numHashes = numHashes, bands = bands).localCheckpoint()
-      val oldSigs = sigs.getOrElse(newSigs.limit(0))
-      val oldBanded = bandedAcc.getOrElse(newBanded.limit(0))
+      val (oldSigs, oldBanded) =
+        fold.probeState(epoch).getOrElse((newSigs.limit(0), newBanded.limit(0)))
       val pairs = graft.ops.Dedup.minhashPairsIncrementalBanded(
         newSigs, oldSigs, oldBanded, idCol,
         numHashes = numHashes, bands = bands, threshold = threshold)
       onPairs(pairs, epoch)
-      sigs = Some(oldSigs.unionByName(newSigs).localCheckpoint())
-      bandedAcc = Some(oldBanded.unionByName(newBanded).localCheckpoint())
+      fold.commit(epoch)(Some((
+        oldSigs.unionByName(newSigs).localCheckpoint(),
+        oldBanded.unionByName(newBanded).localCheckpoint())))
       ()
     }
   }
@@ -119,23 +173,36 @@ object StreamingDedup {
     * in-memory fold for the bucketed snapshot table
     * ([[graft.ops.Dedup.writeWindowSnapshot]], appended per batch and
     * compacted offline) — the probe call is identical. Ids must be unique
-    * across the stream. Caller starts the returned writer. */
+    * across the stream. Epoch replays are idempotent ([[EpochFold]]): a
+    * re-run batch probes the pre-fold profile — without the guard every
+    * window of the replayed batch would hit its own already-folded
+    * profile, emitting spurious whole-doc spans. Caller starts the
+    * returned writer. */
   def repeatedSpansIncremental(stream: DataFrame, idCol: String, textCol: String,
                                minTokens: Int = 5)
                               (onSpans: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var profile: Option[DataFrame] = None
-    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      repeatedSpansBatchFn(idCol, textCol, minTokens)(onSpans))
+
+  /** The per-batch body of [[repeatedSpansIncremental]], exposed for
+    * replay specs. */
+  private[graft] def repeatedSpansBatchFn(idCol: String, textCol: String,
+                                          minTokens: Int)
+                                         (onSpans: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = {
+    val fold = new EpochFold[Option[DataFrame]](None)
+    (batch: DataFrame, epoch: Long) => {
       val newProf = graft.ops.Dedup.windowSnapshotProjection(
         batch, idCol, textCol, minTokens).localCheckpoint()
-      val old = profile.getOrElse(newProf.limit(0))
+      val old = fold.probeState(epoch).getOrElse(newProf.limit(0))
       val spans = graft.ops.Dedup.repeatedSpansIncrementalStored(
         batch, old, idCol, textCol, minTokens)
       onSpans(spans, epoch)
       // append-only fold: duplicate (__wh, __wh2) rows across batches are
       // fine (probe hits are position-distinct before the span merge) —
       // exactly the parquet-append posture of the stored deployment
-      profile = Some(old.unionByName(newProf).localCheckpoint())
+      fold.commit(epoch)(Some(old.unionByName(newProf).localCheckpoint()))
       ()
     }
   }

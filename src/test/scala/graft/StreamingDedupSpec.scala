@@ -208,6 +208,62 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(byEpoch(2L) == Set((20L, 2, 3)), s"batch 3 embedded stored window: ${byEpoch(2L)}")
   }
 
+  test("epoch replay is idempotent: re-run batches probe the pre-fold state") {
+    // Spark can re-run a foreachBatch epoch (failure between fold and sink
+    // commit, or a sink-commit retry). Drive the extracted batch bodies
+    // directly — replaying each epoch — and assert the replay output is
+    // IDENTICAL to the first run (no spurious self-hits from a batch
+    // probing its own already-folded windows/signatures) and later epochs
+    // see the fold exactly once.
+    val outSpans = collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Int, Int)])]
+    val spanFn = StreamingDedup.repeatedSpansBatchFn("doc_id", "text", minTokens = 3) {
+      (spans, epoch) =>
+        outSpans += epoch -> spans.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+        ()
+    }
+    val b0 = Seq((1L, "a b c d e f"), (2L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "a b c d e f"), (11L, "novel second batch content")).toDF("doc_id", "text")
+    spanFn(b0, 0L); spanFn(b0, 0L)           // epoch 0 replayed
+    spanFn(b1, 1L); spanFn(b1, 1L)           // epoch 1 replayed
+    spanFn(Seq((20L, "zz c d e yy")).toDF("doc_id", "text"), 2L)
+    assert(outSpans(0) == (0L, Set((2L, 1, 9))), s"epoch 0 first run: ${outSpans(0)}")
+    assert(outSpans(1) == outSpans(0),
+      s"epoch 0 replay must not self-hit doc 1 against its own folded profile: ${outSpans(1)}")
+    assert(outSpans(2) == (1L, Set((10L, 1, 6))), s"epoch 1 first run: ${outSpans(2)}")
+    assert(outSpans(3) == outSpans(2), s"epoch 1 replay: ${outSpans(3)}")
+    // epoch 2 sees batch 0+1 folded exactly once each — "c d e" hits
+    assert(outSpans(4) == (2L, Set((20L, 2, 3))), s"epoch 2 after replays: ${outSpans(4)}")
+
+    // same guard on both minhash folds
+    for (mk <- Seq[((org.apache.spark.sql.DataFrame, Long) => Unit) => Unit](
+      cb => {
+        val fn = StreamingDedup.minhashBatchFn("doc_id", "text", 2, 16, 4, 0.9) {
+          (p, e) => cb(p, e) }
+        val dup = "the quick brown fox jumps over the lazy dog"
+        val m0 = Seq((1L, dup), (2L, "completely different starter content")).toDF("doc_id", "text")
+        val m1 = Seq((10L, dup)).toDF("doc_id", "text")
+        fn(m0, 0L); fn(m0, 0L); fn(m1, 1L); fn(m1, 1L)
+      },
+      cb => {
+        val fn = StreamingDedup.minhashBandedBatchFn("doc_id", "text", 2, 16, 4, 0.9) {
+          (p, e) => cb(p, e) }
+        val dup = "the quick brown fox jumps over the lazy dog"
+        val m0 = Seq((1L, dup), (2L, "completely different starter content")).toDF("doc_id", "text")
+        val m1 = Seq((10L, dup)).toDF("doc_id", "text")
+        fn(m0, 0L); fn(m0, 0L); fn(m1, 1L); fn(m1, 1L)
+      })) {
+      val outs = collection.mutable.ArrayBuffer.empty[(Long, Set[(Long, Long)])]
+      mk((pairs, epoch) =>
+        outs += epoch -> pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+      assert(outs(0) == (0L, Set.empty[(Long, Long)]), s"epoch 0 no dup pair: ${outs(0)}")
+      assert(outs(1) == outs(0),
+        s"epoch 0 replay must not pair the batch against its own folded signatures: ${outs(1)}")
+      assert(outs(2) == (1L, Set((1L, 10L))), s"epoch 1 cross-batch pair: ${outs(2)}")
+      assert(outs(3) == outs(2), s"epoch 1 replay: ${outs(3)}")
+    }
+  }
+
   test("incremental minhash probe leaves no CacheManager entries behind") {
     // the probe's banded-new-side materialization must NOT go through the
     // session CacheManager: a cache entry per micro-batch would accumulate
