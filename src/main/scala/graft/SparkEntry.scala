@@ -1385,6 +1385,17 @@ object SparkEntry {
           "doc_id", "score", "ia", "ib")
         .select(col("doc_id"), col("component"), col("csize"), col("score"))
     }),
+    "q150_cluster_split" -> ((s, d) =>
+      // leakage-free train/val split: every transitive near-dup cluster of
+      // the q112 pair graph lands wholly in one split via the md5 draw on
+      // the CLUSTER label; docs outside the graph split as singletons.
+      Dedup.clusterAwareSplit(docs(s, d).select(col("doc_id")), ccTestEdges(s, d),
+          "doc_id", valFraction = 0.25, aCol = "ia", bCol = "ib")
+        .select(col("doc_id"), col("component"), col("split"))),
+    "q151_kcenter_coreset" -> ((s, d) =>
+      // greedy k-center diversity coreset: 6 mutually-farthest embeddings
+      // (cosine distance, seed = smallest id, ties to smallest id).
+      Similarity.kCenterGreedy(embs(s, d), "vec_id", "embedding", k = 6)),
     "q113_unigram_lm" -> ((s, d) =>
       // CCNet-style LM quality proxy: unigram LM trained on the corpus
       // itself, documents scored by mean token negative-log-likelihood
@@ -2616,6 +2627,21 @@ object SparkEntry {
              |   row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id) AS rn FROM lab)
              | SELECT rk.doc_id, rk.component, csz.csize, rk.score
              | FROM rk JOIN csz USING (component) WHERE rn = 1""".stripMargin.replace("\n", " ")),
+      "q150_cluster_split" ->
+        // same recursive closure; split = the md5("s:<component>") draw
+        // against floor(0.25·2^24) = 0x400000, replayed on the cluster label
+        (ccClosureCte +
+          s""" SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             |   CASE WHEN substr(md5('s:' || coalesce(c.component, d.doc_id)), 1, 6) < '400000'
+             |        THEN 'val' ELSE 'train' END AS split
+             | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin.replace("\n", " ")),
+      "q151_kcenter_coreset" ->
+        // greedy k-center unrolled: each round recomputes the accumulated
+        // min of PER-PAIR-ROUNDED cosine distances and picks the argmax
+        // (ties to smallest vec_id) among not-yet-chosen vectors — the
+        // exact selection rule of Similarity.kCenterGreedy (k = 6, seed =
+        // smallest vec_id, dist NULL for the seed)
+        kCenterOracle(6),
       "q113_unigram_lm" ->
         // unigram-LM mean NLL mirrored exactly: p(tok) = corpus_count/total
         // (no smoothing — every scored token is in the vocabulary), score =
@@ -3184,6 +3210,36 @@ object SparkEntry {
        |  UNION
        |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
        | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin.replace("\n", " ")
+
+  /** Unrolled greedy k-center chain for the q151 oracle: round j picks the
+    * argmax of the accumulated min of per-pair-rounded cosine distances
+    * (ORDER BY d DESC, vec_id LIMIT 1) among not-yet-chosen vectors —
+    * selection-rule-identical to [[graft.ops.Similarity.kCenterGreedy]]
+    * (per-pair dot/norm in left-to-right double, round 6 BEFORE the min). */
+  private def kCenterOracle(k: Int): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))"
+    def dist(a: String, b: String) = s"round(CAST(1 AS DOUBLE) - ${dot(a, b)} / ($a.nm * $b.nm), 6)"
+    val head =
+      s"""WITH n AS (SELECT vec_id, embedding,
+         | sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nm
+         | FROM embeddings),
+         | c1 AS (SELECT vec_id, embedding, nm FROM n ORDER BY vec_id LIMIT 1),
+         | r1 AS (SELECT m.vec_id, m.embedding, m.nm, ${dist("m", "c")} AS d
+         |   FROM n m, c1 c WHERE m.vec_id <> c.vec_id)""".stripMargin
+    val rounds = (2 to k).map { j =>
+      val pick = s" , c$j AS (SELECT vec_id, embedding, nm, d FROM r${j - 1} ORDER BY d DESC, vec_id LIMIT 1)"
+      val relax = if (j == k) "" else
+        s""" , r$j AS (SELECT p.vec_id, p.embedding, p.nm, least(p.d, ${dist("p", "c")}) AS d
+           |   FROM r${j - 1} p, c$j c WHERE p.vec_id <> c.vec_id)""".stripMargin
+      pick + relax
+    }.mkString
+    val out = (1 to k).map { j =>
+      val d = if (j == 1) "CAST(NULL AS DOUBLE)" else "d"
+      s"SELECT CAST($j AS INT) AS rank, vec_id, $d AS dist FROM c$j"
+    }.mkString(" UNION ALL ")
+    (head + rounds + " " + out).replace("\n", " ")
+  }
 
   /** Shared CTE chain for the exact-substring (repeated-span) oracles
     * (q144/q145/q146): corpus-wide repeated windows merged to maximal

@@ -618,6 +618,37 @@ object Dedup {
     labeled.join(winners, Seq(idCol, "component"))
   }
 
+  /** Leakage-free train/validation split over a near-dup pair graph:
+    * every TRANSITIVE near-dup cluster lands wholly in one split, so no
+    * document's near-duplicate can leak from train into the held-out set
+    * (the eval-contamination failure mode of splitting by row hash —
+    * reference: "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, which found dup-mediated train/test
+    * leakage throughout public corpora). The split decision is the same
+    * deterministic md5 draw as [[graft.ops.Sampling.deterministicSample]],
+    * but keyed on the CLUSTER label (the component's min id), not the
+    * row id: stable across retries, repartitions, and re-runs, and
+    * documents in no pair split independently as their own singleton
+    * cluster. Output: `df` plus `component` and `split`
+    * ('val' for ~`valFraction` of clusters, else 'train').
+    *
+    * Scale posture: connected components over the pair graph (edge-bound),
+    * one broadcast-able label join on ids, and a map-side literal
+    * threshold compare — the corpus text never shuffles. */
+  def clusterAwareSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                        valFraction: Double, salt: String = "s",
+                        aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(valFraction >= 0 && valFraction <= 1,
+      s"valFraction must be in [0,1]; got $valFraction")
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component").as("__cc"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("__cc"), col(idCol))).drop("__cc")
+      .withColumn("split",
+        when(graft.ops.Sampling.isSampled(col("component"), valFraction, salt),
+          lit("val")).otherwise(lit("train")))
+  }
+
   /** Cluster representative per near-dup group: each document is labeled
     * with the smallest id in its TRANSITIVE near-dup cluster (connected
     * components over the verified pair graph — chains A~B~C collapse to one

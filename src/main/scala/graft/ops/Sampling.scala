@@ -29,12 +29,21 @@ object Sampling {
   private def hexThreshold(fraction: Double): String =
     f"${math.floor(fraction * (1 << 24)).toLong}%06x"
 
+  /** The boolean keep-decision behind [[deterministicSample]], exposed so
+    * other operators (e.g. [[graft.ops.Dedup.clusterAwareSplit]]) can
+    * reuse the identical oracle-replayable draw on their own key column.
+    * `fraction >= 1` is the all-pass literal (the hex threshold would
+    * wrap, see [[stratifiedSample]]). */
+  def isSampled(key: Column, fraction: Double, salt: String = "s"): Column =
+    if (fraction >= 1.0) lit(true)
+    else hashHex(key, salt) < lit(hexThreshold(fraction))
+
   /** Keep each row with probability `fraction`, deterministically by id. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
                           salt: String = "s"): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]; got $fraction")
     if (fraction >= 1.0) df
-    else df.filter(hashHex(col(idCol), salt) < hexThreshold(fraction))
+    else df.filter(isSampled(col(idCol), fraction, salt))
   }
 
   /** Stratified sampling with per-group fractions — the data-mixing

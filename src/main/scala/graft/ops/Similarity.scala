@@ -326,4 +326,55 @@ object Similarity {
     val w = Window.partitionBy("id_a").orderBy(col("cosine").desc, col("id_b").asc)
     sym.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Greedy k-center (farthest-point) diversity coreset over an embedding
+    * column — the classic 2-approximation to the k-center objective
+    * (Gonzalez 1985), the selection rule behind diversity-aware data
+    * curation (pick the k most mutually-dissimilar documents as a seed
+    * set / eval panel / labeling budget). Deterministic: the seed is the
+    * smallest id, each following pick maximizes the min cosine DISTANCE
+    * (1 − cosine, rounded to 10⁻⁶ per pair before the min — summation-
+    * order independence, same convention as [[kmeansCentroids]]) to the
+    * centers chosen so far, ties toward the smallest id. Returns one row
+    * per selected center: (rank 1..k, id, dist = its min distance to the
+    * earlier centers at selection time; NULL for the seed).
+    *
+    * Scale posture: k driver-side rows total. Each pick is ONE corpus
+    * scan — distances to the ≤k already-chosen centers are literal
+    * vectors fused into the scan (no join, no shuffle), and the argmax is
+    * `orderBy.limit(1)` = TakeOrderedAndProject (only each partition's
+    * best row reaches the driver). Total work O(N·k²·dim); for the small
+    * k this op is for (panels, seeds — not clustering, that's
+    * [[kmeansCentroids]]) recomputing ≤k literal distances per row beats
+    * materializing a running-min column of the whole corpus per step. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val seed = base.orderBy(col("__id").asc).limit(1).collect()
+    // (id, vector, min-dist at selection — None for the seed)
+    var centers = seed.toVector.map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toIndexedSeq, Option.empty[Double]))
+    while (centers.nonEmpty && centers.length < k) {
+      val rest = base.filter(!col("__id").isin(centers.map(_._1): _*))
+      val mind = centers.map { case (_, v, _) =>
+        round(lit(1.0) - cosine(col("__v"), array(v.map(x => lit(x)): _*)), 6)
+      }.reduce(least(_, _))
+      val next = rest.withColumn("__d", mind)
+        .orderBy(col("__d").desc, col("__id").asc).limit(1).collect()
+      if (next.isEmpty) return kCenterResult(spark, idCol, centers) // corpus exhausted below k
+      val r = next(0)
+      centers :+= ((r.getLong(0), r.getSeq[Float](1).toIndexedSeq, Some(r.getDouble(2))))
+    }
+    kCenterResult(spark, idCol, centers)
+  }
+
+  private def kCenterResult(spark: org.apache.spark.sql.SparkSession, idCol: String,
+                            centers: Vector[(Long, IndexedSeq[Float], Option[Double])]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("rank", idCol, "dist")
+  }
 }

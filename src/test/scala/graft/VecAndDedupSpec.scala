@@ -817,6 +817,63 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L, 3L, 9L), (10L, 10L, 1L, 1L), (21L, 20L, 2L, 7L)))
   }
 
+  test("clusterAwareSplit: clusters land wholly in one split, singletons draw independently") {
+    val ids = (1L to 40L).toDF("id")
+    // chain 1~2~3 transitively one cluster; 20~21 a pair; the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterAwareSplit(ids, pairs, "id", valFraction = 0.5)
+      .select("id", "component", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byComp = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byComp.values.forall(_.size == 1), "a cluster straddles the split boundary")
+    assert(got.filter(t => Set(1L, 2L, 3L).contains(t._1)).map(_._2).toSet == Set(1L))
+    assert(got.filter(t => Set(20L, 21L).contains(t._1)).map(_._2).toSet == Set(20L))
+    val splits = got.map(_._3).toSet
+    assert(splits == Set("train", "val"), s"40 ids at 50% should hit both splits: $splits")
+    // decision = deterministicSample's draw replayed on the component label
+    val sampled = graft.ops.Sampling.deterministicSample(
+      got.map(_._2).distinct.toSeq.toDF("component"), "component", 0.5)
+      .as[Long].collect().toSet
+    assert(got.forall(t => (t._3 == "val") == sampled.contains(t._2)))
+    assertThrows[IllegalArgumentException](
+      Dedup.clusterAwareSplit(ids, pairs, "id", valFraction = 1.5))
+  }
+
+  test("kCenterGreedy matches a local greedy brute force; seed and tie rules pinned") {
+    // three direction groups: ids 1,2 near +x; 10,11 near +y; 30 at -x
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.02f, 0f)), (2L, Array(1.0f, 0.01f, 0f)),
+      (10L, Array(0.01f, 1.0f, 0f)), (11L, Array(0.02f, 1.0f, 0f)),
+      (30L, Array(-1.0f, 0.05f, 0f))).toDF("vec_id", "v")
+    val got = Similarity.kCenterGreedy(vecs, "vec_id", "v", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+    // local replay of the selection rule (per-pair round-6 before the min)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = Seq((1L, Array(1.0f, 0.02f, 0f)), (2L, Array(1.0f, 0.01f, 0f)),
+      (10L, Array(0.01f, 1.0f, 0f)), (11L, Array(0.02f, 1.0f, 0f)), (30L, Array(-1.0f, 0.05f, 0f)))
+    var centers = Vector(all.minBy(_._1))
+    var expect = Vector((1, centers.head._1, -1.0))
+    while (centers.length < 3) {
+      val rest = all.filterNot(p => centers.exists(_._1 == p._1))
+      val next = rest.map { p =>
+        (p, centers.map(c => r6(1.0 - cos(p._2, c._2))).min)
+      }.maxBy { case (p, d) => (d, -p._1) }
+      centers :+= next._1
+      expect :+= ((centers.length, next._1._1, next._2))
+    }
+    assert(got.toVector == expect, s"got=${got.toVector} expect=$expect")
+    assert(got(0)._2 == 1L, "seed must be the smallest id")
+    assert(got(1)._2 == 30L, "-x is farthest from +x")
+    // k beyond the corpus: returns every vector once, then stops
+    assert(Similarity.kCenterGreedy(vecs, "vec_id", "v", k = 99).count() == 5)
+  }
+
   test("repeatedSpanStats: every doc surfaces; dup_tokens sums disjoint spans") {
     val stats = Dedup.repeatedSpanStats(docs, "doc_id", "text", minTokens = 5)
     assert(stats.count() == docs.count())
