@@ -389,6 +389,25 @@ stays distributed.
         (graft.ops.Sampling.packSequences(s, "doc_id", "text",
           budgetTokens = 512, shards = 1024).fullCount, 0L)
       }
+      bench("kcenter coreset k=6", mult) {
+        // k-1 corpus scans with literal center vectors fused in — time must
+        // track rows (each pick is one TakeOrderedAndProject pass), never
+        // pairs; replication clones vectors so the chosen panel is stable
+        // across mult (clones are distance 0 to each other, never picked)
+        (graft.ops.Similarity.kCenterGreedy(
+          replicate(spark.read.parquet(s"$sf/embeddings.parquet"), mult, Seq("vec_id")),
+          "vec_id", "embedding", k = 6).fullCount, 0L)
+      }
+      bench("cluster-aware split", mult) {
+        // connected components over chain edges + one label join + the
+        // map-side md5 draw on the cluster label — must track the CC rows
+        val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
+        val pairs = o.filter(col("o_orderkey") % 8 =!= 7)
+          .select(col("o_orderkey").as("id_a"), (col("o_orderkey") + 1).as("id_b"))
+        (graft.ops.Dedup.clusterAwareSplit(
+          o.select(col("o_orderkey").as("id")), pairs, "id", valFraction = 0.1)
+          .fullCount, 0L)
+      }
     }
 
     // Auto-planned predicate join vs the explicit grid sjoin on the SAME

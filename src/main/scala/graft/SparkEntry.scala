@@ -1396,6 +1396,30 @@ object SparkEntry {
       // greedy k-center diversity coreset: 6 mutually-farthest embeddings
       // (cosine distance, seed = smallest id, ties to smallest id).
       Similarity.kCenterGreedy(embs(s, d), "vec_id", "embedding", k = 6)),
+    "q152_cc_incremental" -> ((s, d) => {
+      // incremental connected components: the EVEN docs are the old corpus
+      // (chain {0,2,4} and pair {12,16} per 24-block, labeled first), the
+      // ODD docs a new crawl batch whose pairs attach to old clusters
+      // (1-0), MERGE two old clusters (13-4 and 13-16), and form new-new
+      // pairs (7-9). The oracle computes the FULL closure over all edges —
+      // passing proves incremental-over-labels ≡ full recompute.
+      val ids = docs(s, d).select(col("doc_id").as("id"))
+      def shift(delta: Int, mods: Seq[Int]) = ids.select(col("id").as("ia"))
+        .filter((col("ia") % 24).isin(mods.map(_.toLong): _*))
+        .join(ids.select(col("id").as("ib")), col("ib") === col("ia") + delta)
+        .select("ia", "ib")
+      val oldEdges = shift(2, Seq(0, 2)).unionAll(shift(4, Seq(12)))
+      val newPairs = shift(-1, Seq(1)).unionAll(shift(-9, Seq(13)))
+        .unionAll(shift(3, Seq(13))).unionAll(shift(2, Seq(7)))
+      val oldCc = Dedup.connectedComponents(oldEdges, "ia", "ib")
+      val oldLabels = ids.filter(col("id") % 2 === 0)
+        .join(oldCc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      val lab = Dedup.connectedComponentsIncremental(oldLabels, newPairs, "ia", "ib")
+      docs(s, d).select(col("doc_id"))
+        .join(lab.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    }),
     "q113_unigram_lm" -> ((s, d) =>
       // CCNet-style LM quality proxy: unigram LM trained on the corpus
       // itself, documents scored by mean token negative-log-likelihood
@@ -2642,6 +2666,26 @@ object SparkEntry {
         // exact selection rule of Similarity.kCenterGreedy (k = 6, seed =
         // smallest vec_id, dist NULL for the seed)
         kCenterOracle(6),
+      "q152_cc_incremental" ->
+        // FULL recursive closure over old ∪ new edges — the incremental
+        // two-phase Spark path must land on identical labels
+        s"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+           | raw AS (
+           |  SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON b.id = a.id + 2 WHERE a.id % 24 IN (0, 2)
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 4 WHERE a.id % 24 = 12
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id - 1 WHERE a.id % 24 = 1
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id - 9 WHERE a.id % 24 = 13
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 3 WHERE a.id % 24 = 13
+           |  UNION ALL SELECT a.id, b.id FROM ids a JOIN ids b ON b.id = a.id + 2 WHERE a.id % 24 = 7),
+           | nodes AS (SELECT DISTINCT u AS id FROM raw UNION SELECT v FROM raw),
+           | edges AS (SELECT u, v FROM raw WHERE u <> v UNION SELECT v, u FROM raw WHERE u <> v),
+           | reach AS (
+           |  SELECT id AS src, id AS dst FROM nodes
+           |  UNION
+           |  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON e.u = r.dst),
+           | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+           | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin.replace("\n", " "),
       "q113_unigram_lm" ->
         // unigram-LM mean NLL mirrored exactly: p(tok) = corpus_count/total
         // (no smoothing — every scored token is in the vocabulary), score =

@@ -588,6 +588,37 @@ object Dedup {
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
   }
 
+  /** INCREMENTAL [[connectedComponents]] — fold a new batch's near-dup
+    * pairs into an existing labeling without the historical edge list
+    * (the crawl-snapshot steady state: per batch, relabel over |corpus|
+    * label rows + |batch| edges instead of every pair ever found).
+    *
+    * `oldLabels` is a complete (id, component) labeling as produced by
+    * [[connectedComponents]] (or a previous call here) — each label is the
+    * min member id of its cluster, so the labeling IS the old graph,
+    * compressed to one height-1 star edge per node with connectivity and
+    * min ids preserved. Folding the stars in with the new pairs therefore
+    * yields labels IDENTICAL to a full recompute over (all old edges ∪
+    * new pairs): new docs attach to old clusters, a new doc touching two
+    * old clusters merges them (both relabel to the global min), and
+    * new-new pairs cluster among themselves. Output: (id, component) for
+    * every id in `oldLabels` or `newPairs`.
+    *
+    * Scale posture: the star side is already height-1, so the
+    * large-star/small-star loop converges in a round or two regardless of
+    * how deep the original clusters' merge history was; per-batch cost is
+    * bound by the label table (one ~16-byte row per corpus doc — the same
+    * tier economics as the minhash signature snapshot, which is exactly
+    * where the new pairs come from via
+    * [[minhashPairsIncremental]]). */
+  def connectedComponentsIncremental(oldLabels: DataFrame, newPairs: DataFrame,
+                                     aCol: String = "id_a", bCol: String = "id_b",
+                                     maxIterations: Int = 50): DataFrame = {
+    val star = oldLabels.select(col("id").as(aCol), col("component").as(bCol))
+    connectedComponents(star.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIterations)
+  }
+
   /** Quality-aware survivor selection over a near-dup pair graph: keep ONE
     * document per transitive cluster — the highest `scoreCol`, ties broken
     * toward the smallest id (deterministic across retries/repartitions).

@@ -817,6 +817,27 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L, 3L, 9L), (10L, 10L, 1L, 1L), (21L, 20L, 2L, 7L)))
   }
 
+  test("connectedComponentsIncremental equals full recompute: attach, merge, new-new") {
+    // old graph: {1,2,3} (chain) and {10,11}; 20 isolated
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val oldIds = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val oldCc = Dedup.connectedComponents(oldEdges)
+    val oldLabels = oldIds.join(oldCc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // new batch: 30 attaches to {1,2,3}; 31 MERGES {1,2,3} with {10,11};
+    // 40~41 new-new; old isolated 20 gains a partner 42
+    val newPairs = Seq((30L, 3L), (31L, 2L), (31L, 10L), (40L, 41L), (42L, 20L))
+      .toDF("id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(oldEdges.unionAll(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental=$inc full=$full")
+    assert(inc(31L) == 1L && inc(10L) == 1L && inc(11L) == 1L, "merge relabels to the global min")
+    assert(inc(40L) == 40L && inc(41L) == 40L, "new-new pair clusters on its own")
+    assert(inc(20L) == 20L && inc(42L) == 20L, "old isolated doc gains its partner")
+  }
+
   test("clusterAwareSplit: clusters land wholly in one split, singletons draw independently") {
     val ids = (1L to 40L).toDF("id")
     // chain 1~2~3 transitively one cluster; 20~21 a pair; the rest singletons
