@@ -514,6 +514,24 @@ object Plans {
         "doc_id", "text", 5)
     }
 
+    section("k-center coreset pick (q151: one scan, literal centers, TakeOrderedAndProject argmax)",
+      "Each greedy pick of Similarity.kCenterGreedy is this plan: the " +
+        "corpus scanned ONCE, cosine distance to each already-chosen " +
+        "center computed against LITERAL vectors fused into the scan " +
+        "projection (VecDot/VecNorm codegen — no join, no broadcast, no " +
+        "Exchange), and the argmax is TakeOrderedAndProject — only each " +
+        "partition's best row reaches the driver, k rows total across the " +
+        "whole selection.") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val c0 = e.orderBy(col("vec_id")).limit(1)
+        .collect()(0).getSeq[Float](1)
+      val d0 = round(lit(1.0) - graft.ops.Similarity.cosine(
+        col("embedding"), array(c0.map(v => lit(v)): _*)), 6)
+      e.filter(!col("vec_id").isin(0L))
+        .withColumn("__d", d0)
+        .orderBy(col("__d").desc, col("vec_id").asc).limit(1)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

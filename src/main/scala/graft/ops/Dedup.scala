@@ -1309,11 +1309,16 @@ object Dedup {
     shiftleft(hash(w).cast("long"), 32)
       .bitwiseOR(hash(lit("graft:win2"), w).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
 
-  private def winCntCol(minTokens: Int): String = s"wcnt_l$minTokens"
+  /** `mm2` names the __wh2 hash family (two packed Murmur3 lanes, see
+    * [[saltedWinHash]]); it is fused into the column name alongside the
+    * window length so a snapshot persisted under a DIFFERENT family or
+    * spec fails loudly at probe time instead of silently matching
+    * nothing — bump the tag whenever the family changes. */
+  private def winCntCol(minTokens: Int): String = s"wcnt_mm2_l$minTokens"
 
   /** Persist the corpus's window-hash profile for INCREMENTAL exact
     * substring dedup: one row per distinct (128-bit hash pair) window —
-    * (__wh, __wh2, wcnt_l<minTokens> = occurrences) — bucketed by `__wh`.
+    * (__wh, __wh2, wcnt_mm2_l<minTokens> = occurrences) — bucketed by `__wh`.
     * The window-length spec is fused into the count column's NAME, so a
     * probe with a different `minTokens` fails loudly instead of silently
     * matching nothing (the [[writeBandedSnapshot]] convention). Window
@@ -1329,7 +1334,7 @@ object Dedup {
 
   /** The window-hash profile [[writeWindowSnapshot]] stores: one row per
     * distinct (128-bit hash pair) window of `df` — (__wh, __wh2,
-    * wcnt_l<minTokens>). Exposed so incremental folds (the streaming face)
+    * wcnt_mm2_l<minTokens>). Exposed so incremental folds (the streaming face)
     * can accumulate profiles without a catalog table; a probe accepts a
     * profile with DUPLICATE (__wh, __wh2) rows (append-only fold) — hits
     * are position-distinct before the span merge. */
@@ -1361,7 +1366,7 @@ object Dedup {
     require(stored.columns.contains(cnt),
       s"window snapshot column $cnt not found (stored columns: " +
         s"${stored.columns.mkString(", ")}) — was the snapshot written with " +
-        s"a different minTokens?")
+        s"a different minTokens or an older __wh2 hash family?")
     val wins = tokenWindows(newDf, idCol, textCol, minTokens)
       .withColumn("__wh2", saltedWinHash(col("__w")))
     // corpus face: equi-join on the stored BUCKET column (__wh) keeps the

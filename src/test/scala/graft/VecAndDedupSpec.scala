@@ -784,7 +784,7 @@ class VecAndDedupSpec extends AnyFunSuite {
       Dedup.repeatedSpansIncrementalStored(docs.limit(5),
         graft.io.Bucketed.read(spark, "t_winsnap_mm"), "doc_id", "text", minTokens = 5)
     }
-    assert(e.getMessage.contains("wcnt_l5") && e.getMessage.contains("different minTokens"))
+    assert(e.getMessage.contains("wcnt_mm2_l5") && e.getMessage.contains("different minTokens"))
   }
 
   test("topRepeatedWindows: local parity with deterministic tie-break") {
