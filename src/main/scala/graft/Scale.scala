@@ -623,6 +623,11 @@ stays distributed.
     md ++= "content pair, so cost tracks distinct content plus the pairs that\n"
     md ++= "genuinely exist — never the corpus cross-product (the embedding row is\n"
     md ++= "near-FLAT across 1×/4×/16× for exactly this reason).\n\n"
+    md ++= "Reading the kcenter row: the op is k−1 argmax scans with LITERAL\n"
+    md ++= "center vectors fused in (k driver rows total), so at these corpus\n"
+    md ++= "sizes the measurement is dominated by fixed per-job scheduling —\n"
+    md ++= "its asymptotic cost is k linear passes, and the ratio reflects\n"
+    md ++= "16 union branches per pass at @16x, not input-quadratic work.\n\n"
     md ++= "| operator | rows @1x | s @1x | rows @4x | s @4x | rows @16x | s @16x | 16x/1x |\n|---|---|---|---|---|---|---|---|\n"
     val byOp = out.groupBy(_.op.split(" @")(0))
     byOp.toSeq.sortBy(_._1).foreach { case (op, ms) =>
