@@ -207,6 +207,41 @@ object StreamingDedup {
     }
   }
 
+  /** Streaming rolling cluster labels — the streaming face of
+    * [[graft.ops.Dedup.connectedComponentsIncremental]]: a stream of
+    * near-dup PAIRS (e.g. each micro-batch's [[minhashIncrementalBanded]]
+    * output) folds into one persistent (id, component) labeling. Per
+    * batch, the accumulated labeling (already height-1 stars) plus the
+    * batch's edges relabel in a round or two — the historical pair list is
+    * never kept, only the one-row-per-doc label table, checkpointed across
+    * batches. `onLabels` receives the UPDATED full labeling and the epoch;
+    * epoch replays are idempotent ([[EpochFold]] — a re-run batch relabels
+    * from the pre-fold labeling, so the emitted labels are identical).
+    * A 100 TB deployment swaps the in-memory fold for a bucketed label
+    * table rewritten per batch. Caller starts the returned writer. */
+  def ccIncremental(pairStream: DataFrame, aCol: String = "id_a", bCol: String = "id_b")
+                   (onLabels: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairStream.writeStream.foreachBatch(ccBatchFn(aCol, bCol)(onLabels))
+
+  /** The per-batch body of [[ccIncremental]], exposed for replay specs. */
+  private[graft] def ccBatchFn(aCol: String, bCol: String)
+                              (onLabels: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = {
+    val fold = new EpochFold[Option[DataFrame]](None)
+    (batch: DataFrame, epoch: Long) => {
+      val labels = fold.probeState(epoch) match {
+        case None => graft.ops.Dedup.connectedComponents(batch, aCol, bCol)
+        case Some(old) =>
+          graft.ops.Dedup.connectedComponentsIncremental(old, batch, aCol, bCol)
+      }
+      val snap = labels.localCheckpoint()
+      onLabels(snap, epoch)
+      fold.commit(epoch)(Some(snap))
+      ()
+    }
+  }
+
   case class BandDoc(bkey: String, id: Long, sig: String)
   case class BucketState(docs: List[(Long, String)])
   case class DupPair(id_a: Long, id_b: Long, hamming: Int)

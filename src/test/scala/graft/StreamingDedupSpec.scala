@@ -264,6 +264,44 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming rolling cluster labels: attach, merge, and replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val perEpoch = collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
+    val q = StreamingDedup.ccIncremental(input.toDF().toDF("id_a", "id_b")) {
+      (labels, epoch) =>
+        perEpoch += epoch -> labels.as[(Long, Long)].collect().toMap
+        ()
+    }.start()
+    input.addData((1L, 2L), (10L, 11L))          // two clusters
+    q.processAllAvailable()
+    input.addData((3L, 2L), (20L, 21L))          // attach 3; new cluster
+    q.processAllAvailable()
+    input.addData((11L, 3L))                     // MERGE {1,2,3} with {10,11}
+    q.processAllAvailable(); q.stop()
+    val byEpoch = perEpoch.toMap
+    assert(byEpoch(0L) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(byEpoch(1L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    assert(byEpoch(2L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L), s"merge must relabel the 10-cluster: ${byEpoch(2L)}")
+
+    // replay: driving the batch body directly, a re-run epoch relabels from
+    // the PRE-fold labeling (identical output), and the next epoch sees the
+    // fold exactly once
+    val outs = collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    val fn = StreamingDedup.ccBatchFn("id_a", "id_b") { (labels, _) =>
+      outs += labels.as[(Long, Long)].collect().toMap; ()
+    }
+    val b0 = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val b1 = Seq((2L, 3L)).toDF("id_a", "id_b")
+    fn(b0, 0L); fn(b0, 0L); fn(b1, 1L)
+    assert(outs(0) == Map(1L -> 1L, 2L -> 1L))
+    assert(outs(1) == outs(0), "replayed epoch must emit identical labels")
+    assert(outs(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("incremental minhash probe leaves no CacheManager entries behind") {
     // the probe's banded-new-side materialization must NOT go through the
     // session CacheManager: a cache entry per micro-batch would accumulate
