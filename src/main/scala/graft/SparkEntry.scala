@@ -1396,6 +1396,29 @@ object SparkEntry {
       // greedy k-center diversity coreset: 6 mutually-farthest embeddings
       // (cosine distance, seed = smallest id, ties to smallest id).
       Similarity.kCenterGreedy(embs(s, d), "vec_id", "embedding", k = 6)),
+    "q153_decontaminate_spans" -> ((s, d) => {
+      // span-level benchmark decontamination: docs are built with unique
+      // filler tokens, and docs with doc_id % 10 == 3 embed an 8-token
+      // benchmark "leak" (doc_id % 20 == 13 embeds it TWICE back-to-back —
+      // the adjacent spans must merge); the benchmark suite is the 7 leak
+      // variants. Expected spans are closed-form: (3, 8) single, (3, 16)
+      // merged double.
+      def leak(v: Column) = concat_ws(" ",
+        lit("leakmark"), v.cast("string"), lit("aa bb cc dd ee ff"))
+      val id = col("doc_id").cast("string")
+      def u(sfx: String) = concat(lit("u"), id, lit(sfx))
+      val lv = floor(col("doc_id") / 10.0).cast("long") % 7
+      val base = concat_ws(" ", u("a"), u("b"), u("c"), u("d"))
+      val single = concat_ws(" ", u("a"), u("b"), leak(lv), u("c"))
+      val dbl = concat_ws(" ", u("a"), u("b"), leak(lv), leak(lv), u("c"))
+      val built = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 20 === 13, dbl)
+          .when(col("doc_id") % 10 === 3, single)
+          .otherwise(base).as("text"))
+      val bench = docs(s, d).filter(col("doc_id") < 7)
+        .select(leak(col("doc_id") % 7).as("text"))
+      Dedup.contaminatedSpans(built, bench, "doc_id", "text", "text", minTokens = 8)
+    }),
     "q152_cc_incremental" -> ((s, d) => {
       // incremental connected components: the EVEN docs are the old corpus
       // (chain {0,2,4} and pair {12,16} per 24-block, labeled first), the
@@ -2666,6 +2689,23 @@ object SparkEntry {
         // exact selection rule of Similarity.kCenterGreedy (k = 6, seed =
         // smallest vec_id, dist NULL for the seed)
         kCenterOracle(6),
+      "q153_decontaminate_spans" ->
+        // identical construction, full 8-token-window equi-join on the
+        // benchmark window strings, then the gaps-and-islands merge
+        (s"""WITH built AS (SELECT doc_id,
+            |  CASE WHEN doc_id % 20 = 13 THEN 'u' || doc_id || 'a u' || doc_id || 'b ' || lk || ' ' || lk || ' u' || doc_id || 'c'
+            |       WHEN doc_id % 10 = 3 THEN 'u' || doc_id || 'a u' || doc_id || 'b ' || lk || ' u' || doc_id || 'c'
+            |       ELSE 'u' || doc_id || 'a u' || doc_id || 'b u' || doc_id || 'c u' || doc_id || 'd' END AS text
+            |  FROM (SELECT doc_id, 'leakmark ' || (CAST(floor(doc_id / 10.0) AS BIGINT) % 7) || ' aa bb cc dd ee ff' AS lk FROM documents)),
+            | bw AS (SELECT DISTINCT 'leakmark ' || (doc_id % 7) || ' aa bb cc dd ee ff' AS w FROM documents WHERE doc_id < 7),
+            | toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t FROM built),
+            | win AS (SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS pos, t FROM toks WHERE len(t) >= 8),
+            | w2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS w FROM win),
+            | hits AS (SELECT w2.doc_id, w2.pos FROM w2 JOIN bw USING (w))""".stripMargin.replace("\n", " ") +
+          spanMergeTail(8) +
+          s""" SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             | CAST(max(pos) - min(pos) + 8 AS INT) AS span_tokens
+             | FROM grp GROUP BY doc_id, g""".stripMargin.replace("\n", " ")),
       "q152_cc_incremental" ->
         // FULL recursive closure over old ∪ new edges — the incremental
         // two-phase Spark path must land on identical labels

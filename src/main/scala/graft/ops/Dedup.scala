@@ -1234,8 +1234,17 @@ object Dedup {
     * [[repeatedSpans]] is the spans' own per-doc groupBy + the equi-join
     * back to the corpus. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                          minTokens: Int = 5): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, minTokens)
+                          minTokens: Int = 5): DataFrame =
+    cutSpans(df, repeatedSpans(df, idCol, textCol, minTokens), idCol, textCol)
+
+  /** Cut (idCol, span_start, span_tokens) spans out of each document's
+    * token stream — the shared removal tail of [[removeRepeatedSpans]] and
+    * [[removeContaminatedSpans]]: spans collapse to one bounded per-doc
+    * array, the cut is a native HOF filter+exists (no range join, no UDF),
+    * and every input document surfaces. */
+  private def cutSpans(df: DataFrame, spans: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val sp = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start").as("st"),
         col("span_tokens").as("ln"))).as("__sp"))
@@ -1244,10 +1253,48 @@ object Dedup {
       .otherwise(filter(toks, (_, i) =>
         !exists(col("__sp"), s =>
           s.getField("st") <= i + 1 && i + 1 < s.getField("st") + s.getField("ln"))))
-    df.join(spans, Seq(idCol), "left")
+    df.join(sp, Seq(idCol), "left")
       .select(col(idCol), concat_ws(" ", kept).as("cleaned"),
         size(kept).cast("long").as("n_tokens_kept"))
   }
+
+  /** Span-level benchmark decontamination — the surgical form of
+    * [[contaminationOverlap]] (which flags whole documents): maximal
+    * training-doc token spans whose `minTokens`-gram windows appear
+    * VERBATIM anywhere in the benchmark suite, merged per document exactly
+    * like [[repeatedSpans]]. The Lee et al. 2022 / GPT-3 appendix-C
+    * posture: cut the leaked benchmark text, keep the document. Matching
+    * is exact-string (hash prefilter on the 8-byte window key, then a
+    * string confirm — the two-stage discipline of the repeated-span
+    * pipeline, no false positives).
+    *
+    * Scale posture: the benchmark side is tiny by construction (eval
+    * suites, not corpora) — its distinct window keys broadcast; the corpus
+    * tokenizes map-side and only rows whose hash matches a benchmark
+    * window reach the string confirm + the per-doc merge window. The
+    * corpus never shuffles wide. */
+  def contaminatedSpans(df: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        benchTextCol: String = "text",
+                        minTokens: Int = 8): DataFrame = {
+    val benchKeys = tokenWindows(
+        bench.select(lit(0L).as("__bid"), col(benchTextCol)), "__bid", benchTextCol, minTokens)
+      .select(col("__wh"), col("__w").as("__bw")).distinct()
+    val hits = tokenWindows(df, idCol, textCol, minTokens)
+      .join(benchKeys, Seq("__wh"))
+      .filter(col("__w") === col("__bw"))
+      .select(col(idCol), col("__pos"))
+    mergeSpanPositions(hits, idCol, minTokens)
+  }
+
+  /** Cut the [[contaminatedSpans]] spans out of each training document;
+    * emits every input doc as (idCol, cleaned, n_tokens_kept). */
+  def removeContaminatedSpans(df: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String,
+                              benchTextCol: String = "text",
+                              minTokens: Int = 8): DataFrame =
+    cutSpans(df, contaminatedSpans(df, bench, idCol, textCol, benchTextCol, minTokens),
+      idCol, textCol)
 
   /** Per-document duplication profile from [[repeatedSpans]]: token count,
     * tokens inside repeated spans (maximal spans are disjoint by

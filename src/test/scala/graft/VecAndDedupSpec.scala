@@ -817,6 +817,26 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L, 3L, 9L), (10L, 10L, 1L, 1L), (21L, 20L, 2L, 7L)))
   }
 
+  test("contaminatedSpans: exact benchmark windows only, merge, and surgical removal") {
+    val bench = Seq("the capital of france is paris", "two plus two equals four indeed").toDF("text")
+    val train = Seq(
+      (1L, "intro words the capital of france is paris outro words"), // one leak
+      (2L, "a b the capital of france is paris two plus two equals four indeed z"), // adjacent -> merge
+      (3L, "the capital of SPAIN is madrid nothing leaked here at all"), // no verbatim window
+      (4L, "short doc"),
+      (5L, "two plus two equals four indeed")) // the whole doc IS the benchmark
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminatedSpans(train, bench, "doc_id", "text", minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 3L.toInt, 6), (2L, 3, 12), (5L, 1, 6)), s"got=$got")
+    val cleaned = Dedup.removeContaminatedSpans(train, bench, "doc_id", "text", minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList.sortBy(_._1)
+    assert(cleaned(0) == (1L, "intro words outro words", 4L))
+    assert(cleaned(1) == (2L, "a b z", 3L))
+    assert(cleaned(2)._2 == train.collect()(2).getString(1), "uncontaminated doc untouched")
+    assert(cleaned(4) == (5L, "", 0L), "fully-leaked doc cut to empty")
+  }
+
   test("connectedComponentsIncremental equals full recompute: attach, merge, new-new") {
     // old graph: {1,2,3} (chain) and {10,11}; 20 isolated
     val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
