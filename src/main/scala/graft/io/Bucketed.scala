@@ -63,4 +63,25 @@ object Bucketed {
     * reintroduce the shuffle). */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(quoted(table))
+
+  /** Append a batch to an existing bucketed table (the per-batch posture
+    * of the incremental snapshot tiers: each batch's projection lands in
+    * its hash bucket, schema and bucket spec validated by Spark against
+    * the catalog). Each append adds one file per non-empty bucket — run
+    * the table's compactor periodically so bucket scans stay
+    * few-files-per-bucket (see [[graft.ops.Dedup.compactWindowSnapshot]]). */
+  def append(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    // the writer must redeclare the table's exact bucket spec or Spark
+    // rejects the append — read it from the catalog so callers can't drift
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val bs = spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"table $table is not bucketed — append is for Bucketed.write tables"))
+    val w = df.write
+      .bucketBy(bs.numBuckets, bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+    val ws = if (bs.sortColumnNames.isEmpty) w
+      else w.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+    ws.format("parquet").mode("append").saveAsTable(quoted(table))
+  }
 }

@@ -1379,6 +1379,40 @@ object Dedup {
       windowSnapshotProjection(df, idCol, textCol, minTokens),
       table, path, "__wh", buckets)
 
+  /** Append a new batch's window profile to a [[writeWindowSnapshot]]
+    * table — the per-batch arm of the incremental exact-substring tier
+    * (window the batch ONCE at arrival, never again). Appends may
+    * duplicate (__wh, __wh2) keys across batches; the probe tolerates
+    * that (hits are position-distinct before the span merge), and
+    * [[compactWindowSnapshot]] restores one-row-per-window offline. */
+  def appendWindowSnapshot(df: DataFrame, table: String,
+                           idCol: String, textCol: String,
+                           minTokens: Int = 5): Unit =
+    graft.io.Bucketed.append(
+      windowSnapshotProjection(df, idCol, textCol, minTokens), table)
+
+  /** Offline compaction for an append-grown [[writeWindowSnapshot]] table:
+    * re-aggregate duplicate (__wh, __wh2) rows (counts sum exactly — the
+    * projection is a plain occurrence count) and rewrite single-layout
+    * into `toTable`/`toPath`. Reads through the bucket metadata and writes
+    * bucketed on the same key, so the shuffle-free probe plan is identical
+    * before and after; callers swap table names when the write commits
+    * (write-new-then-drop-old — never compact a table onto its own path).
+    * Probe results are unchanged by construction: same distinct windows,
+    * same counts, fewer rows and one file layout per bucket. */
+  def compactWindowSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            fromTable: String, toTable: String, toPath: String,
+                            minTokens: Int = 5, buckets: Int = 32): Unit = {
+    val cnt = winCntCol(minTokens)
+    val src = graft.io.Bucketed.read(spark, fromTable)
+    require(src.columns.contains(cnt),
+      s"window snapshot column $cnt not found in $fromTable (columns: " +
+        s"${src.columns.mkString(", ")}) — wrong minTokens or hash family?")
+    graft.io.Bucketed.write(
+      src.groupBy(col("__wh"), col("__wh2")).agg(sum(col(cnt)).as(cnt)),
+      toTable, toPath, "__wh", buckets)
+  }
+
   /** The window-hash profile [[writeWindowSnapshot]] stores: one row per
     * distinct (128-bit hash pair) window of `df` — (__wh, __wh2,
     * wcnt_mm2_l<minTokens>). Exposed so incremental folds (the streaming face)

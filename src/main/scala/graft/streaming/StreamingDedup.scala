@@ -171,8 +171,10 @@ object StreamingDedup {
     * arrival. `onSpans` receives each batch's (idCol, span_start,
     * span_tokens) frame and the epoch id. A 100 TB deployment swaps the
     * in-memory fold for the bucketed snapshot table
-    * ([[graft.ops.Dedup.writeWindowSnapshot]], appended per batch and
-    * compacted offline) — the probe call is identical. Ids must be unique
+    * ([[graft.ops.Dedup.writeWindowSnapshot]], then
+    * [[graft.ops.Dedup.appendWindowSnapshot]] per batch and
+    * [[graft.ops.Dedup.compactWindowSnapshot]] offline) — the probe call
+    * is identical. Ids must be unique
     * across the stream. Epoch replays are idempotent ([[EpochFold]]): a
     * re-run batch probes the pre-fold profile — without the guard every
     * window of the replayed batch would hit its own already-folded

@@ -776,6 +776,37 @@ class VecAndDedupSpec extends AnyFunSuite {
       "bucketed snapshot must save exactly the probe-join shuffle on the stored side")
   }
 
+  test("window snapshot append + compact: probe-identical, counts re-aggregated") {
+    val dir = java.nio.file.Files.createTempDirectory("winsnap_cmp").toString
+    val l = 5
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b = docs.filter(col("doc_id") % 3 === 2)
+    val probe = docs.filter(col("doc_id") % 3 === 0)
+    // batch posture: write A, append B (duplicate (__wh,__wh2) keys allowed)
+    Dedup.writeWindowSnapshot(a, "t_ws_app", s"$dir/app", "doc_id", "text", l, buckets = 4)
+    Dedup.appendWindowSnapshot(b, "t_ws_app", "doc_id", "text", l)
+    // reference: the same corpus written in one shot
+    Dedup.writeWindowSnapshot(a.unionByName(b), "t_ws_one", s"$dir/one",
+      "doc_id", "text", l, buckets = 4)
+    def spans(table: String): Set[(Long, Int, Int)] =
+      Dedup.repeatedSpansIncrementalStored(probe,
+          graft.io.Bucketed.read(spark, table).hint("merge"), "doc_id", "text", l)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val viaAppended = spans("t_ws_app")
+    assert(viaAppended == spans("t_ws_one"), "appended profile must probe like one-shot")
+    assert(viaAppended.nonEmpty)
+    // offline compaction: one row per distinct window again, counts summed
+    Dedup.compactWindowSnapshot(spark, "t_ws_app", "t_ws_cmp", s"$dir/cmp", l, buckets = 4)
+    val cmp = graft.io.Bucketed.read(spark, "t_ws_cmp")
+    val one = graft.io.Bucketed.read(spark, "t_ws_one")
+    assert(cmp.count() == one.count(), "compaction restores one row per distinct window")
+    assert(cmp.exceptAll(one).isEmpty && one.exceptAll(cmp).isEmpty,
+      "compacted rows (incl. summed counts) must equal the one-shot write")
+    assert(spans("t_ws_cmp") == viaAppended, "probe unchanged by compaction")
+    assert(cmp.count() < graft.io.Bucketed.read(spark, "t_ws_app").count(),
+      "the corpora share windows, so compaction must actually shrink rows")
+  }
+
   test("window snapshot minTokens mismatch fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("winsnap_mm").toString
     Dedup.writeWindowSnapshot(docs.limit(20), "t_winsnap_mm", s"$dir/w",
