@@ -1404,6 +1404,14 @@ object Dedup {
                             fromTable: String, toTable: String, toPath: String,
                             minTokens: Int = 5, buckets: Int = 32): Unit = {
     val cnt = winCntCol(minTokens)
+    require(fromTable != toTable,
+      s"compaction must write to a NEW table ($fromTable -> itself would " +
+        "drop the table out from under the plan that reads it)")
+    val fromLoc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(fromTable)).location.getPath
+    require(!java.nio.file.Paths.get(toPath).toAbsolutePath.normalize.toString
+        .equals(java.nio.file.Paths.get(fromLoc).toAbsolutePath.normalize.toString),
+      s"compaction must write to a NEW path (source files live at $fromLoc)")
     val src = graft.io.Bucketed.read(spark, fromTable)
     require(src.columns.contains(cnt),
       s"window snapshot column $cnt not found in $fromTable (columns: " +

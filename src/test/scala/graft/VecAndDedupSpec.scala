@@ -805,6 +805,28 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(spans("t_ws_cmp") == viaAppended, "probe unchanged by compaction")
     assert(cmp.count() < graft.io.Bucketed.read(spark, "t_ws_app").count(),
       "the corpora share windows, so compaction must actually shrink rows")
+    // self-destruction guards: same table / same path refuse loudly
+    assertThrows[IllegalArgumentException](
+      Dedup.compactWindowSnapshot(spark, "t_ws_app", "t_ws_app", s"$dir/x", l, 4))
+    assertThrows[IllegalArgumentException](
+      Dedup.compactWindowSnapshot(spark, "t_ws_app", "t_ws_app2", s"$dir/app", l, 4))
+  }
+
+  test("kCenterGreedy on real embeddings: monotone selection, partitioning-invariant") {
+    val sel = Similarity.kCenterGreedy(embs, "vec_id", "embedding", k = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(sel.length == 6 && sel(0)._2 == 0L && sel(0)._3.isNaN)
+    // greedy max-min distances never increase as centers accumulate
+    val dists = sel.drop(1).map(_._3)
+    assert(dists.zip(dists.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"selection distances must be non-increasing: ${dists.toSeq}")
+    assert(dists.forall(d => d > 0 && d <= 2.0))
+    // same panel regardless of input partitioning (argmax ties are id-broken)
+    val re = Similarity.kCenterGreedy(embs.repartition(7), "vec_id", "embedding", k = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(re.map(_._2).toSeq == sel.map(_._2).toSeq)
   }
 
   test("window snapshot minTokens mismatch fails loudly") {
