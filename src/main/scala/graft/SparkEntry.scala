@@ -1396,6 +1396,14 @@ object SparkEntry {
       // greedy k-center diversity coreset: 6 mutually-farthest embeddings
       // (cosine distance, seed = smallest id, ties to smallest id).
       Similarity.kCenterGreedy(embs(s, d), "vec_id", "embedding", k = 6)),
+    "q154_tfidf_terms" -> ((s, d) =>
+      // per-doc keyword extraction: top-3 terms by tf·ln(N/df), tf·idf
+      // rounded to 1e-6 BEFORE ranking, ties to the smaller term.
+      graft.ops.Retrieval.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 3)),
+    "q155_ngram_novelty" -> ((s, d) =>
+      // per-doc corpus uniqueness: fraction of the doc's distinct bigrams
+      // owned by no other document.
+      graft.ops.CorpusStats.ngramNovelty(docs(s, d), "doc_id", "text", n = 2)),
     "q153_decontaminate_spans" -> ((s, d) => {
       // span-level benchmark decontamination: docs are built with unique
       // filler tokens, and docs with doc_id % 10 == 3 embed an 8-token
@@ -2689,6 +2697,30 @@ object SparkEntry {
         // exact selection rule of Similarity.kCenterGreedy (k = 6, seed =
         // smallest vec_id, dist NULL for the seed)
         kCenterOracle(6),
+      "q154_tfidf_terms" ->
+        // identical token model, idf = ln(N/df), round-6 before the
+        // per-doc row_number rank
+        s"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS term FROM documents),
+           | tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, term),
+           | dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+           | nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           | sc AS (SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * ln(nn.n / dfq.df), 6) AS tfidf
+           |   FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+           | rk AS (SELECT doc_id, term, tf, tfidf,
+           |   row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
+           | SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS INT) AS rank
+           | FROM rk WHERE rank <= 3""".stripMargin.replace("\n", " "),
+      "q155_ngram_novelty" ->
+        // distinct bigrams per doc (q80's gram model + list_distinct),
+        // owner-doc counts, novel = owned by exactly one doc
+        s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t FROM documents),
+           | gr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS g FROM toks),
+           | own AS (SELECT g, count(*) AS nd FROM gr GROUP BY g),
+           | per AS (SELECT gr.doc_id, count(*) AS tot, CAST(sum(CASE WHEN own.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nov
+           |   FROM gr JOIN own USING (g) GROUP BY gr.doc_id)
+           | SELECT d.doc_id, coalesce(per.tot, 0) AS n_grams, coalesce(per.nov, 0) AS novel_grams,
+           |   round(coalesce(per.nov, 0) / greatest(coalesce(per.tot, 0), 1), 6) AS novel_frac
+           | FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per USING (doc_id)""".stripMargin.replace("\n", " "),
       "q153_decontaminate_spans" ->
         // identical construction, full 8-token-window equi-join on the
         // benchmark window strings, then the gaps-and-islands merge

@@ -190,4 +190,34 @@ object CorpusStats {
       probs.map(p => percentile(col("__tc"), lit(p)).as(f"p${(p * 100).round}%02d"))
     tc.groupBy(col("__g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word n-grams that occur in NO other document — high = unique content
+    * worth keeping, low = templated/boilerplate even when no single
+    * near-dup partner exists (the signal that catches mass-produced page
+    * families MinHash pairs miss because each page differs from each
+    * other page). Output: every input doc as (idCol, n_grams,
+    * novel_grams, novel_frac); docs shorter than `n` tokens report zeros.
+    *
+    * Scale posture: per-doc distinct grams map-side (array_distinct on the
+    * shingle array, no explode-then-distinct shuffle), one hash-agg
+    * shuffle on the gram string counting OWNER DOCS, and the per-doc
+    * roll-up joins back on the id — document text never shuffles. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("__g"))
+    val owners = grams.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+    val perDoc = grams.join(owners, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__tot"),
+        sum(when(col("__nd") === 1, 1L).otherwise(0L)).as("__nov"))
+    docs.select(col(idCol)).distinct().join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__tot"), lit(0L)).as("n_grams"),
+        coalesce(col("__nov"), lit(0L)).as("novel_grams"),
+        round(coalesce(col("__nov"), lit(0L)) /
+          greatest(coalesce(col("__tot"), lit(0L)), lit(1L)), 6).as("novel_frac"))
+  }
 }

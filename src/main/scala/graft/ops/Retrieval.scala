@@ -75,6 +75,40 @@ object Retrieval {
       .select(col(idCol), coalesce(col("bm25"), lit(0.0)).as("bm25"))
   }
 
+  /** Per-document keyword extraction: the `k` highest tf·idf terms of each
+    * document (idf = ln(N/df) over the corpus itself, tf·idf rounded to
+    * 10⁻⁶ BEFORE ranking so the order is oracle-replayable; ties toward
+    * the lexicographically smaller term). The classic corpus-signal for
+    * tagging, domain mixing, and routing documents in a curation pipeline.
+    * Output: (idCol, term, tf, tfidf, rank 1..k); documents whose every
+    * term is corpus-universal still rank their terms (idf 0 ⇒ tfidf 0).
+    *
+    * Scale posture: two hash-agg shuffles on bounded keys — (id, term)
+    * then term — a broadcast 1-row corpus count, and one per-document
+    * window over that document's distinct terms. The document TEXT never
+    * shuffles; the df join moves only (term, count) pairs, vocab-bounded
+    * (AQE picks broadcast when the vocabulary is small). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1; got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("__df"))
+    val n = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("__tf") * log(col("__n") / col("__df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("__tf").cast("long").as("tf"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Top-`k` documents by BM25 score (ties broken by ascending id — fully
     * deterministic). Runs as TakeOrderedAndProject: per-partition heaps,
     * no global sort. */

@@ -38,6 +38,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"rollup must expand grouping sets, not run per-level jobs:\n$plan")
   }
 
+  test("ngramNovelty: unique doc scores 1, identical twins score 0, short docs zero out") {
+    val d = Seq(
+      (1L, "totally unique content right here"),   // 4 distinct bigrams, all novel
+      (2L, "copy of the same page"),
+      (3L, "copy of the same page"),               // twin: every bigram owned by 2 docs
+      (4L, "word"),                                // < n tokens -> zeros
+      (5L, "totally unique trailer"))              // shares "totally unique" with doc 1
+      .toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 3L, 0.75)), s"doc1: ${got(1L)}") // 'totally unique' shared with doc5
+    assert(got(2L) == ((4L, 0L, 0.0)) && got(3L) == got(2L))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    assert(got(5L) == ((2L, 1L, 0.5)))
+    assert(got.size == 5, "every input doc surfaces")
+  }
+
   test("lengthQuantiles: exact linear-interpolation percentiles") {
     val d = (1 to 5).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "s"))
       .toDF("doc_id", "text", "source")

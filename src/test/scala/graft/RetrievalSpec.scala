@@ -113,6 +113,29 @@ class RetrievalSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ readability
 
+  test("tfidfTopTerms: hand-computed idf, rounded-rank ties to the smaller term") {
+    import graft.ops.Retrieval
+    // N=3; "apple" in 1 doc (idf ln3), "pear" in 2 (ln 1.5), "kiwi" in 3 (0)
+    val docs = Seq(
+      (1L, "apple apple pear kiwi"),
+      (2L, "pear kiwi kiwi"),
+      (3L, "kiwi banana banana")).toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(4)), (r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got((1L, 1)) == (("apple", 2L, r6(2 * math.log(3.0)))))
+    assert(got((1L, 2)) == (("pear", 1L, r6(math.log(1.5)))))
+    assert(got((2L, 1)) == (("pear", 1L, r6(math.log(1.5)))))
+    // doc 3: banana tf=2 idf=ln3 wins; kiwi idf=0 -> tfidf 0 still ranked
+    assert(got((3L, 1))._1 == "banana" && got((3L, 2)) == (("kiwi", 1L, 0.0)))
+    // tie in rounded tfidf -> lexicographic term order
+    val tie = Retrieval.tfidfTopTerms(
+      Seq((1L, "zz aa"), (2L, "qq rr")).toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .collect().map(_.getString(1)).toSeq
+    assert(tie == Seq("aa", "zz"))
+  }
+
   test("readability: hand-computed Flesch / FK on a two-sentence doc") {
     val df = Seq((1L, "The cat sat. It ran!")).toDF("doc_id", "text")
     val out = df.select(TextFunctions.tokens(col("text")).as("t"),
