@@ -1396,6 +1396,18 @@ object SparkEntry {
       // greedy k-center diversity coreset: 6 mutually-farthest embeddings
       // (cosine distance, seed = smallest id, ties to smallest id).
       Similarity.kCenterGreedy(embs(s, d), "vec_id", "embedding", k = 6)),
+    "q156_quantized_topk" -> ((s, d) => {
+      // int8 scalar quantization (scale 2^-6, exact in binary) + top-k over
+      // the quantized table: dot/norms become exact small-integer sums, so
+      // the oracle reproduces the cosine bit-for-bit.
+      val sc = 0.015625
+      val q = embs(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val quant = embs(s, d).select(col("vec_id"),
+        Similarity.quantizeI8(col("embedding"), sc).as("qemb"))
+      Similarity.quantizedTopK(quant, "qemb", q, 10, sc)
+        .select(col("vec_id"), col("cosine_q"))
+    }),
     "q154_tfidf_terms" -> ((s, d) =>
       // per-doc keyword extraction: top-3 terms by tf·ln(N/df), tf·idf
       // rounded to 1e-6 BEFORE ranking, ties to the smaller term.
@@ -2697,6 +2709,22 @@ object SparkEntry {
         // exact selection rule of Similarity.kCenterGreedy (k = 6, seed =
         // smallest vec_id, dist NULL for the seed)
         kCenterOracle(6),
+      "q156_quantized_topk" ->
+        // same HALF_UP/clamp quantizer; quantized components are exact
+        // small integers, so dot/norm sums are exact in both engines
+        s"""WITH qz AS (SELECT vec_id, list_transform(embedding,
+           |   x -> CAST(greatest(-127, least(127, CAST(round(CAST(x AS DOUBLE) / 0.015625) AS INT))) AS DOUBLE)) AS qv
+           |   FROM embeddings),
+           | q AS (SELECT qv AS qe FROM qz WHERE vec_id = 0),
+           | scored AS (SELECT vec_id,
+           |   sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) AS na,
+           |   sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) AS nb,
+           |   list_sum(list_transform(range(1, 65), i -> qv[i] * qe[i])) AS dp
+           |   FROM qz CROSS JOIN q),
+           | c AS (SELECT vec_id,
+           |   round(CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS DOUBLE) ELSE dp / (na * nb) END, 6) AS cosine_q
+           |   FROM scored)
+           | SELECT vec_id, cosine_q FROM c ORDER BY cosine_q DESC, vec_id ASC LIMIT 10""".stripMargin.replace("\n", " "),
       "q154_tfidf_terms" ->
         // identical token model, idf = ln(N/df), round-6 before the
         // per-doc row_number rank

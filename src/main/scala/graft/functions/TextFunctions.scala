@@ -487,6 +487,32 @@ object TextFunctions {
     c4SentenceCount(c, minLineWords) >= minSentences &&
       !hasLoremIpsum(c) && !hasCurlyBrace(c)
 
+  /** Deflate compression ratio, compressed/original UTF-8 bytes (level 6,
+    * raw deflate — no gzip header noise): the classic cheap repetition
+    * signal (RefinedWeb/MassiveText keep documents inside a ratio band —
+    * very low = templated/repetitive, near/above 1 = already-compressed
+    * or random junk). A per-row UDF by necessity (zlib), deterministic
+    * for a given JDK but NOT oracle-mirrorable in plain SQL, so it is
+    * spec-gated (band behavior on repetitive vs prose vs high-entropy
+    * text), not hash-gated. Null in → null out; empty text → 1.0. */
+  val compressionRatioU: UserDefinedFunction = udf((s: String) =>
+    if (s == null) None
+    else {
+      val in = s.getBytes("UTF-8")
+      if (in.isEmpty) Some(1.0)
+      else {
+        val d = new java.util.zip.Deflater(6, true)
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        Some(math.rint(n.toDouble / in.length * 1e6) / 1e6)
+      }
+    })
+
+  def compressionRatio(c: Column): Column = compressionRatioU(c)
+
   /** Rolling polynomial fingerprint: fold over UTF-8 bytes,
     * h = (h * 131 + byte) mod (2^31 - 1), h0 = 0. SQL-reproducible. */
   val fingerprintU: UserDefinedFunction = udf((s: String) =>

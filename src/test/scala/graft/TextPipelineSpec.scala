@@ -11,6 +11,30 @@ class TextPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("compressionRatio: repetitive < prose < high-entropy; edge cases pinned") {
+    val rep = ("spam and eggs " * 200).trim                     // highly repetitive
+    val prose = "The quick brown fox jumps over the lazy dog. " +
+      "A different sentence follows with mostly new words, then another " +
+      "one about rivers, mountains, and the slow drift of clouds overhead."
+    var x = 0x9e3779b97f4a7c15L
+    val rand = (1 to 400).map { _ =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      ((x & 0x7fffffffL) % 94 + 33).toChar
+    }.mkString
+    val got = Seq((1L, rep), (2L, prose), (3L, rand), (4L, ""), (5L, null: String))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).get < 0.1, s"repetitive text must crush: ${got(1L)}")
+    assert(got(2L).get > got(1L).get && got(2L).get < 1.0, s"prose in between: ${got(2L)}")
+    assert(got(3L).get > got(2L).get, s"high-entropy compresses worst: ${got(3L)}")
+    assert(got(4L).contains(1.0) && got(5L).isEmpty)
+    // deterministic across invocations (fixed level, raw deflate)
+    val again = Seq(prose).toDF("t")
+      .select(TextFunctions.compressionRatio(col("t"))).head().getDouble(0)
+    assert(Some(again) == got(2L))
+  }
+
   test("normalizeText lowercases, trims, collapses whitespace") {
     val df = Seq("  Mixed   CASE\t\ttext \n here  ").toDF("t")
     val got = df.select(TextFunctions.normalizeText(col("t"))).as[String].head()

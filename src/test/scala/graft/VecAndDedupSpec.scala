@@ -812,6 +812,32 @@ class VecAndDedupSpec extends AnyFunSuite {
       Dedup.compactWindowSnapshot(spark, "t_ws_app", "t_ws_app2", s"$dir/app", l, 4))
   }
 
+  test("int8 quantization: bounded error, clamped range, top-k recall vs exact") {
+    import graft.ops.Similarity
+    val sc = 0.015625
+    val q = Similarity.quantizeI8(col("embedding"), sc)
+    // every component within scale/2 of the original unless clamped
+    val errs = embs.select(
+      aggregate(zip_with(col("embedding"), Similarity.dequantizeToFloat(q),
+          (v, qd) => abs(v.cast("double") - qd.cast("double") * sc)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("maxerr"))
+      .agg(max(col("maxerr"))).head().getDouble(0)
+    assert(errs <= sc / 2 + 1e-9, s"per-component error must be <= scale/2: $errs")
+    val bounds = embs.select(explode(q).as("b"))
+      .agg(min(col("b")).cast("int"), max(col("b")).cast("int")).head()
+    assert(bounds.getInt(0) >= -127 && bounds.getInt(1) <= 127)
+    // quantized top-k recalls (almost all of) the exact float top-k
+    val query = embs.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(embs, "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = embs.select(col("vec_id"), q.as("qe"))
+    val approx = Similarity.quantizedTopK(quant, "qe", query, 10, sc)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect approx).size >= 8,
+      s"int8 top-10 must recall >=8 of the exact top-10: exact=$exact approx=$approx")
+    assert(approx.contains(0L), "the query vector itself must rank")
+  }
+
   test("kCenterGreedy on real embeddings: monotone selection, partitioning-invariant") {
     val sel = Similarity.kCenterGreedy(embs, "vec_id", "embedding", k = 6)
       .orderBy("rank").collect()
