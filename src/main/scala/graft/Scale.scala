@@ -389,6 +389,30 @@ stays distributed.
         (graft.ops.Sampling.packSequences(s, "doc_id", "text",
           budgetTokens = 512, shards = 1024).fullCount, 0L)
       }
+      // stored-table ANN scan pair: both sides written once per mult (the
+      // encode is a write-time cost), the bench measures the probe scan —
+      // the int8 table is ~4x fewer bytes for the same top-k
+      locally {
+        val sc = 0.015625
+        val e = replicate(spark.read.parquet(s"$sf/embeddings.parquet"), mult, Seq("vec_id"))
+        val fPath = s"/tmp/graft_scale_femb_$mult"
+        val qPath = s"/tmp/graft_scale_qemb_$mult"
+        e.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(fPath)
+        e.select(col("vec_id"),
+            graft.ops.Similarity.quantizeI8(col("embedding"), sc).as("qe"))
+          .write.mode("overwrite").parquet(qPath)
+        val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+        bench("brute topk float32 stored", mult) {
+          (graft.ops.Similarity.bruteForceTopK(
+            spark.read.parquet(fPath), "embedding", qv, 10).fullCount, 0L)
+        }
+        bench("brute topk int8 stored", mult) {
+          (graft.ops.Similarity.quantizedTopK(
+            spark.read.parquet(qPath), "qe", qv, 10, sc).fullCount, 0L)
+        }
+      }
       bench("kcenter coreset k=6", mult) {
         // k-1 corpus scans with literal center vectors fused in — time must
         // track rows (each pick is one TakeOrderedAndProject pass), never
