@@ -290,6 +290,97 @@ object CrsTransform {
     }
   }
 
+  /** Polar Stereographic, EPSG method 9829 (variant B — standard parallel
+    * `latTs`, scale 1 on that ring): EPSG:3413 (NSIDC Sea Ice Polar
+    * Stereographic North, the Arctic data CRS) and EPSG:3031/3976 (Antarctic
+    * Polar Stereographic — the Antarctic data CRS). Snyder eq. 21-33..21-41
+    * ellipsoidal form; the south aspect is the north core under the
+    * (φ, λ, E, N) → (−φ, −λ, −E, −N) mirror, which is exactly the EPSG
+    * south-pole variant. Inverse iterates φ from the isometric t (same
+    * fixed-point as [[Lcc2Sp]], sub-mm in ≤15 rounds). */
+  final case class PolarStereoB(latTs: Double, lon0: Double,
+                                fe: Double, fn: Double, unit: Double = 1.0,
+                                a: Double = WGS84_A, flattening: Double = WGS84_F)
+      extends CrsTransform {
+    private val south = latTs < 0
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private def tN(phi: Double) = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) * math.pow((1 + esin) / (1 - esin), e / 2)
+    }
+    private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val pts = math.toRadians(math.abs(latTs))
+    private val l0 = math.toRadians(if (south) -lon0 else lon0)
+    private val rhoF = a * m(pts) / tN(pts) // rho = rhoF * t(phi)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val s = if (south) -1.0 else 1.0
+      val phi = math.toRadians(lat * s)
+      val lam = math.toRadians(lon * s)
+      val rho = rhoF * tN(phi)
+      val xm = s * rho * math.sin(lam - l0)
+      val ym = s * -rho * math.cos(lam - l0)
+      (xm / unit + fe, ym / unit + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val s = if (south) -1.0 else 1.0
+      val xm = (x - fe) * unit * s
+      val ym = (y - fn) * unit * s
+      val rho = math.hypot(xm, ym)
+      val tp = rho / rhoF
+      var phi = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(tp * math.pow((1 - esin) / (1 + esin), e / 2))
+        i += 1
+      }
+      val lam = if (rho == 0) l0 else l0 + math.atan2(xm, -ym)
+      (math.toDegrees(lam) * s, math.toDegrees(phi) * s)
+    }
+  }
+
+  /** Lambert Cylindrical Equal Area, ellipsoidal (EPSG method 9835) —
+    * EPSG:6933 is EASE-Grid 2.0 Global (latTs 30, the earth-science
+    * swath-data grid). Snyder eq. 10-1/10-2 with the authalic q of
+    * [[Albers2Sp]]; inverse refines φ from q with the same correction
+    * iteration Albers uses. */
+  final case class CylEqualArea(latTs: Double, lon0: Double,
+                                fe: Double, fn: Double, unit: Double = 1.0,
+                                a: Double = WGS84_A, flattening: Double = WGS84_F)
+      extends CrsTransform {
+    private val e2 = math.max(flattening * (2 - flattening), 1e-20)
+    private val e = math.sqrt(e2)
+    private def q(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val pts = math.toRadians(latTs)
+    private val l0 = math.toRadians(lon0)
+    private val k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) * math.sin(pts))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val xm = a * k0 * (math.toRadians(lon) - l0)
+      val ym = a * q(phi) / (2 * k0)
+      (xm / unit + fe, ym / unit + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val qq = 2 * k0 * (y - fn) * unit / a
+      var phi = math.asin(math.min(1, math.max(-1, qq / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += corr
+        i += 1
+      }
+      (math.toDegrees((x - fe) * unit / (a * k0) + l0), math.toDegrees(phi))
+    }
+  }
+
   /** Ellipsoidal Mercator, 1SP / variant A (EPSG 9804): [[WorldMercator]]
     * generalized to any central meridian, scale, ellipsoid and unit. The
     * 2SP / variant B method derives k0 = m(sp1) before constructing. */
@@ -521,6 +612,14 @@ object CrsTransform {
         fe = 984250.0, fn = 0.0, unit = FtUs))
     case 5070 => // NAD83 / Conus Albers
       Some(Albers2Sp(lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5, fe = 0.0, fn = 0.0))
+    case 3413 => // WGS84 / NSIDC Sea Ice Polar Stereographic North
+      Some(PolarStereoB(latTs = 70.0, lon0 = -45.0, fe = 0.0, fn = 0.0))
+    case 3031 => // WGS84 / Antarctic Polar Stereographic
+      Some(PolarStereoB(latTs = -71.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
+    case 3976 => // WGS84 / NSIDC Sea Ice Polar Stereographic South
+      Some(PolarStereoB(latTs = -70.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
+    case 6933 => // WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area)
+      Some(CylEqualArea(latTs = 30.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
     case 26985 => // NAD83 / Maryland (m) — LCC 2SP
       Some(Lcc2Sp(lat0 = 37.0 + 40.0 / 60, lon0 = -77.0, sp1 = 39.0 + 27.0 / 60, sp2 = 38.0 + 18.0 / 60,
         fe = 400000.0, fn = 0.0))
@@ -552,8 +651,9 @@ object CrsTransform {
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
           "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
-          "2248, 3435, 5070, 26985, or any LCC/TM/Albers/Mercator CRS given as " +
-          "WKT/PROJJSON with its projection parameters"))
+          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, or any " +
+          "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection " +
+          "parameters"))
     compose(to4326(from), to4326(to))
   }
 

@@ -150,6 +150,72 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(lon - -73.9857) < 1e-9 && math.abs(lat - 40.7484) < 1e-9)
   }
 
+  test("3413/3031/3976 polar stereographic: pole exact, unit scale on the standard parallel") {
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    def nu(lat: Double) = a / math.sqrt(1 - e2 * math.pow(math.sin(math.toRadians(lat)), 2))
+    for ((code, pole, latTs, lon0) <- Seq((3413, 90.0, 70.0, -45.0),
+        (3031, -90.0, -71.0, 0.0), (3976, -90.0, -70.0, 0.0))) {
+      val t = CrsTransform.chain(4326, code)
+      val (px, py) = t.forward(123.0, pole) // any longitude at the pole
+      assert(math.hypot(px, py) < 1e-6, s"EPSG:$code pole must map to the origin: ($px, $py)")
+      // scale factor 1 along the standard parallel: projected chord over a
+      // tiny lon step equals the ellipsoidal parallel arc nu*cos(lat)*dLam
+      val dLon = 1e-4
+      val (x1, y1) = t.forward(lon0, latTs)
+      val (x2, y2) = t.forward(lon0 + dLon, latTs)
+      val chord = math.hypot(x2 - x1, y2 - y1)
+      val arc = nu(latTs) * math.cos(math.toRadians(latTs)) * math.toRadians(dLon)
+      assert(math.abs(chord / arc - 1.0) < 1e-6, s"EPSG:$code k(latTs)=${chord / arc}")
+      // the central meridian lies on the y axis; roundtrip across the domain
+      assert(math.abs(t.forward(lon0, latTs)._1) < 1e-6)
+      val lats = if (pole > 0) Seq(60.0, 70.0, 82.5, 89.9) else Seq(-60.0, -71.0, -82.5, -89.9)
+      for (lat <- lats; lon <- Seq(-179.9, -45.0, 0.0, 63.7, 179.9)) {
+        val (x, y) = t.forward(lon, lat)
+        val (lo, la) = t.inverse(x, y)
+        assert(math.abs(la - lat) < 1e-9 && (math.abs(lo - lon) < 1e-9 || math.abs(math.abs(lo - lon) - 360) < 1e-9),
+          s"EPSG:$code roundtrip ($lon,$lat) -> ($lo,$la)")
+      }
+    }
+  }
+
+  test("6933 EASE-Grid 2.0: equal-area cylindrical, published x extent, roundtrip") {
+    val t = CrsTransform.chain(4326, 6933)
+    assert(t.forward(0.0, 0.0) == ((0.0, 0.0)))
+    // the published EASE-Grid 2.0 global map half-width is 17,367,530.45 m
+    val (xMax, _) = t.forward(180.0, 0.0)
+    assert(math.abs(xMax - 17367530.45) < 1.0, s"x(180) = $xMax")
+    // x depends only on lon (cylindrical), y odd in lat (equal-area about equator)
+    assert(t.forward(77.0, -60.0)._1 == t.forward(77.0, 60.0)._1)
+    val yN = t.forward(0.0, 48.0)._2
+    val yS = t.forward(0.0, -48.0)._2
+    assert(math.abs(yN + yS) < 1e-6)
+    // equal-area: projected cell area == a^2 * dLam * (q2-q1)/2 is the
+    // construction; verify the measurable consequence instead — two
+    // latitude bands covering equal authalic area project to equal heights
+    // after q-weighting is NOT assumed: band [0,30] vs [30,90] heights
+    // must ratio like their true ellipsoidal areas (computed numerically)
+    def trueBandArea(l1: Double, l2: Double): Double = {
+      val n = 20000
+      (0 until n).map { i =>
+        val lat = l1 + (l2 - l1) * (i + 0.5) / n
+        val phi = math.toRadians(lat)
+        val e2 = 0.00669437999014
+        math.cos(phi) / math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 2) *
+          math.toRadians((l2 - l1) / n)
+      }.sum
+    }
+    val h1 = t.forward(0.0, 30.0)._2 - t.forward(0.0, 0.0)._2
+    val h2 = t.forward(0.0, 90.0)._2 - t.forward(0.0, 30.0)._2
+    assert(math.abs(h1 / h2 - trueBandArea(0, 30) / trueBandArea(30, 90)) < 1e-6,
+      "band heights must ratio like true ellipsoidal band areas")
+    for (lat <- Seq(-85.0, -30.0, 0.0, 30.0, 66.5); lon <- Seq(-180.0, -77.0, 0.1, 179.9)) {
+      val (x, y) = t.forward(lon, lat)
+      val (lo, la) = t.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)->($lo,$la)")
+    }
+  }
+
   test("4326 -> 5070 (CONUS Albers) roundtrip and equal-area sanity") {
     val t = CrsTransform.chain(4326, 5070)
     val (x0, y0) = t.forward(-96.0, 23.0)
