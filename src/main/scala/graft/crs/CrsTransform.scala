@@ -381,6 +381,64 @@ object CrsTransform {
     }
   }
 
+  /** Lambert Azimuthal Equal Area, oblique ellipsoidal (EPSG method 9820,
+    * Snyder eq. 24-2..24-21) — EPSG:3035 is ETRS89-extended / LAEA Europe,
+    * the EU statistical-grid CRS. Degenerate at a polar center (cos β1 =
+    * 0); the polar EASE grids stay out of the registry for that reason.
+    * φ recovered from the authalic q with the same correction iteration
+    * as [[Albers2Sp]]. */
+  final case class Laea(lat0: Double, lon0: Double, fe: Double, fn: Double,
+                        unit: Double = 1.0, a: Double = WGS84_A,
+                        flattening: Double = GRS80_F) extends CrsTransform {
+    private val e2 = math.max(flattening * (2 - flattening), 1e-20)
+    private val e = math.sqrt(e2)
+    private def q(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    private val p0 = math.toRadians(lat0)
+    private val l0 = math.toRadians(lon0)
+    private val qp = q(math.Pi / 2)
+    private val beta1 = math.asin(q(p0) / qp)
+    private val rq = a * math.sqrt(qp / 2)
+    private val d = a * m(p0) / (rq * math.cos(beta1))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val beta = math.asin(math.min(1, math.max(-1, q(phi) / qp)))
+      val dl = lam - l0
+      val b = rq * math.sqrt(2 / (1 + math.sin(beta1) * math.sin(beta) +
+        math.cos(beta1) * math.cos(beta) * math.cos(dl)))
+      val xm = b * d * math.cos(beta) * math.sin(dl)
+      val ym = (b / d) * (math.cos(beta1) * math.sin(beta) -
+        math.sin(beta1) * math.cos(beta) * math.cos(dl))
+      (xm / unit + fe, ym / unit + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xm = (x - fe) * unit
+      val ym = (y - fn) * unit
+      val rho = math.hypot(xm / d, d * ym)
+      if (rho < 1e-12) return (lon0, lat0)
+      val ce = 2 * math.asin(math.min(1, rho / (2 * rq)))
+      val qq = qp * (math.cos(ce) * math.sin(beta1) +
+        d * ym * math.sin(ce) * math.cos(beta1) / rho)
+      val lam = l0 + math.atan2(xm * math.sin(ce),
+        d * rho * math.cos(beta1) * math.cos(ce) - d * d * ym * math.sin(beta1) * math.sin(ce))
+      var phi = math.asin(math.min(1, math.max(-1, qq / 2)))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
+          (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += corr
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Ellipsoidal Mercator, 1SP / variant A (EPSG 9804): [[WorldMercator]]
     * generalized to any central meridian, scale, ellipsoid and unit. The
     * 2SP / variant B method derives k0 = m(sp1) before constructing. */
@@ -620,6 +678,8 @@ object CrsTransform {
       Some(PolarStereoB(latTs = -70.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
     case 6933 => // WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area)
       Some(CylEqualArea(latTs = 30.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
+    case 3035 => // ETRS89-extended / LAEA Europe (the EU statistical grid)
+      Some(Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0))
     case 26985 => // NAD83 / Maryland (m) — LCC 2SP
       Some(Lcc2Sp(lat0 = 37.0 + 40.0 / 60, lon0 = -77.0, sp1 = 39.0 + 27.0 / 60, sp2 = 38.0 + 18.0 / 60,
         fe = 400000.0, fn = 0.0))
@@ -651,7 +711,7 @@ object CrsTransform {
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
           "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
-          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, or any " +
+          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, or any " +
           "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection " +
           "parameters"))
     compose(to4326(from), to4326(to))

@@ -216,6 +216,32 @@ class CrsSpec extends AnyFunSuite {
     }
   }
 
+  test("3035 LAEA Europe: false origin exact, equal-area Jacobian, roundtrip") {
+    val t = CrsTransform.chain(4326, 3035)
+    val (x0, y0) = t.forward(10.0, 52.0)
+    assert(math.abs(x0 - 4321000.0) < 1e-6 && math.abs(y0 - 3210000.0) < 1e-6)
+    // equal-area: |det J| of the forward equals the ellipsoidal area
+    // element a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2(phi))^2 everywhere
+    val aa = 6378137.0; val e2 = 0.00669438002290 // GRS80
+    for ((lon, lat) <- Seq((10.0, 52.0), (-8.0, 38.0), (25.0, 60.0), (31.0, 45.0))) {
+      val h = 1e-6
+      val (x1, y1) = t.forward(lon - h, lat); val (x2, y2) = t.forward(lon + h, lat)
+      val (x3, y3) = t.forward(lon, lat - h); val (x4, y4) = t.forward(lon, lat + h)
+      val dxl = (x2 - x1) / (2 * h); val dyl = (y2 - y1) / (2 * h)
+      val dxp = (x4 - x3) / (2 * h); val dyp = (y4 - y3) / (2 * h)
+      val det = math.abs(dxl * dyp - dyl * dxp) * math.pow(180 / math.Pi, 2)
+      val phi = math.toRadians(lat)
+      val truth = aa * aa * (1 - e2) * math.cos(phi) /
+        math.pow(1 - e2 * math.sin(phi) * math.sin(phi), 2)
+      assert(math.abs(det / truth - 1) < 1e-4, s"($lon,$lat): det=$det truth=$truth")
+    }
+    for (lat <- Seq(35.0, 52.0, 67.5); lon <- Seq(-10.0, 10.0, 30.9)) {
+      val (x, y) = t.forward(lon, lat)
+      val (lo, la) = t.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)->($lo,$la)")
+    }
+  }
+
   test("4326 -> 5070 (CONUS Albers) roundtrip and equal-area sanity") {
     val t = CrsTransform.chain(4326, 5070)
     val (x0, y0) = t.forward(-96.0, 23.0)
