@@ -21,6 +21,49 @@ object CrsTransform {
   val WGS84_E2 = WGS84_F * (2 - WGS84_F)
   val WGS84_E = math.sqrt(WGS84_E2)
 
+  /** Authalic q of Snyder eq. 3-12, shared by the equal-area projections
+    * (Albers 14-x, cylindrical equal-area 10-x, LAEA 24-x). */
+  private[crs] def authalicQ(phi: Double, e: Double, e2: Double): Double = {
+    val s = math.sin(phi)
+    (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+  }
+
+  /** Recover φ from the authalic q (Snyder eq. 3-16/3-18). The Newton
+    * correction is ∝ (1−e²sin²φ)²/(2cosφ) · Δq, which degenerates at the
+    * pole (cos φ → 0 on the double root — a fixed iteration from the
+    * spherical seed stalls ~13 m short of ±90°, round-16 advice), so:
+    *
+    *  - |q| within one q-resolution step of q(π/2) maps straight to ±π/2
+    *    (Snyder's convention; near the pole q ≈ q(π/2) − k·cos²φ, so
+    *    double precision cannot resolve φ closer than ~0.5 m anyway);
+    *  - the seed is the authalic-latitude SERIES (Snyder eq. 3-18), exact
+    *    at the pole and ~1e-10 rad everywhere, so Newton starts inside its
+    *    convergence basin;
+    *  - Newton then polishes to 1e-13 rad (≤3 rounds in practice, 15-round
+    *    safety cap), skipped in the last ~1e-8 rad where the series value
+    *    is already past double-precision q-resolution. */
+  private[crs] def phiFromQ(qq: Double, e: Double, e2: Double): Double = {
+    val qp = authalicQ(math.Pi / 2, e, e2)
+    if (qp - math.abs(qq) < 1e-14) return if (qq < 0) -math.Pi / 2 else math.Pi / 2
+    val beta = math.asin(math.min(1, math.max(-1, qq / qp)))
+    val e4 = e2 * e2
+    val e6 = e4 * e2
+    var phi = beta +
+      (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * math.sin(2 * beta) +
+      (23 * e4 / 360 + 251 * e6 / 3780) * math.sin(4 * beta) +
+      (761 * e6 / 45360) * math.sin(6 * beta)
+    var corr = 1.0
+    var i = 0
+    while (i < 15 && math.abs(corr) > 1e-13 && math.cos(phi) > 1e-8) {
+      val s = math.sin(phi)
+      corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
+        (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      phi += corr
+      i += 1
+    }
+    phi
+  }
+
   /** Normalize a CRS name: accepts "EPSG:4326", "epsg:4326", "4326", "OGC:CRS84". */
   def normalize(crs: String): Int = {
     val c = crs.trim.toUpperCase
@@ -251,10 +294,7 @@ object CrsTransform {
     private val e2 = math.max(flattening * (2 - flattening), 1e-20) // sphere-safe q()
     private val e = math.sqrt(e2)
     private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
-    private def q(phi: Double) = {
-      val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-    }
+    private def q(phi: Double) = authalicQ(phi, e, e2)
     private val p1 = math.toRadians(sp1)
     private val p2 = math.toRadians(sp2)
     private val p0 = math.toRadians(lat0)
@@ -277,15 +317,7 @@ object CrsTransform {
       val rho = math.hypot(xm, rho0 - ym)
       val theta = math.atan2(xm * math.signum(n), (rho0 - ym) * math.signum(n))
       val qq = (c - rho * rho * n * n / (a * a)) / n
-      var phi = math.asin(math.min(1, math.max(-1, qq / 2)))
-      var i = 0
-      while (i < 15) {
-        val s = math.sin(phi)
-        val corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
-          (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-        phi += corr
-        i += 1
-      }
+      val phi = phiFromQ(qq, e, e2)
       (math.toDegrees(theta / n + l0), math.toDegrees(phi))
     }
   }
@@ -352,10 +384,7 @@ object CrsTransform {
       extends CrsTransform {
     private val e2 = math.max(flattening * (2 - flattening), 1e-20)
     private val e = math.sqrt(e2)
-    private def q(phi: Double) = {
-      val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-    }
+    private def q(phi: Double) = authalicQ(phi, e, e2)
     private val pts = math.toRadians(latTs)
     private val l0 = math.toRadians(lon0)
     private val k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) * math.sin(pts))
@@ -368,15 +397,7 @@ object CrsTransform {
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
       val qq = 2 * k0 * (y - fn) * unit / a
-      var phi = math.asin(math.min(1, math.max(-1, qq / 2)))
-      var i = 0
-      while (i < 15) {
-        val s = math.sin(phi)
-        val corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
-          (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-        phi += corr
-        i += 1
-      }
+      val phi = phiFromQ(qq, e, e2)
       (math.toDegrees((x - fe) * unit / (a * k0) + l0), math.toDegrees(phi))
     }
   }
@@ -392,10 +413,7 @@ object CrsTransform {
                         flattening: Double = GRS80_F) extends CrsTransform {
     private val e2 = math.max(flattening * (2 - flattening), 1e-20)
     private val e = math.sqrt(e2)
-    private def q(phi: Double) = {
-      val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-    }
+    private def q(phi: Double) = authalicQ(phi, e, e2)
     private def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
     private val p0 = math.toRadians(lat0)
     private val l0 = math.toRadians(lon0)
@@ -426,15 +444,7 @@ object CrsTransform {
         d * ym * math.sin(ce) * math.cos(beta1) / rho)
       val lam = l0 + math.atan2(xm * math.sin(ce),
         d * rho * math.cos(beta1) * math.cos(ce) - d * d * ym * math.sin(beta1) * math.sin(ce))
-      var phi = math.asin(math.min(1, math.max(-1, qq / 2)))
-      var i = 0
-      while (i < 15) {
-        val s = math.sin(phi)
-        val corr = math.pow(1 - e2 * s * s, 2) / (2 * math.cos(phi)) *
-          (qq / (1 - e2) - s / (1 - e2 * s * s) + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
-        phi += corr
-        i += 1
-      }
+      val phi = phiFromQ(qq, e, e2)
       (math.toDegrees(lam), math.toDegrees(phi))
     }
   }

@@ -671,6 +671,12 @@ object Dedup {
                         aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     require(valFraction >= 0 && valFraction <= 1,
       s"valFraction must be in [0,1]; got $valFraction")
+    // 'component'/'split' are RESERVED output columns: a pre-existing
+    // 'component' would make the label join ambiguous and a pre-existing
+    // 'split' would be silently overwritten by withColumn
+    for (reserved <- Seq("component", "split"))
+      require(!df.columns.contains(reserved),
+        s"clusterAwareSplit writes a '$reserved' column; input already has one — rename it first")
     val labels = connectedComponents(pairs, aCol, bCol)
       .select(col("id").as(idCol), col("component").as("__cc"))
     df.join(labels, Seq(idCol), "left")

@@ -50,6 +50,14 @@ object StreamingDedup {
       if (!isReplay(epoch)) { val n = next; pre = cur; cur = n; last = epoch }
   }
 
+  /** `df.localCheckpoint()` on a FIRST run of the epoch; the df unchanged
+    * on a replay. On replays the checkpoint would be built and then
+    * orphaned — `EpochFold.commit` no-ops, so nothing retains it and its
+    * blocks linger until RDD GC (round-16 advice), while the replayed
+    * batch is small enough to recompute from lineage inside the probe. */
+  private def ckptUnlessReplay(df: DataFrame, replay: Boolean): DataFrame =
+    if (replay) df else df.localCheckpoint()
+
   /** Exact streaming dedup on content digest, state bounded by watermark. */
   def exactDedup(stream: DataFrame, textCol: String, tsCol: String,
                  watermark: String = "10 minutes"): DataFrame =
@@ -93,8 +101,8 @@ object StreamingDedup {
       : (DataFrame, Long) => Unit = {
     val fold = new EpochFold[Option[DataFrame]](None)
     (batch: DataFrame, epoch: Long) => {
-      val newSigs = graft.ops.Dedup.minhashSignatureTable(
-        batch, idCol, textCol, k, numHashes).localCheckpoint()
+      val newSigs = ckptUnlessReplay(graft.ops.Dedup.minhashSignatureTable(
+        batch, idCol, textCol, k, numHashes), fold.isReplay(epoch))
       val old = fold.probeState(epoch).getOrElse(newSigs.limit(0))
       val (pairs, banding) = graft.ops.Dedup.minhashPairsIncrementalTracked(
         newSigs, old, idCol, numHashes = numHashes, bands = bands, threshold = threshold)
@@ -143,10 +151,11 @@ object StreamingDedup {
       : (DataFrame, Long) => Unit = {
     val fold = new EpochFold[Option[(DataFrame, DataFrame)]](None)
     (batch: DataFrame, epoch: Long) => {
-      val newSigs = graft.ops.Dedup.minhashSignatureTable(
-        batch, idCol, textCol, k, numHashes).localCheckpoint()
-      val newBanded = graft.ops.Dedup.bandedSnapshotProjection(
-        newSigs, idCol, numHashes = numHashes, bands = bands).localCheckpoint()
+      val replay = fold.isReplay(epoch)
+      val newSigs = ckptUnlessReplay(graft.ops.Dedup.minhashSignatureTable(
+        batch, idCol, textCol, k, numHashes), replay)
+      val newBanded = ckptUnlessReplay(graft.ops.Dedup.bandedSnapshotProjection(
+        newSigs, idCol, numHashes = numHashes, bands = bands), replay)
       val (oldSigs, oldBanded) =
         fold.probeState(epoch).getOrElse((newSigs.limit(0), newBanded.limit(0)))
       val pairs = graft.ops.Dedup.minhashPairsIncrementalBanded(
@@ -195,8 +204,8 @@ object StreamingDedup {
       : (DataFrame, Long) => Unit = {
     val fold = new EpochFold[Option[DataFrame]](None)
     (batch: DataFrame, epoch: Long) => {
-      val newProf = graft.ops.Dedup.windowSnapshotProjection(
-        batch, idCol, textCol, minTokens).localCheckpoint()
+      val newProf = ckptUnlessReplay(graft.ops.Dedup.windowSnapshotProjection(
+        batch, idCol, textCol, minTokens), fold.isReplay(epoch))
       val old = fold.probeState(epoch).getOrElse(newProf.limit(0))
       val spans = graft.ops.Dedup.repeatedSpansIncrementalStored(
         batch, old, idCol, textCol, minTokens)
@@ -237,7 +246,7 @@ object StreamingDedup {
         case Some(old) =>
           graft.ops.Dedup.connectedComponentsIncremental(old, batch, aCol, bCol)
       }
-      val snap = labels.localCheckpoint()
+      val snap = ckptUnlessReplay(labels, fold.isReplay(epoch))
       onLabels(snap, epoch)
       fold.commit(epoch)(Some(snap))
       ()

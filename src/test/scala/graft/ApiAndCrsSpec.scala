@@ -251,6 +251,37 @@ class CrsSpec extends AnyFunSuite {
     val (lon, lat) = t.inverse(x, y)
     assert(math.abs(lon - -122.4194) < 1e-9 && math.abs(lat - 37.7749) < 1e-9)
   }
+
+  test("authalic-q inverses converge at the exact pole (6933 pole row, high lat)") {
+    // The q->phi Newton step degenerates on the pole's double root (corr
+    // proportional to cos phi): a fixed iteration stalls ~13 m short of
+    // +-90. EASE-Grid 2.0 legitimately spans to the pole row, so |q| >=
+    // q(pi/2) must map straight to the pole.
+    val t = CrsTransform.chain(4326, 6933)
+    for (lat <- Seq(90.0, -90.0)) {
+      val (x, y) = t.forward(12.3, lat)
+      val (lo, la) = t.inverse(x, y)
+      assert(la == lat, s"6933 pole inverse: lat $lat -> $la")
+      assert(math.abs(lo - 12.3) < 1e-9)
+    }
+    // just short of the pole the iteration must still converge tightly
+    // (89.999 is the practical resolution floor: q loses quadratically
+    // many bits approaching the pole, so sub-meter lats are unresolvable
+    // in double precision by ANY q-based inverse)
+    for (lat <- Seq(89.999, -89.999, 89.9, -89.9)) {
+      val (x, y) = t.forward(0.0, lat)
+      val la = t.inverse(x, y)._2
+      assert(math.abs(la - lat) < 1e-9, s"6933 near-pole: $lat -> $la")
+    }
+    // the shared iteration also serves LAEA (3035): its Europe domain has
+    // no pole, but high-lat roundtrips go through the same phiFromQ
+    val laea = CrsTransform.chain(4326, 3035)
+    for (lat <- Seq(70.9, 84.5)) {
+      val (x, y) = laea.forward(19.0, lat)
+      val (lo, la) = laea.inverse(x, y)
+      assert(math.abs(la - lat) < 1e-9 && math.abs(lo - 19.0) < 1e-9, s"3035 $lat -> ($lo,$la)")
+    }
+  }
 }
 
 class GeoJsonSpec extends AnyFunSuite {

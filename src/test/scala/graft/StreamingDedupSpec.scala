@@ -326,6 +326,62 @@ class StreamingDedupSpec extends AnyFunSuite {
       "incremental minhash probe must not leave CacheManager entries behind")
   }
 
+  test("epoch replays leave no orphan localCheckpoint blocks behind") {
+    // A replayed epoch's fold no-ops, so any checkpoint the batch body
+    // builds on the replay path is retained by nothing — it would linger
+    // in executor storage until RDD GC (round-16 advice). The batch
+    // bodies must skip re-checkpointing on a replay: the persistent-RDD
+    // map must not grow across the replay call. (First runs DO grow it —
+    // that checkpoint is the fold's retained state.)
+    // The probes' INTERNAL per-call checkpoints (the banded probe's new-side
+    // materialization, CC's per-round truncation) are batch-scoped on every
+    // call and reclaimed by the ContextCleaner — that documented posture is
+    // unchanged. The pin here is the fold level: a replay must register
+    // strictly fewer persistent RDDs than a first run (it skips the fold's
+    // retained checkpoints), and the plain minhash path — whose only
+    // internal materialization is the banding cache, unpersisted in the
+    // batch body — must register NONE at all.
+    // Count NEWLY REGISTERED persistent-RDD ids (set difference), not net
+    // map size: the ContextCleaner concurrently unpersists other tests'
+    // dropped checkpoints, so a size delta is GC-racy under suite load.
+    // The fold-RETAINED checkpoints of a first run are strongly referenced
+    // and always counted; a replay must register strictly fewer.
+    val sc = spark.sparkContext
+    def growth(run: () => Unit): Int = {
+      val before = sc.getPersistentRDDs.keySet
+      run()
+      (sc.getPersistentRDDs.keySet -- before).size
+    }
+    val b = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val mh = StreamingDedup.minhashBatchFn("doc_id", "text", 2, 16, 4, 0.9) {
+      (p, _) => p.count(); () }
+    val mhFirst = growth(() => mh(b, 0L))
+    val mhReplay = growth(() => mh(b, 0L))
+    assert(mhReplay == 0,
+      s"plain minhash replay must checkpoint nothing (first run: $mhFirst): $mhReplay")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    for ((name, run) <- Seq[(String, Long => Unit)](
+      "banded" -> {
+        val fn = StreamingDedup.minhashBandedBatchFn("doc_id", "text", 2, 16, 4, 0.9) {
+          (p, _) => p.count(); () }
+        e => fn(b, e)
+      },
+      "spans" -> {
+        val fn = StreamingDedup.repeatedSpansBatchFn("doc_id", "text", minTokens = 3) {
+          (s, _) => s.count(); () }
+        e => fn(b, e)
+      },
+      "cc" -> {
+        val fn = StreamingDedup.ccBatchFn("id_a", "id_b") { (l, _) => l.count(); () }
+        e => fn(edges, e)
+      })) {
+      val first = growth(() => run(0L))
+      val replay = growth(() => run(0L))
+      assert(replay < first,
+        s"$name replay must skip the fold-level checkpoints: first=$first replay=$replay")
+    }
+  }
+
   test("stateless pipeline ops (sample, redact, quality) run under Structured Streaming") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.TextFunctions

@@ -957,6 +957,15 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got.forall(t => (t._3 == "val") == sampled.contains(t._2)))
     assertThrows[IllegalArgumentException](
       Dedup.clusterAwareSplit(ids, pairs, "id", valFraction = 1.5))
+    // 'component'/'split' are reserved output columns: a pre-existing one
+    // would be silently overwritten (split) or make the label join
+    // ambiguous (component) — reject loudly instead (round-16 advice)
+    for (reserved <- Seq("component", "split")) {
+      val clash = ids.withColumn(reserved, lit("x"))
+      val e = intercept[IllegalArgumentException](
+        Dedup.clusterAwareSplit(clash, pairs, "id", valFraction = 0.5))
+      assert(e.getMessage.contains(reserved))
+    }
   }
 
   test("kCenterGreedy matches a local greedy brute force; seed and tie rules pinned") {
