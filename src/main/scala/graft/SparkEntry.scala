@@ -1463,6 +1463,30 @@ object SparkEntry {
         .join(lab.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     }),
+    "q157_edit_distance_pairs" -> ((s, d) =>
+      // fuzzy-key near-dup: every doc pair whose 16-char text prefixes are
+      // within Levenshtein distance 3, via the exact PassJoin chunk
+      // blocking + thresholded native refine (never an all-pairs join);
+      // the oracle IS the all-pairs brute force
+      Dedup.editDistancePairs(
+        docs(s, d).select(col("doc_id"), substring(col("text"), 1, 16).as("p")),
+        "doc_id", "p", maxEdits = 3)
+        .withColumn("edit_distance", col("edit_distance").cast("long"))),
+    "q158_chunk_documents" -> ((s, d) =>
+      // RAG/long-context chunking: 40-token windows, 8 tokens of overlap
+      // (stride 32), trailing short chunk kept, empty docs emit nothing
+      Sampling.chunkDocuments(docs(s, d), "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 8)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))),
+    "q159_normalize_text" -> ((s, d) =>
+      // dedup-key canonicalization: accents PLANTED via translate (the
+      // corpus is ASCII), then fold + lowercase + whitespace-collapse +
+      // trim; DuckDB replays the fold with strip_accents
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.canonicalizeText(concat(
+          lit("  Ünïted  "),
+          translate(col("text"), "aeio", "áéîö"),
+          lit("  CAFÉ\t"))).as("norm"))),
     "q113_unigram_lm" -> ((s, d) =>
       // CCNet-style LM quality proxy: unigram LM trained on the corpus
       // itself, documents scored by mean token negative-log-likelihood
@@ -2786,6 +2810,32 @@ object SparkEntry {
            | comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
            | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
            | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin.replace("\n", " "),
+      "q157_edit_distance_pairs" ->
+        // the brute force the blocking must equal: all pairs, thresholded
+        // levenshtein on the same 16-char prefixes
+        s"""WITH s AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents)
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |   CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_distance
+           | FROM s a JOIN s b ON a.doc_id < b.doc_id
+           | WHERE levenshtein(a.p, b.p) <= 3""".stripMargin.replace("\n", " "),
+      "q158_chunk_documents" ->
+        // same token model, starts = generate_series(0, n-1, 32), 1-based
+        // inclusive list slice, short tail kept
+        s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+           | st AS (SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 32)) AS s0 FROM n)
+           | SELECT doc_id, CAST(s0 / 32 AS BIGINT) AS chunk_idx,
+           |   array_to_string(toks[s0 + 1 : s0 + 40], ' ') AS chunk_text,
+           |   CAST(least(40, n - s0) AS BIGINT) AS n_tokens
+           | FROM st""".stripMargin.replace("\n", " "),
+      "q159_normalize_text" ->
+        // strip_accents ≡ the NFD/drop-marks/NFC fold on Latin input;
+        // regexp_replace needs the 'g' flag (Spark's is global by default)
+        s"""SELECT doc_id,
+           | trim(regexp_replace(lower(strip_accents(
+           |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
+           |   '\\s+', ' ', 'g')) AS norm
+           | FROM documents""".stripMargin.replace("\n", " "),
       "q113_unigram_lm" ->
         // unigram-LM mean NLL mirrored exactly: p(tok) = corpus_count/total
         // (no smoothing — every scored token is in the vocabulary), score =

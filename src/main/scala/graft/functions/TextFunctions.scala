@@ -24,6 +24,32 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Accent folding (NFD → drop combining marks → NFC): "café" → "cafe".
+    * Native codegen expression ([[graft.functions.expr.FoldAccents]]);
+    * matches DuckDB/PostgreSQL `strip_accents` on Latin input, so the
+    * oracle replays it exactly. ASCII rows return the input with zero
+    * allocation. */
+  def foldAccents(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression => colExpr}
+    exprCol(graft.functions.expr.FoldAccents(colExpr(c)))
+  }
+
+  /** NFKC compatibility normalization (ﬁ → fi, ² → 2, full-width → ASCII)
+    * — the standard BPE pre-tokenization canonicalization. Native codegen
+    * expression; already-normalized strings pass through untouched. */
+  def nfkc(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression => colExpr}
+    exprCol(graft.functions.expr.Nfkc(colExpr(c)))
+  }
+
+  /** The full dedup-key / pre-tokenization canonicalization: accent-fold,
+    * then [[normalizeText]] (lowercase, collapse whitespace, trim).
+    * Deterministic, codegen end-to-end, and exactly replayable as
+    * `trim(regexp_replace(lower(strip_accents(x)), '\s+', ' '))` by the
+    * DuckDB oracle. Canonicalize BEFORE hashing/shingling so byte-distinct
+    * spellings of the same content collapse to one dedup key. */
+  def canonicalizeText(c: Column): Column = normalizeText(foldAccents(c))
+
   /** BPE-ish subword count approximation: words + punctuation runs counted
     * separately (regex-based; a real tokenizer slots in here). */
   def approxBpeTokenCount(c: Column): Column =

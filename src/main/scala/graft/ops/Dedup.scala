@@ -801,6 +801,117 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame =
     minhashPairs(df, idCol, textCol, k = n, threshold = threshold)
 
+  /** EXACT edit-distance near-dup pairs: every unordered pair within
+    * Levenshtein distance `maxEdits`, found WITHOUT an all-pairs join via
+    * the partition-based blocking of PassJoin (Li, Deng, Feng, "PASS-JOIN:
+    * a partition-based method for similarity joins", VLDB 2012):
+    *
+    *  - the SHORTER string of a qualifying pair splits into `maxEdits + 1`
+    *    contiguous chunks; ≤ maxEdits edits total means (pigeonhole) at
+    *    least one chunk is edit-free, i.e. appears VERBATIM in the longer
+    *    string, displaced by at most maxEdits positions (each indel before
+    *    the chunk shifts it by one);
+    *  - so the index side emits its maxEdits+1 chunks keyed by
+    *    (own length, band, chunk string), and the probe side emits every
+    *    substring that could BE such a chunk: for each candidate shorter
+    *    length `la` in [len−maxEdits, len] and band, the substrings of the
+    *    band's chunk length starting within ±maxEdits of the band's chunk
+    *    start. Candidates meet on an EQUI key — a hash join Catalyst can
+    *    shuffle or broadcast, never a nested loop;
+    *  - candidates dedupe on the id pair BEFORE the refine, which is the
+    *    thresholded native `levenshtein(a, b, maxEdits)` (early-exits past
+    *    the threshold, codegen). Precision 1, recall 1.
+    *
+    * Strings shorter than maxEdits+1 characters can't donate a non-empty
+    * chunk per band; any pair involving one has BOTH sides ≤ 2·maxEdits
+    * chars, so that residual bucket self-joins on a banded-length equi key
+    * (bounded: strings of a text corpus almost never fit 2·maxEdits chars;
+    * each compare is O(maxEdits²)). NULL texts drop.
+    *
+    * Scale posture: blocking and probe expansion are map-side (≤
+    * (maxEdits+1)²·(2·maxEdits+1) probe keys per row — `maxEdits` ≤ 8 by
+    * contract, this is a SHORT-key op: dedupe titles, URLs, names, or
+    * text prefixes, not whole documents); the only shuffles are the
+    * hash join on the chunk key and the candidate-pair dedup. A pathological
+    * hot chunk (all rows sharing one substring) degrades to that bucket's
+    * candidates only — AQE skew-split applies; the refine never sees a pair
+    * the blocking didn't certify. Output: (id_a < id_b, edit_distance).
+    *
+    * Reference scope note: GeoPandas has no string-similarity surface; this
+    * is a beyond-reference pipeline operator (record linkage / fuzzy key
+    * dedup) built on the published PassJoin blocking. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxEdits: Int): DataFrame = {
+    require(maxEdits >= 0 && maxEdits <= 8,
+      s"maxEdits must be in [0, 8] (probe expansion is O(maxEdits^3) keys/row); got $maxEdits")
+    val d = maxEdits
+    val bands = d + 1
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(textCol).cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__L", length(col("__t")))
+
+    // chunk boundary of an `la`-char string at band i: floor(la*i/(d+1))
+    def bnd(la: Column, i: Column): Column =
+      floor(la * i / lit(bands)).cast("int")
+
+    // ---- main path: pairs whose shorter side has > d chars ----
+    val long = base.filter(col("__L") > d)
+    // index side: the d+1 chunks of each string, keyed by own length
+    val idx = long
+      .select(col("__id"), col("__t"), col("__L"),
+        explode(sequence(lit(0), lit(d))).as("__band"))
+      .select(col("__id").as("__ida"), col("__t").as("__ta"),
+        col("__L").as("__la"), col("__band"),
+        col("__t").substr(bnd(col("__L"), col("__band")) + 1,
+          bnd(col("__L"), col("__band") + 1) - bnd(col("__L"), col("__band"))).as("__chunk"))
+    // probe side: every substring that could be a chunk of a shorter-or-
+    // equal partner: la in [L-d, L] (≥ d+1), band 0..d, start within ±d
+    // of that band's chunk start in the la-split
+    val probe = long
+      .select(col("__id"), col("__t"), col("__L"),
+        explode(sequence(greatest(col("__L") - d, lit(d + 1)), col("__L"))).as("__la"))
+      .select(col("__id"), col("__t"), col("__L"), col("__la"),
+        explode(sequence(lit(0), lit(d))).as("__band"))
+      .select(col("__id"), col("__t"), col("__L"), col("__la"), col("__band"),
+        explode(sequence(lit(-d), lit(d))).as("__shift"))
+      .select(col("__id").as("__idb"), col("__t").as("__tb"),
+        col("__la"), col("__band"),
+        (bnd(col("__la"), col("__band")) + col("__shift")).as("__start"),
+        (bnd(col("__la"), col("__band") + 1) - bnd(col("__la"), col("__band"))).as("__cl"),
+        col("__L"))
+      .filter(col("__start") >= 0 && col("__start") + col("__cl") <= col("__L"))
+      .select(col("__idb"), col("__tb"), col("__la"), col("__band"),
+        col("__tb").substr(col("__start") + 1, col("__cl")).as("__chunk"))
+      .dropDuplicates("__idb", "__la", "__band", "__chunk")
+    val mainCand = idx.join(probe, Seq("__la", "__band", "__chunk"))
+      .filter(col("__ida") =!= col("__idb"))
+
+    // ---- residual: pairs whose shorter side has ≤ d chars (both ≤ 2d) ----
+    val tiny = base.filter(col("__L") <= 2 * d)
+    val tinyCand =
+      if (d == 0) tiny.limit(0).select(col("__id").as("__ida"), col("__t").as("__ta"),
+        col("__id").as("__idb"), col("__t").as("__tb"))
+      else tiny
+        .select(col("__id").as("__ida"), col("__t").as("__ta"),
+          explode(sequence(col("__L"), col("__L") + d)).as("__lb"))
+        .join(tiny.select(col("__id").as("__idb"), col("__t").as("__tb"),
+          col("__L").as("__lb")), Seq("__lb"))
+        .filter(col("__ida") =!= col("__idb"))
+        .select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
+
+    mainCand.select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
+      .unionByName(tinyCand)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        when(col("__ida") < col("__idb"), col("__ta")).otherwise(col("__tb")).as("__pa"),
+        when(col("__ida") < col("__idb"), col("__tb")).otherwise(col("__ta")).as("__pb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("edit_distance", levenshtein(col("__pa"), col("__pb"), d))
+      .filter(col("edit_distance") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   /** Embedding near-dup pairs via MULTI-TABLE random-hyperplane LSH.
     *
     * `planes` total hyperplanes split into `bands` hash tables of

@@ -110,6 +110,38 @@ object Sampling {
       .drop("__pre")
   }
 
+  /** Sliding-window document chunking — the inverse of [[packSequences]]:
+    * split each document into token windows of `chunkTokens` with
+    * `overlapTokens` shared between consecutive windows (the RAG /
+    * long-context-training chunking step). Chunk starts walk the token
+    * array at stride `chunkTokens - overlapTokens` while they point at a
+    * real token, so the final chunk may be short (and, when the stride is
+    * small relative to the doc tail, entirely contained in its
+    * predecessor — filter `n_tokens <= overlapTokens` downstream if that
+    * matters). Token model = [[TextFunctions.tokens]]; empty docs emit no
+    * chunks; ids stay with every chunk as (`idCol`, chunk_idx).
+    *
+    * Scale posture: pure map-side — tokenize, `sequence` over starts,
+    * one `posexplode`, native `slice`/`array_join`. No shuffle, no UDF,
+    * streaming-safe; output size is input tokens × (1 + overlap/stride). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1; got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens); got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long").as("n_tokens"))
+  }
+
   /** Assemble each pack's training chunk: member documents concatenated in
     * id order with a separator token, plus doc/token counts. One groupBy on
     * (shard, pack) — rows are already hash-partitioned by shard from the

@@ -139,4 +139,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.select("doc_id", "cum_before", "keep").exceptAll(again).isEmpty)
     out.unpersist()
   }
+
+  test("chunkDocuments: coverage, overlap, tails, empties; map-side plan") {
+    import graft.ops.Sampling
+    val rows = Seq(
+      1L -> "a b c d e f g h i j",  // 10 tokens
+      2L -> "x y z",                // shorter than one chunk
+      3L -> "",                     // empty -> no chunks
+      4L -> "   ",                  // whitespace-only -> no chunks
+      5L -> (1 to 7).map(i => s"t$i").mkString(" "))
+    val df = rows.toDF("doc_id", "text")
+    val got = Sampling.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .as[(Long, Int, String, Long)].collect().toSet
+    // stride 3: doc 1 starts 0,3,6,9; doc 5 (7 toks) starts 0,3,6
+    assert(got == Set(
+      (1L, 0, "a b c d", 4L), (1L, 1, "d e f g", 4L),
+      (1L, 2, "g h i j", 4L), (1L, 3, "j", 1L),
+      (2L, 0, "x y z", 3L),
+      (5L, 0, "t1 t2 t3 t4", 4L), (5L, 1, "t4 t5 t6 t7", 4L), (5L, 2, "t7", 1L)),
+      got.toSeq.sortBy(t => (t._1, t._2)).toString)
+    // zero overlap partitions tokens exactly
+    val noOv = Sampling.chunkDocuments(df.filter(col("doc_id") === 1L), "doc_id", "text", 3)
+      .as[(Long, Int, String, Long)].collect().sortBy(_._2)
+    assert(noOv.map(_._3).mkString(" ") == "a b c d e f g h i j")
+    assert(noOv.map(_._4).sum == 10L)
+    // reconstruction law: every token position is covered by some chunk
+    val chunks = Sampling.chunkDocuments(df, "doc_id", "text", 4, 2)
+      .groupBy("doc_id").agg(sum("n_tokens").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2 (3 toks, stride 2) emits "x y z" then the contained tail "z"
+    assert(chunks(1L) >= 10L && chunks(2L) == 4L && !chunks.contains(3L) && !chunks.contains(4L))
+    // pure map-side: no Exchange in the plan
+    val plan = Sampling.chunkDocuments(df, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkDocuments must not shuffle:\n$plan")
+    assertThrows[IllegalArgumentException](Sampling.chunkDocuments(df, "doc_id", "text", 4, 4))
+    assertThrows[IllegalArgumentException](Sampling.chunkDocuments(df, "doc_id", "text", 0))
+  }
 }

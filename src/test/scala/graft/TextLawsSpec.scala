@@ -52,4 +52,47 @@ class TextLawsSpec extends AnyFunSuite {
       assert(fp >= 0L && fp < 2147483647L, s"fingerprint out of range: $fp")
     }
   }
+
+  test("foldAccents / nfkc / canonicalizeText: known folds, idempotence, ASCII identity") {
+    val cases = Seq(
+      // (input, foldAccents expected, nfkc expected)
+      ("café", "cafe", "café"),
+      ("Ünïted Nätions", "United Nations", "Ünïted Nätions"),
+      ("ñoño ÀÉÎÕÜ", "nono AEIOU", "ñoño ÀÉÎÕÜ"),
+      ("plain ascii 123", "plain ascii 123", "plain ascii 123"),
+      ("ﬁle ²³ ／slash", "ﬁle ²³ ／slash", "file 23 /slash"), // NFKC compat folds; marks-only fold keeps them
+      ("", "", ""),
+      ("é́", "e", "é́")) // precomposed é + stray combining acute
+    val df = cases.toDF("t", "fa", "nk")
+      .select(col("t"), col("fa"), col("nk"),
+        TextFunctions.foldAccents(col("t")).as("gfa"),
+        TextFunctions.nfkc(col("t")).as("gnk"),
+        TextFunctions.foldAccents(TextFunctions.foldAccents(col("t"))).as("gfa2"),
+        TextFunctions.nfkc(TextFunctions.nfkc(col("t"))).as("gnk2"))
+    df.collect().foreach { r =>
+      val t = r.getString(0)
+      assert(r.getString(3) == r.getString(1), s"foldAccents('$t') = '${r.getString(3)}'")
+      // NFKC comparison after NFC-normalizing the expectation literal (the
+      // scala source itself may store either composition form)
+      assert(java.text.Normalizer.normalize(r.getString(4), java.text.Normalizer.Form.NFKC)
+        == java.text.Normalizer.normalize(r.getString(2), java.text.Normalizer.Form.NFKC),
+        s"nfkc('$t')")
+      assert(r.getString(5) == r.getString(3), s"foldAccents not idempotent on '$t'")
+      assert(r.getString(6) == r.getString(4), s"nfkc not idempotent on '$t'")
+    }
+    // canonicalizeText = foldAccents then the existing normalizeText chain
+    val canon = Seq("  CaFÉ   du\t MONDE  ").toDF("t")
+      .select(TextFunctions.canonicalizeText(col("t"))).head().getString(0)
+    assert(canon == "cafe du monde", s"canonicalizeText: '$canon'")
+    // NULL propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.foldAccents(col("t"))).head().isNullAt(0))
+    // codegen really engaged (no UDF): over a non-local child the project
+    // stays inside a WholeStageCodegen span (a LocalTableScan would
+    // constant-fold away the evidence)
+    val plan = spark.range(1)
+      .select(TextFunctions.foldAccents(concat(lit("é"), col("id").cast("string"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"fold_accents fell out of codegen:\n$plan")
+  }
 }

@@ -1019,4 +1019,79 @@ class VecAndDedupSpec extends AnyFunSuite {
     }
     assert(rows.exists(_._4 > 0) && rows.exists(_._4 == 0))
   }
+
+  private def localLev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def bruteEdit(rows: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib && ta != null && tb != null
+      lev = localLev(ta, tb) if lev <= d
+    } yield (ia, ib, lev)).toSet
+
+  test("editDistancePairs: brute-force parity on crafted edits, tiny strings, NULLs") {
+    // planted pairs covering every alignment shape the PassJoin blocking
+    // must certify: substitutions (equal length), indels at the FRONT
+    // (shifts every chunk), middle, end, combined, distance exactly d,
+    // distance d+1 (excluded), tiny strings (the residual bucket), a
+    // tiny-vs-short cross pair, duplicates, and a NULL
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "the quick brown fox jump",  // base, 24 chars
+      2L -> "the quick brown fox jump",  // exact dup -> distance 0
+      3L -> "the quack brawn fox jump",  // 2 substitutions
+      4L -> "Xthe quick brown fox jum",  // front insert + tail drop
+      5L -> "the quick brown fox",       // 5-char suffix drop -> d=5 only
+      6L -> "he quick brown fox jumps",  // front del + tail insert
+      7L -> "completely different txt",
+      8L -> "ab",                        // tiny
+      9L -> "abc",                       // tiny
+      10L -> "axbc",                     // tiny, 1 edit from 9
+      11L -> "abcdefg",                  // short but > d for d=3
+      12L -> null.asInstanceOf[String])
+    val df = rows.toDF("id", "t")
+    for (d <- Seq(2, 3, 4)) {
+      val got = Dedup.editDistancePairs(df, "id", "t", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = bruteEdit(rows, d)
+      assert(got == want, s"d=$d: got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
+    }
+    // d=0 degenerates to exact-dup pairs
+    assert(Dedup.editDistancePairs(df, "id", "t", 0)
+      .as[(Long, Long, Int)].collect().toSet == Set((1L, 2L, 0)))
+  }
+
+  test("editDistancePairs: randomized parity and an equi-join-only plan") {
+    // random strings over a 3-letter alphabet make near-misses common —
+    // the adversarial regime for partition blocking (chunks collide a lot,
+    // candidates must still dedupe and refine exactly)
+    val rng = new scala.util.Random(7)
+    val rows: Seq[(Long, String)] = (0L until 120L).map { i =>
+      val len = 6 + rng.nextInt(12)
+      i -> Array.fill(len)(('a' + rng.nextInt(3)).toChar).mkString
+    }
+    val df = rows.toDF("id", "t")
+    for (d <- Seq(1, 3)) {
+      val got = Dedup.editDistancePairs(df, "id", "t", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteEdit(rows, d), s"randomized parity failed at d=$d")
+    }
+    assert(bruteEdit(rows, 3).nonEmpty, "regime check: some pairs must exist")
+    // the whole point of the blocking: NO quadratic join anywhere
+    val plan = Dedup.editDistancePairs(df, "id", "t", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"editDistancePairs must plan equi joins only:\n$plan")
+  }
 }
