@@ -173,8 +173,15 @@ stays distributed.
       bench("minhash fast pairs", mult) {
         (graft.ops.Dedup.minhashPairsFast(docs(mult), "doc_id", "text", 3, 16, 4, 0.95).fullCount, 0L)
       }
-      bench("embedding LSH pairs", mult) {
-        (graft.ops.Dedup.embeddingPairs(embs(mult), "vec_id", "embedding", threshold = 0.95).fullCount, 0L)
+      bench("edit distance pairs prefix16", mult) {
+        // replication turns every 16-char prefix into an N-member exact-dup
+        // group, so output grows ~N² by construction (cross pairs ×N² +
+        // C(N,2) within pairs per distinct prefix); the distinct-string
+        // collapse must keep blocking+refine work CONSTANT across
+        // multiples — time should track the output expansion joins only
+        (graft.ops.Dedup.editDistancePairs(
+          docs(mult).select(col("doc_id"), substring(col("text"), 1, 16).as("p")),
+          "doc_id", "p", maxEdits = 3).fullCount, 0L)
       }
       bench("exact dedup", mult) {
         (graft.ops.Dedup.exact(docs(mult), "doc_id", "text").fullCount, 0L)

@@ -828,7 +828,11 @@ object Dedup {
     * (bounded: strings of a text corpus almost never fit 2·maxEdits chars;
     * each compare is O(maxEdits²)). NULL texts drop.
     *
-    * Scale posture: blocking and probe expansion are map-side (≤
+    * Scale posture: duplication-proof — rows collapse to DISTINCT strings
+    * before blocking (edit distance is a pure function of the two strings),
+    * so exact-duplicate-heavy corpora pay blocking and refine per distinct
+    * string pair and only the output-bound member expansion grows with
+    * duplication. Blocking and probe expansion are map-side (≤
     * (maxEdits+1)²·(2·maxEdits+1) probe keys per row — `maxEdits` ≤ 8 by
     * contract, this is a SHORT-key op: dedupe titles, URLs, names, or
     * text prefixes, not whole documents); the only shuffles are the
@@ -846,10 +850,17 @@ object Dedup {
       s"maxEdits must be in [0, 8] (probe expansion is O(maxEdits^3) keys/row); got $maxEdits")
     val d = maxEdits
     val bands = d + 1
-    val base = df.select(col(idCol).cast("long").as("__id"),
+    val rows = df.select(col(idCol).cast("long").as("__id"),
         col(textCol).cast("string").as("__t"))
       .filter(col("__t").isNotNull)
-      .withColumn("__L", length(col("__t")))
+    // duplication-proof like the banded dedup paths, with the string itself
+    // as the collapse key: edit distance is a pure function of the two
+    // strings, so rows sharing a string are interchangeable — block and
+    // refine once per DISTINCT string, then expand member pairs
+    // output-bound (identical-string member pairs are distance 0 by
+    // definition and never reach the refine)
+    val groups = rows.groupBy(col("__t")).agg(min(col("__id")).as("__id"))
+    val base = groups.withColumn("__L", length(col("__t")))
 
     // chunk boundary of an `la`-char string at band i: floor(la*i/(d+1))
     def bnd(la: Column, i: Column): Column =
@@ -900,16 +911,29 @@ object Dedup {
         .filter(col("__ida") =!= col("__idb"))
         .select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
 
-    mainCand.select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
+    // refine once per distinct-string pair (rep ids dedupe the candidates)
+    val repVerified = mainCand.select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
       .unionByName(tinyCand)
-      .select(least(col("__ida"), col("__idb")).as("id_a"),
-        greatest(col("__ida"), col("__idb")).as("id_b"),
+      .select(least(col("__ida"), col("__idb")).as("__ra"),
+        greatest(col("__ida"), col("__idb")).as("__rb"),
         when(col("__ida") < col("__idb"), col("__ta")).otherwise(col("__tb")).as("__pa"),
         when(col("__ida") < col("__idb"), col("__tb")).otherwise(col("__ta")).as("__pb"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("__ra", "__rb")
       .withColumn("edit_distance", levenshtein(col("__pa"), col("__pb"), d))
       .filter(col("edit_distance") >= 0)
-      .select(col("id_a"), col("id_b"), col("edit_distance"))
+    // expand: verified distinct-string pairs fan out to member pairs on the
+    // string key; identical-string member pairs are distance 0 directly
+    val within = rows.select(col("__t"), col("__id").as("__ma"))
+      .join(rows.select(col("__t"), col("__id").as("__mb")), Seq("__t"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(0).as("edit_distance"))
+    val cross = repVerified
+      .join(rows.select(col("__t").as("__pa"), col("__id").as("__ma")), Seq("__pa"))
+      .join(rows.select(col("__t").as("__pb"), col("__id").as("__mb")), Seq("__pb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("edit_distance"))
+    within.unionByName(cross)
   }
 
   /** Embedding near-dup pairs via MULTI-TABLE random-hyperplane LSH.

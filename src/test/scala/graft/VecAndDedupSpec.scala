@@ -1059,7 +1059,12 @@ class VecAndDedupSpec extends AnyFunSuite {
       9L -> "abc",                       // tiny
       10L -> "axbc",                     // tiny, 1 edit from 9
       11L -> "abcdefg",                  // short but > d for d=3
-      12L -> null.asInstanceOf[String])
+      12L -> null.asInstanceOf[String],
+      // multi-member duplicate group: 3/13/14 share a string, so the
+      // distinct-string collapse must expand member×member cross pairs
+      // (1-13, 2-14, ...) and within-group distance-0 pairs (3-13, 13-14)
+      13L -> "the quack brawn fox jump",
+      14L -> "the quack brawn fox jump")
     val df = rows.toDF("id", "t")
     for (d <- Seq(2, 3, 4)) {
       val got = Dedup.editDistancePairs(df, "id", "t", d)
@@ -1067,9 +1072,10 @@ class VecAndDedupSpec extends AnyFunSuite {
       val want = bruteEdit(rows, d)
       assert(got == want, s"d=$d: got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
     }
-    // d=0 degenerates to exact-dup pairs
+    // d=0 degenerates to exact-dup pairs (both duplicate groups, closed)
     assert(Dedup.editDistancePairs(df, "id", "t", 0)
-      .as[(Long, Long, Int)].collect().toSet == Set((1L, 2L, 0)))
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((1L, 2L, 0), (3L, 13L, 0), (3L, 14L, 0), (13L, 14L, 0)))
   }
 
   test("editDistancePairs: randomized parity and an equi-join-only plan") {
