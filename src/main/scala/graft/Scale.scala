@@ -186,6 +186,12 @@ stays distributed.
       bench("exact dedup", mult) {
         (graft.ops.Dedup.exact(docs(mult), "doc_id", "text").fullCount, 0L)
       }
+      bench("jaccard exact pairs", mult) {
+        // exact prefix-filter set-similarity join: replication multiplies
+        // members per distinct shingle set, so blocking+verify must stay
+        // constant (rep-level) while only the member expansion grows
+        (graft.ops.Dedup.jaccardPairsExact(docs(mult), "doc_id", "text", 3, 0.5).fullCount, 0L)
+      }
       bench("contamination overlap", mult) {
         val all = docs(mult)
         (graft.ops.Dedup.contaminationOverlap(

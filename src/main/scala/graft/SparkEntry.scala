@@ -1487,6 +1487,11 @@ object SparkEntry {
           lit("  Ünïted  "),
           translate(col("text"), "aeio", "áéîö"),
           lit("  CAFÉ\t"))).as("norm"))),
+    "q160_jaccard_exact" -> ((s, d) =>
+      // EXACT set-similarity join (prefix filter, recall 1) — the complete
+      // counterpart of q28's LSH banding, same shingle model and verify
+      Dedup.jaccardPairsExact(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     "q113_unigram_lm" -> ((s, d) =>
       // CCNet-style LM quality proxy: unigram LM trained on the corpus
       // itself, documents scored by mean token negative-log-likelihood
@@ -2836,6 +2841,21 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q160_jaccard_exact" ->
+        // exact brute force in relational form: pairs sharing >= 1 shingle
+        // meet on the shingle equi-join (zero-overlap pairs have j = 0 <
+        // threshold, so the join IS complete), intersect = match count,
+        // union = na + nb - c
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tok WHERE len(toks) >= 3),
+           | ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           | sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+           | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           |   FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           | scored AS (SELECT id_a, id_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+           |   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+           | SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored
+           | WHERE jaccard >= 0.5""".stripMargin.replace("\n", " "),
       "q113_unigram_lm" ->
         // unigram-LM mean NLL mirrored exactly: p(tok) = corpus_count/total
         // (no smoothing — every scored token is in the vocabulary), score =

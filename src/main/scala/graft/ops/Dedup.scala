@@ -74,28 +74,35 @@ object Dedup {
       .filter(col("__ra") < col("__rb"))
       .select("__ra", "__rb")
       .dropDuplicates("__ra", "__rb")
-    // VERIFY AT THE REP LEVEL, then expand: members carry their rep's exact
-    // shingle content, so jaccard(member_a, member_b) ≡ jaccard(rep_a,
-    // rep_b) — one verification per distinct-content pair instead of one
-    // per member pair. On a duplication-heavy corpus the member-level
-    // candidate set is |repPairs|·m² while the verified output is a
-    // (usually far smaller) subset; verifying first makes the expansion
-    // output-bound.
+    jaccardVerifyExpand(repPairs, shingleTable, "__sh", groups, memb, threshold)
+  }
+
+  /** Shared tail of the Jaccard pair joins ([[minhashPairs]]' banding and
+    * [[jaccardPairsExact]]'s prefix filter): VERIFY AT THE REP LEVEL, then
+    * expand — members carry their rep's exact content, so jaccard(member_a,
+    * member_b) ≡ jaccard(rep_a, rep_b); one verification per
+    * distinct-content pair instead of one per member pair. On a
+    * duplication-heavy corpus the member-level candidate set is
+    * |repPairs|·m² while the verified output is a (usually far smaller)
+    * subset; verifying first makes the expansion output-bound. */
+  private def jaccardVerifyExpand(repPairs: DataFrame, contentTable: DataFrame,
+                                  contentCol: String, groups: DataFrame,
+                                  memb: DataFrame, threshold: Double): DataFrame = {
     def jac(sa: Column, sb: Column): Column =
       when(size(array_union(sa, sb)) === 0, 0.0)
         .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
     val repVerified = repPairs
-      .join(shingleTable.select(col("__id").as("__ra"), col("__sh").as("__sh_a")), Seq("__ra"))
-      .join(shingleTable.select(col("__id").as("__rb"), col("__sh").as("__sh_b")), Seq("__rb"))
-      .withColumn("jaccard", jac(col("__sh_a"), col("__sh_b")))
+      .join(contentTable.select(col("__id").as("__ra"), col(contentCol).as("__c_a")), Seq("__ra"))
+      .join(contentTable.select(col("__id").as("__rb"), col(contentCol).as("__c_b")), Seq("__rb"))
+      .withColumn("jaccard", jac(col("__c_a"), col("__c_b")))
       .filter(col("jaccard") >= threshold)
       .select("__ra", "__rb", "jaccard")
     // members of the same content group pair with each other; their jaccard
     // is the self-similarity of the group's content (1.0 for non-empty
     // shingle lists), computed through the same expression for parity
-    val selfJac = shingleTable
+    val selfJac = contentTable
       .join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
-      .select(col("__id").as("__rid"), jac(col("__sh"), col("__sh")).as("jaccard"))
+      .select(col("__id").as("__rid"), jac(col(contentCol), col(contentCol)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val within = memb.as("x").join(memb.as("y"),
         col("x.__rid") === col("y.__rid") && col("x.__id") < col("y.__id"))
@@ -110,6 +117,69 @@ object Dedup {
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
     within.unionByName(cross)
+  }
+
+  /** EXACT set-similarity self-join: every pair whose k-shingle SETS have
+    * Jaccard ≥ `threshold`, with recall 1 — the exact counterpart of
+    * [[minhashPairs]] (whose banding can miss a qualifying pair that
+    * disagrees in every band). Prefix filtering (Chaudhuri/Ganti/Kaushik
+    * ICDE 2006; Bayardo/Ma/Srikant, WWW 2007 "Scaling Up All Pairs
+    * Similarity Search" — public algorithms):
+    *
+    *  - order every set's shingles by GLOBAL rarity (document frequency
+    *    ascending, shingle ascending — rarest first);
+    *  - Jaccard ≥ t forces |A∩B| ≥ t·max(|A|,|B|) ≥ ceil(t·|A|), and two
+    *    sorted sets with overlap ≥ α must intersect within their first
+    *    (size − α + 1) elements — so candidates = sets sharing ANY token of
+    *    each other's (n − ceil(t·n) + 1)-prefix, an EQUI join on the
+    *    shingle (rarest-first ordering makes prefixes maximally selective);
+    *  - a size filter (min ≥ t·max) prunes candidates before the exact
+    *    `array_intersect`/`array_union` verification.
+    *
+    * Same duplication-proof collapse + rep-level verify + output-bound
+    * member expansion as the minhash path ([[jaccardVerifyExpand]]). Docs
+    * with fewer than k tokens have empty shingle sets and never pair
+    * (`threshold` must be > 0).
+    *
+    * Scale posture: one groupBy for shingle frequencies, one per-set
+    * window for prefix ranks (partitioned by doc — bounded), one equi
+    * self-join on prefix shingles (the published candidate bound: prefix
+    * tokens are the globally rarest, so bucket sizes are the SMALLEST
+    * df values — AQE skew-split covers adversarial hot shingles), verify
+    * once per distinct-content candidate pair. Use [[minhashPairs]] when
+    * approximate recall suffices — LSH bands cost O(bands) keys/row vs
+    * the prefix's O((1−t)·n); use this when the answer must be complete
+    * (dedup certification, eval-leak audits). */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]; got $threshold")
+    val sets = shingled(df, idCol, textCol, k)
+      .select(col("__id"), array_distinct(col("__sh")).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val setTable = sets.cache()
+    // U+0001-separated content key, same convention as the banded path
+    val keyed = setTable.select(col("__id"), md5(concat_ws("\u0001", col("__set"))).as("__gk"))
+    val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
+    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
+    val reps = setTable.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+    val ex = reps.select(col("__id"), size(col("__set")).as("__n"),
+      explode(col("__set")).as("__g"))
+    val freq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("__g").asc)
+    val prefix = ex.join(freq, Seq("__g"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col("__g"), col("__id"), col("__n"))
+    val a = prefix.select(col("__g"), col("__id").as("__ra"), col("__n").as("__na"))
+    val b = prefix.select(col("__g"), col("__id").as("__rb"), col("__n").as("__nb"))
+    val repPairs = a.join(b, Seq("__g"))
+      .filter(col("__ra") < col("__rb"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(threshold) * greatest(col("__na"), col("__nb")).cast("double") - lit(1e-9))
+      .select("__ra", "__rb")
+      .dropDuplicates("__ra", "__rb")
+    jaccardVerifyExpand(repPairs, setTable, "__set", groups, memb, threshold)
   }
 
   private def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

@@ -1078,6 +1078,66 @@ class VecAndDedupSpec extends AnyFunSuite {
       Set((1L, 2L, 0), (3L, 13L, 0), (3L, 14L, 0), (13L, 14L, 0)))
   }
 
+  private def bruteJaccard(rows: Seq[(Long, String)], k: Int, t: Double)
+      : Set[(Long, Long, Double)] = {
+    def set(s: String): Set[String] = {
+      val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Set.empty
+      else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows
+      if ia < ib
+      sa = set(ta); sb = set(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("jaccardPairsExact: brute-force parity, exact recall vs minhash, dup groups") {
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",   // high overlap with 1
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",  // exact dup of 1
+      4L -> "alpha beta gamma delta epsilon zeta eta theta",  // another member
+      5L -> "totally different words here now ok fine yes",
+      6L -> "alpha beta",                                     // < k tokens: no shingles
+      7L -> "x alpha beta gamma delta epsilon zeta eta theta" // 1 shifted by a token
+    )
+    val df = rows.toDF("id", "t")
+    for (t <- Seq(0.3, 0.5, 0.9, 1.0)) {
+      val got = Dedup.jaccardPairsExact(df, "id", "t", k = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = bruteJaccard(rows, 3, t)
+      assert(got == want, s"t=$t: got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
+    }
+    // randomized regime over a tiny vocab: hot shingles, near-misses, and
+    // EXACT RECALL where minhash banding may drop pairs — the minhash
+    // output at the same threshold must be a SUBSET of the exact join
+    val rng = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c")
+    val rand: Seq[(Long, String)] = (0L until 80L).map { i =>
+      i -> Array.fill(10 + rng.nextInt(12))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val rdf = rand.toDF("id", "t")
+    val exact = Dedup.jaccardPairsExact(rdf, "id", "t", k = 3, threshold = 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == bruteJaccard(rand, 3, 0.25), "randomized parity failed")
+    assert(exact.nonEmpty, "regime check: some pairs must exist")
+    val mh = Dedup.minhashPairs(rdf, "id", "t", k = 3, threshold = 0.25)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exactIds = exact.map(p => (p._1, p._2))
+    assert(mh.subsetOf(exactIds),
+      s"minhash found pairs the exact join missed: ${mh -- exactIds}")
+    // no quadratic plan
+    val plan = Dedup.jaccardPairsExact(rdf, "id", "t", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"jaccardPairsExact must plan equi joins only:\n$plan")
+    assertThrows[IllegalArgumentException](Dedup.jaccardPairsExact(df, "id", "t", 3, 0.0))
+  }
+
   test("editDistancePairs: randomized parity and an equi-join-only plan") {
     // random strings over a 3-letter alphabet make near-misses common —
     // the adversarial regime for partition blocking (chunks collide a lot,
