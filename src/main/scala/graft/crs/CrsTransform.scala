@@ -64,11 +64,14 @@ object CrsTransform {
     phi
   }
 
-  /** Normalize a CRS name: accepts "EPSG:4326", "epsg:4326", "4326", "OGC:CRS84". */
+  /** Normalize a CRS name: accepts "EPSG:4326", "epsg:4326", "4326",
+    * "OGC:CRS84", and "ESRI:54009" (ESRI codes live in a disjoint number
+    * range, so the bare int is unambiguous in the registry). */
   def normalize(crs: String): Int = {
     val c = crs.trim.toUpperCase
     if (c == "OGC:CRS84" || c == "CRS84") 4326
     else if (c.startsWith("EPSG:")) c.substring(5).toInt
+    else if (c.startsWith("ESRI:")) c.substring(5).toInt
     else c.toInt
   }
 
@@ -402,6 +405,93 @@ object CrsTransform {
     }
   }
 
+  /** Equal Earth (EPSG method 1078; Šavrič, Patterson & Jenny 2018 —
+    * published polynomial, coefficients A1..A4 from the paper). EPSG:8857
+    * is WGS 84 / Equal Earth Greenwich, the equal-area world map CRS.
+    * Ellipsoidal form: authalic latitude β (via the shared q of
+    * [[authalicQ]]), spherical Equal Earth on the authalic radius
+    * Rq = a·√(q(π/2)/2); the equal-area property holds by construction
+    * (x is the area-preserving reciprocal of dy/dθ), and the parametric
+    * latitude is bounded (θ(±90°) = ±π/3, cos θ ≥ ½) so nothing
+    * degenerates at the poles except the recovery of φ from q, which
+    * [[phiFromQ]] already pole-cases. */
+  final case class EqualEarth(lon0: Double = 0.0, fe: Double = 0.0, fn: Double = 0.0,
+                              a: Double = WGS84_A, flattening: Double = WGS84_F)
+      extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private val qp = authalicQ(math.Pi / 2, e, e2)
+    private val rq = a * math.sqrt(qp / 2)
+    private val l0 = math.toRadians(lon0)
+    private val M = math.sqrt(3.0) / 2
+    private val (a1, a2, a3, a4) = (1.340264, -0.081106, 0.000893, 0.003796)
+    private def py(t: Double) = t * (a1 + a2 * t * t + math.pow(t, 6) * (a3 + a4 * t * t))
+    private def dy(t: Double) = a1 + 3 * a2 * t * t + math.pow(t, 6) * (7 * a3 + 9 * a4 * t * t)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val beta = math.asin(math.min(1, math.max(-1,
+        authalicQ(math.toRadians(lat), e, e2) / qp)))
+      val t = math.asin(M * math.sin(beta))
+      val x = 2 * math.sqrt(3.0) * rq * (math.toRadians(lon) - l0) * math.cos(t) / (3 * dy(t))
+      (x + fe, rq * py(t) + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yr = (y - fn) / rq
+      // Newton for py(θ) = y/Rq: dy ≥ ~1.13 over the valid θ ∈ [−π/3, π/3],
+      // so the step never degenerates; 1e-13 in ≤5 rounds
+      var t = yr / a1
+      var i = 0
+      var corr = 1.0
+      while (i < 25 && math.abs(corr) > 1e-13) {
+        corr = (py(t) - yr) / dy(t)
+        t -= corr
+        i += 1
+      }
+      val beta = math.asin(math.min(1, math.max(-1, math.sin(t) / M)))
+      val phi = phiFromQ(qp * math.sin(beta), e, e2)
+      val lam = l0 + (x - fe) * 3 * dy(t) / (2 * math.sqrt(3.0) * rq * math.cos(t))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Mollweide, spherical (Snyder eq. 31-1..31-8) on the semimajor-axis
+    * sphere — the GIS-standard "World Mollweide" (ESRI:54009 treats WGS 84
+    * lon/lat as spherical, R = a). Equal-area by construction; the Newton
+    * step for the parametric angle degenerates at the poles (2+2cos2θ → 0
+    * on the double root — same shape as the authalic pole, round-16
+    * advice), so |φ| at the pole maps directly to θ = ±π/2. */
+  final case class Mollweide(lon0: Double = 0.0, fe: Double = 0.0, fn: Double = 0.0,
+                             r: Double = WGS84_A) extends CrsTransform {
+    private val l0 = math.toRadians(lon0)
+    private val sq2 = math.sqrt(2.0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val c = math.Pi * math.sin(phi)
+      var t = phi
+      if (math.Pi / 2 - math.abs(phi) < 1e-10) t = math.signum(phi) * math.Pi / 2
+      else {
+        var i = 0
+        var corr = 1.0
+        while (i < 50 && math.abs(corr) > 1e-13) {
+          corr = (2 * t + math.sin(2 * t) - c) / (2 + 2 * math.cos(2 * t))
+          t -= corr
+          i += 1
+        }
+      }
+      val x = 2 * sq2 / math.Pi * r * (math.toRadians(lon) - l0) * math.cos(t)
+      (x + fe, sq2 * r * math.sin(t) + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.asin(math.min(1, math.max(-1, (y - fn) / (sq2 * r))))
+      val phi = math.asin(math.min(1, math.max(-1, (2 * t + math.sin(2 * t)) / math.Pi)))
+      val lam =
+        if (math.cos(t) < 1e-12) l0
+        else l0 + math.Pi * (x - fe) / (2 * sq2 * r * math.cos(t))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Lambert Azimuthal Equal Area, oblique ellipsoidal (EPSG method 9820,
     * Snyder eq. 24-2..24-21) — EPSG:3035 is ETRS89-extended / LAEA Europe,
     * the EU statistical-grid CRS. Degenerate at a polar center (cos β1 =
@@ -688,6 +778,10 @@ object CrsTransform {
       Some(PolarStereoB(latTs = -70.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
     case 6933 => // WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area)
       Some(CylEqualArea(latTs = 30.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
+    case 8857 => // WGS84 / Equal Earth Greenwich (equal-area world maps)
+      Some(EqualEarth())
+    case 54009 => // ESRI:54009 World Mollweide (spherical on R = a)
+      Some(Mollweide())
     case 3035 => // ETRS89-extended / LAEA Europe (the EU statistical grid)
       Some(Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0))
     case 26985 => // NAD83 / Maryland (m) — LCC 2SP
@@ -721,7 +815,8 @@ object CrsTransform {
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
           "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
-          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, or any " +
+          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, 8857, 54009 (ESRI " +
+          "World Mollweide), or any " +
           "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection " +
           "parameters"))
     compose(to4326(from), to4326(to))

@@ -252,6 +252,74 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(lon - -122.4194) < 1e-9 && math.abs(lat - 37.7749) < 1e-9)
   }
 
+  test("8857 Equal Earth: published extent + aspect, equal-area Jacobian, pole roundtrip") {
+    val t = CrsTransform.chain(4326, 8857)
+    // the EPSG-published projection extent: x(±180°, 0°) = ±17,243,959.06 m
+    val (xMax, y0) = t.forward(180.0, 0.0)
+    assert(math.abs(xMax - 17243959.06) < 0.01 && math.abs(y0) < 1e-6, s"x(180)=$xMax")
+    // the published Equal Earth aspect: width:height = 2.05458:1 — an
+    // INDEPENDENT pin of the A1..A4 polynomial against the paper (the
+    // Jacobian below holds for any polynomial by construction; the aspect
+    // does not)
+    val yTop = t.forward(0.0, 90.0)._2
+    assert(math.abs(xMax / yTop - 2.05458213) < 1e-7, s"aspect ${xMax / yTop}")
+    // equal-area: |det J| equals the WGS84 ellipsoidal area element
+    val aa = 6378137.0; val ee2 = 0.00669437999014
+    for ((lon, lat) <- Seq((0.0, 0.0), (120.0, 47.0), (-66.0, -33.0), (10.0, 82.0))) {
+      val h = 1e-6
+      val (x1, y1) = t.forward(lon - h, lat); val (x2, y2) = t.forward(lon + h, lat)
+      val (x3, y3) = t.forward(lon, lat - h); val (x4, y4) = t.forward(lon, lat + h)
+      val det = ((x2 - x1) * (y4 - y3) - (x4 - x3) * (y2 - y1)) /
+        (4 * h * h * math.pow(math.toRadians(1), 2))
+      val truth = aa * aa * (1 - ee2) * math.cos(math.toRadians(lat)) /
+        math.pow(1 - ee2 * math.pow(math.sin(math.toRadians(lat)), 2), 2)
+      assert(math.abs(det / truth - 1) < 1e-6, s"($lon,$lat): det=$det truth=$truth")
+    }
+    for (lat <- Seq(-90.0, -66.5, -12.0, 0.0, 38.7, 89.9, 90.0); lon <- Seq(-179.0, -30.0, 0.0, 155.5)) {
+      val (x, y) = t.forward(lon, lat)
+      val (lo, la) = t.inverse(x, y)
+      val lonOk = math.abs(lat) == 90.0 || math.abs(lo - lon) < 1e-9
+      assert(lonOk && math.abs(la - lat) < 1e-9, s"($lon,$lat)->($lo,$la)")
+    }
+  }
+
+  test("54009 World Mollweide: closed-form extents, defining equation, pole") {
+    val t = CrsTransform.chainStr("ESRI:54009", "EPSG:4326")
+    val inv = t // 54009 -> 4326
+    val fwd = CrsTransform.chain(4326, 54009)
+    val r = 6378137.0
+    // closed-form published extents: x(180,0) = 2√2·R, y(90) = √2·R
+    val (xMax, _) = fwd.forward(180.0, 0.0)
+    assert(math.abs(xMax - 2 * math.sqrt(2.0) * r) < 1e-4, s"xmax=$xMax")
+    val (xp, yTop) = fwd.forward(12.0, 90.0)
+    assert(math.abs(yTop - math.sqrt(2.0) * r) < 1e-4 && math.abs(xp) < 1e-6)
+    // the defining equation 2θ + sin2θ = π·sinφ holds for the θ the
+    // forward actually used (recovered from y)
+    for (lat <- Seq(-89.99, -45.0, 0.0, 33.3, 67.0, 89.9)) {
+      val (_, y) = fwd.forward(0.0, lat)
+      val th = math.asin(y / (math.sqrt(2.0) * r))
+      assert(math.abs(2 * th + math.sin(2 * th) - math.Pi * math.sin(math.toRadians(lat))) < 1e-9,
+        s"defining equation at $lat")
+    }
+    // spherical equal-area: |det J| = R² cosφ
+    for ((lon, lat) <- Seq((0.0, 0.0), (90.0, 51.0), (-140.0, -72.0))) {
+      val h = 1e-6
+      val (x1, y1) = fwd.forward(lon - h, lat); val (x2, y2) = fwd.forward(lon + h, lat)
+      val (x3, y3) = fwd.forward(lon, lat - h); val (x4, y4) = fwd.forward(lon, lat + h)
+      val det = ((x2 - x1) * (y4 - y3) - (x4 - x3) * (y2 - y1)) /
+        (4 * h * h * math.pow(math.toRadians(1), 2))
+      assert(math.abs(det / (r * r * math.cos(math.toRadians(lat))) - 1) < 1e-6, s"($lon,$lat)")
+    }
+    for (lat <- Seq(-90.0, -60.0, 0.0, 41.9, 89.99, 90.0); lon <- Seq(-179.5, 0.0, 88.8)) {
+      val (x, y) = fwd.forward(lon, lat)
+      val (lo, la) = fwd.inverse(x, y)
+      val lonOk = math.abs(lat) == 90.0 || math.abs(lo - lon) < 1e-8
+      assert(lonOk && math.abs(la - lat) < 1e-8, s"($lon,$lat)->($lo,$la)")
+    }
+    // ESRI:54009 resolves through the string path too
+    assert(inv ne null)
+  }
+
   test("authalic-q inverses converge at the exact pole (6933 pole row, high lat)") {
     // The q->phi Newton step degenerates on the pole's double root (corr
     // proportional to cos phi): a fixed iteration stalls ~13 m short of
