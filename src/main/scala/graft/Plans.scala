@@ -532,6 +532,33 @@ object Plans {
         .orderBy(col("__d").desc, col("vec_id").asc).limit(1)
     }
 
+    section("Edit-distance pair join (q157: PassJoin chunk blocking)",
+      "The candidate join is an EQUI hash join on (length, band, chunk " +
+        "string) — the pigeonhole blocking key — never a nested loop; both " +
+        "the chunk index and the shifted-substring probe are map-side " +
+        "projections over the distinct-string collapse, candidates dedupe " +
+        "on the rep-id pair, and the refine is the thresholded native " +
+        "levenshtein (early-exit, codegen). Member expansion joins are " +
+        "output-bound on the string key.") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.editDistancePairs(
+        d.select(col("doc_id"), substring(col("text"), 1, 16).as("p")),
+        "doc_id", "p", maxEdits = 3)
+    }
+
+    section("Exact set-similarity join (q160: rarest-first prefix filter)",
+      "Shingle document frequencies feed a per-set rank window; the " +
+        "candidate join is an equi self-join on PREFIX shingles only (the " +
+        "globally rarest (1-t)·n+1 per set), size-filtered before the " +
+        "exact array_intersect verify. Recall 1 without LSH: the " +
+        "prefix-filter theorem guarantees any pair at Jaccard ≥ t shares " +
+        "a prefix token. Same rep-collapse + member-expansion shape as " +
+        "the banded minhash plan.") {
+      graft.ops.Dedup.jaccardPairsExact(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 3, threshold = 0.5)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

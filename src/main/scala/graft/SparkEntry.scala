@@ -1487,6 +1487,18 @@ object SparkEntry {
           lit("  Ünïted  "),
           translate(col("text"), "aeio", "áéîö"),
           lit("  CAFÉ\t"))).as("norm"))),
+    "q161_edit_distance_join" -> ((s, d) => {
+      // record linkage: every doc's 16-char prefix fuzzy-joined against a
+      // "reference list" of shifted prefixes (doc_id%5 docs, one char
+      // dropped at the front — distance ≤ 2 from their own doc by
+      // construction) at maxEdits 3; oracle = all-pairs brute force
+      val l = docs(s, d).select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+      val r = docs(s, d).filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("rid"),
+          substring(col("text"), 2, 16).as("q"))
+      Dedup.editDistanceJoin(l, "doc_id", "p", r, "rid", "q", maxEdits = 3)
+        .withColumn("edit_distance", col("edit_distance").cast("long"))
+    }),
     "q160_jaccard_exact" -> ((s, d) =>
       // EXACT set-similarity join (prefix filter, recall 1) — the complete
       // counterpart of q28's LSH banding, same shingle model and verify
@@ -2841,6 +2853,13 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q161_edit_distance_join" ->
+        s"""WITH l AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents),
+           | r AS (SELECT doc_id + 1000000 AS rid, substr(text, 2, 16) AS q
+           |   FROM documents WHERE doc_id % 5 = 0)
+           | SELECT l.doc_id AS id_l, r.rid AS id_r,
+           |   CAST(levenshtein(l.p, r.q) AS BIGINT) AS edit_distance
+           | FROM l JOIN r ON levenshtein(l.p, r.q) <= 3""".stripMargin.replace("\n", " "),
       "q160_jaccard_exact" ->
         // exact brute force in relational form: pairs sharing >= 1 shingle
         // meet on the shingle equi-join (zero-overlap pairs have j = 0 <

@@ -931,7 +931,28 @@ object Dedup {
     // definition and never reach the refine)
     val groups = rows.groupBy(col("__t")).agg(min(col("__id")).as("__id"))
     val base = groups.withColumn("__L", length(col("__t")))
+    val repVerified = editRepVerified(base, d)
+    // expand: verified distinct-string pairs fan out to member pairs on the
+    // string key; identical-string member pairs are distance 0 directly
+    val within = rows.select(col("__t"), col("__id").as("__ma"))
+      .join(rows.select(col("__t"), col("__id").as("__mb")), Seq("__t"))
+      .filter(col("__ma") < col("__mb"))
+      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+        lit(0).as("edit_distance"))
+    val cross = repVerified
+      .join(rows.select(col("__t").as("__pa"), col("__id").as("__ma")), Seq("__pa"))
+      .join(rows.select(col("__t").as("__pb"), col("__id").as("__mb")), Seq("__pb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("edit_distance"))
+    within.unionByName(cross)
+  }
 
+  /** The PassJoin core shared by [[editDistancePairs]] and
+    * [[editDistanceJoin]]: given one row per DISTINCT string (`__id`
+    * orderable, `__t`, `__L`), every unordered distinct-string pair within
+    * `d` edits as (__pa, __pb, edit_distance). */
+  private def editRepVerified(base: DataFrame, d: Int): DataFrame = {
+    val bands = d + 1
     // chunk boundary of an `la`-char string at band i: floor(la*i/(d+1))
     def bnd(la: Column, i: Column): Column =
       floor(la * i / lit(bands)).cast("int")
@@ -982,7 +1003,7 @@ object Dedup {
         .select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
 
     // refine once per distinct-string pair (rep ids dedupe the candidates)
-    val repVerified = mainCand.select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
+    mainCand.select(col("__ida"), col("__ta"), col("__idb"), col("__tb"))
       .unionByName(tinyCand)
       .select(least(col("__ida"), col("__idb")).as("__ra"),
         greatest(col("__ida"), col("__idb")).as("__rb"),
@@ -991,19 +1012,44 @@ object Dedup {
       .dropDuplicates("__ra", "__rb")
       .withColumn("edit_distance", levenshtein(col("__pa"), col("__pb"), d))
       .filter(col("edit_distance") >= 0)
-    // expand: verified distinct-string pairs fan out to member pairs on the
-    // string key; identical-string member pairs are distance 0 directly
-    val within = rows.select(col("__t"), col("__id").as("__ma"))
-      .join(rows.select(col("__t"), col("__id").as("__mb")), Seq("__t"))
-      .filter(col("__ma") < col("__mb"))
-      .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
-        lit(0).as("edit_distance"))
-    val cross = repVerified
-      .join(rows.select(col("__t").as("__pa"), col("__id").as("__ma")), Seq("__pa"))
-      .join(rows.select(col("__t").as("__pb"), col("__id").as("__mb")), Seq("__pb"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("edit_distance"))
-    within.unionByName(cross)
+      .select("__pa", "__pb", "edit_distance")
+  }
+
+  /** CROSS-TABLE [[editDistancePairs]] — the record-linkage / fuzzy-key
+    * decontamination shape: every (left row, right row) pair whose string
+    * keys are within `maxEdits` Levenshtein edits. Same PassJoin blocking,
+    * same duplication-proof collapse — the DISTINCT strings of BOTH tables
+    * block and refine together once, and verified string pairs expand to
+    * left×right member pairs on the string key (identical strings across
+    * the tables emit distance 0 directly, so `maxEdits = 0` degenerates to
+    * the exact equi-join). Output: (id_l, id_r, edit_distance) — every
+    * orientation where the left member's string is within `maxEdits` of
+    * the right member's. */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftText: String,
+                       right: DataFrame, rightId: String, rightText: String,
+                       maxEdits: Int): DataFrame = {
+    require(maxEdits >= 0 && maxEdits <= 8,
+      s"maxEdits must be in [0, 8]; got $maxEdits")
+    val rowsL = left.select(col(leftId).cast("long").as("__id"),
+      col(leftText).cast("string").as("__t")).filter(col("__t").isNotNull)
+    val rowsR = right.select(col(rightId).cast("long").as("__id"),
+      col(rightText).cast("string").as("__t")).filter(col("__t").isNotNull)
+    // reps over the UNION of both tables' distinct strings; the rep id is
+    // the md5 of the string (orderable, table-independent)
+    val reps = rowsL.select(col("__t")).unionByName(rowsR.select(col("__t"))).distinct()
+      .select(md5(col("__t")).as("__id"), col("__t"), length(col("__t")).as("__L"))
+    val verified = editRepVerified(reps, maxEdits)
+    val membL = rowsL.select(col("__t"), col("__id").as("__ml"))
+    val membR = rowsR.select(col("__t"), col("__id").as("__mr"))
+    val same = membL.join(membR, Seq("__t"))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), lit(0).as("edit_distance"))
+    // a verified pair is unordered over the union's strings — expand both
+    // orientations (left member on the __pa string, and on the __pb string)
+    def orient(pl: String, pr: String) = verified
+      .join(membL.select(col("__t").as(pl), col("__ml")), Seq(pl))
+      .join(membR.select(col("__t").as(pr), col("__mr")), Seq(pr))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("edit_distance"))
+    same.unionByName(orient("__pa", "__pb")).unionByName(orient("__pb", "__pa"))
   }
 
   /** Embedding near-dup pairs via MULTI-TABLE random-hyperplane LSH.

@@ -1138,6 +1138,50 @@ class VecAndDedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.jaccardPairsExact(df, "id", "t", 3, 0.0))
   }
 
+  test("editDistanceJoin: cross-table brute parity, orientation coverage, d=0 exact join") {
+    def bruteAB(ls: Seq[(Long, String)], rs: Seq[(Long, String)], d: Int)
+        : Set[(Long, Long, Int)] =
+      (for {
+        (il, tl) <- ls; (ir, tr) <- rs
+        if tl != null && tr != null
+        lev = localLev(tl, tr) if lev <= d
+      } yield (il, ir, lev)).toSet
+    val ls: Seq[(Long, String)] = Seq(
+      1L -> "record linkage base",
+      2L -> "record linkage base",    // duplicate in left
+      3L -> "entirely different one",
+      4L -> "ab",                     // tiny
+      5L -> null.asInstanceOf[String])
+    val rs: Seq[(Long, String)] = Seq(
+      100L -> "record linkage base",  // exact match across tables
+      101L -> "recard linkago base",  // 2 substitutions
+      102L -> "Xrecord linkage bas",  // front insert + tail drop
+      103L -> "ba",                   // tiny, 2 edits from "ab"
+      104L -> "no relation at all x")
+    val l = ls.toDF("lid", "lt")
+    val r = rs.toDF("rid", "rt")
+    for (d <- Seq(1, 2, 3)) {
+      val got = Dedup.editDistanceJoin(l, "lid", "lt", r, "rid", "rt", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteAB(ls, rs, d), s"d=$d: got ${got.toSeq.sorted}")
+    }
+    // d=0 is the exact equi-join on the string
+    assert(Dedup.editDistanceJoin(l, "lid", "lt", r, "rid", "rt", 0)
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((1L, 100L, 0), (2L, 100L, 0)))
+    // randomized: both orientations (left string shorter AND longer)
+    val rng = new scala.util.Random(23)
+    def randRows(n: Int, off: Long): Seq[(Long, String)] = (0 until n).map { i =>
+      (off + i) -> Array.fill(5 + rng.nextInt(10))(('a' + rng.nextInt(3)).toChar).mkString
+    }
+    val rl = randRows(60, 0L); val rr = randRows(60, 1000L)
+    val got = Dedup.editDistanceJoin(rl.toDF("lid", "lt"), "lid", "lt",
+      rr.toDF("rid", "rt"), "rid", "rt", 2).as[(Long, Long, Int)].collect().toSet
+    val want = bruteAB(rl, rr, 2)
+    assert(got == want, "randomized cross-table parity failed")
+    assert(want.nonEmpty, "regime check")
+  }
+
   test("editDistancePairs: randomized parity and an equi-join-only plan") {
     // random strings over a 3-letter alphabet make near-misses common —
     // the adversarial regime for partition blocking (chunks collide a lot,
