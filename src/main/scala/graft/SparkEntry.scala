@@ -1487,6 +1487,20 @@ object SparkEntry {
           lit("  Ünïted  "),
           translate(col("text"), "aeio", "áéîö"),
           lit("  CAFÉ\t"))).as("norm"))),
+    "q162_embedding_join" -> ((s, d) => {
+      // semantic decontamination: the corpus embeddings fuzzy-joined
+      // against a "benchmark" slice (vec_id%7, remapped ids, including the
+      // exact-dup content-key path) at the q65 cosine regime WITH the q65
+      // banding (4 planes/band × 48 tables — per-pair miss ≈ 8.5e-5 at
+      // t=0.45, exhaustive on this data; the default 8×24 is tuned for
+      // t=0.95 and misses borderline 0.45 pairs); oracle = brute-force
+      // cross join
+      val r = embs(s, d).filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("rid"), col("embedding"))
+      Dedup.embeddingJoin(embs(s, d), "vec_id", "embedding",
+        r, "rid", "embedding", planes = 192, bands = 48, threshold = 0.45)
+        .select(col("id_l"), col("id_r"), round(col("cosine"), 6).as("cosine"))
+    }),
     "q161_edit_distance_join" -> ((s, d) => {
       // record linkage: every doc's 16-char prefix fuzzy-joined against a
       // "reference list" of shifted prefixes (doc_id%5 docs, one char
@@ -2853,6 +2867,15 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q162_embedding_join" ->
+        s"""WITH r AS (SELECT vec_id + 1000000 AS rid, embedding FROM embeddings WHERE vec_id % 7 = 0),
+           | p AS (SELECT a.vec_id AS id_l, r.rid AS id_r,
+           |   list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+           |   / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE))))) AS cosine
+           |   FROM embeddings a CROSS JOIN r)
+           | SELECT id_l, id_r, round(cosine, 6) AS cosine FROM p
+           | WHERE cosine >= CAST(0.45 AS DOUBLE)""".stripMargin.replace("\n", " "),
       "q161_edit_distance_join" ->
         s"""WITH l AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents),
            | r AS (SELECT doc_id + 1000000 AS rid, substr(text, 2, 16) AS q

@@ -468,7 +468,14 @@ object CrsTransform {
     def forward(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(lat)
       val c = math.Pi * math.sin(phi)
-      var t = phi
+      // near the pole 2θ+sin2θ ≈ π − (4/3)u³ (u = π/2−θ): the root is
+      // cubic-degenerate and Newton from the φ seed crawls (linear 2/3
+      // factor, ~36 rounds at 89.9999°) — seed with the closed-form
+      // cube root there so the iteration starts next to the root
+      var t =
+        if (math.Pi - math.abs(c) < 1e-4)
+          math.signum(phi) * (math.Pi / 2 - math.cbrt(3 * (math.Pi - math.abs(c)) / 4))
+        else phi
       if (math.Pi / 2 - math.abs(phi) < 1e-10) t = math.signum(phi) * math.Pi / 2
       else {
         var i = 0

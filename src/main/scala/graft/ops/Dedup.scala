@@ -1075,32 +1075,7 @@ object Dedup {
       if (dim > 0) dim
       else df.select(size(col(vecCol)).as("__d")).filter(col("__d") > 0).limit(1)
         .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val planeVals: Array[Array[Double]] = {
-      val rng = new java.util.Random(seed)
-      Array.fill(planes, actualDim)(rng.nextGaussian())
-    }
-    val nb = bands
-    val keysU = udf((v: Seq[Float]) =>
-      if (v == null) null
-      else {
-        val out = new Array[Int](nb)
-        var t = 0
-        while (t < nb) {
-          var key = 0
-          var j = 0
-          while (j < rpb) {
-            val plane = planeVals(t * rpb + j)
-            var s = 0.0
-            var i = 0
-            while (i < math.min(v.length, plane.length)) { s += v(i) * plane(i); i += 1 }
-            key = (key << 1) | (if (s >= 0) 1 else 0)
-            j += 1
-          }
-          out(t) = key
-          t += 1
-        }
-        out
-      })
+    val keysU = hyperplaneKeysU(planes, bands, actualDim, seed)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull).repartition(par).cache()
@@ -1153,6 +1128,104 @@ object Dedup {
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
     within.unionByName(cross)
+  }
+
+  /** The multi-table random-hyperplane band-key UDF shared by
+    * [[embeddingPairs]] and [[embeddingJoin]] — deterministic in `seed`,
+    * so both sides of a cross-table join (and an oracle re-run) band
+    * identically. */
+  private def hyperplaneKeysU(planes: Int, bands: Int, dim: Int, seed: Long)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rpb = planes / bands
+    val planeVals: Array[Array[Double]] = {
+      val rng = new java.util.Random(seed)
+      Array.fill(planes, dim)(rng.nextGaussian())
+    }
+    val nb = bands
+    udf((v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Int](nb)
+        var t = 0
+        while (t < nb) {
+          var key = 0
+          var j = 0
+          while (j < rpb) {
+            val plane = planeVals(t * rpb + j)
+            var s = 0.0
+            var i = 0
+            while (i < math.min(v.length, plane.length)) { s += v(i) * plane(i); i += 1 }
+            key = (key << 1) | (if (s >= 0) 1 else 0)
+            j += 1
+          }
+          out(t) = key
+          t += 1
+        }
+        out
+      })
+  }
+
+  /** CROSS-TABLE [[embeddingPairs]] — the SEMANTIC decontamination /
+    * retrieval shape: every (left row, right row) pair whose embeddings
+    * have cosine ≥ `threshold` (e.g. flag training documents semantically
+    * near any benchmark item, the embedding analog of the verbatim q153
+    * span decontamination). Same multi-table hyperplane LSH: the DISTINCT
+    * vectors of BOTH tables band together once (content-keyed collapse),
+    * candidates meet on the (band, key) equi join, cosine verifies at the
+    * rep level, and verified vector pairs expand to left×right members in
+    * both orientations — bit-identical vectors across the tables emit
+    * through the content-key equi join directly (recall 1 for exact
+    * matches regardless of banding). Output: (id_l, id_r, cosine). */
+  def embeddingJoin(left: DataFrame, leftId: String, leftVec: String,
+                    right: DataFrame, rightId: String, rightVec: String,
+                    dim: Int = 0, planes: Int = 192, bands: Int = 24,
+                    seed: Long = 42L, threshold: Double = 0.95): DataFrame = {
+    require(planes % bands == 0, "planes must be divisible by bands")
+    val baseL = left.select(col(leftId).as("__id"), col(leftVec).as("__v"))
+      .filter(col("__v").isNotNull)
+    val baseR = right.select(col(rightId).as("__id"), col(rightVec).as("__v"))
+      .filter(col("__v").isNotNull)
+    val actualDim =
+      if (dim > 0) dim
+      else baseL.unionByName(baseR).select(size(col("__v")).as("__d"))
+        .filter(col("__d") > 0).limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val keysU = hyperplaneKeysU(planes, bands, actualDim, seed)
+    def gk(c: Column) = md5(concat_ws("", transform(c, x => x.cast("string"))))
+    val keyedL = baseL.select(col("__id").as("__ml"), gk(col("__v")).as("__gk")).cache()
+    val keyedR = baseR.select(col("__id").as("__mr"), gk(col("__v")).as("__gk")).cache()
+    // reps over the UNION of both tables' distinct vectors; rep id = the
+    // content key itself (orderable, table-independent)
+    val reps = baseL.select(col("__v")).unionByName(baseR.select(col("__v")))
+      .select(gk(col("__v")).as("__id"), col("__v"))
+      .dropDuplicates("__id").cache()
+    val banded = reps.select(col("__id"),
+      posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))
+    val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"))
+    val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"))
+    val repPairs = a.join(b, Seq("__band", "__key"))
+      .filter(col("__ra") < col("__rb"))
+      .select("__ra", "__rb")
+      .dropDuplicates("__ra", "__rb")
+    val repVerified = repPairs
+      .join(reps.select(col("__id").as("__ra"), col("__v").as("__va")), Seq("__ra"))
+      .join(reps.select(col("__id").as("__rb"), col("__v").as("__vb")), Seq("__rb"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("__ra", "__rb", "cosine")
+    // bit-identical vectors across tables: cosine is the self-cosine
+    // (1.0, or 0.0 for the zero vector — dropped by the same filter)
+    val selfCos = reps.select(col("__id").as("__gk"),
+        Similarity.cosine(col("__v"), col("__v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val same = keyedL.join(keyedR, Seq("__gk")).join(selfCos, Seq("__gk"))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("cosine"))
+    // verified pairs are unordered over the union's vectors — expand both
+    // orientations on the content key
+    def orient(pl: String, pr: String) = repVerified
+      .join(keyedL.select(col("__gk").as(pl), col("__ml")), Seq(pl))
+      .join(keyedR.select(col("__gk").as(pr), col("__mr")), Seq(pr))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("cosine"))
+    same.unionByName(orient("__ra", "__rb")).unionByName(orient("__rb", "__ra"))
   }
 
   /** Paragraph-level (span) dedup, Dolma-style: drop every paragraph whose

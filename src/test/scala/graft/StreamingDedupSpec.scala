@@ -407,6 +407,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got.values.forall(_.contains("<EMAIL>")))
   }
 
+  test("chunking and canonicalization run under Structured Streaming (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextFunctions
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // canonicalize then chunk — both pure map-side (no state, no watermark)
+    val piped = graft.ops.Sampling.chunkDocuments(
+      stream.withColumn("text", TextFunctions.canonicalizeText(col("text"))),
+      "doc_id", "text", chunkTokens = 3, overlapTokens = 1)
+    val q = piped.writeStream.format("memory").queryName("sd_chunk")
+      .outputMode("append").start()
+    val rows = (0L until 40L).map(i => (i, s"  CaFÉ $i alpha beta gamma delta  "))
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select * from sd_chunk")
+      .as[(Long, Int, String, Long)].collect().toSet
+    // streaming output ≡ the batch op on the same rows
+    val batch = graft.ops.Sampling.chunkDocuments(
+      rows.toDF("doc_id", "text")
+        .withColumn("text", TextFunctions.canonicalizeText(col("text"))),
+      "doc_id", "text", 3, 1).as[(Long, Int, String, Long)].collect().toSet
+    assert(got == batch && got.exists(_._3.startsWith("cafe ")), s"n=${got.size}")
+  }
+
   test("shared_paths splits forward and backward components") {
     val a = Wkb.readWkt("LINESTRING (0 0, 10 0)")
     val sameDir = Wkb.readWkt("LINESTRING (2 0, 4 0)")

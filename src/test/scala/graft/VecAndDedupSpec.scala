@@ -1182,6 +1182,40 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "regime check")
   }
 
+  test("embeddingJoin: cross-table brute parity at full banding, exact-dup path, zero vectors") {
+    val rng = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(8)(rng.nextGaussian().toFloat)
+    val lv: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> vec()) :+ (40L -> Array.fill(8)(0f))
+    val rv: Seq[(Long, Array[Float])] =
+      (0 until 5).map(i => (100L + i) -> lv(i)._2) ++            // exact dups of left
+      (5 until 10).map(i => (100L + i) -> lv(i)._2.map(_ + 0.01f)) ++ // near dups
+      (10 until 15).map(i => (100L + i) -> vec()) :+
+      (115L -> Array.fill(8)(0f))                                 // zero vector
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for { (il, va) <- lv; (ir, vb) <- rv
+      c = cos(va, vb) if c >= 0.8 } yield (il, ir) -> c).toMap
+    // bands == planes gives 1-bit band keys — every pair shares a bucket,
+    // so the LSH layer cannot drop anything and parity must be EXACT
+    val got = Dedup.embeddingJoin(
+      lv.toDF("lid", "lvec"), "lid", "lvec",
+      rv.toDF("rid", "rvec"), "rid", "rvec",
+      dim = 8, planes = 32, bands = 32, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.keySet == brute.keySet,
+      s"pair sets differ: extra=${got.keySet -- brute.keySet} missing=${brute.keySet -- got.keySet}")
+    got.foreach { case (k, c) => assert(math.abs(c - brute(k)) < 1e-9, s"$k: $c vs ${brute(k)}") }
+    // the 5 planted exact dups ride the content-key path at cosine 1
+    for (i <- 0 until 5) assert(math.abs(got((i.toLong, 100L + i)) - 1.0) < 1e-12)
+    // zero vectors never pair (cosine defined as 0)
+    assert(!got.keySet.exists(k => k._1 == 40L || k._2 == 115L))
+  }
+
   test("editDistancePairs: randomized parity and an equi-join-only plan") {
     // random strings over a 3-letter alphabet make near-misses common —
     // the adversarial regime for partition blocking (chunks collide a lot,
