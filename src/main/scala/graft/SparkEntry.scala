@@ -1487,6 +1487,19 @@ object SparkEntry {
           lit("  Ünïted  "),
           translate(col("text"), "aeio", "áéîö"),
           lit("  CAFÉ\t"))).as("norm"))),
+    "q163_jaccard_join" -> ((s, d) => {
+      // set-similarity decontamination: the corpus joined against a
+      // "reference" slice (doc_id%9, last 5 tokens truncated — high but
+      // sub-1 jaccard with its own source doc) at recall 1; oracle =
+      // relational exact brute force
+      val toksC = TextFunctions.tokens(col("text"))
+      val rt = docs(s, d).filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("rid"),
+          array_join(slice(toksC, lit(1), greatest(size(toksC) - 5, lit(3))), " ").as("text"))
+      Dedup.jaccardJoin(docs(s, d), "doc_id", "text", rt, "rid", "text",
+        k = 3, threshold = 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     "q162_embedding_join" -> ((s, d) => {
       // semantic decontamination: the corpus embeddings fuzzy-joined
       // against a "benchmark" slice (vec_id%7, remapped ids, including the
@@ -2867,6 +2880,21 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q163_jaccard_join" ->
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | l AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tok WHERE len(toks) >= 3),
+           | rt AS (SELECT doc_id + 2000000 AS rid, toks[1:greatest(len(toks) - 5, 3)] AS toks FROM tok WHERE doc_id % 9 = 0),
+           | r AS (SELECT rid, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM rt WHERE len(toks) >= 3),
+           | exl AS (SELECT doc_id, unnest(s) AS g FROM l),
+           | exr AS (SELECT rid, unnest(s) AS g FROM r),
+           | szl AS (SELECT doc_id, len(s) AS n FROM l),
+           | szr AS (SELECT rid, len(s) AS n FROM r),
+           | inter AS (SELECT exl.doc_id AS id_l, exr.rid AS id_r, count(*) AS c
+           |   FROM exl JOIN exr ON exl.g = exr.g GROUP BY 1, 2),
+           | scored AS (SELECT id_l, id_r, CAST(c AS DOUBLE) / (szl.n + szr.n - c) AS jaccard
+           |   FROM inter JOIN szl ON szl.doc_id = id_l JOIN szr ON szr.rid = id_r)
+           | SELECT id_l, id_r, round(jaccard, 6) AS jaccard FROM scored
+           | WHERE jaccard >= 0.5""".stripMargin.replace("\n", " "),
       "q162_embedding_join" ->
         s"""WITH r AS (SELECT vec_id + 1000000 AS rid, embedding FROM embeddings WHERE vec_id % 7 = 0),
            | p AS (SELECT a.vec_id AS id_l, r.rid AS id_r,

@@ -163,6 +163,15 @@ object Dedup {
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
     val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
     val reps = setTable.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+    val repPairs = prefixRepPairs(reps, threshold)
+    jaccardVerifyExpand(repPairs, setTable, "__set", groups, memb, threshold)
+  }
+
+  /** The prefix-filter candidate machinery shared by [[jaccardPairsExact]]
+    * and [[jaccardJoin]]: one row per DISTINCT set in (`__id` orderable,
+    * `__set`) → every candidate rep pair that could reach Jaccard ≥
+    * `threshold` (complete by the prefix-filter theorem; size-filtered). */
+  private def prefixRepPairs(reps: DataFrame, threshold: Double): DataFrame = {
     val ex = reps.select(col("__id"), size(col("__set")).as("__n"),
       explode(col("__set")).as("__g"))
     val freq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
@@ -173,13 +182,59 @@ object Dedup {
       .select(col("__g"), col("__id"), col("__n"))
     val a = prefix.select(col("__g"), col("__id").as("__ra"), col("__n").as("__na"))
     val b = prefix.select(col("__g"), col("__id").as("__rb"), col("__n").as("__nb"))
-    val repPairs = a.join(b, Seq("__g"))
+    a.join(b, Seq("__g"))
       .filter(col("__ra") < col("__rb"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")).cast("double") - lit(1e-9))
       .select("__ra", "__rb")
       .dropDuplicates("__ra", "__rb")
-    jaccardVerifyExpand(repPairs, setTable, "__set", groups, memb, threshold)
+  }
+
+  /** CROSS-TABLE [[jaccardPairsExact]] — decontamination / linkage by SET
+    * similarity with recall 1: every (left, right) pair whose k-shingle
+    * sets have Jaccard ≥ `threshold`. The distinct sets of BOTH tables go
+    * through one shared prefix-filter candidate pass, Jaccard verifies at
+    * the rep level, and verified set pairs expand to left×right members in
+    * both orientations; identical sets across the tables pair through the
+    * content-key equi join directly (Jaccard 1). Output:
+    * (id_l, id_r, jaccard). */
+  def jaccardJoin(left: DataFrame, leftId: String, leftText: String,
+                  right: DataFrame, rightId: String, rightText: String,
+                  k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]; got $threshold")
+    def setsOf(df: DataFrame, idc: String, tc: String) =
+      shingled(df, idc, tc, k)
+        .select(col("__id"), array_distinct(col("__sh")).as("__set"))
+        .filter(size(col("__set")) > 0)
+    val sl = setsOf(left, leftId, leftText)
+    val sr = setsOf(right, rightId, rightText)
+    def gkc(c: Column) = md5(concat_ws("\u0001", c))
+    val keyedL = sl.select(col("__id").as("__ml"), gkc(col("__set")).as("__gk")).cache()
+    val keyedR = sr.select(col("__id").as("__mr"), gkc(col("__set")).as("__gk")).cache()
+    val reps = sl.select(col("__set")).unionByName(sr.select(col("__set")))
+      .select(gkc(col("__set")).as("__id"), col("__set"))
+      .dropDuplicates("__id").cache()
+    val repPairs = prefixRepPairs(reps, threshold)
+    def jac(sa: Column, sb: Column): Column =
+      when(size(array_union(sa, sb)) === 0, 0.0)
+        .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
+    val repVerified = repPairs
+      .join(reps.select(col("__id").as("__ra"), col("__set").as("__sa")), Seq("__ra"))
+      .join(reps.select(col("__id").as("__rb"), col("__set").as("__sb")), Seq("__rb"))
+      .withColumn("jaccard", jac(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("__ra", "__rb", "jaccard")
+    val selfJac = reps.select(col("__id").as("__gk"),
+        jac(col("__set"), col("__set")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val same = keyedL.join(keyedR, Seq("__gk")).join(selfJac, Seq("__gk"))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("jaccard"))
+    def orient(pl: String, pr: String) = repVerified
+      .join(keyedL.select(col("__gk").as(pl), col("__ml")), Seq(pl))
+      .join(keyedR.select(col("__gk").as(pr), col("__mr")), Seq(pr))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("jaccard"))
+    same.unionByName(orient("__ra", "__rb")).unionByName(orient("__rb", "__ra"))
   }
 
   private def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

@@ -1182,6 +1182,48 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "regime check")
   }
 
+  test("jaccardJoin: cross-table brute parity, identical-set path, orientations") {
+    def bruteAB(ls: Seq[(Long, String)], rs: Seq[(Long, String)], k: Int, t: Double)
+        : Set[(Long, Long, Double)] = {
+      def set(s: String): Set[String] = {
+        val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < k) Set.empty else toks.sliding(k).map(_.mkString(" ")).toSet
+      }
+      (for { (il, ta) <- ls; (ir, tb) <- rs
+        sa = set(ta); sb = set(tb) if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= t
+      } yield (il, ir, j)).toSet
+    }
+    val ls: Seq[(Long, String)] = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta", // dup in left
+      3L -> "one two three four five six",
+      4L -> "ab cd")                                         // < k tokens
+    val rs: Seq[(Long, String)] = Seq(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta", // identical set
+      101L -> "alpha beta gamma delta epsilon zeta eta iota",  // near
+      102L -> "nothing shared here at all folks",
+      103L -> "one two three four five six")
+    val l = ls.toDF("lid", "lt"); val r = rs.toDF("rid", "rt")
+    for (t <- Seq(0.3, 0.6, 1.0)) {
+      val got = Dedup.jaccardJoin(l, "lid", "lt", r, "rid", "rt", k = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bruteAB(ls, rs, 3, t), s"t=$t: ${got.toSeq.sorted}")
+    }
+    // randomized over a tiny vocab — both orientations and hot shingles
+    val rng = new scala.util.Random(17)
+    def randRows(n: Int, off: Long): Seq[(Long, String)] = (0 until n).map { i =>
+      (off + i) -> Array.fill(8 + rng.nextInt(10))(("abc")(rng.nextInt(3)).toString).mkString(" ")
+    }
+    val rl = randRows(50, 0L); val rr = randRows(50, 500L)
+    val got = Dedup.jaccardJoin(rl.toDF("lid", "lt"), "lid", "lt",
+      rr.toDF("rid", "rt"), "rid", "rt", k = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = bruteAB(rl, rr, 3, 0.3)
+    assert(got == want, "randomized cross-table jaccard parity failed")
+    assert(want.nonEmpty, "regime check")
+  }
+
   test("embeddingJoin: cross-table brute parity at full banding, exact-dup path, zero vectors") {
     val rng = new scala.util.Random(31)
     def vec(): Array[Float] = Array.fill(8)(rng.nextGaussian().toFloat)
