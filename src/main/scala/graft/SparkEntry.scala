@@ -4,7 +4,7 @@ import graft.agg.GeoAggregates._
 import graft.functions.GeoFunctions._
 import graft.functions.TextFunctions
 import graft.join.{Clip, Overlay, SJoinNearest, SpatialJoin}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -177,6 +177,19 @@ object SparkEntry {
   }
   private def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+  /** events with `ts` normalized to exact long NANOS in column `t` —
+    * TIMESTAMP(NANOS) parquet reads as long under `nanosAsLong` (the
+    * Verify/Bench sessions); a TimestampType read (micros) upscales
+    * by 1000 so the temporal-join gates compare on the identical
+    * integer domain as the oracle's `epoch_ns`. */
+  private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val tN = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L
+    }
+    ev.withColumn("t", tN)
+  }
 
   /** Flagship: points-in-cells sjoin + dissolve-style count per region
     * (the reference's "groceries per community" hello-world,
@@ -1487,6 +1500,59 @@ object SparkEntry {
           lit("  Ünïted  "),
           translate(col("text"), "aeio", "áéîö"),
           lit("  CAFÉ\t"))).as("norm"))),
+    "q164_asof_join" -> ((s, d) => {
+      // point-in-time lookup: each click joined to the user's most recent
+      // purchase at-or-before it (backward as-of, inner). One window
+      // shuffle on user_id, no join node; oracle = DuckDB's native ASOF.
+      val ev = eventsNs(s, d)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("user_id"), col("value"), col("t"))
+      TemporalJoin.asofJoin(l, r, "t", "t", by = Seq("user_id"), how = "inner")
+        .select(col("click_id"), col("r_purch_id").as("purch_id"),
+          col("r_value").as("purch_value"), (col("t") - col("r_t")).as("lag_ns"))
+    }),
+    "q165_asof_nokey" -> ((s, d) => {
+      // keyless FORWARD as-of with tolerance: each error matched to the
+      // next signup (any user) within 10 minutes, null-extended. Exercises
+      // the bucket+carry reduction (parallelism without a key).
+      val ev = eventsNs(s, d)
+      val l = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("t"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"), col("t"))
+      TemporalJoin.asofJoinKeyless(l, r, "t", "t", direction = "forward",
+          tolerance = Some(600L * 1000000000L), how = "left")
+        .select(col("err_id"), col("r_sig_id").as("sig_id"),
+          (col("r_t") - col("t")).as("lead_ns"))
+    }),
+    "q166_range_join" -> ((s, d) => {
+      // 1-D range join: errors falling inside any signup's 30-minute
+      // activation window (cross-user — a real interval join, not a keyed
+      // lookup). Binned equi-join + exact refine; each pair exactly once.
+      val ev = eventsNs(s, d)
+      val pts = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("t"))
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"), col("t").as("w_start"),
+          (col("t") + 1800L * 1000000000L).as("w_end"))
+      TemporalJoin.rangeJoin(pts, "t", iv, "w_start", "w_end")
+        .select(col("err_id"), col("iv_sig_id").as("sig_id"))
+    }),
+    "q167_interval_overlap" -> ((s, d) => {
+      // interval-overlap join: signup activation windows (30 min) crossed
+      // with purchase attribution windows (15 min); claim-first-bin dedup.
+      val ev = eventsNs(s, d)
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"), col("t").as("s_start"),
+          (col("t") + 1800L * 1000000000L).as("s_end"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("t").as("p_start"),
+          (col("t") + 900L * 1000000000L).as("p_end"))
+      TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
+        .select(col("sig_id"), col("b_purch_id").as("purch_id"))
+    }),
     "q163_jaccard_join" -> ((s, d) => {
       // set-similarity decontamination: the corpus joined against a
       // "reference" slice (doc_id%9, last 5 tokens truncated — high but
@@ -2880,6 +2946,27 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q164_asof_join" ->
+        s"""WITH l AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
+           | r AS (SELECT event_id AS purch_id, user_id, value, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase')
+           | SELECT click_id, purch_id, value AS purch_value, l.t - r.t AS lag_ns
+           | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin.replace("\n", " "),
+      "q165_asof_nokey" ->
+        s"""WITH l AS (SELECT event_id AS err_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'error'),
+           | r AS (SELECT event_id AS sig_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'signup'),
+           | a AS (SELECT err_id, sig_id, r.t - l.t AS lead_ns FROM l ASOF LEFT JOIN r ON l.t <= r.t)
+           | SELECT err_id, CASE WHEN lead_ns <= 600000000000 THEN sig_id END AS sig_id,
+           | CASE WHEN lead_ns <= 600000000000 THEN lead_ns END AS lead_ns FROM a""".stripMargin.replace("\n", " "),
+      "q166_range_join" ->
+        s"""WITH e AS (SELECT event_id AS err_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'error'),
+           | s AS (SELECT event_id AS sig_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'signup')
+           | SELECT err_id, sig_id FROM e JOIN s
+           | ON e.t >= s.t AND e.t <= s.t + 1800000000000""".stripMargin.replace("\n", " "),
+      "q167_interval_overlap" ->
+        s"""WITH a AS (SELECT event_id AS sig_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'signup'),
+           | b AS (SELECT event_id AS purch_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase')
+           | SELECT sig_id, purch_id FROM a JOIN b
+           | ON a.t <= b.t + 900000000000 AND b.t <= a.t + 1800000000000""".stripMargin.replace("\n", " "),
       "q163_jaccard_join" ->
         s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
            | l AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tok WHERE len(toks) >= 3),
