@@ -1553,6 +1553,19 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q168_minhash_join" -> ((s, d) => {
+      // approximate cross-table decontamination: same corpus/reference
+      // slices as q163 but candidates from LSH banding instead of the
+      // exact prefix filter — the shape that stays cheap when the corpus
+      // is 100 TB and the reference set is benchmarks
+      val toksC = TextFunctions.tokens(col("text"))
+      val rt = docs(s, d).filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("rid"),
+          array_join(slice(toksC, lit(1), greatest(size(toksC) - 5, lit(3))), " ").as("text"))
+      Dedup.minhashJoin(docs(s, d), "doc_id", "text", rt, "rid", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_l"), col("id_r"), round(col("jaccard"), 6).as("jaccard"))
+    }),
     "q163_jaccard_join" -> ((s, d) => {
       // set-similarity decontamination: the corpus joined against a
       // "reference" slice (doc_id%9, last 5 tokens truncated — high but
@@ -2946,6 +2959,22 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q168_minhash_join" ->
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | l AS (SELECT doc_id AS id, list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM tok WHERE len(toks) >= 3),
+           | rtok AS (SELECT doc_id + 2000000 AS id, toks[1:greatest(len(toks) - 5, 3)] AS toks FROM tok WHERE doc_id % 9 = 0),
+           | r AS (SELECT id, list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM rtok WHERE len(toks) >= 3),
+           | lsig AS (SELECT id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM l),
+           | rsig AS (SELECT id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig FROM r),
+           | lband AS (SELECT id, t.b AS band, md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), '|')) AS bkey FROM lsig CROSS JOIN range(0, 4) t(b)),
+           | rband AS (SELECT id, t.b AS band, md5(array_to_string(list_slice(sig, t.b * 4 + 1, t.b * 4 + 4), '|')) AS bkey FROM rsig CROSS JOIN range(0, 4) t(b)),
+           | pairs AS (SELECT DISTINCT lband.id AS id_l, rband.id AS id_r FROM lband JOIN rband ON lband.band = rband.band AND lband.bkey = rband.bkey),
+           | scored AS (SELECT id_l, id_r,
+           |   CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN CAST(0 AS DOUBLE)
+           |        ELSE CAST(len(list_distinct(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS DOUBLE)
+           |             / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+           |   FROM pairs JOIN lsig a ON pairs.id_l = a.id JOIN rsig b ON pairs.id_r = b.id)
+           | SELECT id_l, id_r, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin.replace("\n", " "),
       "q164_asof_join" ->
         s"""WITH l AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
            | r AS (SELECT event_id AS purch_id, user_id, value, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase')

@@ -62,19 +62,27 @@ object Dedup {
     // expansion — cache it so the md5-over-shingles keying runs once
     val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
     val reps = sig.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+    val repPairs = bandRepPairs(reps, bands, rowsPerBand)
+    jaccardVerifyExpand(repPairs, shingleTable, "__sh", groups, memb, threshold)
+  }
+
+  /** LSH band candidates over a rep table carrying (`__id` orderable,
+    * `__sig` array): every distinct (`__ra` < `__rb`) pair sharing at least
+    * one band key. Only (band, key, id) is shuffled — never the shingles.
+    * A null signature (empty shingle list) yields a null band array, which
+    * posexplode drops. */
+  private def bandRepPairs(reps: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = reps.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", transform(
           slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string"))))))
         .as(Seq("__band", "__key")))
-
     val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"))
-    val repPairs = a.join(b, Seq("__band", "__key"))
+    a.join(b, Seq("__band", "__key"))
       .filter(col("__ra") < col("__rb"))
       .select("__ra", "__rb")
       .dropDuplicates("__ra", "__rb")
-    jaccardVerifyExpand(repPairs, shingleTable, "__sh", groups, memb, threshold)
   }
 
   /** Shared tail of the Jaccard pair joins ([[minhashPairs]]' banding and
@@ -216,17 +224,60 @@ object Dedup {
       .select(gkc(col("__set")).as("__id"), col("__set"))
       .dropDuplicates("__id").cache()
     val repPairs = prefixRepPairs(reps, threshold)
+    crossVerifyExpand(repPairs, reps, "__set", keyedL, keyedR, threshold)
+  }
+
+  /** CROSS-TABLE [[minhashPairs]] — the approximate (LSH-recall) sibling of
+    * [[jaccardJoin]], for when the exact prefix filter's candidate volume
+    * is too hot at corpus scale: both tables' distinct shingle LISTS are
+    * signed once (md5 minhash spec), banded once, candidates come from the
+    * band equi-join over the combined rep table, exact Jaccard verifies at
+    * the rep level, and verified pairs expand to left×right members in both
+    * orientations; identical lists across the tables pair through the
+    * content-key equi join directly. The collapse is recall-neutral vs
+    * banding every row (members share their rep's signature, hence every
+    * band key). Output: (id_l, id_r, jaccard). */
+  def minhashJoin(left: DataFrame, leftId: String, leftText: String,
+                  right: DataFrame, rightId: String, rightText: String,
+                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]; got $threshold")
+    def sh(df: DataFrame, idc: String, tc: String) = shingled(df, idc, tc, k)
+    val sl = sh(left, leftId, leftText)
+    val sr = sh(right, rightId, rightText)
+    def gkc(c: Column) = md5(concat_ws("\u0001", c))
+    val keyedL = sl.select(col("__id").as("__ml"), gkc(col("__sh")).as("__gk")).cache()
+    val keyedR = sr.select(col("__id").as("__mr"), gkc(col("__sh")).as("__gk")).cache()
+    val reps = sl.select(col("__sh")).unionByName(sr.select(col("__sh")))
+      .select(gkc(col("__sh")).as("__id"), col("__sh"))
+      .dropDuplicates("__id")
+      .withColumn("__sig", minhashMd5U(col("__sh"), lit(numHashes)))
+      .cache()
+    val repPairs = bandRepPairs(reps, bands, numHashes / bands)
+    crossVerifyExpand(repPairs, reps, "__sh", keyedL, keyedR, threshold)
+  }
+
+  /** Shared tail of [[jaccardJoin]] and [[minhashJoin]]: verify exact
+    * Jaccard on the candidate REP pairs, emit identical-content cross
+    * pairs via the content-key equi join, and expand verified rep pairs to
+    * left×right members in both orientations. `reps` is keyed by content
+    * md5 (`__id`), `keyedL`/`keyedR` map member ids to content keys. */
+  private def crossVerifyExpand(repPairs: DataFrame, reps: DataFrame,
+                                contentCol: String, keyedL: DataFrame,
+                                keyedR: DataFrame, threshold: Double): DataFrame = {
     def jac(sa: Column, sb: Column): Column =
       when(size(array_union(sa, sb)) === 0, 0.0)
         .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
     val repVerified = repPairs
-      .join(reps.select(col("__id").as("__ra"), col("__set").as("__sa")), Seq("__ra"))
-      .join(reps.select(col("__id").as("__rb"), col("__set").as("__sb")), Seq("__rb"))
-      .withColumn("jaccard", jac(col("__sa"), col("__sb")))
+      .join(reps.select(col("__id").as("__ra"), col(contentCol).as("__c_a")), Seq("__ra"))
+      .join(reps.select(col("__id").as("__rb"), col(contentCol).as("__c_b")), Seq("__rb"))
+      .withColumn("jaccard", jac(col("__c_a"), col("__c_b")))
       .filter(col("jaccard") >= threshold)
       .select("__ra", "__rb", "jaccard")
     val selfJac = reps.select(col("__id").as("__gk"),
-        jac(col("__set"), col("__set")).as("jaccard"))
+        jac(col(contentCol), col(contentCol)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val same = keyedL.join(keyedR, Seq("__gk")).join(selfJac, Seq("__gk"))
       .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("jaccard"))

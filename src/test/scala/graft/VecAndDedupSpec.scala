@@ -1182,6 +1182,45 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "regime check")
   }
 
+  test("minhashJoin: full-banding brute parity, identical-list path, recall subset") {
+    def shSet(s: String, k: Int): Set[String] = {
+      val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < k) Set.empty else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    def brute(ls: Seq[(Long, String)], rs: Seq[(Long, String)], k: Int, t: Double)
+        : Set[(Long, Long, Double)] =
+      (for { (il, ta) <- ls; (ir, tb) <- rs
+        sa = shSet(ta, k); sb = shSet(tb, k) if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= t
+      } yield (il, ir, j)).toSet
+    val ls: Seq[(Long, String)] = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta", // dup in left
+      3L -> "one two three four five six",
+      4L -> "ab cd")                                         // < k tokens
+    val rs: Seq[(Long, String)] = Seq(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta", // identical list
+      101L -> "alpha beta gamma delta epsilon zeta eta iota",  // near
+      102L -> "nothing shared here at all folks",
+      103L -> "one two three four five six")
+    // bands == numHashes (1 row/band): any shared shingle can hit a band;
+    // at threshold this recovers the exact result on this fixture
+    val got = Dedup.minhashJoin(ls.toDF("lid", "lt"), "lid", "lt",
+        rs.toDF("rid", "rt"), "rid", "rt", k = 3, numHashes = 16, bands = 16, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute(ls, rs, 3, 0.3), got.toSeq.sorted.toString)
+    // production banding (4x4): every reported pair is genuine (exact
+    // jaccard re-verified) and a subset of the exact join = recall <= 1
+    val coarse = Dedup.minhashJoin(ls.toDF("lid", "lt"), "lid", "lt",
+        rs.toDF("rid", "rt"), "rid", "rt", k = 3, numHashes = 16, bands = 4, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(coarse.subsetOf(brute(ls, rs, 3, 0.3)))
+    // identical-list cross pairs always surface regardless of banding
+    assert(coarse.exists(p => p._1 == 1L && p._2 == 100L && p._3 == 1.0))
+    assert(coarse.exists(p => p._1 == 2L && p._2 == 100L && p._3 == 1.0))
+    assert(coarse.exists(p => p._1 == 3L && p._2 == 103L && p._3 == 1.0))
+  }
+
   test("jaccardJoin: cross-table brute parity, identical-set path, orientations") {
     def bruteAB(ls: Seq[(Long, String)], rs: Seq[(Long, String)], k: Int, t: Double)
         : Set[(Long, Long, Double)] = {
