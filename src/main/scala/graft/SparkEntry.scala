@@ -4,7 +4,7 @@ import graft.agg.GeoAggregates._
 import graft.functions.GeoFunctions._
 import graft.functions.TextFunctions
 import graft.join.{Clip, Overlay, SJoinNearest, SpatialJoin}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TemporalJoin}
+import graft.ops.{CorpusStats, Dedup, Multimodal, Sampling, Similarity, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1553,6 +1553,35 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q169_heavy_hitters" -> ((s, d) => {
+      // exact frequent terms with sketch-bounded shuffle: Misra-Gries
+      // candidates per partition, exact recount of candidates only —
+      // at 100 TB the full distinct-term groupBy this replaces is the
+      // single biggest exchange in a corpus report
+      val terms = docs(s, d).select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      CorpusStats.heavyHitters(terms, "term", k = 200)
+    }),
+    "q170_orc_roundtrip" -> ((s, d) => {
+      // columnar-sink coverage beyond parquet: Spark-native ORC write +
+      // multi-file read-back (predicate/column pushdown come free)
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(s"$dir/docs")
+      s.read.orc(s"$dir/docs")
+    }),
+    "q171_zorder_layout" -> ((s, d) => {
+      // multi-dimensional layout key: two independent integer dimensions
+      // interleaved into one Morton key (pure shift/mask arithmetic, no
+      // UDF) — sort-by-z is the write-side layout that lets min/max
+      // row-group stats prune on EITHER dimension. Gate = the key math +
+      // curve order over the first 200 cells.
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val z = graft.functions.ZOrder.zorder2(
+        col("c_custkey") % 1024, col("c_nationkey").cast("long") * 41 % 1024, 10)
+      c.select(col("c_custkey"), z.as("zkey"))
+        .orderBy(col("zkey"), col("c_custkey")).limit(200)
+    }),
     "q168_minhash_join" -> ((s, d) => {
       // approximate cross-table decontamination: same corpus/reference
       // slices as q163 but candidates from LSH banding instead of the
@@ -2959,6 +2988,20 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q169_heavy_hitters" ->
+        s"""WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS term FROM documents),
+           | tot AS (SELECT count(*) AS n FROM t)
+           | SELECT term, count(*) AS cnt FROM t, tot GROUP BY term, n
+           | HAVING count(*) * 200 > n""".stripMargin.replace("\n", " "),
+      "q170_orc_roundtrip" ->
+        s"SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 3 = 0",
+      "q171_zorder_layout" ->
+        s"""WITH z AS (SELECT c_custkey, CAST(list_sum(list_transform(range(0, 10), i ->
+           |   (((c_custkey % 1024) >> i) & 1) << (2 * i))) +
+           |   list_sum(list_transform(range(0, 10), i ->
+           |   (((c_nationkey * 41 % 1024) >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+           | FROM customer)
+           | SELECT c_custkey, zkey FROM z ORDER BY zkey, c_custkey LIMIT 200""".stripMargin.replace("\n", " "),
       "q168_minhash_join" ->
         s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
            | l AS (SELECT doc_id AS id, list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM tok WHERE len(toks) >= 3),

@@ -220,4 +220,57 @@ object CorpusStats {
         round(coalesce(col("__nov"), lit(0L)) /
           greatest(coalesce(col("__tot"), lit(0L)), lit(1L)), 6).as("novel_frac"))
   }
+
+  /** EXACT heavy hitters with sketch-bounded shuffle: every term occurring
+    * MORE than `total/k` times (the φ = 1/k frequent-items threshold),
+    * with its exact count.
+    *
+    * A plain `groupBy(term).count` shuffles one partial row per distinct
+    * term per upstream partition — at 100 TB the distinct-term set (URLs,
+    * n-grams, hostnames) can be billions of rows of exchange for a report
+    * whose answer is a handful of terms. This instead runs MISRA–GRIES
+    * summaries (k counters, the public frequent-items algorithm) inside
+    * each input partition to produce a candidate set, then exactly
+    * recounts ONLY the candidates. The union of per-partition MG item
+    * sets provably contains every term with global count > total/k
+    * (per-partition undercount is ≤ N_p/k; summed ≤ N/k, so a global
+    * heavy hitter keeps a positive merged estimate and must appear in at
+    * least one summary), making the final output EXACT — candidates are a
+    * recall guarantee, never a precision claim. Shuffle volume: candidate
+    * terms only (≤ k·numPartitions rows broadcast; recount rows only for
+    * candidate occurrences).
+    *
+    * `termDf` = one row per occurrence (pre-exploded). Output:
+    * (term, cnt), cnt > total/k. */
+  def heavyHitters(termDf: DataFrame, termCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1; got $k")
+    val spark = termDf.sparkSession
+    import spark.implicits._
+    val terms = termDf.select(col(termCol).cast("string").as("__term"))
+    // Misra–Gries per partition: k-1 counters; decrement-all on overflow.
+    // Survivor set per partition is <= k-1 items regardless of input size.
+    val candidates = terms.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (t != null) {
+          if (counters.contains(t)) counters(t) += 1L
+          else if (counters.size < k - 1) counters(t) = 1L
+          else {
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1L
+              if (c == 0L) dead += key else counters(key) = c
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+      }
+      counters.keysIterator
+    }.toDF("__term").distinct()
+    val total = terms.filter(col("__term").isNotNull).count()
+    terms.join(broadcast(candidates), Seq("__term"), "left_semi")
+      .groupBy(col("__term").as("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > lit(total)) // exact integer compare: cnt > total/k
+  }
 }

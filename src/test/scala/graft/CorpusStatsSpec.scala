@@ -149,4 +149,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(m(3L), "batch-1 content arriving in batch 2 must flag possibly_seen")
     assert(!m(4L), "novel batch-2 content must pass")
   }
+
+  test("heavyHitters: exact parity with full groupBy across k and partitioning") {
+    // zipf-ish skew + adversarial partition layouts: exactness must hold
+    // regardless of how occurrences split across partitions
+    val rng = new scala.util.Random(5)
+    val terms = (0 until 5000).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 30) "t0" else if (r < 45) "t1" else if (r < 55) "t2"
+      else s"rare${rng.nextInt(800)}"
+    }
+    for (parts <- Seq(1, 3, 32); k <- Seq(2, 5, 20, 100)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(terms.map(org.apache.spark.sql.Row(_)), parts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
+      val got = graft.ops.CorpusStats.heavyHitters(df, "term", k)
+        .as[(String, Long)].collect().toSet
+      val total = terms.size
+      val want = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * k > total }
+        .map { case (t, c) => (t, c) }.toSet
+      assert(got == want, s"parts=$parts k=$k")
+    }
+  }
+
+  test("heavyHitters: nulls ignored, empty input, threshold boundary is strict") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), None, Some("b"), Some("c")).toDF("term")
+    // total (non-null) = 5; k=2 -> cnt*2 > 5 -> cnt >= 3: none qualify
+    assert(graft.ops.CorpusStats.heavyHitters(df, "term", 2).count() == 0)
+    // k=3 -> cnt*3 > 5 -> cnt >= 2: a and b
+    val got = graft.ops.CorpusStats.heavyHitters(df, "term", 3)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 2L), ("b", 2L)))
+    val empty = Seq.empty[String].toDF("term")
+    assert(graft.ops.CorpusStats.heavyHitters(empty, "term", 5).count() == 0)
+  }
 }
