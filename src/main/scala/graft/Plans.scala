@@ -559,6 +559,75 @@ object Plans {
         k = 3, threshold = 0.5)
     }
 
+    // events with ts normalized to exact long nanos (the files carry
+    // TIMESTAMP(MICROS); long-nanos parity with the SparkEntry gates)
+    lazy val eventsNs: org.apache.spark.sql.DataFrame = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val tN = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L
+      }
+      ev.withColumn("t", tN)
+    }
+
+    section("As-of join, keyed (q164: union + running-last window, no join node)",
+      "The point-in-time lookup never builds a join: both sides union " +
+        "into one frame tagged by side, ONE window per user partition " +
+        "carries the latest right payload forward (right rows sort before " +
+        "left at equal ts so ties match), and unmatched rows null-extend. " +
+        "A single Exchange on the by key — the naive `l.ts >= r.ts` " +
+        "spelling would be a BroadcastNestedLoopJoin.") {
+      val ev = eventsNs
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("lid"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("rid"), col("user_id"), col("value"), col("t"))
+      graft.ops.TemporalJoin.asofJoin(l, r, "t", "t", by = Seq("user_id"), how = "inner")
+    }
+
+    section("As-of join, keyless (q165: bucket + carry-in reduction)",
+      "No key, still parallel: time range-buckets into 256 fixed-width " +
+        "cells (exact integral `div`, no double rounding at nano scale), " +
+        "every bucket gets a carry-in row (latest right row from earlier " +
+        "buckets — one <=258-row window), then the keyed core runs with " +
+        "the bucket as the partition key.") {
+      val ev = eventsNs
+      val l = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("lid"), col("t"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("rid"), col("t"))
+      graft.ops.TemporalJoin.asofJoinKeyless(l, r, "t", "t",
+        tolerance = Some(600L * 1000000000L))
+    }
+
+    section("Range join (q166: binned equi-join, PBSM in 1-D)",
+      "Intervals explode onto fixed-width bins (native `sequence`, " +
+        "bounded duplication ~2 rows/interval at the default width); each " +
+        "point lives in exactly one bin so the SortMergeJoin on the bin " +
+        "key emits each qualifying pair once — no dedup shuffle, no " +
+        "BroadcastNestedLoopJoin, and AQE can skew-split a hot bin.") {
+      val ev = eventsNs
+      val pts2 = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("pid"), col("t"))
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("ivid"), col("t").as("w0"),
+          (col("t") + 1800L * 1000000000L).as("w1"))
+      graft.ops.TemporalJoin.rangeJoin(pts2, "t", iv, "w0", "w1")
+    }
+
+    section("Exact heavy hitters (q169: Misra-Gries candidates + exact recount)",
+      "The full distinct-term groupBy this replaces shuffles every " +
+        "distinct term; here the only wide exchange is the recount of " +
+        "CANDIDATE occurrences (left_semi against the broadcast <=" +
+        "k*partitions candidate set from the per-partition Misra-Gries " +
+        "pass). The union of per-partition MG item sets provably contains " +
+        "every global phi=1/k hitter, so the output is exact.") {
+      graft.ops.CorpusStats.heavyHitters(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term")),
+        "term", k = 200)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

@@ -105,6 +105,14 @@ stays distributed.
       replicate(spark.read.parquet(s"$sf/documents.parquet"), mult, Seq("doc_id"))
     def embs(mult: Int): DataFrame =
       replicate(spark.read.parquet(s"$sf/embeddings.parquet"), mult, Seq("vec_id"))
+    def eventsNs(mult: Int): DataFrame = {
+      val ev = replicate(spark.read.parquet(s"$sf/events.parquet"), mult, Seq("event_id"))
+      val tN = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L
+      }
+      ev.withColumn("t", tN)
+    }
 
     /** Zipf-clustered points: u³ over 100 cells concentrates ~20% of the
       * corpus in cell 0 and a long sparse tail — cluster centers 100 apart,
@@ -444,6 +452,62 @@ stays distributed.
         (graft.ops.Dedup.clusterAwareSplit(
           o.select(col("o_orderkey").as("id")), pairs, "id", valFraction = 0.1)
           .fullCount, 0L)
+      }
+      bench("asof join keyed", mult) {
+        // replication multiplies rows PER USER (event ids remapped, user
+        // ids kept), so the window partitions deepen N x — time must track
+        // rows through the single union+window shuffle, never pairs
+        val ev = eventsNs(mult)
+        val l = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("lid"), col("user_id"), col("t"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("rid"), col("user_id"), col("value"), col("t"))
+        (graft.ops.TemporalJoin.asofJoin(l, r, "t", "t",
+          by = Seq("user_id"), how = "inner").fullCount, 0L)
+      }
+      bench("asof join keyless", mult) {
+        // the bucket+carry reduction: parallelism comes from the 256 time
+        // buckets, so N x rows spread over the same buckets — flat ratio
+        // expected (the 2-row bounds agg and <=258-row carry are constant)
+        val ev = eventsNs(mult)
+        val l = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("lid"), col("t"))
+        val r = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("rid"), col("t"))
+        (graft.ops.TemporalJoin.asofJoinKeyless(l, r, "t", "t",
+          tolerance = Some(600L * 1000000000L)).fullCount, 0L)
+      }
+      bench("range join binned", mult) {
+        // intervals duplicate N x at identical spans, so output grows N²
+        // by construction (every point matches every copy) — time must
+        // track the OUTPUT, not candidate volume: the bin equi-join's
+        // probe work per pair is constant
+        val ev = eventsNs(mult)
+        val pts = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("pid"), col("t"))
+        val iv = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("ivid"), col("t").as("w0"),
+            (col("t") + 1800L * 1000000000L).as("w1"))
+        (graft.ops.TemporalJoin.rangeJoin(pts, "t", iv, "w0", "w1").fullCount, 0L)
+      }
+      bench("heavy hitters k=200", mult) {
+        // the whole point at scale: candidate set stays <= k x partitions
+        // regardless of N, the exact recount shuffles candidate
+        // occurrences only — time tracks the two corpus scans
+        val terms = docs(mult).select(
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        (graft.ops.CorpusStats.heavyHitters(terms, "term", k = 200).fullCount, 0L)
+      }
+      bench("minhash join corpus-vs-ref", mult) {
+        // corpus N x vs fixed reference slice: rep-level banding+verify is
+        // constant under replication (distinct content unchanged); only
+        // the member expansion grows
+        val all = docs(mult)
+        val ref = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("rid"), col("text"))
+        (graft.ops.Dedup.minhashJoin(all, "doc_id", "text", ref, "rid", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.9).fullCount, 0L)
       }
     }
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
 
 /** Temporal joins for event streams: as-of join (point-in-time lookup) and
   * range/interval joins, Spark-first.
@@ -53,9 +53,15 @@ object TemporalJoin {
   /** Normalize a ts column to an exactly-comparable integral numeric:
     * TimestampType → epoch micros; numeric types pass through. */
   private def tsNorm(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case TimestampType => unix_micros(col(c))
-      case _             => col(c)
+    normCol(df.schema(c).dataType, col(c))
+
+  /** TIMESTAMP → epoch micros; TIMESTAMP_NTZ → epoch micros via a session-
+    * timezone cast (the engine mains pin UTC); numerics pass through. */
+  private def normCol(dt: org.apache.spark.sql.types.DataType, c: Column): Column =
+    dt match {
+      case TimestampType    => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _                => c
     }
 
   /** Exact integral division (SQL `div`): long-domain bucketing with no
@@ -194,10 +200,7 @@ object TemporalJoin {
       .filter(col("__tag") === 1)
     val mTs = {
       val st = carried.schema("__m").dataType.asInstanceOf[StructType]
-      st(rightTs).dataType match {
-        case TimestampType => unix_micros(col(s"__m.$rightTs"))
-        case _             => col(s"__m.$rightTs")
-      }
+      normCol(st(rightTs).dataType, col(s"__m.$rightTs"))
     }
     val lagOk = tolerance match {
       case None      => col("__m").isNotNull && col("__ord").isNotNull
@@ -294,8 +297,5 @@ object TemporalJoin {
     * joined frame carries `src(orig)`'s type. */
   private def tsNormP(joined: DataFrame, prefixed: String,
                       src: DataFrame, orig: String): Column =
-    src.schema(orig).dataType match {
-      case TimestampType => unix_micros(col(prefixed))
-      case _             => col(prefixed)
-    }
+    normCol(src.schema(orig).dataType, col(prefixed))
 }
