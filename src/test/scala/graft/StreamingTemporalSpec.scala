@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.TemporalJoin
+import graft.streaming.StreamingTemporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingTemporalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Static = Seq(
+    (10L, "a", 90L, 1.0), (11L, "a", 200L, 2.0), (12L, "a", 210L, 3.0),
+    (13L, "b", 150L, 4.0), (14L, "d", 5L, 5.0))
+  private def staticDf = Static.toDF("rid", "k", "rt", "v")
+  private val Left = Seq(
+    (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 50L), (4L, "b", 100L),
+    (5L, "b", 300L), (6L, "c", 10L), (7L, "a", 200L))
+
+  test("asofLookup batch parity with TemporalJoin.asofJoin across modes") {
+    val l = Left.toDF("lid", "k", "lt")
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(60L)); how <- Seq("left", "inner")) {
+      val got = StreamingTemporal.asofLookup(l, staticDf, "lt", "rt",
+          by = Seq("k"), direction = dir, tolerance = tol, how = how)
+        .select(col("lid"), col("r_rid"), col("r_v"))
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      val want = TemporalJoin.asofJoin(l, staticDf, "lt", "rt",
+          by = Seq("k"), direction = dir, tolerance = tol, how = how)
+        .select(col("lid"), col("r_rid"), col("r_v"))
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == want, s"dir=$dir tol=$tol how=$how")
+    }
+  }
+
+  test("asofLookup keyless and guards") {
+    val l = Left.toDF("lid", "k", "lt")
+    val got = StreamingTemporal.asofLookup(l, staticDf.drop("k"), "lt", "rt")
+      .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+    val want = TemporalJoin.asofJoin(l, staticDf.drop("k"), "lt", "rt")
+      .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+    assert(got == want)
+    intercept[IllegalArgumentException] {
+      StreamingTemporal.asofLookup(l, staticDf, "lt", "rt", by = Seq("k"), maxStaticRows = 2)
+    }
+    intercept[IllegalArgumentException] { // collision: l already has r_v
+      StreamingTemporal.asofLookup(l.withColumn("r_v", lit(1)), staticDf, "lt", "rt", by = Seq("k"))
+    }
+  }
+
+  test("asofLookup enriches a MemoryStream per micro-batch in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("lid", "k", "lt")
+    val out = StreamingTemporal.asofLookup(stream, staticDf, "lt", "rt",
+      by = Seq("k"), how = "left")
+    val q = out.writeStream.format("memory").queryName("st_asof")
+      .outputMode("append").start()
+    input.addData((1L, "a", 100L), (4L, "b", 100L))
+    q.processAllAvailable()
+    input.addData((2L, "a", 205L), (6L, "c", 10L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT lid, r_rid, r_v FROM st_asof")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, Some(10L), Some(1.0)),  // a@100 -> rt 90
+      (4L, None, None),            // b@100: earliest b is 150
+      (2L, Some(11L), Some(2.0)),  // a@205 -> rt 200
+      (6L, None, None)))           // key c absent
+  }
+
+  test("asofLookup duplicate (key, ts) static rows do not duplicate stream rows") {
+    val dup = (Static :+ ((99L, "a", 200L, 9.9))).toDF("rid", "k", "rt", "v")
+    val l = Seq((7L, "a", 200L)).toDF("lid", "k", "lt")
+    val rows = StreamingTemporal.asofLookup(l, dup, "lt", "rt", by = Seq("k")).collect()
+    assert(rows.length == 1)
+  }
+}
