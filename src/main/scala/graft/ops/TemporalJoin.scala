@@ -87,7 +87,11 @@ object TemporalJoin {
     * node; without keys it dispatches to [[asofJoinKeyless]].
     *
     * Rows with duplicate (`by`, `rightTs`) on the right have no defined
-    * winner — pre-aggregate the right side if that matters. */
+    * winner — pre-aggregate the right side if that matters.
+    *
+    * NULL `by` keys group together (window-partition semantics): a null-key
+    * left row matches null-key right rows. SQL's `ON l.k = r.k` would drop
+    * them — filter nulls first for strict equi-join parity (spec-pinned). */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftTs: String, rightTs: String,
                by: Seq[String] = Nil,

@@ -153,6 +153,16 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin: null by-keys group together (documented window semantics)") {
+    val l = Seq((1L, Option("a"), 100L), (2L, Option.empty[String], 100L)).toDF("lid", "k", "lt")
+    val r = Seq((10L, Option("a"), 90L), (11L, Option.empty[String], 80L)).toDF("rid", "k", "rt")
+    val got = TemporalJoin.asofJoin(l, r, "lt", "rt", by = Seq("k"))
+      .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+    // null-key left row 2 matches null-key right row 11 (window semantics,
+    // NOT SQL equi-join semantics — pinned as the documented contract)
+    assert(got == Set((1L, Some(10L)), (2L, Some(11L))))
+  }
+
   test("asofJoin on TimestampType columns normalizes to epoch micros") {
     val lts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
       (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("lid", "lt")
