@@ -1553,6 +1553,21 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q172_hamming_join" -> ((s, d) => {
+      // signature-level cross-table decontamination: corpus simhashes vs
+      // the truncated reference slice's simhashes within 8 bits —
+      // pigeonhole banding gives RECALL 1 (unlike minhash LSH) because
+      // hamming <= 8 forces an identical chunk in one of 9 bands
+      val toksC = TextFunctions.tokens(col("text"))
+      val l = docs(s, d).select(col("doc_id"),
+        TextFunctions.simhash64(col("text")).as("sig"))
+      val rt = docs(s, d).filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("rid"),
+          TextFunctions.simhash64(array_join(
+            slice(toksC, lit(1), greatest(size(toksC) - 5, lit(3))), " ")).as("sig"))
+      Dedup.hammingJoin(l, "doc_id", "sig", rt, "rid", "sig", maxHamming = 8)
+        .select(col("id_l"), col("id_r"), col("hamming"))
+    }),
     "q169_heavy_hitters" -> ((s, d) => {
       // exact frequent terms with sketch-bounded shuffle: Misra-Gries
       // candidates per partition, exact recount of candidates only —
@@ -2988,6 +3003,26 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q172_hamming_join" ->
+        s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+           | lt AS (SELECT doc_id AS id, list_transform(toks, tok -> md5(tok)) AS hs FROM tok),
+           | rt AS (SELECT doc_id + 2000000 AS id, list_transform(toks[1:greatest(len(toks) - 5, 3)], tok -> md5(tok)) AS hs FROM tok WHERE doc_id % 9 = 0),
+           | lb AS (SELECT id, list_transform(range(0, 64), j -> CASE WHEN
+           |   list_sum(list_transform(hs, h -> CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |   THEN 1 ELSE 0 END) AS b FROM lt),
+           | rb AS (SELECT id, list_transform(range(0, 64), j -> CASE WHEN
+           |   list_sum(list_transform(hs, h -> CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           |   THEN 1 ELSE 0 END) AS b FROM rt),
+           | lsig AS (SELECT id, list_aggregate(list_transform(range(0, 16),
+           |   g -> substr('0123456789abcdef', CAST(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] AS INT) + 1, 1)), 'string_agg', '') AS sig FROM lb),
+           | rsig AS (SELECT id, list_aggregate(list_transform(range(0, 16),
+           |   g -> substr('0123456789abcdef', CAST(b[g*4+1]*8 + b[g*4+2]*4 + b[g*4+3]*2 + b[g*4+4] AS INT) + 1, 1)), 'string_agg', '') AS sig FROM rb),
+           | scored AS (SELECT l.id AS id_l, r.id AS id_r,
+           |   CAST(list_sum(list_transform(range(1, 17), i -> bit_count(xor(
+           |     strpos('0123456789abcdef', substr(l.sig, CAST(i AS INT), 1)) - 1,
+           |     strpos('0123456789abcdef', substr(r.sig, CAST(i AS INT), 1)) - 1)))) AS INT) AS hamming
+           |   FROM lsig l CROSS JOIN rsig r)
+           | SELECT id_l, id_r, hamming FROM scored WHERE hamming <= 8""".stripMargin.replace("\n", " "),
       "q169_heavy_hitters" ->
         s"""WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS term FROM documents),
            | tot AS (SELECT count(*) AS n FROM t)

@@ -971,6 +971,49 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** CROSS-TABLE [[hammingPairs]] — near-dup linkage between two tables'
+    * 16-hex-char (64-bit) signature columns within `maxHamming` bits
+    * (simhash decontamination, pHash/audio-fingerprint snapshot diffing).
+    * The DISTINCT signatures of BOTH tables band once through the shared
+    * pigeonhole chunking (any pair within `maxHamming` shares an identical
+    * chunk in at least one of the `maxHamming + 1` bands), candidates come
+    * from the band equi-join, hamming verifies once per signature pair,
+    * and verified pairs expand to left×right members in both orientations;
+    * identical signatures across the tables pair through the signature
+    * equi join directly (hamming 0). Output: (id_l, id_r, hamming). */
+  def hammingJoin(left: DataFrame, leftId: String, leftSig: String,
+                  right: DataFrame, rightId: String, rightSig: String,
+                  maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
+    val bands = maxHamming + 1
+    val bound = (0 to bands).map(i => 16 * i / bands)
+    val sl = left.select(col(leftId).as("__ml"), col(leftSig).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val sr = right.select(col(rightId).as("__mr"), col(rightSig).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val reps = sl.select(col("__sig")).unionByName(sr.select(col("__sig"))).distinct()
+    val banded = reps.select(col("__sig"),
+      posexplode(array((0 until bands).map(i =>
+        substring(col("__sig"), bound(i) + 1, bound(i + 1) - bound(i))): _*))
+        .as(Seq("__band", "__key")))
+    val a = banded.select(col("__band"), col("__key"), col("__sig").as("__sa"))
+    val b = banded.select(col("__band"), col("__key"), col("__sig").as("__sb"))
+    val repVerified = a.join(b, Seq("__band", "__key"))
+      .filter(col("__sa") < col("__sb"))
+      .dropDuplicates("__sa", "__sb")
+      .withColumn("hamming", hammingHexU(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("__sa", "__sb", "hamming")
+    val same = sl.join(sr, Seq("__sig"))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), lit(0).as("hamming"))
+    def orient(pl: String, pr: String) = repVerified
+      .join(sl.select(col("__sig").as(pl), col("__ml")), Seq(pl))
+      .join(sr.select(col("__sig").as(pr), col("__mr")), Seq(pr))
+      .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("hamming"))
+    same.unionByName(orient("__sa", "__sb")).unionByName(orient("__sb", "__sa"))
+  }
+
   /** Exact n-gram Jaccard similarity for all LSH candidate pairs (wrapper
     * naming the n-gram-Jaccard dedup mode of the pipeline). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3,

@@ -1182,6 +1182,40 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "regime check")
   }
 
+  test("hammingJoin: cross-table brute parity (pigeonhole recall 1), identical sigs, dup members") {
+    def ham(a: String, b: String): Int =
+      (0 until 16).map(i => java.lang.Integer.bitCount(
+        Integer.parseInt(a(i).toString, 16) ^ Integer.parseInt(b(i).toString, 16))).sum
+    val rng = new scala.util.Random(23)
+    def sig(): String = (0 until 16).map(_ => "0123456789abcdef"(rng.nextInt(16))).mkString
+    def flip(s: String, nBits: Int): String = {
+      var cur = java.lang.Long.parseUnsignedLong(s, 16)
+      (0 until nBits).foreach(_ => cur ^= 1L << rng.nextInt(64))
+      f"$cur%016x"
+    }
+    val base = (0 until 40).map(_ => sig())
+    val ls: Seq[(Long, String)] =
+      base.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+        Seq(100L -> base(0)) // duplicate member in left
+    val rs: Seq[(Long, String)] =
+      base.take(20).zipWithIndex.map { case (s, i) => (500L + i, flip(s, 1 + rng.nextInt(4))) } ++
+        Seq(900L -> base(0), 901L -> sig()) // identical cross sig + noise
+    for (mh <- Seq(0, 2, 5, 9)) {
+      val got = Dedup.hammingJoin(ls.toDF("lid", "ls"), "lid", "ls",
+          rs.toDF("rid", "rs"), "rid", "rs", maxHamming = mh)
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for { (il, a) <- ls; (ir, b) <- rs; h = ham(a, b) if h <= mh }
+        yield (il, ir, h)).toSet
+      assert(got == want, s"mh=$mh got=${got.size} want=${want.size}")
+      if (mh >= 2) assert(want.nonEmpty, "regime check")
+    }
+    // the duplicate left member pairs with the identical right sig at 0
+    val at0 = Dedup.hammingJoin(ls.toDF("lid", "ls"), "lid", "ls",
+        rs.toDF("rid", "rs"), "rid", "rs", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(at0.contains((0L, 900L, 0)) && at0.contains((100L, 900L, 0)))
+  }
+
   test("minhashJoin: full-banding brute parity, identical-list path, recall subset") {
     def shSet(s: String, k: Int): Set[String] = {
       val toks = s.trim.split("\\s+").filter(_.nonEmpty)
