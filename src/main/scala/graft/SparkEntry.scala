@@ -1553,6 +1553,20 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q173_asof_nearest" -> ((s, d) => {
+      // direction="nearest" (pandas merge_asof parity): each click to the
+      // CLOSEST purchase either way within an hour, ties backward — both
+      // candidates come from the same single window sort
+      val ev = eventsNs(s, d)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("user_id"), col("t"))
+      TemporalJoin.asofJoin(l, r, "t", "t", by = Seq("user_id"),
+          direction = "nearest", tolerance = Some(3600L * 1000000000L), how = "inner")
+        .select(col("click_id"), col("r_purch_id").as("purch_id"),
+          abs(col("t") - col("r_t")).as("gap_ns"))
+    }),
     "q172_hamming_join" -> ((s, d) => {
       // signature-level cross-table decontamination: corpus simhashes vs
       // the truncated reference slice's simhashes within 8 bits —
@@ -3003,6 +3017,14 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q173_asof_nearest" ->
+        s"""WITH l AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
+           | r AS (SELECT event_id AS purch_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase'),
+           | cand AS (SELECT l.click_id, r.purch_id, abs(l.t - r.t) AS gap_ns,
+           |   CASE WHEN r.t <= l.t THEN 0 ELSE 1 END AS fwd
+           |   FROM l JOIN r ON l.user_id = r.user_id),
+           | ranked AS (SELECT *, row_number() OVER (PARTITION BY click_id ORDER BY gap_ns, fwd) AS rn FROM cand)
+           | SELECT click_id, purch_id, gap_ns FROM ranked WHERE rn = 1 AND gap_ns <= 3600000000000""".stripMargin.replace("\n", " "),
       "q172_hamming_join" ->
         s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
            | lt AS (SELECT doc_id AS id, list_transform(toks, tok -> md5(tok)) AS hs FROM tok),

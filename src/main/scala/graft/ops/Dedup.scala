@@ -988,10 +988,13 @@ object Dedup {
       s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
     val bands = maxHamming + 1
     val bound = (0 to bands).map(i => 16 * i / bands)
+    // cached like jaccardJoin/minhashJoin's keyed sides: the upstream is
+    // often an expensive signature computation (simhash/pHash) and each
+    // side feeds the rep union, the identical-sig join and one expansion
     val sl = left.select(col(leftId).as("__ml"), col(leftSig).as("__sig"))
-      .filter(col("__sig").isNotNull)
+      .filter(col("__sig").isNotNull).cache()
     val sr = right.select(col(rightId).as("__mr"), col(rightSig).as("__sig"))
-      .filter(col("__sig").isNotNull)
+      .filter(col("__sig").isNotNull).cache()
     val reps = sl.select(col("__sig")).unionByName(sr.select(col("__sig"))).distinct()
     val banded = reps.select(col("__sig"),
       posexplode(array((0 until bands).map(i =>

@@ -99,16 +99,17 @@ object TemporalJoin {
                tolerance: Option[Long] = None,
                how: String = "left",
                rightPrefix: String = "r_"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward; got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest; got $direction")
     require(how == "left" || how == "inner", s"how must be left|inner; got $how")
     require(tolerance.forall(_ >= 0), "tolerance must be >= 0")
     checkReserved(left, "asofJoin left"); checkReserved(right, "asofJoin right")
     if (by.isEmpty)
       return asofJoinKeyless(left, right, leftTs, rightTs, direction, tolerance, how, rightPrefix)
     require(!by.contains(rightTs), s"right ts column $rightTs must not be a by key")
-    val sign = if (direction == "backward") 1L else -1L
-    core(left, right, leftTs, rightTs, by, sign, tolerance, how, rightPrefix)
+    val sign = if (direction == "forward") -1L else 1L
+    core(left, right, leftTs, rightTs, by, sign, tolerance, how, rightPrefix,
+      nearest = direction == "nearest")
   }
 
   /** The keyless as-of: bucket time into `numBuckets` fixed-width ranges
@@ -125,9 +126,12 @@ object TemporalJoin {
                       rightPrefix: String = "r_",
                       numBuckets: Int = 256): DataFrame = {
     require(numBuckets > 0)
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest; got $direction")
     checkReserved(left, "asofJoin left"); checkReserved(right, "asofJoin right")
     val spark = right.sparkSession
-    val sign = if (direction == "backward") 1L else -1L
+    val nearest = direction == "nearest"
+    val sign = if (direction == "forward") -1L else 1L
     val lt = left.select((tsNorm(left, leftTs) * sign).as("__t"))
     val rt = right.select((tsNorm(right, rightTs) * sign).as("__t"))
     val Array(bounds) = lt.unionByName(rt)
@@ -135,7 +139,8 @@ object TemporalJoin {
     if (bounds.isNullAt(0)) // no non-null ts anywhere: nothing matches
       return core(left.withColumn("__bkt", lit(0L)),
         right.withColumn("__bkt", lit(0L)),
-        leftTs, rightTs, Seq("__bkt"), sign, tolerance, how, rightPrefix)
+        leftTs, rightTs, Seq("__bkt"), sign, tolerance, how, rightPrefix,
+        nearest = nearest)
         .drop("__bkt")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / numBuckets + 1)
@@ -155,17 +160,32 @@ object TemporalJoin {
       .withColumn("__carry", last(col("__row"), ignoreNulls = true).over(cumW))
       .filter(col("__carry").isNotNull)
       .select(col("__bkt"), col("__carry.*"))
-    // A carry row duplicates a real right row into a later bucket; its real
-    // ts sorts it before every left row of that bucket, so the window core
-    // sees it as the seed match. (For buckets that also hold the original
-    // row the duplicate is harmless: identical payload, same carry result.)
+    // nearest also needs the SYMMETRIC carry: for bucket b, the earliest
+    // right row in any bucket > b (the forward candidate may live past the
+    // bucket boundary). Same <= numBuckets+2 rows.
+    val carryF = if (!nearest) carry.limit(0) else {
+      val perBucketF = right.filter(rn.isNotNull)
+        .groupBy(bkt(rn * sign).as("__bkt"))
+        .agg(min_by(struct(right.columns.map(col).toIndexedSeq: _*), rn * sign).as("__row"))
+      val fwdW = Window.orderBy(col("__bkt"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      allB.join(perBucketF, Seq("__bkt"), "left")
+        .withColumn("__carry", first(col("__row"), ignoreNulls = true).over(fwdW))
+        .filter(col("__carry").isNotNull)
+        .select(col("__bkt"), col("__carry.*"))
+    }
+    // A carry row duplicates a real right row into another bucket; its real
+    // ts sorts it before (backward) / after (forward) every left row of
+    // that bucket, so the window core sees it as the seed candidate. (For
+    // buckets that also hold the original row the duplicate is harmless:
+    // identical payload, same carry result.)
     val rightSeeded = right.withColumn("__bkt",
         when(rn.isNotNull, bkt(rn * sign)))
-      .unionByName(carry)
+      .unionByName(carry).unionByName(carryF)
     val leftB = left.withColumn("__bkt",
       when(tsNorm(left, leftTs).isNotNull, bkt(tsNorm(left, leftTs) * sign)))
     core(leftB, rightSeeded, leftTs, rightTs, Seq("__bkt"), sign, tolerance,
-      how, rightPrefix).drop("__bkt")
+      how, rightPrefix, nearest = nearest).drop("__bkt")
   }
 
   /** Union-and-carry core: both sides tagged into one frame, a single
@@ -175,7 +195,7 @@ object TemporalJoin {
                    leftTs: String, rightTs: String,
                    by: Seq[String], sign: Long,
                    tolerance: Option[Long], how: String,
-                   rightPrefix: String): DataFrame = {
+                   rightPrefix: String, nearest: Boolean = false): DataFrame = {
     val rPayloadCols = right.columns.filterNot(by.contains).toIndexedSeq
     val leftCols = left.columns.toIndexedSeq
     rPayloadCols.filterNot(_.startsWith("__")).foreach { c =>
@@ -196,20 +216,47 @@ object TemporalJoin {
         lit(1).as("__tag"),
         lit(null).cast(rKeyed.schema("__r").dataType).as("__r"),
         struct(leftCols.map(col): _*).as("__l")): _*)
-    val w = Window.partitionBy(by.map(col): _*)
+    val base0 = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__ord").asc_nulls_first, col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rKeyed.unionByName(lKeyed)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
+    val w = base0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBack = rKeyed.unionByName(lKeyed)
+      .withColumn("__mb", last(col("__r"), ignoreNulls = true).over(w))
+    // nearest: the forward candidate comes from the SAME sort in the same
+    // window pass (frame current->following). A right row at equal ts sits
+    // before the left row (tag order) so it is only in the backward frame —
+    // harmless: its gap is 0, the minimum, so backward wins anyway.
+    val withBoth =
+      if (!nearest) withBack.withColumn("__m", col("__mb"))
+      else withBack.withColumn("__mf",
+        first(col("__r"), ignoreNulls = true)
+          .over(base0.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    def tsOf(c: String): Column = {
+      val st = withBoth.schema(c).dataType.asInstanceOf[StructType]
+      normCol(st(rightTs).dataType, col(s"$c.$rightTs"))
+    }
+    val carried =
+      if (!nearest) withBoth.filter(col("__tag") === 1)
+      else {
+        val bg = col("__ord") - tsOf("__mb") * sign
+        val fg = tsOf("__mf") * sign - col("__ord")
+        // ties (bg == fg) take the backward match — pandas merge_asof
+        // direction='nearest' convention
+        withBoth
+          .withColumn("__m", when(col("__mb").isNotNull &&
+            (col("__mf").isNull || bg <= fg), col("__mb")).otherwise(col("__mf")))
+          .filter(col("__tag") === 1)
+      }
     val mTs = {
       val st = carried.schema("__m").dataType.asInstanceOf[StructType]
       normCol(st(rightTs).dataType, col(s"__m.$rightTs"))
     }
+    val gap =
+      if (!nearest) col("__ord") - mTs * sign
+      else abs(col("__ord") - mTs * sign)
     val lagOk = tolerance match {
       case None      => col("__m").isNotNull && col("__ord").isNotNull
       case Some(tol) => col("__m").isNotNull && col("__ord").isNotNull &&
-        (col("__ord") - mTs * sign) <= lit(tol)
+        gap <= lit(tol)
     }
     val matched = carried.withColumn("__ok", coalesce(lagOk, lit(false)))
     val base = if (how == "inner") matched.filter(col("__ok")) else matched

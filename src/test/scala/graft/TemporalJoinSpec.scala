@@ -12,18 +12,26 @@ class TemporalJoinSpec extends AnyFunSuite {
 
   // ---- brute-force references ------------------------------------------
   private def bruteAsof(ls: Seq[(Long, String, Long)], rs: Seq[(Long, String, Long, Double)],
-                        byKey: Boolean, backward: Boolean, tol: Option[Long])
+                        byKey: Boolean, dir: String, tol: Option[Long])
       : Set[(Long, Option[Long])] =
     ls.map { case (lid, lk, lt) =>
-      val cand = rs.filter { case (_, rk, rt, _) =>
-        (!byKey || rk == lk) && (if (backward) rt <= lt else rt >= lt)
-      }
-      val best =
+      def side(backward: Boolean): Option[(Long, Long, Double)] = {
+        val cand = rs.filter { case (_, rk, rt, _) =>
+          (!byKey || rk == lk) && (if (backward) rt <= lt else rt >= lt)
+        }.map(r => (r._1, r._3, r._4))
         if (cand.isEmpty) None
-        else Some(if (backward) cand.maxBy(_._3) else cand.minBy(_._3))
-      val ok = best.exists { b =>
-        tol.forall(t => (if (backward) lt - b._3 else b._3 - lt) <= t)
+        else Some(if (backward) cand.maxBy(_._2) else cand.minBy(_._2))
       }
+      val best = dir match {
+        case "backward" => side(true)
+        case "forward"  => side(false)
+        case "nearest"  => (side(true), side(false)) match {
+          case (Some(b), Some(f)) => // tie -> backward (pandas convention)
+            if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      val ok = best.exists(b => tol.forall(t => math.abs(lt - b._2) <= t))
       (lid, if (ok) best.map(_._1) else None)
     }.toSet
 
@@ -38,11 +46,11 @@ class TemporalJoinSpec extends AnyFunSuite {
   private def rdf: DataFrame = R.toDF("rid", "k", "rt", "v")
 
   test("asofJoin keyed: brute parity, both directions, tolerance, ties, inner/left") {
-    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(60L), Some(0L))) {
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(60L), Some(0L))) {
       val got = TemporalJoin.asofJoin(ldf, rdf, "lt", "rt", by = Seq("k"),
           direction = dir, tolerance = tol, how = "left")
         .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
-      val want = bruteAsof(L, R, byKey = true, dir == "backward", tol)
+      val want = bruteAsof(L, R, byKey = true, dir, tol)
       assert(got == want, s"dir=$dir tol=$tol")
       val inner = TemporalJoin.asofJoin(ldf, rdf, "lt", "rt", by = Seq("k"),
           direction = dir, tolerance = tol, how = "inner")
@@ -62,11 +70,11 @@ class TemporalJoinSpec extends AnyFunSuite {
   }
 
   test("asofJoinKeyless: brute parity across bucket counts (carry across empty buckets)") {
-    for (nb <- Seq(1, 2, 4, 7, 64); dir <- Seq("backward", "forward"); tol <- Seq(None, Some(40L))) {
+    for (nb <- Seq(1, 2, 4, 7, 64); dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(40L))) {
       val got = TemporalJoin.asofJoinKeyless(ldf, rdf, "lt", "rt",
           direction = dir, tolerance = tol, numBuckets = nb)
         .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
-      val want = bruteAsof(L, R, byKey = false, dir == "backward", tol)
+      val want = bruteAsof(L, R, byKey = false, dir, tol)
       assert(got == want, s"nb=$nb dir=$dir tol=$tol")
     }
   }
@@ -76,10 +84,12 @@ class TemporalJoinSpec extends AnyFunSuite {
     val base = 1704067200000000000L // 2024 epoch nanos: beyond 2^53
     val ls = (0 until 300).map(i => (i.toLong, "x", base + rng.nextLong(86400L * 1000000000L)))
     val rs = (0 until 120).map(i => (1000L + i, "x", base + rng.nextLong(86400L * 1000000000L), i.toDouble))
-    val got = TemporalJoin.asofJoin(ls.toDF("lid", "k", "lt"), rs.toDF("rid", "k", "rt", "v"),
-        "lt", "rt", by = Nil, direction = "backward", tolerance = Some(3600L * 1000000000L))
-      .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
-    assert(got == bruteAsof(ls, rs, byKey = false, backward = true, Some(3600L * 1000000000L)))
+    for (dir <- Seq("backward", "nearest")) {
+      val got = TemporalJoin.asofJoin(ls.toDF("lid", "k", "lt"), rs.toDF("rid", "k", "rt", "v"),
+          "lt", "rt", by = Nil, direction = dir, tolerance = Some(3600L * 1000000000L))
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      assert(got == bruteAsof(ls, rs, byKey = false, dir, Some(3600L * 1000000000L)), dir)
+    }
   }
 
   test("asofJoin: empty right side and all-null ts") {
