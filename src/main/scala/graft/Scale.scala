@@ -498,6 +498,16 @@ stays distributed.
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         (graft.ops.CorpusStats.heavyHitters(terms, "term", k = 200).fullCount, 0L)
       }
+      bench("pagerank 3 rounds", mult) {
+        // modular link graph over replicated doc ids: nodes and edges grow
+        // N x, per-round shuffle volume tracks edges; hub in-link skew is
+        // AQE's problem (map-side partial sums pre-combine per partition)
+        val ids = docs(mult).select(col("doc_id").as("id"))
+        val live = ids.filter(col("id") % 11 =!= 0)
+        val e = live.select(col("id").as("src"), (col("id") * 7 + 1).as("dst"))
+          .unionByName(live.select(col("id").as("src"), (col("id") * 3 + 2).as("dst")))
+        (graft.ops.LinkGraph.pageRank(e, "src", "dst", iterations = 3).fullCount, 0L)
+      }
       bench("minhash join corpus-vs-ref", mult) {
         // corpus N x vs fixed reference slice: rep-level banding+verify is
         // constant under replication (distinct content unchanged); only
