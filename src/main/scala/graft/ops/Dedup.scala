@@ -187,13 +187,24 @@ object Dedup {
     val prefix = ex.join(freq, Seq("__g"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col("__g"), col("__id"), col("__n"))
-    val a = prefix.select(col("__g"), col("__id").as("__ra"), col("__n").as("__na"))
-    val b = prefix.select(col("__g"), col("__id").as("__rb"), col("__n").as("__nb"))
+      .select(col("__g"), col("__id"), col("__n"), col("__rn"))
+    val a = prefix.select(col("__g"), col("__id").as("__ra"),
+      col("__n").as("__na"), col("__rn").as("__pa"))
+    val b = prefix.select(col("__g"), col("__id").as("__rb"),
+      col("__n").as("__nb"), col("__rn").as("__pb"))
+    // PPJoin positional filter (Xiao et al., WWW 2008): jaccard >= t needs
+    // overlap alpha >= t/(1+t)·(na+nb); for the FIRST common token in the
+    // shared rarity order (position pa in A, pb in B) every other common
+    // token lies after it on BOTH sides, so overlap <= 1 + min(na−pa,
+    // nb−pb). A pair is kept iff ANY of its prefix-token occurrences
+    // passes — the first-common-token occurrence of a true match always
+    // does, so recall stays 1 while verify volume drops.
     a.join(b, Seq("__g"))
       .filter(col("__ra") < col("__rb"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")).cast("double") - lit(1e-9))
+      .filter((lit(1L) + least(col("__na") - col("__pa"), col("__nb") - col("__pb"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("__na") + col("__nb")).cast("double") - lit(1e-9))
       .select("__ra", "__rb")
       .dropDuplicates("__ra", "__rb")
   }
