@@ -54,6 +54,49 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z2 == 8L) // a bit 1 -> position 3
   }
 
+  test("z-ordered parquet layout prunes scans on EITHER dimension (measured)") {
+    // 64k rows over a 256x256 grid, written as 16 files two ways: sorted by
+    // the Morton key vs shuffled. A range filter on ONE dimension must scan
+    // far fewer rows from the z-ordered layout (file/row-group min-max
+    // pruning) — this is the layout claim behind ZOrder, measured, not
+    // asserted. (Row counts come from the scan node's numOutputRows, i.e.
+    // rows surviving pushed filters at row-group granularity.)
+    import graft.functions.ZOrder
+    val n = 1 << 16
+    val df = spark.range(n).select(
+      (col("id") % 256).as("x"),
+      ((col("id") * 2654435761L) % 256).as("y"),
+      col("id").as("payload"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val udir = java.nio.file.Files.createTempDirectory("graft_unord").toString
+    df.withColumn("z", ZOrder.zorder2(col("x"), col("y"), 8))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.mode("overwrite").parquet(zdir)
+    df.repartition(16).write.mode("overwrite").parquet(udir)
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("x") >= 10 && col("x") <= 20)
+      q.collect() // run it so metrics populate
+      val scans = q.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+    val matched = spark.read.parquet(zdir).filter(col("x") >= 10 && col("x") <= 20).count()
+    assert(matched == spark.read.parquet(udir).filter(col("x") >= 10 && col("x") <= 20).count())
+    val zRows = scannedRows(zdir); val uRows = scannedRows(udir)
+    // the unsorted layout cannot prune (every file spans the full x range);
+    // the z-ordered one reads only row groups whose x tiles intersect
+    assert(uRows >= n * 9 / 10, s"unsorted should scan ~everything, got $uRows")
+    assert(zRows <= uRows / 3, s"z-ordered should scan <1/3: z=$zRows u=$uRows")
+    // and the same layout also prunes on the OTHER dimension
+    def scannedRowsY(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("y") >= 100 && col("y") <= 110)
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+    assert(scannedRowsY(zdir) <= scannedRowsY(udir) / 3,
+      s"y-dim: z=${scannedRowsY(zdir)} u=${scannedRowsY(udir)}")
+  }
+
   test("quantize clamps and bins deterministically") {
     val vals = Seq(-5.0, 0.0, 0.5, 9.999, 10.0, 25.0).toDF("v")
       .select(ZOrder.quantize(col("v"), 0.0, 10.0, 4)).as[Long].collect().toSeq
