@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -219,6 +220,63 @@ object CorpusStats {
         coalesce(col("__nov"), lit(0L)).as("novel_grams"),
         round(coalesce(col("__nov"), lit(0L)) /
           greatest(coalesce(col("__tot"), lit(0L)), lit(1L)), 6).as("novel_frac"))
+  }
+
+  /** MERGEABLE Misra–Gries sketch as a DataFrame: ≤ k−1 (term, est) rows
+    * with the frequent-items guarantee `true − N/k <= est <= true` over
+    * everything folded in so far. [[heavyHitters]] recounts exactly in a
+    * second pass; this is the single-pass/incremental face for streams and
+    * snapshot folds, where re-reading the corpus is not an option.
+    *
+    * Folding: `mgMerge(old, mgSketch(batch), k)` — summed counts are a
+    * valid union sketch; the compress step subtracts the k-th largest
+    * count and drops non-positives (Agarwal et al. 2012, "Mergeable
+    * summaries": the MG error bound is additive under this merge, so the
+    * folded error stays ≤ N_total/k). The sketch is ≤ k−1 rows at rest —
+    * always broadcastable, like [[graft.ops.Dedup.bloomSketch]]. */
+  def mgSketch(termDf: DataFrame, termCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1; got $k")
+    val spark = termDf.sparkSession
+    import spark.implicits._
+    val perPart = termDf.select(col(termCol).cast("string").as("__term"))
+      .as[String].mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (t != null) {
+            if (counters.contains(t)) counters(t) += 1L
+            else if (counters.size < k - 1) counters(t) = 1L
+            else {
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counters.keysIterator.foreach { key =>
+                val c = counters(key) - 1L
+                if (c == 0L) dead += key else counters(key) = c
+              }
+              dead.foreach(counters.remove)
+            }
+          }
+        }
+        counters.iterator
+      }.toDF("term", "est")
+    compress(perPart.groupBy("term").agg(sum(col("est")).as("est")), k)
+  }
+
+  /** Fold another sketch (or a fresh batch's [[mgSketch]]) into `sketch`.
+    * Both inputs carry (term, est); output ≤ k−1 rows. */
+  def mgMerge(sketch: DataFrame, other: DataFrame, k: Int): DataFrame =
+    compress(sketch.unionByName(other)
+      .groupBy("term").agg(sum(col("est")).as("est")), k)
+
+  /** MG compress: keep the k−1 largest after subtracting the k-th largest
+    * count (all estimates shrink by it — the merge step of the mergeable-
+    * summaries construction). Runs over ≤ k·partitions rows. */
+  private def compress(summed: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("est").desc, col("term"))
+    val ranked = summed.withColumn("__rk", row_number().over(w))
+    val kth = ranked.filter(col("__rk") === k)
+      .select(col("est")).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    ranked.filter(col("__rk") < k)
+      .select(col("term"), (col("est") - lit(kth)).as("est"))
+      .filter(col("est") > 0)
   }
 
   /** EXACT heavy hitters with sketch-bounded shuffle: every term occurring

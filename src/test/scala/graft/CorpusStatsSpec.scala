@@ -185,4 +185,60 @@ class CorpusStatsSpec extends AnyFunSuite {
     val empty = Seq.empty[String].toDF("term")
     assert(graft.ops.CorpusStats.heavyHitters(empty, "term", 5).count() == 0)
   }
+
+  test("mgSketch/mgMerge: frequent-items guarantee under batch and folded merges") {
+    val rng = new scala.util.Random(9)
+    def draw(n: Int): Seq[String] = (0 until n).map { _ =>
+      val r = rng.nextInt(100)
+      if (r < 25) "hot0" else if (r < 40) "hot1" else if (r < 50) "hot2"
+      else s"cold${rng.nextInt(600)}"
+    }
+    val chunks = Seq(draw(2000), draw(1500), draw(2500))
+    val all = chunks.flatten
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    for (k <- Seq(10, 50)) {
+      // single-pass batch sketch over everything
+      val batch = graft.ops.CorpusStats.mgSketch(all.toDF("term"), "term", k)
+        .as[(String, Long)].collect().toMap
+      // folded: sketch each chunk, merge progressively
+      val folded = chunks.map(c => graft.ops.CorpusStats.mgSketch(c.toDF("term"), "term", k))
+        .reduce((a, b) => graft.ops.CorpusStats.mgMerge(a, b, k))
+        .as[(String, Long)].collect().toMap
+      for ((name, sk) <- Seq("batch" -> batch, "folded" -> folded)) {
+        assert(sk.size <= k - 1, s"$name k=$k size")
+        // guarantee: every term with count > N/k present, est in [true-N/k, true]
+        truth.filter { case (_, c) => c * k > n }.foreach { case (t, c) =>
+          assert(sk.contains(t), s"$name k=$k missing hitter $t (count $c, N/k ${n / k})")
+        }
+        sk.foreach { case (t, est) =>
+          val c = truth.getOrElse(t, 0L)
+          assert(est <= c && est >= c - n / k - 1, s"$name k=$k est $t: $est vs true $c")
+        }
+      }
+    }
+  }
+
+  test("mgSketch folds across micro-batches like the bloom sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val k = 8
+    var sketch = spark.emptyDataFrame.select(lit("").as("term"), lit(0L).as("est")).limit(0)
+    val q = input.toDF().toDF("term").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sketch = graft.ops.CorpusStats.mgMerge(
+          sketch, graft.ops.CorpusStats.mgSketch(batch, "term", k), k).localCheckpoint()
+        ()
+    }.start()
+    input.addData(Seq.fill(30)("alpha") ++ Seq.tabulate(10)(i => s"x$i"): _*)
+    q.processAllAvailable()
+    input.addData(Seq.fill(25)("alpha") ++ Seq.fill(20)("beta") ++ Seq.tabulate(10)(i => s"y$i"): _*)
+    q.processAllAvailable(); q.stop()
+    val m = sketch.as[(String, Long)].collect().toMap
+    // alpha: 55 of 95 total; beta: 20 — both far above N/k ~ 12
+    assert(m.contains("alpha") && m.contains("beta"), m.toString)
+    assert(m("alpha") > m("beta"))
+    assert(m.size <= k - 1)
+  }
 }
