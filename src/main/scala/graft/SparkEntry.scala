@@ -1553,6 +1553,13 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q176_random_project" -> ((s, d) =>
+      // JL random projection (pre-ANN dimensionality reduction): the md5
+      // Rademacher spec is replayed sign-by-sign in the oracle; exploded
+      // to (vec_id, j, val) rows so the hash covers every component
+      Similarity.randomProject(embs(s, d), "embedding", outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j"), round(col("v"), 6).as("val"))),
     "q174_pagerank" -> ((s, d) => {
       // crawl-graph quality propagation: 3 PageRank rounds over a
       // deterministic synthetic link graph on the doc ids (two modular
@@ -3035,6 +3042,19 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q176_random_project" ->
+        s"""WITH pls AS (
+           |  SELECT list(pl ORDER BY p) AS pls FROM (
+           |    SELECT p, list_transform(range(0, 64), i ->
+           |      CASE WHEN substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+           |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS pl
+           |    FROM range(0, 8) t(p)) q),
+           | proj AS (SELECT vec_id, j,
+           |   list_sum(list_transform(range(0, len(embedding)), i ->
+           |     pls.pls[CAST(j AS INT) + 1][CAST(i AS INT) + 1] * embedding[CAST(i AS INT) + 1]))
+           |     / sqrt(CAST(8 AS DOUBLE)) AS v
+           |   FROM embeddings CROSS JOIN pls CROSS JOIN range(0, 8) t(j))
+           | SELECT vec_id, j, round(v, 6) AS val FROM proj""".stripMargin.replace("\n", " "),
       "q174_pagerank" -> {
         val iterCtes = (1 to 3).map { k =>
           s"""d$k AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dang FROM r${k - 1}

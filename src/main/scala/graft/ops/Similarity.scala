@@ -82,6 +82,32 @@ object Similarity {
     bucket
   }
 
+  /** Johnson–Lindenstrauss random projection onto `outDim` dimensions via
+    * the SAME deterministic md5 Rademacher planes the ANN bucket uses:
+    * `proj_j = Σ_i plane(j,i)·v_i / sqrt(outDim)` (left-to-right double
+    * accumulation — the spec an external engine replays exactly).
+    * Pairwise inner products are preserved in expectation with variance
+    * ~‖x‖²‖y‖²/outDim — the standard pre-ANN dimensionality reduction at
+    * corpus scale: project once at ingest, store the short vectors, run
+    * every distance pass at outDim/dim the cost. Map-side only. */
+  def randomProject(df: DataFrame, vecCol: String, outCol: String = "proj",
+                    outDim: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"dims must be positive; got $outDim/$dim")
+    val planes = radPlane(outDim, dim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val u = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else Array.tabulate(outDim) { j =>
+        val plane = planes(j)
+        var s = 0.0
+        var i = 0
+        while (i < math.min(v.length, plane.length)) { s += plane(i) * v(i); i += 1 }
+        s * scale
+      }
+    }
+    df.withColumn(outCol, u(col(vecCol)))
+  }
+
   /** Ingest-time column: the LSH bucket of each vector. Persist this (and
     * sort the files by it) so ANN queries prune at the Parquet scan. */
   def annBucket(vecCol: Column, planes: Int = 8, dim: Int = 64, seed: Long = 42L): Column = {

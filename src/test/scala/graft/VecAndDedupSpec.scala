@@ -1353,4 +1353,32 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"editDistancePairs must plan equi joins only:\n$plan")
   }
+
+  test("randomProject: JL distortion bound, determinism, null passthrough") {
+    val rng = new scala.util.Random(41)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val rows = (0 until 60).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = graft.ops.Similarity.randomProject(df, "embedding", outDim = 32)
+      .select(col("vec_id"), col("proj")).as[(Long, Array[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val errs = for {
+      i <- 0 until 30; j <- (i + 1) until 30
+      a = rows(i)._2.map(_.toDouble).toSeq; b = rows(j)._2.map(_.toDouble).toSeq
+    } yield math.abs(cos(a, b) - cos(proj(i.toLong).toSeq, proj(j.toLong).toSeq))
+    // JL at outDim=32: mean pairwise cosine error well under 0.2
+    assert(errs.sum / errs.size < 0.2, s"mean cosine distortion ${errs.sum / errs.size}")
+    // deterministic: same spec -> bit-identical projection
+    val again = graft.ops.Similarity.randomProject(df, "embedding", outDim = 32)
+      .select(col("vec_id"), col("proj")).as[(Long, Array[Double])].collect().toMap
+    assert(proj.forall { case (k, v) => v.sameElements(again(k)) })
+    // null vector stays null
+    val withNull = (rows :+ ((999L, null.asInstanceOf[Array[Float]]))).toDF("vec_id", "embedding")
+    val n = graft.ops.Similarity.randomProject(withNull, "embedding", outDim = 4)
+      .filter(col("vec_id") === 999L).select(col("proj")).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
