@@ -50,8 +50,17 @@ object LinkGraph {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .localCheckpoint()
     val base = (1.0 - damping) / n
-    var ranks = withDeg.select(col("id"), col("outdeg"),
-      round(lit(1.0 / n), 9).as("rank")).localCheckpoint()
+    // superseded rank checkpoints are unpersisted once the next round is
+    // materialized (the connectedComponents tracked-checkpoint posture):
+    // executor storage stays O(one rank table), not O(iterations)
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.collect { case (k, r) if !before(k) => r }.toSeq)
+    }
+    var (ranks, rankRdds) = checkpointTracked(withDeg.select(col("id"), col("outdeg"),
+      round(lit(1.0 / n), 9).as("rank")))
     for (_ <- 1 to iterations) {
       val dangling = ranks.filter(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
@@ -59,11 +68,12 @@ object LinkGraph {
             (col("rank") / col("outdeg")).as("__c")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__c")).as("__in"))
-      ranks = withDeg.join(contrib, Seq("id"), "left")
+      val (next, nextRdds) = checkpointTracked(withDeg.join(contrib, Seq("id"), "left")
         .select(col("id"), col("outdeg"),
           round(lit(base) + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)), 9).as("rank"))
-        .localCheckpoint()
+            (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)), 9).as("rank")))
+      rankRdds.foreach(_.unpersist(false))
+      ranks = next; rankRdds = nextRdds
     }
     ranks.select(col("id"), col("rank"))
   }
