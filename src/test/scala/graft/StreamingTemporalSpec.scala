@@ -69,6 +69,29 @@ class StreamingTemporalSpec extends AnyFunSuite {
       (6L, None, None)))           // key c absent
   }
 
+  test("rangeJoin streams: point stream vs static intervals in append mode") {
+    // the binned range join is stream-ready by construction when the
+    // interval side is static: the point's bin is a map-side projection
+    // and the bin match is a stream-static equi join (binWidth passed
+    // explicitly — the stats aggregate would be illegal on a stream)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val iv = Seq((100L, 90L, 120L), (101L, 0L, 49L), (104L, 150L, 400L))
+      .toDF("ivid", "s", "e")
+    val input = MemoryStream[(Long, Long)]
+    val out = TemporalJoin.rangeJoin(input.toDF().toDF("pid", "t"), "t",
+      iv, "s", "e", binWidth = Some(50L))
+    val q = out.writeStream.format("memory").queryName("st_range")
+      .outputMode("append").start()
+    input.addData((1L, 100L), (2L, 45L))
+    q.processAllAvailable()
+    input.addData((3L, 200L), (4L, 500L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT pid, iv_ivid FROM st_range")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 101L), (3L, 104L)))
+  }
+
   test("asofLookup duplicate (key, ts) static rows do not duplicate stream rows") {
     val dup = (Static :+ ((99L, "a", 200L, 9.9))).toDF("rid", "k", "rt", "v")
     val l = Seq((7L, "a", 200L)).toDF("lid", "k", "lt")
