@@ -628,6 +628,48 @@ object Plans {
         "term", k = 200)
     }
 
+    section("Cross-table MinHash join (q168: one shared banding, both-orientation expansion)",
+      "Both tables' distinct shingle lists sign once and band once; " +
+        "candidates come from the (band, key) equi-join over the combined " +
+        "rep table, exact Jaccard verifies per rep pair, members expand in " +
+        "both orientations. No nested loop anywhere; the wide text columns " +
+        "never multiply by the band count.") {
+      val ds = spark.read.parquet(s"$dir/documents.parquet")
+      val ref = ds.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("rid"), col("text"))
+      graft.ops.Dedup.minhashJoin(ds, "doc_id", "text", ref, "rid", "text",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }
+
+    section("Cross-table hamming join (q172: pigeonhole banding at recall 1)",
+      "Distinct 64-bit signatures band into maxHamming+1 hex chunks; a " +
+        "pair within the bit budget MUST share a chunk, so the band " +
+        "equi-join has recall 1 and the hamming verify runs once per " +
+        "signature pair — signature-only shuffle, members re-attach by " +
+        "the signature key.") {
+      val ds = spark.read.parquet(s"$dir/documents.parquet")
+      val l = ds.select(col("doc_id").as("id"),
+        substring(md5(col("doc_id").cast("string")), 1, 16).as("sig"))
+      val r = ds.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("rid"),
+          concat(substring(md5(col("doc_id").cast("string")), 1, 15), lit("0")).as("sig"))
+      graft.ops.Dedup.hammingJoin(l, "id", "sig", r, "rid", "sig", maxHamming = 4)
+    }
+
+    section("PageRank round (q174: one destination-keyed hash aggregate per iteration)",
+      "Contributions rank/outdeg hash-aggregate on dst with map-side " +
+        "partial sums (a hub's in-links pre-combine per upstream " +
+        "partition); dangling mass is a driver scalar; ranks " +
+        "localCheckpoint per round so the plan below is ONE round, not " +
+        "the unrolled chain.") {
+      val ds = spark.read.parquet(s"$dir/documents.parquet")
+      val ids = ds.select(col("doc_id").as("id"))
+      val live = ids.filter(col("id") % 11 =!= 0)
+      val e = live.select(col("id").as("src"), (col("id") * 7 + 1).as("dst"))
+        .unionByName(live.select(col("id").as("src"), (col("id") * 3 + 2).as("dst")))
+      graft.ops.LinkGraph.pageRank(e, "src", "dst", iterations = 1)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)

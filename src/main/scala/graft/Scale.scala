@@ -498,6 +498,21 @@ stays distributed.
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         (graft.ops.CorpusStats.heavyHitters(terms, "term", k = 200).fullCount, 0L)
       }
+      bench("hamming join sigs", mult) {
+        // the JOIN machinery in isolation (signatures are stored columns
+        // at production ingest): synthetic md5-derived 16-hex sigs, right
+        // side = fixed reference slice with one flipped nibble; banding +
+        // verify + expansion must track the distinct-signature set and the
+        // output, never corpus size x reference size
+        val l = docs(mult).select(col("doc_id").as("id"),
+          substring(md5(col("doc_id").cast("string")), 1, 16).as("sig"))
+        val r = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("rid"),
+            concat(substring(md5(col("doc_id").cast("string")), 1, 15), lit("0")).as("sig"))
+        (graft.ops.Dedup.hammingJoin(l, "id", "sig", r, "rid", "sig",
+          maxHamming = 4).fullCount, 0L)
+      }
       bench("pagerank 3 rounds", mult) {
         // modular link graph over replicated doc ids: nodes and edges grow
         // N x, per-round shuffle volume tracks edges; hub in-link skew is

@@ -1553,6 +1553,17 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q177_json_roundtrip" -> ((s, d) => {
+      // JSON-lines ingest/export (the other ubiquitous crawl interchange
+      // beside WARC/parquet): Spark-native ndjson write + schema-inferred
+      // read-back; splittable line format, per-file parallelism
+      val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+      docs(s, d).filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(s"$dir/docs")
+      s.read.json(s"$dir/docs")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "q176_random_project" -> ((s, d) =>
       // JL random projection (pre-ANN dimensionality reduction): the md5
       // Rademacher spec is replayed sign-by-sign in the oracle; exploded
@@ -3042,6 +3053,8 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q177_json_roundtrip" ->
+        s"SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 4 = 1",
       "q176_random_project" ->
         s"""WITH pls AS (
            |  SELECT list(pl ORDER BY p) AS pls FROM (
