@@ -499,6 +499,100 @@ object CrsTransform {
     }
   }
 
+  /** Sinusoidal (Sanson–Flamsteed), ellipsoidal (Snyder eq. 30-8/30-9:
+    * x = a·Δλ·cosφ/√(1−e²sin²φ), y = meridian arc M(φ)) — equal-area by
+    * construction. `flattening = 0` gives the spherical case: the MODIS
+    * land grid is Sinusoidal on the authalic sphere R = 6371007.181.
+    * ESRI:54008 "World Sinusoidal" is the WGS 84 ellipsoidal form. The
+    * inverse recovers φ from M by Newton (dM/dφ = a(1−e²)/W³ — strictly
+    * positive, no degenerate root anywhere including the poles). */
+  final case class Sinusoidal(lon0: Double = 0.0, fe: Double = 0.0, fn: Double = 0.0,
+                              a: Double = WGS84_A, flattening: Double = WGS84_F)
+      extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val l0 = math.toRadians(lon0)
+    private def meridianArc(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sinP = math.sin(phi)
+      val x = a * (math.toRadians(lon) - l0) * math.cos(phi) / math.sqrt(1 - e2 * sinP * sinP)
+      (x + fe, meridianArc(phi) + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val m = y - fn
+      var phi = m / a // spherical seed; exact when e2 = 0
+      if (e2 > 0) {
+        var i = 0
+        var corr = 1.0
+        while (i < 15 && math.abs(corr) > 1e-13) {
+          val sinP = math.sin(phi)
+          val w2 = 1 - e2 * sinP * sinP
+          corr = (meridianArc(phi) - m) / (a * (1 - e2) / (w2 * math.sqrt(w2)))
+          phi -= corr
+          i += 1
+        }
+      }
+      val cosP = math.cos(phi)
+      val lam =
+        if (math.abs(cosP) < 1e-12) l0
+        else {
+          val sinP = math.sin(phi)
+          l0 + (x - fe) * math.sqrt(1 - e2 * sinP * sinP) / (a * cosP)
+        }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Eckert IV, spherical on R = a (Snyder eq. 32-1..32-10) — ESRI:54012
+    * "World Eckert IV", the equal-area pseudocylindrical with elliptical
+    * meridians. θ solves θ + sinθ·cosθ + 2sinθ = (2 + π/2)·sinφ; the
+    * Newton derivative 2cosθ(1+cosθ) is quadratically degenerate at the
+    * poles (the Mollweide shape), so |φ| = 90° maps directly and the
+    * near-pole seed is the closed-form √-expansion of the gap. */
+  final case class EckertIv(lon0: Double = 0.0, fe: Double = 0.0, fn: Double = 0.0,
+                            r: Double = WGS84_A) extends CrsTransform {
+    private val l0 = math.toRadians(lon0)
+    private val cx = 2.0 / math.sqrt(math.Pi * (4.0 + math.Pi))     // 0.4222382…
+    private val cy = 2.0 * math.sqrt(math.Pi / (4.0 + math.Pi))     // 1.3265004…
+    private val cp = 2.0 + math.Pi / 2.0
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val c = cp * math.sin(phi)
+      var t =
+        if (cp - math.abs(c) < 1e-4) // gap ≈ u² near the pole: seed u = √gap
+          math.signum(phi) * (math.Pi / 2 - math.sqrt(math.max(0, cp - math.abs(c))))
+        else phi / 2
+      if (math.Pi / 2 - math.abs(phi) < 1e-10) t = math.signum(phi) * math.Pi / 2
+      else {
+        var i = 0
+        var corr = 1.0
+        while (i < 50 && math.abs(corr) > 1e-13) {
+          val cosT = math.cos(t)
+          corr = (t + math.sin(t) * cosT + 2 * math.sin(t) - c) / (2 * cosT * (1 + cosT))
+          t -= corr
+          i += 1
+        }
+      }
+      val x = cx * r * (math.toRadians(lon) - l0) * (1 + math.cos(t))
+      (x + fe, cy * r * math.sin(t) + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val t = math.asin(math.min(1, math.max(-1, (y - fn) / (cy * r))))
+      val phi = math.asin(math.min(1, math.max(-1,
+        (t + math.sin(t) * math.cos(t) + 2 * math.sin(t)) / cp)))
+      val lam =
+        if (1 + math.cos(t) < 1e-12) l0
+        else l0 + (x - fe) / (cx * r * (1 + math.cos(t)))
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Lambert Azimuthal Equal Area, oblique ellipsoidal (EPSG method 9820,
     * Snyder eq. 24-2..24-21) — EPSG:3035 is ETRS89-extended / LAEA Europe,
     * the EU statistical-grid CRS. Degenerate at a polar center (cos β1 =
@@ -789,6 +883,10 @@ object CrsTransform {
       Some(EqualEarth())
     case 54009 => // ESRI:54009 World Mollweide (spherical on R = a)
       Some(Mollweide())
+    case 54008 => // ESRI:54008 World Sinusoidal (WGS 84 ellipsoidal)
+      Some(Sinusoidal())
+    case 54012 => // ESRI:54012 World Eckert IV (spherical on R = a)
+      Some(EckertIv())
     case 3035 => // ETRS89-extended / LAEA Europe (the EU statistical grid)
       Some(Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0))
     case 26985 => // NAD83 / Maryland (m) — LCC 2SP
@@ -822,8 +920,8 @@ object CrsTransform {
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
           "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
-          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, 8857, 54009 (ESRI " +
-          "World Mollweide), or any " +
+          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, 8857, 54008/54009/" +
+          "54012 (ESRI World Sinusoidal/Mollweide/Eckert IV), or any " +
           "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection " +
           "parameters"))
     compose(to4326(from), to4326(to))

@@ -283,6 +283,98 @@ class CrsSpec extends AnyFunSuite {
     }
   }
 
+  test("54008 World Sinusoidal + MODIS sphere: meridian arc, equal-area Jacobian, roundtrip") {
+    import graft.crs.CrsTransform
+    val fwd = CrsTransform.chain(4326, 54008)
+    val a = 6378137.0
+    // central meridian maps to the ellipsoidal meridian arc: y(90) is the
+    // quarter meridian ~ 10001965.73 m (WGS 84 published value)
+    val (x0, yQ) = fwd.forward(0.0, 90.0)
+    assert(math.abs(x0) < 1e-9 && math.abs(yQ - 10001965.7293) < 0.01, s"yQ=$yQ")
+    // ellipsoidal equal-area: |det J| = a²(1−e²)·cosφ/(1−e²sin²φ)²
+    val e2 = CrsTransform.WGS84_E2
+    for ((lon, lat) <- Seq((0.0, 0.0), (90.0, 51.0), (-140.0, -72.0), (33.0, 12.5))) {
+      val h = 1e-6
+      val (x1, y1) = fwd.forward(lon - h, lat); val (x2, y2) = fwd.forward(lon + h, lat)
+      val (x3, y3) = fwd.forward(lon, lat - h); val (x4, y4) = fwd.forward(lon, lat + h)
+      val det = ((x2 - x1) * (y4 - y3) - (x4 - x3) * (y2 - y1)) /
+        (4 * h * h * math.pow(math.toRadians(1), 2))
+      val sinP = math.sin(math.toRadians(lat))
+      val want = a * a * (1 - e2) * math.cos(math.toRadians(lat)) /
+        math.pow(1 - e2 * sinP * sinP, 2)
+      assert(math.abs(det / want - 1) < 1e-5, s"($lon,$lat) det=$det want=$want")
+    }
+    // roundtrip across the domain incl. poles
+    for (lat <- Seq(-90.0, -67.5, 0.0, 41.9, 89.99, 90.0); lon <- Seq(-179.5, 0.0, 88.8)) {
+      val (x, y) = fwd.forward(lon, lat)
+      val (lo, la) = fwd.inverse(x, y)
+      assert((math.abs(lat) == 90.0 || math.abs(lo - lon) < 1e-7) &&
+        math.abs(la - lat) < 1e-8, s"($lon,$lat)->($lo,$la)")
+    }
+    // the MODIS land grid: Sinusoidal on the authalic sphere R=6371007.181;
+    // the global x extent is ±πR = ±20015109.354 (the published tile-grid
+    // corner constant) and y(90) = πR/2
+    val modis = graft.crs.CrsTransform.Sinusoidal(a = 6371007.181, flattening = 0.0)
+    val (xm, _) = modis.forward(180.0, 0.0)
+    assert(math.abs(xm - 20015109.354) < 0.01, s"modis xmax=$xm")
+    val (_, ym) = modis.forward(0.0, 90.0)
+    assert(math.abs(ym - 20015109.354 / 2) < 0.01, s"modis ytop=$ym")
+    // spherical roundtrip is closed-form exact
+    val (mx, my) = modis.forward(121.5, -33.25)
+    val (ml, mp) = modis.inverse(mx, my)
+    assert(math.abs(ml - 121.5) < 1e-9 && math.abs(mp + 33.25) < 1e-9)
+    // WKT-given method name resolves through ProjParse
+    val wkt = """PROJCS["MODIS Sinusoidal",GEOGCS["GCS_sphere",DATUM["D_sphere",SPHEROID["sphere",6371007.181,0]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val parsed = graft.crs.ProjParse.parse(wkt)
+    assert(parsed.isDefined, "ProjParse must resolve the Sinusoidal method")
+    val (px, py) = parsed.get.forward(121.5, -33.25)
+    assert(math.abs(px - mx) < 1e-6 && math.abs(py - my) < 1e-6)
+  }
+
+  test("54012 World Eckert IV: published constants, equal-area Jacobian, pole roundtrip") {
+    import graft.crs.CrsTransform
+    val fwd = CrsTransform.chain(4326, 54012)
+    val r = 6378137.0
+    // published constants: x(180°,0) = 0.4222382·R·π·(1+cos 0) — θ(0)=0 so
+    // the equator is the widest parallel at 2·0.4222382·R·π; total
+    // width/height = 2 exactly (the Eckert IV aspect)
+    val (xMax, _) = fwd.forward(180.0, 0.0)
+    assert(math.abs(xMax - 2 * 0.42223820031577120150 * r * math.Pi) < 1e-3, s"xmax=$xMax")
+    assert(math.abs(xMax / (1.32650042817700232040 * r) - 2.0) < 1e-9, "aspect 2")
+    // Eckert IV poles are LINES at half the equator width: θ(90°) = π/2 so
+    // x = 0.4222382·R·λ·(1 + cos π/2) = half the equatorial x at the same λ
+    val (xp, yTop) = fwd.forward(12.0, 90.0)
+    assert(math.abs(yTop - 1.32650042817700232040 * r) < 1e-3, s"ytop=$yTop")
+    assert(math.abs(xp - 0.42223820031577120150 * r * math.toRadians(12.0)) < 1e-3, s"xpole=$xp")
+    // the defining equation θ + sinθcosθ + 2sinθ = (2+π/2)sinφ holds for
+    // the θ the forward actually used (recovered from y)
+    for (lat <- Seq(-89.99, -45.0, 0.0, 33.3, 67.0, 89.9)) {
+      val (_, y) = fwd.forward(0.0, lat)
+      val th = math.asin(y / (1.32650042817700232040 * r))
+      assert(math.abs(th + math.sin(th) * math.cos(th) + 2 * math.sin(th) -
+        (2 + math.Pi / 2) * math.sin(math.toRadians(lat))) < 1e-9, s"defining equation at $lat")
+    }
+    // spherical equal-area: |det J| = R² cosφ
+    for ((lon, lat) <- Seq((0.0, 0.0), (90.0, 51.0), (-140.0, -72.0))) {
+      val h = 1e-6
+      val (x1, y1) = fwd.forward(lon - h, lat); val (x2, y2) = fwd.forward(lon + h, lat)
+      val (x3, y3) = fwd.forward(lon, lat - h); val (x4, y4) = fwd.forward(lon, lat + h)
+      val det = ((x2 - x1) * (y4 - y3) - (x4 - x3) * (y2 - y1)) /
+        (4 * h * h * math.pow(math.toRadians(1), 2))
+      assert(math.abs(det / (r * r * math.cos(math.toRadians(lat))) - 1) < 1e-6, s"($lon,$lat)")
+    }
+    // roundtrip incl. the quadratically-degenerate pole (√-gap seed)
+    for (lat <- Seq(-90.0, -89.9999, -60.0, 0.0, 41.9, 89.99, 89.9999, 90.0);
+         lon <- Seq(-179.5, 0.0, 88.8)) {
+      val (x, y) = fwd.forward(lon, lat)
+      val (lo, la) = fwd.inverse(x, y)
+      // pole LINES: (1+cosθ) >= 1 everywhere, so longitude recovers even
+      // at ±90° (unlike the pointy-pole Mollweide)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7,
+        s"($lon,$lat)->($lo,$la)")
+    }
+  }
+
   test("54009 World Mollweide: closed-form extents, defining equation, pole") {
     val t = CrsTransform.chainStr("ESRI:54009", "EPSG:4326")
     val inv = t // 54009 -> 4326
