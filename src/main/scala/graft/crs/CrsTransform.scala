@@ -376,6 +376,49 @@ object CrsTransform {
     }
   }
 
+  /** Polar Stereographic variant A (EPSG method 9810: scale factor k0 AT
+    * the pole, central meridian 0) — the UPS grids EPSG:32661 (North) /
+    * 32761 (South), k0 = 0.994, FE = FN = 2 000 000 m. Same conformal
+    * t-function machinery as [[PolarStereoB]]; only the rho scale differs:
+    * rho = 2·a·k0·t / sqrt((1+e)^(1+e)·(1−e)^(1−e)). */
+  final case class PolarStereoA(north: Boolean, k0: Double,
+                                fe: Double, fn: Double,
+                                a: Double = WGS84_A, flattening: Double = WGS84_F)
+      extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private def tN(phi: Double) = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) * math.pow((1 + esin) / (1 - esin), e / 2)
+    }
+    private val rhoF = 2 * a * k0 /
+      math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val s = if (north) 1.0 else -1.0
+      val phi = math.toRadians(lat * s)
+      val lam = math.toRadians(lon * s)
+      val rho = rhoF * tN(phi)
+      (s * rho * math.sin(lam) + fe, s * -rho * math.cos(lam) + fn)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val s = if (north) 1.0 else -1.0
+      val xm = (x - fe) * s
+      val ym = (y - fn) * s
+      val rho = math.hypot(xm, ym)
+      val tp = rho / rhoF
+      var phi = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(tp * math.pow((1 - esin) / (1 + esin), e / 2))
+        i += 1
+      }
+      val lam = if (rho == 0) 0.0 else math.atan2(xm, -ym)
+      (math.toDegrees(lam) * s, math.toDegrees(phi) * s)
+    }
+  }
+
   /** Lambert Cylindrical Equal Area, ellipsoidal (EPSG method 9835) —
     * EPSG:6933 is EASE-Grid 2.0 Global (latTs 30, the earth-science
     * swath-data grid). Snyder eq. 10-1/10-2 with the authalic q of
@@ -887,6 +930,12 @@ object CrsTransform {
       Some(Sinusoidal())
     case 54012 => // ESRI:54012 World Eckert IV (spherical on R = a)
       Some(EckertIv())
+    case 54017 => // ESRI:54017 World Behrmann: CEA with standard parallel 30
+      Some(CylEqualArea(latTs = 30.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
+    case 32661 => // WGS 84 / UPS North (k0 at the pole, 2,000 km false origin)
+      Some(PolarStereoA(north = true, k0 = 0.994, fe = 2000000.0, fn = 2000000.0))
+    case 32761 => // WGS 84 / UPS South
+      Some(PolarStereoA(north = false, k0 = 0.994, fe = 2000000.0, fn = 2000000.0))
     case 3035 => // ETRS89-extended / LAEA Europe (the EU statistical grid)
       Some(Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0))
     case 26985 => // NAD83 / Maryland (m) — LCC 2SP
@@ -920,8 +969,9 @@ object CrsTransform {
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
           "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
-          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, 8857, 54008/54009/" +
-          "54012 (ESRI World Sinusoidal/Mollweide/Eckert IV), or any " +
+          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, 8857, 32661/32761 " +
+          "(UPS), 54008/54009/54012/54017 (ESRI World Sinusoidal/Mollweide/" +
+          "Eckert IV/Behrmann), or any " +
           "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection " +
           "parameters"))
     compose(to4326(from), to4326(to))

@@ -283,6 +283,51 @@ class CrsSpec extends AnyFunSuite {
     }
   }
 
+  test("32661/32761 UPS: pole at the false origin, k0 at the pole, conformal, roundtrip") {
+    import graft.crs.CrsTransform
+    for ((code, sgn) <- Seq(32661 -> 1.0, 32761 -> -1.0)) {
+      val fwd = CrsTransform.chain(4326, code)
+      // the pole maps exactly to the 2,000 km false origin
+      val (xp, yp) = fwd.forward(123.0, 90.0 * sgn)
+      assert(math.abs(xp - 2000000.0) < 1e-6 && math.abs(yp - 2000000.0) < 1e-6, s"$code pole")
+      // scale at the pole is k0 = 0.994: compare projected radial step to
+      // the meridian arc step at 89.99 deg (k drifts O((90-lat)^2) there)
+      val a = CrsTransform.WGS84_A; val e2 = CrsTransform.WGS84_E2
+      val lat1 = 89.99 * sgn; val lat2 = 89.99001 * sgn
+      val (x1, y1) = fwd.forward(0.0, lat1); val (x2, y2) = fwd.forward(0.0, lat2)
+      val dRho = math.hypot(x2 - x1, y2 - y1)
+      val phiM = math.toRadians(89.990005)
+      val w2 = 1 - e2 * math.sin(phiM) * math.sin(phiM)
+      val dS = a * (1 - e2) / (w2 * math.sqrt(w2)) * math.toRadians(0.00001)
+      assert(math.abs(dRho / dS - 0.994) < 1e-4, s"$code k_pole=${dRho / dS}")
+      // conformal: local scale is direction-independent (meridian vs parallel)
+      val (lon0, lat0) = (45.0, 80.0 * sgn)
+      val h = 1e-6
+      val (mx1, my1) = fwd.forward(lon0, lat0 - h); val (mx2, my2) = fwd.forward(lon0, lat0 + h)
+      val (px1, py1) = fwd.forward(lon0 - h, lat0); val (px2, py2) = fwd.forward(lon0 + h, lat0)
+      val phi0 = math.toRadians(lat0)
+      val wq = 1 - e2 * math.sin(phi0) * math.sin(phi0)
+      val kMer = math.hypot(mx2 - mx1, my2 - my1) /
+        (a * (1 - e2) / (wq * math.sqrt(wq)) * math.toRadians(2 * h))
+      val kPar = math.hypot(px2 - px1, py2 - py1) /
+        (a / math.sqrt(wq) * math.cos(phi0) * math.toRadians(2 * h))
+      assert(math.abs(kMer / kPar - 1) < 1e-6, s"$code conformality $kMer vs $kPar")
+      // roundtrip across the polar cap
+      for (lat <- Seq(60.0, 80.0, 89.9999, 90.0).map(_ * sgn); lon <- Seq(-179.0, 0.0, 77.7)) {
+        val (x, y) = fwd.forward(lon, lat)
+        val (lo, la) = fwd.inverse(x, y)
+        assert((math.abs(lat) == 90.0 || math.abs(lo - lon) < 1e-7) &&
+          math.abs(la - lat) < 1e-8, s"$code ($lon,$lat)->($lo,$la)")
+      }
+    }
+    // ESRI:54017 World Behrmann registers (CEA latTs=30, same transform
+    // family as EASE-Grid 6933)
+    val beh = CrsTransform.chain(4326, 54017)
+    val ease = CrsTransform.chain(4326, 6933)
+    val (bx, by) = beh.forward(10.0, 50.0); val (ex, ey) = ease.forward(10.0, 50.0)
+    assert(math.abs(bx - ex) < 1e-9 && math.abs(by - ey) < 1e-9)
+  }
+
   test("54008 World Sinusoidal + MODIS sphere: meridian arc, equal-area Jacobian, roundtrip") {
     import graft.crs.CrsTransform
     val fwd = CrsTransform.chain(4326, 54008)
