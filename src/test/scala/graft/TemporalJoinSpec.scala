@@ -92,6 +92,28 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin keyed: collision-heavy randomized parity (tiny ts domain, 3 keys)") {
+    // ts drawn from 0..40 so equal-ts ties between left and right (and
+    // among left rows) are abundant; right (key, ts) kept unique (the
+    // documented no-defined-winner contract excludes duplicates there)
+    val rng = new scala.util.Random(13)
+    val keys = Seq("a", "b", "c")
+    val rs: Seq[(Long, String, Long, Double)] = rng.shuffle(
+      (for (k <- keys; t <- 0L to 40L) yield (k, t)).toSeq)
+      .take(35).zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t, i.toDouble) }
+    val ls: Seq[(Long, String, Long)] = (0 until 200).map { i =>
+      (i.toLong, keys(rng.nextInt(3)), rng.nextLong(41))
+    }
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(5L))) {
+      val got = TemporalJoin.asofJoin(ls.toDF("lid", "k", "lt"),
+          rs.toDF("rid", "k", "rt", "v"), "lt", "rt", by = Seq("k"),
+          direction = dir, tolerance = tol)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      assert(got == bruteAsof(ls, rs, byKey = true, dir, tol), s"dir=$dir tol=$tol")
+    }
+  }
+
   test("asofJoin: empty right side and all-null ts") {
     val er = Seq.empty[(Long, String, Long, Double)].toDF("rid", "k", "rt", "v")
     val out = TemporalJoin.asofJoin(ldf, er, "lt", "rt", by = Seq("k"))
