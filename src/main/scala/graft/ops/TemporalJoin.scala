@@ -188,6 +188,115 @@ object TemporalJoin {
       how, rightPrefix, nearest = nearest).drop("__bkt")
   }
 
+  /** HOT-KEY-SAFE keyed as-of: [[asofJoin]]'s window pins every row of a
+    * key into ONE task (windows cannot skew-split — a user with 10⁸ events
+    * is a straggler at 100 TB). This variant adds the keyless path's time
+    * bucketing WITHIN each key, so parallelism = (key, bucket) pairs:
+    *
+    *  - global time bounds from one 2-row aggregate (shared bucket grid
+    *    across keys — per-key bounds would cost a per-key agg for no
+    *    correctness gain);
+    *  - per-(key, bucket) latest/earliest right rows from one aggregate;
+    *  - carry-in rows for exactly the (key, bucket) pairs the LEFT
+    *    occupies, computed by running the SAME union+running-last trick at
+    *    bucket granularity (so the carry table is bounded by the DATA —
+    *    distinct (key, bucket) occupancy — never keys × buckets);
+    *  - the standard core then runs with (by :+ bucket) as the partition
+    *    key.
+    *
+    * Results are identical to [[asofJoin]] (spec-pinned, incl. nearest).
+    *
+    * TRADEOFF, measured honestly: this costs ~3 extra aggregates/scans of
+    * the inputs, so wherever the hot key's rows still FIT one task's sort
+    * (local[32] handled a fully-collapsed 1.3M-row key in ~8 s; the plain
+    * window was 2-3x FASTER than this spelling there), prefer [[asofJoin]].
+    * Reach for the skewed spelling when a single key's row count exceeds
+    * what one task can sort within its memory budget (the 10⁸-rows-per-user
+    * shape at 100 TB, where the plain window's one-task-per-key is a
+    * spill-or-OOM straggler, not just a slow task). */
+  def asofJoinSkewed(left: DataFrame, right: DataFrame,
+                     leftTs: String, rightTs: String,
+                     by: Seq[String],
+                     direction: String = "backward",
+                     tolerance: Option[Long] = None,
+                     how: String = "left",
+                     rightPrefix: String = "r_",
+                     numBuckets: Int = 64): DataFrame = {
+    require(by.nonEmpty, "asofJoinSkewed needs by keys; use asofJoinKeyless otherwise")
+    require(numBuckets > 0)
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest; got $direction")
+    checkReserved(left, "asofJoin left"); checkReserved(right, "asofJoin right")
+    require(!by.contains(rightTs), s"right ts column $rightTs must not be a by key")
+    val nearest = direction == "nearest"
+    val sign = if (direction == "forward") -1L else 1L
+    val lt = left.select((tsNorm(left, leftTs) * sign).as("__t"))
+    val rt = right.select((tsNorm(right, rightTs) * sign).as("__t"))
+    val Array(bounds) = lt.unionByName(rt)
+      .agg(min(col("__t")).as("lo"), max(col("__t")).as("hi")).collect()
+    if (bounds.isNullAt(0))
+      return core(left.withColumn("__bkt", lit(0L)),
+        right.withColumn("__bkt", lit(0L)),
+        leftTs, rightTs, by :+ "__bkt", sign, tolerance, how, rightPrefix,
+        nearest = nearest).drop("__bkt")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    def bkt(tSigned: Column): Column = idiv(tSigned - lit(lo), width)
+    val rn = tsNorm(right, rightTs)
+    val rowT = struct(right.columns.map(col).toIndexedSeq: _*)
+    // bucket-granularity carry: union the per-(key,bucket) right extremes
+    // (tag 0) with the left-occupied (key,bucket) targets (tag 1), run the
+    // running-last window per key ordered by bucket — the core's own trick
+    // one level up. Emitted carry rows: <= left-occupied (key,bucket) pairs.
+    def carryFor(extreme: DataFrame, forward: Boolean): DataFrame = {
+      val targets = left
+        .select(by.map(col) :+
+          bkt(tsNorm(left, leftTs) * sign).as("__bkt"): _*)
+        .filter(col("__bkt").isNotNull).distinct()
+        .withColumn("__ctag", lit(1))
+        .withColumn("__row", lit(null).cast(extreme.schema("__row").dataType))
+      val uni = extreme.withColumn("__ctag", lit(0)).unionByName(targets)
+      val w =
+        if (!forward)
+          Window.partitionBy(by.map(col): _*)
+            .orderBy(col("__bkt").asc, col("__ctag").desc) // right extremes
+            .rowsBetween(Window.unboundedPreceding, -1)    // strictly earlier rows
+        else
+          Window.partitionBy(by.map(col): _*)
+            .orderBy(col("__bkt").asc, col("__ctag").asc)
+            .rowsBetween(1, Window.unboundedFollowing)     // strictly later rows
+      val carried =
+        if (!forward) uni.withColumn("__c", last(col("__row"), ignoreNulls = true).over(w))
+        else uni.withColumn("__c", first(col("__row"), ignoreNulls = true).over(w))
+      // the struct's key fields equal the partition key (the window never
+      // crosses keys), so the carry row is rebuilt wholly from the struct
+      carried.filter(col("__ctag") === 1 && col("__c").isNotNull)
+        .select(col("__bkt") +: right.columns.toIndexedSeq.map(c => col(s"__c.$c").as(c)): _*)
+    }
+    // tag ordering makes the carries STRICTLY earlier/later buckets only:
+    // backward sorts targets before same-bucket extremes (ctag desc), so
+    // the (-inf,-1) frame sees smaller buckets only; forward sorts extremes
+    // first (ctag asc), so the (1,+inf) frame sees larger buckets only.
+    // Same-bucket right rows are the in-bucket window's job.
+    val perB = right.filter(rn.isNotNull)
+      .groupBy((by.map(col) :+ bkt(rn * sign).as("__bkt")): _*)
+      .agg(max_by(rowT, rn * sign).as("__row"))
+    val carryB = carryFor(perB, forward = false)
+    val carryF = if (!nearest) carryB.limit(0) else {
+      val perF = right.filter(rn.isNotNull)
+        .groupBy((by.map(col) :+ bkt(rn * sign).as("__bkt")): _*)
+        .agg(min_by(rowT, rn * sign).as("__row"))
+      carryFor(perF, forward = true)
+    }
+    val rightSeeded = right.withColumn("__bkt",
+        when(rn.isNotNull, bkt(rn * sign)))
+      .unionByName(carryB).unionByName(carryF)
+    val leftB = left.withColumn("__bkt",
+      when(tsNorm(left, leftTs).isNotNull, bkt(tsNorm(left, leftTs) * sign)))
+    core(leftB, rightSeeded, leftTs, rightTs, by :+ "__bkt", sign, tolerance,
+      how, rightPrefix, nearest = nearest).drop("__bkt")
+  }
+
   /** Union-and-carry core: both sides tagged into one frame, a single
     * running-`last` window per `by` partition. Right rows sort before left
     * rows at equal ts (ties match). `by` may include an internal `__bkt`. */

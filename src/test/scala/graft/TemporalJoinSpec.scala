@@ -114,6 +114,45 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinSkewed equals asofJoin across directions, tolerances, bucket counts") {
+    // identity of results is the whole contract: the skewed spelling only
+    // changes the parallelism (per-(key, bucket) tasks instead of one task
+    // per key). Collision-heavy data + the crafted fixture both pinned.
+    val rng = new scala.util.Random(29)
+    val keys = Seq("a", "b", "c")
+    val rs: Seq[(Long, String, Long, Double)] = rng.shuffle(
+      (for (k <- keys; t <- 0L to 40L) yield (k, t)).toSeq)
+      .take(35).zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t, i.toDouble) }
+    val ls: Seq[(Long, String, Long)] = (0 until 200).map { i =>
+      (i.toLong, keys(rng.nextInt(3)), rng.nextLong(41))
+    }
+    for (dir <- Seq("backward", "forward", "nearest"); tol <- Seq(None, Some(5L));
+         nb <- Seq(1, 3, 16)) {
+      val plain = TemporalJoin.asofJoin(ls.toDF("lid", "k", "lt"),
+          rs.toDF("rid", "k", "rt", "v"), "lt", "rt", by = Seq("k"),
+          direction = dir, tolerance = tol)
+        .select(col("lid"), col("r_rid"), col("r_v"))
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      val skewed = TemporalJoin.asofJoinSkewed(ls.toDF("lid", "k", "lt"),
+          rs.toDF("rid", "k", "rt", "v"), "lt", "rt", by = Seq("k"),
+          direction = dir, tolerance = tol, numBuckets = nb)
+        .select(col("lid"), col("r_rid"), col("r_v"))
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      assert(skewed == plain, s"dir=$dir tol=$tol nb=$nb")
+    }
+    // crafted fixture incl. inner
+    for (dir <- Seq("backward", "nearest"); how <- Seq("left", "inner")) {
+      val plain = TemporalJoin.asofJoin(ldf, rdf, "lt", "rt", by = Seq("k"),
+          direction = dir, how = how)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      val skewed = TemporalJoin.asofJoinSkewed(ldf, rdf, "lt", "rt", by = Seq("k"),
+          direction = dir, how = how, numBuckets = 4)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      assert(skewed == plain, s"crafted dir=$dir how=$how")
+    }
+  }
+
   test("asofJoin: empty right side and all-null ts") {
     val er = Seq.empty[(Long, String, Long, Double)].toDF("rid", "k", "rt", "v")
     val out = TemporalJoin.asofJoin(ldf, er, "lt", "rt", by = Seq("k"))
