@@ -387,7 +387,8 @@ object TemporalJoin {
   def rangeJoin(points: DataFrame, ptCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
                 binWidth: Option[Long] = None,
-                ivPrefix: String = "iv_"): DataFrame = {
+                ivPrefix: String = "iv_",
+                keys: Seq[(String, String)] = Nil): DataFrame = {
     checkReserved(points, "rangeJoin points"); checkReserved(intervals, "rangeJoin intervals")
     val pt = tsNorm(points, ptCol)
     val st = tsNorm(intervals, startCol)
@@ -406,7 +407,10 @@ object TemporalJoin {
       .withColumn("__bin", explode(sequence(idiv(st, w), idiv(en, w))))
       .select(col("__bin") +: ivCols.map(c => col(c).as(s"$ivPrefix$c")): _*)
     val ptsB = points.withColumn("__bin", idiv(pt, w))
-    val joined = ptsB.join(ex, Seq("__bin"))
+    // optional equi keys (e.g. per-user windows): ride the same hash join
+    val keyCond = keys.map { case (pc, ic) => col(pc) === col(s"$ivPrefix$ic") }
+      .foldLeft(ptsB("__bin") === ex("__bin"))(_ && _)
+    val joined = ptsB.join(ex, keyCond).drop(ex("__bin"))
     val stJ = tsNormP(joined, s"$ivPrefix$startCol", intervals, startCol)
     val enJ = tsNormP(joined, s"$ivPrefix$endCol", intervals, endCol)
     joined.filter(pt >= stJ && pt <= enJ).drop("__bin")
@@ -421,7 +425,8 @@ object TemporalJoin {
   def intervalOverlapJoin(a: DataFrame, aStart: String, aEnd: String,
                           b: DataFrame, bStart: String, bEnd: String,
                           binWidth: Option[Long] = None,
-                          bPrefix: String = "b_"): DataFrame = {
+                          bPrefix: String = "b_",
+                          keys: Seq[(String, String)] = Nil): DataFrame = {
     checkReserved(a, "intervalOverlapJoin a"); checkReserved(b, "intervalOverlapJoin b")
     val as0 = tsNorm(a, aStart); val ae0 = tsNorm(a, aEnd)
     val bs0 = tsNorm(b, bStart); val be0 = tsNorm(b, bEnd)
@@ -442,7 +447,9 @@ object TemporalJoin {
     val bEx = b.filter(be0 >= bs0)
       .withColumn("__bin", explode(sequence(idiv(bs0, w), idiv(be0, w))))
       .select(col("__bin") +: bCols.map(c => col(c).as(s"$bPrefix$c")): _*)
-    val joined = aEx.join(bEx, Seq("__bin"))
+    val keyCond = keys.map { case (ac, bc) => col(ac) === col(s"$bPrefix$bc") }
+      .foldLeft(aEx("__bin") === bEx("__bin"))(_ && _)
+    val joined = aEx.join(bEx, keyCond).drop(bEx("__bin"))
     val asJ = tsNormP(joined, aStart, a, aStart)
     val aeJ = tsNormP(joined, aEnd, a, aEnd)
     val bsJ = tsNormP(joined, s"$bPrefix$bStart", b, bStart)

@@ -212,6 +212,23 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin/intervalOverlapJoin keyed variants ride the same equi join") {
+    // per-key point-in-interval: only same-key pairs qualify
+    val pts = Seq((1L, "u", 100L), (2L, "v", 100L), (3L, "v", 45L)).toDF("pid", "k", "t")
+    val ivk = Seq((10L, "u", 90L, 120L), (11L, "v", 0L, 49L)).toDF("ivid", "k", "s", "e")
+    val got = TemporalJoin.rangeJoin(pts, "t", ivk, "s", "e",
+        binWidth = Some(50L), keys = Seq("k" -> "k"))
+      .select(col("pid"), col("iv_ivid")).as[(Long, Long)].collect().toSet
+    // 2L@100 (key v) misses iv 11 (ends 49); 1L@100 (key u) misses iv 11
+    // despite the bin match because the key differs
+    assert(got == Set((1L, 10L), (3L, 11L)))
+    val ov = TemporalJoin.intervalOverlapJoin(ivk, "s", "e",
+        ivk.select(col("ivid").as("jvid"), col("k"), col("s"), col("e")), "s", "e",
+        binWidth = Some(50L), keys = Seq("k" -> "k"))
+      .select(col("ivid"), col("b_jvid")).as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && ov == Set((10L, 10L), (11L, 11L))) // only same-key self overlaps
+  }
+
   test("reserved-column and collision guards") {
     intercept[IllegalArgumentException] {
       TemporalJoin.asofJoin(ldf.withColumn("__ord", lit(1)), rdf, "lt", "rt", by = Seq("k"))
