@@ -561,14 +561,9 @@ object Plans {
 
     // events with ts normalized to exact long nanos (the files carry
     // TIMESTAMP(MICROS); long-nanos parity with the SparkEntry gates)
-    lazy val eventsNs: org.apache.spark.sql.DataFrame = {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-      val tN = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => col("ts")
-        case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L
-      }
-      ev.withColumn("t", tN)
-    }
+    lazy val eventsNs: org.apache.spark.sql.DataFrame =
+      graft.ops.TemporalJoin.withNanos(
+        spark.read.parquet(s"$dir/events.parquet"), "ts", "t")
 
     section("As-of join, keyed (q164: union + running-last window, no join node)",
       "The point-in-time lookup never builds a join: both sides union " +

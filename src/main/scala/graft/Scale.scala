@@ -105,14 +105,9 @@ stays distributed.
       replicate(spark.read.parquet(s"$sf/documents.parquet"), mult, Seq("doc_id"))
     def embs(mult: Int): DataFrame =
       replicate(spark.read.parquet(s"$sf/embeddings.parquet"), mult, Seq("vec_id"))
-    def eventsNs(mult: Int): DataFrame = {
-      val ev = replicate(spark.read.parquet(s"$sf/events.parquet"), mult, Seq("event_id"))
-      val tN = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => col("ts")
-        case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L
-      }
-      ev.withColumn("t", tN)
-    }
+    def eventsNs(mult: Int): DataFrame =
+      graft.ops.TemporalJoin.withNanos(
+        replicate(spark.read.parquet(s"$sf/events.parquet"), mult, Seq("event_id")), "ts", "t")
 
     /** Zipf-clustered points: u³ over 100 cells concentrates ~20% of the
       * corpus in cell 0 and a long sparse tail — cluster centers 100 apart,

@@ -182,14 +182,8 @@ object SparkEntry {
     * Verify/Bench sessions); a TimestampType read (micros) upscales
     * by 1000 so the temporal-join gates compare on the identical
     * integer domain as the oracle's `epoch_ns`. */
-  private def eventsNs(spark: SparkSession, dir: String): DataFrame = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-    val tN = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts")
-      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L
-    }
-    ev.withColumn("t", tN)
-  }
+  private def eventsNs(spark: SparkSession, dir: String): DataFrame =
+    TemporalJoin.withNanos(spark.read.parquet(s"$dir/events.parquet"), "ts", "t")
 
   /** Flagship: points-in-cells sjoin + dissolve-style count per region
     * (the reference's "groceries per community" hello-world,
@@ -3114,8 +3108,8 @@ object SparkEntry {
            | SELECT click_id, purch_id, gap_ns FROM ranked WHERE rn = 1 AND gap_ns <= 3600000000000""".stripMargin.replace("\n", " "),
       "q172_hamming_join" ->
         s"""WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks FROM documents),
-           | lt AS (SELECT doc_id AS id, list_transform(toks, tok -> md5(tok)) AS hs FROM tok),
-           | rt AS (SELECT doc_id + 2000000 AS id, list_transform(toks[1:greatest(len(toks) - 5, 3)], tok -> md5(tok)) AS hs FROM tok WHERE doc_id % 9 = 0),
+           | lt AS (SELECT doc_id AS id, list_transform(toks, tok -> md5(tok)) AS hs FROM tok WHERE len(toks) >= 1),
+           | rt AS (SELECT doc_id + 2000000 AS id, list_transform(toks[1:greatest(len(toks) - 5, 3)], tok -> md5(tok)) AS hs FROM tok WHERE doc_id % 9 = 0 AND len(toks) >= 1),
            | lb AS (SELECT id, list_transform(range(0, 64), j -> CASE WHEN
            |   list_sum(list_transform(hs, h -> CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
            |   THEN 1 ELSE 0 END) AS b FROM lt),

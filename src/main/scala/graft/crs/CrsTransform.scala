@@ -550,7 +550,8 @@ object CrsTransform {
     * inverse recovers φ from M by Newton (dM/dφ = a(1−e²)/W³ — strictly
     * positive, no degenerate root anywhere including the poles). */
   final case class Sinusoidal(lon0: Double = 0.0, fe: Double = 0.0, fn: Double = 0.0,
-                              a: Double = WGS84_A, flattening: Double = WGS84_F)
+                              a: Double = WGS84_A, flattening: Double = WGS84_F,
+                              unit: Double = 1.0)
       extends CrsTransform {
     private val e2 = flattening * (2 - flattening)
     private val l0 = math.toRadians(lon0)
@@ -564,10 +565,10 @@ object CrsTransform {
       val phi = math.toRadians(lat)
       val sinP = math.sin(phi)
       val x = a * (math.toRadians(lon) - l0) * math.cos(phi) / math.sqrt(1 - e2 * sinP * sinP)
-      (x + fe, meridianArc(phi) + fn)
+      (x / unit + fe, meridianArc(phi) / unit + fn)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val m = y - fn
+      val m = (y - fn) * unit
       var phi = m / a // spherical seed; exact when e2 = 0
       if (e2 > 0) {
         var i = 0
@@ -585,7 +586,7 @@ object CrsTransform {
         if (math.abs(cosP) < 1e-12) l0
         else {
           val sinP = math.sin(phi)
-          l0 + (x - fe) * math.sqrt(1 - e2 * sinP * sinP) / (a * cosP)
+          l0 + (x - fe) * unit * math.sqrt(1 - e2 * sinP * sinP) / (a * cosP)
         }
       (math.toDegrees(lam), math.toDegrees(phi))
     }
@@ -598,7 +599,7 @@ object CrsTransform {
     * poles (the Mollweide shape), so |φ| = 90° maps directly and the
     * near-pole seed is the closed-form √-expansion of the gap. */
   final case class EckertIv(lon0: Double = 0.0, fe: Double = 0.0, fn: Double = 0.0,
-                            r: Double = WGS84_A) extends CrsTransform {
+                            r: Double = WGS84_A, unit: Double = 1.0) extends CrsTransform {
     private val l0 = math.toRadians(lon0)
     private val cx = 2.0 / math.sqrt(math.Pi * (4.0 + math.Pi))     // 0.4222382…
     private val cy = 2.0 * math.sqrt(math.Pi / (4.0 + math.Pi))     // 1.3265004…
@@ -623,15 +624,15 @@ object CrsTransform {
         }
       }
       val x = cx * r * (math.toRadians(lon) - l0) * (1 + math.cos(t))
-      (x + fe, cy * r * math.sin(t) + fn)
+      (x / unit + fe, (cy * r * math.sin(t)) / unit + fn)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
-      val t = math.asin(math.min(1, math.max(-1, (y - fn) / (cy * r))))
+      val t = math.asin(math.min(1, math.max(-1, (y - fn) * unit / (cy * r))))
       val phi = math.asin(math.min(1, math.max(-1,
         (t + math.sin(t) * math.cos(t) + 2 * math.sin(t)) / cp)))
       val lam =
         if (1 + math.cos(t) < 1e-12) l0
-        else l0 + (x - fe) / (cx * r * (1 + math.cos(t)))
+        else l0 + (x - fe) * unit / (cx * r * (1 + math.cos(t)))
       (math.toDegrees(lam), math.toDegrees(phi))
     }
   }

@@ -187,9 +187,9 @@ object ProjParse {
     else if (m.contains("pseudomercator") || m.contains("mercatorauxiliarysphere"))
       Some(PseudoMerc(lon0, fe, fn, unit, a))
     else if (m.contains("sinusoidal"))
-      Some(Sinusoidal(lon0, fe, fn, a, f))
+      Some(Sinusoidal(lon0, fe, fn, a, f, unit))
     else if (m.contains("eckertiv") || m.contains("eckert4"))
-      Some(EckertIv(lon0, fe, fn, a))
+      Some(EckertIv(lon0, fe, fn, a, unit))
     else if (m.contains("mercator")) {
       // variant B / 2SP: k0 derived from the standard parallel (EPSG 9805)
       val e2 = f * (2 - f)

@@ -222,6 +222,28 @@ object CorpusStats {
           greatest(coalesce(col("__tot"), lit(0L)), lit(1L)), 6).as("novel_frac"))
   }
 
+  /** One Misra–Gries pass over a partition: ≤ k−1 surviving counters.
+    * Shared by [[mgSketch]] and [[heavyHitters]] — the decrement-all rule
+    * must stay identical in both. */
+  private def mgPartition(it: Iterator[String], k: Int): scala.collection.mutable.HashMap[String, Long] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      if (t != null) {
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < k - 1) counters(t) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            val c = counters(key) - 1L
+            if (c == 0L) dead += key else counters(key) = c
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+    }
+    counters
+  }
+
   /** MERGEABLE Misra–Gries sketch as a DataFrame: ≤ k−1 (term, est) rows
     * with the frequent-items guarantee `true − N/k <= est <= true` over
     * everything folded in so far. [[heavyHitters]] recounts exactly in a
@@ -239,24 +261,7 @@ object CorpusStats {
     val spark = termDf.sparkSession
     import spark.implicits._
     val perPart = termDf.select(col(termCol).cast("string").as("__term"))
-      .as[String].mapPartitions { it =>
-        val counters = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { t =>
-          if (t != null) {
-            if (counters.contains(t)) counters(t) += 1L
-            else if (counters.size < k - 1) counters(t) = 1L
-            else {
-              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-              counters.keysIterator.foreach { key =>
-                val c = counters(key) - 1L
-                if (c == 0L) dead += key else counters(key) = c
-              }
-              dead.foreach(counters.remove)
-            }
-          }
-        }
-        counters.iterator
-      }.toDF("term", "est")
+      .as[String].mapPartitions(it => mgPartition(it, k).iterator).toDF("term", "est")
     compress(perPart.groupBy("term").agg(sum(col("est")).as("est")), k)
   }
 
@@ -305,27 +310,23 @@ object CorpusStats {
     val spark = termDf.sparkSession
     import spark.implicits._
     val terms = termDf.select(col(termCol).cast("string").as("__term"))
-    // Misra–Gries per partition: k-1 counters; decrement-all on overflow.
-    // Survivor set per partition is <= k-1 items regardless of input size.
-    val candidates = terms.as[String].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        if (t != null) {
-          if (counters.contains(t)) counters(t) += 1L
-          else if (counters.size < k - 1) counters(t) = 1L
-          else {
-            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-            counters.keysIterator.foreach { key =>
-              val c = counters(key) - 1L
-              if (c == 0L) dead += key else counters(key) = c
-            }
-            dead.foreach(counters.remove)
-          }
-        }
-      }
-      counters.keysIterator
-    }.toDF("__term").distinct()
-    val total = terms.filter(col("__term").isNotNull).count()
+    // Misra–Gries per partition (shared [[mgPartition]] rule); the SAME
+    // pass also emits each partition's non-null row count (a tagged row),
+    // so candidates AND the total come from one scan — the recount is the
+    // only other scan, matching the "two corpus scans" contract
+    val mgPass = terms.as[String].mapPartitions { it =>
+      var np = 0L
+      val counted = it.map { t => if (t != null) np += 1; t }
+      val counters = mgPartition(counted, k)
+      counters.keysIterator.map(t => (false, t, 0L)) ++ Iterator((true, "", np))
+    }.toDF("__isTotal", "__term", "__np").cache()
+    // candidates materialize eagerly (<= k x partitions rows) so the
+    // cached MG pass can be released before the lazy recount runs
+    val candidates = mgPass.filter(!col("__isTotal"))
+      .select(col("__term")).distinct().localCheckpoint()
+    val total = mgPass.filter(col("__isTotal"))
+      .agg(coalesce(sum(col("__np")), lit(0L))).head().getLong(0)
+    mgPass.unpersist(false)
     terms.join(broadcast(candidates), Seq("__term"), "left_semi")
       .groupBy(col("__term").as("term"))
       .agg(count(lit(1)).as("cnt"))

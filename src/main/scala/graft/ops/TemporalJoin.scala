@@ -64,6 +64,22 @@ object TemporalJoin {
       case _                => c
     }
 
+  /** Normalize a timestamp-ish column to EXACT long nanoseconds in a new
+    * column: long inputs pass through (already nanos under `nanosAsLong`),
+    * TIMESTAMP/TIMESTAMP_NTZ upscale from micros. The shared time-domain
+    * contract of the engine's event gates/benches — one definition, so
+    * SparkEntry/Plans/Scale cannot drift apart (round-17 review). */
+  def withNanos(df: DataFrame, tsCol: String, outCol: String): DataFrame = {
+    val c = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(tsCol)
+      case TimestampType                       => unix_micros(col(tsCol)) * 1000L
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType)) * 1000L
+      case dt => throw new IllegalArgumentException(
+        s"withNanos: $tsCol must be long nanos or a timestamp; got $dt")
+    }
+    df.withColumn(outCol, c)
+  }
+
   /** Exact integral division (SQL `div`): long-domain bucketing with no
     * double rounding. Truncates toward zero — monotone over the integers,
     * which is all the bin logic needs (callers with non-negative numerators

@@ -51,11 +51,21 @@ object StreamingTemporal {
       require(!stream.columns.contains(s"$rightPrefix$c"),
         s"output column collision: stream already has $rightPrefix$c")
     }
+    for (df <- Seq(stream, static); c <- Seq("__lt", "__mt", "__ok"))
+      require(!df.columns.contains(c), s"input must not carry reserved column $c")
 
+    // exact integral time domain only: a fractional ts would silently
+    // TRUNCATE here (the broadcast index is Array[Long]) and diverge from
+    // asofJoin's exact pass-through — fail loudly instead
     def norm(df: DataFrame, c: String): Column = df.schema(c).dataType match {
       case TimestampType    => unix_micros(col(c))
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
-      case _                => col(c).cast(LongType)
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        col(c).cast(LongType)
+      case dt => throw new IllegalArgumentException(
+        s"asofLookup needs an integral or timestamp ts column; $c is $dt " +
+          "(fractional timestamps would truncate in the broadcast index)")
     }
     def keyOf(cols: Seq[Column]): Column =
       if (cols.isEmpty) lit("") else concat_ws("\u0001", cols.map(_.cast("string")): _*)
@@ -105,11 +115,17 @@ object StreamingTemporal {
     val staticP = staticDedup.select(
       (by.map(col) :+ (norm(staticDedup, rightTs) * sign).as("__mt")) ++
         rPayload.map(c => col(c).as(s"$rightPrefix$c")): _*)
-    val joined = base
-      .withColumn("__mt", when(col("__ok"), col("__mt")))
-      .join(broadcast(staticP), by :+ "__mt", "left")
+    // null-safe (<=>) on the by keys so a null-key match re-attaches its
+    // payload (mirroring the lookup's null-matches-null semantics); the
+    // matched-ts join stays strict (null __mt = no match = no payload)
+    val matchedT = base.withColumn("__mt", when(col("__ok"), col("__mt")))
+    val joinCond = by.map(c => matchedT(c) <=> staticP(c))
+      .foldLeft(matchedT("__mt") === staticP("__mt"))(_ && _)
+    val joined = matchedT.join(broadcast(staticP), joinCond, "left")
+    // dataset-qualified projection: the expression join keeps both sides'
+    // by columns, so bare names would be ambiguous
     joined.select(
-      stream.columns.map(col).toIndexedSeq ++
-        rPayload.map(c => col(s"$rightPrefix$c")): _*)
+      stream.columns.toIndexedSeq.map(c => matchedT(c).as(c)) ++
+        rPayload.map(c => staticP(s"$rightPrefix$c").as(s"$rightPrefix$c")): _*)
   }
 }

@@ -69,6 +69,37 @@ class StreamingTemporalSpec extends AnyFunSuite {
       (6L, None, None)))           // key c absent
   }
 
+  test("asofLookup null keys match null keys with payload (asofJoin parity)") {
+    // the review scenario: null-key stream rows must both MATCH null-key
+    // static rows AND re-attach the payload (null-safe join); and
+    // ("a", null) must never collide with (null, "a") in the encoded key
+    val st = Seq((10L, Option("a"), 90L, 1.0), (11L, Option.empty[String], 80L, 2.0))
+      .toDF("rid", "k", "rt", "v")
+    val l = Seq((1L, Option("a"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("lid", "k", "lt")
+    for (how <- Seq("left", "inner")) {
+      val got = StreamingTemporal.asofLookup(l, st, "lt", "rt", by = Seq("k"), how = how)
+        .select(col("lid"), col("r_rid"), col("r_v"))
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      val want = TemporalJoin.asofJoin(l, st, "lt", "rt", by = Seq("k"), how = how)
+        .select(col("lid"), col("r_rid"), col("r_v"))
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == want && got.contains((2L, Some(11L), Some(2.0))), s"how=$how: $got")
+    }
+    // two-key crosses: ("a", null) vs (null, "a") stay distinct
+    val st2 = Seq((20L, Option("a"), Option.empty[String], 50L, 9.0))
+      .toDF("rid", "k1", "k2", "rt", "v")
+    val l2 = Seq((5L, Option.empty[String], Option("a"), 60L)).toDF("lid", "k1", "k2", "lt")
+    val none = StreamingTemporal.asofLookup(l2, st2, "lt", "rt", by = Seq("k1", "k2"))
+      .select(col("r_rid")).as[Option[Long]].head()
+    assert(none.isEmpty, "crossed null/value keys must not match")
+    // fractional ts columns fail loudly instead of truncating
+    intercept[IllegalArgumentException] {
+      StreamingTemporal.asofLookup(
+        Seq((1L, 1.5)).toDF("lid", "lt"), Seq((2L, 1.0)).toDF("rid", "rt"), "lt", "rt")
+    }
+  }
+
   test("rangeJoin streams: point stream vs static intervals in append mode") {
     // the binned range join is stream-ready by construction when the
     // interval side is static: the point's bin is a map-side projection
