@@ -1547,6 +1547,34 @@ object SparkEntry {
       TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end")
         .select(col("sig_id"), col("b_purch_id").as("purch_id"))
     }),
+    "q178_asof_skewed" -> ((s, d) => {
+      // the hot-key-safe as-of spelling under the same oracle as q164:
+      // results are contractually identical to asofJoin — this gate pins
+      // that against DuckDB's native ASOF independently of the spec
+      val ev = eventsNs(s, d)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("user_id"), col("value"), col("t"))
+      TemporalJoin.asofJoinSkewed(l, r, "t", "t", by = Seq("user_id"),
+          how = "inner", numBuckets = 32)
+        .select(col("click_id"), col("r_purch_id").as("purch_id"),
+          col("r_value").as("purch_value"), (col("t") - col("r_t")).as("lag_ns"))
+    }),
+    "q179_interval_overlap_keyed" -> ((s, d) => {
+      // per-user interval overlap: signup windows vs purchase windows of
+      // the SAME user only — the key rides the bin hash join
+      val ev = eventsNs(s, d)
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"), col("user_id"), col("t").as("s_start"),
+          (col("t") + 1800L * 1000000000L).as("s_end"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purch_id"), col("user_id").as("uid"),
+          col("t").as("p_start"), (col("t") + 900L * 1000000000L).as("p_end"))
+      TemporalJoin.intervalOverlapJoin(a, "s_start", "s_end", b, "p_start", "p_end",
+          keys = Seq("user_id" -> "uid"))
+        .select(col("sig_id"), col("b_purch_id").as("purch_id"))
+    }),
     "q177_json_roundtrip" -> ((s, d) => {
       // JSON-lines ingest/export (the other ubiquitous crawl interchange
       // beside WARC/parquet): Spark-native ndjson write + schema-inferred
@@ -3047,6 +3075,16 @@ object SparkEntry {
            |   '  Ünïted  ' || translate(text, 'aeio', 'áéîö') || '  CAFÉ' || chr(9))),
            |   '\\s+', ' ', 'g')) AS norm
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q178_asof_skewed" ->
+        s"""WITH l AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
+           | r AS (SELECT event_id AS purch_id, user_id, value, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase')
+           | SELECT click_id, purch_id, value AS purch_value, l.t - r.t AS lag_ns
+           | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin.replace("\n", " "),
+      "q179_interval_overlap_keyed" ->
+        s"""WITH a AS (SELECT event_id AS sig_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'signup'),
+           | b AS (SELECT event_id AS purch_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase')
+           | SELECT sig_id, purch_id FROM a JOIN b
+           | ON a.user_id = b.user_id AND a.t <= b.t + 900000000000 AND b.t <= a.t + 1800000000000""".stripMargin.replace("\n", " "),
       "q177_json_roundtrip" ->
         s"SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 4 = 1",
       "q176_random_project" ->
