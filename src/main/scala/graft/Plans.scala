@@ -665,6 +665,22 @@ object Plans {
       graft.ops.LinkGraph.pageRank(e, "src", "dst", iterations = 1)
     }
 
+    section("Hot-key-safe as-of join (q178: per-(key, bucket) window partitions)",
+      "The plain keyed as-of pins every row of a key into one window " +
+        "task; this spelling buckets time WITHIN each key (exact integral " +
+        "div) and seeds bucket-level carry rows from the same " +
+        "union+running-last trick one level up, so the window below " +
+        "partitions on (user_id, bucket) — a dominant key spreads across " +
+        "tasks instead of spilling in one.") {
+      val ev = eventsNs
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("lid"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("rid"), col("user_id"), col("value"), col("t"))
+      graft.ops.TemporalJoin.asofJoinSkewed(l, r, "t", "t",
+        by = Seq("user_id"), how = "inner", numBuckets = 32)
+    }
+
     val header = "# Physical plans of headline operators\n\nGenerated by `graft.Plans` on " +
       s"`$dir`. Regenerate: `sbt \"runMain graft.Plans\"`.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), header + out)
