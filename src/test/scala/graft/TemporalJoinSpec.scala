@@ -251,6 +251,20 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, Some(10L)), (2L, Some(11L))))
   }
 
+  test("withNanos: long pass-through, timestamp upscale, fractional raises") {
+    val longs = Seq((1L, 1704067207179575000L)).toDF("id", "ts")
+    assert(TemporalJoin.withNanos(longs, "ts", "t").select(col("t"))
+      .as[Long].head() == 1704067207179575000L)
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      .toDF("id", "ts")
+    val tNanos = TemporalJoin.withNanos(ts, "ts", "t").select(col("t")).as[Long].head()
+    assert(tNanos % 1000L == 0L && tNanos / 1000000000L ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:01").getTime / 1000L)
+    intercept[IllegalArgumentException] {
+      TemporalJoin.withNanos(Seq((1L, 1.5)).toDF("id", "ts"), "ts", "t")
+    }
+  }
+
   test("asofJoin on TimestampType columns normalizes to epoch micros") {
     val lts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
       (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("lid", "lt")
