@@ -151,7 +151,17 @@ object Feather {
     * single-file to_feather). For big outputs use [[writePartitioned]] or
     * GeoParquet. Geometry stays WKB; `geo` metadata JSON lands in the
     * schema custom metadata. */
-  def write(gdf: GeoDataFrame, path: String): Unit = {
+  def write(gdf: GeoDataFrame, path: String, maxRows: Long = 5000000L): Unit = {
+    // single Arrow-IPC file = driver-collect by nature (format-inherent,
+    // like Gpkg.write): guard the collect with a short-circuiting limit so
+    // an over-cap frame errors loudly instead of OOMing the driver
+    if (maxRows >= 0) {
+      val upTo = gdf.df.limit((maxRows + 1).min(Int.MaxValue - 1L).toInt).count()
+      require(upTo <= maxRows,
+        s"Feather.write is a driver-side single-file export and the frame " +
+        s"exceeds $maxRows rows; use Feather.writePartitioned or GeoParquet " +
+        s"for scale outputs, or raise maxRows if the driver can hold the data")
+    }
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(gdf.df.sparkSession.sparkContext.hadoopConfiguration)
     writeRows(gdf.df.collect(), gdf.df.schema, gdf.geometryCol, gdf.activeCrs, fs, p)

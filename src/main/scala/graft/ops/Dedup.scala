@@ -1083,9 +1083,12 @@ object Dedup {
       s"maxEdits must be in [0, 8] (probe expansion is O(maxEdits^3) keys/row); got $maxEdits")
     val d = maxEdits
     val bands = d + 1
-    val rows = df.select(col(idCol).cast("long").as("__id"),
+    // ids stay OPAQUE (any orderable type), matching the other Dedup ops —
+    // a cast("long") here would silently null string doc ids and the
+    // pair filters would then drop everything (round-17 advice)
+    val rows = df.select(col(idCol).as("__id"),
         col(textCol).cast("string").as("__t"))
-      .filter(col("__t").isNotNull)
+      .filter(col("__t").isNotNull && col(idCol).isNotNull)
     // duplication-proof like the banded dedup paths, with the string itself
     // as the collapse key: edit distance is a pure function of the two
     // strings, so rows sharing a string are interchangeable — block and
@@ -1193,9 +1196,11 @@ object Dedup {
                        maxEdits: Int): DataFrame = {
     require(maxEdits >= 0 && maxEdits <= 8,
       s"maxEdits must be in [0, 8]; got $maxEdits")
-    val rowsL = left.select(col(leftId).cast("long").as("__id"),
+    // member ids are pure passthrough — keep them opaque (any type) rather
+    // than casting to long, which would null out string ids (round-17 advice)
+    val rowsL = left.select(col(leftId).as("__id"),
       col(leftText).cast("string").as("__t")).filter(col("__t").isNotNull)
-    val rowsR = right.select(col(rightId).cast("long").as("__id"),
+    val rowsR = right.select(col(rightId).as("__id"),
       col(rightText).cast("string").as("__t")).filter(col("__t").isNotNull)
     // reps over the UNION of both tables' distinct strings; the rep id is
     // the md5 of the string (orderable, table-independent)

@@ -43,11 +43,15 @@ import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
   */
 object TemporalJoin {
 
-  private val Reserved = Set("__ord", "__tag", "__r", "__l", "__m", "__ok", "__bkt", "__bin")
-
   private def checkReserved(df: DataFrame, who: String): Unit = {
-    val bad = df.columns.filter(Reserved.contains)
-    require(bad.isEmpty, s"$who input must not carry reserved columns ${bad.mkString(",")}")
+    // the join cores strip EVERY "__"-prefixed column from the output (the
+    // internal scratch columns all use that prefix), so a user column like
+    // "__score" would silently vanish — refuse the whole namespace loudly
+    // instead of just the 8 internal names (round-17 advice)
+    val bad = df.columns.filter(_.startsWith("__"))
+    require(bad.isEmpty,
+      s"$who input must not carry '__'-prefixed columns (reserved for join " +
+        s"internals and stripped from the output): ${bad.mkString(",")}")
   }
 
   /** Normalize a ts column to an exactly-comparable integral numeric:

@@ -67,8 +67,17 @@ object StreamingTemporal {
         s"asofLookup needs an integral or timestamp ts column; $c is $dt " +
           "(fractional timestamps would truncate in the broadcast index)")
     }
+    // injective key encoding: each component is length-prefixed (so values
+    // containing any would-be separator cannot bleed across components) and
+    // null gets a sentinel no encoded value starts with — concat_ws would
+    // SKIP nulls, colliding (null) with ("") and ('a', null) with (null, 'a'),
+    // and the strict payload re-attach would then miss (round-17 advice)
+    def encOne(c: Column): Column = {
+      val s = c.cast("string")
+      when(s.isNull, lit("N")).otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+    }
     def keyOf(cols: Seq[Column]): Column =
-      if (cols.isEmpty) lit("") else concat_ws("\u0001", cols.map(_.cast("string")): _*)
+      if (cols.isEmpty) lit("") else concat(cols.map(encOne): _*)
 
     // one arbitrary survivor per (key, ts) so the payload re-attach can't
     // duplicate stream rows; the limit guard short-circuits oversized refs

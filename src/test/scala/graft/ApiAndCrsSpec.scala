@@ -214,6 +214,14 @@ class CrsSpec extends AnyFunSuite {
       val (lo, la) = t.inverse(x, y)
       assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)->($lo,$la)")
     }
+    // EASE-Grid's global swath rows legitimately reach the pole: the q->phi
+    // inverse must be exact at +-90 and sub-mm just short of it (the Newton
+    // correction degenerates there on the double root of q — round-17 fix)
+    for (lat <- Seq(90.0, 89.99999, 89.99988, -89.99988, -90.0)) {
+      val (x, y) = t.forward(10.0, lat)
+      val la = t.inverse(x, y)._2
+      assert(math.abs(la - lat) * 111320.0 < 0.005, s"pole row: $lat -> $la")
+    }
   }
 
   test("3035 LAEA Europe: false origin exact, equal-area Jacobian, roundtrip") {
@@ -239,6 +247,12 @@ class CrsSpec extends AnyFunSuite {
       val (x, y) = t.forward(lon, lat)
       val (lo, la) = t.inverse(x, y)
       assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)->($lo,$la)")
+    }
+    // LAEA shares phiFromQ with EASE-Grid: pin the pole-row inverse too
+    for (lat <- Seq(90.0, 89.99988)) {
+      val (x, y) = t.forward(10.0, lat)
+      val la = t.inverse(x, y)._2
+      assert(math.abs(la - lat) * 111320.0 < 0.005, s"pole row: $lat -> $la")
     }
   }
 

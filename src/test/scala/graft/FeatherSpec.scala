@@ -38,6 +38,16 @@ class FeatherSpec extends AnyFunSuite {
     assert(nb.filter(col("tag").isNull).count() == 1)
   }
 
+  test("Feather.write refuses an over-cap frame instead of collecting it") {
+    val df = (0 until 50).map(i => (i.toLong, Wkb.write(GeomOps.point(i, i))))
+      .toDF("key", "geometry")
+    val out = java.nio.file.Files.createTempDirectory("feacap").toString + "/cap.feather"
+    val e = intercept[IllegalArgumentException] {
+      Feather.write(GeoDataFrame(df), out, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("writePartitioned"))
+  }
+
   test("writePartitioned: one file per partition, reads back as one corpus") {
     val df = (0 until 5000).map(i =>
       (i.toLong, s"row$i", Wkb.write(GeomOps.point(i % 100, i / 100))))

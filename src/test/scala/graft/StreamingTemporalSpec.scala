@@ -129,4 +129,42 @@ class StreamingTemporalSpec extends AnyFunSuite {
     val rows = StreamingTemporal.asofLookup(l, dup, "lt", "rt", by = Seq("k")).collect()
     assert(rows.length == 1)
   }
+
+  test("asofLookup key encoding is injective: null vs empty, swapped null tuples (asofJoin parity)") {
+    // round-17 advice scenario: concat_ws skipped nulls, so (null) collided
+    // with ("") and ('a', null) with (null, 'a') in the broadcast index —
+    // inner kept rows it should drop, left nulled a genuine earlier match
+    val st1 = Seq((1L, Option.empty[String], 80L, 1.0), (2L, Some(""), 90L, 2.0))
+      .toDF("rid", "k", "rt", "v")
+    val l1 = Seq((10L, Option.empty[String], 100L), (11L, Some(""), 100L))
+      .toDF("lid", "k", "lt")
+    for (how <- Seq("left", "inner")) {
+      val got = StreamingTemporal.asofLookup(l1, st1, "lt", "rt", by = Seq("k"), how = how)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      val want = TemporalJoin.asofJoin(l1, st1, "lt", "rt", by = Seq("k"), how = how)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      assert(got == want, s"null-vs-empty, how=$how: got $got want $want")
+      assert(got == Set((10L, Some(1L)), (11L, Some(2L))), s"how=$how: $got")
+    }
+    // two-key tuples where the same strings appear in swapped positions,
+    // with nulls and values whose concatenation is ambiguous ("ab","c" vs "a","bc")
+    val st2 = Seq(
+      (1L, Some("a"), Option.empty[String], 50L, 1.0),
+      (2L, Option.empty[String], Some("a"), 60L, 2.0),
+      (3L, Some("ab"), Some("c"), 70L, 3.0),
+      (4L, Some("a"), Some("bc"), 75L, 4.0)).toDF("rid", "k1", "k2", "rt", "v")
+    val l2 = Seq(
+      (10L, Some("a"), Option.empty[String], 100L),
+      (11L, Option.empty[String], Some("a"), 100L),
+      (12L, Some("ab"), Some("c"), 100L),
+      (13L, Some("a"), Some("bc"), 100L)).toDF("lid", "k1", "k2", "lt")
+    for (how <- Seq("left", "inner")) {
+      val got = StreamingTemporal.asofLookup(l2, st2, "lt", "rt", by = Seq("k1", "k2"), how = how)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      val want = TemporalJoin.asofJoin(l2, st2, "lt", "rt", by = Seq("k1", "k2"), how = how)
+        .select(col("lid"), col("r_rid")).as[(Long, Option[Long])].collect().toSet
+      assert(got == want, s"swapped-tuple, how=$how: got $got want $want")
+      assert(got == Set((10L, Some(1L)), (11L, Some(2L)), (12L, Some(3L)), (13L, Some(4L))))
+    }
+  }
 }

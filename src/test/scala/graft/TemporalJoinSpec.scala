@@ -239,6 +239,15 @@ class TemporalJoinSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TemporalJoin.rangeJoin(ldf.withColumn("iv_ivid", lit(1)), "lt", iv, "s", "e")
     }
+    // ANY "__"-prefixed user column is refused, not just the 8 internal
+    // names: the join cores strip the whole namespace from the output, so
+    // a silent pass-through here would silently drop the column (r17 advice)
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(ldf, rdf.withColumn("__score", lit(1.0)), "lt", "rt", by = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.intervalOverlapJoin(ldf.withColumn("__w", lit(1)), "lt", "lt", iv, "s", "e")
+    }
   }
 
   test("asofJoin: null by-keys group together (documented window semantics)") {

@@ -1182,6 +1182,21 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "regime check")
   }
 
+  test("editDistancePairs/Join: ids stay opaque — string doc ids survive (r17 advice)") {
+    // a cast("long") on the id column would null string ids and silently
+    // return an EMPTY result; ids must pass through any orderable type
+    val df = Seq("doc-a" -> "hello world", "doc-b" -> "hello warld",
+      "doc-c" -> "hello world").toDF("id", "t")
+    val pairs = Dedup.editDistancePairs(df, "id", "t", 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(pairs == Set(("doc-a", "doc-b", 1), ("doc-a", "doc-c", 0), ("doc-b", "doc-c", 1)))
+    val l = Seq("L1" -> "alpha").toDF("lid", "lt")
+    val r = Seq("R1" -> "alpha", "R2" -> "alphq").toDF("rid", "rt")
+    val joined = Dedup.editDistanceJoin(l, "lid", "lt", r, "rid", "rt", 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(joined == Set(("L1", "R1", 0), ("L1", "R2", 1)))
+  }
+
   test("hammingJoin: cross-table brute parity (pigeonhole recall 1), identical sigs, dup members") {
     def ham(a: String, b: String): Int =
       (0 until 16).map(i => java.lang.Integer.bitCount(
