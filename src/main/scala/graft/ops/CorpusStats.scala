@@ -77,9 +77,8 @@ object CorpusStats {
                       threshold: Double = 0.4): DataFrame = {
     // same materialize-once posture as cosineLshRecallReport: the sample
     // feeds the shingled truth, the banded found-side and n_sample
-    val sample = Sampling.deterministicSample(docs, idCol, sampleFraction, salt)
-      .select(col(idCol), col(textCol))
-      .cache()
+    val sample = ScratchCache(Sampling.deterministicSample(docs, idCol, sampleFraction, salt)
+      .select(col(idCol), col(textCol)))
     val sh = sample
       .select(col(idCol), TextFunctions.shingles(col(textCol), k).as("__sh"))
       .filter(size(col("__sh")) > 0)
@@ -144,10 +143,9 @@ object CorpusStats {
     // cache degrades to recompute. A tuning report runs a handful of times
     // per session, so the lingering entry is bounded (and the q139 bench
     // harness clears caches between queries).
-    val sample = Sampling.deterministicSample(embs, idCol, sampleFraction, salt)
+    val sample = ScratchCache(Sampling.deterministicSample(embs, idCol, sampleFraction, salt)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .filter(col("__v").isNotNull)
-      .cache()
+      .filter(col("__v").isNotNull))
     val keysU = udf((v: Seq[Float]) => bandPlanes.map(p => Similarity.bucketOf(v, p)))
     val banded = sample
       .select(col("__id"), posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))

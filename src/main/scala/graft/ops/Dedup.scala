@@ -53,14 +53,14 @@ object Dedup {
     * materialize once, output-bound, in the expansion join. */
   private def bandedJaccardPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
                                  threshold: Double): DataFrame = {
-    val shingleTable = sig.select(col("__id"), col("__sh")).cache()
+    val shingleTable = ScratchCache(sig.select(col("__id"), col("__sh")))
     // U+0001-separated content key: unambiguous (a "|" would conflate
     // ("ab","c") with ("a","bc"))
     val keyed = sig.select(col("__id"), md5(concat_ws("\u0001", col("__sh"))).as("__gk"))
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
     // memb feeds the within self-join and both sides of the cross
     // expansion — cache it so the md5-over-shingles keying runs once
-    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
+    val memb = ScratchCache(keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")))
     val reps = sig.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
     val repPairs = bandRepPairs(reps, bands, rowsPerBand)
     jaccardVerifyExpand(repPairs, shingleTable, "__sh", groups, memb, threshold)
@@ -165,11 +165,11 @@ object Dedup {
     val sets = shingled(df, idCol, textCol, k)
       .select(col("__id"), array_distinct(col("__sh")).as("__set"))
       .filter(size(col("__set")) > 0)
-    val setTable = sets.cache()
+    val setTable = ScratchCache(sets)
     // U+0001-separated content key, same convention as the banded path
     val keyed = setTable.select(col("__id"), md5(concat_ws("\u0001", col("__set"))).as("__gk"))
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
-    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
+    val memb = ScratchCache(keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")))
     val reps = setTable.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
     val repPairs = prefixRepPairs(reps, threshold)
     jaccardVerifyExpand(repPairs, setTable, "__set", groups, memb, threshold)
@@ -229,11 +229,11 @@ object Dedup {
     val sl = setsOf(left, leftId, leftText)
     val sr = setsOf(right, rightId, rightText)
     def gkc(c: Column) = md5(concat_ws("\u0001", c))
-    val keyedL = sl.select(col("__id").as("__ml"), gkc(col("__set")).as("__gk")).cache()
-    val keyedR = sr.select(col("__id").as("__mr"), gkc(col("__set")).as("__gk")).cache()
-    val reps = sl.select(col("__set")).unionByName(sr.select(col("__set")))
+    val keyedL = ScratchCache(sl.select(col("__id").as("__ml"), gkc(col("__set")).as("__gk")))
+    val keyedR = ScratchCache(sr.select(col("__id").as("__mr"), gkc(col("__set")).as("__gk")))
+    val reps = ScratchCache(sl.select(col("__set")).unionByName(sr.select(col("__set")))
       .select(gkc(col("__set")).as("__id"), col("__set"))
-      .dropDuplicates("__id").cache()
+      .dropDuplicates("__id"))
     val repPairs = prefixRepPairs(reps, threshold)
     crossVerifyExpand(repPairs, reps, "__set", keyedL, keyedR, threshold)
   }
@@ -259,13 +259,12 @@ object Dedup {
     val sl = sh(left, leftId, leftText)
     val sr = sh(right, rightId, rightText)
     def gkc(c: Column) = md5(concat_ws("\u0001", c))
-    val keyedL = sl.select(col("__id").as("__ml"), gkc(col("__sh")).as("__gk")).cache()
-    val keyedR = sr.select(col("__id").as("__mr"), gkc(col("__sh")).as("__gk")).cache()
-    val reps = sl.select(col("__sh")).unionByName(sr.select(col("__sh")))
+    val keyedL = ScratchCache(sl.select(col("__id").as("__ml"), gkc(col("__sh")).as("__gk")))
+    val keyedR = ScratchCache(sr.select(col("__id").as("__mr"), gkc(col("__sh")).as("__gk")))
+    val reps = ScratchCache(sl.select(col("__sh")).unionByName(sr.select(col("__sh")))
       .select(gkc(col("__sh")).as("__id"), col("__sh"))
       .dropDuplicates("__id")
-      .withColumn("__sig", minhashMd5U(col("__sh"), lit(numHashes)))
-      .cache()
+      .withColumn("__sig", minhashMd5U(col("__sh"), lit(numHashes))))
     val repPairs = bandRepPairs(reps, bands, numHashes / bands)
     crossVerifyExpand(repPairs, reps, "__sh", keyedL, keyedR, threshold)
   }
@@ -1002,10 +1001,10 @@ object Dedup {
     // cached like jaccardJoin/minhashJoin's keyed sides: the upstream is
     // often an expensive signature computation (simhash/pHash) and each
     // side feeds the rep union, the identical-sig join and one expansion
-    val sl = left.select(col(leftId).as("__ml"), col(leftSig).as("__sig"))
-      .filter(col("__sig").isNotNull).cache()
-    val sr = right.select(col(rightId).as("__mr"), col(rightSig).as("__sig"))
-      .filter(col("__sig").isNotNull).cache()
+    val sl = ScratchCache(left.select(col(leftId).as("__ml"), col(leftSig).as("__sig"))
+      .filter(col("__sig").isNotNull))
+    val sr = ScratchCache(right.select(col(rightId).as("__mr"), col(rightSig).as("__sig"))
+      .filter(col("__sig").isNotNull))
     val reps = sl.select(col("__sig")).unionByName(sr.select(col("__sig"))).distinct()
     val banded = reps.select(col("__sig"),
       posexplode(array((0 until bands).map(i =>
@@ -1245,8 +1244,8 @@ object Dedup {
         .collect().headOption.map(_.getInt(0)).getOrElse(0)
     val keysU = hyperplaneKeysU(planes, bands, actualDim, seed)
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .filter(col("__v").isNotNull).repartition(par).cache()
+    val base = ScratchCache(df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull).repartition(par))
     // collapse exact-duplicate vectors before banding (same argument as
     // bandedJaccardPairs: identical vectors share every band key, so
     // rep-level pairs + member expansion reproduce the direct pair set
@@ -1258,7 +1257,7 @@ object Dedup {
     val keyed = base.select(col("__id"),
       md5(concat_ws("", transform(col("__v"), x => x.cast("string")))).as("__gk"))
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
-    val memb = keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")).cache()
+    val memb = ScratchCache(keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")))
     val reps = base.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
     // band join carries only (band, key, rep id); vectors re-attach by id
     val banded = reps.select(col("__id"),
@@ -1359,13 +1358,17 @@ object Dedup {
         .filter(col("__d") > 0).limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
     val keysU = hyperplaneKeysU(planes, bands, actualDim, seed)
     def gk(c: Column) = md5(concat_ws("", transform(c, x => x.cast("string"))))
-    val keyedL = baseL.select(col("__id").as("__ml"), gk(col("__v")).as("__gk")).cache()
-    val keyedR = baseR.select(col("__id").as("__mr"), gk(col("__v")).as("__gk")).cache()
+    // ScratchCache, not bare .cache(): the plan consumes these subtrees
+    // through differently-pruned branches (exchange reuse can't dedup them
+    // — measured 6.6x slower uncached), but a bare cache would leak one
+    // CacheManager entry per call for the session's lifetime
+    val keyedL = ScratchCache(baseL.select(col("__id").as("__ml"), gk(col("__v")).as("__gk")))
+    val keyedR = ScratchCache(baseR.select(col("__id").as("__mr"), gk(col("__v")).as("__gk")))
     // reps over the UNION of both tables' distinct vectors; rep id = the
     // content key itself (orderable, table-independent)
-    val reps = baseL.select(col("__v")).unionByName(baseR.select(col("__v")))
+    val reps = ScratchCache(baseL.select(col("__v")).unionByName(baseR.select(col("__v")))
       .select(gk(col("__v")).as("__id"), col("__v"))
-      .dropDuplicates("__id").cache()
+      .dropDuplicates("__id"))
     val banded = reps.select(col("__id"),
       posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))
     val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"))
@@ -1574,10 +1577,9 @@ object Dedup {
     val cents = Similarity.ivfCentroids(df, idCol, vecCol, clusters)
     // cached: the assignment UDF otherwise re-runs on both pair-join sides
     // AND the output projection (3 scans + 3 assignment passes)
-    val cells = Similarity.withIvfCell(
+    val cells = ScratchCache(Similarity.withIvfCell(
       df.filter(col(vecCol).isNotNull), vecCol, cents, "cluster")
-      .select(col(idCol), col("cluster"), col(vecCol))
-      .cache()
+      .select(col(idCol), col("cluster"), col(vecCol)))
     val a = cells.select(col(idCol).as("__ida"), col("cluster"), col(vecCol).as("__va"))
     val b = cells.select(col(idCol).as("__idb"), col("cluster").as("__cb"), col(vecCol).as("__vb"))
     val dup = a.join(b, col("cluster") === col("__cb") && col("__ida") < col("__idb"))

@@ -445,6 +445,28 @@ class VecAndDedupSpec extends AnyFunSuite {
       "the plain wrapper's banding caches must stay bounded (oldest unpersisted)")
   }
 
+  test("operator scratch caches stay bounded across looped calls, results survive eviction") {
+    import spark.implicits._
+    // 12 cross-table joins x 3 scratch entries each = 36 registrations > the
+    // 32-entry FIFO bound: the oldest must be unpersisted, the count capped,
+    // and an early frame still computes correctly afterwards (recompute path)
+    val l = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.9f, 0.1f))).toDF("lid", "v")
+    val r = Seq(("x", Array(1.0f, 0.0f))).toDF("rid", "v")
+    val first = Dedup.embeddingJoin(l, "lid", "v", r, "rid", "v",
+      planes = 8, bands = 8, threshold = 0.9)
+    assert(first.count() >= 1)
+    (0 until 12).foreach { i =>
+      val li = Seq((s"a$i", Array(1.0f, i.toFloat))).toDF("lid", "v")
+      assert(Dedup.embeddingJoin(li, "lid", "v", r, "rid", "v",
+        planes = 8, bands = 8, threshold = -1.0).count() >= 1)
+    }
+    assert(graft.ops.ScratchCache.liveCount <= 32,
+      "scratch caches must stay bounded (oldest unpersisted)")
+    // the first join's scratch entries are evicted by now; the frame must
+    // still evaluate (cache miss degrades to recompute, never to an error)
+    assert(first.count() >= 1)
+  }
+
   test("hammingPairs spreads only NARROW inputs; shuffled inputs add no extra exchange") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("hamm_spread").toString
