@@ -266,6 +266,14 @@ stays distributed.
         // track the counting pass, not the loop
         (graft.ops.Bpe.train(docs(mult), "text", numMerges = 5).length.toLong, 0L)
       }
+      bench("bpe train 256 merges distributed", mult) {
+        // the >1M-vocab path FORCED (threshold 0): one full pair-count
+        // aggregation, then exact driver-side counts + one small delta job
+        // per merge batch — per-merge cost must NOT carry a full
+        // aggregate+sort job (the round-17 scheduler-DoS finding)
+        (graft.ops.Bpe.train(docs(mult), "text", numMerges = 256,
+          localVocabThreshold = 0L).length.toLong, 0L)
+      }
       bench("sjoin_nearest unbounded clustered", mult) {
         // the one §2.4 operator that had no measured scaling row: forced
         // down the distributed radius-doubling path (broadcastThreshold=-1,

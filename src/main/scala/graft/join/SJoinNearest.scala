@@ -61,11 +61,13 @@ object SJoinNearest {
   }
 
   /** Distributed nearest without a distance cap: iterative radius doubling.
-    * Start from the expected nearest-neighbour spacing (sqrt(extent area /
-    * n) of the right side), resolve every left row whose nearest lies
-    * within the current radius via the bounded grid join, and re-run only
-    * the unmatched remainder at 4× the radius. Converges in
-    * O(log(span/r0)) rounds; each round shuffles only unresolved rows. */
+    * Seed from a SAMPLED nearest-neighbour-distance quantile (driver-side
+    * STRtree over small samples of both sides — robust to clustered data,
+    * where the uniform sqrt(extent area / n) estimate is off by orders of
+    * magnitude), resolve every left row whose nearest lies within the
+    * current radius via the bounded grid join, and re-run only the
+    * unmatched remainder at 4× the radius. Converges in O(log(span/r0))
+    * rounds; each round shuffles only unresolved rows. */
   private def gridNearestAuto(l2: DataFrame, r2: DataFrame, how: String,
                               leftGeom: String, rGeomName: String,
                               distanceCol: Option[String], exclusive: Boolean): DataFrame = {
@@ -78,7 +80,8 @@ object SJoinNearest {
     }
     val (x0, y0, x1, y1, n) =
       (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3), stats.getLong(4))
-    var radius = math.max(1e-9, math.sqrt(math.max(1e-18, (x1 - x0) * (y1 - y0)) / math.max(1L, n)) * 2)
+    val uniformSeed =
+      math.max(1e-9, math.sqrt(math.max(1e-18, (x1 - x0) * (y1 - y0)) / math.max(1L, n)) * 2)
 
     // A radius guaranteed to match every left row: the diagonal of the
     // combined left+right extent (every right geometry is dwithin(diag) of
@@ -102,10 +105,84 @@ object SJoinNearest {
     // rows with no usable geometry can never match; keeping them in the loop
     // would burn every round on them (how=left re-attaches them at the end)
     var remaining = lw.filter(st_bounds(col(leftGeom)).isNotNull)
+
+    // --- adaptive RADIUS SCHEDULE from sampled NN distances (r17 advice) --
+    // The uniform-spacing seed (sqrt(area/n)) misjudges CLUSTERED data by
+    // orders of magnitude: on a Zipf layout it makes round 1 a
+    // within-cluster cross join (every cluster-mate lands inside the ring).
+    // Instead, sample probe geometries, find each one's nearest within a
+    // right-side sample on the driver (one STRtree, two small collects),
+    // and schedule one round per MASS POINT of the density-corrected
+    // NN-distance distribution (quantile ladder, 3x-jump dedup) — a
+    // bimodal layout (dense clusters + far strays) then resolves in one
+    // round per mode (measured: exactly 2 rounds on the Zipf scale row)
+    // instead of walking x4 through empty decades. Past the schedule the
+    // x4 growth resumes, and the final permitted round is always the
+    // diagonal, so a misestimate costs one extra cheap round, never
+    // correctness.
+    val schedule: IndexedSeq[Double] = {
+      val rightFrac = math.min(1.0, 4096.0 / math.max(1L, n))
+      val rs = r2.select(col(rGeomName)).na.drop(Seq(rGeomName))
+        .sample(withReplacement = false, rightFrac, 42L).limit(8192)
+        .collect().map(_.getAs[Array[Byte]](0))
+      val nLeft = remaining.count()
+      val leftFrac = math.min(1.0, 1024.0 / math.max(1L, nLeft))
+      val ls = remaining.select(col(leftGeom))
+        .sample(withReplacement = false, leftFrac, 43L).limit(2048)
+        .collect().map(_.getAs[Array[Byte]](0))
+      val dists: Array[Double] =
+        if (rs.isEmpty || ls.isEmpty) Array.empty
+        else {
+          val tree = new org.locationtech.jts.index.strtree.STRtree()
+          val rgs = rs.map(Wkb.read)
+          rgs.foreach(gm => tree.insert(gm.getEnvelopeInternal, gm))
+          tree.build()
+          val itemDist = new org.locationtech.jts.index.strtree.GeometryItemDistance()
+          ls.flatMap { b =>
+            val gm = Wkb.read(b)
+            val nn = tree.nearestNeighbour(gm.getEnvelopeInternal, gm, itemDist)
+              .asInstanceOf[org.locationtech.jts.geom.Geometry]
+            val d0 = gm.distance(nn)
+            // exclusive nearest ignores exact-zero hits: a co-located (or
+            // self-identical) build row would otherwise seed a radius the
+            // exclusive search can never resolve at
+            val d =
+              if (d0 > 0 || !exclusive) d0
+              else rgs.iterator.map(gm.distance).filter(_ > 0)
+                .minOption.getOrElse(Double.NaN)
+            if (d.isNaN) None else Some(d)
+          }.sorted
+        }
+      if (dists.isEmpty) IndexedSeq(uniformSeed)
+      else {
+        // density correction (a fraction-f build sample overstates NN
+        // distances by ~1/sqrt(f) in 2D) and a 1.3x within-mode pad so a
+        // mode's straggler tail resolves in the same round as its mass
+        val corr = math.sqrt(rightFrac) * 1.3
+        def qAt(p: Double) =
+          dists(math.min(dists.length - 1, (dists.length * p).toInt)) * corr
+        val qs = Seq(qAt(0.25), qAt(0.5), qAt(0.75), qAt(0.9), qAt(0.975),
+          dists.last * corr * 1.5)
+        val b = IndexedSeq.newBuilder[Double]
+        var cur = math.max(1e-9, math.min(diag, qs.head))
+        b += cur
+        qs.tail.foreach { q0 =>
+          val q = math.min(diag, q0)
+          // only schedule a separate round for a quantile that is a real
+          // jump — close-by quantiles resolve together in one ring
+          if (q > cur * 3) { cur = q; b += cur }
+        }
+        b.result()
+      }
+    }
+    var radius = schedule.head
     var acc: Option[DataFrame] = None
     var rounds = 0
     val maxRounds = 12
     while (rounds < maxRounds && remaining.limit(1).count() > 0) {
+      // walk the sampled-quantile schedule, then x4 past its end (residue
+      // the sample missed); the last permitted round is always the diagonal
+      radius = if (rounds < schedule.length) schedule(rounds) else radius * 4
       val effRadius = if (rounds == maxRounds - 1 || radius >= diag) diag else radius
       val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
         Some(distanceCol.getOrElse("__graft_dist")), exclusive).cache()
@@ -122,7 +199,6 @@ object SJoinNearest {
         if (anti.sparkSession.sparkContext.getCheckpointDir.isDefined) anti.checkpoint()
         else anti.localCheckpoint()
       acc = Some(acc.map(_.unionByName(matched, allowMissingColumns = true)).getOrElse(matched))
-      radius *= 4
       rounds += 1
     }
     lastAutoRounds.set(rounds)
@@ -237,6 +313,10 @@ object SJoinNearest {
     val filtered =
       if (exclusive) withDist.filter(!(col(dcol) === 0.0 && st_equals(col(leftGeom), col(rGeomName))))
       else withDist
+    // rank()==1 (not row_number) keeps equidistant ties, matching the
+    // reference's return_all (sindex.py:373-479). A min-agg + re-join
+    // spelling was measured SLOWER here (re-executing the grid join for
+    // the re-join side costs more than the window sort saves).
     val w = Window.partitionBy("__graft_nn_lid").orderBy(col(dcol).asc_nulls_last)
     val ranked = filtered.withColumn("__graft_rank", rank().over(w))
       .filter(col("__graft_rank") === 1 || col(dcol).isNull)

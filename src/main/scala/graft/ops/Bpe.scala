@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * limit-count, the same guard pattern as the broadcast spatial join) the
   * merge loop runs on the driver over the collected table — numerically
   * identical by construction, and the right call for the thousands of
-  * iterations a real tokenizer needs. Larger vocabularies fall back to a
-  * distributed loop (a pair-count aggregation + a map-side merge per
-  * round). Encoding a corpus with a trained merge list is one map-side
-  * pass with the merges broadcast. */
+  * iterations a real tokenizer needs. Larger vocabularies use the
+  * incremental distributed loop ([[trainDistributed]]): ONE full
+  * pair-count aggregation, then exact driver-side counts updated by one
+  * small delta job per merge batch — not one aggregate+sort job per merge,
+  * which at a real 32k-merge vocabulary is a scheduler DoS. Encoding a
+  * corpus with a trained merge list is one map-side pass with the merges
+  * broadcast. */
 object Bpe {
 
   /** End-of-word marker — makes "est " and "est" distinct subwords, per the
@@ -109,9 +112,151 @@ object Bpe {
     merges.result()
   }
 
-  private def trainDistributed(freqs: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+  /** A whole symbol-disjoint merge BATCH applied in one left-to-right scan
+    * (equivalent to applying each batch member with [[applyMerge]] in any
+    * order, because batch pairs share no symbols and so cannot overlap or
+    * interact inside a word). */
+  private[graft] def applyBatchScan(syms: Seq[String],
+                                    batch: Set[(String, String)]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && batch((syms(i), syms(i + 1)))) {
+        out += (syms(i) + syms(i + 1)); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Distributed training WITHOUT one Spark job per merge (the naive loop
+    * is a scheduler DoS at real vocab sizes — 32k merges = 32k
+    * aggregate+sort jobs). Instead:
+    *
+    *  - ONE full pair-count aggregation; the driver keeps the exact pair
+    *    counts from then on (bounded by distinct ADJACENT symbol pairs —
+    *    ~1e5..1e6 for natural-language corpora, guarded by
+    *    `maxDriverPairs` with the per-round loop as the fallback);
+    *  - each pass selects a batch of merges that is PROVABLY the next
+    *    merges sequential BPE would pick (see below), then runs ONE small
+    *    Spark job computing the exact pair-count deltas of applying the
+    *    whole batch; the driver folds the deltas and repeats. Words update
+    *    lazily (map-side scan), lineage truncated every `checkpointEvery`
+    *    passes.
+    *
+    * Batch-exactness argument: candidates are walked in sequential order
+    * (freq desc, left asc, right asc) and the batch is the maximal PREFIX
+    * such that each accepted pair (a) shares no symbol — including the
+    * concatenated merge result string — with any previously accepted pair,
+    * and (b) has count strictly above every previously accepted pair's
+    * created/boosted-pair cap. (a) means accepted counts are unchanged by
+    * earlier batch members; any pair a prior merge could decrease ranks at
+    * or below the stop point (everything above it in the prefix was
+    * accepted, and a decreasing pair in the prefix stops the walk); and
+    * (b) bounds pairs a merge l+r CREATES or boosts: (x, lr) occurrences
+    * each contain an (x, l) occurrence and (lr, y) each contain (r, y), so
+    * their counts stay ≤ max(maxCount(·,l), maxCount(r,·)) plus — when the
+    * string l+r collides with a pre-existing symbol — that symbol's own
+    * max pair count. Anything the batch might have mis-ordered therefore
+    * ranks strictly below the accepted prefix, which is exactly the set
+    * sequential BPE picks next, in the same order, with the same freqs
+    * (parity-pinned against [[trainLocal]] in BpeSpec). */
+  private[graft] def trainDistributed(freqs: DataFrame, numMerges: Int,
+                                      maxDriverPairs: Long = 8L << 20,
+                                      batchCap: Int = 64,
+                                      checkpointEvery: Int = 24): Seq[(Int, String, String, Long)] = {
     var words = freqs.withColumn("syms", initSymbols(col("word")))
       .select("syms", "freq").localCheckpoint()
+    val probe = pairCounts(words)
+      .limit(math.min(maxDriverPairs + 1, Int.MaxValue - 1L).toInt).count()
+    if (probe > maxDriverPairs) return trainDistributedPerRound(words, numMerges)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    pairCounts(words).collect()
+      .foreach(r => counts((r.getString(0), r.getString(1))) = r.getLong(2))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var passesSinceCkpt = 0
+    while (rank <= numMerges && counts.nonEmpty) {
+      // per-symbol max pair counts for the created/boosted-pair cap
+      val maxLeft = scala.collection.mutable.HashMap.empty[String, Long]
+      val maxRight = scala.collection.mutable.HashMap.empty[String, Long]
+      counts.foreach { case ((a, b), c) =>
+        if (c > maxLeft.getOrElse(a, 0L)) maxLeft(a) = c
+        if (c > maxRight.getOrElse(b, 0L)) maxRight(b) = c
+      }
+      val sorted = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.HashSet.empty[String]
+      var cap = Long.MinValue
+      var stop = false
+      val maxBatch = math.min(batchCap, numMerges - rank + 1)
+      val it = sorted.iterator
+      while (!stop && it.hasNext && batch.size < maxBatch) {
+        val ((l, r), c) = it.next()
+        if (used(l) || used(r)) stop = true
+        else if (batch.nonEmpty && c <= cap) stop = true
+        else {
+          batch += ((l, r, c))
+          val m = l + r
+          used += l; used += r; used += m
+          cap = math.max(cap, math.max(
+            maxRight.getOrElse(m, 0L) + maxRight.getOrElse(l, 0L),
+            maxLeft.getOrElse(m, 0L) + maxLeft.getOrElse(r, 0L)))
+        }
+      }
+      batch.foreach { case (l, r, c) => merges += ((rank, l, r, c)); rank += 1 }
+      // ONE delta job for the whole batch: affected words emit
+      // (old pairs − new pairs)·freq; unaffected words emit nothing
+      val bset: Set[(String, String)] = batch.map(t => (t._1, t._2)).toSet
+      val deltaU = udf((syms: Seq[String], freq: Long) => {
+        var touched = false
+        var i = 0
+        while (!touched && i + 1 < syms.length) {
+          if (bset((syms(i), syms(i + 1)))) touched = true
+          i += 1
+        }
+        if (!touched) Seq.empty[(String, String, Long)]
+        else {
+          val ns = applyBatchScan(syms, bset)
+          val d = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          var j = 0
+          while (j + 1 < ns.length) {
+            val k = (ns(j), ns(j + 1)); d(k) = d.getOrElse(k, 0L) + freq; j += 1
+          }
+          j = 0
+          while (j + 1 < syms.length) {
+            val k = (syms(j), syms(j + 1)); d(k) = d.getOrElse(k, 0L) - freq; j += 1
+          }
+          d.iterator.collect { case ((a, b), v) if v != 0L => (a, b, v) }.toSeq
+        }
+      })
+      val deltas = words
+        .select(explode(deltaU(col("syms"), col("freq"))).as("d"))
+        .groupBy(col("d._1").as("l"), col("d._2").as("r"))
+        .agg(sum(col("d._3")).as("dv"))
+        .collect()
+      deltas.foreach { row =>
+        val k = (row.getString(0), row.getString(1))
+        val nv = counts.getOrElse(k, 0L) + row.getLong(2)
+        if (nv <= 0L) counts.remove(k) else counts(k) = nv
+      }
+      val applyU = udf((syms: Seq[String]) => applyBatchScan(syms, bset))
+      words = words.withColumn("syms", applyU(col("syms")))
+      passesSinceCkpt += 1
+      if (passesSinceCkpt >= checkpointEvery) {
+        // truncate lineage so pass k's delta scan doesn't replay every
+        // earlier pass's map UDF (the connected-components posture)
+        words = words.localCheckpoint()
+        passesSinceCkpt = 0
+      }
+    }
+    merges.result()
+  }
+
+  /** The naive one-aggregation-per-merge loop — correct at ANY pair-space
+    * size (nothing driver-resident), kept as the fallback when the
+    * distinct-pair table exceeds what the driver should hold. */
+  private def trainDistributedPerRound(wordsIn: DataFrame, numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = wordsIn
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var done = false

@@ -30,6 +30,34 @@ class BpeSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("distributed batching is exactly sequential: randomized corpus, all knobs") {
+    // small alphabet + random lengths stresses ties, self-pairs (a,a),
+    // and merged-symbol string collisions ((aa,a) vs (a,aa) both -> "aaa")
+    val rng = new scala.util.Random(7)
+    val words = (0 until 300).map { _ =>
+      Array.fill(1 + rng.nextInt(8))(('a' + rng.nextInt(3)).toChar).mkString
+    }
+    val corpus = Seq(words.mkString(" ")).toDF("text")
+    val want = Bpe.train(corpus, "text", numMerges = 40) // local oracle
+    assert(want.length == 40, "regime check: enough pairs for 40 merges")
+    val freqs = Bpe.wordFreqs(corpus, "text")
+    // default batch, forced batch-of-1, tiny checkpoint interval: all must
+    // reproduce the sequential merge sequence with identical freqs
+    assert(Bpe.trainDistributed(freqs, 40) == want, "default knobs")
+    assert(Bpe.trainDistributed(freqs, 40, batchCap = 1) == want, "batchCap=1")
+    assert(Bpe.trainDistributed(freqs, 40, checkpointEvery = 2) == want, "ckpt=2")
+    // the over-cap per-round fallback is sequential too
+    assert(Bpe.trainDistributed(freqs, 12, maxDriverPairs = 1L) == want.take(12),
+      "per-round fallback")
+  }
+
+  test("distributed batching parity on single-letter runs (worst-case overlaps)") {
+    val corpus = Seq("aaaa aaa aa a aaaaaaa aaaaa aaaa aaa aaaaaa").toDF("text")
+    val want = Bpe.train(corpus, "text", numMerges = 8)
+    val freqs = Bpe.wordFreqs(corpus, "text")
+    assert(Bpe.trainDistributed(freqs, 8) == want)
+  }
+
   test("merge application is left-to-right non-overlapping (aaa + a,a -> aa,a)") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))

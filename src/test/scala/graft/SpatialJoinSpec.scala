@@ -59,6 +59,30 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(nnRows == Seq((0, true), (1, true), (7, false)))
   }
 
+  test("unbounded nearest: bimodal clustered layout resolves in one round per mode") {
+    // dense cluster at ~unit spacing + strays whose nearest is ~100 away:
+    // the sampled-quantile radius SCHEDULE must hit both modes directly
+    // (2-3 rounds), not walk x4 through the empty decades between them —
+    // and match the broadcast oracle exactly
+    val dense = (0 until 200).map(i => (i, (i % 20).toDouble, (i / 20).toDouble))
+    val stray = (0 until 40).map(i => (1000 + i, 100.0 + i * 7.0, 200.0))
+    val refs = (0 until 100).map(i => (5000 + i, (i % 10) * 2.0, (i / 10) * 2.0)) ++
+      Seq((9001, 120.0, 100.0), (9002, 300.0, 100.0))
+    def df(rows: Seq[(Int, Double, Double)], id: String) = {
+      import graft.functions.GeoFunctions.st_point
+      rows.toDF(id, "x", "y").select(col(id), st_point(col("x"), col("y")).as("geometry"))
+    }
+    val got = SJoinNearest.sjoinNearest(df(dense ++ stray, "pid"), df(refs, "rid"),
+        how = "inner", distanceCol = Some("d"), broadcastThreshold = -1)
+      .select("pid", "rid", "d").as[(Int, Int, Double)].collect().toSet
+    val want = SJoinNearest.sjoinNearest(df(dense ++ stray, "pid"), df(refs, "rid"),
+        how = "inner", distanceCol = Some("d"), broadcastThreshold = Long.MaxValue)
+      .select("pid", "rid", "d").as[(Int, Int, Double)].collect().toSet
+    assert(got == want)
+    val rounds = SJoinNearest.lastAutoRounds.get()
+    assert(rounds >= 1 && rounds <= 3, s"schedule should hit both modes directly, used $rounds rounds")
+  }
+
   test("sjoin left keeps unmatched with nulls; within flips to contains semantics") {
     val polys = squares("poly_id", (0, 0, 2, 2))
     val pts = points((1, 1), (5, 5))
