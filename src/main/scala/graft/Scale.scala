@@ -480,6 +480,48 @@ stays distributed.
         (graft.ops.TemporalJoin.asofJoinKeyless(l, r, "t", "t",
           tolerance = Some(600L * 1000000000L)).fullCount, 0L)
       }
+      bench("interval overlap binned", mult) {
+        // first-shared-bin claim dedup (q167/q179 shape): a-intervals
+        // replicate N x against a FIXED b set, so candidates grow with the
+        // bin co-occupancy, and each overlapping pair is emitted exactly
+        // once (claimed at its first shared bin) — no post-join distinct
+        val ev = eventsNs(mult)
+        val a = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("aid"), col("t").as("a0"),
+            (col("t") + 900L * 1000000000L).as("a1"))
+        val b = eventsNs(1).filter(col("event_type") === "signup")
+          .select(col("event_id").as("bid"), col("t").as("b0"),
+            (col("t") + 1800L * 1000000000L).as("b1"))
+        (graft.ops.TemporalJoin.intervalOverlapJoin(a, "a0", "a1", b, "b0", "b1")
+          .fullCount, 0L)
+      }
+      bench("embedding join corpus-vs-ref", mult) {
+        // q162's semantic-decontamination shape at its own exhaustive
+        // low-threshold banding (4 planes/band x 48 tables): corpus
+        // embeddings N x vs a fixed reference slice. Replication repeats
+        // vectors, so the rep-level band join + cosine verify is CONSTANT
+        // (distinct vectors unchanged) and only the member expansion and
+        // the content-key map grow — the duplication-proof claim measured
+        val r = spark.read.parquet(s"$sf/embeddings.parquet")
+          .filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 100000000L).as("rid"), col("embedding"))
+        (graft.ops.Dedup.embeddingJoin(embs(mult), "vec_id", "embedding",
+          r, "rid", "embedding", planes = 192, bands = 48, threshold = 0.45)
+          .fullCount, 0L)
+      }
+      bench("edit distance join prefix16", mult) {
+        // q161's record-linkage shape: corpus prefixes N x vs a fixed
+        // shifted-prefix reference list at maxEdits=3 — PassJoin blocks
+        // and refines once per DISTINCT string pair (replication adds
+        // copies, not strings), member pairs expand output-bound
+        val l = docs(mult).select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+        val r = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000000L).as("rid"),
+            substring(col("text"), 2, 16).as("q"))
+        (graft.ops.Dedup.editDistanceJoin(l, "doc_id", "p", r, "rid", "q",
+          maxEdits = 3).fullCount, 0L)
+      }
       bench("range join binned", mult) {
         // intervals duplicate N x at identical spans, so output grows N²
         // by construction (every point matches every copy) — time must

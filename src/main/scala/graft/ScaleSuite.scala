@@ -95,8 +95,16 @@ object ScaleSuite {
     // ~N^2, so an input-ratio bound doesn't apply. q60 does NOT belong here:
     // its vec_id < 2000 fixture filter keeps work at 1x by construction, so
     // any superlinear ratio it shows is a real regression and must FLAG.
+    // (round-18: the q157-q179 additions whose reference slice or pair set
+    // derives from the SAME replicated dir, so clones legitimately pair
+    // with clones — keyed temporal joins are NOT here because replication
+    // shifts user_id, keeping replicas in disjoint key groups)
     val quadratic = Set("q28_minhash_pairs", "q59_ngram_jaccard",
-      "q64_minhash_fast", "q65_embedding_lsh")
+      "q64_minhash_fast", "q65_embedding_lsh",
+      "q157_edit_distance_pairs", "q160_jaccard_exact",
+      "q161_edit_distance_join", "q162_embedding_join", "q163_jaccard_join",
+      "q166_range_join", "q167_interval_overlap", "q168_minhash_join",
+      "q172_hamming_join")
     val keyFiltered = Set("q60_embedding_pairs", "q107_knn_graph")
     // outliers: ratio beyond mult with a non-noise absolute time at Nx,
     // excluding the output-bound set — ONE definition, used by both the

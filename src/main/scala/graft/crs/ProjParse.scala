@@ -7,9 +7,12 @@ import graft.crs.CrsTransform._
   * reference delegates this to pyproj/PROJ (`geopandas/array.py:1098-1187`);
   * offline on the JVM we extract the projection method + parameters and
   * instantiate the matching family from [[CrsTransform]] — LCC 1SP/2SP,
-  * Transverse Mercator, Albers Equal Area, Mercator (1SP/2SP/pseudo). This
-  * means any state-plane/national-grid CRS in those families works from its
-  * full definition, not just the EPSG codes in [[CrsTransform.forEpsg]].
+  * Transverse Mercator, Albers Equal Area, Mercator (1SP/2SP/pseudo),
+  * oblique/double stereographic, Lambert azimuthal equal area, cylindrical
+  * equal area, polar stereographic (variant A at its UPS shape, variant B),
+  * Equal Earth, Mollweide, sinusoidal, Eckert IV. This means any
+  * state-plane/national-grid CRS in those families works from its full
+  * definition, not just the EPSG codes in [[CrsTransform.forEpsg]].
   *
   * The datum step to the WGS84 hub is treated as a null transformation
   * (ESRI's default): centimetric for NAD83/GRS80/ETRS89, meters-scale for
@@ -155,7 +158,8 @@ object ProjParse {
     "latitudeofnaturalorigin", "latitudeofcenter", "latitudeofprojectioncentre")
   private val Lon0Names = Seq("centralmeridian", "longitudeoffalseorigin",
     "longitudeofnaturalorigin", "longitudeofcenter", "longitudeofprojectioncentre", "longitudeoforigin")
-  private val Sp1Names = Seq("standardparallel1", "latitudeof1ststandardparallel", "standardparallel")
+  private val Sp1Names = Seq("standardparallel1", "latitudeof1ststandardparallel",
+    "standardparallel", "latitudeofstandardparallel")
   private val Sp2Names = Seq("standardparallel2", "latitudeof2ndstandardparallel")
   private val K0Names = Seq("scalefactor", "scalefactoratnaturalorigin")
   private val FeNames = Seq("falseeasting", "eastingatfalseorigin")
@@ -177,6 +181,28 @@ object ProjParse {
     else if (m.contains("obliquestereographic") || m.contains("doublestereographic") ||
              m.contains("roussilhe"))
       Some(ObliqueStereo(lat0, lon0, k0, fe, fn, unit, a, f))
+    else if (m.contains("azimuthalequalarea"))
+      Some(Laea(lat0, lon0, fe, fn, unit, a, f))
+    else if (m.contains("cylindricalequalarea"))
+      Some(CylEqualArea(sp1.getOrElse(lat0), lon0, fe, fn, unit, a, f))
+    else if (m.contains("polarstereographic") ||
+             m.contains("stereographicnorthpole") || m.contains("stereographicsouthpole")) {
+      // variant B keys on the standard parallel (EPSG 9829, ESRI
+      // Stereographic_North/South_Pole); variant A (EPSG 9810) is the
+      // natural-origin-at-the-pole form, wired only for its UPS shape
+      // (central meridian 0, metre axes) — anything else stays unsupported
+      // rather than silently wrong
+      sp1 match {
+        case Some(p) => Some(PolarStereoB(p, lon0, fe, fn, unit, a, f))
+        case None if math.abs(math.abs(lat0) - 90) < 1e-9 && lon0 == 0.0 && unit == 1.0 =>
+          Some(PolarStereoA(lat0 > 0, k0, fe, fn, a, f))
+        case None => None
+      }
+    }
+    else if (m.contains("equalearth") && unit == 1.0)
+      Some(EqualEarth(lon0, fe, fn, a, f))
+    else if (m.contains("mollweide") && unit == 1.0)
+      Some(Mollweide(lon0, fe, fn, a))
     else if (m.contains("lambertconformalconic") || m.contains("lambertconicconformal")) {
       val s1 = sp1.getOrElse(lat0)
       val s2 = sp2.getOrElse(s1)

@@ -192,6 +192,109 @@ class ProjParseSpec extends AnyFunSuite {
     }
   }
 
+  test("round-18 families from WKT match the registry-wired transforms") {
+    // each WKT is the published definition of an allowlisted EPSG code, so
+    // chain(4326, code) is the oracle (all on WGS84/GRS80 — null datum)
+    val laea3035 =
+      """PROJCS["ETRS89-extended / LAEA Europe", GEOGCS["ETRS89",
+        | DATUM["European_Terrestrial_Reference_System_1989",
+        | SPHEROID["GRS 1980",6378137,298.257222101]], PRIMEM["Greenwich",0],
+        | UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Lambert_Azimuthal_Equal_Area"],
+        | PARAMETER["latitude_of_center",52], PARAMETER["longitude_of_center",10],
+        | PARAMETER["false_easting",4321000], PARAMETER["false_northing",3210000],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val cea6933 =
+      """PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 Global", GEOGCS["WGS 84",
+        | DATUM["WGS_1984", SPHEROID["WGS 84",6378137,298.257223563]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Cylindrical_Equal_Area"],
+        | PARAMETER["standard_parallel_1",30], PARAMETER["central_meridian",0],
+        | PARAMETER["false_easting",0], PARAMETER["false_northing",0],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val psb3413 =
+      """PROJCS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+        | GEOGCS["WGS 84", DATUM["WGS_1984",
+        | SPHEROID["WGS 84",6378137,298.257223563]], PRIMEM["Greenwich",0],
+        | UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Polar_Stereographic_variant_B"],
+        | PARAMETER["latitude_of_standard_parallel",70],
+        | PARAMETER["longitude_of_origin",-45],
+        | PARAMETER["false_easting",0], PARAMETER["false_northing",0],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val psa32661 =
+      """PROJCS["WGS 84 / UPS North (N,E)", GEOGCS["WGS 84",
+        | DATUM["WGS_1984", SPHEROID["WGS 84",6378137,298.257223563]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Polar_Stereographic_variant_A"],
+        | PARAMETER["latitude_of_natural_origin",90],
+        | PARAMETER["longitude_of_natural_origin",0],
+        | PARAMETER["scale_factor_at_natural_origin",0.994],
+        | PARAMETER["false_easting",2000000], PARAMETER["false_northing",2000000],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val ee8857 =
+      """PROJCS["WGS 84 / Equal Earth Greenwich", GEOGCS["WGS 84",
+        | DATUM["WGS_1984", SPHEROID["WGS 84",6378137,298.257223563]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Equal_Earth"], PARAMETER["central_meridian",0],
+        | PARAMETER["false_easting",0], PARAMETER["false_northing",0],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val cases = Seq(
+      (laea3035, 3035, Seq((10.0, 52.0), (-8.0, 38.0), (25.0, 60.0))),
+      (cea6933, 6933, Seq((0.0, 0.0), (77.0, -60.0), (-120.0, 48.0))),
+      (psb3413, 3413, Seq((-45.0, 70.0), (10.0, 80.0), (-100.0, 65.0))),
+      (psa32661, 32661, Seq((0.0, 90.0), (30.0, 75.0), (-120.0, 80.0))),
+      (ee8857, 8857, Seq((0.0, 0.0), (120.0, 45.0), (-60.0, -30.0))))
+    for ((wkt, code, pts) <- cases) {
+      val parsed = ProjParse.parse(wkt).getOrElse(fail(s"EPSG:$code WKT did not parse"))
+      val wired = CrsTransform.chain(4326, code)
+      for ((lon, lat) <- pts) {
+        val (x1, y1) = parsed.forward(lon, lat)
+        val (x2, y2) = wired.forward(lon, lat)
+        assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+          s"EPSG:$code ($lon,$lat): parsed=($x1,$y1) wired=($x2,$y2)")
+        val (lo, la) = parsed.inverse(x1, y1)
+        assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7,
+          s"EPSG:$code roundtrip ($lon,$lat) -> ($lo,$la)")
+      }
+    }
+    // variant A outside its UPS shape (rotated meridian) must refuse, not
+    // silently project about the wrong meridian
+    val rotatedA = psa32661.replace("\"longitude_of_natural_origin\",0", "\"longitude_of_natural_origin\",15")
+    assert(ProjParse.parse(rotatedA).isEmpty, "rotated variant A must be unsupported")
+  }
+
+  test("ESRI Mollweide and stereographic-pole spellings parse") {
+    val moll =
+      """PROJCS["World_Mollweide", GEOGCS["GCS_WGS_1984", DATUM["D_WGS_1984",
+        | SPHEROID["WGS_1984",6378137.0,298.257223563]], PRIMEM["Greenwich",0.0],
+        | UNIT["Degree",0.0174532925199433]], PROJECTION["Mollweide"],
+        | PARAMETER["False_Easting",0.0], PARAMETER["False_Northing",0.0],
+        | PARAMETER["Central_Meridian",0.0], UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val parsedM = ProjParse.parse(moll).getOrElse(fail("Mollweide WKT did not parse"))
+    val wiredM = CrsTransform.chainStr("EPSG:4326", "ESRI:54009")
+    for ((lon, lat) <- Seq((0.0, 0.0), (100.0, 40.0), (-70.0, -35.0))) {
+      val (x1, y1) = parsedM.forward(lon, lat)
+      val (x2, y2) = wiredM.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6, s"($lon,$lat)")
+    }
+    val esriPole =
+      """PROJCS["North_Pole_Stereographic_70", GEOGCS["GCS_WGS_1984",
+        | DATUM["D_WGS_1984", SPHEROID["WGS_1984",6378137.0,298.257223563]],
+        | PRIMEM["Greenwich",0.0], UNIT["Degree",0.0174532925199433]],
+        | PROJECTION["Stereographic_North_Pole"],
+        | PARAMETER["False_Easting",0.0], PARAMETER["False_Northing",0.0],
+        | PARAMETER["Central_Meridian",-45.0], PARAMETER["Standard_Parallel_1",70.0],
+        | UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val parsedP = ProjParse.parse(esriPole).getOrElse(fail("ESRI pole WKT did not parse"))
+    val wiredP = CrsTransform.chain(4326, 3413) // same parameters as 3413
+    for ((lon, lat) <- Seq((-45.0, 70.0), (10.0, 80.0))) {
+      val (x1, y1) = parsedP.forward(lon, lat)
+      val (x2, y2) = wiredP.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6, s"($lon,$lat)")
+    }
+  }
+
   test("geographic WKT resolves to identity (null datum shift)") {
     val wkt =
       """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
