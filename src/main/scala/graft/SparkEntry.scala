@@ -1561,6 +1561,23 @@ object SparkEntry {
         .select(col("click_id"), col("r_purch_id").as("purch_id"),
           col("r_value").as("purch_value"), (col("t") - col("r_t")).as("lag_ns"))
     }),
+    "q180_asof_lookup" -> ((s, d) => {
+      // the BROADCAST as-of face (StreamingTemporal.asofLookup, the shape
+      // that enriches an unbounded stream against a dimension-sized
+      // reference): batch parity gate against DuckDB's native ASOF. The
+      // static side pre-collapses duplicate (user, ts) purchases to the
+      // max event id so the lookup's one-survivor rule is deterministic.
+      val ev = eventsNs(s, d)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("event_id")).as("purch_id"))
+      graft.streaming.StreamingTemporal.asofLookup(l, r, "t", "t",
+          by = Seq("user_id"), how = "inner")
+        .select(col("click_id"), col("r_purch_id").as("purch_id"),
+          (col("t") - col("r_t")).as("lag_ns"))
+    }),
     "q179_interval_overlap_keyed" -> ((s, d) => {
       // per-user interval overlap: signup windows vs purchase windows of
       // the SAME user only — the key rides the bin hash join
@@ -3079,6 +3096,11 @@ object SparkEntry {
         s"""WITH l AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
            | r AS (SELECT event_id AS purch_id, user_id, value, epoch_ns(ts) AS t FROM events WHERE event_type = 'purchase')
            | SELECT click_id, purch_id, value AS purch_value, l.t - r.t AS lag_ns
+           | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin.replace("\n", " "),
+      "q180_asof_lookup" ->
+        s"""WITH l AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'),
+           | r AS (SELECT user_id, epoch_ns(ts) AS t, max(event_id) AS purch_id FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           | SELECT click_id, purch_id, l.t - r.t AS lag_ns
            | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin.replace("\n", " "),
       "q179_interval_overlap_keyed" ->
         s"""WITH a AS (SELECT event_id AS sig_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'signup'),

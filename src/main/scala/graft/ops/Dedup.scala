@@ -891,12 +891,32 @@ object Dedup {
   /** SimHash near-dup pairs: the 64-bit signature is banded into
     * `maxHamming + 1` chunks — by pigeonhole, any pair within hamming
     * distance `maxHamming` has at least one chunk with no differing bit, so
-    * it shares ≥1 band key and is found by the bucket join. (The chunks are
-    * hex-aligned, 16 hex chars split as evenly as possible.) */
+    * it shares ≥1 band key and is found by the bucket join. (Chunks are
+    * BIT-exact: 64 bits split as evenly as possible, so every band key
+    * keeps ~64/(maxHamming+1) bits of selectivity.) */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
     hammingPairs(df.withColumn("__graft_sig", simhash64(col(textCol))),
       idCol, "__graft_sig", maxHamming)
+
+  /** 64-bit long of a 16-hex-char signature: two conv'd 32-bit halves
+    * recombined with shifts (a single conv of all 16 chars would pass
+    * through a decimal string wider than a signed long for high-bit
+    * signatures). Case-insensitive like hex itself. */
+  private def hexSigToLong(c: Column): Column =
+    shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long"))
+
+  /** Band key = bits [from, until) of the 64-bit signature. BIT-exact
+    * chunking keeps every band key ~64/bands bits wide; the previous
+    * hex-aligned chunks left two of the nine maxHamming=8 bands with
+    * 4-bit (16-bucket) keys, whose buckets were nearly unselective at
+    * corpus scale (round-18, q172 evidence). The pigeonhole argument only
+    * needs a fixed partition of the 64 bits into contiguous chunks, so
+    * recall is unchanged. */
+  private def sigBandKey(sigL: Column, from: Int, until: Int): Column =
+    if (until - from >= 64) sigL
+    else shiftrightunsigned(sigL, 64 - until).bitwiseAND(lit((1L << (until - from)) - 1))
 
   /** Near-dup pairs for ANY 16-hex-char (64-bit) signature column within
     * `maxHamming` bits — the banded engine under [[simhashPairs]], exposed
@@ -906,9 +926,9 @@ object Dedup {
   def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
+      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty bit chunks), got $maxHamming")
     val bands = maxHamming + 1
-    val bound = (0 to bands).map(i => 16 * i / bands) // hex-char chunk boundaries
+    val bound = (0 to bands).map(i => 64 * i / bands) // bit chunk boundaries
     // spread a NARROW input (a single small file, a coalesced upstream)
     // across the cores before the signature collapse — but only then: for
     // an input that is already adequately partitioned (a bucketed
@@ -956,10 +976,11 @@ object Dedup {
     val groups = sig.groupBy(col("__sig")).agg(min(col("__id")).as("__rid"))
     val memb = sig.join(groups, Seq("__sig")).select(col("__rid"), col("__id"))
     val reps = groups.select(col("__rid").as("__id"), col("__sig"))
-    val banded = reps.select(col("__id"), col("__sig"),
-      posexplode(array((0 until bands).map(i =>
-        substring(col("__sig"), bound(i) + 1, bound(i + 1) - bound(i))): _*))
-        .as(Seq("__band", "__key")))
+    val banded = reps.withColumn("__sigL", hexSigToLong(col("__sig")))
+      .select(col("__id"), col("__sig"),
+        posexplode(array((0 until bands).map(i =>
+          sigBandKey(col("__sigL"), bound(i), bound(i + 1))): _*))
+          .as(Seq("__band", "__key")))
     val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"), col("__sig").as("__sig_a"))
     val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"), col("__sig").as("__sig_b"))
     val repVerified = a.join(b, Seq("__band", "__key"))
@@ -995,9 +1016,9 @@ object Dedup {
                   right: DataFrame, rightId: String, rightSig: String,
                   maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty hex chunks), got $maxHamming")
+      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty bit chunks), got $maxHamming")
     val bands = maxHamming + 1
-    val bound = (0 to bands).map(i => 16 * i / bands)
+    val bound = (0 to bands).map(i => 64 * i / bands) // bit chunk boundaries
     // cached like jaccardJoin/minhashJoin's keyed sides: the upstream is
     // often an expensive signature computation (simhash/pHash) and each
     // side feeds the rep union, the identical-sig join and one expansion
@@ -1006,10 +1027,11 @@ object Dedup {
     val sr = ScratchCache(right.select(col(rightId).as("__mr"), col(rightSig).as("__sig"))
       .filter(col("__sig").isNotNull))
     val reps = sl.select(col("__sig")).unionByName(sr.select(col("__sig"))).distinct()
-    val banded = reps.select(col("__sig"),
-      posexplode(array((0 until bands).map(i =>
-        substring(col("__sig"), bound(i) + 1, bound(i + 1) - bound(i))): _*))
-        .as(Seq("__band", "__key")))
+    val banded = reps.withColumn("__sigL", hexSigToLong(col("__sig")))
+      .select(col("__sig"),
+        posexplode(array((0 until bands).map(i =>
+          sigBandKey(col("__sigL"), bound(i), bound(i + 1))): _*))
+          .as(Seq("__band", "__key")))
     val a = banded.select(col("__band"), col("__key"), col("__sig").as("__sa"))
     val b = banded.select(col("__band"), col("__key"), col("__sig").as("__sb"))
     val repVerified = a.join(b, Seq("__band", "__key"))
