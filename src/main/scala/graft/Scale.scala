@@ -549,6 +549,10 @@ stays distributed.
         // side = fixed reference slice with one flipped nibble; banding +
         // verify + expansion must track the distinct-signature set and the
         // output, never corpus size x reference size
+        // the join caches its distinct-signature set and verified rep
+        // pairs (both feed multiple consumers); clear them so the row
+        // measures the one-shot banding cost, not a plan-cache re-read
+        spark.sharedState.cacheManager.clearCache()
         val l = docs(mult).select(col("doc_id").as("id"),
           substring(md5(col("doc_id").cast("string")), 1, 16).as("sig"))
         val r = spark.read.parquet(s"$sf/documents.parquet")

@@ -888,12 +888,11 @@ object Dedup {
       .drop("__canon")
   }
 
-  /** SimHash near-dup pairs: the 64-bit signature is banded into
-    * `maxHamming + 1` chunks — by pigeonhole, any pair within hamming
-    * distance `maxHamming` has at least one chunk with no differing bit, so
-    * it shares ≥1 band key and is found by the bucket join. (Chunks are
-    * BIT-exact: 64 bits split as evenly as possible, so every band key
-    * keeps ~64/(maxHamming+1) bits of selectivity.) */
+  /** SimHash near-dup pairs: the 64-bit signature is banded with the
+    * multi-index-hashing plan of [[hammingBandPlan]] — maxHamming/2 + 1
+    * bit-exact chunks with single-bit probe expansion, so any pair within
+    * hamming distance `maxHamming` shares ≥1 (band, key) bucket and is
+    * found by the bucket equi-join with recall 1. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
     hammingPairs(df.withColumn("__graft_sig", simhash64(col(textCol))),
@@ -918,17 +917,83 @@ object Dedup {
     if (until - from >= 64) sigL
     else shiftrightunsigned(sigL, 64 - until).bitwiseAND(lit((1L << (until - from)) - 1))
 
+  /** Chunk boundaries + probe expansion flag for 64-bit hamming banding.
+    *
+    * maxHamming <= 1: classic pigeonhole — maxHamming+1 exact-match chunks
+    * already keep band keys >= 32 bits wide.
+    *
+    * maxHamming >= 2: exact chunking would need maxHamming+1 chunks and the
+    * key narrows to 64/(maxHamming+1) bits; those buckets stop selecting
+    * once the DISTINCT-signature count outgrows 2^keyBits and candidates
+    * grow ~quadratically (round-17 SCALE: 11.2 ratio on the hamming join).
+    * Instead use the single-bit query expansion of multi-index hashing
+    * (Norouzi, Punjani, Fleet, "Fast search in Hamming space with
+    * multi-index hashing", CVPR 2012): c = maxHamming/2 + 1 chunks — if
+    * every chunk had >= 2 differing bits the total would be >= 2c >
+    * maxHamming, so some chunk differs in <= 1 bit. The index side emits
+    * its c exact chunk keys; the probe side emits each chunk key plus all
+    * single-bit flips. The <= 1 differing bit lives on one specific side,
+    * but both signatures take both roles, so every qualifying pair meets
+    * in both orientations. Band keys stay 64/c bits (~2x the selectivity
+    * exponent of exact chunking) and the probe expansion is bounded by
+    * sum(chunkWidth + 1) = 64 + c rows per signature for ANY maxHamming. */
+  private def hammingBandPlan(maxHamming: Int): (IndexedSeq[Int], Boolean) = {
+    val expand = maxHamming >= 2
+    val chunks = if (expand) maxHamming / 2 + 1 else maxHamming + 1
+    ((0 to chunks).map(i => 64 * i / chunks), expand)
+  }
+
+  /** One (band, key) struct per banding row of a signature: exact chunk
+    * keys for the index role; exact + every single-bit flip per chunk for
+    * the probe role (`flips = true`). */
+  private def sigBandStructs(sigL: Column, bound: IndexedSeq[Int], flips: Boolean): Column = {
+    val structs = (0 until bound.length - 1).flatMap { i =>
+      val k = sigBandKey(sigL, bound(i), bound(i + 1))
+      val w = bound(i + 1) - bound(i)
+      val variants =
+        if (flips) k +: (0 until w).map(j => k.bitwiseXOR(lit(1L << j))) else Seq(k)
+      variants.map(v => struct(lit(i).as("b"), v.as("k")))
+    }
+    array(structs: _*)
+  }
+
+  /** Verified near-dup pairs over DISTINCT 64-bit signatures: every
+    * unordered pair of `__sigL` values within `maxHamming` bits, emitted
+    * once as (__la, __lb, hamming) with __la < __lb. `reps` must be one
+    * row per distinct signature (column `__sigL`: long). Equal signatures
+    * (hamming 0) are NOT emitted — they never produce __la < __lb — and
+    * are the caller's identical-signature fast path. Verification is
+    * codegen'd bit_count(xor) on the longs; candidates dedupe on the pair
+    * BEFORE the (cheap) verify so multi-band collisions cost once. */
+  private def verifiedSigPairs(reps: DataFrame, maxHamming: Int): DataFrame = {
+    val (bound, expand) = hammingBandPlan(maxHamming)
+    val index = reps.select(col("__sigL").as("__la"),
+        explode(sigBandStructs(col("__sigL"), bound, flips = false)).as("__bk"))
+      .select(col("__bk.b").as("__band"), col("__bk.k").as("__key"), col("__la"))
+    val probe = reps.select(col("__sigL").as("__lb"),
+        explode(sigBandStructs(col("__sigL"), bound, flips = expand)).as("__bk"))
+      .select(col("__bk.b").as("__band"), col("__bk.k").as("__key"), col("__lb"))
+    // both sides descend from the same aggregate, so Catalyst's size
+    // estimates can't see the ~65x explode asymmetry and may elect to
+    // BROADCAST the big probe side. Pin a shuffle-hash join building on
+    // the index side (always the small one: c rows/sig vs 64+c) — and
+    // never driver-bound, unlike a broadcast, at corpus-scale rep counts.
+    index.hint("shuffle_hash").join(probe, Seq("__band", "__key"))
+      .filter(col("__la") < col("__lb"))
+      .select("__la", "__lb").dropDuplicates("__la", "__lb")
+      .withColumn("hamming", bit_count(col("__la").bitwiseXOR(col("__lb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup pairs for ANY 16-hex-char (64-bit) signature column within
     * `maxHamming` bits — the banded engine under [[simhashPairs]], exposed
     * for other signature families (perceptual image hashes, audio
-    * fingerprints). Same pigeonhole guarantee and the same
-    * duplication-proof collapse on the signature value. */
+    * fingerprints). Same recall-1 guarantee ([[hammingBandPlan]]) and the
+    * same duplication-proof collapse on the signature value. */
   def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty bit chunks), got $maxHamming")
-    val bands = maxHamming + 1
-    val bound = (0 to bands).map(i => 64 * i / bands) // bit chunk boundaries
+      s"maxHamming must be in [0, 15], got $maxHamming")
     // spread a NARROW input (a single small file, a coalesced upstream)
     // across the cores before the signature collapse — but only then: for
     // an input that is already adequately partitioned (a bucketed
@@ -968,26 +1033,21 @@ object Dedup {
       case None => base
     }
     val sig = spread.filter(col("__sig").isNotNull)
+      .withColumn("__sigL", hexSigToLong(col("__sig")))
     // duplication-proof like the other banded paths, with the signature
-    // itself as the collapse key: the output's hamming distance is a pure
-    // function of the two signatures, so rows sharing a signature are
-    // interchangeable — band once per DISTINCT signature, verify hamming
-    // once per signature pair, expand member pairs output-bound
-    val groups = sig.groupBy(col("__sig")).agg(min(col("__id")).as("__rid"))
-    val memb = sig.join(groups, Seq("__sig")).select(col("__rid"), col("__id"))
-    val reps = groups.select(col("__rid").as("__id"), col("__sig"))
-    val banded = reps.withColumn("__sigL", hexSigToLong(col("__sig")))
-      .select(col("__id"), col("__sig"),
-        posexplode(array((0 until bands).map(i =>
-          sigBandKey(col("__sigL"), bound(i), bound(i + 1))): _*))
-          .as(Seq("__band", "__key")))
-    val a = banded.select(col("__band"), col("__key"), col("__id").as("__ra"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("__band"), col("__key"), col("__id").as("__rb"), col("__sig").as("__sig_b"))
-    val repVerified = a.join(b, Seq("__band", "__key"))
-      .filter(col("__ra") < col("__rb"))
-      .dropDuplicates("__ra", "__rb")
-      .withColumn("hamming", hammingHexU(col("__sig_a"), col("__sig_b")))
-      .filter(col("hamming") <= maxHamming)
+    // VALUE (its 64-bit parse — case-insensitive like hamming itself) as
+    // the collapse key: the output's hamming distance is a pure function
+    // of the two signatures, so rows sharing one are interchangeable —
+    // band once per DISTINCT signature, verify hamming once per signature
+    // pair, expand member pairs output-bound
+    // groups feeds the member map, both banding roles, and two rep-id
+    // lookups — cache it once (distinct signatures + one id each)
+    val groups = ScratchCache(
+      sig.groupBy(col("__sigL")).agg(min(col("__id")).as("__rid")))
+    val memb = sig.join(groups, Seq("__sigL")).select(col("__rid"), col("__id"))
+    val repVerified = verifiedSigPairs(groups.select(col("__sigL")), maxHamming)
+      .join(groups.select(col("__sigL").as("__la"), col("__rid").as("__ra")), Seq("__la"))
+      .join(groups.select(col("__sigL").as("__lb"), col("__rid").as("__rb")), Seq("__lb"))
       .select("__ra", "__rb", "hamming")
     // same-signature members: hamming 0 by definition (maxHamming >= 0
     // always admits them, matching the direct path)
@@ -1006,8 +1066,8 @@ object Dedup {
     * 16-hex-char (64-bit) signature columns within `maxHamming` bits
     * (simhash decontamination, pHash/audio-fingerprint snapshot diffing).
     * The DISTINCT signatures of BOTH tables band once through the shared
-    * pigeonhole chunking (any pair within `maxHamming` shares an identical
-    * chunk in at least one of the `maxHamming + 1` bands), candidates come
+    * multi-index plan ([[hammingBandPlan]]: any pair within `maxHamming`
+    * shares a (band, key) bucket), candidates come
     * from the band equi-join, hamming verifies once per signature pair,
     * and verified pairs expand to left×right members in both orientations;
     * identical signatures across the tables pair through the signature
@@ -1016,37 +1076,30 @@ object Dedup {
                   right: DataFrame, rightId: String, rightSig: String,
                   maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15] (needs maxHamming+1 non-empty bit chunks), got $maxHamming")
-    val bands = maxHamming + 1
-    val bound = (0 to bands).map(i => 64 * i / bands) // bit chunk boundaries
+      s"maxHamming must be in [0, 15], got $maxHamming")
     // cached like jaccardJoin/minhashJoin's keyed sides: the upstream is
     // often an expensive signature computation (simhash/pHash) and each
     // side feeds the rep union, the identical-sig join and one expansion
-    val sl = ScratchCache(left.select(col(leftId).as("__ml"), col(leftSig).as("__sig"))
-      .filter(col("__sig").isNotNull))
-    val sr = ScratchCache(right.select(col(rightId).as("__mr"), col(rightSig).as("__sig"))
-      .filter(col("__sig").isNotNull))
-    val reps = sl.select(col("__sig")).unionByName(sr.select(col("__sig"))).distinct()
-    val banded = reps.withColumn("__sigL", hexSigToLong(col("__sig")))
-      .select(col("__sig"),
-        posexplode(array((0 until bands).map(i =>
-          sigBandKey(col("__sigL"), bound(i), bound(i + 1))): _*))
-          .as(Seq("__band", "__key")))
-    val a = banded.select(col("__band"), col("__key"), col("__sig").as("__sa"))
-    val b = banded.select(col("__band"), col("__key"), col("__sig").as("__sb"))
-    val repVerified = a.join(b, Seq("__band", "__key"))
-      .filter(col("__sa") < col("__sb"))
-      .dropDuplicates("__sa", "__sb")
-      .withColumn("hamming", hammingHexU(col("__sa"), col("__sb")))
-      .filter(col("hamming") <= maxHamming)
-      .select("__sa", "__sb", "hamming")
-    val same = sl.join(sr, Seq("__sig"))
+    val sl = ScratchCache(left.select(col(leftId).as("__ml"),
+        hexSigToLong(col(leftSig)).as("__sigL"))
+      .filter(col("__sigL").isNotNull))
+    val sr = ScratchCache(right.select(col(rightId).as("__mr"),
+        hexSigToLong(col(rightSig)).as("__sigL"))
+      .filter(col("__sigL").isNotNull))
+    // reps feeds BOTH banding roles (differently-exploded subtrees defeat
+    // exchange reuse) and repVerified feeds both orientation expansions —
+    // cache each once: reps is the distinct-signature set (8 bytes/row),
+    // repVerified is output-bound (verified pairs only)
+    val reps = ScratchCache(
+      sl.select(col("__sigL")).unionByName(sr.select(col("__sigL"))).distinct())
+    val repVerified = ScratchCache(verifiedSigPairs(reps, maxHamming))
+    val same = sl.join(sr, Seq("__sigL"))
       .select(col("__ml").as("id_l"), col("__mr").as("id_r"), lit(0).as("hamming"))
     def orient(pl: String, pr: String) = repVerified
-      .join(sl.select(col("__sig").as(pl), col("__ml")), Seq(pl))
-      .join(sr.select(col("__sig").as(pr), col("__mr")), Seq(pr))
+      .join(sl.select(col("__sigL").as(pl), col("__ml")), Seq(pl))
+      .join(sr.select(col("__sigL").as(pr), col("__mr")), Seq(pr))
       .select(col("__ml").as("id_l"), col("__mr").as("id_r"), col("hamming"))
-    same.unionByName(orient("__sa", "__sb")).unionByName(orient("__sb", "__sa"))
+    same.unionByName(orient("__la", "__lb")).unionByName(orient("__lb", "__la"))
   }
 
   /** Exact n-gram Jaccard similarity for all LSH candidate pairs (wrapper
