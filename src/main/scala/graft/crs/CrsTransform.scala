@@ -867,6 +867,167 @@ object CrsTransform {
     }
   }
 
+  /** Hotine Oblique Mercator — EPSG methods 9812 (variant A) and 9815
+    * (variant B), per EPSG Guidance Note 7-2 and Snyder (1987) pp. 66-75.
+    * The grid develops along an initial line through the projection centre
+    * (latC, lonC) at azimuth `alphaC`; `gammaC` is the rectified-grid
+    * angle (defaults to alphaC in most definitions). Variant B anchors the
+    * false coordinates at the projection centre itself — the form of the
+    * Swiss LV03/LV95 and Hungarian EOV grids, where alphaC = gammaC = 90
+    * and the initial line runs due east through the origin. Reference:
+    * geopandas to_crs via pyproj `+proj=omerc` (array.py:1098-1187). */
+  final case class HotineOM(latC: Double, lonC: Double, alphaC: Double, gammaC: Double,
+                            k0: Double, fe: Double, fn: Double, variantB: Boolean,
+                            unit: Double = 1.0, a: Double = WGS84_A,
+                            flattening: Double = WGS84_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latC)
+    private val lamC = math.toRadians(lonC)
+    private val alpha = math.toRadians(alphaC)
+    private val gamma = math.toRadians(gammaC)
+    private val cosC = math.cos(phiC)
+    private val sinC = math.sin(phiC)
+    private val bigB = math.sqrt(1 + e2 * math.pow(cosC, 4) / (1 - e2))
+    private val bigA = a * bigB * k0 * math.sqrt(1 - e2) / (1 - e2 * sinC * sinC)
+    private def tOf(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - esin) / (1 + esin), e / 2)
+    }
+    private val t0 = tOf(phiC)
+    private val bigD = math.max(1.0,
+      bigB * math.sqrt(1 - e2) / (cosC * math.sqrt(1 - e2 * sinC * sinC)))
+    private val signPhiC = if (phiC < 0) -1.0 else 1.0
+    private val bigF = bigD + math.sqrt(bigD * bigD - 1) * signPhiC
+    private val bigH = bigF * math.pow(t0, bigB)
+    private val bigG = (bigF - 1 / bigF) / 2
+    private val gamma0 = math.asin(math.sin(alpha) / bigD)
+    // at alpha = 90 the argument is analytically exactly 1 (G tan(gamma0) =
+    // sqrt(D^2-1)/sqrt(D^2-1)) but can land at 1 + 2 ulp — clamp, not NaN
+    private val lam0 =
+      lamC - math.asin(math.max(-1.0, math.min(1.0, bigG * math.tan(gamma0)))) / bigB
+    // skew-grid offset of the projection centre (variant B). The general
+    // atan2 form degenerates at alpha = 90 (cos alpha = 0 regardless of D);
+    // there the equivalent closed form is A * (lamC - lam0).
+    private val uC =
+      if (!variantB) 0.0
+      else if (math.abs(alphaC) == 90.0) bigA * (lamC - lam0)
+      else (bigA / bigB) * math.atan2(math.sqrt(bigD * bigD - 1), math.cos(alpha)) * signPhiC
+    private val cosGam = math.cos(gamma)
+    private val sinGam = math.sin(gamma)
+    private val cosG0 = math.cos(gamma0)
+    private val sinG0 = math.sin(gamma0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val q = bigH / math.pow(tOf(phi), bigB)
+      val s = (q - 1 / q) / 2
+      val tBig = (q + 1 / q) / 2
+      val dl = bigB * (lam - lam0)
+      val v = math.sin(dl)
+      val bigU = (-v * cosG0 + s * sinG0) / tBig
+      val vv = bigA * math.log((1 - bigU) / (1 + bigU)) / (2 * bigB)
+      val uu = bigA * math.atan2(s * cosG0 + v * sinG0, math.cos(dl)) / bigB - uC
+      ((vv * cosGam + uu * sinGam) / unit + fe,
+        (uu * cosGam - vv * sinGam) / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val de = (x - fe) * unit
+      val dn = (y - fn) * unit
+      val vv = de * cosGam - dn * sinGam
+      val uu = dn * cosGam + de * sinGam + uC
+      val q = math.exp(-bigB * vv / bigA)
+      val s = (q - 1 / q) / 2
+      val tBig = (q + 1 / q) / 2
+      val v = math.sin(bigB * uu / bigA)
+      val bigU = (v * cosG0 + s * sinG0) / tBig
+      val t = math.pow(bigH / math.sqrt((1 + bigU) / (1 - bigU)), 1 / bigB)
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(t * math.pow((1 - esin) / (1 + esin), e / 2))
+        i += 1
+      }
+      val lam = lam0 - math.atan2(s * cosG0 - v * sinG0, math.cos(bigB * uu / bigA)) / bigB
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Krovak — EPSG method 9819 (southing/westing axes) and its East-North
+    * orientation 1041 (EPSG:5514, both axes negated), per EPSG Guidance
+    * Note 7-2: Gaussian conformal sphere, oblique cone touching the pseudo
+    * standard parallel `latP1`, azimuthal development from the cone axis
+    * co-latitude `alphaC`. `lonO` is the longitude of origin RELATIVE TO
+    * GREENWICH (the registry's 24°50'E of Ferro form must be shifted by
+    * the caller/WKT). The Czech/Slovak S-JTSK national grid. */
+  final case class Krovak(latC: Double, lonO: Double, alphaC: Double, latP1: Double,
+                          kP: Double, fe: Double, fn: Double, eastNorth: Boolean,
+                          unit: Double = 1.0, a: Double = BESSEL_A,
+                          flattening: Double = BESSEL_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latC)
+    private val lam0 = math.toRadians(lonO)
+    private val alpha = math.toRadians(alphaC)
+    private val phiP = math.toRadians(latP1)
+    private val sinC = math.sin(phiC)
+    private val cosC = math.cos(phiC)
+    private val bigA = a * math.sqrt(1 - e2) / (1 - e2 * sinC * sinC)
+    private val bigB = math.sqrt(1 + e2 * math.pow(cosC, 4) / (1 - e2))
+    private val gamma0 = math.asin(sinC / bigB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * sinC) / (1 - e * sinC), e * bigB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bigB)
+    private val n = math.sin(phiP)
+    private val r0 = kP * bigA / math.tan(phiP)
+    private val tanPn = math.pow(math.tan(phiP / 2 + math.Pi / 4), n)
+    private val cosA = math.cos(alpha)
+    private val sinA = math.sin(alpha)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val esin = e * math.sin(phi)
+      val bigU = 2 * (math.atan(t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bigB) /
+        math.pow((1 + esin) / (1 - esin), e * bigB / 2)) - math.Pi / 4)
+      val bigV = bigB * (lam0 - math.toRadians(lon))
+      val bigT = math.asin(cosA * math.sin(bigU) + sinA * math.cos(bigU) * math.cos(bigV))
+      val bigD = math.asin(math.cos(bigU) * math.sin(bigV) / math.cos(bigT))
+      val theta = n * bigD
+      val r = r0 * tanPn / math.pow(math.tan(bigT / 2 + math.Pi / 4), n)
+      val xSouth = r * math.cos(theta)
+      val yWest = r * math.sin(theta)
+      if (eastNorth) (-yWest / unit + fe, -xSouth / unit + fn)
+      else (xSouth / unit + fe, yWest / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (xSouth, yWest) =
+        if (eastNorth) (-(y - fn) * unit, -(x - fe) * unit)
+        else ((x - fe) * unit, (y - fn) * unit)
+      val r = math.sqrt(xSouth * xSouth + yWest * yWest)
+      val theta = math.atan2(yWest, xSouth)
+      val bigD = theta / n
+      val bigT = 2 * (math.atan(math.pow(r0 * tanPn / r, 1 / n)) - math.Pi / 4)
+      val bigU = math.asin(cosA * math.sin(bigT) - sinA * math.cos(bigT) * math.cos(bigD))
+      val bigV = math.asin(math.cos(bigT) * math.sin(bigD) / math.cos(bigU))
+      val lam = lam0 - bigV / bigB
+      // iterate the Gaussian-sphere latitude back to geodetic
+      var phi = bigU
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = 2 * (math.atan(math.pow(1 / t0, 1 / bigB) *
+          math.pow(math.tan(bigU / 2 + math.Pi / 4), 1 / bigB) *
+          math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 4)
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
     * OSGB36->WGS84 set in the OS coordinate-systems guide). */
   private def osgb36Helmert: Helmert =
@@ -945,6 +1106,24 @@ object CrsTransform {
     case 2248 => // NAD83 / Maryland (ftUS) — same cone, ftUS axes
       Some(Lcc2Sp(lat0 = 37.0 + 40.0 / 60, lon0 = -77.0, sp1 = 39.0 + 27.0 / 60, sp2 = 38.0 + 18.0 / 60,
         fe = 400000.0 / FtUs, fn = 0.0, unit = FtUs))
+    case 21781 | 2056 => // CH1903 / LV03 and CH1903+ / LV95 (Swiss grids):
+      // Helmert (swisstopo GRANIT87 translations, CH1903->WGS84 negated) +
+      // Hotine Oblique Mercator variant B through Bern at azimuth 90
+      Some(DatumProjected(
+        Helmert(tx = -674.374, ty = -15.056, tz = -405.346,
+          rxSec = 0, rySec = 0, rzSec = 0, sPpm = 0, aDst = BESSEL_A, fDst = BESSEL_F),
+        HotineOM(latC = 46.0 + 57.0 / 60 + 8.66 / 3600,
+          lonC = 7.0 + 26.0 / 60 + 22.50 / 3600, alphaC = 90.0, gammaC = 90.0,
+          k0 = 1.0, fe = if (code == 2056) 2600000.0 else 600000.0,
+          fn = if (code == 2056) 1200000.0 else 200000.0, variantB = true,
+          a = BESSEL_A, flattening = BESSEL_F)))
+    case 5514 => // S-JTSK / Krovak East North (Czech Republic + Slovakia)
+      Some(DatumProjected(
+        Helmert(tx = -589.0, ty = -76.0, tz = -480.0,
+          rxSec = 0, rySec = 0, rzSec = 0, sPpm = 0, aDst = BESSEL_A, fDst = BESSEL_F),
+        Krovak(latC = 49.5, lonO = 24.0 + 50.0 / 60,
+          alphaC = 30.0 + 17.0 / 60 + 17.3031 / 3600, latP1 = 78.5, kP = 0.9999,
+          fe = 0.0, fn = 0.0, eastNorth = true)))
     case 3435 => // NAD83 / Illinois East (ftUS) — TM
       Some(Tm(lat0 = 36.0 + 40.0 / 60, lonCm = -(88.0 + 20.0 / 60), k0 = 0.999975,
         fe = 300000.0 / FtUs, fn = 0.0, unit = FtUs))

@@ -10,7 +10,8 @@ import graft.crs.CrsTransform._
   * Transverse Mercator, Albers Equal Area, Mercator (1SP/2SP/pseudo),
   * oblique/double stereographic, Lambert azimuthal equal area, cylindrical
   * equal area, polar stereographic (variant A at its UPS shape, variant B),
-  * Equal Earth, Mollweide, sinusoidal, Eckert IV. This means any
+  * Equal Earth, Mollweide, sinusoidal, Eckert IV, Hotine Oblique Mercator
+  * (variants A/B incl. the Swiss/RSO forms), Krovak. This means any
   * state-plane/national-grid CRS in those families works from its full
   * definition, not just the EPSG codes in [[CrsTransform.forEpsg]].
   *
@@ -53,6 +54,8 @@ object ProjParse {
   // length-unit clause in the string is the projected axis unit.
   private val UnitRe =
     """(?i)(?:\bUNIT|LENGTHUNIT)\s*\[\s*"([^"]*)"\s*,\s*([-0-9.eE+]+)""".r
+  private val PrimeMRe =
+    """(?i)PRIMEM\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)""".r
 
   private def parseWkt(s: String): Option[CrsTransform] = {
     val method = MethodRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(return None)
@@ -72,7 +75,12 @@ object ProjParse {
       }
       name -> v
     }.toMap
-    build(method, params, axisUnit, a, invF)
+    // non-Greenwich prime meridian (Ferro, Paris): longitude parameters are
+    // relative to it; shift them onto the Greenwich hub the transforms use
+    val pm = PrimeMRe.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(0.0)
+    val shifted = if (pm == 0.0) params
+      else params.map { case (k, v) => k -> (if (Lon0Names.contains(k)) v + pm else v) }
+    build(method, shifted, axisUnit, a, invF)
   }
 
   // -------------------------------------------------------------- PROJJSON
@@ -161,9 +169,10 @@ object ProjParse {
   private val Sp1Names = Seq("standardparallel1", "latitudeof1ststandardparallel",
     "standardparallel", "latitudeofstandardparallel")
   private val Sp2Names = Seq("standardparallel2", "latitudeof2ndstandardparallel")
-  private val K0Names = Seq("scalefactor", "scalefactoratnaturalorigin")
-  private val FeNames = Seq("falseeasting", "eastingatfalseorigin")
-  private val FnNames = Seq("falsenorthing", "northingatfalseorigin")
+  private val K0Names = Seq("scalefactor", "scalefactoratnaturalorigin",
+    "scalefactoroninitialline", "scalefactoratprojectioncentre")
+  private val FeNames = Seq("falseeasting", "eastingatfalseorigin", "eastingatprojectioncentre")
+  private val FnNames = Seq("falsenorthing", "northingatfalseorigin", "northingatprojectioncentre")
 
   private def build(method: String, params: Map[String, Double], unit: Double,
                     a: Double, invF: Double): Option[CrsTransform] = {
@@ -210,13 +219,39 @@ object ProjParse {
     } else if (m.contains("albers"))
       Some(Albers2Sp(lat0, lon0, sp1.getOrElse(lat0), sp2.getOrElse(sp1.getOrElse(lat0)),
         fe, fn, f, a, unit))
+    else if ((m.contains("obliquemercator") || m.contains("rectifiedskeworthomorphic") ||
+              m.contains("swissobliquecylindrical")) && !m.contains("laborde")) {
+      // Hotine Oblique Mercator: EPSG variants A (9812) and B (9815), the
+      // ESRI Azimuth_Natural_Origin / Azimuth_Center spellings, RSO, and
+      // the Swiss Oblique Cylindrical alias (9814 = variant B, alpha 90)
+      val alphaC = get(Seq("azimuth", "azimuthofinitialline",
+        "azimuthatprojectioncentre")).getOrElse(90.0)
+      val gammaC = get(Seq("anglefromrectifiedtoskewgrid", "rectifiedgridangle",
+        "xyplanerotation")).getOrElse(alphaC)
+      val variantB = m.contains("variantb") || m.contains("center") ||
+        m.contains("centre") || m.contains("swiss") ||
+        params.contains("eastingatprojectioncentre")
+      Some(HotineOM(lat0, lon0, alphaC, gammaC, k0, fe, fn, variantB, unit, a, f))
+    }
+    else if (m.contains("krovak")) {
+      val alphaC = get(Seq("colatitudeofconeaxis", "azimuth"))
+        .getOrElse(30.0 + 17.0 / 60 + 17.3031 / 3600)
+      val latP1 = get(Seq("latitudeofpseudostandardparallel", "pseudostandardparallel1"))
+        .getOrElse(78.5)
+      val kP = get(Seq("scalefactoronpseudostandardparallel") ++ K0Names).getOrElse(0.9999)
+      // EPSG method 1041 is named "Krovak (East North)"; ESRI encodes the
+      // same orientation as X_Scale = Y_Scale = -1 + XY_Plane_Rotation 90
+      val eastNorth = m.contains("eastnorth") ||
+        (params.get("xscale").contains(-1.0) && params.get("yscale").contains(-1.0))
+      Some(Krovak(lat0, lon0, alphaC, latP1, kP, fe, fn, eastNorth, unit, a, f))
+    }
     else if (m.contains("pseudomercator") || m.contains("mercatorauxiliarysphere"))
       Some(PseudoMerc(lon0, fe, fn, unit, a))
     else if (m.contains("sinusoidal"))
       Some(Sinusoidal(lon0, fe, fn, a, f, unit))
     else if (m.contains("eckertiv") || m.contains("eckert4"))
       Some(EckertIv(lon0, fe, fn, a, unit))
-    else if (m.contains("mercator")) {
+    else if (m.contains("mercator") && !m.contains("oblique")) {
       // variant B / 2SP: k0 derived from the standard parallel (EPSG 9805)
       val e2 = f * (2 - f)
       val kEff = sp1.map { p =>

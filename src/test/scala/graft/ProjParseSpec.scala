@@ -307,9 +307,150 @@ class ProjParseSpec extends AnyFunSuite {
   test("unsupported projection method returns None, not garbage") {
     val wkt = """PROJCS["X",GEOGCS["G",DATUM["D",SPHEROID["S",6378137.0,298.257]],
                 |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
-                |PROJECTION["Krovak"],PARAMETER["False_Easting",0.0],
+                |PROJECTION["Bonne"],PARAMETER["False_Easting",0.0],
                 |UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
     assert(ProjParse.parse(wkt).isEmpty)
+    // Laborde is NOT the Hotine family despite the name overlap
+    val laborde = wkt.replace("\"Bonne\"", "\"Laborde_Oblique_Mercator\"")
+    assert(ProjParse.parse(laborde).isEmpty)
+  }
+
+  test("Hotine Oblique Mercator variant B worked example (EPSG GN7-2: Timbalai 1948 / RSO Borneo)") {
+    val t = HotineOM(latC = 4.0, lonC = 115.0,
+      alphaC = 53.0 + 18.0 / 60 + 56.9537 / 3600,
+      gammaC = 53.0 + 7.0 / 60 + 48.3685 / 3600,
+      k0 = 0.99984, fe = 590476.87, fn = 442857.65, variantB = true,
+      a = 6377298.556, flattening = 1.0 / 300.8017) // Everest 1830 (1967)
+    val lon = 115.0 + 48.0 / 60 + 19.8196 / 3600
+    val lat = 5.0 + 23.0 / 60 + 14.1129 / 3600
+    val (e, n) = t.forward(lon, lat)
+    assert(math.abs(e - 679245.73) < 0.05, s"easting $e")
+    assert(math.abs(n - 596562.78) < 0.05, s"northing $n")
+    val (lo, la) = t.inverse(e, n)
+    assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"roundtrip ($lo,$la)")
+  }
+
+  test("Swiss LV03/LV95 (alpha = 90 variant B): Bern origin exact, roundtrip, LV95 offset") {
+    val bernLon = 7.0 + 26.0 / 60 + 22.50 / 3600
+    val bernLat = 46.0 + 57.0 / 60 + 8.66 / 3600
+    val lv03 = HotineOM(latC = bernLat, lonC = bernLon, alphaC = 90.0, gammaC = 90.0,
+      k0 = 1.0, fe = 600000.0, fn = 200000.0, variantB = true,
+      a = BESSEL_A, flattening = BESSEL_F)
+    val (e0, n0) = lv03.forward(bernLon, bernLat)
+    assert(math.abs(e0 - 600000.0) < 1e-3 && math.abs(n0 - 200000.0) < 1e-3,
+      s"Bern origin ($e0,$n0)")
+    for ((lon, lat) <- Seq((8.55, 47.37), (6.15, 46.2), (9.84, 46.5))) {
+      val (e, n) = lv03.forward(lon, lat)
+      val (lo, la) = lv03.inverse(e, n)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"roundtrip ($lon,$lat)")
+    }
+    // LV95 (2056) differs from LV03 (21781) by exactly +2,000,000 / +1,000,000
+    val c03 = CrsTransform.chain(4326, 21781)
+    val c95 = CrsTransform.chain(4326, 2056)
+    val (x3, y3) = c03.forward(8.55, 47.37)
+    val (x9, y9) = c95.forward(8.55, 47.37)
+    assert(math.abs(x9 - x3 - 2000000.0) < 1e-6 && math.abs(y9 - y3 - 1000000.0) < 1e-6)
+    // independent oracle: swisstopo's published approximate formulas for
+    // WGS84 -> LV03 (accuracy ~1 m) evaluated at a Rigi-area point give
+    // E=679602.74, N=212421.91; the rigorous chain (GRANIT87 Helmert +
+    // exact HOM) must land within that formula's own error budget
+    val (re, rn) = c95.forward(8.0 + 29.0 / 60 + 11.11127154 / 3600,
+      47.0 + 3.0 / 60 + 28.95659233 / 3600)
+    assert(math.abs(re - 2679602.74) < 1.0 && math.abs(rn - 1212421.91) < 1.0,
+      s"Rigi ($re,$rn)")
+  }
+
+  test("Krovak worked example (EPSG GN7-2: S-JTSK, Bessel) + East North orientation") {
+    val t = Krovak(latC = 49.5, lonO = 24.0 + 50.0 / 60,
+      alphaC = 30.0 + 17.0 / 60 + 17.3031 / 3600, latP1 = 78.5, kP = 0.9999,
+      fe = 0.0, fn = 0.0, eastNorth = false)
+    val lon = 16.0 + 50.0 / 60 + 59.1790 / 3600
+    val lat = 50.0 + 12.0 / 60 + 32.4416 / 3600
+    val (xSouth, yWest) = t.forward(lon, lat)
+    assert(math.abs(xSouth - 1050538.63) < 0.05, s"southing $xSouth")
+    assert(math.abs(yWest - 568991.00) < 0.05, s"westing $yWest")
+    val (lo, la) = t.inverse(xSouth, yWest)
+    // the oblique-sphere asin chain carries ~1e-8 deg (sub-mm) of rounding
+    assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8, s"roundtrip ($lo,$la)")
+    // 5514 East North = both axes negated; full chain roundtrips
+    val en = Krovak(latC = 49.5, lonO = 24.0 + 50.0 / 60,
+      alphaC = 30.0 + 17.0 / 60 + 17.3031 / 3600, latP1 = 78.5, kP = 0.9999,
+      fe = 0.0, fn = 0.0, eastNorth = true)
+    val (xe, yn) = en.forward(lon, lat)
+    assert(math.abs(xe + yWest) < 1e-9 && math.abs(yn + xSouth) < 1e-9)
+    val c = CrsTransform.chain(4326, 5514)
+    val (px, py) = c.forward(14.42, 50.09) // Prague
+    assert(px < -500000 && px > -1000000 && py < -900000 && py > -1300000, s"Prague ($px,$py)")
+    val (plo, pla) = c.inverse(px, py)
+    assert(math.abs(plo - 14.42) < 1e-8 && math.abs(pla - 50.09) < 1e-8)
+  }
+
+  test("HOM/Krovak WKT spellings parse to the wired projections (incl. Ferro prime meridian)") {
+    val esriSwiss =
+      """PROJCS["CH1903_LV03", GEOGCS["GCS_CH1903", DATUM["D_CH1903",
+        | SPHEROID["Bessel_1841",6377397.155,299.1528128]], PRIMEM["Greenwich",0.0],
+        | UNIT["Degree",0.0174532925199433]],
+        | PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],
+        | PARAMETER["False_Easting",600000.0], PARAMETER["False_Northing",200000.0],
+        | PARAMETER["Scale_Factor",1.0], PARAMETER["Azimuth",90.0],
+        | PARAMETER["Longitude_Of_Center",7.43958333333333],
+        | PARAMETER["Latitude_Of_Center",46.9524055555556],
+        | UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val parsedSwiss = ProjParse.parse(esriSwiss).getOrElse(fail("Swiss WKT did not parse"))
+    val wiredSwiss = HotineOM(latC = 46.9524055555556, lonC = 7.43958333333333,
+      alphaC = 90.0, gammaC = 90.0, k0 = 1.0, fe = 600000.0, fn = 200000.0,
+      variantB = true, a = BESSEL_A, flattening = BESSEL_F)
+    for ((lon, lat) <- Seq((8.55, 47.37), (6.6, 46.5))) {
+      val (x1, y1) = parsedSwiss.forward(lon, lat)
+      val (x2, y2) = wiredSwiss.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6, s"Swiss ($lon,$lat)")
+    }
+    // WKT2 Krovak (East North), Greenwich longitudes — the EPSG:5514 shape
+    val wkt2Krovak =
+      """PROJCRS["S-JTSK / Krovak East North", BASEGEOGCRS["S-JTSK",
+        | DATUM["System of the Unified Trigonometrical Cadastral Network",
+        | ELLIPSOID["Bessel 1841",6377397.155,299.1528128,LENGTHUNIT["metre",1]]]],
+        | CONVERSION["Krovak East North",
+        | METHOD["Krovak (East North)",ID["EPSG",1041]],
+        | PARAMETER["Latitude of projection centre",49.5,ANGLEUNIT["degree",0.0174532925199433]],
+        | PARAMETER["Longitude of origin",24.8333333333333,ANGLEUNIT["degree",0.0174532925199433]],
+        | PARAMETER["Co-latitude of cone axis",30.2881397527778,ANGLEUNIT["degree",0.0174532925199433]],
+        | PARAMETER["Latitude of pseudo standard parallel",78.5,ANGLEUNIT["degree",0.0174532925199433]],
+        | PARAMETER["Scale factor on pseudo standard parallel",0.9999,SCALEUNIT["unity",1]],
+        | PARAMETER["False easting",0,LENGTHUNIT["metre",1]],
+        | PARAMETER["False northing",0,LENGTHUNIT["metre",1]],
+        | CS[Cartesian,2],
+        | AXIS["easting (X)",east,ORDER[1],LENGTHUNIT["metre",1]],
+        | AXIS["northing (Y)",north,ORDER[2],LENGTHUNIT["metre",1]]]"""
+        .stripMargin.replace("\n", "")
+    val parsedK = ProjParse.parse(wkt2Krovak).getOrElse(fail("Krovak WKT2 did not parse"))
+    val wiredK = Krovak(latC = 49.5, lonO = 24.0 + 50.0 / 60,
+      alphaC = 30.0 + 17.0 / 60 + 17.3031 / 3600, latP1 = 78.5, kP = 0.9999,
+      fe = 0.0, fn = 0.0, eastNorth = true)
+    // WKT1 with a FERRO prime meridian: longitudes shift by -17°40'
+    val ferroKrovak =
+      """PROJCS["S-JTSK (Ferro) / Krovak East North", GEOGCS["S-JTSK (Ferro)",
+        | DATUM["System_Jednotne_Trigonometricke_Site_Katastralni_Ferro",
+        | SPHEROID["Bessel 1841",6377397.155,299.1528128]],
+        | PRIMEM["Ferro",-17.66666666666667], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Krovak_East_North"],
+        | PARAMETER["latitude_of_center",49.5],
+        | PARAMETER["longitude_of_center",42.5],
+        | PARAMETER["azimuth",30.2881397527778],
+        | PARAMETER["pseudo_standard_parallel_1",78.5],
+        | PARAMETER["scale_factor",0.9999],
+        | PARAMETER["false_easting",0], PARAMETER["false_northing",0],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val parsedF = ProjParse.parse(ferroKrovak).getOrElse(fail("Ferro Krovak WKT did not parse"))
+    for ((lon, lat) <- Seq((14.42, 50.09), (17.1, 48.15))) {
+      val (x1, y1) = parsedK.forward(lon, lat)
+      val (x2, y2) = wiredK.forward(lon, lat)
+      val (x3, y3) = parsedF.forward(lon, lat)
+      // the WKT literals carry decimal-truncated angles (~1e-9 deg), so the
+      // surfaces agree to micrometres, not machine epsilon
+      assert(math.abs(x1 - x2) < 1e-3 && math.abs(y1 - y2) < 1e-3, s"Krovak WKT2 ($lon,$lat)")
+      assert(math.abs(x3 - x2) < 1e-3 && math.abs(y3 - y2) < 1e-3, s"Krovak Ferro ($lon,$lat)")
+    }
   }
 }
 
