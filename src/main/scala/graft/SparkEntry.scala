@@ -644,6 +644,21 @@ object SparkEntry {
       back.df.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
         round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
     }),
+    "q181_mif_roundtrip" -> ((s, d) => {
+      // gate the MapInfo MIF/MID driver end to end: driver-streamed pair
+      // export (long ids as Decimal(20,0), CoordSys Earth Projection 1,104),
+      // per-file parallel read back, attribute where= applied post-parse
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_mifq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 4 === 3)
+        .select(col("c_custkey"), col("c_name"), col("geometry"))
+      graft.io.MapInfoMif.write(
+        GeoDataFrame(sel, "geometry", Map("geometry" -> "EPSG:4326")), s"$dir/pts.mif")
+      val back = graft.io.MapInfoMif.read(s, s"$dir/pts.mif",
+        where = Some("c_custkey % 3 = 2"))
+      back.df.select(col("c_custkey"), col("c_name"),
+        round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
     "q74_kml_roundtrip" -> ((s, d) => {
       // gate the KML driver end to end: typed Schema/SimpleData export,
       // StAX streaming read back, geometry + attribute types restored
@@ -2573,6 +2588,9 @@ object SparkEntry {
       "q74_kml_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 2 AND c_custkey % 2 = 0""".stripMargin.replace("\n", " "),
+      "q181_mif_roundtrip" ->
+        s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
+           | WHERE c_custkey % 4 = 3 AND c_custkey % 3 = 2""".stripMargin.replace("\n", " "),
       "q76_gml_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 3 AND c_custkey % 2 = 1""".stripMargin.replace("\n", " "),

@@ -1,0 +1,175 @@
+package graft
+
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions._
+import graft.io.MapInfoMif
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MapInfoMifSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("roundtrip: attribute types, every geometry kind, NONE, CRS header") {
+    val df = Seq(
+      (1L, "alpha, \"quoted\"", 3, 2.5, true, "POINT (10 20)"),
+      (2L, "beta", 4, -0.25, false, "LINESTRING (0 0, 1 1, 2 0)"),
+      (3L, "gamma", 5, 1e9, true, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+      (4L, "delta", 6, 0.5, false,
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+      (5L, "eps", 7, 0.125, true, "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))"),
+      (6L, "zeta", 8, 0.75, false, "MULTIPOINT ((1 2), (3 4))"),
+      (7L, null.asInstanceOf[String], 9, 0.875, true, null.asInstanceOf[String]))
+      .toDF("id", "name", "n", "v", "flag", "wkt")
+    val gdf = GeoDataFrame(
+      df.withColumn("geometry", when(col("wkt").isNotNull, st_geomfromwkt(col("wkt")))).drop("wkt"),
+      "geometry", Map("geometry" -> "EPSG:4326"))
+    val dir = java.nio.file.Files.createTempDirectory("mif").toString
+    MapInfoMif.write(gdf, s"$dir/t.mif")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.mid")))
+    val back = MapInfoMif.read(spark, s"$dir/t.mif")
+    assert(back.crs.get("geometry").contains("EPSG:4326"))
+    // long ids round-trip through Decimal(20, 0)
+    assert(back.df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    val rows = back.df
+      .select(col("id"), col("name"), col("n"), col("v"), col("flag"),
+        when(col("geometry").isNotNull, st_astext(st_normalize(col("geometry")))).as("wkt"))
+      .as[(Long, String, Int, Double, Boolean, String)].collect().sortBy(_._1)
+    val want = df
+      .select(col("id"), col("name"), col("n"), col("v"), col("flag"),
+        when(col("wkt").isNotNull, st_astext(st_normalize(st_geomfromwkt(col("wkt"))))).as("wkt"))
+      .as[(Long, String, Int, Double, Boolean, String)].collect().sortBy(_._1)
+    // MID has no null marker for Char: null strings come back empty
+    assert(rows.map(r => r.copy(_2 = Option(r._2).getOrElse(""))).toSeq ==
+      want.map(r => r.copy(_2 = Option(r._2).getOrElse(""))).toSeq)
+  }
+
+  test("foreign MIF parses: tab delimiter default, styling clauses, MULTIPLE pline, implicit ring close") {
+    // hand-written in the shape GDAL/MapInfo emit: PEN/BRUSH/SYMBOL/CENTER
+    // clauses after geometries, rings NOT explicitly closed, default
+    // delimiter (no DELIMITER line -> tab)
+    val mif =
+      """Version 300
+        |Charset "WindowsLatin1"
+        |Columns 3
+        |  id Integer
+        |  name Char(32)
+        |  score Decimal(10, 2)
+        |Data
+        |POINT 10 20
+        |    Symbol (34,0,12)
+        |Pline Multiple 2
+        |  2
+        |10 10
+        |20 20
+        |  3
+        |30 30
+        |40 40
+        |50 50
+        |    Pen (1,2,0)
+        |REGION 1
+        |  4
+        |0 0
+        |10 0
+        |10 10
+        |0 10
+        |    Pen (1,2,0)
+        |    Brush (2,16777215,16777215)
+        |    Center 5 5
+        |NONE
+        |""".stripMargin
+    val mid =
+      "1\t\"first\"\t1.25\n2\t\"second\"\t2.50\n3\t\"third\"\t3.75\n4\t\"fourth\"\t\n"
+    val dir = java.nio.file.Files.createTempDirectory("miff").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.mif"), mif.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.mid"), mid.getBytes("UTF-8"))
+    val back = MapInfoMif.read(spark, s"$dir/f.mif")
+    val rows = back.df
+      .select(col("id"), col("name"), col("score"),
+        when(col("geometry").isNotNull, st_astext(col("geometry"))).as("wkt"))
+      .as[(Int, String, Option[Double], String)].collect().sortBy(_._1).toSeq
+    assert(rows(0) == ((1, "first", Some(1.25), "POINT (10 20)")))
+    assert(rows(1)._4 == "MULTILINESTRING ((10 10, 20 20), (30 30, 40 40, 50 50))")
+    assert(rows(2)._4 == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(rows(3)._3.isEmpty) // empty Decimal field -> null
+    assert(rows(3)._4 == null)
+    // no CoordSys line -> no CRS claimed
+    assert(back.crs.isEmpty)
+  }
+
+  test("REGION even-odd nesting: lake with island resolves shell/hole/shell") {
+    val mif =
+      """VERSION 300
+        |DELIMITER ","
+        |COLUMNS 1
+        |  id Integer
+        |DATA
+        |REGION 3
+        |  5
+        |0 0
+        |10 0
+        |10 10
+        |0 10
+        |0 0
+        |  5
+        |2 2
+        |8 2
+        |8 8
+        |2 8
+        |2 2
+        |  5
+        |4 4
+        |6 4
+        |6 6
+        |4 6
+        |4 4
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("mifr").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.mif"), mif.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.mid"), "1\n".getBytes("UTF-8"))
+    val back = MapInfoMif.read(spark, s"$dir/r.mif")
+    val (tpe, area) = back.df
+      .select(st_geometrytype(col("geometry")), st_area(col("geometry")))
+      .as[(String, Double)].head()
+    // outer 100 - lake 36 + island 4
+    assert(tpe == "MultiPolygon" && math.abs(area - 68.0) < 1e-9, s"$tpe $area")
+  }
+
+  test("read filters: where/columns/rows prune like the other drivers; partitioned write reads back") {
+    val df = (1 to 50).map(i => (i, s"n$i", i * 1.0, i * 2.0)).toDF("id", "name", "x", "y")
+    val gdf = GeoDataFrame(df.withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"),
+      "geometry", Map("geometry" -> "EPSG:4326"))
+    val dir = java.nio.file.Files.createTempDirectory("mifp").toString
+    MapInfoMif.write(gdf, s"$dir/a.mif")
+    val filtered = MapInfoMif.read(spark, s"$dir/a.mif",
+      where = Some("id % 5 = 0"), columns = Some(Seq("id")))
+    assert(filtered.df.columns.toSeq == Seq("id", "geometry"))
+    assert(filtered.df.count() == 10)
+    val bboxed = MapInfoMif.read(spark, s"$dir/a.mif", bbox = Some((0.0, 0.0, 10.0, 20.0)))
+    assert(bboxed.df.count() == 10)
+    // distributed pair-per-partition write, read back as a directory
+    val pdir = java.nio.file.Files.createTempDirectory("mifpd").toString
+    MapInfoMif.writePartitioned(GeoDataFrame(gdf.df.repartition(4), "geometry", gdf.crs), pdir)
+    val backAll = MapInfoMif.read(spark, pdir)
+    assert(backAll.df.count() == 50)
+    assert(backAll.crs.get("geometry").contains("EPSG:4326"))
+  }
+
+  test("unsupported drawn-shape records fail loudly") {
+    val mif =
+      """VERSION 300
+        |DELIMITER ","
+        |COLUMNS 1
+        |  id Integer
+        |DATA
+        |ELLIPSE 0 0 10 10
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("mife").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/e.mif"), mif.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/e.mid"), "1\n".getBytes("UTF-8"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      MapInfoMif.read(spark, s"$dir/e.mif").df.count()
+    }
+    assert(ex.getMessage.contains("ELLIPSE") || ex.getCause.getMessage.contains("ELLIPSE"))
+  }
+}
