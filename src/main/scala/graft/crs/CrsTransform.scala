@@ -1028,6 +1028,91 @@ object CrsTransform {
     }
   }
 
+  /** Cassini-Soldner (EPSG method 9806) — the old cadastral grids
+    * (Trinidad, parts of Malaysia/Germany/Denmark), per EPSG GN7-2 /
+    * Snyder (1987) pp. 92-95. Transverse equidistant: exact along the
+    * central meridian, series in the (small) departure from it. */
+  final case class Cassini(lat0: Double, lon0: Double, fe: Double, fn: Double,
+                           unit: Double = 1.0, a: Double = WGS84_A,
+                           flattening: Double = WGS84_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val ep2 = e2 / (1 - e2)
+    private val l0 = math.toRadians(lon0)
+    private def meridianArc(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+    private val m0 = meridianArc(math.toRadians(lat0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val nu = a / math.sqrt(1 - e2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = ep2 * cosP * cosP
+      val aa = cosP * (math.toRadians(lon) - l0)
+      val x = nu * (aa - t * aa * aa * aa / 6
+        - (8 - t + 8 * c) * t * math.pow(aa, 5) / 120)
+      val y = meridianArc(phi) - m0 +
+        nu * tanP * (aa * aa / 2 + (5 - t + 6 * c) * math.pow(aa, 4) / 24)
+      (x / unit + fe, y / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val m1 = m0 + (y - fn) * unit
+      val mu = m1 / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val phi1 = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val t1 = tanP * tanP
+      val nu1 = a / math.sqrt(1 - e2 * sinP * sinP)
+      val rho1 = a * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+      val d = (x - fe) * unit / nu1
+      val lat = phi1 - (nu1 * tanP / rho1) * (d * d / 2 - (1 + 3 * t1) * math.pow(d, 4) / 24)
+      val lon = l0 + (d - t1 * d * d * d / 3 + (1 + 3 * t1) * t1 * math.pow(d, 5) / 15) / cosP
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  /** Equidistant Cylindrical (EPSG method 1028; the spherical lat0=lat1=0
+    * case is Plate Carrée, method 1029/ESRI Equirectangular): exact
+    * meridian arc for northing, parallel arc at the standard parallel for
+    * easting. EPSG:4087 / 32662 world grids. */
+  final case class EquidistantCyl(lat1: Double, lat0: Double, lon0: Double,
+                                  fe: Double, fn: Double, unit: Double = 1.0,
+                                  a: Double = WGS84_A,
+                                  flattening: Double = WGS84_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val l0 = math.toRadians(lon0)
+    private val phi1 = math.toRadians(lat1)
+    private val nu1CosP1 = a * math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) * math.sin(phi1))
+    private def meridianArc(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+    private val m0 = meridianArc(math.toRadians(lat0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) =
+      ((nu1CosP1 * (math.toRadians(lon) - l0)) / unit + fe,
+        (meridianArc(math.toRadians(lat)) - m0) / unit + fn)
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+      val mu = (m0 + (y - fn) * unit) /
+        (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val phi = mu + (3 * e1 / 2 - 27 * e1 * e1 * e1 / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * e1 * e1 * e1 / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      (math.toDegrees(l0 + (x - fe) * unit / nu1CosP1), math.toDegrees(phi))
+    }
+  }
+
   /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
     * OSGB36->WGS84 set in the OS coordinate-systems guide). */
   private def osgb36Helmert: Helmert =
@@ -1124,6 +1209,8 @@ object CrsTransform {
         Krovak(latC = 49.5, lonO = 24.0 + 50.0 / 60,
           alphaC = 30.0 + 17.0 / 60 + 17.3031 / 3600, latP1 = 78.5, kP = 0.9999,
           fe = 0.0, fn = 0.0, eastNorth = true)))
+    case 4087 | 32662 => // WGS 84 / World Equidistant Cylindrical & Plate Carrée
+      Some(EquidistantCyl(lat1 = 0.0, lat0 = 0.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
     case 3435 => // NAD83 / Illinois East (ftUS) — TM
       Some(Tm(lat0 = 36.0 + 40.0 / 60, lonCm = -(88.0 + 20.0 / 60), k0 = 0.999975,
         fe = 300000.0 / FtUs, fn = 0.0, unit = FtUs))

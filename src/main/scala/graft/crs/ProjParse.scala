@@ -11,7 +11,8 @@ import graft.crs.CrsTransform._
   * oblique/double stereographic, Lambert azimuthal equal area, cylindrical
   * equal area, polar stereographic (variant A at its UPS shape, variant B),
   * Equal Earth, Mollweide, sinusoidal, Eckert IV, Hotine Oblique Mercator
-  * (variants A/B incl. the Swiss/RSO forms), Krovak. This means any
+  * (variants A/B incl. the Swiss/RSO forms), Krovak, Cassini-Soldner,
+  * equidistant cylindrical / Plate Carrée. This means any
   * state-plane/national-grid CRS in those families works from its full
   * definition, not just the EPSG codes in [[CrsTransform.forEpsg]].
   *
@@ -233,6 +234,11 @@ object ProjParse {
         params.contains("eastingatprojectioncentre")
       Some(HotineOM(lat0, lon0, alphaC, gammaC, k0, fe, fn, variantB, unit, a, f))
     }
+    else if (m.contains("cassini"))
+      Some(Cassini(lat0, lon0, fe, fn, unit, a, f))
+    else if (m.contains("equidistantcylindrical") || m.contains("equirectangular") ||
+             m.contains("platecarree"))
+      Some(EquidistantCyl(sp1.getOrElse(lat0), 0.0, lon0, fe, fn, unit, a, f))
     else if (m.contains("krovak")) {
       val alphaC = get(Seq("colatitudeofconeaxis", "azimuth"))
         .getOrElse(30.0 + 17.0 / 60 + 17.3031 / 3600)

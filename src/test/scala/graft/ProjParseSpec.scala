@@ -385,6 +385,59 @@ class ProjParseSpec extends AnyFunSuite {
     assert(math.abs(plo - 14.42) < 1e-8 && math.abs(pla - 50.09) < 1e-8)
   }
 
+  test("Cassini-Soldner worked example (EPSG GN7-2: Trinidad 1903, Clarke 1858, links)") {
+    // a = 20,926,348 ft = 31,706,587.88 Clarke's links; grid in links
+    val t = Cassini(lat0 = 10.0 + 26.0 / 60 + 30.0 / 3600, lon0 = -(61.0 + 20.0 / 60),
+      fe = 430000.0, fn = 325000.0, a = 31706587.88, flattening = 1.0 / 294.2606764)
+    val (e, n) = t.forward(-62.0, 10.0)
+    assert(math.abs(e - 66644.94) < 0.05, s"easting $e")
+    assert(math.abs(n - 82536.22) < 0.05, s"northing $n")
+    val (lo, la) = t.inverse(e, n)
+    assert(math.abs(lo + 62.0) < 1e-8 && math.abs(la - 10.0) < 1e-8, s"roundtrip ($lo,$la)")
+    // WKT spelling resolves to the same surface
+    val wkt =
+      """PROJCS["Trinidad 1903 / Trinidad Grid", GEOGCS["Trinidad 1903",
+        | DATUM["Trinidad_1903", SPHEROID["Clarke 1858",6378293.645208759,294.2606764]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Cassini_Soldner"],
+        | PARAMETER["latitude_of_origin",10.44166666666667],
+        | PARAMETER["central_meridian",-61.33333333333334],
+        | PARAMETER["false_easting",430000], PARAMETER["false_northing",325000],
+        | UNIT["Clarke's link",0.201166195164]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).getOrElse(fail("Cassini WKT did not parse"))
+    val (xp, yp) = parsed.forward(-62.0, 10.0)
+    // meters-spheroid + link axis unit reproduce the links-native grid
+    assert(math.abs(xp - e) < 0.01 && math.abs(yp - n) < 0.01, s"parsed ($xp,$yp)")
+  }
+
+  test("Equidistant Cylindrical (EPSG:4087/32662): exact parallel/meridian arcs, roundtrip") {
+    val t = CrsTransform.chain(4326, 4087)
+    // equator easting is the exact parallel arc: a * lambda
+    val (e0, n0) = t.forward(10.0, 0.0)
+    assert(math.abs(e0 - 6378137.0 * math.toRadians(10.0)) < 1e-6 && math.abs(n0) < 1e-9)
+    // EPSG GN7-2 worked-example shape: 10E 55N on WGS84
+    val (e, n) = t.forward(10.0, 55.0)
+    assert(math.abs(e - 1113194.91) < 0.05, s"easting $e")
+    assert(math.abs(n - 6097230.31) < 0.05, s"northing $n")
+    val (lo, la) = t.inverse(e, n)
+    // footpoint-latitude series truncation is ~4e-9 deg (sub-mm)
+    assert(math.abs(lo - 10.0) < 1e-8 && math.abs(la - 55.0) < 1e-8)
+    // 32662 Plate Carree is the same surface; ESRI WKT spelling parses
+    val t2 = CrsTransform.chain(4326, 32662)
+    assert(t2.forward(10.0, 55.0) == ((e, n)))
+    val esri =
+      """PROJCS["World_Equidistant_Cylindrical", GEOGCS["GCS_WGS_1984",
+        | DATUM["D_WGS_1984", SPHEROID["WGS_1984",6378137.0,298.257223563]],
+        | PRIMEM["Greenwich",0.0], UNIT["Degree",0.0174532925199433]],
+        | PROJECTION["Equidistant_Cylindrical"],
+        | PARAMETER["False_Easting",0.0], PARAMETER["False_Northing",0.0],
+        | PARAMETER["Central_Meridian",0.0], PARAMETER["Standard_Parallel_1",0.0],
+        | UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(esri).getOrElse(fail("EqCyl WKT did not parse"))
+    val (xp, yp) = parsed.forward(10.0, 55.0)
+    assert(math.abs(xp - e) < 1e-6 && math.abs(yp - n) < 1e-6)
+  }
+
   test("HOM/Krovak WKT spellings parse to the wired projections (incl. Ferro prime meridian)") {
     val esriSwiss =
       """PROJCS["CH1903_LV03", GEOGCS["GCS_CH1903", DATUM["D_CH1903",
