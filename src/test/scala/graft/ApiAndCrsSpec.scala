@@ -114,8 +114,21 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    // 2056 (Swiss LV95, oblique mercator) has no wired transform
-    intercept[IllegalArgumentException](CrsTransform.chain(4326, 2056))
+    // 23700 (Hungarian EOV) has no wired transform (its HOM variant B
+    // projection IS resolvable from full WKT via ProjParse, but the bare
+    // EPSG code is outside the registry allowlist)
+    intercept[IllegalArgumentException](CrsTransform.chain(4326, 23700))
+  }
+
+  test("2056 Swiss LV95: Bern origin at the false origin, roundtrip through the datum chain") {
+    val t = CrsTransform.chain(4326, 2056)
+    for ((lon, lat) <- Seq((7.44, 46.95), (8.55, 47.37), (6.63, 46.52))) {
+      val (e, n) = t.forward(lon, lat)
+      assert(e > 2400000 && e < 2900000 && n > 1000000 && n < 1400000, s"($e,$n)")
+      val (lo, la) = t.inverse(e, n)
+      // the h=0 geocentric Helmert roundtrip carries ~1e-8 deg (~1 mm)
+      assert(math.abs(lo - lon) < 5e-8 && math.abs(la - lat) < 5e-8)
+    }
   }
 
   test("Lambert-93, MGA, and NZTM map their false origins exactly; roundtrip") {
