@@ -497,6 +497,23 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hamming band join is shuffle-hash on the index side, never a probe broadcast") {
+    import spark.implicits._
+    // both banding roles descend from the same aggregate, so Catalyst's
+    // size estimates can't see the ~65x probe explode asymmetry; without
+    // the shuffle_hash pin it elected to BROADCAST the probe side
+    // (measured 19 s on an 87k-candidate join, round 18). Pin the shape.
+    val rows = (0 until 400).map(i => (i.toLong, f"${i.toLong * 0x9e3779b97f4a7c15L}%016x"))
+    val df = rows.toDF("id", "sig")
+    val plan = Dedup.hammingPairs(df, "id", "sig", 4).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"the band candidate join must be a shuffled hash join:\n${plan.take(3000)}")
+    val joined = Dedup.hammingJoin(df, "id", "sig", df.limit(50), "id", "sig", 4)
+    val plan2 = joined.queryExecution.executedPlan.toString
+    assert(plan2.contains("ShuffledHashJoin"),
+      s"the cross-table band candidate join must be a shuffled hash join:\n${plan2.take(3000)}")
+  }
+
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
