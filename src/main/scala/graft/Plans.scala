@@ -636,12 +636,16 @@ object Plans {
         k = 3, numHashes = 16, bands = 4, threshold = 0.5)
     }
 
-    section("Cross-table hamming join (q172: pigeonhole banding at recall 1)",
-      "Distinct 64-bit signatures band into maxHamming+1 hex chunks; a " +
-        "pair within the bit budget MUST share a chunk, so the band " +
-        "equi-join has recall 1 and the hamming verify runs once per " +
-        "signature pair — signature-only shuffle, members re-attach by " +
-        "the signature key.") {
+    section("Cross-table hamming join (q172: multi-index banding at recall 1)",
+      "Distinct 64-bit signatures band into maxHamming/2+1 bit chunks; " +
+        "the index side emits exact chunk keys, the probe side adds every " +
+        "single-bit flip (Norouzi et al. multi-index hashing), so a pair " +
+        "within the bit budget MUST collide on a (band, key) bucket and " +
+        "the bit_count(xor) verify runs once per signature pair. The " +
+        "candidate join is PINNED shuffle-hash building on the index side " +
+        "(the probe explode defeats size estimation; an elected broadcast " +
+        "of the big side cost 19 s). Signature-only (8-byte long) shuffle; " +
+        "members re-attach by the signature key.") {
       val ds = spark.read.parquet(s"$dir/documents.parquet")
       val l = ds.select(col("doc_id").as("id"),
         substring(md5(col("doc_id").cast("string")), 1, 16).as("sig"))
