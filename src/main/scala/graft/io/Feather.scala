@@ -75,24 +75,28 @@ object Feather {
     val alloc = new RootAllocator()
     try {
       val reader = new ArrowFileReader(new HadoopSeekableChannel(in, len), alloc)
-      try {
-        val arrowSchema = reader.getVectorSchemaRoot.getSchema
-        val fields = arrowSchema.getFields.asScala.map(f =>
-          StructField(f.getName, sparkType(f.getType), nullable = true)).toSeq
-        val meta = Option(arrowSchema.getCustomMetadata.get("geo"))
-        val parsed = meta.flatMap(m => scala.util.Try(
-          graft.functions.GeoJson.parseJson(m).asInstanceOf[Map[String, Any]]).toOption)
-        val primary = parsed.flatMap(_.get("primary_column").collect { case s: String => s })
-          .getOrElse(fields.find(_.dataType == BinaryType).map(_.name).getOrElse("geometry"))
-        val crs = for {
-          m <- parsed
-          cols <- m.get("columns").collect { case c: Map[String @unchecked, Any @unchecked] => c }
-          cm <- cols.get(primary).collect { case c: Map[String @unchecked, Any @unchecked] => c }
-          c <- cm.get("crs").collect { case s: String => s }
-        } yield c
-        (StructType(fields), primary, crs)
-      } finally reader.close()
+      try parseArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      finally reader.close()
     } finally { in.close(); alloc.close() }
+  }
+
+  /** Spark schema + primary geometry column + CRS from an Arrow schema's
+    * fields and `geo` custom metadata. */
+  private def parseArrowSchema(arrowSchema: Schema): (StructType, String, Option[String]) = {
+    val fields = arrowSchema.getFields.asScala.map(f =>
+      StructField(f.getName, sparkType(f.getType), nullable = true)).toSeq
+    val meta = Option(arrowSchema.getCustomMetadata.get("geo"))
+    val parsed = meta.flatMap(m => scala.util.Try(
+      graft.functions.GeoJson.parseJson(m).asInstanceOf[Map[String, Any]]).toOption)
+    val primary = parsed.flatMap(_.get("primary_column").collect { case s: String => s })
+      .getOrElse(fields.find(_.dataType == BinaryType).map(_.name).getOrElse("geometry"))
+    val crs = for {
+      m <- parsed
+      cols <- m.get("columns").collect { case c: Map[String @unchecked, Any @unchecked] => c }
+      cm <- cols.get(primary).collect { case c: Map[String @unchecked, Any @unchecked] => c }
+      c <- cm.get("crs").collect { case s: String => s }
+    } yield c
+    (StructType(fields), primary, crs)
   }
 
   private def readValue(v: FieldVector, i: Int): Any = {
@@ -167,9 +171,62 @@ object Feather {
     writeRows(gdf.df.collect(), gdf.df.schema, gdf.geometryCol, gdf.activeCrs, fs, p)
   }
 
+  // ------------------------------------------------------ in-process interop
+
+  /** In-process `to_arrow` (reference `GeoDataFrame.to_arrow`,
+    * io/_geoarrow.py:83-168, hands pandas an Arrow table; the JVM-neutral
+    * equivalent is the Arrow IPC file image): the frame as IPC bytes with
+    * the `geo` schema metadata and WKB geometry — directly consumable by
+    * pyarrow (`pa.ipc.open_file`), polars, or DuckDB. Driver-bound by
+    * nature, so it carries the same loud row cap as [[write]]. */
+  def toArrow(gdf: GeoDataFrame, maxRows: Long = 5000000L): Array[Byte] = {
+    if (maxRows >= 0) {
+      val upTo = gdf.df.limit((maxRows + 1).min(Int.MaxValue - 1L).toInt).count()
+      require(upTo <= maxRows,
+        s"Feather.toArrow materializes on the driver and the frame exceeds " +
+        s"$maxRows rows; use writePartitioned or GeoParquet for scale " +
+        s"outputs, or raise maxRows if the driver can hold the data")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    writeRowsToChannel(gdf.df.collect(), gdf.df.schema, gdf.geometryCol, gdf.activeCrs,
+      java.nio.channels.Channels.newChannel(bos))
+    bos.toByteArray
+  }
+
+  /** In-process `from_arrow`: a GeoDataFrame from Arrow IPC bytes, geometry
+    * column and CRS restored from the `geo` schema metadata when present
+    * (else the first binary column is taken as WKB geometry). */
+  def fromArrow(spark: SparkSession, bytes: Array[Byte]): GeoDataFrame = {
+    val alloc = new RootAllocator()
+    val reader = new ArrowFileReader(
+      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes), alloc)
+    try {
+      val (schema, geomCol, crs) = parseArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      val rows = new java.util.ArrayList[Row]()
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val n = root.getRowCount
+        val vecs = schema.fields.map(f => root.getVector(f.name))
+        var i = 0
+        while (i < n) {
+          rows.add(Row.fromSeq(vecs.toIndexedSeq.map(v => readValue(v, i))))
+          i += 1
+        }
+      }
+      GeoDataFrame(spark.createDataFrame(rows, schema), geomCol,
+        crs.map(c => Map(geomCol -> c)).getOrElse(Map.empty))
+    } finally { reader.close(); alloc.close() }
+  }
+
   private def writeRows(rows: Array[Row], sparkSchema: StructType, g: String,
                         activeCrs: Option[String], fs: org.apache.hadoop.fs.FileSystem,
-                        target: org.apache.hadoop.fs.Path): Unit = {
+                        target: org.apache.hadoop.fs.Path): Unit =
+    writeRowsToChannel(rows, sparkSchema, g, activeCrs,
+      java.nio.channels.Channels.newChannel(fs.create(target, true)))
+
+  private def writeRowsToChannel(rows: Array[Row], sparkSchema: StructType, g: String,
+                                 activeCrs: Option[String],
+                                 ch: java.nio.channels.WritableByteChannel): Unit = {
     val crsJson = activeCrs.map(IoFilters.jsonString).getOrElse("null")
     val geoMeta =
       s"""{"version": "1.1.0", "primary_column": "$g", "columns": {"$g": {
@@ -181,8 +238,6 @@ object Feather {
 
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(schema, alloc)
-    val out = fs.create(target, true)
-    val ch = java.nio.channels.Channels.newChannel(out)
     val writer = new ArrowFileWriter(root, null, ch)
     try {
       writer.start()

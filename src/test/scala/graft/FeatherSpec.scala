@@ -38,6 +38,27 @@ class FeatherSpec extends AnyFunSuite {
     assert(nb.filter(col("tag").isNull).count() == 1)
   }
 
+  test("toArrow/fromArrow: in-process IPC bytes round-trip with geo metadata; file-image equivalence") {
+    val df = (0 until 500).map(i =>
+      (i.toLong, s"r$i", Wkb.write(GeomOps.point(i % 50, i / 50))))
+      .toDF("id", "tag", "geometry")
+    val gdf = GeoDataFrame(df, "geometry", Map("geometry" -> "EPSG:3857"))
+    val bytes = Feather.toArrow(gdf)
+    val back = Feather.fromArrow(spark, bytes)
+    assert(back.geometryCol == "geometry" && back.activeCrs.contains("EPSG:3857"))
+    assert(back.df.count() == 500)
+    val (tag, x) = back.df.filter(col("id") === 123L)
+      .select(col("tag"), st_x(col("geometry"))).as[(String, Double)].head()
+    assert(tag == "r123" && x == 23.0)
+    // the IPC byte image IS a feather v2 file: dumped to disk it reads
+    // through the file path identically
+    val dir = java.nio.file.Files.createTempDirectory("toarrow").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.feather"), bytes)
+    assert(Feather.read(spark, s"$dir/img.feather").df.count() == 500)
+    // same over-cap guard as write
+    intercept[IllegalArgumentException](Feather.toArrow(gdf, maxRows = 10))
+  }
+
   test("Feather.write refuses an over-cap frame instead of collecting it") {
     val df = (0 until 50).map(i => (i.toLong, Wkb.write(GeomOps.point(i, i))))
       .toDF("key", "geometry")
