@@ -67,6 +67,23 @@ convert once to GeoParquet (`GeoIO.readFile(...)` →
 stats) and run every repeated query against that. The per-partition
 writers (`writePartitioned`) exist so the conversion in BOTH directions
 stays distributed.
+
+## Hamming banding posture (the row above, and its 1e9-sig regime)
+
+The hamming join/pairs rows measure the round-18 multi-index plan
+(maxHamming/2 + 1 chunks, probe side expanded with every single-bit
+flip): the probe shuffle is a bounded 64+c rows per DISTINCT signature
+regardless of maxHamming, band keys are 64/c >= ~13 bits, and the
+candidate join is pinned shuffle-hash building on the (~65x smaller)
+index side. At this suite's scales that keeps candidates output-bound
+(11.2 -> 2.6 ratio at 16x). The honest asymptote: with ~1e9 DISTINCT
+random signatures even 21-bit buckets hold ~500 sigs and candidate
+volume turns quadratic again; the known continuation (same Norouzi et
+al. construction) is radius-2 expansion over 2 x 32-bit chunks —
+C(32,<=2) = 529 probe rows per sig buys 2^32 buckets. That regime is a
+parameter flip on the same equi-join shape, not a redesign; it is not
+wired because every measured workload (and any duplicate-HEAVY corpus,
+where distinct sigs << rows) sits far below it.
 """
 
   private implicit class FullCountOps(df: DataFrame) {

@@ -978,11 +978,15 @@ object Dedup {
     // BROADCAST the big probe side. Pin a shuffle-hash join building on
     // the index side (always the small one: c rows/sig vs 64+c) — and
     // never driver-bound, unlike a broadcast, at corpus-scale rep counts.
+    // verify BEFORE the dedup shuffle: bit_count(xor) is a codegen'd
+    // two-instruction check, so false candidates die map-side inside the
+    // join stage and only true pairs (hit in at most c bands) pay the
+    // dropDuplicates exchange
     index.hint("shuffle_hash").join(probe, Seq("__band", "__key"))
       .filter(col("__la") < col("__lb"))
-      .select("__la", "__lb").dropDuplicates("__la", "__lb")
       .withColumn("hamming", bit_count(col("__la").bitwiseXOR(col("__lb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .select("__la", "__lb", "hamming").dropDuplicates("__la", "__lb")
   }
 
   /** Near-dup pairs for ANY 16-hex-char (64-bit) signature column within
