@@ -76,7 +76,7 @@ flip): the probe shuffle is a bounded 64+c rows per DISTINCT signature
 regardless of maxHamming, band keys are 64/c >= ~13 bits, and the
 candidate join is pinned shuffle-hash building on the (~65x smaller)
 index side. At this suite's scales that keeps candidates output-bound
-(11.2 -> 2.6 ratio at 16x). The honest asymptote: with ~1e9 DISTINCT
+(11.2 -> 2.2 ratio at 16x). The honest asymptote: with ~1e9 DISTINCT
 random signatures even 21-bit buckets hold ~500 sigs and candidate
 volume turns quadratic again; the known continuation (same Norouzi et
 al. construction) is radius-2 expansion over 2 x 32-bit chunks —
