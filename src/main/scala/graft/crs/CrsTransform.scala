@@ -1113,6 +1113,50 @@ object CrsTransform {
     }
   }
 
+  /** Azimuthal Equidistant, spherical on R = a (Snyder 1987 eq. 25-1..25-4)
+    * — ESRI World_Azimuthal_Equidistant (54032) and the ad-hoc
+    * point-centered metric frames geopandas users build for buffering
+    * (pyproj `+proj=aeqd +lat_0 +lon_0`). Distance AND azimuth from the
+    * centre are exact on the sphere; the EPSG ellipsoidal "Modified
+    * Azimuthal Equidistant" (9832) is a different method and stays
+    * unsupported rather than silently approximated. */
+  final case class AzimuthalEquidistant(lat0: Double, lon0: Double,
+                                        fe: Double = 0.0, fn: Double = 0.0,
+                                        unit: Double = 1.0, a: Double = WGS84_A)
+      extends CrsTransform {
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val sin0 = math.sin(phi0)
+    private val cos0 = math.cos(phi0)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dl = math.toRadians(lon) - lam0
+      val cosC = math.max(-1.0, math.min(1.0,
+        sin0 * math.sin(phi) + cos0 * math.cos(phi) * math.cos(dl)))
+      val c = math.acos(cosC)
+      val kp = if (c < 1e-12) 1.0 else c / math.sin(c)
+      val x = a * kp * math.cos(phi) * math.sin(dl)
+      val y = a * kp * (cos0 * math.sin(phi) - sin0 * math.cos(phi) * math.cos(dl))
+      (x / unit + fe, y / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) * unit
+      val dy = (y - fn) * unit
+      val rho = math.sqrt(dx * dx + dy * dy)
+      if (rho < 1e-9) return (lon0, lat0)
+      val c = rho / a
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        cosC * sin0 + dy * sinC * cos0 / rho)))
+      val lam = lam0 + math.atan2(dx * sinC, rho * cos0 * cosC - dy * sin0 * sinC)
+      // atan2 lands in (lam0 - pi, lam0 + pi]; normalize to [-180, 180)
+      val lamDeg = math.toDegrees(lam)
+      (lamDeg - 360.0 * math.floor((lamDeg + 180.0) / 360.0), math.toDegrees(phi))
+    }
+  }
+
   /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
     * OSGB36->WGS84 set in the OS coordinate-systems guide). */
   private def osgb36Helmert: Helmert =
@@ -1209,6 +1253,8 @@ object CrsTransform {
         Krovak(latC = 49.5, lonO = 24.0 + 50.0 / 60,
           alphaC = 30.0 + 17.0 / 60 + 17.3031 / 3600, latP1 = 78.5, kP = 0.9999,
           fe = 0.0, fn = 0.0, eastNorth = true)))
+    case 54032 => // ESRI:54032 World Azimuthal Equidistant (spherical on R = a)
+      Some(AzimuthalEquidistant(lat0 = 0.0, lon0 = 0.0))
     case 4087 | 32662 => // WGS 84 / World Equidistant Cylindrical & Plate Carrée
       Some(EquidistantCyl(lat1 = 0.0, lat0 = 0.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
     case 3435 => // NAD83 / Illinois East (ftUS) — TM

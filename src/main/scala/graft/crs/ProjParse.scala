@@ -234,6 +234,10 @@ object ProjParse {
         params.contains("eastingatprojectioncentre")
       Some(HotineOM(lat0, lon0, alphaC, gammaC, k0, fe, fn, variantB, unit, a, f))
     }
+    else if (m.contains("azimuthalequidistant") && !m.contains("modified"))
+      // spherical form on R = a (the ESRI 54032 / +proj=aeqd sphere shape);
+      // EPSG 9832 "Modified Azimuthal Equidistant" is ellipsoidal — raise
+      Some(AzimuthalEquidistant(lat0, lon0, fe, fn, unit, a))
     else if (m.contains("cassini"))
       Some(Cassini(lat0, lon0, fe, fn, unit, a, f))
     else if (m.contains("equidistantcylindrical") || m.contains("equirectangular") ||

@@ -438,6 +438,47 @@ class ProjParseSpec extends AnyFunSuite {
     assert(math.abs(xp - e) < 1e-6 && math.abs(yp - n) < 1e-6)
   }
 
+  test("Azimuthal Equidistant (54032): centre distance/azimuth exact (self-oracle), roundtrip") {
+    def gc(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      // great-circle angular distance (haversine)
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+      2 * math.asin(math.sqrt(math.pow(math.sin(dp / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)))
+    }
+    val centres = Seq((0.0, 0.0), (8.54, 47.37), (-70.0, -33.45))
+    for ((c0lon, c0lat) <- centres) {
+      val t = AzimuthalEquidistant(lat0 = c0lat, lon0 = c0lon)
+      for ((lon, lat) <- Seq((10.0, 50.0), (-120.0, 35.0), (151.2, -33.87), (c0lon, c0lat))) {
+        val (x, y) = t.forward(lon, lat)
+        val want = WGS84_A * gc(c0lat, c0lon, lat, lon)
+        assert(math.abs(math.sqrt(x * x + y * y) - want) < 1e-6,
+          s"centre ($c0lon,$c0lat) -> ($lon,$lat): rho=${math.sqrt(x * x + y * y)} want=$want")
+        val (lo, la) = t.inverse(x, y)
+        assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"roundtrip ($lo,$la)")
+      }
+    }
+    // ESRI WKT spelling resolves to the wired 54032
+    val esri =
+      """PROJCS["World_Azimuthal_Equidistant", GEOGCS["GCS_WGS_1984",
+        | DATUM["D_WGS_1984", SPHEROID["WGS_1984",6378137.0,298.257223563]],
+        | PRIMEM["Greenwich",0.0], UNIT["Degree",0.0174532925199433]],
+        | PROJECTION["Azimuthal_Equidistant"],
+        | PARAMETER["False_Easting",0.0], PARAMETER["False_Northing",0.0],
+        | PARAMETER["Central_Meridian",0.0], PARAMETER["Latitude_Of_Origin",0.0],
+        | UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(esri).getOrElse(fail("AEQD WKT did not parse"))
+    val wired = CrsTransform.chainStr("EPSG:4326", "ESRI:54032")
+    for ((lon, lat) <- Seq((10.0, 50.0), (-60.0, -20.0))) {
+      val (x1, y1) = parsed.forward(lon, lat)
+      val (x2, y2) = wired.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6)
+    }
+    // the ellipsoidal Modified Azimuthal Equidistant (EPSG 9832) must raise
+    val modified = esri.replace("\"Azimuthal_Equidistant\"", "\"Modified_Azimuthal_Equidistant\"")
+    assert(ProjParse.parse(modified).isEmpty)
+  }
+
   test("HOM/Krovak WKT spellings parse to the wired projections (incl. Ferro prime meridian)") {
     val esriSwiss =
       """PROJCS["CH1903_LV03", GEOGCS["GCS_CH1903", DATUM["D_CH1903",
