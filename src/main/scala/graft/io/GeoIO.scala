@@ -13,7 +13,7 @@ object GeoIO {
 
   /** Driver inferred from the extension: .shp/.zip (Shapefile),
     * .fgb (FlatGeobuf), .geojson/.json/.ndjson (GeoJSON), .gpkg
-    * (GeoPackage), .csv (WKT or X/Y columns), .kml, .gml, .gpx, .feather/.arrow
+    * (GeoPackage), .csv (WKT or X/Y columns), .kml, .gml, .gpx, .mif/.mid (MapInfo), .feather/.arrow
     * (Arrow IPC), .parquet or a parquet directory (GeoParquet). `layer`
     * applies to GPKG (table name) and GPX (waypoints/routes/tracks/
     * route_points/track_points). `where` is an
@@ -44,6 +44,8 @@ object GeoIO {
       Gml.read(spark, path, bbox, columns, rows, mask, where)
     else if (l.endsWith(".gpx"))
       Gpx.read(spark, path, layer, bbox, columns, rows, mask, where)
+    else if (l.endsWith(".mif") || l.endsWith(".mid"))
+      MapInfoMif.read(spark, path.replaceAll("(?i)\\.mid$", ".mif"), bbox, columns, rows, mask, where)
     else if (l.endsWith(".feather") || l.endsWith(".arrow"))
       prune(Feather.read(spark, path, columns, bbox, mask))
     else {
@@ -72,6 +74,7 @@ object GeoIO {
     else if (l.endsWith(".kml")) Kml.write(gdf, path)
     else if (l.endsWith(".gml")) Gml.write(gdf, path)
     else if (l.endsWith(".gpx")) Gpx.write(gdf, path)
+    else if (l.endsWith(".mif") || l.endsWith(".mid")) MapInfoMif.write(gdf, path)
     else GeoParquet.write(gdf, path)
   }
 

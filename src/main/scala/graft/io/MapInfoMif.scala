@@ -292,7 +292,14 @@ object MapInfoMif {
   // -------------------------------------------------------------- render
 
   private def num(d: Double): String =
-    if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+    else {
+      // Double.toString goes E-notation at |x| >= 1e7 (web-mercator range);
+      // MIF consumers expect plain decimal — expand via BigDecimal.valueOf,
+      // which keeps the shortest-roundtrip digits of Double.toString
+      val s = d.toString
+      if (s.indexOf('E') >= 0) java.math.BigDecimal.valueOf(d).toPlainString else s
+    }
 
   private[io] def renderGeometry(g: Option[org.locationtech.jts.geom.Geometry]): String = g match {
     case None => "NONE"
@@ -360,7 +367,14 @@ object MapInfoMif {
       val v = r.get(k)
       fields(k).dataType match {
         case _ if v == null => ""
-        case StringType => "\"" + v.toString.replace("\"", "\"\"") + "\""
+        case StringType =>
+          val s = v.toString
+          // MID rows are line-delimited with no escape for embedded line
+          // breaks — refuse loudly instead of writing a corrupt pair
+          require(s.indexOf('\n') < 0 && s.indexOf('\r') < 0,
+            s"MIF export: string value in column '${fields(k).name}' contains a " +
+              "line break, which the MID format cannot represent — clean or drop it")
+          "\"" + s.replace("\"", "\"\"") + "\""
         case BooleanType => if (v.asInstanceOf[Boolean]) "T" else "F"
         case _ => v.toString
       }

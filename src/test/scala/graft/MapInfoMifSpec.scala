@@ -155,6 +155,27 @@ class MapInfoMifSpec extends AnyFunSuite {
     assert(backAll.crs.get("geometry").contains("EPSG:4326"))
   }
 
+  test("GeoIO dispatch, plain-decimal big coordinates, newline refusal") {
+    // web-mercator-range coordinates must render plain decimal, not E-notation
+    val df = Seq((1L, "a", -8237642.318702345, 4970241.327215685)).toDF("id", "name", "x", "y")
+    val gdf = GeoDataFrame(df.withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"))
+    val dir = java.nio.file.Files.createTempDirectory("mifg").toString
+    graft.io.GeoIO.toFile(gdf, s"$dir/m.mif")
+    val mifText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/m.mif")), "UTF-8")
+    assert(!mifText.contains("E7") && !mifText.contains("E6"), s"E-notation leaked:\n$mifText")
+    val back = graft.io.GeoIO.readFile(spark, s"$dir/m.mif")
+    val (x, y) = back.df.select(st_x(col("geometry")), st_y(col("geometry")))
+      .as[(Double, Double)].head()
+    assert(x == -8237642.318702345 && y == 4970241.327215685)
+    // a string with an embedded newline must refuse, not corrupt the pair
+    val bad = GeoDataFrame(Seq((1L, "two\nlines", 0.0, 0.0)).toDF("id", "name", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"))
+    val ex = intercept[Exception](MapInfoMif.write(bad, s"$dir/bad.mif"))
+    assert(ex.getMessage.contains("line break") ||
+      Option(ex.getCause).exists(_.getMessage.contains("line break")))
+  }
+
   test("unsupported drawn-shape records fail loudly") {
     val mif =
       """VERSION 300
