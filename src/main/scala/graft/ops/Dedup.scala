@@ -906,6 +906,17 @@ object Dedup {
     shiftleft(conv(substring(c, 1, 8), 16, 10).cast("long"), 32)
       .bitwiseOR(conv(substring(c, 9, 8), 16, 10).cast("long"))
 
+  /** [[hexSigToLong]] with a loud malformed-signature guard: `conv` parses
+    * garbage quietly (a non-hex sig would land on an arbitrary long and
+    * silently pair with whatever shares it — the pre-round-18 hex path
+    * THREW from the verify UDF instead), so anything that is not exactly
+    * 16 hex chars raises. Nulls stay null (they drop like the other ops). */
+  private def hexSigToLongChecked(c: Column): Column =
+    when(c.isNull, lit(null).cast("long"))
+      .when(c.rlike("^[0-9a-fA-F]{16}$"), hexSigToLong(c))
+      .otherwise(raise_error(concat(
+        lit("hamming signature must be exactly 16 hex chars, got: "), c)))
+
   /** Band key = bits [from, until) of the 64-bit signature. BIT-exact
     * chunking keeps every band key ~64/bands bits wide; the previous
     * hex-aligned chunks left two of the nine maxHamming=8 bands with
@@ -1037,7 +1048,7 @@ object Dedup {
       case None => base
     }
     val sig = spread.filter(col("__sig").isNotNull)
-      .withColumn("__sigL", hexSigToLong(col("__sig")))
+      .withColumn("__sigL", hexSigToLongChecked(col("__sig")))
     // duplication-proof like the other banded paths, with the signature
     // VALUE (its 64-bit parse — case-insensitive like hamming itself) as
     // the collapse key: the output's hamming distance is a pure function
@@ -1085,10 +1096,10 @@ object Dedup {
     // often an expensive signature computation (simhash/pHash) and each
     // side feeds the rep union, the identical-sig join and one expansion
     val sl = ScratchCache(left.select(col(leftId).as("__ml"),
-        hexSigToLong(col(leftSig)).as("__sigL"))
+        hexSigToLongChecked(col(leftSig)).as("__sigL"))
       .filter(col("__sigL").isNotNull))
     val sr = ScratchCache(right.select(col(rightId).as("__mr"),
-        hexSigToLong(col(rightSig)).as("__sigL"))
+        hexSigToLongChecked(col(rightSig)).as("__sigL"))
       .filter(col("__sigL").isNotNull))
     // reps feeds BOTH banding roles (differently-exploded subtrees defeat
     // exchange reuse) and repVerified feeds both orientation expansions —

@@ -497,6 +497,22 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hammingPairs/Join raise loudly on malformed signatures; nulls still drop") {
+    import spark.implicits._
+    val bad = Seq((1L, "0123456789abcdef"), (2L, "not-hex-zz"), (3L, "0123456789abcdef")).toDF("id", "sig")
+    val ex = intercept[Exception](Dedup.hammingPairs(bad, "id", "sig", 3).count())
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + " " + msg(x.getCause)).getOrElse("")
+    assert(msg(ex).contains("16 hex chars"), msg(ex).take(400))
+    val ok = Seq((1L, "0123456789abcdef"), (2L, null.asInstanceOf[String]),
+      (3L, "0123456789abcdef")).toDF("id", "sig")
+    assert(Dedup.hammingPairs(ok, "id", "sig", 3).as[(Long, Long, Int)].collect().toSet ==
+      Set((1L, 3L, 0)))
+    val exJ = intercept[Exception](Dedup.hammingJoin(ok, "id", "sig",
+      bad.filter($"id" === 2L), "id", "sig", 3).count())
+    assert(msg(exJ).contains("16 hex chars"), msg(exJ).take(400))
+  }
+
   test("hamming band join is shuffle-hash on the index side, never a probe broadcast") {
     import spark.implicits._
     // both banding roles descend from the same aggregate, so Catalyst's
