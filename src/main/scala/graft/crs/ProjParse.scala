@@ -16,10 +16,13 @@ import graft.crs.CrsTransform._
   * state-plane/national-grid CRS in those families works from its full
   * definition, not just the EPSG codes in [[CrsTransform.forEpsg]].
   *
-  * The datum step to the WGS84 hub is treated as a null transformation
-  * (ESRI's default): centimetric for NAD83/GRS80/ETRS89, meters-scale for
-  * legacy datums (NAD27, OSGB36) — same documented posture as the 269xx UTM
-  * handling. The projection math itself is exact per Snyder/EPSG GN7-2.
+  * The datum step to the WGS84 hub honors a declared WKT1 `TOWGS84` clause
+  * (3- or 7-parameter position-vector Helmert, composed in front of the
+  * projection); absent one it is a null transformation (ESRI's default):
+  * centimetric for NAD83/GRS80/ETRS89, meters-scale for legacy datums
+  * (NAD27, OSGB36) — same documented posture as the 269xx UTM handling.
+  * Compound CRS (horizontal + vertical) resolve to their horizontal member.
+  * The projection math itself is exact per Snyder/EPSG GN7-2.
   */
 object ProjParse {
 
@@ -33,8 +36,19 @@ object ProjParse {
     else if (s.startsWith("{")) parseProjJson(s)
     else {
       val up = s.toUpperCase
-      if (up.startsWith("GEOGCS") || up.startsWith("GEOGCRS") || up.startsWith("GEODCRS"))
-        Some(Identity) // geographic: null datum shift to the WGS84 hub
+      if (up.startsWith("COMPD_CS") || up.startsWith("COMPOUNDCRS")) {
+        // compound horizontal+vertical: the vertical axis is out of engine
+        // scope (heights pass through untouched) — resolve the horizontal
+        // member, which is the first nested PROJCS/PROJCRS/GEOGCS clause
+        val i = Seq("PROJCS", "PROJCRS", "GEOGCS", "GEOGCRS")
+          .map(up.indexOf(_, 8)).filter(_ >= 0).sorted.headOption.getOrElse(return None)
+        parse(s.substring(i))
+      }
+      else if (up.startsWith("GEOGCS") || up.startsWith("GEOGCRS") || up.startsWith("GEODCRS"))
+        // geographic: the TOWGS84 datum shift when declared, else the null
+        // shift to the WGS84 hub
+        Some(toWgs84Helmert(s).map(h => DatumProjected(h, Identity): CrsTransform)
+          .getOrElse(Identity))
       else if (up.startsWith("PROJCS") || up.startsWith("PROJCRS")) parseWkt(s)
       else None
     }
@@ -57,6 +71,27 @@ object ProjParse {
     """(?i)(?:\bUNIT|LENGTHUNIT)\s*\[\s*"([^"]*)"\s*,\s*([-0-9.eE+]+)""".r
   private val PrimeMRe =
     """(?i)PRIMEM\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)""".r
+  private val ToWgs84Re =
+    """(?i)TOWGS84\s*\[\s*([-0-9.eE+,\s]+)\]""".r
+
+  /** The WKT1 TOWGS84 clause (3 or 7 position-vector parameters, source
+    * datum -> WGS84) as this engine's WGS84 -> target [[Helmert]] (negated
+    * convention, like the wired OSGB36/CH1903 registrations). None when the
+    * clause is absent or all-zero (null shift — the default posture). */
+  private def toWgs84Helmert(s: String): Option[Helmert] = {
+    val (a, invF) = SpheroidRe.findFirstMatchIn(s)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+      .getOrElse((WGS84_A, 1 / WGS84_F))
+    val f = if (invF.isInfinite || invF == 0) 0.0 else 1 / invF
+    ToWgs84Re.findFirstMatchIn(s).flatMap { m =>
+      val p = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+      val v = p.padTo(7, 0.0)
+      if (v.take(7).forall(_ == 0.0)) None
+      else Some(Helmert(tx = -v(0), ty = -v(1), tz = -v(2),
+        rxSec = -v(3), rySec = -v(4), rzSec = -v(5), sPpm = -v(6),
+        aDst = a, fDst = f))
+    }
+  }
 
   private def parseWkt(s: String): Option[CrsTransform] = {
     val method = MethodRe.findFirstMatchIn(s).map(_.group(1)).getOrElse(return None)
@@ -81,7 +116,13 @@ object ProjParse {
     val pm = PrimeMRe.findFirstMatchIn(s).map(_.group(1).toDouble).getOrElse(0.0)
     val shifted = if (pm == 0.0) params
       else params.map { case (k, v) => k -> (if (Lon0Names.contains(k)) v + pm else v) }
-    build(method, shifted, axisUnit, a, invF)
+    val proj = build(method, shifted, axisUnit, a, invF)
+    // a declared TOWGS84 datum shift composes in front of the projection;
+    // without one the datum step stays the documented null transformation
+    toWgs84Helmert(s) match {
+      case Some(h) => proj.map(p => DatumProjected(h, p))
+      case None    => proj
+    }
   }
 
   // -------------------------------------------------------------- PROJJSON

@@ -295,6 +295,65 @@ class ProjParseSpec extends AnyFunSuite {
     }
   }
 
+  test("TOWGS84 clause composes the datum Helmert; compound CRS unwrap to the horizontal") {
+    // the Swiss .prj as GDAL writes it, WITH the GRANIT87 TOWGS84 — the
+    // parsed chain must match the registry-wired 21781 (Helmert included)
+    val swiss =
+      """PROJCS["CH1903 / LV03", GEOGCS["CH1903",
+        | DATUM["CH1903", SPHEROID["Bessel 1841",6377397.155,299.1528128],
+        | TOWGS84[674.374,15.056,405.346,0,0,0,0]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],
+        | PARAMETER["latitude_of_center",46.9524055555556],
+        | PARAMETER["longitude_of_center",7.43958333333333],
+        | PARAMETER["azimuth",90], PARAMETER["rectified_grid_angle",90],
+        | PARAMETER["scale_factor",1],
+        | PARAMETER["false_easting",600000], PARAMETER["false_northing",200000],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(swiss).getOrElse(fail("Swiss TOWGS84 WKT did not parse"))
+    val wired = CrsTransform.chain(4326, 21781)
+    for ((lon, lat) <- Seq((7.44, 46.95), (8.55, 47.37))) {
+      val (x1, y1) = parsed.forward(lon, lat)
+      val (x2, y2) = wired.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-3 && math.abs(y1 - y2) < 1e-3,
+        s"($lon,$lat): parsed=($x1,$y1) wired=($x2,$y2)")
+      val (lo, la) = parsed.inverse(x1, y1)
+      assert(math.abs(lo - lon) < 5e-8 && math.abs(la - lat) < 5e-8)
+    }
+    // all-zero TOWGS84 stays the null shift (no spurious Helmert wrap)
+    val zeroed = swiss.replace("TOWGS84[674.374,15.056,405.346,0,0,0,0]",
+      "TOWGS84[0,0,0,0,0,0,0]")
+    val pz = ProjParse.parse(zeroed).get
+    val bare = HotineOM(latC = 46.9524055555556, lonC = 7.43958333333333,
+      alphaC = 90.0, gammaC = 90.0, k0 = 1.0, fe = 600000.0, fn = 200000.0,
+      variantB = true, a = BESSEL_A, flattening = BESSEL_F)
+    val (zx, zy) = pz.forward(8.55, 47.37)
+    val (bx, by) = bare.forward(8.55, 47.37)
+    assert(math.abs(zx - bx) < 1e-6 && math.abs(zy - by) < 1e-6)
+    // geographic CRS with TOWGS84: the datum shift alone (OSGB36-style)
+    val geogTow =
+      """GEOGCS["OSGB 1936", DATUM["OSGB_1936",
+        | SPHEROID["Airy 1830",6377563.396,299.3249646],
+        | TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]]"""
+        .stripMargin.replace("\n", "")
+    val pg = ProjParse.parse(geogTow).getOrElse(fail("GEOGCS TOWGS84 did not parse"))
+    val wiredOsgb = CrsTransform.forEpsg(4277).get
+    val (gx, gy) = pg.forward(-0.1278, 51.5074)
+    val (wx, wy) = wiredOsgb.forward(-0.1278, 51.5074)
+    // the published TOWGS84 set differs from the OS sign convention set by
+    // rounding only; metres-scale datum, agreement within ~1e-6 deg
+    assert(math.abs(gx - wx) < 1e-5 && math.abs(gy - wy) < 1e-5, s"($gx,$gy) vs ($wx,$wy)")
+    // compound CRS unwraps to the horizontal member
+    val compound = s"""COMPD_CS["Swiss LV03 + LN02 height", $swiss,
+      | VERT_CS["LN02 height", VERT_DATUM["LN02", 2005], UNIT["metre",1],
+      | AXIS["Gravity-related height", UP]]]""".stripMargin.replace("\n", "")
+    val pc = ProjParse.parse(compound).getOrElse(fail("compound CRS did not parse"))
+    val (cx, cy) = pc.forward(8.55, 47.37)
+    val (sx, sy) = parsed.forward(8.55, 47.37)
+    assert(math.abs(cx - sx) < 1e-9 && math.abs(cy - sy) < 1e-9)
+  }
+
   test("geographic WKT resolves to identity (null datum shift)") {
     val wkt =
       """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
