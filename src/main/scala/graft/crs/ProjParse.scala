@@ -130,16 +130,91 @@ object ProjParse {
   private def parseProjJson(s: String): Option[CrsTransform] = {
     val root = scala.util.Try(
       graft.functions.GeoJson.parseJson(s).asInstanceOf[Map[String, Any]]).getOrElse(return None)
-    def obj(m: Map[String, Any], k: String): Option[Map[String, Any]] =
-      m.get(k).collect { case o: Map[String @unchecked, Any @unchecked] => o }
-    def num(m: Map[String, Any], k: String): Option[Double] = m.get(k).collect {
-      case d: Double => d
-      case i: Int    => i.toDouble
-      case l: Long   => l.toDouble
-      case b: BigDecimal => b.toDouble
-    }
+    parseProjJsonObj(root)
+  }
+
+  private def jobj(m: Map[String, Any], k: String): Option[Map[String, Any]] =
+    m.get(k).collect { case o: Map[String @unchecked, Any @unchecked] => o }
+  private def jnum(m: Map[String, Any], k: String): Option[Double] = m.get(k).collect {
+    case d: Double => d
+    case i: Int    => i.toDouble
+    case l: Long   => l.toDouble
+    case b: BigDecimal => b.toDouble
+  }
+
+  /** The ellipsoid of a (possibly nested) PROJJSON CRS object. */
+  private def jsonEllipsoid(crs: Map[String, Any]): Option[Map[String, Any]] = {
+    val geo = jobj(crs, "base_crs").getOrElse(crs)
+    jobj(geo, "datum").orElse(jobj(geo, "datum_ensemble")).flatMap(jobj(_, "ellipsoid"))
+  }
+
+  /** PROJJSON BoundCRS: `source_crs` + an abridged/Helmert `transformation`
+    * to the WGS84 hub. The transformation's 3/7 parameters (EPSG names,
+    * honoring declared units: metre / arc-second / ppm objects) become this
+    * engine's negated WGS84->target [[Helmert]]; Coordinate Frame rotation
+    * convention is negated onto Position Vector. */
+  private def boundCrsHelmert(root: Map[String, Any]): Option[Helmert] = {
+    val tf = jobj(root, "transformation").getOrElse(return None)
+    val methodName = jobj(tf, "method").flatMap(_.get("name").collect { case s: String => s })
+      .map(normName).getOrElse("")
+    val coordFrame = methodName.contains("coordinateframe")
+    val src = jobj(root, "source_crs").getOrElse(return None)
+    val ell = jsonEllipsoid(src)
+    val a = ell.flatMap(jnum(_, "semi_major_axis")).getOrElse(WGS84_A)
+    val invF = ell.flatMap(jnum(_, "inverse_flattening")).getOrElse(1 / WGS84_F)
+    val f = if (invF.isInfinite || invF == 0) 0.0 else 1 / invF
+    val vals = tf.get("parameters").collect { case l: Seq[Any @unchecked] => l }
+      .getOrElse(Nil).flatMap {
+        case p: Map[String @unchecked, Any @unchecked] =>
+          for (n <- p.get("name").collect { case s: String => s }; v <- jnum(p, "value")) yield {
+            // unit conversion: translations to metres, rotations to
+            // arc-seconds, scale difference to ppm
+            val cf = p.get("unit") match {
+              case Some(o: Map[String @unchecked, Any @unchecked]) =>
+                jnum(o, "conversion_factor").getOrElse(1.0)
+              case Some("metre") | Some("meter") | None => 1.0
+              case Some("arc-second") => 4.84813681109536e-6
+              case Some("parts per million") => 1e-6
+              case _ => 1.0
+            }
+            val name = normName(n)
+            val adj =
+              if (name.contains("rotation")) v * cf / 4.84813681109536e-6 // to arc-sec
+              else if (name.contains("scale")) v * cf / 1e-6              // to ppm
+              else v * cf                                                 // to metres
+            name -> adj
+          }
+        case _ => None
+      }.toMap
+    def g(k: String): Double = vals.getOrElse(k, 0.0)
+    val rSign = if (coordFrame) -1.0 else 1.0
+    val (tx, ty, tz) = (g("xaxistranslation"), g("yaxistranslation"), g("zaxistranslation"))
+    val (rx, ry, rz) = (rSign * g("xaxisrotation"), rSign * g("yaxisrotation"), rSign * g("zaxisrotation"))
+    val sc = g("scaledifference")
+    if (tx == 0 && ty == 0 && tz == 0 && rx == 0 && ry == 0 && rz == 0 && sc == 0) None
+    else Some(Helmert(tx = -tx, ty = -ty, tz = -tz,
+      rxSec = -rx, rySec = -ry, rzSec = -rz, sPpm = -sc, aDst = a, fDst = f))
+  }
+
+  private def parseProjJsonObj(root: Map[String, Any]): Option[CrsTransform] = {
+    def obj(m: Map[String, Any], k: String): Option[Map[String, Any]] = jobj(m, k)
+    def num(m: Map[String, Any], k: String): Option[Double] = jnum(m, k)
     val tpe = root.get("type").collect { case t: String => t }.getOrElse("")
     if (tpe == "GeographicCRS" || tpe == "GeodeticCRS") return Some(Identity)
+    if (tpe == "BoundCRS") {
+      val src = jobj(root, "source_crs").getOrElse(return None)
+      val inner = parseProjJsonObj(src).getOrElse(return None)
+      return Some(boundCrsHelmert(root).map(h => DatumProjected(h, inner): CrsTransform)
+        .getOrElse(inner))
+    }
+    if (tpe == "CompoundCRS") {
+      // horizontal + vertical: resolve the first resolvable horizontal member
+      val comps = root.get("components").collect { case l: Seq[Any @unchecked] => l }.getOrElse(Nil)
+      return comps.collectFirst {
+        case c: Map[String @unchecked, Any @unchecked]
+          if parseProjJsonObj(c).isDefined => parseProjJsonObj(c).get
+      }
+    }
     if (tpe != "ProjectedCRS") return None
 
     val ellipsoid = for {

@@ -354,6 +354,55 @@ class ProjParseSpec extends AnyFunSuite {
     assert(math.abs(cx - sx) < 1e-9 && math.abs(cy - sy) < 1e-9)
   }
 
+  test("PROJJSON BoundCRS composes the transformation Helmert (Dutch RD, pyproj shape)") {
+    val bound =
+      """{"type": "BoundCRS",
+        |"source_crs": {"type": "ProjectedCRS", "name": "Amersfoort / RD New",
+        | "base_crs": {"type": "GeographicCRS", "name": "Amersfoort",
+        |  "datum": {"type": "GeodeticReferenceFrame", "name": "Amersfoort",
+        |   "ellipsoid": {"name": "Bessel 1841", "semi_major_axis": 6377397.155,
+        |    "inverse_flattening": 299.1528128}}},
+        | "conversion": {"name": "RD New",
+        |  "method": {"name": "Oblique Stereographic", "id": {"authority": "EPSG", "code": 9809}},
+        |  "parameters": [
+        |   {"name": "Latitude of natural origin", "value": 52.1561605555556, "unit": "degree"},
+        |   {"name": "Longitude of natural origin", "value": 5.38763888888889, "unit": "degree"},
+        |   {"name": "Scale factor at natural origin", "value": 0.9999079, "unit": "unity"},
+        |   {"name": "False easting", "value": 155000, "unit": "metre"},
+        |   {"name": "False northing", "value": 463000, "unit": "metre"}]},
+        | "coordinate_system": {"subtype": "Cartesian", "axis": [
+        |  {"name": "Easting", "abbreviation": "X", "direction": "east", "unit": "metre"},
+        |  {"name": "Northing", "abbreviation": "Y", "direction": "north", "unit": "metre"}]}},
+        |"target_crs": {"type": "GeographicCRS", "name": "WGS 84"},
+        |"transformation": {"name": "Amersfoort to WGS 84 (4)",
+        | "method": {"name": "Position Vector transformation (geog2D domain)",
+        |  "id": {"authority": "EPSG", "code": 9606}},
+        | "parameters": [
+        |  {"name": "X-axis translation", "value": 565.2369, "unit": "metre"},
+        |  {"name": "Y-axis translation", "value": 50.0087, "unit": "metre"},
+        |  {"name": "Z-axis translation", "value": 465.658, "unit": "metre"},
+        |  {"name": "X-axis rotation", "value": -0.406857,
+        |   "unit": {"type": "AngularUnit", "name": "arc-second", "conversion_factor": 4.84813681109536e-06}},
+        |  {"name": "Y-axis rotation", "value": 0.350733,
+        |   "unit": {"type": "AngularUnit", "name": "arc-second", "conversion_factor": 4.84813681109536e-06}},
+        |  {"name": "Z-axis rotation", "value": -1.87035,
+        |   "unit": {"type": "AngularUnit", "name": "arc-second", "conversion_factor": 4.84813681109536e-06}},
+        |  {"name": "Scale difference", "value": 4.0812,
+        |   "unit": {"type": "ScaleUnit", "name": "parts per million", "conversion_factor": 1e-06}}]}}"""
+        .stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(bound).getOrElse(fail("BoundCRS did not parse"))
+    val wired = CrsTransform.chain(4326, 28992)
+    for ((lon, lat) <- Seq((4.9, 52.37), (5.5, 51.44))) {
+      val (x1, y1) = parsed.forward(lon, lat)
+      val (x2, y2) = wired.forward(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-3 && math.abs(y1 - y2) < 1e-3,
+        s"($lon,$lat): parsed=($x1,$y1) wired=($x2,$y2)")
+      val (lo, la) = parsed.inverse(x1, y1)
+      // ObliqueStereo's Newton inverse + the h=0 Helmert roundtrip: ~1e-7 deg
+      assert(math.abs(lo - lon) < 2e-7 && math.abs(la - lat) < 2e-7)
+    }
+  }
+
   test("geographic WKT resolves to identity (null datum shift)") {
     val wkt =
       """GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",
