@@ -989,11 +989,25 @@ object Dedup {
     // BROADCAST the big probe side. Pin a shuffle-hash join building on
     // the index side (always the small one: c rows/sig vs 64+c) — and
     // never driver-bound, unlike a broadcast, at corpus-scale rep counts.
+    // join strategy by MEASURED rep count (callers pass a cached reps
+    // frame, so the bounded count warms the cache the main job reuses —
+    // the SpatialJoin countUpTo pattern): a small distinct-signature set
+    // broadcasts the index side and the probe explode never shuffles at
+    // all; past the threshold pin shuffle-hash building on the index side
+    // — never driver-bound, and never Catalyst's own choice, whose size
+    // estimates can't see the ~65x explode asymmetry and elected to
+    // broadcast the big PROBE side (measured 19 s on an 87k-candidate
+    // join, round 18)
+    val SmallReps = 200000L
+    val joined =
+      if (reps.limit((SmallReps + 1).toInt).count() <= SmallReps)
+        broadcast(index).join(probe, Seq("__band", "__key"))
+      else index.hint("shuffle_hash").join(probe, Seq("__band", "__key"))
     // verify BEFORE the dedup shuffle: bit_count(xor) is a codegen'd
     // two-instruction check, so false candidates die map-side inside the
     // join stage and only true pairs (hit in at most c bands) pay the
     // dropDuplicates exchange
-    index.hint("shuffle_hash").join(probe, Seq("__band", "__key"))
+    joined
       .filter(col("__la") < col("__lb"))
       .withColumn("hamming", bit_count(col("__la").bitwiseXOR(col("__lb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

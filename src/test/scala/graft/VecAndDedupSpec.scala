@@ -513,21 +513,28 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(msg(exJ).contains("16 hex chars"), msg(exJ).take(400))
   }
 
-  test("hamming band join is shuffle-hash on the index side, never a probe broadcast") {
+  test("hamming band join: counted index broadcast when small, shuffle-hash past the threshold") {
     import spark.implicits._
     // both banding roles descend from the same aggregate, so Catalyst's
-    // size estimates can't see the ~65x probe explode asymmetry; without
-    // the shuffle_hash pin it elected to BROADCAST the probe side
-    // (measured 19 s on an 87k-candidate join, round 18). Pin the shape.
+    // size estimates can't see the ~65x probe explode asymmetry; left to
+    // itself it elected to BROADCAST the probe side (measured 19 s on an
+    // 87k-candidate join, round 18). Pin both measured strategies: small
+    // rep sets broadcast the INDEX (probe never shuffles), large ones pin
+    // shuffle-hash building on the index side.
     val rows = (0 until 400).map(i => (i.toLong, f"${i.toLong * 0x9e3779b97f4a7c15L}%016x"))
     val df = rows.toDF("id", "sig")
     val plan = Dedup.hammingPairs(df, "id", "sig", 4).queryExecution.executedPlan.toString
-    assert(plan.contains("ShuffledHashJoin"),
-      s"the band candidate join must be a shuffled hash join:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
+      s"a small rep set must broadcast the index side:\n${plan.take(3000)}")
+    val big = spark.range(250000).select(col("id"),
+      substring(md5(col("id").cast("string")), 1, 16).as("sig"))
+    val planBig = Dedup.hammingPairs(big, "id", "sig", 4).queryExecution.executedPlan.toString
+    assert(planBig.contains("ShuffledHashJoin"),
+      s"past the threshold the band candidate join must be a shuffled hash join:\n${planBig.take(3000)}")
     val joined = Dedup.hammingJoin(df, "id", "sig", df.limit(50), "id", "sig", 4)
     val plan2 = joined.queryExecution.executedPlan.toString
-    assert(plan2.contains("ShuffledHashJoin"),
-      s"the cross-table band candidate join must be a shuffled hash join:\n${plan2.take(3000)}")
+    assert(plan2.contains("BroadcastHashJoin") && plan2.contains("BuildLeft"),
+      s"the small cross-table band join must broadcast the index side:\n${plan2.take(3000)}")
   }
 
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {
