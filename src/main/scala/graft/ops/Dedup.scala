@@ -1061,8 +1061,13 @@ object Dedup {
       case None if base.rdd.getNumPartitions * 2 < par => base.repartition(par)
       case None => base
     }
-    val sig = spread.filter(col("__sig").isNotNull)
-      .withColumn("__sigL", hexSigToLongChecked(col("__sig")))
+    // cache the PARSED signature projection (16 bytes/row): the upstream
+    // is often an expensive signature computation (simhash over text,
+    // pHash over an image decode) and it feeds both the member map and
+    // the rep collapse — without the cache each consumer re-runs the
+    // decode (measured 2x on the image-pHash gate, round 18)
+    val sig = ScratchCache(spread.filter(col("__sig").isNotNull)
+      .select(col("__id"), hexSigToLongChecked(col("__sig")).as("__sigL")))
     // duplication-proof like the other banded paths, with the signature
     // VALUE (its 64-bit parse — case-insensitive like hamming itself) as
     // the collapse key: the output's hamming distance is a pure function
