@@ -1263,6 +1263,29 @@ object CrsTransform {
     case _ => None
   }
 
+  /** Canonical WKT1 for the most-exported geographic/web codes, so file
+    * writers can put real WKT in a .prj instead of the "EPSG:n" label
+    * (the reference writes WKT through pyogrio). Strings are the public
+    * EPSG registry definitions in their classic WKT1 form. */
+  def wellKnownWkt(code: Int): Option[String] = code match {
+    case 4326 => Some("""GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]""")
+    case 4269 => Some("""GEOGCS["NAD83",DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4269"]]""")
+    case 4258 => Some("""GEOGCS["ETRS89",DATUM["European_Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4258"]]""")
+    case 3857 => Some("""PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]],PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3857"]]""")
+    case _ => None
+  }
+
+  /** The text a .prj sidecar should carry for a CRS label: WKT passes
+    * through; an EPSG-coded label upgrades to its canonical WKT when
+    * known, else the label itself (still recoverable by [[normalizeOpt]]). */
+  def prjText(crs: String): String = {
+    val t = crs.trim
+    val up = t.toUpperCase
+    if (up.startsWith("PROJCS") || up.startsWith("GEOGCS") || up.startsWith("PROJCRS") ||
+        up.startsWith("GEOGCRS") || up.startsWith("COMPD_CS") || t.startsWith("{")) t
+    else normalizeOpt(t).flatMap(wellKnownWkt).getOrElse(t)
+  }
+
   /** Compose two to-geographic transforms into src -> dst. */
   def compose(src: CrsTransform, dst: CrsTransform): CrsTransform = new CrsTransform {
     def forward(x: Double, y: Double): (Double, Double) = {

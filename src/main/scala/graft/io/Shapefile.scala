@@ -94,8 +94,9 @@ object Shapefile {
     java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shp"), shp)
     java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shx"), shx)
     java.nio.file.Files.write(java.nio.file.Paths.get(base + ".dbf"), dbf)
-    gdf.crs.get(g).foreach { wkt =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(base + ".prj"), wkt.getBytes("UTF-8"))
+    gdf.crs.get(g).foreach { c =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(base + ".prj"),
+        graft.crs.CrsTransform.prjText(c).getBytes("UTF-8"))
     }
   }
 
@@ -141,7 +142,7 @@ object Shapefile {
           try out.write(bytes) finally out.close()
         }
         put("shp", shp); put("shx", shx); put("dbf", dbf)
-        crs.foreach(wkt => put("prj", wkt.getBytes("UTF-8")))
+        crs.foreach(c => put("prj", graft.crs.CrsTransform.prjText(c).getBytes("UTF-8")))
         Iterator.single(rows.length.toLong)
       }
     }.sum()

@@ -142,6 +142,23 @@ class ShapefileSpec extends AnyFunSuite {
     assert(rev.select("address").as[String].head() == "addr(1.0,2.0)")
   }
 
+  test("an EPSG-coded CRS label exports as canonical .prj WKT (pyogrio parity)") {
+    val gdf = graft.api.GeoDataFrame(
+      Seq((1L, 2.0, 3.0)).toDF("id", "x", "y")
+        .withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"),
+      "geometry", Map("geometry" -> "EPSG:4326"))
+    val dir = java.nio.file.Files.createTempDirectory("shpprj").toString
+    Shapefile.write(gdf, s"$dir/p.shp")
+    val prj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/p.prj")), "UTF-8")
+    assert(prj.startsWith("GEOGCS[\"WGS 84\""), prj)
+    // recoverable: the read-back WKT normalizes to the same code
+    val back = Shapefile.read(spark, s"$dir/p.shp")
+    assert(graft.crs.CrsTransform.normalizeOpt(back.crs("geometry")).contains(4326))
+    // an already-WKT CRS passes through untouched
+    assert(graft.crs.CrsTransform.prjText(prj) == prj)
+  }
+
   test("write round-trip: countries through .shp/.dbf/.prj and back") {
     val gdf = Shapefile.read(spark, lowres)
     val dir = java.nio.file.Files.createTempDirectory("shpw").toString
