@@ -117,7 +117,9 @@ object Gpkg {
     val rows = gdf.df.collect()
     val fields = gdf.df.schema.fields.filter(_.name != g)
     val srsId = gdf.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).getOrElse(0)
-    val crsDef = gdf.activeCrs.getOrElse("undefined")
+    // gpkg_spatial_ref_sys.definition is WKT by spec: upgrade an EPSG-coded
+    // label to its canonical WKT when known (same posture as the .prj write)
+    val crsDef = gdf.activeCrs.map(graft.crs.CrsTransform.prjText).getOrElse("undefined")
 
     // geometry type name + envelope over non-null geometries
     val geoms = rows.map(r => Option(r.getAs[Array[Byte]](r.fieldIndex(g)))
