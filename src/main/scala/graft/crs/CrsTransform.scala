@@ -1113,6 +1113,67 @@ object CrsTransform {
     }
   }
 
+  /** American Polyconic (EPSG method 9818; Snyder 1987 eq. 18-12..18-15) —
+    * Brazil's classic national grid (EPSG:29101) and the old USGS
+    * quadrangles. The central meridian is exact (the meridian arc), every
+    * parallel is an arc of a circle of radius nu*cot(phi) centered on the
+    * central meridian, and parallels are true to scale — the three
+    * properties the spec verifies as a self-oracle. Inverse is the same
+    * 2D Newton iteration as [[ObliqueStereo]]. */
+  final case class Polyconic(lat0: Double, lon0: Double, fe: Double, fn: Double,
+                             unit: Double = 1.0, a: Double = WGS84_A,
+                             flattening: Double = WGS84_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val l0 = math.toRadians(lon0)
+    private def meridianArc(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+    private val m0 = meridianArc(math.toRadians(lat0))
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dl = math.toRadians(lon) - l0
+      if (math.abs(phi) < 1e-12) (a * dl / unit + fe, -m0 / unit + fn)
+      else {
+        val sinP = math.sin(phi)
+        val nuCot = a / math.sqrt(1 - e2 * sinP * sinP) / math.tan(phi)
+        val bigE = dl * sinP
+        ((nuCot * math.sin(bigE)) / unit + fe,
+          (meridianArc(phi) - m0 + nuCot * (1 - math.cos(bigE))) / unit + fn)
+      }
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      var lon = lon0 + (x - fe) * unit / a * (180.0 / math.Pi) / 2
+      var lat = lat0 + (y - fn) * unit / a * (180.0 / math.Pi) / 2
+      if (lat == 0.0) lat = 1e-7
+      val epsDeg = 1e-7
+      var i = 0
+      while (i < 25) {
+        val (fx, fy) = forward(lon, lat)
+        val dx = x - fx
+        val dy = y - fy
+        if (math.abs(dx) < 1e-9 && math.abs(dy) < 1e-9) i = 25
+        else {
+          val (fxl, fyl) = forward(lon + epsDeg, lat)
+          val (fxp, fyp) = forward(lon, lat + epsDeg)
+          val j11 = (fxl - fx) / epsDeg; val j12 = (fxp - fx) / epsDeg
+          val j21 = (fyl - fy) / epsDeg; val j22 = (fyp - fy) / epsDeg
+          val det = j11 * j22 - j12 * j21
+          if (det == 0) i = 25
+          else {
+            lon += (dx * j22 - dy * j12) / det
+            lat += (dy * j11 - dx * j21) / det
+          }
+        }
+        i += 1
+      }
+      (lon, lat)
+    }
+  }
+
   /** Azimuthal Equidistant, spherical on R = a (Snyder 1987 eq. 25-1..25-4)
     * — ESRI World_Azimuthal_Equidistant (54032) and the ad-hoc
     * point-centered metric frames geopandas users build for buffering
@@ -1255,6 +1316,13 @@ object CrsTransform {
           fe = 0.0, fn = 0.0, eastNorth = true)))
     case 54032 => // ESRI:54032 World Azimuthal Equidistant (spherical on R = a)
       Some(AzimuthalEquidistant(lat0 = 0.0, lon0 = 0.0))
+    case 29101 => // SAD69 / Brazil Polyconic (GRS67 modified, published SAD69 shift)
+      Some(DatumProjected(
+        Helmert(tx = 66.87, ty = -4.37, tz = 38.52,
+          rxSec = 0, rySec = 0, rzSec = 0, sPpm = 0,
+          aDst = 6378160.0, fDst = 1.0 / 298.25),
+        Polyconic(lat0 = 0.0, lon0 = -54.0, fe = 5000000.0, fn = 10000000.0,
+          a = 6378160.0, flattening = 1.0 / 298.25)))
     case 4087 | 32662 => // WGS 84 / World Equidistant Cylindrical & Plate Carrée
       Some(EquidistantCyl(lat1 = 0.0, lat0 = 0.0, lon0 = 0.0, fe = 0.0, fn = 0.0))
     case 3435 => // NAD83 / Illinois East (ftUS) — TM

@@ -356,6 +356,8 @@ object ProjParse {
       Some(AzimuthalEquidistant(lat0, lon0, fe, fn, unit, a))
     else if (m.contains("cassini"))
       Some(Cassini(lat0, lon0, fe, fn, unit, a, f))
+    else if (m.contains("polyconic") && !m.contains("rectangular"))
+      Some(Polyconic(lat0, lon0, fe, fn, unit, a, f))
     else if (m.contains("equidistantcylindrical") || m.contains("equirectangular") ||
              m.contains("platecarree"))
       Some(EquidistantCyl(sp1.getOrElse(lat0), 0.0, lon0, fe, fn, unit, a, f))

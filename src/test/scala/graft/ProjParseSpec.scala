@@ -587,6 +587,62 @@ class ProjParseSpec extends AnyFunSuite {
     assert(ProjParse.parse(modified).isEmpty)
   }
 
+  test("Polyconic (29101 Brazil): defining properties as self-oracle, roundtrip") {
+    val aG = 6378160.0; val fG = 1.0 / 298.25
+    val t = Polyconic(lat0 = 0.0, lon0 = -54.0, fe = 5000000.0, fn = 10000000.0,
+      a = aG, flattening = fG)
+    val e2 = fG * (2 - fG)
+    def mArc(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      aG * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * math.pow(e2, 3) / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * math.pow(e2, 3) / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * math.pow(e2, 3) / 1024) * math.sin(4 * phi)
+        - (35 * math.pow(e2, 3) / 3072) * math.sin(6 * phi))
+    }
+    // 1) central meridian exact: x = FE, y = FN + M(phi)
+    for (lat <- Seq(-30.0, -15.5, 0.0, 5.0)) {
+      val (x, y) = t.forward(-54.0, lat)
+      assert(math.abs(x - 5000000.0) < 1e-6 && math.abs(y - (10000000.0 + mArc(lat))) < 1e-6,
+        s"CM at $lat: ($x,$y)")
+    }
+    // 2) every parallel is a circle of radius nu*cot(phi) centered on the
+    //    CM at y = FN + M(phi) + nu*cot(phi); 3) true to scale along it
+    //    (arc angle E = dl*sin(phi))
+    for (lat <- Seq(-25.0, -10.0); lonOff <- Seq(-8.0, 3.0, 12.0)) {
+      val phi = math.toRadians(lat)
+      val nuCot = aG / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi)) / math.tan(phi)
+      val cy = 10000000.0 + mArc(lat) + nuCot
+      val (x, y) = t.forward(-54.0 + lonOff, lat)
+      val r = math.sqrt((x - 5000000.0) * (x - 5000000.0) + (y - cy) * (y - cy))
+      assert(math.abs(r - math.abs(nuCot)) < 1e-5, s"radius at ($lonOff,$lat): $r vs $nuCot")
+      val ang = math.atan2(x - 5000000.0, -(y - cy) * math.signum(nuCot))
+      assert(math.abs(math.abs(ang) - math.abs(math.toRadians(lonOff) * math.sin(phi))) < 1e-9,
+        s"arc angle at ($lonOff,$lat)")
+      val (lo, la) = t.inverse(x, y)
+      assert(math.abs(lo - (-54.0 + lonOff)) < 1e-8 && math.abs(la - lat) < 1e-8)
+    }
+    // the wired chain (SAD69 Helmert) roundtrips; Brasilia lands in-grid
+    val c = CrsTransform.chain(4326, 29101)
+    val (bx, by) = c.forward(-47.88, -15.79)
+    assert(bx > 5000000 && bx < 6000000 && by > 8000000 && by < 8500000, s"($bx,$by)")
+    val (blo, bla) = c.inverse(bx, by)
+    assert(math.abs(blo + 47.88) < 1e-7 && math.abs(bla + 15.79) < 1e-7)
+    // WKT spelling parses to the same projection surface
+    val wkt =
+      """PROJCS["SAD69 / Brazil Polyconic", GEOGCS["SAD69",
+        | DATUM["South_American_Datum_1969",
+        | SPHEROID["GRS 1967 Modified",6378160,298.25]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Polyconic"],
+        | PARAMETER["latitude_of_origin",0], PARAMETER["central_meridian",-54],
+        | PARAMETER["false_easting",5000000], PARAMETER["false_northing",10000000],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).getOrElse(fail("Polyconic WKT did not parse"))
+    val (px, py) = parsed.forward(-47.88, -15.79)
+    val (wx, wy) = t.forward(-47.88, -15.79)
+    assert(math.abs(px - wx) < 1e-6 && math.abs(py - wy) < 1e-6)
+  }
+
   test("HOM/Krovak WKT spellings parse to the wired projections (incl. Ferro prime meridian)") {
     val esriSwiss =
       """PROJCS["CH1903_LV03", GEOGCS["GCS_CH1903", DATUM["D_CH1903",
