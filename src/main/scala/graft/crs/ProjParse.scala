@@ -42,7 +42,10 @@ object ProjParse {
         // member, which is the first nested PROJCS/PROJCRS/GEOGCS clause
         val i = Seq("PROJCS", "PROJCRS", "GEOGCS", "GEOGCRS")
           .map(up.indexOf(_, 8)).filter(_ >= 0).sorted.headOption.getOrElse(return None)
-        parse(s.substring(i))
+        // bracket-match the horizontal member so the trailing VERT_CS (whose
+        // UNIT clause would otherwise be mistaken for the projected axis
+        // unit, e.g. ftUS horizontal + metre vertical) is excluded
+        parse(extractBalanced(s, i).getOrElse(return None))
       }
       else if (up.startsWith("GEOGCS") || up.startsWith("GEOGCRS") || up.startsWith("GEODCRS"))
         // geographic: the TOWGS84 datum shift when declared, else the null
@@ -78,6 +81,28 @@ object ProjParse {
     * datum -> WGS84) as this engine's WGS84 -> target [[Helmert]] (negated
     * convention, like the wired OSGB36/CH1903 registrations). None when the
     * clause is absent or all-zero (null shift — the default posture). */
+  /** Substring of `s` from `start` through the close bracket matching the
+    * first open bracket at/after `start`. Handles both WKT bracket dialects
+    * (`[]` and `()`) and skips brackets inside double-quoted names. */
+  private def extractBalanced(s: String, start: Int): Option[String] = {
+    var i = start
+    while (i < s.length && s(i) != '[' && s(i) != '(') i += 1
+    if (i >= s.length) return None
+    var depth = 0; var inQuote = false
+    var j = i
+    while (j < s.length) {
+      val c = s(j)
+      if (c == '"') inQuote = !inQuote
+      else if (!inQuote && (c == '[' || c == '(')) depth += 1
+      else if (!inQuote && (c == ']' || c == ')')) {
+        depth -= 1
+        if (depth == 0) return Some(s.substring(start, j + 1))
+      }
+      j += 1
+    }
+    None
+  }
+
   private def toWgs84Helmert(s: String): Option[Helmert] = {
     val (a, invF) = SpheroidRe.findFirstMatchIn(s)
       .map(m => (m.group(1).toDouble, m.group(2).toDouble))

@@ -139,6 +139,48 @@ object MapInfoMif {
   private[io] case class MifHeader(delimiter: Char, fields: Array[(String, DataType)],
                                    crs: Option[String])
 
+  /** MapInfo CoordSys clause for an EPSG code. Covers the geographic bases,
+    * Web Mercator, British National Grid and WGS84 UTM — the set the
+    * MapInfo ecosystem round-trips unambiguously; everything else raises at
+    * write time (MIF_COORDSYS.TXT is MapInfo-proprietary, so the mapping is
+    * kept to the clauses documented in the public MIF format appendix). */
+  private[io] def coordSysFor(epsg: Int): Option[String] = epsg match {
+    case 4326  => Some("CoordSys Earth Projection 1, 104")
+    case 4269  => Some("CoordSys Earth Projection 1, 74")
+    case 3857  => Some("CoordSys Earth Projection 10, 157, \"m\", 0")
+    case 27700 => Some(
+      "CoordSys Earth Projection 8, 79, \"m\", -2, 49, 0.9996012717, 400000, -100000")
+    case z if z >= 32601 && z <= 32660 =>
+      Some(s"""CoordSys Earth Projection 8, 104, "m", ${(z - 32600) * 6 - 183}, 0, 0.9996, 500000, 0""")
+    case z if z >= 32701 && z <= 32760 =>
+      Some(s"""CoordSys Earth Projection 8, 104, "m", ${(z - 32700) * 6 - 183}, 0, 0.9996, 500000, 10000000""")
+    case _ => None
+  }
+
+  /** Inverse of [[coordSysFor]]: recognize the clauses we write (plus
+    * whitespace/quoting variation); unrecognized clauses yield no CRS. */
+  private[io] def epsgFromCoordSys(clause: String): Option[String] = {
+    val up = clause.toUpperCase.replaceAll("\\s+", " ")
+    val projIdx = up.indexOf("EARTH PROJECTION")
+    if (projIdx < 0) return None
+    // numeric fields after the keyword, quotes/unit token dropped
+    val nums = up.substring(projIdx + "EARTH PROJECTION".length)
+      .split(",").map(_.trim.replaceAll("\"[^\"]*\"", "").trim)
+      .filter(s => s.nonEmpty && s.matches("-?[0-9.]+"))
+      .map(_.toDouble)
+    nums.toList match {
+      case 1.0 :: 104.0 :: _ => Some("EPSG:4326")
+      case 1.0 :: 74.0 :: _  => Some("EPSG:4269")
+      case 10.0 :: 157.0 :: _ => Some("EPSG:3857")
+      case 8.0 :: 79.0 :: -2.0 :: 49.0 :: _ => Some("EPSG:27700")
+      case 8.0 :: 104.0 :: lon0 :: 0.0 :: 0.9996 :: 500000.0 :: fn :: Nil
+        if (lon0 + 183) % 6 == 0 && (fn == 0.0 || fn == 10000000.0) =>
+        val zone = ((lon0 + 183) / 6).toInt
+        Some(s"EPSG:${if (fn == 0.0) 32600 + zone else 32700 + zone}")
+      case _ => None
+    }
+  }
+
   private[io] def parseHeader(text: String): MifHeader = {
     val lines = text.linesIterator.toArray
     var delim = '\t'
@@ -152,11 +194,7 @@ object MapInfoMif {
         val q = t.indexOf('"')
         if (q >= 0 && q + 1 < t.length) delim = t.charAt(q + 1)
       } else if (up.startsWith("COORDSYS")) {
-        // "CoordSys Earth Projection 1, 104" = longitude/latitude WGS 84;
-        // other MapInfo projection clauses are left unmapped (no CRS)
-        val norm = up.replaceAll("\\s+", " ")
-        if (norm.contains("EARTH PROJECTION 1, 104") || norm.contains("EARTH PROJECTION 1,104"))
-          crs = Some("EPSG:4326")
+        crs = epsgFromCoordSys(t)
       } else if (up.startsWith("COLUMNS")) {
         val n = t.split("\\s+").lift(1).map(_.toInt).getOrElse(0)
         for (k <- 1 to n) {
@@ -254,7 +292,13 @@ object MapInfoMif {
             throw new IllegalArgumentException(
               s"MIF record type $kw is not supported (drawn shapes/collections); " +
                 "convert to POINT/PLINE/REGION in MapInfo before export")
-          case _ => // VERSION trailer junk etc. between records: skip
+          case _ =>
+            // an unrecognized keyword at record position means a record we
+            // did not consume — skipping it would silently desync the
+            // geometry-to-attribute (MID) alignment, so fail loudly
+            throw new IllegalArgumentException(
+              s"MIF: unrecognized keyword '$kw' at record position in the DATA " +
+                "section — refusing to skip (would desync geometry/attribute rows)")
         }
       }
     }
@@ -346,9 +390,21 @@ object MapInfoMif {
     val g = gdf.geometryCol
     val fields = gdf.df.schema.fields.filter(_.name != g)
     val coordSys = gdf.crs.get(g) match {
-      case Some(c) if graft.crs.CrsTransform.normalizeOpt(c).contains(4326) =>
-        "CoordSys Earth Projection 1, 104\n"
-      case _ => ""
+      case Some(c) =>
+        val epsg = graft.crs.CrsTransform.normalizeOpt(c)
+        epsg.flatMap(coordSysFor) match {
+          case Some(clause) => clause + "\n"
+          case None =>
+            // silently dropping the CRS claim would make a write/read
+            // roundtrip lie about coordinates — fail loudly instead
+            // (matches the Shapefile/GPKG writers' canonical-WKT posture)
+            throw new IllegalArgumentException(
+              s"MIF export: CRS '$c' has no MapInfo CoordSys mapping " +
+                "(supported: EPSG:4326, EPSG:4269, EPSG:3857, EPSG:27700, " +
+                "WGS84 UTM zones 326xx/327xx). to_crs to a supported CRS " +
+                "first, or export GeoParquet/GPKG which carry arbitrary WKT")
+        }
+      case None => ""
     }
     val header =
       "VERSION 300\n" +
@@ -383,7 +439,13 @@ object MapInfoMif {
   // ---------------------------------------------------------------- MID
 
   private[io] def parseMid(text: String, hdr: MifHeader): IndexedSeq[Array[Any]] = {
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+    // an empty line is a legitimate row (e.g. the only attribute column is a
+    // nullable string whose value is null) — dropping interior empties would
+    // shift every subsequent row onto the wrong geometry. Only trailing
+    // blank lines (editor artifacts after the last record) are discarded.
+    val all = text.linesIterator.toIndexedSeq
+    val trimmed = all.take(all.lastIndexWhere(_.nonEmpty) + 1)
+    trimmed.map { line =>
       val raw = splitMid(line, hdr.delimiter)
       hdr.fields.indices.map { k =>
         val s = raw.lift(k).getOrElse("")

@@ -85,9 +85,20 @@ object Shapefile {
     * (2 GB cap), so this is a driver-side EXPORT path for small results —
     * large datasets should use GeoParquet. Geometry types: Point,
     * MultiPoint, (Multi)LineString, (Multi)Polygon, with Z when present. */
-  def write(gdf: GeoDataFrame, basePath: String): Unit = {
+  def write(gdf: GeoDataFrame, basePath: String, maxRows: Long = 5000000L): Unit = {
     val g = gdf.geometryCol
     val fields = gdf.df.schema.fields.filter(_.name != g)
+    // driver-collect by format nature (one .shp/.shx/.dbf triple, 2 GB
+    // cap); guard with a short-circuiting limit BEFORE the collect so an
+    // over-cap frame errors instead of OOMing the driver — same guard as
+    // Gpkg/Feather/FlatGeobuf
+    if (maxRows >= 0) {
+      val upTo = gdf.df.limit((maxRows + 1).min(Int.MaxValue - 1L).toInt).count()
+      require(upTo <= maxRows,
+        s"Shapefile.write is a driver-side single-file export and the frame " +
+        s"exceeds $maxRows rows; use writePartitioned or GeoParquet for " +
+        s"scale outputs, or raise maxRows if the driver can hold the data")
+    }
     val rows = gdf.df.collect()
     val (shp, shx, dbf) = buildFiles(fields, g, rows)
     val base = basePath.replaceAll("\\.shp$", "")

@@ -131,7 +131,19 @@ object Warc {
     * minimal HTTP/1.1 200 response — the Common Crawl record shape. Single
     * file; use [[writePartitioned]] for a distributed corpus export. */
   def write(df: DataFrame, path: String, uriCol: String, textCol: String,
-            date: String = "2026-01-01T00:00:00Z", gzip: Boolean = false): Unit = {
+            date: String = "2026-01-01T00:00:00Z", gzip: Boolean = false,
+            maxRows: Long = 1000000L): Unit = {
+    // single-file export = driver collect by nature; short-circuiting
+    // limit guard BEFORE the collect (same pattern as Gpkg/Feather/
+    // FlatGeobuf/Shapefile) so an over-cap corpus errors instead of
+    // OOMing the driver
+    if (maxRows >= 0) {
+      val upTo = df.limit((maxRows + 1).min(Int.MaxValue - 1L).toInt).count()
+      require(upTo <= maxRows,
+        s"Warc.write is a driver-side single-file export and the frame " +
+        s"exceeds $maxRows rows; use writePartitioned for a distributed " +
+        s"corpus export, or raise maxRows if the driver can hold the data")
+    }
     val rows = df.select(uriCol, textCol).collect()
     val out: java.io.OutputStream = {
       val f = new java.io.FileOutputStream(path)

@@ -1018,7 +1018,14 @@ object Dedup {
     * `maxHamming` bits — the banded engine under [[simhashPairs]], exposed
     * for other signature families (perceptual image hashes, audio
     * fingerprints). Same recall-1 guarantee ([[hammingBandPlan]]) and the
-    * same duplication-proof collapse on the signature value. */
+    * same duplication-proof collapse on the signature value.
+    *
+    * NOT lazy: constructing the result runs one bounded count job (capped
+    * at 200k rows over the cached distinct-signature frame) to pick the
+    * broadcast-vs-shuffle-hash candidate-join strategy — Catalyst's size
+    * estimates mis-plan the ~65x explode asymmetry, so the engine measures
+    * instead (also true of [[hammingJoin]]/[[simhashPairs]], which share
+    * this engine). The count warms the cache the main job reuses. */
   def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,

@@ -193,4 +193,60 @@ class MapInfoMifSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("ELLIPSE") || ex.getCause.getMessage.contains("ELLIPSE"))
   }
+
+  test("null value in a lone string column keeps MID row alignment (empty line is a row)") {
+    // the only attribute column is a nullable string: row 2's value is null,
+    // so its MID line is empty — dropping it would shift row 3's name onto
+    // row 2's geometry
+    val df = Seq(("first", 1.0), (null.asInstanceOf[String], 2.0), ("third", 3.0))
+      .toDF("name", "x")
+    val gdf = GeoDataFrame(df.withColumn("geometry", st_point(col("x"), lit(0.0))).drop("x"))
+    val dir = java.nio.file.Files.createTempDirectory("mifn").toString
+    MapInfoMif.write(gdf, s"$dir/n.mif")
+    val back = MapInfoMif.read(spark, s"$dir/n.mif")
+    val rows = back.df.select(col("name"), st_x(col("geometry")))
+      .as[(String, Double)].collect().sortBy(_._2)
+    assert(rows.length == 3)
+    assert(rows(0) == ("first", 1.0))
+    // MID has no null marker for strings: null reads back as empty string,
+    // but it stays attached to geometry x=2
+    assert(rows(1)._1 == "" && rows(1)._2 == 2.0, rows.mkString(","))
+    assert(rows(2) == ("third", 3.0))
+  }
+
+  test("unrecognized record keyword fails loudly instead of desyncing") {
+    val mif =
+      """VERSION 300
+        |DELIMITER ","
+        |COLUMNS 1
+        |  id Integer
+        |DATA
+        |FRAME 0 0 10 10
+        |POINT 1 2
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("mifu").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/u.mif"), mif.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/u.mid"), "1\n2\n".getBytes("UTF-8"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      MapInfoMif.read(spark, s"$dir/u.mif").df.count()
+    }
+    assert(ex.getMessage.contains("FRAME") || ex.getCause.getMessage.contains("FRAME"))
+  }
+
+  test("CoordSys: 3857 and UTM roundtrip; unmappable CRS raises on write") {
+    val df = Seq((1, 100.0, 200.0)).toDF("id", "x", "y")
+    def gdfWith(crs: String) = GeoDataFrame(
+      df.withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"),
+      "geometry", Map("geometry" -> crs))
+    val dir = java.nio.file.Files.createTempDirectory("mifc").toString
+    for (crs <- Seq("EPSG:3857", "EPSG:32633", "EPSG:32733", "EPSG:27700")) {
+      MapInfoMif.write(gdfWith(crs), s"$dir/c.mif")
+      val back = MapInfoMif.read(spark, s"$dir/c.mif")
+      assert(back.crs.get("geometry").contains(crs), s"$crs did not roundtrip: ${back.crs}")
+    }
+    // Swiss LV95 has no MapInfo CoordSys mapping here: loud error, no file
+    val ex = intercept[IllegalArgumentException](
+      MapInfoMif.write(gdfWith("EPSG:2056"), s"$dir/bad.mif"))
+    assert(ex.getMessage.contains("CoordSys"))
+  }
 }

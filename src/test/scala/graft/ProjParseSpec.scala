@@ -354,6 +354,39 @@ class ProjParseSpec extends AnyFunSuite {
     assert(math.abs(cx - sx) < 1e-9 && math.abs(cy - sy) < 1e-9)
   }
 
+  test("COMPD_CS with ftUS horizontal + metre vertical keeps the ftUS axis unit") {
+    // state-plane-style LCC in US survey feet; the VERT_CS metre unit must
+    // NOT be mistaken for the projected axis unit (would skew by ~3.28x)
+    val horiz =
+      """PROJCS["NAD83 / Texas North Central (ftUS)",
+        | GEOGCS["NAD83", DATUM["North_American_Datum_1983",
+        |  SPHEROID["GRS 1980",6378137,298.257222101]],
+        |  PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Lambert_Conformal_Conic_2SP"],
+        | PARAMETER["standard_parallel_1",32.13333333333333],
+        | PARAMETER["standard_parallel_2",33.96666666666667],
+        | PARAMETER["latitude_of_origin",31.66666666666667],
+        | PARAMETER["central_meridian",-98.5],
+        | PARAMETER["false_easting",1968500],
+        | PARAMETER["false_northing",6561666.666666666],
+        | UNIT["US survey foot",0.3048006096012192]]""".stripMargin.replace("\n", "")
+    val compound = s"""COMPD_CS["TX NC ftUS + NAVD88 height", $horiz,
+      | VERT_CS["NAVD88 height", VERT_DATUM["NAVD88", 2005], UNIT["metre",1],
+      | AXIS["Gravity-related height", UP]]]""".stripMargin.replace("\n", "")
+    val ph = ProjParse.parse(horiz).getOrElse(fail("ftUS PROJCS did not parse"))
+    val pc = ProjParse.parse(compound).getOrElse(fail("ftUS COMPD_CS did not parse"))
+    val (hx, hy) = ph.forward(-97.0, 32.8)
+    val (cx, cy) = pc.forward(-97.0, 32.8)
+    assert(math.abs(cx - hx) < 1e-6 && math.abs(cy - hy) < 1e-6,
+      s"compound ($cx,$cy) diverged from horizontal member ($hx,$hy)")
+    // and the unit really is feet: the same LCC in metres differs by 3.28x
+    val metric = horiz.replace("""UNIT["US survey foot",0.3048006096012192]""",
+      """UNIT["metre",1]""").replace("1968500", "600000").replace("6561666.666666666", "2000000")
+    val pm = ProjParse.parse(metric).get
+    val (mx, _) = pm.forward(-97.0, 32.8)
+    assert(math.abs((hx - 1968500.0) / (mx - 600000.0) - 1 / 0.3048006096012192) < 1e-6)
+  }
+
   test("PROJJSON BoundCRS composes the transformation Helmert (Dutch RD, pyproj shape)") {
     val bound =
       """{"type": "BoundCRS",

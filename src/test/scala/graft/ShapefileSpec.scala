@@ -342,4 +342,16 @@ class ShapefileSpec extends AnyFunSuite {
       g.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing).sum
     assert(nHoles >= 1, "South Africa should contain the Lesotho hole")
   }
+
+  test("Shapefile.write refuses an over-cap frame instead of collecting it") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, graft.geom.Wkb.write(GeomOps.point(i, i))))
+      .toDF("key", "geometry")
+    val base = java.nio.file.Files.createTempDirectory("shpcap").toString + "/cap"
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.write(graft.api.GeoDataFrame(df), base + ".shp", maxRows = 10L)
+    }
+    assert(e.getMessage.contains("writePartitioned") || e.getMessage.contains("GeoParquet"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base + ".shp")))
+  }
 }

@@ -62,6 +62,16 @@ class WarcSpec extends AnyFunSuite {
     assert(back.size == 50 && back("http://p.example/7") == "text of 7")
   }
 
+  test("Warc.write refuses an over-cap frame instead of collecting it") {
+    val df = (0 until 50).map(i => (s"http://c.example/$i", s"body $i")).toDF("uri", "text")
+    val out = java.nio.file.Files.createTempDirectory("warc_cap").toString + "/cap.warc"
+    val e = intercept[IllegalArgumentException] {
+      Warc.write(df, out, "uri", "text", maxRows = 10L)
+    }
+    assert(e.getMessage.contains("writePartitioned"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+  }
+
   test("htmlToText: script/style/comment drop, block newlines, entities, collapse") {
     val df = Seq(
       ("<p>a  b</p><script>ignore < this</script><b>c</b>", "a b\nc"),
