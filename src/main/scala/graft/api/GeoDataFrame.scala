@@ -387,8 +387,11 @@ case class GeoDataFrame(df: DataFrame, geometryCol: String = "geometry",
 
   /** Write in the format inferred from the extension (ref
     * GeoDataFrame.to_file, io/file.py:614): .shp/.fgb/.geojson/.gpkg/.csv/
-    * .kml/.gml/.gpx/.feather, else GeoParquet. */
-  def toFile(path: String): Unit = graft.io.GeoIO.toFile(this, path)
+    * .kml/.gml/.gpx/.feather, else GeoParquet. `mode = "a"` appends to
+    * GPKG / line-delimited GeoJSON / GeoParquet (ref mode="a"); other
+    * formats raise loudly. */
+  def toFile(path: String, mode: String = "w"): Unit =
+    graft.io.GeoIO.toFile(this, path, mode)
 
   /** GeoParquet write (ref to_parquet, io/arrow.py). */
   def toParquet(path: String): Unit = graft.io.GeoParquet.write(this, path)

@@ -62,9 +62,24 @@ object GeoIO {
   }
 
   /** Driver inferred from the extension; GeoParquet for directories. */
-  def toFile(gdf: GeoDataFrame, path: String): Unit = {
+  def toFile(gdf: GeoDataFrame, path: String, mode: String = "w"): Unit = {
     val l = path.toLowerCase
-    if (l.endsWith(".shp")) Shapefile.write(gdf, path)
+    require(mode == "w" || mode == "a", s"mode must be 'w' or 'a', got '$mode'")
+    if (mode == "a") {
+      // reference to_file(mode="a") (io/file.py:614-794): append where the
+      // container can take new features; loud error where it cannot
+      // (single-document exports would need a full rewrite to stay valid)
+      if (l.endsWith(".gpkg")) Gpkg.append(gdf, path)
+      else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
+        GeoJsonIO.write(gdf, path, append = true)
+      else if (!l.matches(".*\\.(shp|fgb|feather|arrow|csv|kml|gml|gpx|mif|mid)$"))
+        GeoParquet.write(gdf, path, mode = "append")
+      else throw new UnsupportedOperationException(
+        s"append mode is not supported for this format ($path): Shapefile/" +
+          "FlatGeobuf/Feather/CSV/KML/GML/GPX/MIF are single-document " +
+          "exports; append to GPKG, line-delimited GeoJSON, or GeoParquet")
+    }
+    else if (l.endsWith(".shp")) Shapefile.write(gdf, path)
     else if (l.endsWith(".fgb")) FlatGeobuf.write(gdf, path)
     else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
       GeoJsonIO.write(gdf, path)

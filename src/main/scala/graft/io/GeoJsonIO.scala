@@ -227,9 +227,12 @@ object GeoJsonIO {
       lit(""","geometry":"""), stAsGeoJsonU(col(g)), lit("}")).as("value"))
   }
 
-  /** Write as newline-delimited GeoJSON features (the scalable form). */
-  def write(gdf: GeoDataFrame, path: String): Unit =
-    featureLines(gdf).write.mode("overwrite").text(path)
+  /** Write as newline-delimited GeoJSON features (the scalable form).
+    * `append = true` adds new part files beside the existing ones —
+    * line-delimited JSON is append-able by construction (reference
+    * `to_file(..., mode="a")`, io/file.py:614-794). */
+  def write(gdf: GeoDataFrame, path: String, append: Boolean = false): Unit =
+    featureLines(gdf).write.mode(if (append) "append" else "overwrite").text(path)
 
   /** Write ONE FeatureCollection document (the reference's default for the
     * `.geojson` driver, `io/file.py:614-794`) — a single-document format,

@@ -36,7 +36,10 @@ object GeoParquet {
     * zero-extra-IO default the engine itself reads. */
   def write(gdf: GeoDataFrame, path: String, coveringBbox: Boolean = true,
             spatialSort: Boolean = false, numPartitions: Option[Int] = None,
-            footerMetadata: Boolean = false, geometryEncoding: String = "WKB"): Unit = {
+            footerMetadata: Boolean = false, geometryEncoding: String = "WKB",
+            mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be 'overwrite' or 'append', got '$mode'")
     val g = gdf.geometryCol
     var df = gdf.df
     // ONE stats pass for everything the metadata needs (total bounds +
@@ -51,8 +54,30 @@ object GeoParquet {
         sort_array(collect_set(col("__t"))))
       .head()
     def dbl(i: Int): Double = if (stats.isNullAt(i)) Double.NaN else stats.getDouble(i)
-    val (x0, y0, x1, y1) = (dbl(0), dbl(1), dbl(2), dbl(3))
-    val types = stats.getSeq[String](4)
+    var (x0, y0, x1, y1) = (dbl(0), dbl(1), dbl(2), dbl(3))
+    var types = stats.getSeq[String](4)
+    if (mode == "append") {
+      // keep the sidecar truthful for the UNION: merge the stored bbox and
+      // geometry_types with the new batch's
+      readMeta(gdf.df.sparkSession, path).foreach { m =>
+        val colMeta = m.get("columns")
+          .collect { case mm: Map[String @unchecked, Any @unchecked] => mm }
+          .flatMap(_.get(g))
+          .collect { case mm: Map[String @unchecked, Any @unchecked] => mm }
+        colMeta.flatMap(_.get("bbox")).foreach {
+          case Seq(a: Double, b: Double, c: Double, d: Double) =>
+            def mrg(nw: Double, old: Double, f: (Double, Double) => Double): Double =
+              if (nw.isNaN) old else f(nw, old)
+            x0 = mrg(x0, a, math.min); y0 = mrg(y0, b, math.min)
+            x1 = mrg(x1, c, math.max); y1 = mrg(y1, d, math.max)
+          case _ =>
+        }
+        colMeta.flatMap(_.get("geometry_types")).foreach {
+          case l: Seq[Any @unchecked] => types = (types ++ l.map(_.toString)).distinct.sorted
+          case _ =>
+        }
+      }
+    }
     val baseTypes = types.map(_.stripSuffix(" Z")).distinct
     if (spatialSort)
       df = df.repartitionByRange(numPartitions.getOrElse(df.rdd.getNumPartitions),
@@ -71,7 +96,7 @@ object GeoParquet {
       } else geometryEncoding.toLowerCase
     if (encoding != "WKB")
       df = df.withColumn(g, GeoArrowCodec.fromWkb(encoding, col(g)))
-    df.write.mode("overwrite").parquet(path)
+    df.write.mode(mode).parquet(path)
 
     val crsJson = gdf.activeCrs.map(IoFilters.jsonString).getOrElse("null")
     // empty / all-null-geometry frames have NaN bounds — NaN is not a JSON

@@ -204,14 +204,60 @@ object Gpkg {
     val geomColsRoot = w.buildTable(Seq((1L, w.record(Seq(
       layer, g, geomType, srsId.toLong, zFlag, mFlag)))))
 
-    // sqlite_master (root at page 1): (type, name, tbl_name, rootpage, sql)
-    val master = Seq(
-      ("gpkg_spatial_ref_sys", srsRoot, srsSql),
-      ("gpkg_contents", contentsRoot, contentsSql),
-      ("gpkg_geometry_columns", geomColsRoot, geomColsSql),
-      (layer, featRoot, featSql))
-    w.buildTable(master.zipWithIndex.map { case ((name, root, sql), i) =>
-      ((i + 1).toLong, w.record(Seq("table", name, name, root.toLong, sql)))
+    // gpkg_rtree_index extension (spec Annex F.3): GDAL writes it by default
+    // and QGIS/ogr consumers expect it for non-trivial layers. Bulk-packed
+    // SQLite R-tree over the feature envelopes + the spec's triggers so a
+    // GPKG-aware editor keeps the index in sync on later inserts.
+    val rtreeName = s"rtree_${layer}_$g"
+    val rtreeEntries = rows.indices.flatMap { i =>
+      val gm = geoms(i)
+      if (gm == null || gm.isEmpty) None
+      else {
+        val e = gm.getEnvelopeInternal
+        Some(RtCell(rowids(i), fDown(e.getMinX), fUp(e.getMaxX), fDown(e.getMinY), fUp(e.getMaxY)))
+      }
+    }
+    val (nodeRecs, rowidToNode, parentPairs) = packRtree(mortonSort(rtreeEntries))
+    val nodeSql = s"""CREATE TABLE "${rtreeName}_node" (nodeno INTEGER PRIMARY KEY, data BLOB)"""
+    val nodeRoot = w.buildTable(nodeRecs.map { case (no, blob) => (no, w.record(Seq(null, blob))) })
+    val ridSql = s"""CREATE TABLE "${rtreeName}_rowid" (rowid INTEGER PRIMARY KEY, nodeno INTEGER)"""
+    val ridRoot = w.buildTable(rowidToNode.sortBy(_._1).map { case (rid, no) => (rid, w.record(Seq(null, no))) })
+    val parSql = s"""CREATE TABLE "${rtreeName}_parent" (nodeno INTEGER PRIMARY KEY, parentnode INTEGER)"""
+    val parRoot = w.buildTable(parentPairs.sortBy(_._1).map { case (c, p) => (c, w.record(Seq(null, p))) })
+    val vtabSql = s"""CREATE VIRTUAL TABLE "$rtreeName" USING rtree(id, minx, maxx, miny, maxy)"""
+
+    val extSql = "CREATE TABLE gpkg_extensions (table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL, definition TEXT NOT NULL, scope TEXT NOT NULL)"
+    val extRoot = w.buildTable(Seq((1L, w.record(Seq(
+      layer, g, "gpkg_rtree_index",
+      "http://www.geopackage.org/spec120/#extension_rtree", "write-only")))))
+
+    // spec-mandated maintenance triggers (Annex F.3); they reference the
+    // GPKG SQL functions (ST_MinX etc.), which only matter when fired
+    def rt(body: String) = body.replace("{R}", rtreeName).replace("{T}", layer)
+      .replace("{C}", g).replace("{I}", "fid")
+    val triggers = Seq(
+      s"${rtreeName}_insert" -> rt("""CREATE TRIGGER "{R}_insert" AFTER INSERT ON "{T}" WHEN (new."{C}" NOT NULL AND NOT ST_IsEmpty(NEW."{C}")) BEGIN INSERT OR REPLACE INTO "{R}" VALUES (NEW."{I}", ST_MinX(NEW."{C}"), ST_MaxX(NEW."{C}"), ST_MinY(NEW."{C}"), ST_MaxY(NEW."{C}")); END"""),
+      s"${rtreeName}_update1" -> rt("""CREATE TRIGGER "{R}_update1" AFTER UPDATE OF "{C}" ON "{T}" WHEN OLD."{I}" = NEW."{I}" AND (NEW."{C}" NOTNULL AND NOT ST_IsEmpty(NEW."{C}")) BEGIN INSERT OR REPLACE INTO "{R}" VALUES (NEW."{I}", ST_MinX(NEW."{C}"), ST_MaxX(NEW."{C}"), ST_MinY(NEW."{C}"), ST_MaxY(NEW."{C}")); END"""),
+      s"${rtreeName}_update2" -> rt("""CREATE TRIGGER "{R}_update2" AFTER UPDATE OF "{C}" ON "{T}" WHEN OLD."{I}" = NEW."{I}" AND (NEW."{C}" ISNULL OR ST_IsEmpty(NEW."{C}")) BEGIN DELETE FROM "{R}" WHERE id = OLD."{I}"; END"""),
+      s"${rtreeName}_update3" -> rt("""CREATE TRIGGER "{R}_update3" AFTER UPDATE ON "{T}" WHEN OLD."{I}" != NEW."{I}" AND (NEW."{C}" NOTNULL AND NOT ST_IsEmpty(NEW."{C}")) BEGIN DELETE FROM "{R}" WHERE id = OLD."{I}"; INSERT OR REPLACE INTO "{R}" VALUES (NEW."{I}", ST_MinX(NEW."{C}"), ST_MaxX(NEW."{C}"), ST_MinY(NEW."{C}"), ST_MaxY(NEW."{C}")); END"""),
+      s"${rtreeName}_update4" -> rt("""CREATE TRIGGER "{R}_update4" AFTER UPDATE ON "{T}" WHEN OLD."{I}" != NEW."{I}" AND (NEW."{C}" ISNULL OR ST_IsEmpty(NEW."{C}")) BEGIN DELETE FROM "{R}" WHERE id IN (OLD."{I}", NEW."{I}"); END"""),
+      s"${rtreeName}_delete" -> rt("""CREATE TRIGGER "{R}_delete" AFTER DELETE ON "{T}" WHEN old."{C}" NOT NULL BEGIN DELETE FROM "{R}" WHERE id = OLD."{I}"; END"""))
+
+    // sqlite_master (root at page 1): (type, name, tbl_name, rootpage, sql);
+    // the rtree virtual table and the triggers carry rootpage 0
+    val master =
+      Seq(("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot, srsSql),
+        ("table", "gpkg_contents", "gpkg_contents", contentsRoot, contentsSql),
+        ("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot, geomColsSql),
+        ("table", "gpkg_extensions", "gpkg_extensions", extRoot, extSql),
+        ("table", layer, layer, featRoot, featSql),
+        ("table", rtreeName, rtreeName, 0, vtabSql),
+        ("table", s"${rtreeName}_node", s"${rtreeName}_node", nodeRoot, nodeSql),
+        ("table", s"${rtreeName}_rowid", s"${rtreeName}_rowid", ridRoot, ridSql),
+        ("table", s"${rtreeName}_parent", s"${rtreeName}_parent", parRoot, parSql)) ++
+        triggers.map { case (name, sql) => ("trigger", name, layer, 0, sql) }
+    w.buildTable(master.zipWithIndex.map { case ((kind, name, tbl, root, sql), i) =>
+      ((i + 1).toLong, w.record(Seq(kind, name, tbl, root.toLong, sql)))
     }, rootAtPage1 = true)
 
     val bytes = w.finish(applicationId = 0x47504B47, userVersion = 10300)
@@ -219,6 +265,158 @@ object Gpkg {
     val fs = p.getFileSystem(gdf.df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
+  }
+
+  // ----------------------------------------------------------- rtree build
+
+  /** One R-tree entry: feature rowid (or child nodeno on internal levels)
+    * plus its float envelope, outward-rounded so the float box always
+    * contains the double box (SQLite's own rtreeValueDown/Up posture). */
+  private[io] final case class RtCell(id: Long, minx: Float, maxx: Float,
+                                      miny: Float, maxy: Float)
+
+  private[io] def fDown(d: Double): Float = {
+    val f = d.toFloat; if (f.toDouble > d) Math.nextDown(f) else f
+  }
+  private[io] def fUp(d: Double): Float = {
+    val f = d.toFloat; if (f.toDouble < d) Math.nextUp(f) else f
+  }
+
+  /** Morton (Z-order) sort of cells by quantized envelope center — the bulk
+    * pack then yields spatially-coherent leaves (STR-style locality). */
+  private[io] def mortonSort(cells: IndexedSeq[RtCell]): IndexedSeq[RtCell] = {
+    if (cells.length <= 1) return cells
+    val minx = cells.map(_.minx).min; val maxx = cells.map(_.maxx).max
+    val miny = cells.map(_.miny).min; val maxy = cells.map(_.maxy).max
+    def q(v: Double, lo: Double, hi: Double): Long =
+      if (hi <= lo) 0L
+      else math.min(65535L, math.max(0L, ((v - lo) / (hi - lo) * 65536.0).toLong))
+    def interleave(x: Long, y: Long): Long = {
+      var r = 0L; var i = 0
+      while (i < 16) {
+        r |= ((x >> i) & 1L) << (2 * i)
+        r |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      r
+    }
+    cells.sortBy(c => interleave(
+      q((c.minx.toDouble + c.maxx) / 2, minx, maxx),
+      q((c.miny.toDouble + c.maxy) / 2, miny, maxy)))
+  }
+
+  /** Bulk-pack a SQLite R-tree from (already sorted) leaf cells. Node blob
+    * format per the public sqlite rtree module: 2-byte depth (meaningful on
+    * the root, node 1), 2-byte cell count, then 24-byte cells (int64 id or
+    * child nodeno + 4 big-endian floats). Node size is fixed at
+    * 4 + 51*24 = 1228 — SQLite discovers it from node 1's blob length at
+    * connect and caps capacity at its RTREE_MAXCELLS = 51.
+    * Returns (node records, rowid->leaf-node pairs, child->parent pairs). */
+  private[io] def packRtree(sorted: IndexedSeq[RtCell]):
+      (IndexedSeq[(Long, Array[Byte])], IndexedSeq[(Long, Long)], IndexedSeq[(Long, Long)]) = {
+    val MaxCells = 51
+    val NodeSize = 4 + MaxCells * 24
+    if (sorted.isEmpty) // all geometries null/empty: a single empty leaf root
+      return (IndexedSeq((1L, new Array[Byte](NodeSize))), IndexedSeq.empty, IndexedSeq.empty)
+    final case class Tmp(cells: IndexedSeq[RtCell], isLeaf: Boolean)
+    val nodes = scala.collection.mutable.ArrayBuffer[Tmp]()
+    def balancedGroups(cells: IndexedSeq[RtCell]): Iterator[IndexedSeq[RtCell]] = {
+      val nGroups = math.max(1, math.ceil(cells.length / MaxCells.toDouble).toInt)
+      val per = math.max(1, math.ceil(cells.length / nGroups.toDouble).toInt)
+      cells.grouped(per)
+    }
+    var level: IndexedSeq[Int] = balancedGroups(sorted).map { g =>
+      nodes += Tmp(g, isLeaf = true); nodes.length - 1
+    }.toIndexedSeq
+    var depth = 0
+    while (level.length > 1) {
+      depth += 1
+      // parent cells: id field temporarily carries the child's TMP index
+      val parentCells = level.map { ni =>
+        val cs = nodes(ni).cells
+        RtCell(ni.toLong, cs.map(_.minx).min, cs.map(_.maxx).max,
+          cs.map(_.miny).min, cs.map(_.maxy).max)
+      }
+      level = balancedGroups(parentCells).map { g =>
+        nodes += Tmp(g, isLeaf = false); nodes.length - 1
+      }.toIndexedSeq
+    }
+    // final nodenos: root = 1, the rest BFS order from the root
+    val rootTmp = level.head
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    val queue = scala.collection.mutable.Queue(rootTmp)
+    while (queue.nonEmpty) {
+      val t = queue.dequeue(); order += t
+      val n = nodes(t)
+      if (!n.isLeaf) n.cells.foreach(c => queue.enqueue(c.id.toInt))
+    }
+    val no = order.zipWithIndex.map { case (t, i) => t -> (i + 1).toLong }.toMap
+    val recs = order.map { t =>
+      val n = nodes(t)
+      val buf = java.nio.ByteBuffer.allocate(NodeSize).order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.putShort(if (t == rootTmp) depth.toShort else 0.toShort)
+      buf.putShort(n.cells.length.toShort)
+      n.cells.foreach { c =>
+        buf.putLong(if (n.isLeaf) c.id else no(c.id.toInt))
+        buf.putFloat(c.minx).putFloat(c.maxx).putFloat(c.miny).putFloat(c.maxy)
+      }
+      (no(t), buf.array())
+    }.sortBy(_._1).toIndexedSeq
+    val rowidPairs = order.iterator.filter(nodes(_).isLeaf).flatMap { t =>
+      nodes(t).cells.map(c => (c.id, no(t)))
+    }.toIndexedSeq
+    val parentPairs = order.iterator.filterNot(nodes(_).isLeaf).flatMap { t =>
+      nodes(t).cells.map(c => (no(c.id.toInt), no(t)))
+    }.toIndexedSeq
+    (recs, rowidPairs, parentPairs)
+  }
+
+  /** Append rows to an existing GeoPackage layer (reference `to_file(...,
+    * mode="a")`, io/file.py:614-794): new features take rowids continuing
+    * from the current max fid, the attribute schema must match the stored
+    * layer, and the file is rebuilt with the union (this writer is a
+    * single-pass page builder, so append = read + union + rewrite — same
+    * driver-export posture as [[write]]). Creates the file when absent. */
+  def append(gdf: GeoDataFrame, path: String, layer: String = "features",
+             maxRows: Long = 5000000L): Unit = {
+    val spark = gdf.df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { write(gdf, path, layer, maxRows); return }
+
+    val existing = read(spark, path, layer = Some(layer))
+    val exG = existing.geometryCol
+    val newG = gdf.geometryCol
+    val exAttrs = existing.df.schema.fields
+      .filter(f => f.name != exG && !f.name.equalsIgnoreCase("fid")).map(_.name).toSet
+    val newAttrs = gdf.df.schema.fields
+      .filter(f => f.name != newG && !f.name.equalsIgnoreCase("fid")).map(_.name).toSet
+    require(newAttrs == exAttrs,
+      s"append: attribute columns ${newAttrs.mkString(",")} do not match the " +
+        s"stored layer's ${exAttrs.mkString(",")}")
+    val exCrs = existing.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt)
+    val newCrs = gdf.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt)
+    require(newCrs.isEmpty || exCrs == newCrs,
+      s"append: CRS ${gdf.activeCrs.getOrElse("")} does not match the stored " +
+        s"layer's ${existing.activeCrs.getOrElse("unset")}; to_crs first")
+
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val maxFid = existing.df.agg(org.apache.spark.sql.functions.max(col("fid")))
+      .head().getLong(0)
+    // new fids: max + dense 1..n (window over a constant is fine at export
+    // scale — this whole path is driver-bound by format nature)
+    val numbered = gdf.df
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("fid", row_number().over(Window.orderBy(col("__mono"))).cast("long") + lit(maxFid))
+      .drop("__mono")
+    // align to the stored schema: column order, element types, geometry name
+    val aligned = numbered.select(existing.df.columns.map { c =>
+      if (c == exG) col(newG).cast(BinaryType).as(exG)
+      else col(c).cast(existing.df.schema(c).dataType).as(c)
+    }.toIndexedSeq: _*)
+    val combined = existing.df.unionByName(aligned)
+    write(GeoDataFrame(combined, exG, existing.crs), path, layer, maxRows)
   }
 
   /** GPKG binary header (little-endian, no envelope) + WKB. */

@@ -188,4 +188,5 @@ class GpkgSpec extends AnyFunSuite {
     assert(dissolved.count() == 5)
     assert(dissolved.select(sum(st_area(col("geom")))).as[Double].head() == 25 * 400.0)
   }
+
 }
