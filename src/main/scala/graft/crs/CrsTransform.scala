@@ -1218,6 +1218,82 @@ object CrsTransform {
     }
   }
 
+  /** Two-Point Equidistant (Snyder, Map Projections — A Working Manual,
+    * pp. 192-195; +proj=tpeqd): spherical on R = a, like the repo's other
+    * azimuthal-family spherical forms. Distances from BOTH base points are
+    * true by construction — the plane position is the intersection of the
+    * two distance circles, which is also the projection's own closed-form
+    * oracle (the spec checks mapped distances against great-circle ones).
+    * Axes: origin at the midpoint of the base-point axis, +x toward the
+    * 2nd point, +y on the side of the great circle containing points left
+    * of the 1st→2nd direction (north-up for equatorial base points). */
+  final case class TwoPointEquidistant(lat1: Double, lon1: Double,
+                                       lat2: Double, lon2: Double,
+                                       fe: Double = 0.0, fn: Double = 0.0,
+                                       unit: Double = 1.0, a: Double = WGS84_A)
+      extends CrsTransform {
+    private def unitVec(lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+      val la = math.toRadians(latDeg); val lo = math.toRadians(lonDeg)
+      (math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la))
+    }
+    private val va = unitVec(lon1, lat1)
+    private val vb = unitVec(lon2, lat2)
+    private def dot(u: (Double, Double, Double), v: (Double, Double, Double)) =
+      u._1 * v._1 + u._2 * v._2 + u._3 * v._3
+    // chord-based angular distance (2 asin(chord/2)): stable near 0, where
+    // acos(dot) loses ~8 digits — at the base points themselves that
+    // cancellation showed up as a ~0.1 m phantom offset
+    private def angDist(u: (Double, Double, Double), v: (Double, Double, Double)): Double = {
+      val dx = u._1 - v._1; val dy = u._2 - v._2; val dz = u._3 - v._3
+      2.0 * math.asin(math.min(1.0, math.sqrt(dx * dx + dy * dy + dz * dz) / 2))
+    }
+    private val c = angDist(va, vb) // angular distance between base points
+    private val cosC = math.cos(c)
+    // 1e-6 rad (~6 m) margins: catches exact AND floating-point-near
+    // degenerate pairs (an antipode built from negated coordinates lands
+    // within ~1e-8 rad of pi, not at it)
+    require(c > 1e-6 && c < math.Pi - 1e-6,
+      s"Two-Point Equidistant base points must be distinct and non-antipodal " +
+        s"(($lat1,$lon1) vs ($lat2,$lon2))")
+    private val sinC = math.sin(c)
+    // normal of the base great circle: +y side is where (A x B) . P > 0
+    private val nrm = (va._2 * vb._3 - va._3 * vb._2,
+      va._3 * vb._1 - va._1 * vb._3, va._1 * vb._2 - va._2 * vb._1)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val p = unitVec(lon, lat)
+      val za = angDist(va, p)
+      val zb = angDist(vb, p)
+      // circles around A at (-c/2, 0) and B at (+c/2, 0): x from the circle
+      // power difference, y from either circle (clamped: the spherical
+      // triangle inequality keeps the radicand >= 0 up to rounding)
+      val x = a * (za * za - zb * zb) / (2 * c)
+      val xa = x + a * c / 2
+      val y2 = a * a * za * za - xa * xa
+      val y = math.sqrt(math.max(0.0, y2)) * (if (dot(nrm, p) >= 0) 1.0 else -1.0)
+      (x / unit + fe, y / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = (x - fe) * unit
+      val dy = (y - fn) * unit
+      val za = math.sqrt((dx + a * c / 2) * (dx + a * c / 2) + dy * dy) / a
+      val zb = math.sqrt((dx - a * c / 2) * (dx - a * c / 2) + dy * dy) / a
+      // P = alpha*A + beta*B + gamma*(A x B): solve P.A = cos za, P.B = cos zb
+      val alpha = (math.cos(za) - cosC * math.cos(zb)) / (sinC * sinC)
+      val beta = (math.cos(zb) - cosC * math.cos(za)) / (sinC * sinC)
+      val g2 = (1.0 - (alpha * alpha + beta * beta + 2 * alpha * beta * cosC)) / (sinC * sinC)
+      val gamma = math.sqrt(math.max(0.0, g2)) * (if (dy >= 0) 1.0 else -1.0)
+      val px = alpha * va._1 + beta * vb._1 + gamma * nrm._1
+      val py = alpha * va._2 + beta * vb._2 + gamma * nrm._2
+      val pz = alpha * va._3 + beta * vb._3 + gamma * nrm._3
+      val r = math.sqrt(px * px + py * py + pz * pz)
+      val lat = math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, pz / r))))
+      val lonDeg = math.toDegrees(math.atan2(py, px))
+      (lonDeg - 360.0 * math.floor((lonDeg + 180.0) / 360.0), lat)
+    }
+  }
+
   /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
     * OSGB36->WGS84 set in the OS coordinate-systems guide). */
   private def osgb36Helmert: Helmert =

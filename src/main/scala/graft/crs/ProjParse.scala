@@ -375,6 +375,20 @@ object ProjParse {
         params.contains("eastingatprojectioncentre")
       Some(HotineOM(lat0, lon0, alphaC, gammaC, k0, fe, fn, variantB, unit, a, f))
     }
+    else if (m.contains("twopointequidistant")) {
+      // ESRI 54031 World_Two_Point_Equidistant; spherical (Snyder 192-195)
+      val la1 = get(Seq("latitudeof1stpoint", "latitudeoffirstpoint", "lat1"))
+      val lo1 = get(Seq("longitudeof1stpoint", "longitudeoffirstpoint", "lon1"))
+      val la2 = get(Seq("latitudeof2ndpoint", "latitudeofsecondpoint", "lat2"))
+      val lo2 = get(Seq("longitudeof2ndpoint", "longitudeofsecondpoint", "lon2"))
+      for (p1 <- la1; q1 <- lo1; p2 <- la2; q2 <- lo2)
+        yield TwoPointEquidistant(p1, q1, p2, q2, fe, fn, unit, a)
+    }
+    // NZMG (EPSG 9811) and Laborde Oblique Mercator (EPSG 9813) stay
+    // unsupported by design: both need their PUBLISHED series coefficients
+    // / worked examples to validate against, and neither is reproducible
+    // from first principles — a from-memory transcription would be silently
+    // wrong, which is worse than the loud raise (COVERAGE.md)
     else if (m.contains("azimuthalequidistant") && !m.contains("modified"))
       // spherical form on R = a (the ESRI 54032 / +proj=aeqd sphere shape);
       // EPSG 9832 "Modified Azimuthal Equidistant" is ellipsoidal — raise

@@ -1,7 +1,7 @@
 package graft.join
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LocalRelation, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LocalRelation, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 
 /** `monotonically_increasing_id` stamps are only stable across the two
@@ -54,6 +54,10 @@ private[graft] object Pins {
       case p: Project       => !p.projectList.forall(_.deterministic)
       case f: Filter        => !f.condition.deterministic
       case _: SubqueryAlias => false
+      // Union is a NARROW concatenation: output partitions are the
+      // children's partitions in child order, each row order preserved —
+      // stable iff every child is (checked by the recursion below)
+      case _: Union         => false
       case _                => true // shuffles, samples, windows, sorts, generators, ...
     }
     nodeUnstable || plan.children.exists(unstable)

@@ -72,31 +72,23 @@ object SJoinNearest {
                               leftGeom: String, rGeomName: String,
                               distanceCol: Option[String], exclusive: Boolean): DataFrame = {
     import graft.functions.GeoFunctions.st_bounds
-    val stats = r2.select(st_bounds(col(rGeomName)).as("b")).filter(col("b").isNotNull)
-      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax"), count(lit(1))).head()
-    if (stats.isNullAt(0)) { // right side has no geometries
+    val nnDebug = sys.env.contains("SPARK_GRAFT_NN_DEBUG")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (nnDebug) println(f"[nn] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    // ONE sampled stats pass per side: seeds the radius schedule AND every
+    // round's grid (specFrom is arithmetic), so later rounds run no stats
+    // jobs at all — at 100 TB each avoided pass is a full scan-sample job
+    val rsStats = timed("right stats")(SpatialJoin.sideStats(r2, col(rGeomName)))
+    if (rsStats.n == 0) { // right side has no geometries
       val empty = l2.limit(if (how == "left") Int.MaxValue else 0)
       return distanceCol.map(c => empty.withColumn(c, lit(null).cast("double"))).getOrElse(empty)
     }
-    val (x0, y0, x1, y1, n) =
-      (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3), stats.getLong(4))
+    val (x0, y0, x1, y1, n) = (rsStats.x0, rsStats.y0, rsStats.x1, rsStats.y1, rsStats.n)
     val uniformSeed =
       math.max(1e-9, math.sqrt(math.max(1e-18, (x1 - x0) * (y1 - y0)) / math.max(1L, n)) * 2)
-
-    // A radius guaranteed to match every left row: the diagonal of the
-    // combined left+right extent (every right geometry is dwithin(diag) of
-    // every left geometry). The final round uses it, so the unbounded search
-    // always returns the true nearest — even for single-point or co-located
-    // build sides (span 0) and stream rows far outside the build extent.
-    val lstats = l2.select(st_bounds(col(leftGeom)).as("b")).filter(col("b").isNotNull)
-      .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax")).head()
-    val diag =
-      if (lstats.isNullAt(0)) 1e-9
-      else {
-        val ux0 = math.min(x0, lstats.getDouble(0)); val uy0 = math.min(y0, lstats.getDouble(1))
-        val ux1 = math.max(x1, lstats.getDouble(2)); val uy1 = math.max(y1, lstats.getDouble(3))
-        math.max(1e-9, math.hypot(ux1 - ux0, uy1 - uy0))
-      }
 
     // pinned (not cache(): evicted blocks would recompute and re-randomize
     // ids) when the upstream is unstable; the left-anti remaining loop and
@@ -105,6 +97,45 @@ object SJoinNearest {
     // rows with no usable geometry can never match; keeping them in the loop
     // would burn every round on them (how=left re-attaches them at the end)
     var remaining = lw.filter(st_bounds(col(leftGeom)).isNotNull)
+    // ONE exact pass over the probe side: row count (drives the count-
+    // tracked loop), extent (drives the guaranteed-coverage diagonal) and
+    // average bbox edges (drive the per-round grids) — previously three
+    // separate jobs (count + sampled stats + a full extent scan)
+    val lsRow = timed("left stats (one pass)") {
+      remaining.select(st_bounds(col(leftGeom)).as("b"))
+        .agg(min("b.xmin"), min("b.ymin"), max("b.xmax"), max("b.ymax"), count(lit(1)),
+          avg(col("b.xmax") - col("b.xmin")), avg(col("b.ymax") - col("b.ymin"))).head()
+    }
+    val nLeft = lsRow.getLong(4)
+    val lsStats =
+      if (nLeft == 0) SpatialJoin.SideStats(0, 0, 0, 0, 0L, 0, 0)
+      else SpatialJoin.SideStats(lsRow.getDouble(0), lsRow.getDouble(1), lsRow.getDouble(2),
+        lsRow.getDouble(3), nLeft, lsRow.getDouble(5), lsRow.getDouble(6))
+    // a MODEST probe side is stored once (memory-and-disk) so the schedule
+    // sample, each round's grid join and the anti-join read stored blocks
+    // instead of re-evaluating the upstream scan per pass. Gated by the
+    // measured count: a corpus-scale probe side streams from its scan —
+    // materializing it would be the bigger cost. cache() (not checkpoint)
+    // is id-safe here: the stamp's upstream is evaluation-stable, so an
+    // evicted block recomputes with identical ids.
+    val MaterializeCap = 50000000L
+    if (nLeft > 0 && nLeft <= MaterializeCap) remaining = remaining.cache()
+
+    // A radius guaranteed to match every left row: the diagonal of the box
+    // spanning the exact left extent and the right extent. The right extent
+    // may come from a SAMPLE — still correct: the sampled geometries are
+    // real build rows inside that extent, so every left row has a build
+    // geometry within this diagonal. The final permitted round uses it, so
+    // the unbounded search always returns the true nearest — even for
+    // single-point or co-located build sides (span 0) and stream rows far
+    // outside the build extent.
+    val diag =
+      if (nLeft == 0) 1e-9
+      else {
+        val ux0 = math.min(x0, lsStats.x0); val uy0 = math.min(y0, lsStats.y0)
+        val ux1 = math.max(x1, lsStats.x1); val uy1 = math.max(y1, lsStats.y1)
+        math.max(1e-9, math.hypot(ux1 - ux0, uy1 - uy0))
+      }
 
     // --- adaptive RADIUS SCHEDULE from sampled NN distances (r17 advice) --
     // The uniform-spacing seed (sqrt(area/n)) misjudges CLUSTERED data by
@@ -120,12 +151,11 @@ object SJoinNearest {
     // x4 growth resumes, and the final permitted round is always the
     // diagonal, so a misestimate costs one extra cheap round, never
     // correctness.
-    val schedule: IndexedSeq[Double] = {
+    val schedule: IndexedSeq[Double] = timed("schedule build") {
       val rightFrac = math.min(1.0, 4096.0 / math.max(1L, n))
       val rs = r2.select(col(rGeomName)).na.drop(Seq(rGeomName))
         .sample(withReplacement = false, rightFrac, 42L).limit(8192)
         .collect().map(_.getAs[Array[Byte]](0))
-      val nLeft = remaining.count()
       val leftFrac = math.min(1.0, 1024.0 / math.max(1L, nLeft))
       val ls = remaining.select(col(leftGeom))
         .sample(withReplacement = false, leftFrac, 43L).limit(2048)
@@ -156,18 +186,19 @@ object SJoinNearest {
       if (dists.isEmpty) IndexedSeq(uniformSeed)
       else {
         // density correction (a fraction-f build sample overstates NN
-        // distances by ~1/sqrt(f) in 2D) and a 1.3x within-mode pad so a
-        // mode's straggler tail resolves in the same round as its mass
-        val corr = math.sqrt(rightFrac) * 1.3
+        // distances by ~1/sqrt(f) in 2D) and a within-mode pad so a mode's
+        // straggler tail resolves in the same round as its mass. With the
+        // FULL build side in the tree (rightFrac = 1) the sampled NN
+        // distances are exact, so only the straggler pad remains.
+        val corr = if (rightFrac >= 1.0) 1.1 else math.sqrt(rightFrac) * 1.3
         def qAt(p: Double) =
           dists(math.min(dists.length - 1, (dists.length * p).toInt)) * corr
         val qs = Seq(qAt(0.25), qAt(0.5), qAt(0.75), qAt(0.9), qAt(0.975),
           dists.last * corr * 1.5)
         val b = IndexedSeq.newBuilder[Double]
-        var cur = math.max(1e-9, math.min(diag, qs.head))
+        var cur = math.max(1e-9, qs.head)
         b += cur
-        qs.tail.foreach { q0 =>
-          val q = math.min(diag, q0)
+        qs.tail.foreach { q =>
           // only schedule a separate round for a quantile that is a real
           // jump — close-by quantiles resolve together in one ring
           if (q > cur * 3) { cur = q; b += cur }
@@ -175,31 +206,47 @@ object SJoinNearest {
         b.result()
       }
     }
+    if (nnDebug) println(s"[nn] schedule=${schedule.mkString(", ")}")
+
     var radius = schedule.head
     var acc: Option[DataFrame] = None
     var rounds = 0
+    var remainingCount = nLeft
     val maxRounds = 12
-    while (rounds < maxRounds && remaining.limit(1).count() > 0) {
+    // COUNT-TRACKED loop: matched distinct-lid counts (cheap aggregates over
+    // the cached round results) replace per-round limit(1) probe jobs, and
+    // the final round skips its anti-join + checkpoint entirely once the
+    // counts say everything resolved — in the common 2-round case that is
+    // one checkpoint, zero probe jobs, and no full-left-extent scan.
+    while (rounds < maxRounds && remainingCount > 0) {
       // walk the sampled-quantile schedule, then x4 past its end (residue
       // the sample missed); the last permitted round is always the diagonal
       radius = if (rounds < schedule.length) schedule(rounds) else radius * 4
-      val effRadius = if (rounds == maxRounds - 1 || radius >= diag) diag else radius
+      val effRadius = if (rounds == maxRounds - 1) diag else radius
+      val spec = SpatialJoin.specFrom(lsStats.copy(n = remainingCount), rsStats, effRadius)
       val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
-        Some(distanceCol.getOrElse("__graft_dist")), exclusive).cache()
+        Some(distanceCol.getOrElse("__graft_dist")), exclusive, Some(spec)).cache()
       val matchedIds = matched.select(col("__graft_auto_lid")).distinct()
-      // Checkpointing truncates the lineage each round: without it, round
-      // k's `limit(1).count()` action re-executes rounds 1..k-1's anti-join
-      // chain — quadratic re-scan on a distribution that needs many rounds.
-      // With a checkpoint dir configured (any real cluster deployment) use
-      // the RELIABLE variant: localCheckpoint pins blocks to executors, so
-      // losing one to preemption/decommission after round k would fail the
-      // job unrecoverably; HDFS-backed checkpoint survives executor loss.
-      val anti = remaining.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
-      remaining =
-        if (anti.sparkSession.sparkContext.getCheckpointDir.isDefined) anti.checkpoint()
-        else anti.localCheckpoint()
+      val matchedN = timed(f"round $rounds r=$effRadius%.2f matched")(matchedIds.count())
       acc = Some(acc.map(_.unionByName(matched, allowMissingColumns = true)).getOrElse(matched))
       rounds += 1
+      if (matchedN >= remainingCount) remainingCount = 0
+      else {
+        remainingCount -= matchedN
+        // Checkpointing truncates the lineage each round: without it, round
+        // k's actions re-execute rounds 1..k-1's anti-join chain — quadratic
+        // re-scan on a distribution that needs many rounds. With a
+        // checkpoint dir configured (any real cluster deployment) use the
+        // RELIABLE variant: localCheckpoint pins blocks to executors, so
+        // losing one to preemption/decommission after round k would fail the
+        // job unrecoverably; HDFS-backed checkpoint survives executor loss.
+        val anti = remaining.join(matchedIds, Seq("__graft_auto_lid"), "left_anti")
+        timed(f"round ${rounds - 1} checkpoint") {
+          remaining =
+            if (anti.sparkSession.sparkContext.getCheckpointDir.isDefined) anti.checkpoint()
+            else anti.localCheckpoint()
+        }
+      }
     }
     lastAutoRounds.set(rounds)
     lastRemainingPlanNodes.set(remaining.queryExecution.logical.collect { case p => p }.size)
@@ -299,7 +346,8 @@ object SJoinNearest {
 
   private def gridNearest(l2: DataFrame, r2: DataFrame, how: String,
                           leftGeom: String, rGeomName: String, maxDistance: Double,
-                          distanceCol: Option[String], exclusive: Boolean): DataFrame = {
+                          distanceCol: Option[String], exclusive: Boolean,
+                          gridOverride: Option[SpatialJoin.GridSpec] = None): DataFrame = {
     import graft.functions.GeoFunctions.{st_distance, st_equals}
     val lw = l2.withColumn("__graft_nn_lid", monotonically_increasing_id())
     // dwithin candidate pairs (grid path), then window rank()==1 over
@@ -307,7 +355,7 @@ object SJoinNearest {
     // matching the reference's return_all (sindex.py:373-479)
     val pairs = SpatialJoin.sjoinCore(lw, r2, predicate = "dwithin", how = how,
       leftGeom = leftGeom, rightGeom = rGeomName, distance = maxDistance,
-      broadcastThreshold = -1L) // force grid path
+      broadcastThreshold = -1L, gridOverride = gridOverride) // force grid path
     val dcol = distanceCol.getOrElse("__graft_dist")
     val withDist = pairs.withColumn(dcol, st_distance(col(leftGeom), col(rGeomName)))
     val filtered =

@@ -174,6 +174,10 @@ class PostgisAndPinsSpec extends AnyFunSuite {
     // can fold an id stamp into sequential driver rows in one consumer while
     // a twin evaluates distributed with partition-masked ids (round-15 bug)
     assert(Pins.needsPin(Seq((1, "a"), (2, "b")).toDF("id", "s")))
+    // Union is a narrow concatenation of its children's partitions: stable
+    // over stable children, unstable as soon as any child is
+    assert(!Pins.needsPin(base.unionByName(base.filter(col("id") > 1))))
+    assert(Pins.needsPin(base.unionByName(base.repartition(3))))
   }
 
   test("grid sjoin left over a stable upstream plans no checkpoint scan (no ExistingRDD)") {

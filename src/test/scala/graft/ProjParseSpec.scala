@@ -792,4 +792,77 @@ class ToCrsParamDrivenSpec extends AnyFunSuite {
     val (xw, yw) = CrsTransform.chain(4326, 26985).forward(-76.6122, 39.2904)
     assert(math.abs(x - xw) < 1e-6 && math.abs(y - yw) < 1e-6, s"($x,$y) vs ($xw,$yw)")
   }
+  test("Two-Point Equidistant: distances from both base points are true (closed-form oracle)") {
+    // spherical great-circle distance on R = a — the projection's defining
+    // property, so it doubles as the oracle
+    def gc(a1: Double, o1: Double, a2: Double, o2: Double): Double = {
+      val (p1, l1, p2, l2) = (math.toRadians(a1), math.toRadians(o1),
+        math.toRadians(a2), math.toRadians(o2))
+      WGS84_A * math.acos(math.max(-1.0, math.min(1.0,
+        math.sin(p1) * math.sin(p2) + math.cos(p1) * math.cos(p2) * math.cos(l2 - l1))))
+    }
+    val t = TwoPointEquidistant(lat1 = 34.0, lon1 = -118.0, lat2 = 40.7, lon2 = -74.0)
+    // Sydney sits near the EXTENDED baseline great circle, where the two
+    // distance circles meet near-tangentially — the projection's inherent
+    // fold (Snyder notes the indeterminacy along that line), so it checks
+    // the distance property only, not the inverse
+    val probes = Seq((41.9, -87.6), (29.8, -95.4), (47.6, -122.3), (25.8, -80.2),
+      (64.8, -147.7), (19.4, -99.1), (-33.9, 151.2))
+    val foldProbes = Set((-33.9, 151.2))
+    for ((la, lo) <- probes) {
+      val (x, y) = t.forward(lo, la)
+      val dA = math.hypot(x + WGS84_A * angC(t) / 2, y)
+      val dB = math.hypot(x - WGS84_A * angC(t) / 2, y)
+      assert(math.abs(dA - gc(la, lo, 34.0, -118.0)) < 1e-6,
+        s"($la,$lo): dist to point 1 off by ${dA - gc(la, lo, 34.0, -118.0)}")
+      assert(math.abs(dB - gc(la, lo, 40.7, -74.0)) < 1e-6,
+        s"($la,$lo): dist to point 2 off by ${dB - gc(la, lo, 40.7, -74.0)}")
+      // inverse roundtrip (skipped on the fold line, where the inverse is
+      // ill-conditioned by the projection's own geometry)
+      if (!foldProbes((la, lo))) {
+        val (lo2, la2) = t.inverse(x, y)
+        assert(math.abs(lo2 - lo) < 1e-7 && math.abs(la2 - la) < 1e-7, s"roundtrip ($la,$lo) -> ($la2,$lo2)")
+      }
+    }
+    // base points land on the x axis at -c/2 and +c/2; north side has y > 0.
+    // y = sqrt(a^2 za^2 - xa^2) cancels catastrophically AT y = 0, leaving
+    // ~ a*c*sqrt(ulp) ≈ centimetres of phantom y — inherent to doubles, so
+    // the base-point tolerance is 25 cm (world-scale projection)
+    val (xa, ya) = t.forward(-118.0, 34.0)
+    val (xb, yb) = t.forward(-74.0, 40.7)
+    assert(math.abs(ya) < 0.25 && math.abs(yb) < 0.25 && xa < 0 && xb > 0, s"($xa,$ya) ($xb,$yb)")
+    // ESRI WKT spelling parses to the same transform (ESRI 54031 layout)
+    val wkt =
+      """PROJCS["World_Two_Point_Equidistant",
+        | GEOGCS["GCS_WGS_1984", DATUM["D_WGS_1984",
+        |  SPHEROID["WGS_1984",6378137,298.257223563]],
+        |  PRIMEM["Greenwich",0], UNIT["Degree",0.0174532925199433]],
+        | PROJECTION["Two_Point_Equidistant"],
+        | PARAMETER["False_Easting",10000],
+        | PARAMETER["False_Northing",-5000],
+        | PARAMETER["Latitude_Of_1st_Point",34],
+        | PARAMETER["Longitude_Of_1st_Point",-118],
+        | PARAMETER["Latitude_Of_2nd_Point",40.7],
+        | PARAMETER["Longitude_Of_2nd_Point",-74],
+        | UNIT["Meter",1]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).getOrElse(fail("tpeqd WKT did not parse"))
+    val (px, py) = parsed.forward(-87.6, 41.9)
+    val (tx, ty) = t.forward(-87.6, 41.9)
+    assert(math.abs(px - (tx + 10000)) < 1e-6 && math.abs(py - (ty - 5000)) < 1e-6)
+    // degenerate base points raise loudly
+    intercept[IllegalArgumentException](TwoPointEquidistant(10, 20, 10, 20))
+    intercept[IllegalArgumentException](TwoPointEquidistant(10, 20, -10, -160))
+  }
+
+  // angular distance between the two base points (mirrors the transform's
+  // internal c, recomputed here so the oracle stays independent)
+  private def angC(t: TwoPointEquidistant): Double = {
+    def v(lo: Double, la: Double) = {
+      val p = math.toRadians(la); val l = math.toRadians(lo)
+      (math.cos(p) * math.cos(l), math.cos(p) * math.sin(l), math.sin(p))
+    }
+    val a = v(t.lon1, t.lat1); val b = v(t.lon2, t.lat2)
+    math.acos(math.max(-1.0, math.min(1.0, a._1 * b._1 + a._2 * b._2 + a._3 * b._3)))
+  }
+
 }
