@@ -21,13 +21,21 @@ object ScaleSuite {
 
   private[graft] val SectionStart = "<!-- suite-soak:start -->"
   private[graft] val SectionEnd = "<!-- suite-soak:end -->"
+  // each replication tier banks its own marked section (4x full-suite,
+  // 16x top-wall-clock) so regenerating one never clobbers the other
+  private[graft] def sectionStart(mult: Int): String =
+    if (mult == 4) SectionStart else s"<!-- suite-soak$mult:start -->"
+  private[graft] def sectionEnd(mult: Int): String =
+    if (mult == 4) SectionEnd else s"<!-- suite-soak$mult:end -->"
+  private[graft] val KnownMults = Seq(4, 16)
 
   /** Replace (or append) the marked section in an existing markdown body. */
-  private[graft] def spliceSection(existing: String, section: String): String = {
-    val block = s"$SectionStart\n$section\n$SectionEnd"
-    val i = existing.indexOf(SectionStart)
-    val j = existing.indexOf(SectionEnd)
-    if (i >= 0 && j >= i) existing.substring(0, i) + block + existing.substring(j + SectionEnd.length)
+  private[graft] def spliceSection(existing: String, section: String, mult: Int = 4): String = {
+    val (ss, se) = (sectionStart(mult), sectionEnd(mult))
+    val block = s"$ss\n$section\n$se"
+    val i = existing.indexOf(ss)
+    val j = existing.indexOf(se)
+    if (i >= 0 && j >= i) existing.substring(0, i) + block + existing.substring(j + se.length)
     else existing.stripTrailing() + "\n\n" + block + "\n"
   }
 
@@ -83,7 +91,13 @@ object ScaleSuite {
     case class R(name: String, s1: Option[Double], r1: Long, sN: Option[Double], rN: Long) {
       def ratio: Option[Double] = for (a <- s1; b <- sN; if a > 1e-4) yield b / a
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_SUITE_ONLY: comma-separated query names — used to run the
+    // expensive 16x tier over the top wall-clock queries only
+    val only = sys.env.get("SPARK_GRAFT_SUITE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (s1, r1) = measure(fn, sf)
       val (sN, rN) = measure(fn, dirN)
       val r = R(name, s1, r1, sN, rN)
@@ -114,8 +128,12 @@ object ScaleSuite {
     val errs = results.filter(r => r.s1.isEmpty || r.sN.isEmpty)
 
     val sb = new StringBuilder
-    sb ++= s"## Full-suite ${mult}x replication soak\n\n"
-    sb ++= s"Every `SparkEntry` query (${results.size}) measured at 1x (sf0.1) and at\n"
+    if (only.isEmpty) sb ++= s"## Full-suite ${mult}x replication soak\n\n"
+    else sb ++= s"## ${mult}x replication soak — top wall-clock queries\n\n"
+    if (only.nonEmpty)
+      sb ++= s"The ${results.size} heaviest queries by bench wall clock (an output^2\n" +
+        "shape whose 4x ratio hides a cliff would surface here first).\n"
+    sb ++= s"Every selected `SparkEntry` query (${results.size}) measured at 1x (sf0.1) and at\n"
     sb ++= s"${mult}x-replicated tables (unique ids), local[$cpus], warmup + median of $reps.\n"
     sb ++= "Pair-generating dedup queries legitimately exceed the input ratio because\n"
     sb ++= s"replication multiplies the OUTPUT ~N^2 (every row gains $mult exact clones);\n"
@@ -140,7 +158,7 @@ object ScaleSuite {
     val scalePath = java.nio.file.Paths.get("SCALE.md")
     val existing = if (java.nio.file.Files.exists(scalePath))
       java.nio.file.Files.readString(scalePath) else "# SCALE\n"
-    java.nio.file.Files.writeString(scalePath, spliceSection(existing, sb.toString))
+    java.nio.file.Files.writeString(scalePath, spliceSection(existing, sb.toString, mult))
     println(s"[suite] wrote SCALE.md section; flagged=${flagged.size} errs=${errs.size}")
     spark.stop()
   }

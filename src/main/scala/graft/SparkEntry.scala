@@ -74,6 +74,20 @@ object SparkEntry {
       .withColumn("py", (col("c_custkey") * 13 % 1000).cast("double") / 10.0)
       .withColumn("geometry", st_point(col("px"), col("py")))
   }
+  /** ESRI 54031-layout WKT for the q182 gate (see the query's comment for
+    * the base-point choice). */
+  private val TpeqdWkt =
+    """PROJCS["Graft_TPEQD", GEOGCS["GCS_WGS_1984", DATUM["D_WGS_1984",
+      | SPHEROID["WGS_1984",6378137,298.257223563]], PRIMEM["Greenwich",0],
+      | UNIT["Degree",0.0174532925199433]],
+      | PROJECTION["Two_Point_Equidistant"],
+      | PARAMETER["Latitude_Of_1st_Point",80],
+      | PARAMETER["Longitude_Of_1st_Point",0],
+      | PARAMETER["Latitude_Of_2nd_Point",80],
+      | PARAMETER["Longitude_Of_2nd_Point",180],
+      | PARAMETER["False_Easting",0], PARAMETER["False_Northing",0],
+      | UNIT["Meter",1]]""".stripMargin.replace("\n", "")
+
   private val PtsSql =
     """SELECT *, CAST(c_custkey * 7 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS px,
       |          CAST(c_custkey * 13 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS py
@@ -658,6 +672,20 @@ object SparkEntry {
         where = Some("c_custkey % 3 = 2"))
       back.df.select(col("c_custkey"), col("c_name"),
         round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
+    "q182_tpeqd_crs" -> ((s, d) => {
+      // Two-Point Equidistant reprojection via a codeless ESRI WKT target.
+      // Base points (80,0)/(80,180) put the baseline great circle on the
+      // 0/180 meridian ring, far from the probe box — the projection's
+      // fold (where y cancels catastrophically) never meets a probe, so
+      // the DuckDB closed-form spherical oracle matches at mm rounding.
+      import graft.api.GeoDataFrame
+      val lonlat = pts(s, d)
+        .withColumn("geometry", st_point(col("px") * 1.2 - 150.0, col("py") * 1.2 - 60.0))
+      GeoDataFrame(lonlat, "geometry", Map("geometry" -> "EPSG:4326")).toCrs(TpeqdWkt).df
+        .select(col("c_custkey"),
+          (round(st_x(col("geometry")), 3) + 0.0).as("tx"),
+          (round(st_y(col("geometry")), 3) + 0.0).as("ty"))
     }),
     "q74_kml_roundtrip" -> ((s, d) => {
       // gate the KML driver end to end: typed Schema/SimpleData export,
@@ -2591,6 +2619,36 @@ object SparkEntry {
       "q181_mif_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 4 = 3 AND c_custkey % 3 = 2""".stripMargin.replace("\n", " "),
+      // Two-Point Equidistant closed-form spherical oracle: chord-based
+      // angular distances to the two base points, planar position from the
+      // two-circle intersection, side from the (A x B) . P triple product.
+      // R = 6378137; everything below is plain trig DuckDB evaluates.
+      "q182_tpeqd_crs" ->
+        s"""WITH src AS (SELECT c_custkey,
+           |  radians(px * CAST(1.2 AS DOUBLE) - CAST(150 AS DOUBLE)) AS lo,
+           |  radians(py * CAST(1.2 AS DOUBLE) - CAST(60 AS DOUBLE)) AS la FROM $pts),
+           | base AS (SELECT
+           |  cos(radians(CAST(80 AS DOUBLE))) AS axx, CAST(0 AS DOUBLE) * cos(radians(CAST(80 AS DOUBLE))) AS axy, sin(radians(CAST(80 AS DOUBLE))) AS axz,
+           |  cos(radians(CAST(80 AS DOUBLE))) * cos(radians(CAST(180 AS DOUBLE))) AS bxx,
+           |  cos(radians(CAST(80 AS DOUBLE))) * sin(radians(CAST(180 AS DOUBLE))) AS bxy,
+           |  sin(radians(CAST(80 AS DOUBLE))) AS bxz),
+           | uv AS (SELECT c_custkey,
+           |  cos(la) * cos(lo) AS ux, cos(la) * sin(lo) AS uy, sin(la) AS uz,
+           |  axx, axy, axz, bxx, bxy, bxz FROM src, base),
+           | ang AS (SELECT c_custkey, ux, uy, uz, axx, axy, axz, bxx, bxy, bxz,
+           |  CAST(2 AS DOUBLE) * asin(least(CAST(1 AS DOUBLE), sqrt((axx-bxx)*(axx-bxx) + (axy-bxy)*(axy-bxy) + (axz-bxz)*(axz-bxz)) / CAST(2 AS DOUBLE))) AS c,
+           |  CAST(2 AS DOUBLE) * asin(least(CAST(1 AS DOUBLE), sqrt((ux-axx)*(ux-axx) + (uy-axy)*(uy-axy) + (uz-axz)*(uz-axz)) / CAST(2 AS DOUBLE))) AS za,
+           |  CAST(2 AS DOUBLE) * asin(least(CAST(1 AS DOUBLE), sqrt((ux-bxx)*(ux-bxx) + (uy-bxy)*(uy-bxy) + (uz-bxz)*(uz-bxz)) / CAST(2 AS DOUBLE))) AS zb
+           |  FROM uv),
+           | xy AS (SELECT c_custkey,
+           |  CAST(6378137 AS DOUBLE) * (za*za - zb*zb) / (CAST(2 AS DOUBLE) * c) AS x,
+           |  sqrt(greatest(CAST(0 AS DOUBLE),
+           |    CAST(6378137 AS DOUBLE) * CAST(6378137 AS DOUBLE) * za * za
+           |    - (CAST(6378137 AS DOUBLE) * (za*za - zb*zb) / (CAST(2 AS DOUBLE) * c) + CAST(6378137 AS DOUBLE) * c / CAST(2 AS DOUBLE))
+           |    * (CAST(6378137 AS DOUBLE) * (za*za - zb*zb) / (CAST(2 AS DOUBLE) * c) + CAST(6378137 AS DOUBLE) * c / CAST(2 AS DOUBLE))))
+           |  * (CASE WHEN (axy*bxz - axz*bxy) * ux + (axz*bxx - axx*bxz) * uy + (axx*bxy - axy*bxx) * uz >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS y
+           |  FROM ang)
+           | SELECT c_custkey, round(x, 3) + CAST(0 AS DOUBLE) AS tx, round(y, 3) + CAST(0 AS DOUBLE) AS ty FROM xy""".stripMargin.replace("\n", " "),
       "q76_gml_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 3 AND c_custkey % 2 = 1""".stripMargin.replace("\n", " "),

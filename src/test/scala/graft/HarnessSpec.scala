@@ -41,6 +41,16 @@ class HarnessSpec extends AnyFunSuite {
     val again = ScaleSuite.spliceSection(out, "newer")
     assert(again.split(java.util.regex.Pattern.quote(ScaleSuite.SectionStart)).length == 2)
     assert(again.contains("newer") && !again.contains("new body"))
+    // tiers coexist: the 16x section splices WITHOUT touching the 4x one,
+    // and re-splicing either replaces only its own block
+    val with16 = ScaleSuite.spliceSection(again, "sixteen body", mult = 16)
+    assert(with16.contains("newer") && with16.contains("sixteen body"))
+    assert(with16.contains(ScaleSuite.sectionStart(16)))
+    val re4 = ScaleSuite.spliceSection(with16, "four again", mult = 4)
+    assert(re4.contains("four again") && re4.contains("sixteen body") && !re4.contains("newer"))
+    val re16 = ScaleSuite.spliceSection(re4, "sixteen again", mult = 16)
+    assert(re16.contains("four again") && re16.contains("sixteen again") &&
+      !re16.contains("sixteen body"))
   }
 
   test("spliceSection appends the section when no markers exist") {
