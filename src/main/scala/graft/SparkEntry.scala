@@ -673,6 +673,21 @@ object SparkEntry {
       back.df.select(col("c_custkey"), col("c_name"),
         round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
     }),
+    "q183_dxf_roundtrip" -> ((s, d) => {
+      // gate the DXF driver end to end: single-file export with a layer
+      // column (DXF's only attribute), parallel read back via binaryFiles,
+      // exact point coordinates through the plain-decimal renderer
+      import graft.api.GeoDataFrame
+      val dir = java.nio.file.Files.createTempDirectory("graft_dxfq").toString
+      val sel = pts(s, d).filter(col("c_custkey") % 7 === 1)
+        .select(when(col("c_custkey") % 2 === 0, lit("even")).otherwise(lit("odd")).as("lyr"),
+          col("geometry"))
+      graft.io.Dxf.write(GeoDataFrame(sel, "geometry", Map.empty),
+        s"$dir/pts.dxf", layerCol = Some("lyr"))
+      val back = graft.io.Dxf.read(s, s"$dir/pts.dxf")
+      back.df.select(col("Layer").as("lyr"),
+        round(st_x(col("geometry")), 6).as("x"), round(st_y(col("geometry")), 6).as("y"))
+    }),
     "q182_tpeqd_crs" -> ((s, d) => {
       // Two-Point Equidistant reprojection via a codeless ESRI WKT target.
       // Base points (80,0)/(80,180) put the baseline great circle on the
@@ -2619,6 +2634,10 @@ object SparkEntry {
       "q181_mif_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 4 = 3 AND c_custkey % 3 = 2""".stripMargin.replace("\n", " "),
+      "q183_dxf_roundtrip" ->
+        s"""SELECT CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS lyr,
+           | round(px, 6) AS x, round(py, 6) AS y FROM $pts
+           | WHERE c_custkey % 7 = 1""".stripMargin.replace("\n", " "),
       // Two-Point Equidistant closed-form spherical oracle: chord-based
       // angular distances to the two base points, planar position from the
       // two-circle intersection, side from the (A x B) . P triple product.

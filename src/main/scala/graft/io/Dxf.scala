@@ -1,0 +1,474 @@
+package graft.io
+
+import graft.api.GeoDataFrame
+import graft.geom.Wkb
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearRing, LineString, Point, Polygon}
+
+/** AutoCAD DXF (Drawing Exchange Format) vector driver — the ASCII R12
+  * subset, written to the public Autodesk DXF reference (group-code/value
+  * line pairs, ENTITIES section). The reference reaches DXF through GDAL
+  * (`io/file.py:197-339`); this is an independent pure-JVM implementation
+  * of the entity set GDAL's driver maps to simple features:
+  *
+  *  - read: POINT, LINE, LWPOLYLINE (incl. bulge arcs, densified),
+  *    POLYLINE/VERTEX/SEQEND (2D closed flag + 3D), CIRCLE and ARC
+  *    (densified closed/open linestrings, GDAL parity), HATCH with
+  *    polyline or line-edge boundary paths (assembled to (Multi)Polygon
+  *    with even-odd ring nesting, like the MIF REGION reader).
+  *    Annotation entities (TEXT/MTEXT/INSERT/ATTDEF/ATTRIB/DIMENSION/
+  *    VIEWPORT) carry no feature geometry and are skipped, like GDAL;
+  *    geometric entities OUTSIDE the subset (SPLINE/ELLIPSE/SOLID/
+  *    3DFACE/MLINE/...) raise loudly rather than silently dropping data.
+  *  - write: Point -> POINT, LineString -> LWPOLYLINE (3D linestrings ->
+  *    POLYLINE with VERTEX records), Polygon -> HATCH (solid fill,
+  *    closed polyline loops; exterior + holes stay ONE entity, so rows
+  *    round-trip 1:1). Multi-part geometries raise (DXF has no
+  *    multi-geometry entity — explode first).
+  *
+  * DXF carries no attribute table: a feature is layer + geometry (+ the
+  * entity handle). Read returns (Layer, geometry); write takes an optional
+  * layer column and REFUSES frames with other attribute columns instead of
+  * silently dropping them (GDAL warns-and-drops; this engine's posture is
+  * the loud raise, pointing at GeoParquet).
+  *
+  * Scale posture: like the other single-document interchange drivers —
+  * reads parallelize per FILE via `binaryFiles`, the single-file export
+  * streams through the driver partition by partition, `writePartitioned`
+  * writes one .dxf per partition executor-side.
+  */
+object Dxf {
+
+  // -------------------------------------------------------------- read
+
+  def read(spark: SparkSession, path: String,
+           layer: Option[String] = None,
+           bbox: Option[(Double, Double, Double, Double)] = None,
+           columns: Option[Seq[String]] = None,
+           rows: Option[Int] = None,
+           mask: Option[Array[Byte]] = None,
+           where: Option[String] = None): GeoDataFrame = {
+    val base = readAll(spark, path)
+    val filtered = layer.map(l => base.copy(df = base.df.filter(col("Layer") === l))).getOrElse(base)
+    IoFilters.pruneAndLimit(IoFilters.bboxOrMask(filtered, bbox, mask), columns, rows, where)
+  }
+
+  private def readAll(spark: SparkSession, path: String): GeoDataFrame = {
+    val paths = resolvePaths(spark, path)
+    require(paths.nonEmpty, s"no .dxf files at $path")
+    val schema = StructType(Seq(
+      StructField("Layer", StringType, nullable = true),
+      StructField("EntityHandle", StringType, nullable = true),
+      StructField("geometry", BinaryType, nullable = true)))
+    val rowsRdd = spark.sparkContext.binaryFiles(paths.mkString(","))
+      .flatMap { case (_, stream) =>
+        parseEntities(new String(stream.toArray(), "UTF-8")).iterator.map {
+          case (layer, handle, g) => Row(layer, handle.orNull, Wkb.write(g))
+        }
+      }
+    GeoDataFrame(spark.createDataFrame(rowsRdd, schema), "geometry", Map.empty)
+  }
+
+  /** One parsed entity: (layer, handle, geometry). */
+  private[io] def parseEntities(text: String):
+      IndexedSeq[(String, Option[String], Geometry)] = {
+    val gf = new GeometryFactory()
+    val pairs = parsePairs(text)
+    val out = scala.collection.mutable.ArrayBuffer[(String, Option[String], Geometry)]()
+    var i = 0
+    // seek the ENTITIES section
+    var inEntities = false
+    while (i < pairs.length && !inEntities) {
+      if (pairs(i) == ((0, "SECTION")) && i + 1 < pairs.length && pairs(i + 1)._1 == 2 &&
+        pairs(i + 1)._2.equalsIgnoreCase("ENTITIES")) { inEntities = true; i += 2 }
+      else i += 1
+    }
+    require(inEntities, "DXF: no ENTITIES section found")
+
+    // collect (code, value) groups of one entity: from a 0-code start to
+    // the next 0 code
+    def entityAt(start: Int): (String, IndexedSeq[(Int, String)], Int) = {
+      val name = pairs(start)._2.toUpperCase
+      var j = start + 1
+      val buf = IndexedSeq.newBuilder[(Int, String)]
+      while (j < pairs.length && pairs(j)._1 != 0) { buf += pairs(j); j += 1 }
+      (name, buf.result(), j)
+    }
+    def d(g: Seq[(Int, String)], code: Int): Option[Double] =
+      g.find(_._1 == code).map(_._2.toDouble)
+    def layerOf(g: Seq[(Int, String)]): String =
+      g.find(_._1 == 8).map(_._2).getOrElse("0")
+    def handleOf(g: Seq[(Int, String)]): Option[String] = g.find(_._1 == 5).map(_._2)
+
+    while (i < pairs.length && pairs(i) != ((0, "ENDSEC")) && pairs(i) != ((0, "EOF"))) {
+      require(pairs(i)._1 == 0, s"DXF: expected an entity start, got ${pairs(i)}")
+      val (name, g, next) = entityAt(i)
+      i = next
+      name match {
+        case "POINT" =>
+          val (x, y) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
+          val p = d(g, 30) match {
+            case Some(z) => gf.createPoint(new Coordinate(x, y, z))
+            case None    => gf.createPoint(new Coordinate(x, y))
+          }
+          out += ((layerOf(g), handleOf(g), p))
+        case "LINE" =>
+          out += ((layerOf(g), handleOf(g), gf.createLineString(Array(
+            new Coordinate(d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0)),
+            new Coordinate(d(g, 11).getOrElse(0.0), d(g, 21).getOrElse(0.0))))))
+        case "LWPOLYLINE" =>
+          val closed = (d(g, 70).getOrElse(0.0).toInt & 1) != 0
+          val coords = densifyBulges(lwVertices(g), closed)
+          out += ((layerOf(g), handleOf(g), polylineGeom(gf, coords, closed)))
+        case "POLYLINE" =>
+          val closed = (d(g, 70).getOrElse(0.0).toInt & 1) != 0
+          val is3d = (d(g, 70).getOrElse(0.0).toInt & 8) != 0
+          // consume VERTEX entities up to SEQEND
+          val verts = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+          var done = false
+          while (i < pairs.length && !done) {
+            val (vn, vg, vnext) = entityAt(i)
+            if (vn == "VERTEX") {
+              verts += ((d(vg, 10).getOrElse(0.0), d(vg, 20).getOrElse(0.0),
+                d(vg, 30).getOrElse(0.0), d(vg, 42).getOrElse(0.0)))
+              i = vnext
+            } else if (vn == "SEQEND") { i = vnext; done = true }
+            else done = true // tolerate a missing SEQEND
+          }
+          val coords =
+            if (is3d) densifyBulges(verts.map { case (x, y, z, _) => (new Coordinate(x, y, z), 0.0) }.toIndexedSeq, closed)
+            else densifyBulges(verts.map { case (x, y, _, b) => (new Coordinate(x, y), b) }.toIndexedSeq, closed)
+          out += ((layerOf(g), handleOf(g), polylineGeom(gf, coords, closed)))
+        case "CIRCLE" =>
+          val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
+          out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, 0, 360))))
+        case "ARC" =>
+          val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
+          val (a0, a1) = (d(g, 50).getOrElse(0.0), d(g, 51).getOrElse(360.0))
+          out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, a0, a1))))
+        case "HATCH" =>
+          out += ((layerOf(g), handleOf(g), parseHatch(gf, g)))
+        case _ if Annotations.contains(name) => // no feature geometry: skip like GDAL
+        case "VERTEX" | "SEQEND" => // stray continuation records: skip
+        case other =>
+          throw new IllegalArgumentException(
+            s"DXF entity $other is outside the supported subset (POINT/LINE/" +
+              "LWPOLYLINE/POLYLINE/CIRCLE/ARC/HATCH + annotations) — refusing " +
+              "to silently drop geometry; convert it before export")
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  private val Annotations = Set("TEXT", "MTEXT", "INSERT", "ATTDEF", "ATTRIB",
+    "DIMENSION", "VIEWPORT", "POINTCLOUD", "WIPEOUT", "LEADER", "MULTILEADER")
+
+  /** (code, value) pairs; DXF is strictly line-paired. */
+  private[io] def parsePairs(text: String): IndexedSeq[(Int, String)] = {
+    val lines = text.linesIterator.toIndexedSeq
+    val out = IndexedSeq.newBuilder[(Int, String)]
+    var i = 0
+    while (i + 1 < lines.length) {
+      val code = lines(i).trim
+      if (code.nonEmpty || lines(i + 1).trim.nonEmpty) {
+        val c = try code.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"DXF: group code line '$code' is not an integer")
+        }
+        out += ((c, lines(i + 1).trim))
+      }
+      i += 2
+    }
+    out.result()
+  }
+
+  /** LWPOLYLINE vertices in group order: each 10 starts a vertex, its 20
+    * (and optional 42 bulge) follow before the next 10. */
+  private def lwVertices(g: Seq[(Int, String)]): IndexedSeq[(Coordinate, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Coordinate, Double)]()
+    var x = Option.empty[Double]; var y = Option.empty[Double]; var b = 0.0
+    def flush(): Unit = for (xx <- x; yy <- y) {
+      out += ((new Coordinate(xx, yy), b)); x = None; y = None; b = 0.0
+    }
+    g.foreach {
+      case (10, v) => flush(); x = Some(v.toDouble)
+      case (20, v) => y = Some(v.toDouble)
+      case (42, v) => b = v.toDouble
+      case _ => ()
+    }
+    flush()
+    out.toIndexedSeq
+  }
+
+  /** Expand bulge arcs between consecutive vertices. bulge = tan(theta/4)
+    * where theta is the signed included angle (positive = CCW), per the
+    * public DXF reference; segments every <=4 degrees keep the chord error
+    * far below coordinate precision at drawing scales. */
+  private[io] def densifyBulges(verts: IndexedSeq[(Coordinate, Double)],
+                                closed: Boolean): IndexedSeq[Coordinate] = {
+    if (verts.isEmpty) return IndexedSeq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](verts.head._1)
+    val n = verts.length
+    val last = if (closed) n else n - 1
+    var i = 0
+    while (i < last) {
+      val (p1, bulge) = verts(i)
+      val p2 = verts((i + 1) % n)._1
+      if (bulge == 0.0 || p1.equals2D(p2)) {
+        if (!out.last.equals2D(p2) || (closed && i == last - 1)) out += p2
+      } else {
+        val theta = 4.0 * math.atan(bulge)
+        val chord = p1.distance(p2)
+        val r = chord / (2.0 * math.sin(math.abs(theta) / 2.0))
+        // center: perpendicular from the chord midpoint, side by bulge sign
+        val mx = (p1.x + p2.x) / 2.0; val my = (p1.y + p2.y) / 2.0
+        val h = math.sqrt(math.max(0.0, r * r - chord * chord / 4.0)) *
+          (if (math.abs(theta) > math.Pi) -1.0 else 1.0)
+        val (ux, uy) = ((p2.y - p1.y) / chord, -(p2.x - p1.x) / chord) // right normal of p1->p2
+        val sgn = if (theta >= 0) -1.0 else 1.0 // CCW arc: center left of the chord
+        val cx = mx + sgn * ux * h; val cy = my + sgn * uy * h
+        val aStart = math.atan2(p1.y - cy, p1.x - cx)
+        val steps = math.max(1, math.ceil(math.abs(theta) / math.toRadians(4)).toInt)
+        var k = 1
+        while (k <= steps) {
+          val a = aStart + theta * k / steps
+          val c = new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+          out += (if (k == steps) p2 else c) // land exactly on the stored vertex
+          k += 1
+        }
+      }
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  private def polylineGeom(gf: GeometryFactory, coords: IndexedSeq[Coordinate],
+                           closed: Boolean): Geometry = {
+    val cs =
+      if (closed && coords.nonEmpty && !coords.head.equals2D(coords.last)) coords :+ new Coordinate(coords.head)
+      else coords
+    gf.createLineString(cs.toArray)
+  }
+
+  private[io] def arcCoords(cx: Double, cy: Double, r: Double,
+                            a0Deg: Double, a1Deg: Double): Array[Coordinate] = {
+    val sweep = { val s = a1Deg - a0Deg; if (s <= 0) s + 360 else s }
+    val full = sweep >= 360 - 1e-9
+    val steps = math.max(8, math.ceil(sweep / 4.0).toInt)
+    val out = new Array[Coordinate](steps + 1)
+    var k = 0
+    while (k <= steps) {
+      val a = math.toRadians(a0Deg + sweep * k / steps)
+      out(k) = new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+      k += 1
+    }
+    if (full) out(steps) = new Coordinate(out(0)) // bit-exact ring closure
+    out
+  }
+
+  /** HATCH boundary loops -> (Multi)Polygon via the MIF even-odd ring
+    * assembly. Supported path types: polyline (bit 2 of code 92) and
+    * line-edge lists (edge type 1); arc/spline edges raise. */
+  private def parseHatch(gf: GeometryFactory, g: Seq[(Int, String)]): Geometry = {
+    val items = g.toIndexedSeq
+    def dAt(idx: Int): Double = items(idx)._2.toDouble
+    val nLoops = items.find(_._1 == 91).map(_._2.toInt).getOrElse(0)
+    val rings = scala.collection.mutable.ArrayBuffer[LinearRing]()
+    var i = items.indexWhere(_._1 == 91) + 1
+    var loopsSeen = 0
+    while (loopsSeen < nLoops && i < items.length) {
+      // loop header: 92 = boundary path type
+      while (i < items.length && items(i)._1 != 92) i += 1
+      require(i < items.length, "DXF HATCH: missing boundary path type (92)")
+      val pathType = items(i)._2.toInt; i += 1
+      if ((pathType & 2) != 0) {
+        // polyline path: 72 has-bulge, 73 closed, 93 count, vertices 10/20 (+42)
+        var hasBulge = false; var nv = 0
+        var scanning = true
+        while (scanning && i < items.length) {
+          items(i) match {
+            case (72, v) => hasBulge = v.toInt != 0; i += 1
+            case (73, _) => i += 1
+            case (93, v) => nv = v.toInt; i += 1; scanning = false
+            case _ => i += 1
+          }
+        }
+        val verts = scala.collection.mutable.ArrayBuffer[(Coordinate, Double)]()
+        var v = 0
+        while (v < nv && i < items.length) {
+          require(items(i)._1 == 10, s"DXF HATCH: expected vertex x (10), got ${items(i)}")
+          val x = dAt(i); i += 1
+          require(items(i)._1 == 20, s"DXF HATCH: expected vertex y (20), got ${items(i)}")
+          val y = dAt(i); i += 1
+          val b = if (hasBulge && i < items.length && items(i)._1 == 42) { val bb = dAt(i); i += 1; bb } else 0.0
+          verts += ((new Coordinate(x, y), b))
+          v += 1
+        }
+        val coords = densifyBulges(verts.toIndexedSeq, closed = true)
+        val cs = if (!coords.head.equals2D(coords.last)) coords :+ new Coordinate(coords.head) else coords
+        rings += gf.createLinearRing(cs.toArray)
+      } else {
+        // edge-list path: 93 = number of edges, each edge 72 = type
+        while (i < items.length && items(i)._1 != 93) i += 1
+        require(i < items.length, "DXF HATCH: missing edge count (93)")
+        val ne = items(i)._2.toInt; i += 1
+        val coords = scala.collection.mutable.ArrayBuffer[Coordinate]()
+        var e = 0
+        while (e < ne && i < items.length) {
+          require(items(i)._1 == 72, s"DXF HATCH: expected edge type (72), got ${items(i)}")
+          val et = items(i)._2.toInt; i += 1
+          require(et == 1, s"DXF HATCH: edge type $et (arc/elliptic/spline) is not " +
+            "supported — only line edges and polyline paths")
+          // line edge: 10/20 start, 11/21 end
+          require(items(i)._1 == 10, "DXF HATCH: bad line edge"); val x0 = dAt(i); i += 1
+          require(items(i)._1 == 20, "DXF HATCH: bad line edge"); val y0 = dAt(i); i += 1
+          require(items(i)._1 == 11, "DXF HATCH: bad line edge"); val x1 = dAt(i); i += 1
+          require(items(i)._1 == 21, "DXF HATCH: bad line edge"); val y1 = dAt(i); i += 1
+          if (coords.isEmpty) coords += new Coordinate(x0, y0)
+          coords += new Coordinate(x1, y1)
+          e += 1
+        }
+        if (coords.nonEmpty && !coords.head.equals2D(coords.last)) coords += new Coordinate(coords.head)
+        rings += gf.createLinearRing(coords.toArray)
+      }
+      loopsSeen += 1
+    }
+    MapInfoMif.assembleRegion(gf, rings.toSeq)
+  }
+
+  // -------------------------------------------------------------- write
+
+  /** Single-file export, streamed through the driver partition by
+    * partition. `layerCol`: optional string column carrying the DXF layer
+    * name (defaults to layer "0"). Any OTHER attribute column raises — DXF
+    * has no attribute table, and silently dropping columns would lie about
+    * what the file preserves. */
+  def write(gdf: GeoDataFrame, path: String, layerCol: Option[String] = None): Unit = {
+    val g = gdf.geometryCol
+    val allowed = Set(g) ++ layerCol ++ Set("EntityHandle")
+    val extras = gdf.df.columns.filterNot(allowed)
+    require(extras.isEmpty,
+      s"DXF carries no attribute table: columns ${extras.mkString(", ")} would be " +
+        "dropped. Select them away (or pass layerCol for the layer name); use " +
+        "GeoParquet/GPKG for attribute-bearing exports")
+    val spark = gdf.df.sparkSession
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val outS = new java.io.BufferedOutputStream(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).create(hp, true), 1 << 16)
+    try {
+      outS.write(Prelude.getBytes("UTF-8"))
+      val cols = layerCol.map(lc => Seq(col(lc), col(g))).getOrElse(Seq(lit("0"), col(g)))
+      val it = gdf.df.select(cols: _*).toLocalIterator()
+      var handle = 256L
+      while (it.hasNext) {
+        val r = it.next()
+        val layer = Option(r.getString(0)).getOrElse("0")
+        val wkb = r.getAs[Array[Byte]](1)
+        require(wkb != null, "DXF export: null geometry has no DXF representation; " +
+          "filter null-geometry rows before export")
+        outS.write(renderEntity(Wkb.read(wkb), layer, handle).getBytes("UTF-8"))
+        handle += 1
+      }
+      outS.write(Epilogue.getBytes("UTF-8"))
+    } finally outS.close()
+  }
+
+  /** Distributed export: one .dxf per partition, written executor-side. */
+  def writePartitioned(gdf: GeoDataFrame, dir: String, layerCol: Option[String] = None): Unit = {
+    val g = gdf.geometryCol
+    val spark = gdf.df.sparkSession
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    d.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(d)
+    val cols = layerCol.map(lc => Seq(col(lc), col(g))).getOrElse(Seq(lit("0"), col(g)))
+    gdf.df.select(cols: _*).rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val hp = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.dxf")
+        val outS = new java.io.BufferedOutputStream(
+          hp.getFileSystem(serConf.value).create(hp, true), 1 << 16)
+        try {
+          outS.write(Prelude.getBytes("UTF-8"))
+          var handle = 256L
+          it.foreach { r =>
+            val layer = Option(r.getString(0)).getOrElse("0")
+            val wkb = r.getAs[Array[Byte]](1)
+            require(wkb != null, "DXF export: null geometry has no DXF representation")
+            outS.write(renderEntity(Wkb.read(wkb), layer, handle).getBytes("UTF-8"))
+            handle += 1
+          }
+          outS.write(Epilogue.getBytes("UTF-8"))
+        } finally outS.close()
+      }
+    }
+  }
+
+  // R12 skeleton: $ACADVER header + ENTITIES; R12 files carry no handles
+  // requirement, but we emit them (code 5) for GDAL's EntityHandle field
+  private val Prelude =
+    "0\nSECTION\n2\nHEADER\n9\n$ACADVER\n1\nAC1009\n0\nENDSEC\n0\nSECTION\n2\nENTITIES\n"
+  private val Epilogue = "0\nENDSEC\n0\nEOF\n"
+
+  private def num(d: Double): String = MapInfoMif.num(d)
+
+  private[io] def renderEntity(geom: Geometry, layer: String, handle: Long): String = {
+    require(layer.indexOf('\n') < 0 && layer.indexOf('\r') < 0,
+      "DXF layer names cannot contain line breaks")
+    val h = java.lang.Long.toHexString(handle).toUpperCase
+    geom match {
+      case p: Point =>
+        val z = if (!p.getCoordinate.getZ.isNaN) s"30\n${num(p.getCoordinate.getZ)}\n" else ""
+        s"0\nPOINT\n5\n$h\n8\n$layer\n10\n${num(p.getX)}\n20\n${num(p.getY)}\n$z"
+      case l: LineString =>
+        val cs = l.getCoordinates
+        val is3d = cs.exists(c => !c.getZ.isNaN)
+        if (is3d) {
+          // 3D: old-style POLYLINE with VERTEX records (LWPOLYLINE is 2D-only)
+          val flags = (if (l.isClosed) 1 else 0) | 8
+          val sb = new StringBuilder(s"0\nPOLYLINE\n5\n$h\n8\n$layer\n66\n1\n70\n$flags\n")
+          val body = if (l.isClosed) cs.init else cs
+          body.foreach { c =>
+            sb ++= s"0\nVERTEX\n8\n$layer\n10\n${num(c.x)}\n20\n${num(c.y)}\n30\n${num(if (c.getZ.isNaN) 0 else c.getZ)}\n70\n32\n"
+          }
+          sb ++= s"0\nSEQEND\n8\n$layer\n"
+          sb.toString
+        } else {
+          val closed = l.isClosed
+          val body = if (closed) cs.init else cs
+          val sb = new StringBuilder(
+            s"0\nLWPOLYLINE\n5\n$h\n8\n$layer\n90\n${body.length}\n70\n${if (closed) 1 else 0}\n")
+          body.foreach(c => sb ++= s"10\n${num(c.x)}\n20\n${num(c.y)}\n")
+          sb.toString
+        }
+      case p: Polygon =>
+        val loops = (Seq(p.getExteriorRing) ++
+          (0 until p.getNumInteriorRing).map(p.getInteriorRingN)).map(_.getCoordinates)
+        val sb = new StringBuilder(
+          s"0\nHATCH\n5\n$h\n8\n$layer\n2\nSOLID\n70\n1\n71\n0\n91\n${loops.length}\n")
+        loops.foreach { cs =>
+          val body = cs.init // rings are closed; DXF polyline paths re-close via 73
+          sb ++= s"92\n2\n72\n0\n73\n1\n93\n${body.length}\n"
+          body.foreach(c => sb ++= s"10\n${num(c.x)}\n20\n${num(c.y)}\n")
+          sb ++= "97\n0\n"
+        }
+        sb.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"DXF export: ${other.getGeometryType} has no single-entity DXF form " +
+            "(the format has no multi-geometry entity) — explode to single parts first")
+    }
+  }
+
+  private def resolvePaths(spark: SparkSession, path: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (path.toLowerCase.endsWith(".dxf")) Seq(path)
+    else if (fs.isDirectory(p))
+      fs.listStatus(p).map(_.getPath.toString).filter(_.toLowerCase.endsWith(".dxf")).sorted.toSeq
+    else fs.globStatus(p).map(_.getPath.toString).filter(_.toLowerCase.endsWith(".dxf")).sorted.toSeq
+  }
+}

@@ -46,6 +46,8 @@ object GeoIO {
       Gpx.read(spark, path, layer, bbox, columns, rows, mask, where)
     else if (l.endsWith(".mif") || l.endsWith(".mid"))
       MapInfoMif.read(spark, path.replaceAll("(?i)\\.mid$", ".mif"), bbox, columns, rows, mask, where)
+    else if (l.endsWith(".dxf"))
+      Dxf.read(spark, path, layer, bbox, columns, rows, mask, where)
     else if (l.endsWith(".feather") || l.endsWith(".arrow"))
       prune(Feather.read(spark, path, columns, bbox, mask))
     else {
@@ -72,11 +74,11 @@ object GeoIO {
       if (l.endsWith(".gpkg")) Gpkg.append(gdf, path)
       else if (l.endsWith(".geojson") || l.endsWith(".json") || l.endsWith(".ndjson"))
         GeoJsonIO.write(gdf, path, append = true)
-      else if (!l.matches(".*\\.(shp|fgb|feather|arrow|csv|kml|gml|gpx|mif|mid)$"))
+      else if (!l.matches(".*\\.(shp|fgb|feather|arrow|csv|kml|gml|gpx|mif|mid|dxf)$"))
         GeoParquet.write(gdf, path, mode = "append")
       else throw new UnsupportedOperationException(
         s"append mode is not supported for this format ($path): Shapefile/" +
-          "FlatGeobuf/Feather/CSV/KML/GML/GPX/MIF are single-document " +
+          "FlatGeobuf/Feather/CSV/KML/GML/GPX/MIF/DXF are single-document " +
           "exports; append to GPKG, line-delimited GeoJSON, or GeoParquet")
     }
     else if (l.endsWith(".shp")) Shapefile.write(gdf, path)
@@ -90,6 +92,7 @@ object GeoIO {
     else if (l.endsWith(".gml")) Gml.write(gdf, path)
     else if (l.endsWith(".gpx")) Gpx.write(gdf, path)
     else if (l.endsWith(".mif") || l.endsWith(".mid")) MapInfoMif.write(gdf, path)
+    else if (l.endsWith(".dxf")) Dxf.write(gdf, path)
     else GeoParquet.write(gdf, path)
   }
 

@@ -308,7 +308,7 @@ object MapInfoMif {
   /** Even-odd ring nesting like GDAL's mitab reader: a ring contained in an
     * even number of other rings is a shell; odd-depth rings become holes of
     * the smallest enclosing shell. */
-  private def assembleRegion(gf: GeometryFactory, rings: Seq[LinearRing]): org.locationtech.jts.geom.Geometry = {
+  private[io] def assembleRegion(gf: GeometryFactory, rings: Seq[LinearRing]): org.locationtech.jts.geom.Geometry = {
     if (rings.isEmpty) return gf.createPolygon()
     if (rings.length == 1) return gf.createPolygon(rings.head)
     // ring-REGION containment, not interior-point tests: concentric rings
@@ -335,7 +335,7 @@ object MapInfoMif {
 
   // -------------------------------------------------------------- render
 
-  private def num(d: Double): String =
+  private[io] def num(d: Double): String =
     if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
     else {
       // Double.toString goes E-notation at |x| >= 1e7 (web-mercator range);

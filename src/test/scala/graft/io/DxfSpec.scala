@@ -1,0 +1,150 @@
+package graft.io
+
+import graft.SparkTestBase
+import graft.api.GeoDataFrame
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DXF driver against HAND-WRITTEN R12 entity text (independent of our own
+  * writer), closed-form bulge/arc checks, the write round-trip, and the
+  * loud-raise posture for out-of-subset entities and attribute columns. */
+class DxfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def writeFixture(dir: String, name: String, body: String): String = {
+    val text = "0\nSECTION\n2\nENTITIES\n" + body + "0\nENDSEC\n0\nEOF\n"
+    val p = java.nio.file.Paths.get(s"$dir/$name")
+    java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("hand-written entities: POINT/LINE/LWPOLYLINE/POLYLINE with layers and handles") {
+    val dir = java.nio.file.Files.createTempDirectory("dxf").toString
+    val f = writeFixture(dir, "h.dxf",
+      "0\nPOINT\n5\n1A\n8\nsites\n10\n3.5\n20\n-2.25\n" +
+        "0\nLINE\n8\nroads\n10\n0\n20\n0\n11\n10\n21\n5\n" +
+        "0\nLWPOLYLINE\n8\nroads\n90\n3\n70\n0\n10\n0\n20\n0\n10\n1\n20\n1\n10\n2\n20\n0\n" +
+        "0\nLWPOLYLINE\n8\nparcels\n90\n4\n70\n1\n10\n0\n20\n0\n10\n4\n20\n0\n10\n4\n20\n4\n10\n0\n20\n4\n" +
+        "0\nPOLYLINE\n8\nold\n66\n1\n70\n0\n" +
+        "0\nVERTEX\n8\nold\n10\n7\n20\n7\n0\nVERTEX\n8\nold\n10\n8\n20\n9\n0\nSEQEND\n8\nold\n" +
+        "0\nTEXT\n8\nnotes\n10\n1\n20\n1\n1\nannotation to skip\n")
+    val gdf = Dxf.read(spark, f)
+    val rows = gdf.df
+      .select(col("Layer"), col("EntityHandle"), st_astext(col("geometry")).as("wkt"))
+      .as[(String, String, String)].collect().sortBy(r => (r._1, r._3))
+    assert(rows.length == 5) // TEXT skipped
+    assert(rows.map(_._1).toSeq == Seq("old", "parcels", "roads", "roads", "sites"))
+    assert(rows.find(_._1 == "sites").get._3 == "POINT (3.5 -2.25)")
+    assert(rows.find(_._1 == "sites").get._2 == "1A")
+    assert(rows.find(_._1 == "old").get._3 == "LINESTRING (7 7, 8 9)")
+    // closed LWPOLYLINE comes back as a closed linestring (GDAL parity)
+    val parcel = rows.find(_._1 == "parcels").get._3
+    assert(parcel == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)", parcel)
+    // layer= filter
+    assert(Dxf.read(spark, f, layer = Some("roads")).df.count() == 2)
+  }
+
+  test("bulge arcs and CIRCLE/ARC densify to closed-form positions") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfb").toString
+    // bulge 1 = semicircle from (0,0) to (2,0), CCW -> apex at (1,1)
+    val f = writeFixture(dir, "b.dxf",
+      "0\nLWPOLYLINE\n8\n0\n90\n2\n70\n0\n10\n0\n20\n0\n42\n1\n10\n2\n20\n0\n" +
+        "0\nCIRCLE\n8\n0\n10\n5\n20\n5\n40\n2\n" +
+        "0\nARC\n8\n0\n10\n0\n20\n0\n40\n1\n50\n0\n51\n90\n")
+    val gdf = Dxf.read(spark, f)
+    val wkbs = gdf.df.select(col("geometry")).as[Array[Byte]].collect().map(graft.geom.Wkb.read)
+    val semi = wkbs(0)
+    // every densified vertex sits on the circle of radius 1 around (1,0)
+    val c = new org.locationtech.jts.geom.Coordinate(1, 0)
+    semi.getCoordinates.foreach { p =>
+      assert(math.abs(p.distance(c) - 1.0) < 1e-9 || p.distance(c) < 1e-9, p)
+    }
+    // bulge > 0 = CCW sweep at the center from start to end (AutoCAD ref:
+    // "made negative if the arc goes clockwise"): for travel +x that is the
+    // arc through -y — the closed two-vertex bulge-1 polyline is a full
+    // circle traversed CCW, whose FIRST semicircle is the bottom one. The
+    // 4-degree densification need not sample the exact apex.
+    assert(semi.getCoordinates.map(_.y).min < -0.99, "semicircle must bow to -y (CCW sweep)")
+    assert(semi.getCoordinates.map(_.y).max <= 1e-9)
+    assert(semi.getCoordinates.last.x == 2.0 && semi.getCoordinates.last.y == 0.0)
+    val circle = wkbs(1).asInstanceOf[org.locationtech.jts.geom.LineString]
+    assert(circle.isClosed && circle.getNumPoints >= 90)
+    circle.getCoordinates.foreach { p =>
+      assert(math.abs(math.hypot(p.x - 5, p.y - 5) - 2.0) < 1e-9)
+    }
+    val arc = wkbs(2).asInstanceOf[org.locationtech.jts.geom.LineString]
+    val a0 = arc.getCoordinateN(0); val a1 = arc.getCoordinateN(arc.getNumPoints - 1)
+    assert(math.abs(a0.x - 1) < 1e-9 && math.abs(a0.y) < 1e-9, a0)
+    assert(math.abs(a1.x) < 1e-9 && math.abs(a1.y - 1) < 1e-9, a1)
+  }
+
+  test("HATCH polyline loops assemble to a polygon with holes; roundtrip via writer") {
+    val df = Seq((1L,
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))",
+      "zones")).toDF("id", "wkt", "lyr")
+    val gdf = GeoDataFrame(
+      df.select(col("lyr"), st_geomfromwkt(col("wkt")).as("geometry")), "geometry", Map.empty)
+    val dir = java.nio.file.Files.createTempDirectory("dxfh").toString
+    Dxf.write(gdf, s"$dir/h.dxf", layerCol = Some("lyr"))
+    val back = Dxf.read(spark, s"$dir/h.dxf")
+    val (lyr, area, holes) = back.df.select(col("Layer"), st_area(col("geometry")),
+      expr("1")).as[(String, Double, Int)].head()
+    assert(lyr == "zones" && math.abs(area - (100.0 - 36.0)) < 1e-9)
+    val g = graft.geom.Wkb.read(back.df.select("geometry").as[Array[Byte]].head())
+    assert(g.getGeometryType == "Polygon")
+    assert(g.asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing == 1)
+  }
+
+  test("write/read roundtrip: points + linestrings across layers; GeoIO dispatch") {
+    val df = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd",
+        if (i % 3 == 0) s"LINESTRING ($i 0, $i 5, ${i + 1} 6)" else s"POINT ($i ${i * 2})")
+    }.toDF("id", "lyr", "wkt")
+    val gdf = GeoDataFrame(
+      df.select(col("lyr"), st_geomfromwkt(col("wkt")).as("geometry")), "geometry", Map.empty)
+    val dir = java.nio.file.Files.createTempDirectory("dxfr").toString
+    Dxf.write(gdf, s"$dir/r.dxf", layerCol = Some("lyr"))
+    val back = Dxf.read(spark, s"$dir/r.dxf")
+    assert(back.df.count() == 40)
+    assert(back.df.filter(col("Layer") === "even").count() == 20)
+    // geometry survives exactly (points + open linestrings have no densify)
+    val wkts = back.df.select(st_astext(col("geometry"))).as[String].collect().toSet
+    assert(wkts.contains("POINT (1 2)") && wkts.contains("LINESTRING (3 0, 3 5, 4 6)"))
+    // GeoIO extension dispatch
+    val viaIo = GeoIO.readFile(spark, s"$dir/r.dxf")
+    assert(viaIo.df.count() == 40)
+    GeoIO.toFile(GeoDataFrame(gdf.df.select(col("geometry")), "geometry", Map.empty),
+      s"$dir/io.dxf")
+    assert(Dxf.read(spark, s"$dir/io.dxf").df.count() == 40)
+    // partitioned export reads back as a directory corpus
+    val pdir = java.nio.file.Files.createTempDirectory("dxfp").toString
+    Dxf.writePartitioned(GeoDataFrame(gdf.df.repartition(4), "geometry", Map.empty),
+      pdir, layerCol = Some("lyr"))
+    assert(Dxf.read(spark, pdir).df.count() == 40)
+  }
+
+  test("loud raises: unknown geometric entity, attribute columns, multi-part, append") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfe").toString
+    val f = writeFixture(dir, "s.dxf",
+      "0\nSPLINE\n8\n0\n10\n0\n20\n0\n")
+    val ex = intercept[org.apache.spark.SparkException](Dxf.read(spark, f).df.count())
+    assert(ex.getMessage.contains("SPLINE") || ex.getCause.getMessage.contains("SPLINE"))
+    val withAttrs = GeoDataFrame(
+      Seq((1, 2.5)).toDF("id", "score")
+        .withColumn("geometry", st_point(lit(0.0), lit(0.0))), "geometry", Map.empty)
+    val e2 = intercept[IllegalArgumentException](Dxf.write(withAttrs, s"$dir/a.dxf"))
+    assert(e2.getMessage.contains("attribute"))
+    val multi = GeoDataFrame(
+      Seq(1).toDF("i").select(st_geomfromwkt(lit("MULTIPOINT ((0 0), (1 1))")).as("geometry")),
+      "geometry", Map.empty)
+    val e3 = intercept[Exception](Dxf.write(multi, s"$dir/m.dxf"))
+    assert(e3.getMessage.contains("explode") ||
+      Option(e3.getCause).exists(_.getMessage.contains("explode")))
+    val pts = GeoDataFrame(Seq(1).toDF("i")
+      .select(st_point(lit(0.0), lit(0.0)).as("geometry")), "geometry", Map.empty)
+    val e4 = intercept[UnsupportedOperationException](GeoIO.toFile(pts, s"$dir/x.dxf", mode = "a"))
+    assert(e4.getMessage.contains("append"))
+  }
+}
