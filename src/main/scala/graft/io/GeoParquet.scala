@@ -42,6 +42,22 @@ object GeoParquet {
       s"mode must be 'overwrite' or 'append', got '$mode'")
     val g = gdf.geometryCol
     var df = gdf.df
+    if (mode == "append") {
+      // appended part files must carry the SAME columns as the stored ones —
+      // otherwise readers see whichever footer they sample first and the
+      // bbox covering column silently half-exists
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), gdf.df.sparkSession.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+          fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) {
+        val storedHasBbox = gdf.df.sparkSession.read.parquet(path).columns.contains("bbox")
+        require(storedHasBbox == coveringBbox,
+          s"append: the stored dataset was written with coveringBbox=$storedHasBbox " +
+            s"but this batch uses coveringBbox=$coveringBbox — mixed part-file " +
+            "schemas would break the bbox scan prefilter; match the stored layout")
+      }
+    }
     // ONE stats pass for everything the metadata needs (total bounds +
     // distinct geometry types) — separate totalBounds / distinct scans would
     // read the input three times in total at 100 TB

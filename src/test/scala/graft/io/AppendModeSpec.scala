@@ -81,6 +81,18 @@ class AppendModeSpec extends AnyFunSuite {
     assert(meta.contains("\"bbox\": [1.0, 2.0, 99.0, 198.0]"), meta)
   }
 
+  test("GeoParquet append refuses a covering-bbox layout mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("appendmix").toString
+    val out = s"$dir/gp"
+    GeoParquet.write(pts(1 to 5), out) // coveringBbox = true
+    val e = intercept[IllegalArgumentException](
+      GeoParquet.write(pts(6 to 9), out, coveringBbox = false, mode = "append"))
+    assert(e.getMessage.contains("coveringBbox"))
+    // matching layout appends fine
+    GeoParquet.write(pts(6 to 9), out, mode = "append")
+    assert(GeoParquet.read(spark, out).df.count() == 9)
+  }
+
   test("append raises loudly for single-document formats") {
     val dir = java.nio.file.Files.createTempDirectory("appendno").toString
     for (ext <- Seq("shp", "fgb", "feather", "csv", "kml", "gml", "gpx", "mif")) {
