@@ -55,6 +55,23 @@ object Dxf {
     IoFilters.pruneAndLimit(IoFilters.bboxOrMask(filtered, bbox, mask), columns, rows, where)
   }
 
+  /** The drawing layers present in the file(s) with their geometry type
+    * ("Geometry" when a layer mixes types). DXF has no layer table in the
+    * entities-only form, so this is one distinct scan — unlike GPKG, where
+    * the catalog answers from metadata pages. */
+  def listLayers(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import graft.functions.GeoFunctions.st_geometrytype
+    readAll(spark, path).df
+      .select(col("Layer"), st_geometrytype(col("geometry")).as("__t"))
+      .groupBy("Layer").agg(collect_set(col("__t")).as("__ts"))
+      .collect()
+      .map { r =>
+        val ts = r.getSeq[String](1)
+        (r.getString(0), if (ts.length == 1) ts.head else "Geometry")
+      }
+      .sortBy(_._1).toSeq
+  }
+
   private def readAll(spark: SparkSession, path: String): GeoDataFrame = {
     val paths = resolvePaths(spark, path)
     require(paths.nonEmpty, s"no .dxf files at $path")

@@ -102,6 +102,7 @@ object GeoIO {
     else if (path.toLowerCase.endsWith(".gpx"))
       Gpx.Layers.map(l => l -> (if (l == "waypoints" || l.endsWith("_points")) "Point"
                                 else if (l == "routes") "LineString" else "MultiLineString"))
+    else if (path.toLowerCase.endsWith(".dxf")) Dxf.listLayers(spark, path)
     else throw new UnsupportedOperationException(
-      "list_layers: only GPKG and GPX containers carry multiple layers in this engine")
+      "list_layers: only GPKG, GPX and DXF containers carry multiple layers in this engine")
 }

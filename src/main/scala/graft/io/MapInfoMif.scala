@@ -150,6 +150,8 @@ object MapInfoMif {
     case 3857  => Some("CoordSys Earth Projection 10, 157, \"m\", 0")
     case 27700 => Some(
       "CoordSys Earth Projection 8, 79, \"m\", -2, 49, 0.9996012717, 400000, -100000")
+    case z if z >= 26901 && z <= 26923 => // NAD83 / UTM zone 1N-23N (datum 74)
+      Some(s"""CoordSys Earth Projection 8, 74, "m", ${(z - 26900) * 6 - 183}, 0, 0.9996, 500000, 0""")
     case z if z >= 32601 && z <= 32660 =>
       Some(s"""CoordSys Earth Projection 8, 104, "m", ${(z - 32600) * 6 - 183}, 0, 0.9996, 500000, 0""")
     case z if z >= 32701 && z <= 32760 =>
@@ -177,6 +179,9 @@ object MapInfoMif {
         if (lon0 + 183) % 6 == 0 && (fn == 0.0 || fn == 10000000.0) =>
         val zone = ((lon0 + 183) / 6).toInt
         Some(s"EPSG:${if (fn == 0.0) 32600 + zone else 32700 + zone}")
+      case 8.0 :: 74.0 :: lon0 :: 0.0 :: 0.9996 :: 500000.0 :: 0.0 :: Nil
+        if (lon0 + 183) % 6 == 0 && lon0 >= -177 && lon0 <= -45 =>
+        Some(s"EPSG:${26900 + ((lon0 + 183) / 6).toInt}") // NAD83 UTM 1N-23N
       case _ => None
     }
   }

@@ -239,7 +239,7 @@ class MapInfoMifSpec extends AnyFunSuite {
       df.withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y"),
       "geometry", Map("geometry" -> crs))
     val dir = java.nio.file.Files.createTempDirectory("mifc").toString
-    for (crs <- Seq("EPSG:3857", "EPSG:32633", "EPSG:32733", "EPSG:27700")) {
+    for (crs <- Seq("EPSG:3857", "EPSG:32633", "EPSG:32733", "EPSG:27700", "EPSG:26915")) {
       MapInfoMif.write(gdfWith(crs), s"$dir/c.mif")
       val back = MapInfoMif.read(spark, s"$dir/c.mif")
       assert(back.crs.get("geometry").contains(crs), s"$crs did not roundtrip: ${back.crs}")

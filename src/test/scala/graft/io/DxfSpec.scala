@@ -44,6 +44,11 @@ class DxfSpec extends AnyFunSuite {
     assert(parcel == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)", parcel)
     // layer= filter
     assert(Dxf.read(spark, f, layer = Some("roads")).df.count() == 2)
+    // listLayers: distinct drawing layers with their geometry type
+    val layers = GeoIO.listLayers(spark, f).toMap
+    assert(layers.keySet == Set("sites", "roads", "parcels", "old"))
+    assert(layers("sites") == "Point" && layers("parcels") == "LineString")
+    assert(layers("roads") == "LineString")
   }
 
   test("bulge arcs and CIRCLE/ARC densify to closed-form positions") {
