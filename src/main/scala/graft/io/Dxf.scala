@@ -15,13 +15,16 @@ import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearR
   *
   *  - read: POINT, LINE, LWPOLYLINE (incl. bulge arcs, densified),
   *    POLYLINE/VERTEX/SEQEND (2D closed flag + 3D), CIRCLE and ARC
-  *    (densified closed/open linestrings, GDAL parity), HATCH with
-  *    polyline or line-edge boundary paths (assembled to (Multi)Polygon
-  *    with even-odd ring nesting, like the MIF REGION reader).
+  *    (densified closed/open linestrings, GDAL parity), ELLIPSE
+  *    (parametric form, densified) and SPLINE (NURBS evaluated by
+  *    Cox-de Boor, densified — GDAL converts both to linestrings the
+  *    same way), HATCH with polyline or line-edge boundary paths
+  *    (assembled to (Multi)Polygon with even-odd ring nesting, like the
+  *    MIF REGION reader).
   *    Annotation entities (TEXT/MTEXT/INSERT/ATTDEF/ATTRIB/DIMENSION/
   *    VIEWPORT) carry no feature geometry and are skipped, like GDAL;
-  *    geometric entities OUTSIDE the subset (SPLINE/ELLIPSE/SOLID/
-  *    3DFACE/MLINE/...) raise loudly rather than silently dropping data.
+  *    geometric entities OUTSIDE the subset (SOLID/3DFACE/MLINE/...)
+  *    raise loudly rather than silently dropping data.
   *  - write: Point -> POINT, LineString -> LWPOLYLINE (3D linestrings ->
   *    POLYLINE with VERTEX records), Polygon -> HATCH (solid fill,
   *    closed polyline loops; exterior + holes stay ONE entity, so rows
@@ -99,7 +102,7 @@ object Dxf {
     var inEntities = false
     while (i < pairs.length && !inEntities) {
       if (pairs(i) == ((0, "SECTION")) && i + 1 < pairs.length && pairs(i + 1)._1 == 2 &&
-        pairs(i + 1)._2.equalsIgnoreCase("ENTITIES")) { inEntities = true; i += 2 }
+        pairs(i + 1)._2.trim.equalsIgnoreCase("ENTITIES")) { inEntities = true; i += 2 }
       else i += 1
     }
     require(inEntities, "DXF: no ENTITIES section found")
@@ -117,7 +120,7 @@ object Dxf {
       g.find(_._1 == code).map(_._2.toDouble)
     def layerOf(g: Seq[(Int, String)]): String =
       g.find(_._1 == 8).map(_._2).getOrElse("0")
-    def handleOf(g: Seq[(Int, String)]): Option[String] = g.find(_._1 == 5).map(_._2)
+    def handleOf(g: Seq[(Int, String)]): Option[String] = g.find(_._1 == 5).map(_._2.trim)
 
     while (i < pairs.length && pairs(i) != ((0, "ENDSEC")) && pairs(i) != ((0, "EOF"))) {
       require(pairs(i)._1 == 0, s"DXF: expected an entity start, got ${pairs(i)}")
@@ -165,6 +168,18 @@ object Dxf {
           val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
           val (a0, a1) = (d(g, 50).getOrElse(0.0), d(g, 51).getOrElse(360.0))
           out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, a0, a1))))
+        case "ELLIPSE" =>
+          // center 10/20, major-axis ENDPOINT RELATIVE TO CENTER 11/21,
+          // minor/major ratio 40, start/end parameters 41/42 (radians) —
+          // densified to a linestring like CIRCLE/ARC (GDAL parity)
+          val (cx, cy) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
+          val (mx, my) = (d(g, 11).getOrElse(0.0), d(g, 21).getOrElse(0.0))
+          val ratio = d(g, 40).getOrElse(1.0)
+          val (t0, t1) = (d(g, 41).getOrElse(0.0), d(g, 42).getOrElse(2 * math.Pi))
+          out += ((layerOf(g), handleOf(g),
+            gf.createLineString(ellipseCoords(cx, cy, mx, my, ratio, t0, t1))))
+        case "SPLINE" =>
+          out += ((layerOf(g), handleOf(g), parseSpline(gf, g)))
         case "HATCH" =>
           out += ((layerOf(g), handleOf(g), parseHatch(gf, g)))
         case _ if Annotations.contains(name) => // no feature geometry: skip like GDAL
@@ -172,8 +187,8 @@ object Dxf {
         case other =>
           throw new IllegalArgumentException(
             s"DXF entity $other is outside the supported subset (POINT/LINE/" +
-              "LWPOLYLINE/POLYLINE/CIRCLE/ARC/HATCH + annotations) — refusing " +
-              "to silently drop geometry; convert it before export")
+              "LWPOLYLINE/POLYLINE/CIRCLE/ARC/ELLIPSE/SPLINE/HATCH + annotations) — " +
+              "refusing to silently drop geometry; convert it before export")
       }
     }
     out.toIndexedSeq
@@ -182,21 +197,33 @@ object Dxf {
   private val Annotations = Set("TEXT", "MTEXT", "INSERT", "ATTDEF", "ATTRIB",
     "DIMENSION", "VIEWPORT", "POINTCLOUD", "WIPEOUT", "LEADER", "MULTILEADER")
 
-  /** (code, value) pairs; DXF is strictly line-paired. */
+  /** (code, value) pairs. The code line is trimmed (AutoCAD right-justifies
+    * codes in a fixed-width field); the VALUE line is kept verbatim — string
+    * values (text, layer names) may legally carry leading/trailing spaces,
+    * and numeric parsing tolerates padding at the use sites. Entity/section
+    * markers (code 0) are trimmed: their whitespace is never semantic and
+    * the parser dispatches on them. A blank line at a CODE position is a
+    * stray separator — skipped, resynchronizing the pairing — while a blank
+    * line at a VALUE position is an empty string value (legal for text
+    * groups); fixed index-parity pairing would instead desync every pair
+    * after the stray line into a confusing group-code error. */
   private[io] def parsePairs(text: String): IndexedSeq[(Int, String)] = {
     val lines = text.linesIterator.toIndexedSeq
     val out = IndexedSeq.newBuilder[(Int, String)]
     var i = 0
-    while (i + 1 < lines.length) {
+    while (i < lines.length) {
       val code = lines(i).trim
-      if (code.nonEmpty || lines(i + 1).trim.nonEmpty) {
+      if (code.isEmpty) i += 1 // stray blank line between pairs: resync
+      else {
+        require(i + 1 < lines.length,
+          s"DXF: group code '$code' at end of file has no value line")
         val c = try code.toInt catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(s"DXF: group code line '$code' is not an integer")
         }
-        out += ((c, lines(i + 1).trim))
+        out += ((c, if (c == 0) lines(i + 1).trim else lines(i + 1)))
+        i += 2
       }
-      i += 2
     }
     out.result()
   }
@@ -285,13 +312,153 @@ object Dxf {
     out
   }
 
+  /** ELLIPSE parametric form, densified: p(t) = c + A cos t + B sin t where
+    * A is the major-axis vector (group 11/21, relative to the center) and
+    * B = ratio * perp(A). Parameter steps sized like [[arcCoords]]; a full
+    * ellipse (sweep 2 pi) closes bit-exactly. */
+  private[io] def ellipseCoords(cx: Double, cy: Double, mx: Double, my: Double,
+                                ratio: Double, t0: Double, t1: Double): Array[Coordinate] = {
+    val sweep = { val s = t1 - t0; if (s <= 0) s + 2 * math.Pi else s }
+    val full = sweep >= 2 * math.Pi - 1e-9
+    val steps = math.max(8, math.ceil(math.toDegrees(sweep) / 4.0).toInt)
+    val out = new Array[Coordinate](steps + 1)
+    var k = 0
+    while (k <= steps) {
+      val t = t0 + sweep * k / steps
+      val (ct, st) = (math.cos(t), math.sin(t))
+      out(k) = new Coordinate(cx + mx * ct - ratio * my * st, cy + my * ct + ratio * mx * st)
+      k += 1
+    }
+    if (full) out(steps) = new Coordinate(out(0)) // bit-exact ring closure
+    out
+  }
+
+  /** SPLINE -> densified LineString (GDAL converts splines the same way:
+    * `ogrdxf_spline.cpp` evaluates the NURBS and emits a linestring).
+    * Control points (10/20) + knots (40) [+ weights (41), rational flag]
+    * are evaluated with the standard Cox-de Boor recursion on homogeneous
+    * coordinates; AutoCAD's PERIODIC splines (flag bit 2) store unwrapped
+    * control points with a short knot vector, so those are rebuilt as the
+    * uniform closed B-spline they denote (wrap `degree` control points,
+    * uniform knots). A spline carrying only FIT points (no control points —
+    * rare, but legal per the DXF reference) degrades to the chord
+    * linestring through the fit points: they lie ON the curve, so this is
+    * a coarse densification rather than data loss. */
+  private def parseSpline(gf: GeometryFactory, g: Seq[(Int, String)]): Geometry = {
+    val flags = g.find(_._1 == 70).map(_._2.trim.toInt).getOrElse(0)
+    val closed = (flags & 1) != 0
+    val periodic = (flags & 2) != 0
+    val degree = g.find(_._1 == 71).map(_._2.trim.toInt).getOrElse(3)
+    require(degree >= 1 && degree <= 25, s"DXF SPLINE: unreasonable degree $degree")
+    var knots = g.collect { case (40, v) => v.toDouble }.toArray
+    var ctrl = pairedCoords(g, 10, 20, 30)
+    val fit = pairedCoords(g, 11, 21, 31)
+    var weights = g.collect { case (41, v) => v.toDouble }.toArray
+    if (ctrl.isEmpty) {
+      require(fit.nonEmpty, "DXF SPLINE: no control points and no fit points")
+      val cs = if (closed && !fit.head.equals2D(fit.last)) fit :+ new Coordinate(fit.head) else fit
+      return gf.createLineString(cs.toArray)
+    }
+    require(weights.isEmpty || weights.length == ctrl.length,
+      s"DXF SPLINE: ${weights.length} weights for ${ctrl.length} control points")
+    if (periodic && knots.length != ctrl.length + degree + 1) {
+      // unwrapped periodic storage: rebuild the equivalent open representation
+      weights =
+        if (weights.isEmpty) Array.empty
+        else weights ++ weights.take(degree)
+      ctrl = ctrl ++ ctrl.take(degree)
+      knots = Array.tabulate(ctrl.length + degree + 1)(_.toDouble)
+    }
+    require(knots.length == ctrl.length + degree + 1,
+      s"DXF SPLINE: ${knots.length} knots != ${ctrl.length} control points + degree $degree + 1")
+    val w = if (weights.isEmpty) Array.fill(ctrl.length)(1.0) else weights
+    val coords = splineCoords(degree, knots, ctrl.toArray, w,
+      samples = math.max(64, 16 * (ctrl.length - degree)))
+    val cs =
+      if (closed && coords.length > 1 && !coords.head.equals2D(coords.last))
+        coords :+ new Coordinate(coords.head)
+      else coords
+    gf.createLineString(cs.toArray)
+  }
+
+  /** Ordered (xCode,yCode[,zCode]) coordinate list from an entity group —
+    * each xCode starts a vertex, its y (and optional z) follow. */
+  private def pairedCoords(g: Seq[(Int, String)], xc: Int, yc: Int, zc: Int): IndexedSeq[Coordinate] = {
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate]()
+    var x = Option.empty[Double]; var y = Option.empty[Double]; var z = Double.NaN
+    def flush(): Unit = for (xx <- x; yy <- y) {
+      out += (if (z.isNaN) new Coordinate(xx, yy) else new Coordinate(xx, yy, z))
+      x = None; y = None; z = Double.NaN
+    }
+    g.foreach {
+      case (`xc`, v) => flush(); x = Some(v.toDouble)
+      case (`yc`, v) => y = Some(v.toDouble)
+      case (`zc`, v) => z = v.toDouble
+      case _         => ()
+    }
+    flush()
+    out.toIndexedSeq
+  }
+
+  /** Sample a (possibly rational) B-spline uniformly across its parameter
+    * domain [U(p), U(m-1-p)]. Standard findSpan + Cox-de Boor basis from
+    * the public NURBS literature, on homogeneous (wx, wy, w). */
+  private[io] def splineCoords(p: Int, knots: Array[Double], ctrl: Array[Coordinate],
+                               weights: Array[Double], samples: Int): IndexedSeq[Coordinate] = {
+    val n = ctrl.length - 1
+    val uLo = knots(p); val uHi = knots(knots.length - 1 - p)
+    require(uHi > uLo, s"DXF SPLINE: degenerate knot domain [$uLo, $uHi]")
+    def findSpan(u: Double): Int = {
+      if (u >= knots(n + 1)) return n
+      if (u <= knots(p)) return p
+      var lo = p; var hi = n + 1; var mid = (lo + hi) / 2
+      while (u < knots(mid) || u >= knots(mid + 1)) {
+        if (u < knots(mid)) hi = mid else lo = mid
+        mid = (lo + hi) / 2
+      }
+      mid
+    }
+    val left = new Array[Double](p + 1); val right = new Array[Double](p + 1)
+    val basis = new Array[Double](p + 1)
+    val out = new Array[Coordinate](samples + 1)
+    var s = 0
+    while (s <= samples) {
+      val u = uLo + (uHi - uLo) * s / samples
+      val span = findSpan(u)
+      basis(0) = 1.0
+      var j = 1
+      while (j <= p) {
+        left(j) = u - knots(span + 1 - j); right(j) = knots(span + j) - u
+        var saved = 0.0; var r = 0
+        while (r < j) {
+          val temp = basis(r) / (right(r + 1) + left(j - r))
+          basis(r) = saved + right(r + 1) * temp
+          saved = left(j - r) * temp
+          r += 1
+        }
+        basis(j) = saved
+        j += 1
+      }
+      var xw = 0.0; var yw = 0.0; var ww = 0.0; var k = 0
+      while (k <= p) {
+        val ci = span - p + k
+        val wi = weights(ci) * basis(k)
+        xw += ctrl(ci).x * wi; yw += ctrl(ci).y * wi; ww += wi
+        k += 1
+      }
+      out(s) = new Coordinate(xw / ww, yw / ww)
+      s += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
   /** HATCH boundary loops -> (Multi)Polygon via the MIF even-odd ring
     * assembly. Supported path types: polyline (bit 2 of code 92) and
     * line-edge lists (edge type 1); arc/spline edges raise. */
   private def parseHatch(gf: GeometryFactory, g: Seq[(Int, String)]): Geometry = {
     val items = g.toIndexedSeq
     def dAt(idx: Int): Double = items(idx)._2.toDouble
-    val nLoops = items.find(_._1 == 91).map(_._2.toInt).getOrElse(0)
+    val nLoops = items.find(_._1 == 91).map(_._2.trim.toInt).getOrElse(0)
     val rings = scala.collection.mutable.ArrayBuffer[LinearRing]()
     var i = items.indexWhere(_._1 == 91) + 1
     var loopsSeen = 0
@@ -299,16 +466,16 @@ object Dxf {
       // loop header: 92 = boundary path type
       while (i < items.length && items(i)._1 != 92) i += 1
       require(i < items.length, "DXF HATCH: missing boundary path type (92)")
-      val pathType = items(i)._2.toInt; i += 1
+      val pathType = items(i)._2.trim.toInt; i += 1
       if ((pathType & 2) != 0) {
         // polyline path: 72 has-bulge, 73 closed, 93 count, vertices 10/20 (+42)
         var hasBulge = false; var nv = 0
         var scanning = true
         while (scanning && i < items.length) {
           items(i) match {
-            case (72, v) => hasBulge = v.toInt != 0; i += 1
+            case (72, v) => hasBulge = v.trim.toInt != 0; i += 1
             case (73, _) => i += 1
-            case (93, v) => nv = v.toInt; i += 1; scanning = false
+            case (93, v) => nv = v.trim.toInt; i += 1; scanning = false
             case _ => i += 1
           }
         }
@@ -330,12 +497,12 @@ object Dxf {
         // edge-list path: 93 = number of edges, each edge 72 = type
         while (i < items.length && items(i)._1 != 93) i += 1
         require(i < items.length, "DXF HATCH: missing edge count (93)")
-        val ne = items(i)._2.toInt; i += 1
+        val ne = items(i)._2.trim.toInt; i += 1
         val coords = scala.collection.mutable.ArrayBuffer[Coordinate]()
         var e = 0
         while (e < ne && i < items.length) {
           require(items(i)._1 == 72, s"DXF HATCH: expected edge type (72), got ${items(i)}")
-          val et = items(i)._2.toInt; i += 1
+          val et = items(i)._2.trim.toInt; i += 1
           require(et == 1, s"DXF HATCH: edge type $et (arc/elliptic/spline) is not " +
             "supported — only line edges and polyline paths")
           // line edge: 10/20 start, 11/21 end

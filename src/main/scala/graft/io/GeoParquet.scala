@@ -42,20 +42,40 @@ object GeoParquet {
       s"mode must be 'overwrite' or 'append', got '$mode'")
     val g = gdf.geometryCol
     var df = gdf.df
+    // append-mode stored-dataset introspection: does the target already have
+    // part files, and if so what sidecar/footer metadata does it carry?
+    var appendingToExisting = false
+    var storedMeta: Option[Map[String, Any]] = None
     if (mode == "append") {
-      // appended part files must carry the SAME columns as the stored ones —
-      // otherwise readers see whichever footer they sample first and the
-      // bbox covering column silently half-exists
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(path), gdf.df.sparkSession.sparkContext.hadoopConfiguration)
       val p = new org.apache.hadoop.fs.Path(path)
       if (fs.exists(p) && fs.getFileStatus(p).isDirectory &&
           fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) {
+        appendingToExisting = true
+        storedMeta = readMeta(gdf.df.sparkSession, path)
+        // appended part files must carry the SAME columns as the stored ones —
+        // otherwise readers see whichever footer they sample first and the
+        // bbox covering column silently half-exists
         val storedHasBbox = gdf.df.sparkSession.read.parquet(path).columns.contains("bbox")
         require(storedHasBbox == coveringBbox,
           s"append: the stored dataset was written with coveringBbox=$storedHasBbox " +
             s"but this batch uses coveringBbox=$coveringBbox — mixed part-file " +
             "schemas would break the bbox scan prefilter; match the stored layout")
+        // CRS must match too: the rewritten sidecar labels the UNION, so an
+        // EPSG:3857 batch appended to a 4326 dataset would silently mislabel
+        // every stored row (and merge bboxes across incompatible units)
+        val storedCrs = storedColMeta(storedMeta, g).flatMap(_.get("crs")).flatMap {
+          case s: String => Some(s)
+          case null      => None
+          case other     => Some(other.toString) // PROJJSON object — compare raw
+        }
+        val exN = storedCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).orElse(storedCrs)
+        val nwN = gdf.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).orElse(gdf.activeCrs)
+        if (storedMeta.isDefined)
+          require(exN == nwN,
+            s"append: CRS ${gdf.activeCrs.getOrElse("unset")} does not match the " +
+              s"stored dataset's ${storedCrs.getOrElse("unset")}; to_crs first")
       }
     }
     // ONE stats pass for everything the metadata needs (total bounds +
@@ -72,26 +92,47 @@ object GeoParquet {
     def dbl(i: Int): Double = if (stats.isNullAt(i)) Double.NaN else stats.getDouble(i)
     var (x0, y0, x1, y1) = (dbl(0), dbl(1), dbl(2), dbl(3))
     var types = stats.getSeq[String](4)
-    if (mode == "append") {
+    if (appendingToExisting) {
       // keep the sidecar truthful for the UNION: merge the stored bbox and
       // geometry_types with the new batch's
-      readMeta(gdf.df.sparkSession, path).foreach { m =>
-        val colMeta = m.get("columns")
-          .collect { case mm: Map[String @unchecked, Any @unchecked] => mm }
-          .flatMap(_.get(g))
-          .collect { case mm: Map[String @unchecked, Any @unchecked] => mm }
-        colMeta.flatMap(_.get("bbox")).foreach {
-          case Seq(a: Double, b: Double, c: Double, d: Double) =>
-            def mrg(nw: Double, old: Double, f: (Double, Double) => Double): Double =
-              if (nw.isNaN) old else f(nw, old)
-            x0 = mrg(x0, a, math.min); y0 = mrg(y0, b, math.min)
-            x1 = mrg(x1, c, math.max); y1 = mrg(y1, d, math.max)
-          case _ =>
-        }
-        colMeta.flatMap(_.get("geometry_types")).foreach {
-          case l: Seq[Any @unchecked] => types = (types ++ l.map(_.toString)).distinct.sorted
-          case _ =>
-        }
+      val colMeta = storedColMeta(storedMeta, g)
+      colMeta.flatMap(_.get("bbox")).foreach {
+        case Seq(a: Double, b: Double, c: Double, d: Double) =>
+          def mrg(nw: Double, old: Double, f: (Double, Double) => Double): Double =
+            if (nw.isNaN) old else f(nw, old)
+          x0 = mrg(x0, a, math.min); y0 = mrg(y0, b, math.min)
+          x1 = mrg(x1, c, math.max); y1 = mrg(y1, d, math.max)
+        case _ =>
+      }
+      colMeta.flatMap(_.get("geometry_types")).foreach {
+        case l: Seq[Any @unchecked] => types = (types ++ l.map(_.toString)).distinct.sorted
+        case _ =>
+      }
+      if (storedMeta.isEmpty) {
+        // externally-written plain parquet with no sidecar/footer meta: the
+        // rewritten sidecar would otherwise claim the NEW batch's bbox/types
+        // for the whole union, letting bbox-pruning readers wrongly exclude
+        // stored rows. Compute the stored stats from the data instead (one
+        // scan of the stored geometry column — append to metadata-less data
+        // is the rare interop path, not the hot loop).
+        val stored = gdf.df.sparkSession.read.parquet(path)
+        require(stored.columns.contains(g) &&
+            stored.schema(g).dataType == org.apache.spark.sql.types.BinaryType,
+          s"append: stored dataset has no GeoParquet metadata and no WKB binary " +
+            s"column '$g' to derive it from; cannot append without mislabeling the union")
+        val st = stored
+          .select(st_bounds(col(g)).as("__b"),
+            concat(stGeometryTypeU(col(g)),
+              when(st_hasz(col(g)), lit(" Z")).otherwise(lit(""))).as("__t"))
+          .agg(min("__b.xmin"), min("__b.ymin"), max("__b.xmax"), max("__b.ymax"),
+            sort_array(collect_set(col("__t"))))
+          .head()
+        def sdbl(i: Int): Double = if (st.isNullAt(i)) Double.NaN else st.getDouble(i)
+        def mrg(nw: Double, old: Double, f: (Double, Double) => Double): Double =
+          if (nw.isNaN) old else if (old.isNaN) nw else f(nw, old)
+        x0 = mrg(x0, sdbl(0), math.min); y0 = mrg(y0, sdbl(1), math.min)
+        x1 = mrg(x1, sdbl(2), math.max); y1 = mrg(y1, sdbl(3), math.max)
+        types = (types ++ st.getSeq[String](4)).distinct.sorted
       }
     }
     val baseTypes = types.map(_.stripSuffix(" Z")).distinct
@@ -110,6 +151,18 @@ object GeoParquet {
         GeoArrowCodec.encodingFor(baseTypes.head).getOrElse(throw new IllegalArgumentException(
           s"geometry type ${baseTypes.head} has no geoarrow encoding"))
       } else geometryEncoding.toLowerCase
+    if (appendingToExisting) {
+      // encoding must match the stored part files: appending WKB binary to a
+      // geoarrow-encoded dataset (or vice versa) writes mixed part-file
+      // schemas that break every subsequent read
+      val storedEnc = storedColMeta(storedMeta, g).flatMap(_.get("encoding"))
+        .map(_.toString)
+        .getOrElse("WKB") // metadata-less stored data is plain WKB (checked above)
+      require(storedEnc.equalsIgnoreCase(encoding),
+        s"append: geometry encoding '$encoding' does not match the stored " +
+          s"dataset's '$storedEnc' — mixed part-file schemas break reads; " +
+          "match the stored encoding")
+    }
     if (encoding != "WKB")
       df = df.withColumn(g, GeoArrowCodec.fromWkb(encoding, col(g)))
     df.write.mode(mode).parquet(path)
@@ -222,6 +275,14 @@ object GeoParquet {
       else gdf.df
     gdf.copy(df = pre.filter(st_intersects(col(gdf.geometryCol), lit(maskWkb))))
   }
+
+  /** The per-column metadata map for `g` inside a parsed `geo` document. */
+  private def storedColMeta(meta: Option[Map[String, Any]],
+                            g: String): Option[Map[String, Any]] =
+    meta.flatMap(_.get("columns"))
+      .collect { case mm: Map[String @unchecked, Any @unchecked] => mm }
+      .flatMap(_.get(g))
+      .collect { case mm: Map[String @unchecked, Any @unchecked] => mm }
 
   private def readMeta(spark: SparkSession, path: String): Option[Map[String, Any]] = {
     val conf = spark.sparkContext.hadoopConfiguration

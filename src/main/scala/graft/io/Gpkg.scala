@@ -376,7 +376,12 @@ object Gpkg {
     * from the current max fid, the attribute schema must match the stored
     * layer, and the file is rebuilt with the union (this writer is a
     * single-pass page builder, so append = read + union + rewrite — same
-    * driver-export posture as [[write]]). Creates the file when absent. */
+    * driver-export posture as [[write]]). COST: each call is
+    * O(existing + new) — rebuilding also regenerates a fresh rtree, so
+    * there is no stale-index hazard, but a loop appending N small batches
+    * is quadratic in the total row count. Batch rows and append once; for
+    * high-frequency incremental sinks use GeoParquet/FlatGeobuf instead.
+    * Creates the file when absent. */
   def append(gdf: GeoDataFrame, path: String, layer: String = "features",
              maxRows: Long = 5000000L): Unit = {
     val spark = gdf.df.sparkSession
@@ -402,8 +407,10 @@ object Gpkg {
 
     import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, row_number}
     import org.apache.spark.sql.expressions.Window
-    val maxFid = existing.df.agg(org.apache.spark.sql.functions.max(col("fid")))
-      .head().getLong(0)
+    // max(fid) over a zero-row stored layer is SQL NULL — default to 0 so
+    // appending to an empty layer numbers from 1 instead of NPE-ing
+    val maxFidRow = existing.df.agg(org.apache.spark.sql.functions.max(col("fid"))).head()
+    val maxFid = if (maxFidRow.isNullAt(0)) 0L else maxFidRow.getLong(0)
     // new fids: max + dense 1..n (window over a constant is fine at export
     // scale — this whole path is driver-bound by format nature)
     val numbered = gdf.df

@@ -119,7 +119,14 @@ object SJoinNearest {
     // is id-safe here: the stamp's upstream is evaluation-stable, so an
     // evicted block recomputes with identical ids.
     val MaterializeCap = 50000000L
-    if (nLeft > 0 && nLeft <= MaterializeCap) remaining = remaining.cache()
+    // every cache taken inside this call is unpersisted before returning
+    // (after the result is pinned) — a long-lived session running many
+    // sjoin_nearest calls must not accumulate storage blocks until eviction
+    val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (nLeft > 0 && nLeft <= MaterializeCap) {
+      remaining = remaining.cache()
+      toUnpersist += remaining
+    }
 
     // A radius guaranteed to match every left row: the diagonal of the box
     // spanning the exact left extent and the right extent. The right extent
@@ -226,6 +233,7 @@ object SJoinNearest {
       val spec = SpatialJoin.specFrom(lsStats.copy(n = remainingCount), rsStats, effRadius)
       val matched = gridNearest(remaining, r2, "inner", leftGeom, rGeomName, effRadius,
         Some(distanceCol.getOrElse("__graft_dist")), exclusive, Some(spec)).cache()
+      toUnpersist += matched
       val matchedIds = matched.select(col("__graft_auto_lid")).distinct()
       val matchedN = timed(f"round $rounds r=$effRadius%.2f matched")(matchedIds.count())
       acc = Some(acc.map(_.unionByName(matched, allowMissingColumns = true)).getOrElse(matched))
@@ -259,7 +267,17 @@ object SJoinNearest {
       case _ => inner
     }
     val dropped = res.drop("__graft_auto_lid")
-    if (distanceCol.isEmpty) dropped.drop("__graft_dist") else dropped
+    val out = if (distanceCol.isEmpty) dropped.drop("__graft_dist") else dropped
+    // pin the result (eager — this op already runs jobs per round, so one
+    // materialization is in-kind), then release every intermediate cache:
+    // without this, repeated calls in one session accumulate storage blocks
+    // until executor memory evicts under pressure
+    val pinned =
+      if (toUnpersist.isEmpty) out
+      else if (out.sparkSession.sparkContext.getCheckpointDir.isDefined) out.checkpoint()
+      else out.localCheckpoint()
+    toUnpersist.foreach(_.unpersist(blocking = false))
+    pinned
   }
 
   private def broadcastNearest(l2: DataFrame, r2: DataFrame, how: String,

@@ -303,6 +303,29 @@ class SpatialJoinSpec extends AnyFunSuite {
       s"remaining plan grew to ${SJoinNearest.lastRemainingPlanNodes.get()} nodes — lineage not truncated")
   }
 
+  test("unbounded nearest releases its intermediate caches (long-session hygiene)") {
+    // repeated sjoin_nearest calls in one session must not accumulate
+    // storage blocks: the per-round matched caches and the probe-side cache
+    // are unpersisted before returning; only the pinned RESULT (one
+    // localCheckpoint per call, released with the DataFrame) may remain
+    val sc = spark.sparkContext
+    def cachedNonResult(): Int = sc.getPersistentRDDs.size
+    val before = cachedNonResult()
+    val stream = (0 until 50).map(i => (i, Wkb.write(GeomOps.point(i * 0.3, 0.0))))
+      .toDF("pid", "geometry")
+    val build = Seq((7, Wkb.write(GeomOps.point(1.0, 0.0)))).toDF("tid", "geometry")
+    (0 until 3).foreach { _ =>
+      val j = SJoinNearest.sjoinNearest(stream, build, distanceCol = Some("d"),
+        broadcastThreshold = -1)
+      assert(j.count() == 50)
+    }
+    // growth bounded by the 3 pinned results (localCheckpoint registers one
+    // persisted RDD each) — NOT by 3 x (probe cache + per-round matched)
+    val after = cachedNonResult()
+    assert(after - before <= 3,
+      s"persistent RDDs grew $before -> $after: intermediate caches leaked")
+  }
+
   test("unbounded nearest loop uses reliable checkpoint when a dir is configured") {
     // same multi-round workload as above, but through the cluster-safe path:
     // with a checkpoint dir set the loop must use Dataset.checkpoint (blocks

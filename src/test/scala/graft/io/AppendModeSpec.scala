@@ -93,6 +93,56 @@ class AppendModeSpec extends AnyFunSuite {
     assert(GeoParquet.read(spark, out).df.count() == 9)
   }
 
+  test("GPKG append onto a zero-row stored layer numbers fids from 1") {
+    val dir = java.nio.file.Files.createTempDirectory("appendempty").toString
+    val out = s"$dir/e.gpkg"
+    Gpkg.write(GeoDataFrame(pts(1 to 5).df.limit(0), "geometry",
+      Map("geometry" -> "EPSG:4326")), out)
+    Gpkg.append(pts(1 to 4), out) // max(fid) over no rows is NULL -> 0
+    val back = Gpkg.read(spark, out)
+    assert(back.df.count() == 4)
+    assert(back.df.select("fid").as[Long].collect().sorted.toSeq == (1L to 4L))
+  }
+
+  test("GeoParquet append refuses CRS and encoding mismatches") {
+    val dir = java.nio.file.Files.createTempDirectory("appendcrs").toString
+    val out = s"$dir/gp"
+    GeoParquet.write(pts(1 to 5), out)
+    // CRS mismatch: the rewritten sidecar would mislabel the stored rows
+    val mercator = GeoDataFrame(pts(6 to 9).df, "geometry", Map("geometry" -> "EPSG:3857"))
+    val e1 = intercept[IllegalArgumentException](
+      GeoParquet.write(mercator, out, mode = "append"))
+    assert(e1.getMessage.contains("CRS"), e1.getMessage)
+    // encoding mismatch: geoarrow part files + WKB part files break reads
+    val e2 = intercept[IllegalArgumentException](
+      GeoParquet.write(pts(6 to 9), out, mode = "append", geometryEncoding = "geoarrow"))
+    assert(e2.getMessage.contains("encoding"), e2.getMessage)
+    // same CRS + encoding appends fine
+    GeoParquet.write(pts(6 to 9), out, mode = "append")
+    assert(GeoParquet.read(spark, out).df.count() == 9)
+  }
+
+  test("GeoParquet append onto metadata-less parquet derives stored bounds from data") {
+    val dir = java.nio.file.Files.createTempDirectory("appendnometa").toString
+    val out = s"$dir/gp"
+    // externally-written plain parquet: WKB geometry, bbox column, NO sidecar
+    val stored = pts(1 to 10)
+    stored.df.withColumn("bbox", graft.functions.GeoFunctions.st_bounds(col("geometry")))
+      .write.parquet(out)
+    GeoParquet.write(pts(90 to 99), out, mode = "append")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/_geo_metadata.json")), "UTF-8")
+    // bbox must span the STORED rows too (x from 1), not just the new batch
+    assert(meta.contains("\"bbox\": [1.0, 2.0, 99.0, 198.0]"), meta)
+    assert(GeoParquet.read(spark, out).df.count() == 20)
+    // metadata-less stored data without a usable WKB column refuses
+    val out2 = s"$dir/gp2"
+    pts(1 to 3).df.select(col("key"), col("name")).write.parquet(out2)
+    val e = intercept[IllegalArgumentException](GeoParquet.write(pts(4 to 6), out2,
+      coveringBbox = false, mode = "append"))
+    assert(e.getMessage.contains("mislabeling"), e.getMessage)
+  }
+
   test("append raises loudly for single-document formats") {
     val dir = java.nio.file.Files.createTempDirectory("appendno").toString
     for (ext <- Seq("shp", "fgb", "feather", "csv", "kml", "gml", "gpx", "mif")) {

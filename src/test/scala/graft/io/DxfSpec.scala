@@ -130,12 +130,101 @@ class DxfSpec extends AnyFunSuite {
     assert(Dxf.read(spark, pdir).df.count() == 40)
   }
 
+  test("ELLIPSE densifies onto the exact ellipse; partial sweep hits its endpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfel").toString
+    // full ellipse: center (0,0), major-axis endpoint (4,0), ratio 0.5 -> a=4, b=2
+    // rotated: major endpoint (0,3) along +y, ratio 1/3 -> x^2 + (y/3)^2 = 1
+    // quarter arc at center (10,10): t in [0, pi/2] -> start (14,10), end (10,12)
+    val f = writeFixture(dir, "e.dxf",
+      "0\nELLIPSE\n8\n0\n10\n0\n20\n0\n11\n4\n21\n0\n40\n0.5\n41\n0\n42\n6.283185307179586\n" +
+        "0\nELLIPSE\n8\n0\n10\n0\n20\n0\n11\n0\n21\n3\n40\n0.3333333333333333\n41\n0\n42\n6.283185307179586\n" +
+        "0\nELLIPSE\n8\n0\n10\n10\n20\n10\n11\n4\n21\n0\n40\n0.5\n41\n0\n42\n1.5707963267948966\n")
+    val wkbs = Dxf.read(spark, f).df.select(col("geometry")).as[Array[Byte]]
+      .collect().map(graft.geom.Wkb.read)
+    val full = wkbs(0).asInstanceOf[org.locationtech.jts.geom.LineString]
+    assert(full.isClosed && full.getNumPoints >= 90)
+    full.getCoordinates.foreach { p =>
+      assert(math.abs(math.pow(p.x / 4, 2) + math.pow(p.y / 2, 2) - 1.0) < 1e-9, p)
+    }
+    val rot = wkbs(1).asInstanceOf[org.locationtech.jts.geom.LineString]
+    assert(rot.isClosed)
+    rot.getCoordinates.foreach { p =>
+      assert(math.abs(p.x * p.x + math.pow(p.y / 3, 2) - 1.0) < 1e-9, p)
+    }
+    val quarter = wkbs(2).asInstanceOf[org.locationtech.jts.geom.LineString]
+    val q0 = quarter.getCoordinateN(0); val q1 = quarter.getCoordinateN(quarter.getNumPoints - 1)
+    assert(math.abs(q0.x - 14) < 1e-9 && math.abs(q0.y - 10) < 1e-9, q0)
+    assert(math.abs(q1.x - 10) < 1e-9 && math.abs(q1.y - 12) < 1e-9, q1)
+  }
+
+  test("SPLINE: rational quarter-circle is exact; Bezier midpoint closed-form; periodic closes") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfsp").toString
+    // degree-2 NURBS quarter circle: ctrl (1,0),(1,1),(0,1), w (1, sqrt2/2, 1),
+    // knots [0,0,0,1,1,1] — every evaluated point lies ON the unit circle
+    val w = math.sqrt(2) / 2
+    val f = writeFixture(dir, "s.dxf",
+      "0\nSPLINE\n8\ncurves\n70\n4\n71\n2\n72\n6\n73\n3\n" +
+        "40\n0\n40\n0\n40\n0\n40\n1\n40\n1\n40\n1\n" +
+        s"41\n1\n41\n$w\n41\n1\n" +
+        "10\n1\n20\n0\n10\n1\n20\n1\n10\n0\n20\n1\n" +
+        // non-rational cubic Bezier: ctrl (0,0),(0,2),(4,2),(4,0), clamped knots
+        "0\nSPLINE\n8\ncurves\n70\n8\n71\n3\n72\n8\n73\n4\n" +
+        "40\n0\n40\n0\n40\n0\n40\n0\n40\n1\n40\n1\n40\n1\n40\n1\n" +
+        "10\n0\n20\n0\n10\n0\n20\n2\n10\n4\n20\n2\n10\n4\n20\n0\n" +
+        // AutoCAD-style PERIODIC closed spline: unwrapped ctrl, short knot vector
+        "0\nSPLINE\n8\ncurves\n70\n3\n71\n2\n72\n5\n73\n4\n" +
+        "40\n0\n40\n1\n40\n2\n40\n3\n40\n4\n" +
+        "10\n0\n20\n0\n10\n4\n20\n0\n10\n4\n20\n4\n10\n0\n20\n4\n")
+    val wkbs = Dxf.read(spark, f).df.select(col("geometry")).as[Array[Byte]]
+      .collect().map(graft.geom.Wkb.read)
+    val qc = wkbs(0).asInstanceOf[org.locationtech.jts.geom.LineString]
+    assert(qc.getNumPoints >= 64)
+    qc.getCoordinates.foreach { p =>
+      assert(math.abs(math.hypot(p.x, p.y) - 1.0) < 1e-12, p) // exact NURBS circle
+    }
+    assert(qc.getCoordinateN(0).distance(new org.locationtech.jts.geom.Coordinate(1, 0)) < 1e-12)
+    assert(qc.getCoordinateN(qc.getNumPoints - 1)
+      .distance(new org.locationtech.jts.geom.Coordinate(0, 1)) < 1e-12)
+    val bez = wkbs(1).asInstanceOf[org.locationtech.jts.geom.LineString]
+    // B(1/2) = (P0 + 3P1 + 3P2 + P3)/8 = (2, 1.5); 64 uniform samples hit t=1/2
+    assert(bez.getCoordinates.exists(p => math.abs(p.x - 2) < 1e-12 && math.abs(p.y - 1.5) < 1e-12))
+    assert(bez.getCoordinateN(0).distance(new org.locationtech.jts.geom.Coordinate(0, 0)) < 1e-12)
+    assert(bez.getCoordinateN(bez.getNumPoints - 1)
+      .distance(new org.locationtech.jts.geom.Coordinate(4, 0)) < 1e-12)
+    val per = wkbs(2).asInstanceOf[org.locationtech.jts.geom.LineString]
+    assert(per.isClosed, "periodic spline must come back closed")
+    per.getCoordinates.foreach { p =>
+      assert(p.x >= -1e-9 && p.x <= 4 + 1e-9 && p.y >= -1e-9 && p.y <= 4 + 1e-9, p)
+    }
+  }
+
+  test("parsePairs: stray blank lines resync; value whitespace is preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfws").toString
+    // a stray blank line between pairs + a layer name with leading/trailing
+    // spaces (legal in group-code values): the blank line must not desync
+    // subsequent pairs, and the layer must come back verbatim
+    val text = "0\nSECTION\n2\nENTITIES\n\n0\nPOINT\n8\n  padded layer \n10\n1\n20\n2\n" +
+      "\n\n0\nPOINT\n8\nplain\n10\n3\n20\n4\n0\nENDSEC\n0\nEOF\n"
+    val p = java.nio.file.Paths.get(s"$dir/w.dxf")
+    java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+    val rows = Dxf.read(spark, p.toString).df
+      .select(col("Layer"), st_astext(col("geometry"))).as[(String, String)]
+      .collect().sortBy(_._2)
+    assert(rows.length == 2)
+    assert(rows(0) == (("  padded layer ", "POINT (1 2)")), rows(0))
+    assert(rows(1) == (("plain", "POINT (3 4)")))
+    // a dangling code line at EOF raises instead of silently dropping
+    val bad = "0\nSECTION\n2\nENTITIES\n0\nENDSEC\n0\nEOF\n5\n"
+    val ex = intercept[IllegalArgumentException](Dxf.parsePairs(bad))
+    assert(ex.getMessage.contains("no value line"))
+  }
+
   test("loud raises: unknown geometric entity, attribute columns, multi-part, append") {
     val dir = java.nio.file.Files.createTempDirectory("dxfe").toString
     val f = writeFixture(dir, "s.dxf",
-      "0\nSPLINE\n8\n0\n10\n0\n20\n0\n")
+      "0\nSOLID\n8\n0\n10\n0\n20\n0\n11\n1\n21\n0\n12\n0\n22\n1\n13\n1\n23\n1\n")
     val ex = intercept[org.apache.spark.SparkException](Dxf.read(spark, f).df.count())
-    assert(ex.getMessage.contains("SPLINE") || ex.getCause.getMessage.contains("SPLINE"))
+    assert(ex.getMessage.contains("SOLID") || ex.getCause.getMessage.contains("SOLID"))
     val withAttrs = GeoDataFrame(
       Seq((1, 2.5)).toDF("id", "score")
         .withColumn("geometry", st_point(lit(0.0), lit(0.0))), "geometry", Map.empty)
