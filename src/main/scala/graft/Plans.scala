@@ -652,7 +652,7 @@ object Plans {
       val r = ds.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 2000000L).as("rid"),
           concat(substring(md5(col("doc_id").cast("string")), 1, 15), lit("0")).as("sig"))
-      graft.ops.Dedup.hammingJoin(l, "id", "sig", r, "rid", "sig", maxHamming = 4)
+      graft.ops.Dedup.hammingJoinPlanned(l, "id", "sig", r, "rid", "sig", maxHamming = 4)
     }
 
     section("PageRank round (q174: one destination-keyed hash aggregate per iteration)",

@@ -88,6 +88,28 @@ object SparkEntry {
       | PARAMETER["False_Easting",0], PARAMETER["False_Northing",0],
       | UNIT["Meter",1]]""".stripMargin.replace("\n", "")
 
+  /** Codeless NZMG / Laborde PROJCS for the q184 gate: no TOWGS84 clause,
+    * so toCrs from EPSG:4326 composes Identity + pure projection math —
+    * exactly what the plain-SQL oracle replicates. */
+  private val NzmgWkt =
+    """PROJCS["Graft_NZMG", GEOGCS["NZGD49", DATUM["NZGD_1949",
+      | SPHEROID["International 1924",6378388,297]], PRIMEM["Greenwich",0],
+      | UNIT["Degree",0.0174532925199433]],
+      | PROJECTION["New_Zealand_Map_Grid"],
+      | PARAMETER["latitude_of_origin",-41], PARAMETER["central_meridian",173],
+      | PARAMETER["false_easting",2510000], PARAMETER["false_northing",6023150],
+      | UNIT["Meter",1]]""".stripMargin.replace("\n", "")
+  private val LabordeWkt =
+    """PROJCS["Graft_Laborde", GEOGCS["Tananarive 1925", DATUM["Tananarive_1925",
+      | SPHEROID["International 1924",6378388,297]], PRIMEM["Greenwich",0],
+      | UNIT["Degree",0.0174532925199433]],
+      | PROJECTION["Laborde_Oblique_Mercator"],
+      | PARAMETER["latitude_of_center",-18.9],
+      | PARAMETER["longitude_of_center",46.43722916666667],
+      | PARAMETER["azimuth",18.9], PARAMETER["scale_factor",0.9995],
+      | PARAMETER["false_easting",400000], PARAMETER["false_northing",800000],
+      | UNIT["Meter",1]]""".stripMargin.replace("\n", "")
+
   private val PtsSql =
     """SELECT *, CAST(c_custkey * 7 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS px,
       |          CAST(c_custkey * 13 % 1000 AS DOUBLE) / CAST(10 AS DOUBLE) AS py
@@ -701,6 +723,32 @@ object SparkEntry {
         .select(col("c_custkey"),
           (round(st_x(col("geometry")), 3) + 0.0).as("tx"),
           (round(st_y(col("geometry")), 3) + 0.0).as("ty"))
+    }),
+    "q184_nzmg_laborde" -> ((s, d) => {
+      // round-20 CRS stragglers gated end-to-end through toCrs: NZMG
+      // (EPSG 9811 series + defining complex polynomial) on an NZ-box
+      // point cloud and Laborde (EPSG 9813, GN7-2 conformal-sphere +
+      // cubic correction) on a Madagascar box. Codeless PROJCS targets =
+      // pure projection math (no datum leg), so the DuckDB oracle is the
+      // same published formulas in plain SQL — series, complex Horner and
+      // sphere rotation unrolled to scalar arithmetic.
+      import graft.api.GeoDataFrame
+      val base = pts(s, d)
+      val nzPts = base.withColumn("geometry",
+        st_point(col("px") * 0.12 + 166.0, col("py") * 0.12 - 47.0))
+      val nzmg = GeoDataFrame(nzPts, "geometry", Map("geometry" -> "EPSG:4326"))
+        .toCrs(NzmgWkt).df
+        .select(col("c_custkey"),
+          (round(st_x(col("geometry")), 3) + 0.0).as("nx"),
+          (round(st_y(col("geometry")), 3) + 0.0).as("ny"))
+      val mgPts = base.withColumn("geometry",
+        st_point(col("px") * 0.06 + 44.0, col("py") * 0.1 - 25.0))
+      val lab = GeoDataFrame(mgPts, "geometry", Map("geometry" -> "EPSG:4326"))
+        .toCrs(LabordeWkt).df
+        .select(col("c_custkey"),
+          (round(st_x(col("geometry")), 3) + 0.0).as("lx"),
+          (round(st_y(col("geometry")), 3) + 0.0).as("ly"))
+      nzmg.join(lab, Seq("c_custkey"))
     }),
     "q74_kml_roundtrip" -> ((s, d) => {
       // gate the KML driver end to end: typed Schema/SimpleData export,
@@ -2668,6 +2716,65 @@ object SparkEntry {
            |  * (CASE WHEN (axy*bxz - axz*bxy) * ux + (axz*bxx - axx*bxz) * uy + (axx*bxy - axy*bxx) * uz >= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS y
            |  FROM ang)
            | SELECT c_custkey, round(x, 3) + CAST(0 AS DOUBLE) AS tx, round(y, 3) + CAST(0 AS DOUBLE) AS ty FROM xy""".stripMargin.replace("\n", " "),
+      // NZMG + Laborde oracle: the published formulas in plain SQL.
+      // NZMG: 10-term psi series (Horner), then the 6 defining complex
+      // coefficients unrolled as real-pair Horner stages; Laborde: Gauss
+      // conformal-sphere constants derived IN SQL from a/f, sphere
+      // rotation, Mercator development and the cubic G*H^3 correction.
+      "q184_nzmg_laborde" ->
+        s"""WITH src AS (SELECT c_custkey,
+           |  (py * CAST(0.12 AS DOUBLE) - CAST(47 AS DOUBLE) + CAST(41 AS DOUBLE)) * CAST(0.036 AS DOUBLE) AS dphi,
+           |  radians(px * CAST(0.12 AS DOUBLE) + CAST(166 AS DOUBLE) - CAST(173 AS DOUBLE)) AS dlam,
+           |  radians(px * CAST(0.06 AS DOUBLE) + CAST(44 AS DOUBLE)) AS mlam,
+           |  radians(py * CAST(0.1 AS DOUBLE) - CAST(25 AS DOUBLE)) AS mphi FROM $pts),
+           | nzp AS (SELECT c_custkey, dlam, mlam, mphi,
+           |  dphi*(CAST(0.6399175073 AS DOUBLE) + dphi*(CAST(-0.1358797613 AS DOUBLE) + dphi*(CAST(0.063294409 AS DOUBLE) + dphi*(CAST(-0.02526853 AS DOUBLE) + dphi*(CAST(0.0117879 AS DOUBLE) + dphi*(CAST(-0.0055161 AS DOUBLE) + dphi*(CAST(0.0026906 AS DOUBLE) + dphi*(CAST(-0.001333 AS DOUBLE) + dphi*(CAST(0.00067 AS DOUBLE) + dphi*CAST(-0.00034 AS DOUBLE)))))))))) AS psi FROM src),
+           | s4 AS (SELECT *, CAST(-0.6870983 AS DOUBLE)*psi - CAST(-1.1651967 AS DOUBLE)*dlam + CAST(-0.26623489 AS DOUBLE) AS f4r,
+           |                  CAST(-0.6870983 AS DOUBLE)*dlam + CAST(-1.1651967 AS DOUBLE)*psi + CAST(-0.36249218 AS DOUBLE) AS f4i FROM nzp),
+           | s3 AS (SELECT *, f4r*psi - f4i*dlam + CAST(-0.10162907 AS DOUBLE) AS f3r,
+           |                  f4r*dlam + f4i*psi + CAST(0.01727609 AS DOUBLE) AS f3i FROM s4),
+           | s2 AS (SELECT *, f3r*psi - f3i*dlam + CAST(-0.001541739 AS DOUBLE) AS f2r,
+           |                  f3r*dlam + f3i*psi + CAST(0.041058560 AS DOUBLE) AS f2i FROM s3),
+           | s1 AS (SELECT *, f2r*psi - f2i*dlam + CAST(0.249204646 AS DOUBLE) AS f1r,
+           |                  f2r*dlam + f2i*psi + CAST(0.003371507 AS DOUBLE) AS f1i FROM s2),
+           | s0 AS (SELECT *, f1r*psi - f1i*dlam + CAST(0.7557853228 AS DOUBLE) AS f0r,
+           |                  f1r*dlam + f1i*psi AS f0i FROM s1),
+           | nz AS (SELECT c_custkey, mlam, mphi,
+           |  CAST(2510000 AS DOUBLE) + CAST(6378388 AS DOUBLE) * (f0r*dlam + f0i*psi) AS nx,
+           |  CAST(6023150 AS DOUBLE) + CAST(6378388 AS DOUBLE) * (f0r*psi - f0i*dlam) AS ny FROM s0),
+           | kon AS (SELECT
+           |  sqrt((CAST(1 AS DOUBLE)/CAST(297 AS DOUBLE)) * (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE)/CAST(297 AS DOUBLE))) AS ee,
+           |  (CAST(1 AS DOUBLE)/CAST(297 AS DOUBLE)) * (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE)/CAST(297 AS DOUBLE)) AS e2,
+           |  radians(CAST(-18.9 AS DOUBLE)) AS phic,
+           |  radians(CAST(46.43722916666667 AS DOUBLE)) AS lamc,
+           |  radians(CAST(18.9 AS DOUBLE)) AS alpha),
+           | kon2 AS (SELECT *,
+           |  sqrt(CAST(1 AS DOUBLE) + e2 * power(cos(phic), CAST(4 AS DOUBLE)) / (CAST(1 AS DOUBLE) - e2)) AS bb FROM kon),
+           | kon3 AS (SELECT *, asin(sin(phic) / bb) AS phis,
+           |  CAST(6378388 AS DOUBLE) * CAST(0.9995 AS DOUBLE) * sqrt(CAST(1 AS DOUBLE) - e2) / (CAST(1 AS DOUBLE) - e2 * sin(phic) * sin(phic)) AS rr,
+           |  (CAST(1 AS DOUBLE) - cos(CAST(2 AS DOUBLE) * alpha)) / CAST(12 AS DOUBLE) AS gr,
+           |  sin(CAST(2 AS DOUBLE) * alpha) / CAST(12 AS DOUBLE) AS gi FROM kon2),
+           | kon4 AS (SELECT *,
+           |  ln(tan(pi()/CAST(4 AS DOUBLE) + phis/CAST(2 AS DOUBLE)))
+           |   - bb * ln(tan(pi()/CAST(4 AS DOUBLE) + phic/CAST(2 AS DOUBLE)) * power((CAST(1 AS DOUBLE) - ee*sin(phic))/(CAST(1 AS DOUBLE) + ee*sin(phic)), ee/CAST(2 AS DOUBLE))) AS cc FROM kon3),
+           | lb1 AS (SELECT c_custkey, nx, ny, bb, phis, rr, gr, gi,
+           |  bb * (mlam - lamc) AS biglc,
+           |  CAST(2 AS DOUBLE) * atan(exp(cc + bb * ln(tan(pi()/CAST(4 AS DOUBLE) + mphi/CAST(2 AS DOUBLE)) * power((CAST(1 AS DOUBLE) - ee*sin(mphi))/(CAST(1 AS DOUBLE) + ee*sin(mphi)), ee/CAST(2 AS DOUBLE))))) - pi()/CAST(2 AS DOUBLE) AS p
+           |  FROM nz, kon4),
+           | lb2 AS (SELECT c_custkey, nx, ny, rr, gr, gi,
+           |  cos(p)*cos(biglc)*cos(phis) + sin(p)*sin(phis) AS u,
+           |  cos(p)*cos(biglc)*sin(phis) - sin(p)*cos(phis) AS v,
+           |  cos(p)*sin(biglc) AS w FROM lb1),
+           | lb3 AS (SELECT c_custkey, nx, ny, rr, gr, gi,
+           |  -atan2(v, u) AS hr,
+           |  ln(tan(pi()/CAST(4 AS DOUBLE) + atan2(w, sqrt(u*u + v*v))/CAST(2 AS DOUBLE))) AS hi FROM lb2),
+           | lb4 AS (SELECT c_custkey, nx, ny, rr, gr, gi, hr, hi,
+           |  hr*hr - hi*hi AS h2r, CAST(2 AS DOUBLE)*hr*hi AS h2i FROM lb3),
+           | lb5 AS (SELECT c_custkey, nx, ny,
+           |  CAST(400000 AS DOUBLE) + rr * (hi + gr*(h2r*hi + h2i*hr) + gi*(h2r*hr - h2i*hi)) AS lx,
+           |  CAST(800000 AS DOUBLE) + rr * (hr + gr*(h2r*hr - h2i*hi) - gi*(h2r*hi + h2i*hr)) AS ly FROM lb4)
+           | SELECT c_custkey, round(nx, 3) + CAST(0 AS DOUBLE) AS nx, round(ny, 3) + CAST(0 AS DOUBLE) AS ny,
+           |  round(lx, 3) + CAST(0 AS DOUBLE) AS lx, round(ly, 3) + CAST(0 AS DOUBLE) AS ly FROM lb5""".stripMargin.replace("\n", " "),
       "q76_gml_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 3 AND c_custkey % 2 = 1""".stripMargin.replace("\n", " "),

@@ -1294,6 +1294,208 @@ object CrsTransform {
     }
   }
 
+  val INTL_A = 6378388.0 // International 1924 (Hayford)
+  val INTL_F = 1.0 / 297.0
+
+  /** New Zealand Map Grid — EPSG method 9811 (EPSG:27200, NZGD49 / NZMG).
+    * The published definition (Reilly, "A conformal mapping projection with
+    * minimum scale error", Survey Review 1973; EPSG Guidance Note 7-2): the
+    * latitude offset (in 1e-5-arcsec units) maps through a 10-term series
+    * to the ISOMETRIC latitude difference, then a fixed 6th-degree complex
+    * polynomial — the projection's DEFINING minimum-scale-error
+    * coefficients, published in the EPSG registry — maps the isometric
+    * plane to grid metres on International 1924. The inverse
+    * Newton-iterates the same defining polynomial (no separate
+    * inverse-series digits to trust), and ProjParseSpec validates the psi
+    * series against the closed-form isometric latitude plus the GN7-2
+    * worked example. Origin is fixed by the definition: 41S, 173E. */
+  final case class Nzmg(fe: Double = 2510000.0, fn: Double = 6023150.0,
+                        unit: Double = 1.0) extends CrsTransform {
+    private val a = INTL_A
+    private val e2 = INTL_F * (2 - INTL_F)
+    private[graft] val e = math.sqrt(e2)
+    private val lat0 = -41.0
+    private val lon0 = math.toRadians(173.0)
+    private val Sec5PerDeg = 3600.0e-5 // degrees -> 1e-5-arcsec units
+
+    // Delta-phi (1e-5 arcsec) -> Delta-psi (isometric latitude, radians-
+    // compatible): d(psi)/d(phi_rad) at -41 = tpsi(0) * (sec5 per radian)
+    // = 0.63992 * 2.06265 = 1.31992 = M/(N cos phi) there — the series is
+    // the Taylor fit of the true isometric latitude (spec-checked).
+    private[graft] val tpsi = Array(0.6399175073, -0.1358797613, 0.063294409,
+      -0.02526853, 0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034)
+    private[graft] val tphi = Array(1.5627014243, 0.5185406398, -0.03333098,
+      -0.1052906, -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+    // the defining complex coefficients B1..B6 (EPSG GN7-2 / registry)
+    private val bfR = Array(0.7557853228, 0.249204646, -0.001541739,
+      -0.10162907, -0.26623489, -0.6870983)
+    private val bfI = Array(0.0, 0.003371507, 0.041058560,
+      0.01727609, -0.36249218, -1.1651967)
+
+    /** sum cs(k) x^(k+1) (zero constant term), Horner. */
+    private[graft] def poly(cs: Array[Double], x: Double): Double = {
+      var fv = 0.0; var i = cs.length - 1
+      while (i >= 0) { fv = cs(i) + x * fv; i -= 1 }
+      fv * x
+    }
+    /** complex sum_{k>=1} (bfR,bfI)(k) z^k. */
+    private def zpoly(zr: Double, zi: Double): (Double, Double) = {
+      var fr = 0.0; var fi = 0.0; var k = bfR.length - 1
+      while (k >= 0) {
+        val tr = fr * zr - fi * zi + bfR(k)
+        fi = fr * zi + fi * zr + bfI(k)
+        fr = tr
+        k -= 1
+      }
+      (fr * zr - fi * zi, fr * zi + fi * zr)
+    }
+    /** derivative sum k (bfR,bfI)(k) z^(k-1). */
+    private def zpolyD(zr: Double, zi: Double): (Double, Double) = {
+      var fr = 0.0; var fi = 0.0; var k = bfR.length - 1
+      while (k >= 0) {
+        val tr = fr * zr - fi * zi + (k + 1) * bfR(k)
+        fi = fr * zi + fi * zr + (k + 1) * bfI(k)
+        fr = tr
+        k -= 1
+      }
+      (fr, fi)
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val dphi = (lat - lat0) * Sec5PerDeg
+      val psi = poly(tpsi, dphi)
+      val dlam = math.toRadians(lon) - lon0
+      val (wr, wi) = zpoly(psi, dlam)
+      (a * wi / unit + fe, a * wr / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val zr = (y - fn) * unit / a
+      val zi = (x - fe) * unit / a
+      // Newton on the defining polynomial, seeded at z itself (B1 ~ 0.76
+      // dominates over the grid's domain, so the identity seed converges;
+      // no separately-published seed series to transcribe)
+      var hr = zr; var hi = zi
+      var k = 0
+      var moved = 1.0
+      while (k < 30 && moved > 1e-16) {
+        val (fr0, fi0) = zpoly(hr, hi)
+        val (dr, di) = zpolyD(hr, hi)
+        val nr = fr0 - zr; val ni = fi0 - zi
+        val den = dr * dr + di * di
+        val sr = (nr * dr + ni * di) / den
+        val si = (ni * dr - nr * di) / den
+        hr -= sr; hi -= si
+        moved = math.abs(sr) + math.abs(si)
+        k += 1
+      }
+      val dphi = poly(tphi, hr)
+      (math.toDegrees(lon0 + hi), lat0 + dphi / Sec5PerDeg)
+    }
+  }
+
+  /** Laborde Oblique Mercator — EPSG method 9813 (EPSG:29701/29702,
+    * Tananarive / Laborde Grid, Madagascar). Per EPSG Guidance Note 7-2:
+    * ellipsoid -> conformal sphere (Gauss constants B, phi_s), rotate so
+    * the initial line (azimuth alpha through the centre) becomes the
+    * pseudo-equator, Mercator-develop, then apply Laborde's cubic complex
+    * correction H + G H^3 with G = (1 - cos 2a + i sin 2a)/12. The cubic
+    * term is what distinguishes it from Hotine's development (EPSG 9812/
+    * 9815): near the centre the two agree to sub-mm (spec-checked against
+    * the repo's [[HotineOM]]), diverging away from the initial line. */
+  final case class LabordeOM(latC: Double, lonC: Double, azimuthDeg: Double,
+                             k0: Double, fe: Double, fn: Double,
+                             unit: Double = 1.0, a: Double = INTL_A,
+                             flattening: Double = INTL_F) extends CrsTransform {
+    private val e2 = flattening * (2 - flattening)
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latC)
+    private val lamC = math.toRadians(lonC)
+    private val alpha = math.toRadians(azimuthDeg)
+    private val cosC = math.cos(phiC)
+    private val sinC = math.sin(phiC)
+    private val bigB = math.sqrt(1 + e2 * math.pow(cosC, 4) / (1 - e2))
+    private val phiS = math.asin(sinC / bigB)
+    private val bigR = a * k0 * math.sqrt(1 - e2) / (1 - e2 * sinC * sinC)
+    private def lnt(phi: Double): Double = {
+      val esin = e * math.sin(phi)
+      math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - esin) / (1 + esin), e / 2))
+    }
+    private val bigC = math.log(math.tan(math.Pi / 4 + phiS / 2)) - bigB * lnt(phiC)
+    private val gr = (1 - math.cos(2 * alpha)) / 12
+    private val gi = math.sin(2 * alpha) / 12
+    private val cosS = math.cos(phiS)
+    private val sinS = math.sin(phiS)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val bigL = bigB * (math.toRadians(lon) - lamC)
+      val q = bigC + bigB * lnt(phi)
+      val p = 2 * math.atan(math.exp(q)) - math.Pi / 2
+      val cosP = math.cos(p); val sinP = math.sin(p)
+      val u = cosP * math.cos(bigL) * cosS + sinP * sinS
+      val v = cosP * math.cos(bigL) * sinS - sinP * cosS
+      val w = cosP * math.sin(bigL)
+      val d = math.hypot(u, v)
+      val lp = if (d > 0) math.atan2(v, u) else 0.0
+      val pp = math.atan2(w, d)
+      val hr = -lp
+      val hi = math.log(math.tan(math.Pi / 4 + pp / 2))
+      // H + G H^3
+      val h2r = hr * hr - hi * hi; val h2i = 2 * hr * hi
+      val h3r = h2r * hr - h2i * hi; val h3i = h2r * hi + h2i * hr
+      val wr = hr + gr * h3r - gi * h3i
+      val wi = hi + gr * h3i + gi * h3r
+      (bigR * wi / unit + fe, bigR * wr / unit + fn)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val zr = (y - fn) * unit / bigR
+      val zi = (x - fe) * unit / bigR
+      // Newton: solve H + G H^3 = z (seed z; |G| <= 1/6 keeps it contractive
+      // over the grid's domain)
+      var hr = zr; var hi = zi
+      var k = 0
+      var moved = 1.0
+      while (k < 30 && moved > 1e-16) {
+        val h2r = hr * hr - hi * hi; val h2i = 2 * hr * hi
+        val h3r = h2r * hr - h2i * hi; val h3i = h2r * hi + h2i * hr
+        val fr0 = hr + gr * h3r - gi * h3i - zr
+        val fi0 = hi + gr * h3i + gi * h3r - zi
+        val dr = 1 + 3 * (gr * h2r - gi * h2i)
+        val di = 3 * (gr * h2i + gi * h2r)
+        val den = dr * dr + di * di
+        val sr = (fr0 * dr + fi0 * di) / den
+        val si = (fi0 * dr - fr0 * di) / den
+        hr -= sr; hi -= si
+        moved = math.abs(sr) + math.abs(si)
+        k += 1
+      }
+      val lp = -hr
+      val pp = 2 * math.atan(math.exp(hi)) - math.Pi / 2
+      val up = math.cos(pp) * math.cos(lp)
+      val vp = math.cos(pp) * math.sin(lp)
+      val wp = math.sin(pp)
+      // inverse (transpose) of the forward sphere rotation
+      val u1 = up * cosS + vp * sinS
+      val u2 = wp
+      val u3 = up * sinS - vp * cosS
+      val p = math.asin(math.max(-1.0, math.min(1.0, u3)))
+      val bigL = math.atan2(u2, u1)
+      val lam = lamC + bigL / bigB
+      val tq = math.exp((math.log(math.tan(math.Pi / 4 + p / 2)) - bigC) / bigB)
+      var phi = 2 * math.atan(tq) - math.Pi / 2
+      var i = 0
+      while (i < 15) {
+        val esin = e * math.sin(phi)
+        phi = 2 * math.atan(tq * math.pow((1 + esin) / (1 - esin), e / 2)) - math.Pi / 2
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** WGS84 -> OSGB36 (EPSG position-vector, negated from the published
     * OSGB36->WGS84 set in the OS coordinate-systems guide). */
   private def osgb36Helmert: Helmert =
@@ -1404,6 +1606,22 @@ object CrsTransform {
     case 3435 => // NAD83 / Illinois East (ftUS) — TM
       Some(Tm(lat0 = 36.0 + 40.0 / 60, lonCm = -(88.0 + 20.0 / 60), k0 = 0.999975,
         fe = 300000.0 / FtUs, fn = 0.0, unit = FtUs))
+    case 27200 => // NZGD49 / New Zealand Map Grid: Helmert (EPSG 1564
+      // NZGD49->WGS84 position-vector set, negated) + the NZMG polynomial
+      Some(DatumProjected(
+        Helmert(tx = -59.47, ty = 5.04, tz = -187.44,
+          rxSec = 0.47, rySec = -0.10, rzSec = 1.024, sPpm = 4.5993,
+          aDst = INTL_A, fDst = INTL_F),
+        Nzmg()))
+    case 29701 | 29702 => // Tananarive (Paris) / Laborde Grid (29701) and its
+      // Greenwich-referenced sibling (29702): 3-param Tananarive 1925 shift
+      // (EPSG 1227, negated) + Laborde at 21 grads S / 49 grads E-of-Paris,
+      // azimuth 21 grads, k0 0.9995 on International 1924
+      Some(DatumProjected(
+        Helmert(tx = 189.0, ty = 242.0, tz = 91.0,
+          rxSec = 0, rySec = 0, rzSec = 0, sPpm = 0, aDst = INTL_A, fDst = INTL_F),
+        LabordeOM(latC = -18.9, lonC = 44.1 + (2.0 + 20.0 / 60 + 14.025 / 3600),
+          azimuthDeg = 18.9, k0 = 0.9995, fe = 400000.0, fn = 800000.0)))
     case _ => None
   }
 
@@ -1449,7 +1667,8 @@ object CrsTransform {
       throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$code — supported: 4326, 4258, 4277, 3857, 3395, " +
           "UTM 326xx/327xx/269xx/258xx, MGA 283xx, 27700, 28992, 2154, 2193, 2263, " +
-          "2248, 3435, 5070, 26985, 3413, 3031, 3976, 6933, 3035, 8857, 32661/32761 " +
+          "2248, 3435, 5070, 26985, 27200 (NZMG), 29701/29702 (Laborde), " +
+          "3413, 3031, 3976, 6933, 3035, 8857, 32661/32761 " +
           "(UPS), 54008/54009/54012/54017 (ESRI World Sinusoidal/Mollweide/" +
           "Eckert IV/Behrmann), or any " +
           "LCC/TM/Albers/Mercator CRS given as WKT/PROJJSON with its projection " +

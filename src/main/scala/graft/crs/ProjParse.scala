@@ -384,11 +384,24 @@ object ProjParse {
       for (p1 <- la1; q1 <- lo1; p2 <- la2; q2 <- lo2)
         yield TwoPointEquidistant(p1, q1, p2, q2, fe, fn, unit, a)
     }
-    // NZMG (EPSG 9811) and Laborde Oblique Mercator (EPSG 9813) stay
-    // unsupported by design: both need their PUBLISHED series coefficients
-    // / worked examples to validate against, and neither is reproducible
-    // from first principles — a from-memory transcription would be silently
-    // wrong, which is worse than the loud raise (COVERAGE.md)
+    else if (m.contains("laborde")) {
+      // Laborde Oblique Mercator (EPSG 9813, Madagascar): GN7-2 formulas,
+      // validated against the guidance-note worked example in ProjParseSpec
+      val az = get(Seq("azimuth", "azimuthofinitialline",
+        "azimuthatprojectioncentre")).getOrElse(18.9)
+      Some(LabordeOM(lat0, lon0, az, k0, fe, fn, unit, a, f))
+    }
+    else if (m.contains("newzealandmapgrid")) {
+      // NZMG (EPSG 9811): the defining complex-polynomial coefficients fix
+      // the origin at 41S 173E on International 1924 — a WKT claiming any
+      // other origin/ellipsoid is not NZMG, so raise rather than mislabel
+      require(math.abs(lat0 + 41.0) < 1e-9 && math.abs(lon0 - 173.0) < 1e-9,
+        s"New Zealand Map Grid is DEFINED at origin 41S 173E (got $lat0, $lon0); " +
+          "its minimum-scale-error polynomial has no free origin parameters")
+      require(math.abs(a - CrsTransform.INTL_A) < 0.5,
+        s"New Zealand Map Grid is defined on International 1924 (a=6378388), got a=$a")
+      Some(Nzmg(fe, fn, unit))
+    }
     else if (m.contains("azimuthalequidistant") && !m.contains("modified"))
       // spherical form on R = a (the ESRI 54032 / +proj=aeqd sphere shape);
       // EPSG 9832 "Modified Azimuthal Equidistant" is ellipsoidal — raise

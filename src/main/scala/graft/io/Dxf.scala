@@ -454,7 +454,9 @@ object Dxf {
 
   /** HATCH boundary loops -> (Multi)Polygon via the MIF even-odd ring
     * assembly. Supported path types: polyline (bit 2 of code 92) and
-    * line-edge lists (edge type 1); arc/spline edges raise. */
+    * edge lists with line (type 1), circular-arc (type 2, densified like
+    * ARC) and elliptic-arc (type 3, densified like ELLIPSE) edges;
+    * spline edges (type 4) raise. */
   private def parseHatch(gf: GeometryFactory, g: Seq[(Int, String)]): Geometry = {
     val items = g.toIndexedSeq
     def dAt(idx: Int): Double = items(idx)._2.toDouble
@@ -500,18 +502,54 @@ object Dxf {
         val ne = items(i)._2.trim.toInt; i += 1
         val coords = scala.collection.mutable.ArrayBuffer[Coordinate]()
         var e = 0
+        // each edge appends its densified points; junction duplicates drop
+        def append(pts: Seq[Coordinate]): Unit = pts.foreach { c =>
+          if (coords.isEmpty || !coords.last.equals2D(c)) coords += c
+        }
+        def need(code: Int, what: String): Double = {
+          require(i < items.length && items(i)._1 == code, s"DXF HATCH: bad $what edge")
+          val v = dAt(i); i += 1; v
+        }
+        def opt(code: Int, default: Double): Double =
+          if (i < items.length && items(i)._1 == code) { val v = dAt(i); i += 1; v }
+          else default
         while (e < ne && i < items.length) {
           require(items(i)._1 == 72, s"DXF HATCH: expected edge type (72), got ${items(i)}")
           val et = items(i)._2.trim.toInt; i += 1
-          require(et == 1, s"DXF HATCH: edge type $et (arc/elliptic/spline) is not " +
-            "supported — only line edges and polyline paths")
-          // line edge: 10/20 start, 11/21 end
-          require(items(i)._1 == 10, "DXF HATCH: bad line edge"); val x0 = dAt(i); i += 1
-          require(items(i)._1 == 20, "DXF HATCH: bad line edge"); val y0 = dAt(i); i += 1
-          require(items(i)._1 == 11, "DXF HATCH: bad line edge"); val x1 = dAt(i); i += 1
-          require(items(i)._1 == 21, "DXF HATCH: bad line edge"); val y1 = dAt(i); i += 1
-          if (coords.isEmpty) coords += new Coordinate(x0, y0)
-          coords += new Coordinate(x1, y1)
+          et match {
+            case 1 => // line edge: 10/20 start, 11/21 end
+              val x0 = need(10, "line"); val y0 = need(20, "line")
+              val x1 = need(11, "line"); val y1 = need(21, "line")
+              append(Seq(new Coordinate(x0, y0), new Coordinate(x1, y1)))
+            case 2 => // circular-arc edge: 10/20 center, 40 radius,
+              // 50/51 start/end angle (deg), 73 counterclockwise flag —
+              // a cw arc is the ccw sample walked in reverse parameter order
+              val cx = need(10, "arc"); val cy = need(20, "arc")
+              val r = need(40, "arc")
+              val a0 = need(50, "arc"); val a1 = need(51, "arc")
+              val ccw = opt(73, 1.0) != 0.0
+              val pts =
+                if (ccw) arcCoords(cx, cy, r, a0, a1)
+                else arcCoords(cx, cy, r, a1, a0).reverse
+              append(pts.toSeq)
+            case 3 => // elliptic-arc edge: 10/20 center, 11/21 major-axis
+              // endpoint relative to center, 40 minor/major ratio,
+              // 50/51 start/end parameter (deg), 73 ccw flag
+              val cx = need(10, "ellipse"); val cy = need(20, "ellipse")
+              val mx = need(11, "ellipse"); val my = need(21, "ellipse")
+              val ratio = need(40, "ellipse")
+              val a0 = math.toRadians(need(50, "ellipse"))
+              val a1 = math.toRadians(need(51, "ellipse"))
+              val ccw = opt(73, 1.0) != 0.0
+              val pts =
+                if (ccw) ellipseCoords(cx, cy, mx, my, ratio, a0, a1)
+                else ellipseCoords(cx, cy, mx, my, ratio, a1, a0).reverse
+              append(pts.toSeq)
+            case other =>
+              throw new IllegalArgumentException(
+                s"DXF HATCH: edge type $other (spline) is not supported — " +
+                  "line/arc/elliptic-arc edges and polyline paths are")
+          }
           e += 1
         }
         if (coords.nonEmpty && !coords.head.equals2D(coords.last)) coords += new Coordinate(coords.head)

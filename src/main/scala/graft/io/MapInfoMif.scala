@@ -423,7 +423,7 @@ object MapInfoMif {
     (header, fields.map(_.name), g)
   }
 
-  private def renderMidRow(r: Row, fields: Array[StructField]): String =
+  private[io] def renderMidRow(r: Row, fields: Array[StructField]): String =
     fields.indices.map { k =>
       val v = r.get(k)
       fields(k).dataType match {

@@ -1020,14 +1020,34 @@ object Dedup {
     * fingerprints). Same recall-1 guarantee ([[hammingBandPlan]]) and the
     * same duplication-proof collapse on the signature value.
     *
-    * NOT lazy: constructing the result runs one bounded count job (capped
-    * at 200k rows over the cached distinct-signature frame) to pick the
-    * broadcast-vs-shuffle-hash candidate-join strategy — Catalyst's size
-    * estimates mis-plan the ~65x explode asymmetry, so the engine measures
-    * instead (also true of [[hammingJoin]]/[[simhashPairs]], which share
-    * this engine). The count warms the cache the main job reuses. */
+    * LAZY (round 20): constructing the result runs NO job. The
+    * broadcast-vs-shuffle-hash candidate-join choice needs a bounded count
+    * (capped at 200k rows over the cached distinct-signature frame —
+    * Catalyst's size estimates mis-plan the ~65x explode asymmetry, so the
+    * engine measures instead), and that count now runs at the caller's
+    * FIRST ACTION via [[LazyPlan]], memoized for later actions. The same
+    * holds for [[hammingJoin]]/[[simhashPairs]], which share this engine.
+    * [[hammingPairsPlanned]] is the strategy-resolved variant for plan
+    * inspection (it runs the bounded count at construction). */
   def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val idT = df.schema(idCol).dataType // analysis-time: missing column fails fast
+    df.schema(sigCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", idT),
+      org.apache.spark.sql.types.StructField("id_b", idT),
+      org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType)))
+    LazyPlan(df.sparkSession, schema)(() => hammingPairsPlanned(df, idCol, sigCol, maxHamming))
+  }
+
+  /** The strategy-resolved plan behind [[hammingPairs]]: runs the bounded
+    * rep count AT CONSTRUCTION to pick broadcast vs shuffle-hash, so its
+    * `queryExecution` shows the real join plan (specs and PLANS.md dump
+    * this variant; the public API defers the count to first action). */
+  private[graft] def hammingPairsPlanned(df: DataFrame, idCol: String, sigCol: String,
+                                         maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     // spread a NARROW input (a single small file, a coalesced upstream)
@@ -1112,10 +1132,31 @@ object Dedup {
     * from the band equi-join, hamming verifies once per signature pair,
     * and verified pairs expand to left×right members in both orientations;
     * identical signatures across the tables pair through the signature
-    * equi join directly (hamming 0). Output: (id_l, id_r, hamming). */
+    * equi join directly (hamming 0). Output: (id_l, id_r, hamming).
+    *
+    * LAZY like [[hammingPairs]]: the bounded strategy-count runs at the
+    * first action, not at construction ([[hammingJoinPlanned]] is the
+    * plan-inspectable eager variant). */
   def hammingJoin(left: DataFrame, leftId: String, leftSig: String,
                   right: DataFrame, rightId: String, rightSig: String,
                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val lT = left.schema(leftId).dataType; val rT = right.schema(rightId).dataType
+    left.schema(leftSig); right.schema(rightSig)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_l", lT),
+      org.apache.spark.sql.types.StructField("id_r", rT),
+      org.apache.spark.sql.types.StructField("hamming", org.apache.spark.sql.types.IntegerType)))
+    LazyPlan(left.sparkSession, schema)(() =>
+      hammingJoinPlanned(left, leftId, leftSig, right, rightId, rightSig, maxHamming))
+  }
+
+  /** The strategy-resolved plan behind [[hammingJoin]] (bounded count at
+    * construction; see [[hammingPairsPlanned]]). */
+  private[graft] def hammingJoinPlanned(left: DataFrame, leftId: String, leftSig: String,
+                                        right: DataFrame, rightId: String, rightSig: String,
+                                        maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     // cached like jaccardJoin/minhashJoin's keyed sides: the upstream is

@@ -451,9 +451,10 @@ class ProjParseSpec extends AnyFunSuite {
                 |PROJECTION["Bonne"],PARAMETER["False_Easting",0.0],
                 |UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
     assert(ProjParse.parse(wkt).isEmpty)
-    // Laborde is NOT the Hotine family despite the name overlap
+    // Laborde parses to its OWN math (round 20), never the Hotine family:
+    // the name overlap must not route it to HotineOM
     val laborde = wkt.replace("\"Bonne\"", "\"Laborde_Oblique_Mercator\"")
-    assert(ProjParse.parse(laborde).isEmpty)
+    assert(ProjParse.parse(laborde).exists(_.isInstanceOf[LabordeOM]))
   }
 
   test("Hotine Oblique Mercator variant B worked example (EPSG GN7-2: Timbalai 1948 / RSO Borneo)") {
@@ -524,6 +525,123 @@ class ProjParseSpec extends AnyFunSuite {
     assert(px < -500000 && px > -1000000 && py < -900000 && py > -1300000, s"Prague ($px,$py)")
     val (plo, pla) = c.inverse(px, py)
     assert(math.abs(plo - 14.42) < 1e-8 && math.abs(pla - 50.09) < 1e-8)
+  }
+
+  test("NZMG (EPSG 9811): series vs closed-form isometric latitude, worked example, WKT") {
+    val nz = Nzmg()
+    // the defining origin maps to the false origin exactly
+    assert(nz.forward(173.0, -41.0) == ((2510000.0, 6023150.0)))
+    // the 10-term psi series IS the Taylor fit of the true isometric
+    // latitude on International 1924 about 41S — validate every coefficient
+    // against the closed form across the grid's latitude domain (a single
+    // wrong digit shows up orders of magnitude above this tolerance)
+    val e = math.sqrt((1.0 / 297) * (2 - 1.0 / 297))
+    def iso(latDeg: Double): Double = {
+      val p = math.toRadians(latDeg); val es = e * math.sin(p)
+      math.log(math.tan(math.Pi / 4 + p / 2) * math.pow((1 - es) / (1 + es), e / 2))
+    }
+    for (k <- 0 to 60) {
+      val latD = -48.0 + k * 0.25
+      val truth = iso(latD) - iso(-41.0)
+      assert(math.abs(nz.poly(nz.tpsi, (latD + 41.0) * 0.036) - truth) < 5e-9,
+        s"tpsi series diverges from the closed-form isometric latitude at $latD")
+      // 5e-9 = the published series' own fit residual over the domain; a
+      // single wrong digit would miss by >= 1e-6
+      assert(math.abs(nz.poly(nz.tphi, truth) - (latD + 41.0) * 0.036) < 5e-9,
+        s"tphi series is not the inverse of the isometric latitude at $latD")
+    }
+    // published test point (LINZ conversion example, NZGD49 lat/lon):
+    // 0.5 m tolerance = the point's 1e-6-degree quantization (~0.11 m)
+    // plus transcription headroom; measured agreement is ~0.04 m
+    val (we, wn) = nz.forward(172.739194, -34.444066)
+    assert(math.abs(we - 2487100.64) < 0.5, s"easting $we")
+    assert(math.abs(wn - 6751049.72) < 0.5, s"northing $wn")
+    // Newton inverse round-trips across the grid's domain
+    for ((lon, lat) <- Seq((172.739194, -34.444066), (174.777, -41.289),
+      (168.0, -46.5), (178.0, -37.5), (166.5, -45.9))) {
+      val (x, y) = nz.forward(lon, lat)
+      val (lo, la) = nz.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"roundtrip ($lon,$lat)")
+    }
+    // WKT1 parse reaches the same transform; a non-NZMG origin raises
+    val wkt =
+      """PROJCS["NZGD49 / New Zealand Map Grid", GEOGCS["NZGD49",
+        | DATUM["New_Zealand_Geodetic_Datum_1949",
+        | SPHEROID["International 1924",6378388,297]], PRIMEM["Greenwich",0],
+        | UNIT["degree",0.0174532925199433]],
+        | PROJECTION["New_Zealand_Map_Grid"],
+        | PARAMETER["latitude_of_origin",-41], PARAMETER["central_meridian",173],
+        | PARAMETER["false_easting",2510000], PARAMETER["false_northing",6023150],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).get
+    assert(parsed.forward(174.777, -41.289) == nz.forward(174.777, -41.289))
+    val badWkt = wkt.replace("\"central_meridian\",173", "\"central_meridian\",170")
+    intercept[IllegalArgumentException](ProjParse.parse(badWkt))
+    // registry code: 27200 chains (WGS84 round-trip through the NZGD49 Helmert)
+    val c = CrsTransform.chain(4326, 27200)
+    val (ax, ay) = c.forward(174.76, -36.85) // Auckland
+    assert(ax > 2600000 && ax < 2700000 && ay > 6400000 && ay < 6550000, s"($ax,$ay)")
+    val (alo, ala) = c.inverse(ax, ay)
+    // 1e-7 deg (~1 cm): the Helmert XYZ<->geodetic legs carry their own
+    // iteration residual on top of the projection's exact Newton inverse
+    assert(math.abs(alo - 174.76) < 1e-7 && math.abs(ala + 36.85) < 1e-7)
+  }
+
+  test("Laborde (EPSG 9813): GN7-2 worked example, Hotine agreement near centre, WKT") {
+    val lamC = 44.1 + (2.0 + 20.0 / 60 + 14.025 / 3600) // 49 grads E of Paris
+    val lab = LabordeOM(latC = -18.9, lonC = lamC, azimuthDeg = 18.9, k0 = 0.9995,
+      fe = 400000.0, fn = 800000.0)
+    // projection centre -> false origin
+    val (c0e, c0n) = lab.forward(lamC, -18.9)
+    assert(math.abs(c0e - 400000.0) < 1e-3 && math.abs(c0n - 800000.0) < 1e-3)
+    // EPSG GN7-2 worked example (Tananarive / Laborde Grid):
+    // 16d11'23.28"S, 44d27'27.26"E -> E 188333.848, N 1098841.091
+    val la = -(16 + 11.0 / 60 + 23.28 / 3600)
+    val lo = 44 + 27.0 / 60 + 27.26 / 3600
+    val (we, wn) = lab.forward(lo, la)
+    assert(math.abs(we - 188333.848) < 0.01, s"easting $we")
+    assert(math.abs(wn - 1098841.091) < 0.01, s"northing $wn")
+    // Newton inverse round-trips
+    for ((lonT, latT) <- Seq((lo, la), (lamC, -18.9), (49.3, -12.3), (47.1, -25.0))) {
+      val (x, y) = lab.forward(lonT, latT)
+      val (rlo, rla) = lab.inverse(x, y)
+      assert(math.abs(rlo - lonT) < 1e-8 && math.abs(rla - latT) < 1e-8, s"roundtrip ($lonT,$latT)")
+    }
+    // independent cross-check: near the centre Laborde agrees with the
+    // repo's Hotine OM (same centre/azimuth/k0) to sub-mm — both are
+    // conformal oblique Mercators matching scale along the initial line —
+    // while the cubic G H^3 term makes them diverge farther out
+    val hom = HotineOM(latC = -18.9, lonC = lamC, alphaC = 18.9, gammaC = 18.9,
+      k0 = 0.9995, fe = 400000.0, fn = 800000.0, variantB = true,
+      a = INTL_A, flattening = 1.0 / 297)
+    def diffAt(d: Double): Double = {
+      val (lx, ly) = lab.forward(lamC + d, -18.9 + d / 2)
+      val (hx, hy) = hom.forward(lamC + d, -18.9 + d / 2)
+      math.hypot(lx - hx, ly - hy)
+    }
+    assert(diffAt(0.05) < 1e-3 && diffAt(0.25) < 1e-3,
+      s"near-centre Hotine disagreement: ${diffAt(0.25)} m")
+    assert(diffAt(3.0) > diffAt(0.25), "the cubic term must separate the projections away from centre")
+    // WKT1 (ESRI Laborde_Oblique_Mercator spelling) parses to the same math
+    val wkt =
+      """PROJCS["Tananarive 1925 / Laborde Grid", GEOGCS["Tananarive 1925",
+        | DATUM["Tananarive_1925", SPHEROID["International 1924",6378388,297]],
+        | PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        | PROJECTION["Laborde_Oblique_Mercator"],
+        | PARAMETER["latitude_of_center",-18.9],
+        | PARAMETER["longitude_of_center",46.43722916666667],
+        | PARAMETER["azimuth",18.9], PARAMETER["scale_factor",0.9995],
+        | PARAMETER["false_easting",400000], PARAMETER["false_northing",800000],
+        | UNIT["metre",1]]""".stripMargin.replace("\n", "")
+    val parsed = ProjParse.parse(wkt).get
+    val (pe, pn) = parsed.forward(lo, la)
+    assert(math.abs(pe - we) < 1e-6 && math.abs(pn - wn) < 1e-6)
+    // registry codes 29701/29702 chain through the Tananarive datum shift
+    val c = CrsTransform.chain(4326, 29701)
+    val (tx, ty) = c.forward(47.52, -18.91) // Antananarivo
+    assert(tx > 480000 && tx < 560000 && ty > 780000 && ty < 820000, s"($tx,$ty)")
+    val (tlo, tla) = c.inverse(tx, ty)
+    assert(math.abs(tlo - 47.52) < 1e-7 && math.abs(tla + 18.91) < 1e-7)
   }
 
   test("Cassini-Soldner worked example (EPSG GN7-2: Trinidad 1903, Clarke 1858, links)") {

@@ -473,20 +473,20 @@ class VecAndDedupSpec extends AnyFunSuite {
     val rows = (0 until 40).map(i => (i.toLong, f"${i.toLong * 0x9e3779b97f4a7c15L}%016x"))
     rows.toDF("id", "sig").coalesce(1).write.mode("overwrite").parquet(dir)
     val scan = spark.read.parquet(dir) // one file, narrow → spread fires
-    val p1 = Dedup.hammingPairs(scan, "id", "sig", 3).queryExecution.executedPlan.toString
+    val p1 = Dedup.hammingPairsPlanned(scan, "id", "sig", 3).queryExecution.executedPlan.toString
     assert(p1.contains("RoundRobinPartitioning"),
       s"a single-partition scan must be spread before the signature collapse:\n$p1")
     // an input that already shuffled (groupBy upstream) is spread across
     // shuffle.partitions by construction — no round-robin exchange on top
     val shuffled = scan.groupBy("sig").agg(min("id").as("id")).select("id", "sig")
-    val p2 = Dedup.hammingPairs(shuffled, "id", "sig", 3).queryExecution.executedPlan.toString
+    val p2 = Dedup.hammingPairsPlanned(shuffled, "id", "sig", 3).queryExecution.executedPlan.toString
     assert(!p2.contains("RoundRobinPartitioning"),
       s"an already-shuffled input must not pay an extra full exchange:\n$p2")
     // a coalesce(1) is a RepartitionOperation but NARROW — it concentrates
     // rows on one partition, the exact shape that must be spread (r14
     // advice: the trait match treated it as already-shuffled)
     val collapsed = shuffled.coalesce(1)
-    val p3 = Dedup.hammingPairs(collapsed, "id", "sig", 3).queryExecution.executedPlan.toString
+    val p3 = Dedup.hammingPairsPlanned(collapsed, "id", "sig", 3).queryExecution.executedPlan.toString
     assert(p3.contains("RoundRobinPartitioning"),
       s"a coalesce(1)d upstream concentrates on one partition and must be spread:\n$p3")
     // both paths agree on results
@@ -523,18 +523,60 @@ class VecAndDedupSpec extends AnyFunSuite {
     // shuffle-hash building on the index side.
     val rows = (0 until 400).map(i => (i.toLong, f"${i.toLong * 0x9e3779b97f4a7c15L}%016x"))
     val df = rows.toDF("id", "sig")
-    val plan = Dedup.hammingPairs(df, "id", "sig", 4).queryExecution.executedPlan.toString
+    val plan = Dedup.hammingPairsPlanned(df, "id", "sig", 4).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
       s"a small rep set must broadcast the index side:\n${plan.take(3000)}")
     val big = spark.range(250000).select(col("id"),
       substring(md5(col("id").cast("string")), 1, 16).as("sig"))
-    val planBig = Dedup.hammingPairs(big, "id", "sig", 4).queryExecution.executedPlan.toString
+    val planBig = Dedup.hammingPairsPlanned(big, "id", "sig", 4).queryExecution.executedPlan.toString
     assert(planBig.contains("ShuffledHashJoin"),
       s"past the threshold the band candidate join must be a shuffled hash join:\n${planBig.take(3000)}")
-    val joined = Dedup.hammingJoin(df, "id", "sig", df.limit(50), "id", "sig", 4)
+    val joined = Dedup.hammingJoinPlanned(df, "id", "sig", df.limit(50), "id", "sig", 4)
     val plan2 = joined.queryExecution.executedPlan.toString
     assert(plan2.contains("BroadcastHashJoin") && plan2.contains("BuildLeft"),
       s"the small cross-table band join must broadcast the index side:\n${plan2.take(3000)}")
+  }
+
+  test("hammingPairs/hammingJoin/simhashPairs run NO job at construction (lazy strategy)") {
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = (0 until 200).map(i => (i.toLong, f"${i.toLong * 0x9e3779b97f4a7c15L}%016x"))
+      val df = rows.toDF("id", "sig")
+      val docs = (0 until 50).map(i => (i.toLong, s"document body number $i repeated " * 3))
+        .toDF("doc_id", "text")
+      // listener events are asynchronous: a tiny MARKER job flushes the bus
+      // (events are delivered in order, so once the marker's start lands,
+      // every earlier event has too)
+      def flushMarker(): Unit = {
+        val seen = jobs.get()
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (jobs.get() <= seen && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      flushMarker()
+      val before = jobs.get()
+      val pairs = Dedup.hammingPairs(df, "id", "sig", 3)
+      val join = Dedup.hammingJoin(df, "id", "sig", df, "id", "sig", 3)
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      flushMarker() // exactly ONE job (the marker) may appear past `before`
+      assert(jobs.get() == before + 1,
+        s"constructing the DataFrames submitted ${jobs.get() - before - 1} job(s); " +
+          "the strategy count must defer to the first action")
+      // the deferred strategy decision runs at the first action — and the
+      // results match the eager (Planned) variants exactly
+      assert(pairs.as[(Long, Long, Int)].collect().toSet ==
+        Dedup.hammingPairsPlanned(df, "id", "sig", 3).as[(Long, Long, Int)].collect().toSet)
+      assert(join.count() ==
+        Dedup.hammingJoinPlanned(df, "id", "sig", df, "id", "sig", 3).count())
+      assert(sim.count() >= 0)
+      assert(jobs.get() > before, "the action path must have run the deferred jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("minhashDedup maps near-dup rows to the smallest id in their cluster") {

@@ -102,6 +102,43 @@ class DxfSpec extends AnyFunSuite {
     assert(g.asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing == 1)
   }
 
+  test("HATCH arc/elliptic edges densify to closed-form areas (ccw and cw)") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfha").toString
+    // ccw stadium: 4x2 rectangle + two unit semicircle caps -> area 8 + pi
+    val ccwStadium =
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n4\n" +
+        "72\n1\n10\n0\n20\n0\n11\n4\n21\n0\n" +
+        "72\n2\n10\n4\n20\n1\n40\n1\n50\n-90\n51\n90\n73\n1\n" +
+        "72\n1\n10\n4\n20\n2\n11\n0\n21\n2\n" +
+        "72\n2\n10\n0\n20\n1\n40\n1\n50\n90\n51\n270\n73\n1\n"
+    // same stadium traversed CLOCKWISE: cw arc edges (73 = 0)
+    val cwStadium =
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n4\n" +
+        "72\n2\n10\n0\n20\n1\n40\n1\n50\n270\n51\n90\n73\n0\n" +
+        "72\n1\n10\n0\n20\n2\n11\n4\n21\n2\n" +
+        "72\n2\n10\n4\n20\n1\n40\n1\n50\n90\n51\n-90\n73\n0\n" +
+        "72\n1\n10\n4\n20\n0\n11\n0\n21\n0\n"
+    // half-ellipse (a=2, b=1) closed by its major axis -> area pi*a*b/2 = pi
+    val halfEllipse =
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n2\n" +
+        "72\n3\n10\n0\n20\n0\n11\n2\n21\n0\n40\n0.5\n50\n0\n51\n180\n73\n1\n" +
+        "72\n1\n10\n-2\n20\n0\n11\n2\n21\n0\n"
+    val f = writeFixture(dir, "a.dxf", ccwStadium + cwStadium + halfEllipse)
+    val areas = Dxf.read(spark, f).df
+      .select(st_area(col("geometry"))).as[Double].collect()
+    assert(areas.length == 3)
+    assert(math.abs(areas(0) - (8 + math.Pi)) < 0.01, s"ccw stadium ${areas(0)}")
+    assert(math.abs(areas(1) - (8 + math.Pi)) < 0.01, s"cw stadium ${areas(1)}")
+    assert(math.abs(areas(2) - math.Pi) < 0.01, s"half ellipse ${areas(2)}")
+    // spline edges (type 4) still raise loudly
+    val f2 = writeFixture(dir, "s.dxf",
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n1\n72\n4\n")
+    val ex = intercept[Exception](Dxf.read(spark, f2).df.count())
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + " " + msg(x.getCause)).getOrElse("")
+    assert(msg(ex).contains("spline"))
+  }
+
   test("write/read roundtrip: points + linestrings across layers; GeoIO dispatch") {
     val df = (1 to 40).map { i =>
       (i.toLong, if (i % 2 == 0) "even" else "odd",
