@@ -693,6 +693,14 @@ where distinct sigs << rows) sits far below it.
       bench("embedding LSH pairs", mult) {
         (graft.ops.Dedup.embeddingPairs(embs(mult), "vec_id", "embedding", threshold = 0.95).fullCount, 0L)
       }
+      bench("semdedup embedding cells", mult) {
+        // round-20 adjudication tier: every vector gains 64 exact clones,
+        // so the pre-collapse plan paid 64^2 within-cell pairs here (161 s
+        // measured); the duplication-proof collapse must keep this row
+        // near the @16x time
+        (graft.ops.Dedup.semDedup(embs(mult), "vec_id", "embedding",
+          clusters = 16, tau = 0.9).fullCount, 0L)
+      }
     }
 
     // ---- snapshot-tier probe economics (r13 verdict #4): a FIXED new
@@ -829,6 +837,25 @@ where distinct sigs << rows) sits far below it.
     md ++= "load1 3.9 after a double warm-up gave 2.35-2.56 s, spread 1.09x\n"
     md ++= "(median 2.37) — the r18 1.7x rep spread was bench-host load plus\n"
     md ++= "single-warm JIT settling, not plan skew.\n\n"
+    md ++= "Round 20 — the r19 `weak` marks re-established and the protocol\n"
+    md ++= "HARNESSED: q163_jaccard_join and q168_minhash_join (flagged at\n"
+    md ++= "7.30 s / 1.75 s on UNCHANGED code at load1 10.26) re-measured on an\n"
+    md ++= "idle host (load0 1.38, 5 reps, median): q163 = 2.36 s, q168 =\n"
+    md ++= "0.63 s — below even their r18 medians (3.15 / 0.79), confirming\n"
+    md ++= "both flags as load artifacts. The idle-host protocol is now inside\n"
+    md ++= "`Bench` itself: the remeasure pass waits (bounded, 600 s cap) for\n"
+    md ++= "the 1-min loadavg to drain below 4 before re-running any suspect,\n"
+    md ++= "and DOUBLE-warms each one; `settle2` and the remeasure-time load\n"
+    md ++= "are recorded in bench_full.json so a contaminated remeasure is\n"
+    md ++= "visible instead of silently becoming the number on record.\n\n"
+    md ++= "Reading the semdedup row: round 20 made the op duplication-proof\n"
+    md ++= "like every other pair path — exact-duplicate embeddings collapse to\n"
+    md ++= "one representative per distinct vector (one window shuffle) before\n"
+    md ++= "the within-cell pairwise join, and members re-attach by the slim\n"
+    md ++= "rep-id key. The @64x adjudication tier EXPOSED the old plan: 64\n"
+    md ++= "clones per vector meant 64^2 within-cell pairs, 161 s @64x; the\n"
+    md ++= "collapsed plan reads ~2.5 s @64x, ratio ~1.4 (suite-soak64 below),\n"
+    md ++= "while the q117 oracle gate pins the semantics unchanged.\n\n"
     md ++= "Reading the kcenter row: the op is k−1 argmax scans with LITERAL\n"
     md ++= "center vectors fused in (k driver rows total), so at these corpus\n"
     md ++= "sizes the measurement is dominated by fixed per-job scheduling —\n"

@@ -1732,21 +1732,42 @@ object Dedup {
                clusters: Int = 16, tau: Double = 0.9): DataFrame = {
     require(clusters > 0, s"clusters must be positive; got $clusters")
     val cents = Similarity.ivfCentroids(df, idCol, vecCol, clusters)
+    // duplication-proof (round 20): cosine is a pure function of the two
+    // vectors, so rows sharing an EXACT embedding are interchangeable in
+    // the pair search — collapse to one representative per distinct vector
+    // (min id, one window shuffle), run the within-cell pairwise join on
+    // REPRESENTATIVES only, and re-attach members by the slim rep-id key.
+    // Without the collapse a clique of n exact-dup embeddings (exact-dup
+    // content at corpus scale) paid n^2 within-cell pairs: the @64x
+    // replication soak read 161 s where the collapsed plan is near-flat.
+    // Semantics are EXACTLY the original "some smaller id within tau in my
+    // cell" rule: a non-rep member always has its rep (smaller id, cosine
+    // cos(v,v)) ahead of it, and a rep is dropped iff a smaller-rep
+    // distinct vector within tau shares its cell (any member of that group
+    // with a smaller id implies its min id is smaller).
+    val base = df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
+    val withRid = ScratchCache(base.withColumn("__rid",
+      min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol)))))
     // cached: the assignment UDF otherwise re-runs on both pair-join sides
-    // AND the output projection (3 scans + 3 assignment passes)
-    val cells = ScratchCache(Similarity.withIvfCell(
-      df.filter(col(vecCol).isNotNull), vecCol, cents, "cluster")
-      .select(col(idCol), col("cluster"), col(vecCol)))
-    val a = cells.select(col(idCol).as("__ida"), col("cluster"), col(vecCol).as("__va"))
-    val b = cells.select(col(idCol).as("__idb"), col("cluster").as("__cb"), col(vecCol).as("__vb"))
-    val dup = a.join(b, col("cluster") === col("__cb") && col("__ida") < col("__idb"))
+    // AND the output re-attach (3 scans + 3 assignment passes)
+    val reps = ScratchCache(Similarity.withIvfCell(
+      withRid.filter(col(idCol) === col("__rid")), vecCol, cents, "cluster")
+      .select(col("__rid"), col("cluster"), col(vecCol)))
+    val a = reps.select(col("__rid").as("__ra"), col("cluster"), col(vecCol).as("__va"))
+    val b = reps.select(col("__rid").as("__rb"), col("cluster").as("__cb"), col(vecCol).as("__vb"))
+    val dupRep = a.join(b, col("cluster") === col("__cb") && col("__ra") < col("__rb"))
       .filter(Similarity.cosine(col("__va"), col("__vb")) >= tau)
-      .select(col("__idb").as(idCol)).distinct()
-      .withColumn("__dup", lit(true))
-    cells.select(col(idCol), col("cluster"))
-      .join(dup, Seq(idCol), "left")
+      .select(col("__rb").as("__rid")).distinct()
+      .withColumn("__repdup", lit(true))
+    withRid
+      .join(reps.select(col("__rid"), col("cluster")), Seq("__rid"))
+      .join(dupRep, Seq("__rid"), "left")
       .select(col(idCol), col("cluster"),
-        (!coalesce(col("__dup"), lit(false))).as("keep"))
+        // cosine(v, v) (not a bare true) keeps the zero-vector edge exact:
+        // a NaN cosine never reaches tau, matching the pairwise rule
+        (!when(col(idCol) =!= col("__rid"),
+            Similarity.cosine(col(vecCol), col(vecCol)) >= tau)
+          .otherwise(coalesce(col("__repdup"), lit(false)))).as("keep"))
   }
 
   /** The `hashes` Bloom-filter bucket indices of a document's content key
