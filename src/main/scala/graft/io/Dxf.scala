@@ -614,7 +614,9 @@ object Dxf {
           hp.getFileSystem(serConf.value).create(hp, true), 1 << 16)
         try {
           outS.write(Prelude.getBytes("UTF-8"))
-          var handle = 256L
+          // partition-offset handle base: handles stay unique ACROSS the
+          // part files, so a directory-corpus read has a usable feature id
+          var handle = 256L + (pid.toLong << 24)
           it.foreach { r =>
             val layer = Option(r.getString(0)).getOrElse("0")
             val wkb = r.getAs[Array[Byte]](1)

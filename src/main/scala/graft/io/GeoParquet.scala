@@ -68,7 +68,19 @@ object GeoParquet {
         val storedCrs = storedColMeta(storedMeta, g).flatMap(_.get("crs")).flatMap {
           case s: String => Some(s)
           case null      => None
-          case other     => Some(other.toString) // PROJJSON object — compare raw
+          case m: Map[String @unchecked, Any @unchecked] =>
+            // spec-compliant external writers store a PROJJSON OBJECT:
+            // normalize through its EPSG id when present so appending
+            // "EPSG:4326" to a PROJJSON-4326 dataset is not falsely refused
+            m.get("id").collect { case idm: Map[String @unchecked, Any @unchecked] =>
+              (idm.get("authority"), idm.get("code"))
+            } match {
+              case Some((Some(auth), Some(code))) =>
+                val c = code match { case d: Double => d.toLong.toString; case x => x.toString }
+                Some(s"$auth:$c")
+              case _ => Some(m.toString) // no id: compare structurally
+            }
+          case other => Some(other.toString)
         }
         val exN = storedCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).orElse(storedCrs)
         val nwN = gdf.activeCrs.flatMap(graft.crs.CrsTransform.normalizeOpt).orElse(gdf.activeCrs)

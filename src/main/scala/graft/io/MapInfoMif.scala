@@ -20,8 +20,12 @@ import org.locationtech.jts.geom._
   * MULTIPOINT, with PEN/BRUSH/SYMBOL/SMOOTH/CENTER styling clauses skipped
   * on read. REGION ring nesting is resolved by even-odd containment like
   * GDAL's mitab reader (the format does not mark holes explicitly). The
-  * drawn-shape records (ARC/TEXT/RECT/ELLIPSE) raise a clear unsupported
-  * error rather than a silent skip.
+  * drawn-shape records convert to features the way mitab converts them —
+  * RECT -> box polygon, ROUNDRECT -> quarter-ellipse-cornered polygon,
+  * ELLIPSE (inscribed in its bounding box) -> densified polygon, ARC (of
+  * that ellipse, degrees ccw from +x) -> densified linestring — while
+  * TEXT/COLLECTION raise a clear unsupported error rather than a silent
+  * skip (TEXT has no feature geometry without the style plumbing).
   *
   * Column types: Char/Date/Time/DateTime -> string, Integer/Smallint ->
   * int, Float/Decimal(_, >0) -> double, Decimal(_, 0) -> long (how GDAL
@@ -233,7 +237,7 @@ object MapInfoMif {
   private val StyleKeywords =
     Set("PEN", "BRUSH", "SYMBOL", "SMOOTH", "CENTER", "FONT")
   private val UnsupportedKeywords =
-    Set("ARC", "TEXT", "RECT", "ROUNDRECT", "ELLIPSE", "COLLECTION")
+    Set("TEXT", "COLLECTION")
 
   private[io] def parseGeometries(text: String): IndexedSeq[Option[org.locationtech.jts.geom.Geometry]] = {
     val gf = new GeometryFactory()
@@ -293,10 +297,56 @@ object MapInfoMif {
           case "MULTIPOINT" =>
             val n = if (t.length >= 2) t(1).toInt else { val n0 = tok(lines(i))(0).toInt; i += 1; n0 }
             out += Some(gf.createMultiPointFromCoords(pts(n)))
+          // drawn shapes, converted like GDAL's mitab reader (round 20):
+          // RECT -> box polygon, ELLIPSE (inscribed in its box) -> densified
+          // polygon, ARC (of the inscribed ellipse, angles in degrees ccw
+          // from +x) -> densified linestring, ROUNDRECT -> box with
+          // quarter-ellipse corners (the trailing value is the rounding
+          // DIAMETER in coordinate units, per the public MIF spec)
+          case "RECT" =>
+            val (x0, y0) = (math.min(t(1).toDouble, t(3).toDouble), math.min(t(2).toDouble, t(4).toDouble))
+            val (x1, y1) = (math.max(t(1).toDouble, t(3).toDouble), math.max(t(2).toDouble, t(4).toDouble))
+            out += Some(gf.createPolygon(Array(
+              new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
+              new Coordinate(x0, y1), new Coordinate(x0, y0))))
+          case "ELLIPSE" =>
+            val (cx, cy) = ((t(1).toDouble + t(3).toDouble) / 2, (t(2).toDouble + t(4).toDouble) / 2)
+            val (a, b) = (math.abs(t(3).toDouble - t(1).toDouble) / 2,
+              math.abs(t(4).toDouble - t(2).toDouble) / 2)
+            out += Some(gf.createPolygon(ellipseArc(cx, cy, a, b, 0, 360, close = true)))
+          case "ARC" =>
+            val (cx, cy) = ((t(1).toDouble + t(3).toDouble) / 2, (t(2).toDouble + t(4).toDouble) / 2)
+            val (a, b) = (math.abs(t(3).toDouble - t(1).toDouble) / 2,
+              math.abs(t(4).toDouble - t(2).toDouble) / 2)
+            out += Some(gf.createLineString(
+              ellipseArc(cx, cy, a, b, t(5).toDouble, t(6).toDouble, close = false)))
+          case "ROUNDRECT" =>
+            val (x0, y0) = (math.min(t(1).toDouble, t(3).toDouble), math.min(t(2).toDouble, t(4).toDouble))
+            val (x1, y1) = (math.max(t(1).toDouble, t(3).toDouble), math.max(t(2).toDouble, t(4).toDouble))
+            // rounding radius = half the stated diameter, capped so opposite
+            // corners never overlap (mitab clamps the same way)
+            val r = math.min(t(5).toDouble / 2, math.min((x1 - x0) / 2, (y1 - y0) / 2))
+            if (r <= 0)
+              out += Some(gf.createPolygon(Array(
+                new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
+                new Coordinate(x0, y1), new Coordinate(x0, y0))))
+            else {
+              val cs = collection.mutable.ArrayBuffer[Coordinate]()
+              def add(pts: Array[Coordinate]): Unit = pts.foreach { c =>
+                if (cs.isEmpty || !cs.last.equals2D(c)) cs += c // r = half-extent corners touch
+              }
+              add(ellipseArc(x1 - r, y1 - r, r, r, 0, 90, close = false))   // NE corner
+              add(ellipseArc(x0 + r, y1 - r, r, r, 90, 180, close = false)) // NW
+              add(ellipseArc(x0 + r, y0 + r, r, r, 180, 270, close = false)) // SW
+              add(ellipseArc(x1 - r, y0 + r, r, r, 270, 360, close = false)) // SE
+              cs += new Coordinate(cs.head)
+              out += Some(gf.createPolygon(cs.toArray))
+            }
           case _ if UnsupportedKeywords.contains(kw) =>
             throw new IllegalArgumentException(
-              s"MIF record type $kw is not supported (drawn shapes/collections); " +
-                "convert to POINT/PLINE/REGION in MapInfo before export")
+              s"MIF record type $kw is not supported (TEXT carries no feature " +
+                "geometry; COLLECTION is unbounded); convert to POINT/PLINE/REGION " +
+                "in MapInfo before export")
           case _ =>
             // an unrecognized keyword at record position means a record we
             // did not consume — skipping it would silently desync the
@@ -308,6 +358,24 @@ object MapInfoMif {
       }
     }
     out.toIndexedSeq
+  }
+
+  /** Axis-aligned ellipse arc, densified at <= 4-degree steps (same chord
+    * budget as the DXF densifiers); `close` snaps a full sweep's last
+    * point onto the first bit-exactly for ring construction. */
+  private def ellipseArc(cx: Double, cy: Double, a: Double, b: Double,
+                         a0: Double, a1: Double, close: Boolean): Array[Coordinate] = {
+    val sweep = { val s = a1 - a0; if (s <= 0) s + 360 else s }
+    val steps = math.max(8, math.ceil(sweep / 4.0).toInt)
+    val out = new Array[Coordinate](steps + 1)
+    var k = 0
+    while (k <= steps) {
+      val t = math.toRadians(a0 + sweep * k / steps)
+      out(k) = new Coordinate(cx + a * math.cos(t), cy + b * math.sin(t))
+      k += 1
+    }
+    if (close) out(steps) = new Coordinate(out(0))
+    out
   }
 
   /** Even-odd ring nesting like GDAL's mitab reader: a ring contained in an

@@ -176,14 +176,14 @@ class MapInfoMifSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("line break")))
   }
 
-  test("unsupported drawn-shape records fail loudly") {
+  test("unsupported records (TEXT) fail loudly; drawn shapes convert like mitab") {
     val mif =
       """VERSION 300
         |DELIMITER ","
         |COLUMNS 1
         |  id Integer
         |DATA
-        |ELLIPSE 0 0 10 10
+        |TEXT "hello" 0 0 10 10
         |""".stripMargin
     val dir = java.nio.file.Files.createTempDirectory("mife").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/e.mif"), mif.getBytes("UTF-8"))
@@ -191,7 +191,44 @@ class MapInfoMifSpec extends AnyFunSuite {
     val ex = intercept[org.apache.spark.SparkException] {
       MapInfoMif.read(spark, s"$dir/e.mif").df.count()
     }
-    assert(ex.getMessage.contains("ELLIPSE") || ex.getCause.getMessage.contains("ELLIPSE"))
+    assert(ex.getMessage.contains("TEXT") || ex.getCause.getMessage.contains("TEXT"))
+  }
+
+  test("drawn shapes convert to features with closed-form measures (mitab parity)") {
+    import graft.functions.GeoFunctions.{st_area, st_length, st_geometrytype}
+    val mif =
+      """VERSION 300
+        |DELIMITER ","
+        |COLUMNS 1
+        |  id Integer
+        |DATA
+        |RECT 0 0 4 3
+        |ELLIPSE 0 0 8 4
+        |ARC 0 0 8 4 0 180
+        |ROUNDRECT 0 0 10 6 2
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("mifd").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.mif"), mif.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.mid"), "1\n2\n3\n4\n".getBytes("UTF-8"))
+    val rows = MapInfoMif.read(spark, s"$dir/d.mif").df
+      .select(col("id"), st_geometrytype(col("geometry")).as("t"),
+        st_area(col("geometry")).as("a"), st_length(col("geometry")).as("l"))
+      .as[(Int, String, Double, Double)].collect().sortBy(_._1)
+    assert(rows(0)._2 == "Polygon" && math.abs(rows(0)._3 - 12.0) < 1e-9) // 4x3 box
+    // ellipse inscribed in 8x4 box: a=4, b=2 -> area = pi*a*b (within
+    // the 4-degree densification's inscribed-polygon deficit)
+    assert(rows(1)._2 == "Polygon" && math.abs(rows(1)._3 - math.Pi * 8) < 0.05)
+    // half the same ellipse (center (4,2), a=4, b=2) as a linestring:
+    // parametric 0 -> 180 degrees runs (8,2) -> (0,2)
+    assert(rows(2)._2 == "LineString")
+    val arc = graft.geom.Wkb.read(MapInfoMif.read(spark, s"$dir/d.mif").df
+      .filter(col("id") === 3).select("geometry").as[Array[Byte]].head())
+    val a0 = arc.getCoordinates.head; val a1 = arc.getCoordinates.last
+    assert(math.abs(a0.x - 8) < 1e-9 && math.abs(a0.y - 2) < 1e-9, a0)
+    assert(math.abs(a1.x) < 1e-9 && math.abs(a1.y - 2) < 1e-9, a1)
+    // roundrect 10x6 with rounding diameter 2 (r=1):
+    // area = 60 - (4 - pi) * r^2
+    assert(rows(3)._2 == "Polygon" && math.abs(rows(3)._3 - (60 - (4 - math.Pi))) < 0.01)
   }
 
   test("null value in a lone string column keeps MID row alignment (empty line is a row)") {

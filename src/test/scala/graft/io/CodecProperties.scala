@@ -205,7 +205,7 @@ object CodecProperties extends Properties("graft.io.codecs") {
   property("MIF unsupported drawn-shape records raise loudly") =
     forAll(genMifGeom) { g =>
       val text = mifDoc(Seq(MapInfoMif.renderGeometry(Some(g)),
-        "ARC 1 2 3 4 5 6 0 90"))
+        "TEXT \"x\" 1 2 3 4"))
       Prop.throws(classOf[Exception])(MapInfoMif.parseGeometries(text))
     }
 
