@@ -210,10 +210,13 @@ object Plans {
     }
 
     section("SemDeDup (q117: k-means cells bound the cosine pair search)",
-      "Centroid assignment is a map-side broadcast UDF; the only shuffle " +
-        "is the equi-join on the cluster id (SortMergeJoin/ShuffledHashJoin " +
-        "on one int key, AQE-splittable on a hot cell). No cross-cluster " +
-        "pair is ever scored — the SemDeDup scale argument in plan form.") {
+      "Duplication-proof since round 20: one window shuffle on the vector " +
+        "value collapses exact-duplicate embeddings to a representative, " +
+        "the within-cell pair join (equi on the cluster id, AQE-splittable " +
+        "on a hot cell) scores REPRESENTATIVES only, and members re-attach " +
+        "by the slim rep-id key. Centroid assignment stays a map-side " +
+        "broadcast UDF; no cross-cluster pair is ever scored — the SemDeDup " +
+        "scale argument in plan form, now clone-clique-proof too.") {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       graft.ops.Dedup.semDedup(e, "vec_id", "embedding", clusters = 8, tau = 0.9)
     }
