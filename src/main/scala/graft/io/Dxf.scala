@@ -18,7 +18,8 @@ import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearR
   *    (densified closed/open linestrings, GDAL parity), ELLIPSE
   *    (parametric form, densified) and SPLINE (NURBS evaluated by
   *    Cox-de Boor, densified — GDAL converts both to linestrings the
-  *    same way), HATCH with polyline or line-edge boundary paths
+  *    same way), HATCH with polyline boundary paths and the full
+  *    edge-list set — line, circular-arc, elliptic-arc and spline edges
   *    (assembled to (Multi)Polygon with even-odd ring nesting, like the
   *    MIF REGION reader).
   *    Annotation entities (TEXT/MTEXT/INSERT/ATTDEF/ATTRIB/DIMENSION/
@@ -455,8 +456,9 @@ object Dxf {
   /** HATCH boundary loops -> (Multi)Polygon via the MIF even-odd ring
     * assembly. Supported path types: polyline (bit 2 of code 92) and
     * edge lists with line (type 1), circular-arc (type 2, densified like
-    * ARC) and elliptic-arc (type 3, densified like ELLIPSE) edges;
-    * spline edges (type 4) raise. */
+    * ARC), elliptic-arc (type 3, densified like ELLIPSE) and spline
+    * (type 4, Cox-de Boor like SPLINE) edges — the full edge-type set of
+    * the public DXF reference. */
   private def parseHatch(gf: GeometryFactory, g: Seq[(Int, String)]): Geometry = {
     val items = g.toIndexedSeq
     def dAt(idx: Int): Double = items(idx)._2.toDouble
@@ -545,10 +547,54 @@ object Dxf {
                 if (ccw) ellipseCoords(cx, cy, mx, my, ratio, a0, a1)
                 else ellipseCoords(cx, cy, mx, my, ratio, a1, a0).reverse
               append(pts.toSeq)
+            case 4 => // spline edge: 94 degree, 73 rational, 74 periodic,
+              // 95 knot count, 96 control count, 40 knots, 10/20 control
+              // points (42 weight after each when rational), then optional
+              // fit data (97 + 11/21) and tangents (12/22, 13/23) — skipped;
+              // densified through the same Cox-de Boor evaluator as SPLINE
+              var degree = 3; var rational = false; var periodic = false
+              var nk = 0; var nc = 0
+              var scanning = true
+              while (scanning && i < items.length) items(i) match {
+                case (94, v) => degree = v.trim.toInt; i += 1
+                case (73, v) => rational = v.trim.toInt != 0; i += 1
+                case (74, v) => periodic = v.trim.toInt != 0; i += 1
+                case (95, v) => nk = v.trim.toInt; i += 1
+                case (96, v) => nc = v.trim.toInt; i += 1; scanning = false
+                case _       => scanning = false
+              }
+              require(nc > degree && nk > 0,
+                s"DXF HATCH: spline edge with $nc control points / $nk knots (degree $degree)")
+              val knots = Array.fill(nk) { need(40, "spline") }
+              val ctrl = new Array[Coordinate](nc)
+              val wts = Array.fill(nc)(1.0)
+              var c = 0
+              while (c < nc) {
+                val x = need(10, "spline"); val y = need(20, "spline")
+                ctrl(c) = new Coordinate(x, y)
+                if (rational && i < items.length && items(i)._1 == 42) { wts(c) = dAt(i); i += 1 }
+                c += 1
+              }
+              if (i < items.length && items(i)._1 == 97) { // fit data: skip
+                val nf = items(i)._2.trim.toInt; i += 1
+                var fit = 0
+                while (fit < nf) { need(11, "spline fit"); need(21, "spline fit"); fit += 1 }
+              }
+              while (i < items.length && Set(12, 22, 13, 23).contains(items(i)._1)) i += 1
+              var kn = knots; var cp = ctrl; var ww = wts
+              if (periodic && kn.length != cp.length + degree + 1) {
+                // AutoCAD periodic storage: rebuild the open equivalent
+                ww = ww ++ ww.take(degree); cp = cp ++ cp.take(degree)
+                kn = Array.tabulate(cp.length + degree + 1)(_.toDouble)
+              }
+              require(kn.length == cp.length + degree + 1,
+                s"DXF HATCH: spline edge ${kn.length} knots != ${cp.length} control points + degree $degree + 1")
+              append(splineCoords(degree, kn, cp, ww,
+                samples = math.max(32, 8 * math.max(1, cp.length - degree))))
             case other =>
               throw new IllegalArgumentException(
-                s"DXF HATCH: edge type $other (spline) is not supported — " +
-                  "line/arc/elliptic-arc edges and polyline paths are")
+                s"DXF HATCH: unknown edge type $other — line(1)/arc(2)/" +
+                  "elliptic-arc(3)/spline(4) edges and polyline paths are supported")
           }
           e += 1
         }

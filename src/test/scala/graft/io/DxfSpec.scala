@@ -130,13 +130,26 @@ class DxfSpec extends AnyFunSuite {
     assert(math.abs(areas(0) - (8 + math.Pi)) < 0.01, s"ccw stadium ${areas(0)}")
     assert(math.abs(areas(1) - (8 + math.Pi)) < 0.01, s"cw stadium ${areas(1)}")
     assert(math.abs(areas(2) - math.Pi) < 0.01, s"half ellipse ${areas(2)}")
-    // spline edges (type 4) still raise loudly
+    // spline edge (type 4): a pie slice closed by the EXACT rational
+    // quarter circle (degree 2, weights 1/sqrt2/1) -> area pi/4
+    val w = math.sqrt(2) / 2
     val f2 = writeFixture(dir, "s.dxf",
-      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n1\n72\n4\n")
-    val ex = intercept[Exception](Dxf.read(spark, f2).df.count())
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n3\n" +
+        "72\n1\n10\n0\n20\n0\n11\n1\n21\n0\n" +
+        "72\n4\n94\n2\n73\n1\n74\n0\n95\n6\n96\n3\n" +
+        "40\n0\n40\n0\n40\n0\n40\n1\n40\n1\n40\n1\n" +
+        s"10\n1\n20\n0\n42\n1\n10\n1\n20\n1\n42\n$w\n10\n0\n20\n1\n42\n1\n" +
+        "72\n1\n10\n0\n20\n1\n11\n0\n21\n0\n")
+    val slice = Dxf.read(spark, f2).df.select(st_area(col("geometry"))).as[Double].head()
+    // 1e-3: the 32-sample inscribed polygon sits (pi/2)^3/(12*32^2) ~ 3e-4 under
+    assert(math.abs(slice - math.Pi / 4) < 1e-3, s"pie slice $slice")
+    // unknown edge types still raise loudly
+    val f3 = writeFixture(dir, "u.dxf",
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n1\n72\n9\n")
+    val ex = intercept[Exception](Dxf.read(spark, f3).df.count())
     def msg(t: Throwable): String =
       Option(t).map(x => x.getMessage + " " + msg(x.getCause)).getOrElse("")
-    assert(msg(ex).contains("spline"))
+    assert(msg(ex).contains("edge type"))
   }
 
   test("write/read roundtrip: points + linestrings across layers; GeoIO dispatch") {
