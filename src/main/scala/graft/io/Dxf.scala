@@ -21,10 +21,11 @@ import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearR
   *    same way), HATCH with polyline boundary paths and the full
   *    edge-list set — line, circular-arc, elliptic-arc and spline edges
   *    (assembled to (Multi)Polygon with even-odd ring nesting, like the
-  *    MIF REGION reader).
+  *    MIF REGION reader), SOLID/3DFACE filled faces -> polygons (SOLID's
+  *    bowtie corner order fixed up like GDAL).
   *    Annotation entities (TEXT/MTEXT/INSERT/ATTDEF/ATTRIB/DIMENSION/
   *    VIEWPORT) carry no feature geometry and are skipped, like GDAL;
-  *    geometric entities OUTSIDE the subset (SOLID/3DFACE/MLINE/...)
+  *    geometric entities OUTSIDE the subset (MLINE/...)
   *    raise loudly rather than silently dropping data.
   *  - write: Point -> POINT, LineString -> LWPOLYLINE (3D linestrings ->
   *    POLYLINE with VERTEX records), Polygon -> HATCH (solid fill,
@@ -181,6 +182,26 @@ object Dxf {
             gf.createLineString(ellipseCoords(cx, cy, mx, my, ratio, t0, t1))))
         case "SPLINE" =>
           out += ((layerOf(g), handleOf(g), parseSpline(gf, g)))
+        case "SOLID" | "3DFACE" =>
+          // filled triangle/quad -> polygon, GDAL parity. Corners are
+          // 10/20, 11/21, 12/22 (+13/23 for a quad); SOLID stores the quad
+          // in "bowtie" order (3rd and 4th corner swapped), 3DFACE in ring
+          // order — per the public DXF reference
+          def corner(xc: Int, yc: Int): Option[Coordinate] =
+            d(g, xc).map(x => new Coordinate(x, d(g, yc).getOrElse(0.0)))
+          val c0 = corner(10, 20); val c1 = corner(11, 21)
+          val c2 = corner(12, 22); val c3 = corner(13, 23)
+          val ringOrder: Seq[Coordinate] = (name, c0, c1, c2, c3) match {
+            case ("SOLID", Some(a), Some(b), Some(cc), Some(dd)) if !cc.equals2D(dd) =>
+              Seq(a, b, dd, cc) // bowtie fix
+            case (_, Some(a), Some(b), Some(cc), Some(dd)) if !cc.equals2D(dd) =>
+              Seq(a, b, cc, dd)
+            case (_, Some(a), Some(b), Some(cc), _) => Seq(a, b, cc) // triangle
+            case _ => throw new IllegalArgumentException(
+              s"DXF $name: needs at least 3 corners (codes 10/20, 11/21, 12/22)")
+          }
+          out += ((layerOf(g), handleOf(g),
+            gf.createPolygon((ringOrder :+ new Coordinate(ringOrder.head)).toArray)))
         case "HATCH" =>
           out += ((layerOf(g), handleOf(g), parseHatch(gf, g)))
         case _ if Annotations.contains(name) => // no feature geometry: skip like GDAL
@@ -188,8 +209,9 @@ object Dxf {
         case other =>
           throw new IllegalArgumentException(
             s"DXF entity $other is outside the supported subset (POINT/LINE/" +
-              "LWPOLYLINE/POLYLINE/CIRCLE/ARC/ELLIPSE/SPLINE/HATCH + annotations) — " +
-              "refusing to silently drop geometry; convert it before export")
+              "LWPOLYLINE/POLYLINE/CIRCLE/ARC/ELLIPSE/SPLINE/SOLID/3DFACE/HATCH " +
+              "+ annotations) — refusing to silently drop geometry; convert it " +
+              "before export")
       }
     }
     out.toIndexedSeq

@@ -23,9 +23,10 @@ import org.locationtech.jts.geom._
   * drawn-shape records convert to features the way mitab converts them —
   * RECT -> box polygon, ROUNDRECT -> quarter-ellipse-cornered polygon,
   * ELLIPSE (inscribed in its bounding box) -> densified polygon, ARC (of
-  * that ellipse, degrees ccw from +x) -> densified linestring — while
-  * TEXT/COLLECTION raise a clear unsupported error rather than a silent
-  * skip (TEXT has no feature geometry without the style plumbing).
+  * that ellipse, degrees ccw from +x) -> densified linestring — COLLECTION
+  * records read/write as GeometryCollection — while TEXT raises a clear
+  * unsupported error rather than a silent skip (it has no feature
+  * geometry without the style plumbing).
   *
   * Column types: Char/Date/Time/DateTime -> string, Integer/Smallint ->
   * int, Float/Decimal(_, >0) -> double, Decimal(_, 0) -> long (how GDAL
@@ -237,7 +238,7 @@ object MapInfoMif {
   private val StyleKeywords =
     Set("PEN", "BRUSH", "SYMBOL", "SMOOTH", "CENTER", "FONT")
   private val UnsupportedKeywords =
-    Set("TEXT", "COLLECTION")
+    Set("TEXT")
 
   private[io] def parseGeometries(text: String): IndexedSeq[Option[org.locationtech.jts.geom.Geometry]] = {
     val gf = new GeometryFactory()
@@ -260,101 +261,118 @@ object MapInfoMif {
     def closed(cs: Array[Coordinate]): Array[Coordinate] =
       if (cs.length >= 3 && cs.head.equals2D(cs.last)) cs
       else cs :+ new Coordinate(cs.head)
+    def record(t: Array[String], kw: String): Option[org.locationtech.jts.geom.Geometry] =
+      kw match {
+        case "NONE" => None
+        case "POINT" =>
+          Some(gf.createPoint(new Coordinate(t(1).toDouble, t(2).toDouble)))
+        case "LINE" =>
+          Some(gf.createLineString(Array(
+            new Coordinate(t(1).toDouble, t(2).toDouble),
+            new Coordinate(t(3).toDouble, t(4).toDouble))))
+        case "PLINE" =>
+          if (t.length >= 3 && t(1).toUpperCase == "MULTIPLE") {
+            val ns = t(2).toInt
+            val parts = (0 until ns).map { _ =>
+              val n = tok(lines(i))(0).toInt; i += 1
+              gf.createLineString(pts(n))
+            }
+            Some(gf.createMultiLineString(parts.toArray))
+          } else {
+            val n = if (t.length >= 2) t(1).toInt else { val n0 = tok(lines(i))(0).toInt; i += 1; n0 }
+            Some(gf.createLineString(pts(n)))
+          }
+        case "REGION" =>
+          val nrings = t(1).toInt
+          val rings = (0 until nrings).map { _ =>
+            val n = tok(lines(i))(0).toInt; i += 1
+            gf.createLinearRing(closed(pts(n)))
+          }
+          Some(assembleRegion(gf, rings))
+        case "MULTIPOINT" =>
+          val n = if (t.length >= 2) t(1).toInt else { val n0 = tok(lines(i))(0).toInt; i += 1; n0 }
+          Some(gf.createMultiPointFromCoords(pts(n)))
+        // drawn shapes, converted like GDAL's mitab reader (round 20):
+        // RECT -> box polygon, ELLIPSE (inscribed in its box) -> densified
+        // polygon, ARC (of the inscribed ellipse, angles in degrees ccw
+        // from +x) -> densified linestring, ROUNDRECT -> box with
+        // quarter-ellipse corners (the trailing value is the rounding
+        // DIAMETER in coordinate units, per the public MIF spec)
+        case "RECT" =>
+          val (x0, y0) = (math.min(t(1).toDouble, t(3).toDouble), math.min(t(2).toDouble, t(4).toDouble))
+          val (x1, y1) = (math.max(t(1).toDouble, t(3).toDouble), math.max(t(2).toDouble, t(4).toDouble))
+          Some(gf.createPolygon(Array(
+            new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
+            new Coordinate(x0, y1), new Coordinate(x0, y0))))
+        case "ELLIPSE" =>
+          val (cx, cy) = ((t(1).toDouble + t(3).toDouble) / 2, (t(2).toDouble + t(4).toDouble) / 2)
+          val (a, b) = (math.abs(t(3).toDouble - t(1).toDouble) / 2,
+            math.abs(t(4).toDouble - t(2).toDouble) / 2)
+          Some(gf.createPolygon(ellipseArc(cx, cy, a, b, 0, 360, close = true)))
+        case "ARC" =>
+          val (cx, cy) = ((t(1).toDouble + t(3).toDouble) / 2, (t(2).toDouble + t(4).toDouble) / 2)
+          val (a, b) = (math.abs(t(3).toDouble - t(1).toDouble) / 2,
+            math.abs(t(4).toDouble - t(2).toDouble) / 2)
+          Some(gf.createLineString(
+            ellipseArc(cx, cy, a, b, t(5).toDouble, t(6).toDouble, close = false)))
+        case "ROUNDRECT" =>
+          val (x0, y0) = (math.min(t(1).toDouble, t(3).toDouble), math.min(t(2).toDouble, t(4).toDouble))
+          val (x1, y1) = (math.max(t(1).toDouble, t(3).toDouble), math.max(t(2).toDouble, t(4).toDouble))
+          // rounding radius = half the stated diameter, capped so opposite
+          // corners never overlap (mitab clamps the same way)
+          val r = math.min(t(5).toDouble / 2, math.min((x1 - x0) / 2, (y1 - y0) / 2))
+          if (r <= 0)
+            Some(gf.createPolygon(Array(
+              new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
+              new Coordinate(x0, y1), new Coordinate(x0, y0))))
+          else {
+            val cs = collection.mutable.ArrayBuffer[Coordinate]()
+            def add(pts: Array[Coordinate]): Unit = pts.foreach { c =>
+              if (cs.isEmpty || !cs.last.equals2D(c)) cs += c // r = half-extent corners touch
+            }
+            add(ellipseArc(x1 - r, y1 - r, r, r, 0, 90, close = false))   // NE corner
+            add(ellipseArc(x0 + r, y1 - r, r, r, 90, 180, close = false)) // NW
+            add(ellipseArc(x0 + r, y0 + r, r, r, 180, 270, close = false)) // SW
+            add(ellipseArc(x1 - r, y0 + r, r, r, 270, 360, close = false)) // SE
+            cs += new Coordinate(cs.head)
+            Some(gf.createPolygon(cs.toArray))
+          }
+        case "COLLECTION" =>
+          // n parts, each a full geometry record (styling clauses may
+          // interleave) -> JTS GeometryCollection, like mitab's TABCollection
+          val n = t(1).toInt
+          val parts = collection.mutable.ArrayBuffer[org.locationtech.jts.geom.Geometry]()
+          while (parts.length < n) {
+            require(i < lines.length, "MIF COLLECTION: truncated part list")
+            val l2 = lines(i).trim; i += 1
+            if (l2.nonEmpty) {
+              val t2 = tok(l2); val kw2 = t2(0).toUpperCase
+              if (!StyleKeywords.contains(kw2))
+                parts += record(t2, kw2).getOrElse(throw new IllegalArgumentException(
+                  "MIF COLLECTION: NONE is not a valid collection part"))
+            }
+          }
+          Some(gf.createGeometryCollection(parts.toArray))
+        case _ if UnsupportedKeywords.contains(kw) =>
+          throw new IllegalArgumentException(
+            s"MIF record type $kw is not supported (TEXT carries no feature " +
+              "geometry without the style plumbing); convert to POINT/PLINE/REGION " +
+              "in MapInfo before export")
+        case _ =>
+          // an unrecognized keyword at record position means a record we
+          // did not consume — skipping it would silently desync the
+          // geometry-to-attribute (MID) alignment, so fail loudly
+          throw new IllegalArgumentException(
+            s"MIF: unrecognized keyword '$kw' at record position in the DATA " +
+              "section — refusing to skip (would desync geometry/attribute rows)")
+      }
     while (i < lines.length) {
       val line = lines(i).trim
       i += 1
       if (line.nonEmpty) {
         val t = tok(line)
         val kw = t(0).toUpperCase
-        kw match {
-          case _ if StyleKeywords.contains(kw) => // styling clause: skip
-          case "NONE" => out += None
-          case "POINT" =>
-            out += Some(gf.createPoint(new Coordinate(t(1).toDouble, t(2).toDouble)))
-          case "LINE" =>
-            out += Some(gf.createLineString(Array(
-              new Coordinate(t(1).toDouble, t(2).toDouble),
-              new Coordinate(t(3).toDouble, t(4).toDouble))))
-          case "PLINE" =>
-            if (t.length >= 3 && t(1).toUpperCase == "MULTIPLE") {
-              val ns = t(2).toInt
-              val parts = (0 until ns).map { _ =>
-                val n = tok(lines(i))(0).toInt; i += 1
-                gf.createLineString(pts(n))
-              }
-              out += Some(gf.createMultiLineString(parts.toArray))
-            } else {
-              val n = if (t.length >= 2) t(1).toInt else { val n0 = tok(lines(i))(0).toInt; i += 1; n0 }
-              out += Some(gf.createLineString(pts(n)))
-            }
-          case "REGION" =>
-            val nrings = t(1).toInt
-            val rings = (0 until nrings).map { _ =>
-              val n = tok(lines(i))(0).toInt; i += 1
-              gf.createLinearRing(closed(pts(n)))
-            }
-            out += Some(assembleRegion(gf, rings))
-          case "MULTIPOINT" =>
-            val n = if (t.length >= 2) t(1).toInt else { val n0 = tok(lines(i))(0).toInt; i += 1; n0 }
-            out += Some(gf.createMultiPointFromCoords(pts(n)))
-          // drawn shapes, converted like GDAL's mitab reader (round 20):
-          // RECT -> box polygon, ELLIPSE (inscribed in its box) -> densified
-          // polygon, ARC (of the inscribed ellipse, angles in degrees ccw
-          // from +x) -> densified linestring, ROUNDRECT -> box with
-          // quarter-ellipse corners (the trailing value is the rounding
-          // DIAMETER in coordinate units, per the public MIF spec)
-          case "RECT" =>
-            val (x0, y0) = (math.min(t(1).toDouble, t(3).toDouble), math.min(t(2).toDouble, t(4).toDouble))
-            val (x1, y1) = (math.max(t(1).toDouble, t(3).toDouble), math.max(t(2).toDouble, t(4).toDouble))
-            out += Some(gf.createPolygon(Array(
-              new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
-              new Coordinate(x0, y1), new Coordinate(x0, y0))))
-          case "ELLIPSE" =>
-            val (cx, cy) = ((t(1).toDouble + t(3).toDouble) / 2, (t(2).toDouble + t(4).toDouble) / 2)
-            val (a, b) = (math.abs(t(3).toDouble - t(1).toDouble) / 2,
-              math.abs(t(4).toDouble - t(2).toDouble) / 2)
-            out += Some(gf.createPolygon(ellipseArc(cx, cy, a, b, 0, 360, close = true)))
-          case "ARC" =>
-            val (cx, cy) = ((t(1).toDouble + t(3).toDouble) / 2, (t(2).toDouble + t(4).toDouble) / 2)
-            val (a, b) = (math.abs(t(3).toDouble - t(1).toDouble) / 2,
-              math.abs(t(4).toDouble - t(2).toDouble) / 2)
-            out += Some(gf.createLineString(
-              ellipseArc(cx, cy, a, b, t(5).toDouble, t(6).toDouble, close = false)))
-          case "ROUNDRECT" =>
-            val (x0, y0) = (math.min(t(1).toDouble, t(3).toDouble), math.min(t(2).toDouble, t(4).toDouble))
-            val (x1, y1) = (math.max(t(1).toDouble, t(3).toDouble), math.max(t(2).toDouble, t(4).toDouble))
-            // rounding radius = half the stated diameter, capped so opposite
-            // corners never overlap (mitab clamps the same way)
-            val r = math.min(t(5).toDouble / 2, math.min((x1 - x0) / 2, (y1 - y0) / 2))
-            if (r <= 0)
-              out += Some(gf.createPolygon(Array(
-                new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
-                new Coordinate(x0, y1), new Coordinate(x0, y0))))
-            else {
-              val cs = collection.mutable.ArrayBuffer[Coordinate]()
-              def add(pts: Array[Coordinate]): Unit = pts.foreach { c =>
-                if (cs.isEmpty || !cs.last.equals2D(c)) cs += c // r = half-extent corners touch
-              }
-              add(ellipseArc(x1 - r, y1 - r, r, r, 0, 90, close = false))   // NE corner
-              add(ellipseArc(x0 + r, y1 - r, r, r, 90, 180, close = false)) // NW
-              add(ellipseArc(x0 + r, y0 + r, r, r, 180, 270, close = false)) // SW
-              add(ellipseArc(x1 - r, y0 + r, r, r, 270, 360, close = false)) // SE
-              cs += new Coordinate(cs.head)
-              out += Some(gf.createPolygon(cs.toArray))
-            }
-          case _ if UnsupportedKeywords.contains(kw) =>
-            throw new IllegalArgumentException(
-              s"MIF record type $kw is not supported (TEXT carries no feature " +
-                "geometry; COLLECTION is unbounded); convert to POINT/PLINE/REGION " +
-                "in MapInfo before export")
-          case _ =>
-            // an unrecognized keyword at record position means a record we
-            // did not consume — skipping it would silently desync the
-            // geometry-to-attribute (MID) alignment, so fail loudly
-            throw new IllegalArgumentException(
-              s"MIF: unrecognized keyword '$kw' at record position in the DATA " +
-                "section — refusing to skip (would desync geometry/attribute rows)")
-        }
+        if (!StyleKeywords.contains(kw)) out += record(t, kw)
       }
     }
     out.toIndexedSeq
@@ -436,6 +454,11 @@ object MapInfoMif {
     case Some(mpt: MultiPoint) =>
       val cs = mpt.getCoordinates
       s"MULTIPOINT ${cs.length}\n" + cs.map(c => s"${num(c.x)} ${num(c.y)}").mkString("\n")
+    case Some(gc: GeometryCollection) =>
+      // heterogeneous collection (the multi types matched above): one
+      // COLLECTION record whose parts are full geometry records
+      s"COLLECTION ${gc.getNumGeometries}\n" +
+        (0 until gc.getNumGeometries).map(k => renderGeometry(Some(gc.getGeometryN(k)))).mkString("\n")
     case Some(other) => throw new IllegalArgumentException(
       s"MIF export does not support ${other.asInstanceOf[org.locationtech.jts.geom.Geometry].getGeometryType}")
   }

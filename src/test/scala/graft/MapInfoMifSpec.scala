@@ -194,6 +194,47 @@ class MapInfoMifSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("TEXT") || ex.getCause.getMessage.contains("TEXT"))
   }
 
+  test("COLLECTION records round-trip as GeometryCollection (mitab parity)") {
+    val wkt = "GEOMETRYCOLLECTION (POINT (1 2), " +
+      "LINESTRING (0 0, 5 5), POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))"
+    val gdf = GeoDataFrame(
+      Seq(1).toDF("id").select(st_geomfromwkt(lit(wkt)).as("geometry")),
+      "geometry", Map.empty)
+    val dir = java.nio.file.Files.createTempDirectory("mifc").toString
+    MapInfoMif.write(gdf, s"$dir/c.mif")
+    val mifText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/c.mif")), "UTF-8")
+    assert(mifText.contains("COLLECTION 3"), mifText)
+    val back = MapInfoMif.read(spark, s"$dir/c.mif")
+    val g = graft.geom.Wkb.read(back.df.select("geometry").as[Array[Byte]].head())
+    assert(g.getGeometryType == "GeometryCollection" && g.getNumGeometries == 3)
+    assert(g.norm().equalsExact(
+      graft.geom.Wkb.read(graft.geom.Wkb.write(
+        new org.locationtech.jts.io.WKTReader().read(wkt))).norm()))
+    // hand-written foreign collection with interleaved styling clauses
+    val mif =
+      """VERSION 300
+        |DELIMITER ","
+        |COLUMNS 1
+        |  id Integer
+        |DATA
+        |COLLECTION 2
+        |POINT 7 8
+        |    Symbol (34,0,12)
+        |PLINE 2
+        |0 0
+        |9 9
+        |    Pen (1,2,0)
+        |POINT 1 1
+        |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.mif"), mif.getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.mid"), "1\n2\n".getBytes("UTF-8"))
+    val rows = MapInfoMif.read(spark, s"$dir/f.mif").df
+      .select(st_astext(col("geometry"))).as[String].collect().sorted
+    assert(rows.length == 2)
+    assert(rows.exists(_.startsWith("GEOMETRYCOLLECTION")) && rows.contains("POINT (1 1)"), rows.toSeq)
+  }
+
   test("drawn shapes convert to features with closed-form measures (mitab parity)") {
     import graft.functions.GeoFunctions.{st_area, st_length, st_geometrytype}
     val mif =

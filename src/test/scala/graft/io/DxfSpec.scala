@@ -269,12 +269,29 @@ class DxfSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no value line"))
   }
 
+  test("SOLID bowtie order and 3DFACE ring order convert to polygons") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfsf").toString
+    // SOLID quad (0,0),(1,0) then 12/22=(0,1), 13/23=(1,1): bowtie order
+    // means the RING is (0,0),(1,0),(1,1),(0,1) -> unit square, area 1
+    // 3DFACE stores ring order directly: same square needs (1,1) THIRD
+    val f = writeFixture(dir, "sf.dxf",
+      "0\nSOLID\n8\n0\n10\n0\n20\n0\n11\n1\n21\n0\n12\n0\n22\n1\n13\n1\n23\n1\n" +
+        "0\n3DFACE\n8\n0\n10\n0\n20\n0\n11\n1\n21\n0\n12\n1\n22\n1\n13\n0\n23\n1\n" +
+        "0\nSOLID\n8\n0\n10\n0\n20\n0\n11\n2\n21\n0\n12\n1\n22\n1\n12\n1\n22\n1\n")
+    val areas = Dxf.read(spark, f).df
+      .select(st_area(col("geometry"))).as[Double].collect()
+    assert(areas.length == 3)
+    assert(math.abs(areas(0) - 1.0) < 1e-9, s"solid quad ${areas(0)}")
+    assert(math.abs(areas(1) - 1.0) < 1e-9, s"3dface quad ${areas(1)}")
+    assert(math.abs(areas(2) - 1.0) < 1e-9, s"solid triangle ${areas(2)}")
+  }
+
   test("loud raises: unknown geometric entity, attribute columns, multi-part, append") {
     val dir = java.nio.file.Files.createTempDirectory("dxfe").toString
     val f = writeFixture(dir, "s.dxf",
-      "0\nSOLID\n8\n0\n10\n0\n20\n0\n11\n1\n21\n0\n12\n0\n22\n1\n13\n1\n23\n1\n")
+      "0\nMLINE\n8\n0\n10\n0\n20\n0\n")
     val ex = intercept[org.apache.spark.SparkException](Dxf.read(spark, f).df.count())
-    assert(ex.getMessage.contains("SOLID") || ex.getCause.getMessage.contains("SOLID"))
+    assert(ex.getMessage.contains("MLINE") || ex.getCause.getMessage.contains("MLINE"))
     val withAttrs = GeoDataFrame(
       Seq((1, 2.5)).toDF("id", "score")
         .withColumn("geometry", st_point(lit(0.0), lit(0.0))), "geometry", Map.empty)
