@@ -22,8 +22,12 @@ import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, LinearR
   *    edge-list set — line, circular-arc, elliptic-arc and spline edges
   *    (assembled to (Multi)Polygon with even-odd ring nesting, like the
   *    MIF REGION reader), SOLID/3DFACE filled faces -> polygons (SOLID's
-  *    bowtie corner order fixed up like GDAL).
-  *    Annotation entities (TEXT/MTEXT/INSERT/ATTDEF/ATTRIB/DIMENSION/
+  *    bowtie corner order fixed up like GDAL), and INSERT entities
+  *    EXPANDED from the BLOCKS section (translate/scale/rotate, byblock
+  *    layer inheritance, MINSERT column/row arrays, nested inserts) the
+  *    way GDAL inlines blocks — a CAD file whose geometry lives in block
+  *    references reads completely instead of silently empty.
+  *    Annotation entities (TEXT/MTEXT/ATTDEF/ATTRIB/DIMENSION/
   *    VIEWPORT) carry no feature geometry and are skipped, like GDAL;
   *    geometric entities OUTSIDE the subset (MLINE/...)
   *    raise loudly rather than silently dropping data.
@@ -93,21 +97,18 @@ object Dxf {
     GeoDataFrame(spark.createDataFrame(rowsRdd, schema), "geometry", Map.empty)
   }
 
-  /** One parsed entity: (layer, handle, geometry). */
+  /** One parsed entity: (layer, handle, geometry). INSERT entities are
+    * expanded from the BLOCKS section like GDAL's driver: the referenced
+    * block's entities transform through translate(-base) -> scale(41/42) ->
+    * [column/row offset for MINSERT arrays] -> rotate(50) ->
+    * translate(insert point), recursively for nested inserts (depth-capped
+    * against reference cycles). Block entities drawn on layer "0" inherit
+    * the INSERT's layer (the DXF "byblock" convention GDAL follows);
+    * entities on any other layer keep their own. */
   private[io] def parseEntities(text: String):
       IndexedSeq[(String, Option[String], Geometry)] = {
     val gf = new GeometryFactory()
     val pairs = parsePairs(text)
-    val out = scala.collection.mutable.ArrayBuffer[(String, Option[String], Geometry)]()
-    var i = 0
-    // seek the ENTITIES section
-    var inEntities = false
-    while (i < pairs.length && !inEntities) {
-      if (pairs(i) == ((0, "SECTION")) && i + 1 < pairs.length && pairs(i + 1)._1 == 2 &&
-        pairs(i + 1)._2.trim.equalsIgnoreCase("ENTITIES")) { inEntities = true; i += 2 }
-      else i += 1
-    }
-    require(inEntities, "DXF: no ENTITIES section found")
 
     // collect (code, value) groups of one entity: from a 0-code start to
     // the next 0 code
@@ -124,100 +125,172 @@ object Dxf {
       g.find(_._1 == 8).map(_._2).getOrElse("0")
     def handleOf(g: Seq[(Int, String)]): Option[String] = g.find(_._1 == 5).map(_._2.trim)
 
-    while (i < pairs.length && pairs(i) != ((0, "ENDSEC")) && pairs(i) != ((0, "EOF"))) {
-      require(pairs(i)._1 == 0, s"DXF: expected an entity start, got ${pairs(i)}")
-      val (name, g, next) = entityAt(i)
-      i = next
-      name match {
-        case "POINT" =>
-          val (x, y) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
-          val p = d(g, 30) match {
-            case Some(z) => gf.createPoint(new Coordinate(x, y, z))
-            case None    => gf.createPoint(new Coordinate(x, y))
-          }
-          out += ((layerOf(g), handleOf(g), p))
-        case "LINE" =>
-          out += ((layerOf(g), handleOf(g), gf.createLineString(Array(
-            new Coordinate(d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0)),
-            new Coordinate(d(g, 11).getOrElse(0.0), d(g, 21).getOrElse(0.0))))))
-        case "LWPOLYLINE" =>
-          val closed = (d(g, 70).getOrElse(0.0).toInt & 1) != 0
-          val coords = densifyBulges(lwVertices(g), closed)
-          out += ((layerOf(g), handleOf(g), polylineGeom(gf, coords, closed)))
-        case "POLYLINE" =>
-          val closed = (d(g, 70).getOrElse(0.0).toInt & 1) != 0
-          val is3d = (d(g, 70).getOrElse(0.0).toInt & 8) != 0
-          // consume VERTEX entities up to SEQEND
-          val verts = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
-          var done = false
-          while (i < pairs.length && !done) {
-            val (vn, vg, vnext) = entityAt(i)
-            if (vn == "VERTEX") {
-              verts += ((d(vg, 10).getOrElse(0.0), d(vg, 20).getOrElse(0.0),
-                d(vg, 30).getOrElse(0.0), d(vg, 42).getOrElse(0.0)))
-              i = vnext
-            } else if (vn == "SEQEND") { i = vnext; done = true }
-            else done = true // tolerate a missing SEQEND
-          }
-          val coords =
-            if (is3d) densifyBulges(verts.map { case (x, y, z, _) => (new Coordinate(x, y, z), 0.0) }.toIndexedSeq, closed)
-            else densifyBulges(verts.map { case (x, y, _, b) => (new Coordinate(x, y), b) }.toIndexedSeq, closed)
-          out += ((layerOf(g), handleOf(g), polylineGeom(gf, coords, closed)))
-        case "CIRCLE" =>
-          val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
-          out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, 0, 360))))
-        case "ARC" =>
-          val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
-          val (a0, a1) = (d(g, 50).getOrElse(0.0), d(g, 51).getOrElse(360.0))
-          out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, a0, a1))))
-        case "ELLIPSE" =>
-          // center 10/20, major-axis ENDPOINT RELATIVE TO CENTER 11/21,
-          // minor/major ratio 40, start/end parameters 41/42 (radians) —
-          // densified to a linestring like CIRCLE/ARC (GDAL parity)
-          val (cx, cy) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
-          val (mx, my) = (d(g, 11).getOrElse(0.0), d(g, 21).getOrElse(0.0))
-          val ratio = d(g, 40).getOrElse(1.0)
-          val (t0, t1) = (d(g, 41).getOrElse(0.0), d(g, 42).getOrElse(2 * math.Pi))
-          out += ((layerOf(g), handleOf(g),
-            gf.createLineString(ellipseCoords(cx, cy, mx, my, ratio, t0, t1))))
-        case "SPLINE" =>
-          out += ((layerOf(g), handleOf(g), parseSpline(gf, g)))
-        case "SOLID" | "3DFACE" =>
-          // filled triangle/quad -> polygon, GDAL parity. Corners are
-          // 10/20, 11/21, 12/22 (+13/23 for a quad); SOLID stores the quad
-          // in "bowtie" order (3rd and 4th corner swapped), 3DFACE in ring
-          // order — per the public DXF reference
-          def corner(xc: Int, yc: Int): Option[Coordinate] =
-            d(g, xc).map(x => new Coordinate(x, d(g, yc).getOrElse(0.0)))
-          val c0 = corner(10, 20); val c1 = corner(11, 21)
-          val c2 = corner(12, 22); val c3 = corner(13, 23)
-          val ringOrder: Seq[Coordinate] = (name, c0, c1, c2, c3) match {
-            case ("SOLID", Some(a), Some(b), Some(cc), Some(dd)) if !cc.equals2D(dd) =>
-              Seq(a, b, dd, cc) // bowtie fix
-            case (_, Some(a), Some(b), Some(cc), Some(dd)) if !cc.equals2D(dd) =>
-              Seq(a, b, cc, dd)
-            case (_, Some(a), Some(b), Some(cc), _) => Seq(a, b, cc) // triangle
-            case _ => throw new IllegalArgumentException(
-              s"DXF $name: needs at least 3 corners (codes 10/20, 11/21, 12/22)")
-          }
-          out += ((layerOf(g), handleOf(g),
-            gf.createPolygon((ringOrder :+ new Coordinate(ringOrder.head)).toArray)))
-        case "HATCH" =>
-          out += ((layerOf(g), handleOf(g), parseHatch(gf, g)))
-        case _ if Annotations.contains(name) => // no feature geometry: skip like GDAL
-        case "VERTEX" | "SEQEND" => // stray continuation records: skip
-        case other =>
-          throw new IllegalArgumentException(
-            s"DXF entity $other is outside the supported subset (POINT/LINE/" +
-              "LWPOLYLINE/POLYLINE/CIRCLE/ARC/ELLIPSE/SPLINE/SOLID/3DFACE/HATCH " +
-              "+ annotations) — refusing to silently drop geometry; convert it " +
-              "before export")
+    // ---- BLOCKS section: name -> (base point, entity pair range) --------
+    case class BlockDef(baseX: Double, baseY: Double, from: Int, until: Int)
+    val blocks = scala.collection.mutable.Map[String, BlockDef]()
+    var bi = 0
+    var inBlocks = false
+    while (bi < pairs.length && !inBlocks) {
+      if (pairs(bi) == ((0, "SECTION")) && bi + 1 < pairs.length && pairs(bi + 1)._1 == 2 &&
+        pairs(bi + 1)._2.trim.equalsIgnoreCase("BLOCKS")) { inBlocks = true; bi += 2 }
+      else bi += 1
+    }
+    if (inBlocks) {
+      while (bi < pairs.length && pairs(bi) != ((0, "ENDSEC"))) {
+        if (pairs(bi)._1 == 0 && pairs(bi)._2.equalsIgnoreCase("BLOCK")) {
+          val (_, bg, bodyStart) = entityAt(bi)
+          val bname = bg.find(_._1 == 2).map(_._2.trim).getOrElse("")
+          val bx = d(bg, 10).getOrElse(0.0); val by = d(bg, 20).getOrElse(0.0)
+          var j = bodyStart
+          while (j < pairs.length && pairs(j) != ((0, "ENDBLK")) &&
+            pairs(j) != ((0, "ENDSEC"))) j += 1
+          if (bname.nonEmpty) blocks(bname) = BlockDef(bx, by, bodyStart, j)
+          bi = j + 1
+        } else bi += 1
       }
     }
-    out.toIndexedSeq
+
+    // ---- entity-range parser (shared by ENTITIES and block bodies) ------
+    def parseRange(from: Int, until: Int, depth: Int):
+        IndexedSeq[(String, Option[String], Geometry)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Option[String], Geometry)]()
+      var i = from
+      while (i < until && pairs(i) != ((0, "ENDSEC")) && pairs(i) != ((0, "ENDBLK")) &&
+        pairs(i) != ((0, "EOF"))) {
+        require(pairs(i)._1 == 0, s"DXF: expected an entity start, got ${pairs(i)}")
+        val (name, g, next) = entityAt(i)
+        i = next
+        name match {
+          case "POINT" =>
+            val (x, y) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
+            val p = d(g, 30) match {
+              case Some(z) => gf.createPoint(new Coordinate(x, y, z))
+              case None    => gf.createPoint(new Coordinate(x, y))
+            }
+            out += ((layerOf(g), handleOf(g), p))
+          case "LINE" =>
+            out += ((layerOf(g), handleOf(g), gf.createLineString(Array(
+              new Coordinate(d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0)),
+              new Coordinate(d(g, 11).getOrElse(0.0), d(g, 21).getOrElse(0.0))))))
+          case "LWPOLYLINE" =>
+            val closed = (d(g, 70).getOrElse(0.0).toInt & 1) != 0
+            val coords = densifyBulges(lwVertices(g), closed)
+            out += ((layerOf(g), handleOf(g), polylineGeom(gf, coords, closed)))
+          case "POLYLINE" =>
+            val closed = (d(g, 70).getOrElse(0.0).toInt & 1) != 0
+            val is3d = (d(g, 70).getOrElse(0.0).toInt & 8) != 0
+            // consume VERTEX entities up to SEQEND
+            val verts = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+            var done = false
+            while (i < until && !done) {
+              val (vn, vg, vnext) = entityAt(i)
+              if (vn == "VERTEX") {
+                verts += ((d(vg, 10).getOrElse(0.0), d(vg, 20).getOrElse(0.0),
+                  d(vg, 30).getOrElse(0.0), d(vg, 42).getOrElse(0.0)))
+                i = vnext
+              } else if (vn == "SEQEND") { i = vnext; done = true }
+              else done = true // tolerate a missing SEQEND
+            }
+            val coords =
+              if (is3d) densifyBulges(verts.map { case (x, y, z, _) => (new Coordinate(x, y, z), 0.0) }.toIndexedSeq, closed)
+              else densifyBulges(verts.map { case (x, y, _, b) => (new Coordinate(x, y), b) }.toIndexedSeq, closed)
+            out += ((layerOf(g), handleOf(g), polylineGeom(gf, coords, closed)))
+          case "CIRCLE" =>
+            val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
+            out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, 0, 360))))
+          case "ARC" =>
+            val (cx, cy, r) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0), d(g, 40).getOrElse(0.0))
+            val (a0, a1) = (d(g, 50).getOrElse(0.0), d(g, 51).getOrElse(360.0))
+            out += ((layerOf(g), handleOf(g), gf.createLineString(arcCoords(cx, cy, r, a0, a1))))
+          case "ELLIPSE" =>
+            // center 10/20, major-axis ENDPOINT RELATIVE TO CENTER 11/21,
+            // minor/major ratio 40, start/end parameters 41/42 (radians) —
+            // densified to a linestring like CIRCLE/ARC (GDAL parity)
+            val (cx, cy) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
+            val (mx, my) = (d(g, 11).getOrElse(0.0), d(g, 21).getOrElse(0.0))
+            val ratio = d(g, 40).getOrElse(1.0)
+            val (t0, t1) = (d(g, 41).getOrElse(0.0), d(g, 42).getOrElse(2 * math.Pi))
+            out += ((layerOf(g), handleOf(g),
+              gf.createLineString(ellipseCoords(cx, cy, mx, my, ratio, t0, t1))))
+          case "SPLINE" =>
+            out += ((layerOf(g), handleOf(g), parseSpline(gf, g)))
+          case "SOLID" | "3DFACE" =>
+            // filled triangle/quad -> polygon, GDAL parity. Corners are
+            // 10/20, 11/21, 12/22 (+13/23 for a quad); SOLID stores the quad
+            // in "bowtie" order (3rd and 4th corner swapped), 3DFACE in ring
+            // order — per the public DXF reference
+            def corner(xc: Int, yc: Int): Option[Coordinate] =
+              d(g, xc).map(x => new Coordinate(x, d(g, yc).getOrElse(0.0)))
+            val c0 = corner(10, 20); val c1 = corner(11, 21)
+            val c2 = corner(12, 22); val c3 = corner(13, 23)
+            val ringOrder: Seq[Coordinate] = (name, c0, c1, c2, c3) match {
+              case ("SOLID", Some(a), Some(b), Some(cc), Some(dd)) if !cc.equals2D(dd) =>
+                Seq(a, b, dd, cc) // bowtie fix
+              case (_, Some(a), Some(b), Some(cc), Some(dd)) if !cc.equals2D(dd) =>
+                Seq(a, b, cc, dd)
+              case (_, Some(a), Some(b), Some(cc), _) => Seq(a, b, cc) // triangle
+              case _ => throw new IllegalArgumentException(
+                s"DXF $name: needs at least 3 corners (codes 10/20, 11/21, 12/22)")
+            }
+            out += ((layerOf(g), handleOf(g),
+              gf.createPolygon((ringOrder :+ new Coordinate(ringOrder.head)).toArray)))
+          case "HATCH" =>
+            out += ((layerOf(g), handleOf(g), parseHatch(gf, g)))
+          case "INSERT" =>
+            val bname = g.find(_._1 == 2).map(_._2.trim).getOrElse("")
+            val block = blocks.getOrElse(bname, throw new IllegalArgumentException(
+              s"DXF INSERT references block '$bname' which the BLOCKS section does not define"))
+            require(depth < 8,
+              s"DXF INSERT: block nesting deeper than 8 at '$bname' — reference cycle?")
+            val inner = parseRange(block.from, block.until, depth + 1)
+            val sx = d(g, 41).getOrElse(1.0); val sy = d(g, 42).getOrElse(1.0)
+            val rot = math.toRadians(d(g, 50).getOrElse(0.0))
+            val (ix, iy) = (d(g, 10).getOrElse(0.0), d(g, 20).getOrElse(0.0))
+            val nCols = math.max(1, d(g, 70).getOrElse(1.0).toInt)
+            val nRows = math.max(1, d(g, 71).getOrElse(1.0).toInt)
+            val colSp = d(g, 44).getOrElse(0.0); val rowSp = d(g, 45).getOrElse(0.0)
+            val insLayer = layerOf(g); val insHandle = handleOf(g)
+            for (rr <- 0 until nRows; cc <- 0 until nCols) {
+              val t = new org.locationtech.jts.geom.util.AffineTransformation()
+              t.translate(-block.baseX, -block.baseY)
+              t.scale(sx, sy)
+              // MINSERT array offsets live in the block's (scaled, unrotated)
+              // frame, then the whole array rotates about the insert point
+              t.translate(cc * colSp, rr * rowSp)
+              t.rotate(rot)
+              t.translate(ix, iy)
+              inner.foreach { case (l, _, geom) =>
+                // layer "0" inside a block = byblock: inherit the INSERT's
+                val layer = if (l == "0") insLayer else l
+                out += ((layer, insHandle, t.transform(geom)))
+              }
+            }
+          case _ if Annotations.contains(name) => // no feature geometry: skip like GDAL
+          case "VERTEX" | "SEQEND" => // stray continuation records: skip
+          case other =>
+            throw new IllegalArgumentException(
+              s"DXF entity $other is outside the supported subset (POINT/LINE/" +
+                "LWPOLYLINE/POLYLINE/CIRCLE/ARC/ELLIPSE/SPLINE/SOLID/3DFACE/HATCH/" +
+                "INSERT + annotations) — refusing to silently drop geometry; " +
+                "convert it before export")
+        }
+      }
+      out.toIndexedSeq
+    }
+
+    // seek the ENTITIES section and parse it (INSERTs resolve via `blocks`)
+    var i = 0
+    var inEntities = false
+    while (i < pairs.length && !inEntities) {
+      if (pairs(i) == ((0, "SECTION")) && i + 1 < pairs.length && pairs(i + 1)._1 == 2 &&
+        pairs(i + 1)._2.trim.equalsIgnoreCase("ENTITIES")) { inEntities = true; i += 2 }
+      else i += 1
+    }
+    require(inEntities, "DXF: no ENTITIES section found")
+    parseRange(i, pairs.length, depth = 0)
   }
 
-  private val Annotations = Set("TEXT", "MTEXT", "INSERT", "ATTDEF", "ATTRIB",
+  private val Annotations = Set("TEXT", "MTEXT", "ATTDEF", "ATTRIB",
     "DIMENSION", "VIEWPORT", "POINTCLOUD", "WIPEOUT", "LEADER", "MULTILEADER")
 
   /** (code, value) pairs. The code line is trimmed (AutoCAD right-justifies

@@ -286,6 +286,49 @@ class DxfSpec extends AnyFunSuite {
     assert(math.abs(areas(2) - 1.0) < 1e-9, s"solid triangle ${areas(2)}")
   }
 
+  test("INSERT expands BLOCKS with scale/rotate/translate, byblock layers, nesting, arrays") {
+    val dir = java.nio.file.Files.createTempDirectory("dxfins").toString
+    val text =
+      "0\nSECTION\n2\nBLOCKS\n" +
+        "0\nBLOCK\n8\n0\n2\nB1\n10\n0\n20\n0\n" +
+        "0\nPOINT\n8\n0\n10\n1\n20\n0\n" + // layer 0 = byblock
+        "0\nLINE\n8\nfixed\n10\n0\n20\n0\n11\n1\n21\n0\n" +
+        "0\nENDBLK\n" +
+        "0\nBLOCK\n8\n0\n2\nB2\n10\n0\n20\n0\n" +
+        "0\nINSERT\n8\n0\n2\nB1\n10\n5\n20\n0\n" + // nested reference
+        "0\nENDBLK\n" +
+        "0\nENDSEC\n" +
+        "0\nSECTION\n2\nENTITIES\n" +
+        "0\nINSERT\n5\nAA\n8\nL1\n2\nB1\n10\n10\n20\n0\n41\n2\n42\n2\n50\n90\n" +
+        "0\nINSERT\n8\nL2\n2\nB2\n10\n100\n20\n100\n" +
+        "0\nINSERT\n8\nL3\n2\nB1\n10\n0\n20\n0\n70\n2\n44\n3\n" + // MINSERT 2 cols
+        "0\nENDSEC\n0\nEOF\n"
+    val f = java.nio.file.Paths.get(s"$dir/i.dxf")
+    java.nio.file.Files.write(f, text.getBytes("UTF-8"))
+    val rows = Dxf.read(spark, f.toString).df
+      .select(col("Layer"), col("EntityHandle"), st_astext(col("geometry")).as("wkt"))
+      .as[(String, String, String)].collect()
+    assert(rows.length == 8, rows.mkString("\n")) // 2 + 2 nested + 2x2 array
+    // scale 2, rotate 90, insert (10,0): point (1,0) -> (0,2)+(10,0) = (10 2)
+    val l1 = rows.filter(_._1 == "L1")
+    assert(l1.exists(r => r._3 == "POINT (10 2)" && r._2 == "AA"), l1.toSeq)
+    // the block's non-0 layer survives; line (0,0)-(1,0) -> (10,0)-(10,2)
+    assert(rows.exists(r => r._1 == "fixed" && r._3 == "LINESTRING (10 0, 10 2)"), rows.toSeq)
+    // nested: B2 at (100,100) contains B1 at (5,0): point -> (106 100)
+    assert(rows.exists(r => r._1 == "L2" && r._3 == "POINT (106 100)"), rows.toSeq)
+    assert(rows.exists(r => r._1 == "fixed" && r._3 == "LINESTRING (105 100, 106 100)"))
+    // MINSERT: 2 columns spaced 3 -> points at (1 0) and (4 0)
+    assert(rows.exists(r => r._1 == "L3" && r._3 == "POINT (1 0)"))
+    assert(rows.exists(r => r._1 == "L3" && r._3 == "POINT (4 0)"))
+    // an INSERT naming an undefined block raises instead of dropping
+    val bad = "0\nSECTION\n2\nENTITIES\n0\nINSERT\n8\n0\n2\nNOPE\n10\n0\n20\n0\n0\nENDSEC\n0\nEOF\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.dxf"), bad.getBytes("UTF-8"))
+    val ex = intercept[org.apache.spark.SparkException](Dxf.read(spark, s"$dir/b.dxf").df.count())
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + " " + msg(x.getCause)).getOrElse("")
+    assert(msg(ex).contains("NOPE"))
+  }
+
   test("loud raises: unknown geometric entity, attribute columns, multi-part, append") {
     val dir = java.nio.file.Files.createTempDirectory("dxfe").toString
     val f = writeFixture(dir, "s.dxf",
