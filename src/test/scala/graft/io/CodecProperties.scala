@@ -180,6 +180,32 @@ object CodecProperties extends Properties("graft.io.codecs") {
         out.forall(c => hull.covers(f.createPoint(c)))
     }
 
+  property("DXF INSERT expansion matches the closed-form affine transform") =
+    forAll(for {
+      bx <- coord; by <- coord; px <- coord; py <- coord
+      ix <- coord; iy <- coord
+      sx <- Gen.chooseNum(0.5, 3.0); sy <- Gen.chooseNum(0.5, 3.0)
+      rot <- Gen.chooseNum(0.0, 360.0)
+    } yield (bx, by, px, py, ix, iy, sx, sy, rot)) {
+      case (bx, by, px, py, ix, iy, sx, sy, rot) =>
+        val text =
+          "0\nSECTION\n2\nBLOCKS\n" +
+            s"0\nBLOCK\n8\n0\n2\nB\n10\n$bx\n20\n$by\n" +
+            s"0\nPOINT\n8\n0\n10\n$px\n20\n$py\n" +
+            "0\nENDBLK\n0\nENDSEC\n" +
+            "0\nSECTION\n2\nENTITIES\n" +
+            s"0\nINSERT\n8\nL\n2\nB\n10\n$ix\n20\n$iy\n41\n$sx\n42\n$sy\n50\n$rot\n" +
+            "0\nENDSEC\n0\nEOF\n"
+        val ents = Dxf.parseEntities(text)
+        val got = ents.head._3.getCoordinate
+        val r = math.toRadians(rot)
+        val dx0 = (px - bx) * sx; val dy0 = (py - by) * sy
+        val ex = ix + dx0 * math.cos(r) - dy0 * math.sin(r)
+        val ey = iy + dx0 * math.sin(r) + dy0 * math.cos(r)
+        ents.length == 1 && ents.head._1 == "L" &&
+          math.abs(got.x - ex) < 1e-9 && math.abs(got.y - ey) < 1e-9
+    }
+
   // ------------------------------------------------------------------ MIF
 
   private val genMifGeom: Gen[Geometry] = Gen.oneOf(
