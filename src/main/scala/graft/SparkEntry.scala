@@ -750,6 +750,36 @@ object SparkEntry {
           (round(st_y(col("geometry")), 3) + 0.0).as("ly"))
       nzmg.join(lab, Seq("c_custkey"))
     }),
+    "q185_dxf_insert" -> ((s, d) => {
+      // DXF BLOCKS/INSERT expansion gated end-to-end: a hand-built drawing
+      // whose only geometry lives in a block (unit point at (1,0)), placed
+      // by one INSERT per selected customer at (px, py) with rotation
+      // (key % 360 deg) and uniform scale (1 + key % 3). The reader must
+      // expand every reference through the affine chain; the oracle is the
+      // same closed-form trig in plain SQL. Fixture build is a bounded
+      // driver loop (~1/11th of customer — the same posture as the other
+      // file-format gates' temp exports).
+      val sel = pts(s, d).filter(col("c_custkey") % 11 === 3)
+        .select(col("c_custkey"), col("px"), col("py"))
+        .collect()
+      val sb = new StringBuilder
+      sb ++= "0\nSECTION\n2\nBLOCKS\n"
+      sb ++= "0\nBLOCK\n8\n0\n2\nB\n10\n0\n20\n0\n0\nPOINT\n8\n0\n10\n1\n20\n0\n0\nENDBLK\n"
+      sb ++= "0\nENDSEC\n0\nSECTION\n2\nENTITIES\n"
+      sel.foreach { r =>
+        val k = r.getLong(0)
+        sb ++= s"0\nINSERT\n8\n$k\n2\nB\n10\n${r.getDouble(1)}\n20\n${r.getDouble(2)}\n"
+        sb ++= s"41\n${1 + k % 3}\n42\n${1 + k % 3}\n50\n${k % 360}\n"
+      }
+      sb ++= "0\nENDSEC\n0\nEOF\n"
+      val dir = java.nio.file.Files.createTempDirectory("graft_dxfi").toString
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ins.dxf"),
+        sb.toString.getBytes("UTF-8"))
+      graft.io.Dxf.read(s, s"$dir/ins.dxf").df
+        .select(col("Layer").cast("long").as("c_custkey"),
+          (round(st_x(col("geometry")), 3) + 0.0).as("x"),
+          (round(st_y(col("geometry")), 3) + 0.0).as("y"))
+    }),
     "q74_kml_roundtrip" -> ((s, d) => {
       // gate the KML driver end to end: typed Schema/SimpleData export,
       // StAX streaming read back, geometry + attribute types restored
@@ -2775,6 +2805,13 @@ object SparkEntry {
            |  CAST(800000 AS DOUBLE) + rr * (hr + gr*(h2r*hr - h2i*hi) - gi*(h2r*hi + h2i*hr)) AS ly FROM lb4)
            | SELECT c_custkey, round(nx, 3) + CAST(0 AS DOUBLE) AS nx, round(ny, 3) + CAST(0 AS DOUBLE) AS ny,
            |  round(lx, 3) + CAST(0 AS DOUBLE) AS lx, round(ly, 3) + CAST(0 AS DOUBLE) AS ly FROM lb5""".stripMargin.replace("\n", " "),
+      // the INSERT affine chain in plain SQL: block point (1,0), uniform
+      // scale 1 + k%3, rotation k%360 degrees, translate to (px, py)
+      "q185_dxf_insert" ->
+        s"""SELECT c_custkey,
+           | round(px + (CAST(1 AS DOUBLE) + c_custkey % 3) * cos(radians(CAST(c_custkey % 360 AS DOUBLE))), 3) + CAST(0 AS DOUBLE) AS x,
+           | round(py + (CAST(1 AS DOUBLE) + c_custkey % 3) * sin(radians(CAST(c_custkey % 360 AS DOUBLE))), 3) + CAST(0 AS DOUBLE) AS y
+           | FROM $pts WHERE c_custkey % 11 = 3""".stripMargin.replace("\n", " "),
       "q76_gml_roundtrip" ->
         s"""SELECT c_custkey, c_name, round(px, 6) AS x, round(py, 6) AS y FROM $pts
            | WHERE c_custkey % 5 = 3 AND c_custkey % 2 = 1""".stripMargin.replace("\n", " "),
