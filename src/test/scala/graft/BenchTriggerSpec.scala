@@ -37,4 +37,30 @@ class BenchTriggerSpec extends AnyFunSuite {
   test("empty timings (all-error query) never trigger") {
     assert(Bench.triggerReason(Seq.empty, Some(0.1)).isEmpty)
   }
+
+  test("bestOf takes the key-wise minimum across history (r20 verdict #1)") {
+    // the q163 laundering scenario: r19 recorded 7.30 (loaded host), r20
+    // then read 6.15 as an "improvement" — min over history keeps the
+    // 2.36 idle-era baseline in force, so 6.15 trips the trigger
+    val hist = Bench.bestOf(Seq(
+      Map("q163" -> 2.36, "q01" -> 0.10),
+      Map("q163" -> 7.30, "q01" -> 0.09),
+      Map("q163" -> 6.15)))
+    assert(hist("q163") == 2.36)
+    assert(hist("q01") == 0.09)
+    assert(Bench.triggerReason(Seq(6.15, 6.15, 6.15), hist.get("q163"))
+      .contains("regressed"))
+  }
+
+  test("parsePrev rejects pre-full_plan artifacts (not comparable)") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec")
+    val old = dir.resolve("BENCH_r05.json")
+    java.nio.file.Files.write(old,
+      """{"metric":"total","action":"count","queries":{"q163":0.40}}""".getBytes("UTF-8"))
+    assert(Bench.parsePrev(old).isEmpty)
+    val nw = dir.resolve("BENCH_r19.json")
+    java.nio.file.Files.write(nw,
+      """{"metric":"total","action":"full_plan","queries":{"q163":7.30}}""".getBytes("UTF-8"))
+    assert(Bench.parsePrev(nw) == Map("q163" -> 7.30))
+  }
 }
