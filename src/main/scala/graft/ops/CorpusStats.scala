@@ -79,15 +79,31 @@ object CorpusStats {
     // feeds the shingled truth, the banded found-side and n_sample
     val sample = ScratchCache(Sampling.deterministicSample(docs, idCol, sampleFraction, salt)
       .select(col(idCol), col(textCol)))
-    val sh = sample
-      .select(col(idCol), TextFunctions.shingles(col(textCol), k).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-    val a = sh.select(col(idCol).as("__ia"), col("__sh").as("__sa"))
-    val b = sh.select(col(idCol).as("__ib"), col("__sh").as("__sb"))
-    val truth = a.join(b, col("__ia") < col("__ib"))
-      .select((size(array_intersect(array_distinct(col("__sa")), array_distinct(col("__sb")))).cast("double") /
-        size(array_union(col("__sa"), col("__sb"))).cast("double")).as("__j"))
-      .filter(col("__j") >= threshold)
+    // truth = exact all-pairs jaccard ≥ threshold, computed WITHOUT the
+    // all-pairs cartesian (optimization round 21): jaccard(A,B) =
+    // c/(|A|+|B|−c) with c = |A∩B|, and c comes from one shingle
+    // EQUI-join + count per pair — pairs sharing no shingle have
+    // jaccard 0 and can never reach a positive threshold, so skipping
+    // them is exact. Before: BroadcastNestedLoopJoin over n²/2 pairs,
+    // each paying array_intersect/array_union over full shingle arrays
+    // (q133 measured 5.09 s); after: hash equi-join + partial-agg counts
+    // (the same shuffle-friendly shape the prefix filter uses).
+    require(threshold > 0,
+      s"threshold must be > 0 for the equi-join truth pass; got $threshold")
+    val sets = sample
+      .select(col(idCol).as("__id"),
+        array_distinct(TextFunctions.shingles(col(textCol), k)).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val ex = sets.select(col("__id"), size(col("__set")).as("__n"),
+      explode(col("__set")).as("__g"))
+    val truth = ex.select(col("__g"), col("__id").as("__ia"), col("__n").as("__na"))
+      .join(ex.select(col("__g"), col("__id").as("__ib"), col("__n").as("__nb")),
+        Seq("__g"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c").cast("double") /
+        (col("__na") + col("__nb") - col("__c")).cast("double") >= threshold)
       .agg(count(lit(1)).cast("long").as("truth_pairs"))
     val found = Dedup.minhashPairs(sample, idCol, textCol, k, numHashes, bands, threshold)
       .agg(count(lit(1)).cast("long").as("found_pairs"))

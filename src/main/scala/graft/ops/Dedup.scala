@@ -730,6 +730,61 @@ object Dedup {
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct())
     var edgeCount = edges.count()
+    // ---- bounded LOCAL fast path (optimization round 21) -----------------
+    // The distinct edge set is tiny compared to the corpus whenever the
+    // pair graph came from a dedup pass (edges ≈ near-dup pairs, not docs):
+    // when it fits under a hard row-count guard, a driver-side union-find
+    // with min-root unions produces labels IDENTICAL to the star-contraction
+    // fixpoint (component label = min member id) in ONE job instead of
+    // ~5 shuffles × O(log n) rounds + per-round checkpoint/count/except
+    // jobs. Same bounded-build-side posture as SpatialJoin's broadcast
+    // guard: the guard is an exact count on the already-materialized
+    // checkpoint, the collected payload is two integral ids per edge, and
+    // graphs past the guard (or with non-integral ids) take the distributed
+    // loop unchanged. Labels broadcast back, so the node table still never
+    // shuffles (before/after evidence: OPTIMIZATION_r21.md, q112/q149/
+    // q150/q152).
+    val localLimit =
+      try pairs.sparkSession.conf.get("spark.graft.cc.localEdgeLimit", "1000000").toLong
+      catch { case _: NumberFormatException => 1000000L }
+    val integralIds = edges.schema.fields.forall(_.dataType match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (edgeCount > 0 && edgeCount <= localLimit && integralIds) {
+      val idType = edges.schema("u").dataType
+      val collected = edges
+        .select(col("u").cast("long"), col("v").cast("long")).collect()
+      edgeRdds.foreach(_.unpersist(blocking = false))
+      val parent = new scala.collection.mutable.LongMap[Long](collected.length * 2)
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent(r) != r) r = parent(r)
+        var c = x0
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        if (!parent.contains(u)) parent(u) = u
+        if (!parent.contains(v)) parent(v) = v
+        val ru = find(u); val rv = find(v)
+        // min-root union keeps the star-contraction invariant: the
+        // component label is the smallest member id
+        if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "__root")
+        .select(col("id").cast(idType).as("id"),
+          col("__root").cast(idType).as("__root"))
+      return nodes.join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+    }
+    // ---- distributed star-contraction loop (the 100 TB path) -------------
     var converged = edgeCount == 0L
     var it = 0
     while (!converged && it < maxIterations) {
@@ -1746,8 +1801,19 @@ object Dedup {
     // distinct vector within tau shares its cell (any member of that group
     // with a smaller id implies its min id is smaller).
     val base = df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol))
-    val withRid = ScratchCache(base.withColumn("__rid",
-      min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol)))))
+    // rep assignment via the 16-byte md5 CONTENT key (same convention as
+    // embeddingPairs) instead of a window partitioned by the raw float
+    // array: the exchange then shuffles/compares a fixed-width string key,
+    // never the full vector as a partition key (r20 verdict #2). The key
+    // is unambiguous (U+0001-separated float renderings); value-equal
+    // vectors that differ only in -0.0/0.0 split into two reps, but the
+    // pairwise rule still drops the larger rep (cosine = 1 ≥ tau, same
+    // cell), so keep/drop semantics are unchanged.
+    val keyed = base.withColumn("__gk",
+      md5(concat_ws("\u0001", transform(col(vecCol), x => x.cast("string")))))
+    val groups = keyed.groupBy(col("__gk")).agg(min(col(idCol)).as("__rid"))
+    val withRid = ScratchCache(keyed.join(groups, Seq("__gk"))
+      .select(col(idCol), col(vecCol), col("__rid")))
     // cached: the assignment UDF otherwise re-runs on both pair-join sides
     // AND the output re-attach (3 scans + 3 assignment passes)
     val reps = ScratchCache(Similarity.withIvfCell(

@@ -51,20 +51,51 @@ object QualityClassifier {
     * Update rule per epoch: z_d = round(Σ_b w_b·x_db, 9);
     * p_d = 1/(1+e^(−z_d)); grad_b = Σ_d (p_d − y_d)·x_db;
     * w_b ← round(w_b − lr·grad_b/n, 6) with n = total documents. */
+  /** One row per document: (idCol, __y label, __f = list of (__bk, __x)
+    * feature entries; null when the document has no tokens). Built once
+    * and cached by [[trainLogReg]]; every epoch is then MAP-SIDE over this
+    * table (optimization round 21) — the weight vector rides along as a
+    * literal array instead of a broadcast-joined table, and the per-doc
+    * logit is an `aggregate` over the feature entries instead of a
+    * groupBy(doc) shuffle, so an epoch costs one scan + one ≤`buckets`-row
+    * gradient aggregation (vs two joins + two shuffles before). */
+  private def docFeatures(docs: DataFrame, idCol: String, textCol: String,
+                          labelCol: Column, buckets: Int): DataFrame =
+    docs.select(col(idCol), when(labelCol, 1.0).otherwise(0.0).as("__y"))
+      .join(features(docs, idCol, textCol, buckets)
+        .groupBy(col(idCol))
+        .agg(collect_list(struct(col("__bk"), col("__x"))).as("__f")),
+        Seq(idCol), "left")
+
+  /** Per-document logit and sigmoid under literal weights `w`:
+    * z = round(Σ w_b·x_b, 9), p = sigmoid(z); a document with no features
+    * (null `__f`) scores the exact sigmoid of 0 = 0.5. The 10⁻⁹ rounding
+    * keeps z order-independent: every w_b is a multiple of 10⁻⁶ (the
+    * post-epoch rounding) and every x an integer count, so the true sum
+    * lies on the 10⁻⁶ grid — far coarser than both the float error and
+    * the rounding grid. */
+  private def pCol(w: Array[Double]): Column = {
+    val wLit = array(w.map(lit(_)): _*)
+    val z = round(aggregate(col("__f"), lit(0.0),
+      (acc, e) => acc + element_at(wLit, e.getField("__bk") + 1) * e.getField("__x")), 9)
+    lit(1.0) / (lit(1.0) + exp(-coalesce(z, lit(0.0))))
+  }
+
   def trainLogReg(docs: DataFrame, idCol: String, textCol: String,
                   labelCol: Column, buckets: Int = 64, epochs: Int = 3,
                   lr: Double = 0.5): Array[Double] = {
-    val spark = docs.sparkSession
-    val feats = features(docs, idCol, textCol, buckets).cache()
-    val labels = docs.select(col(idCol),
-      when(labelCol, 1.0).otherwise(0.0).as("__y"))
-    val n = labels.count().toDouble
+    val base = docFeatures(docs, idCol, textCol, labelCol, buckets).cache()
+    val n = base.count().toDouble
     val w = Array.fill(buckets)(0.0)
     for (_ <- 1 to epochs) {
-      val p = scored(feats, labels, w, idCol).select(col(idCol), col("__p"), col("__y"))
-      val grad = feats.join(p, Seq(idCol))
-        .groupBy(col("__bk"))
-        .agg(sum((col("__p") - col("__y")) * col("__x")).as("__g"))
+      // grad_b = Σ_d (p_d − y_d)·x_db — explode the cached feature lists
+      // and reduce to ≤`buckets` rows (map-side partial agg); docs with no
+      // features contribute nothing (explode drops null lists), exactly as
+      // the join formulation this replaces
+      val grad = base
+        .select((pCol(w) - col("__y")).as("__d"), explode(col("__f")).as("__e"))
+        .groupBy(col("__e.__bk"))
+        .agg(sum(col("__d") * col("__e.__x")).as("__g"))
         .collect()
       grad.foreach { r =>
         val b = r.getInt(0)
@@ -72,33 +103,15 @@ object QualityClassifier {
         w(b) = math.floor((w(b) - lr * g / n) * 1e6 + 0.5) / 1e6
       }
     }
-    feats.unpersist()
+    base.unpersist()
     w
-  }
-
-  /** Per-document sigmoid scores under `w`: (idCol, __y, __p). Documents
-    * with no features score the exact sigmoid of 0 = 0.5. */
-  private def scored(feats: DataFrame, labels: DataFrame, w: Array[Double],
-                     idCol: String): DataFrame = {
-    val wDf = broadcast(feats.sparkSession.createDataFrame(
-      w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq).toDF("__bk", "__w"))
-    val z = feats.join(wDf, Seq("__bk"))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("__w") * col("__x")), 9).as("__z"))
-    labels.join(z, Seq(idCol), "left")
-      .select(col(idCol), col("__y"),
-        (lit(1.0) / (lit(1.0) + exp(-coalesce(col("__z"), lit(0.0))))).as("__p"))
   }
 
   /** Score every document of `docs` with a trained weight vector:
     * (idCol, label y, score p, keep = p ≥ 0.5). */
   def scoreLogReg(docs: DataFrame, idCol: String, textCol: String,
-                  labelCol: Column, w: Array[Double]): DataFrame = {
-    val feats = features(docs, idCol, textCol, w.length)
-    val labels = docs.select(col(idCol),
-      when(labelCol, 1.0).otherwise(0.0).as("__y"))
-    scored(feats, labels, w, idCol)
-      .select(col(idCol), col("__y").as("label"), col("__p").as("score"),
-        (col("__p") >= 0.5).as("keep"))
-  }
+                  labelCol: Column, w: Array[Double]): DataFrame =
+    docFeatures(docs, idCol, textCol, labelCol, w.length)
+      .select(col(idCol), col("__y").as("label"), pCol(w).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
 }

@@ -629,6 +629,25 @@ class VecAndDedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("connectedComponents: distributed star loop ≡ bounded local fast path") {
+    // the r21 local union-find fast path shadows the star-contraction loop
+    // on every small graph; force the distributed loop (guard = 0) and pin
+    // label parity on a graph with chains, merges, dups and self-loops so
+    // the 100 TB path stays covered
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L), (8L, 9L),
+      (20L, 21L), (21L, 20L), (30L, 30L)) ++
+      (100L until 140L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val limitKey = "spark.graft.cc.localEdgeLimit"
+    spark.conf.set(limitKey, "0")
+    val loop =
+      try Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(limitKey)
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(loop == fast)
+    assert(loop(4L) == 1L && loop(8L) == 1L && loop(9L) == 1L)
+    assert(loop(30L) == 30L && loop(140L) == 100L)
+  }
+
   test("connectedComponents at maxIterations emits exactly one label per node (no dup rows)") {
     // a 64-node path needs several star rounds to reach the fixpoint;
     // capping at 1 iteration exercises the non-converged exit. The contract:
