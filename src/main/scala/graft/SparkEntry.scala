@@ -2168,10 +2168,15 @@ object SparkEntry {
       // oracle replays signatures, banding, the new×all candidate join
       // and the component-match estimate exactly.
       val all = docs(s, d)
-      val oldSigs = graft.ops.Dedup.minhashSignatureTable(
-        all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2)
-      val newSigs = graft.ops.Dedup.minhashSignatureTable(
-        all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      // signature tables scratch-cached CALLER-side (r21): the probe
+      // consumes each side twice (banding + the per-pair estimate lookup)
+      // but deliberately caches nothing itself beyond the tracked banding
+      // handle (the streaming per-batch contract) — a batch caller owns
+      // its snapshot frames, so it caches them
+      val oldSigs = graft.ops.ScratchCache(graft.ops.Dedup.minhashSignatureTable(
+        all.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 2))
+      val newSigs = graft.ops.ScratchCache(graft.ops.Dedup.minhashSignatureTable(
+        all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2))
       graft.ops.Dedup.minhashPairsIncremental(newSigs, oldSigs, "doc_id",
           numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -2200,8 +2205,11 @@ object SparkEntry {
           s"$tmp/banded", "doc_id", numHashes = 16, bands = 4, buckets = 8)
         tmp
       }
-      val newSigs = graft.ops.Dedup.minhashSignatureTable(
-        all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2)
+      // scratch-cached caller-side for the same reason as q135: the probe
+      // consumes the new batch's signatures twice (banding checkpoint +
+      // estimate lookup) and caches nothing itself
+      val newSigs = graft.ops.ScratchCache(graft.ops.Dedup.minhashSignatureTable(
+        all.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 2))
       graft.ops.Dedup.minhashPairsIncrementalBanded(newSigs,
           graft.ops.Dedup.readSignatureSnapshot(s, s"graft_q140_sigs_$tag"),
           graft.io.Bucketed.read(s, s"graft_q140_banded_$tag"), "doc_id",

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Nondeterministic IDENTITY on booleans — an optimizer fence. A filter
+    * wrapped in it cannot be reordered below a repartition (nondeterministic
+    * predicates are never pushed), which is how [[shingled]] keeps its
+    * expensive token-count predicate on the spread side of the exchange —
+    * PushDownPredicates otherwise clones the whole tokenize subtree into
+    * the (often single-partition) scan task. The function itself is pure,
+    * so task retries stay deterministic; ONE shared instance so
+    * canonicalized plans compare equal across calls and scratch-cache
+    * lookups keep hitting. */
+  private val noPushdown: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((b: Boolean) => b).asNondeterministic()
+
   /** Exact dedup: one representative row (min of `idCol`) per distinct value
     * of `textCol`, plus the duplicate count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -53,15 +65,21 @@ object Dedup {
     * materialize once, output-bound, in the expansion join. */
   private def bandedJaccardPairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
                                  threshold: Double): DataFrame = {
-    val shingleTable = ScratchCache(sig.select(col("__id"), col("__sh")))
+    // ONE cache over the full (id, shingles, signature) table: keyed and
+    // reps used to re-derive from the RAW `sig` plan, so each consumer
+    // re-ran tokenize + shingle + the minhash signature (the operator's
+    // most expensive map work); the columnar cache serves every consumer
+    // its pruned columns instead
+    val sigT = ScratchCache(sig)
+    val shingleTable = sigT.select(col("__id"), col("__sh"))
     // U+0001-separated content key: unambiguous (a "|" would conflate
     // ("ab","c") with ("a","bc"))
-    val keyed = sig.select(col("__id"), md5(concat_ws("\u0001", col("__sh"))).as("__gk"))
+    val keyed = sigT.select(col("__id"), md5(concat_ws("\u0001", col("__sh"))).as("__gk"))
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
     // memb feeds the within self-join and both sides of the cross
     // expansion — cache it so the md5-over-shingles keying runs once
     val memb = ScratchCache(keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")))
-    val reps = sig.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
+    val reps = sigT.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
     val repPairs = bandRepPairs(reps, bands, rowsPerBand)
     jaccardVerifyExpand(repPairs, shingleTable, "__sh", groups, memb, threshold)
   }
@@ -184,10 +202,13 @@ object Dedup {
       explode(col("__set")).as("__g"))
     val freq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__df").asc, col("__g").asc)
-    val prefix = ex.join(freq, Seq("__g"))
+    // cached: both self-join sides consume the prefix table — without the
+    // cache the explode + frequency join + rank window all ran TWICE
+    // (q160 warm profile: ~2.3 s of its 5.9 s was the duplicated subtree)
+    val prefix = ScratchCache(ex.join(freq, Seq("__g"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col("__g"), col("__id"), col("__n"), col("__rn"))
+      .select(col("__g"), col("__id"), col("__n"), col("__rn")))
     val a = prefix.select(col("__g"), col("__id").as("__ra"),
       col("__n").as("__na"), col("__rn").as("__pa"))
     val b = prefix.select(col("__g"), col("__id").as("__rb"),
@@ -280,12 +301,15 @@ object Dedup {
     def jac(sa: Column, sb: Column): Column =
       when(size(array_union(sa, sb)) === 0, 0.0)
         .otherwise(size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb)))
-    val repVerified = repPairs
+    // cached: BOTH orientation expansions consume the verified pairs —
+    // uncached, the candidate join + jaccard verify ran twice per action
+    // (the hammingJoin precedent at its repVerified)
+    val repVerified = ScratchCache(repPairs
       .join(reps.select(col("__id").as("__ra"), col(contentCol).as("__c_a")), Seq("__ra"))
       .join(reps.select(col("__id").as("__rb"), col(contentCol).as("__c_b")), Seq("__rb"))
       .withColumn("jaccard", jac(col("__c_a"), col("__c_b")))
       .filter(col("jaccard") >= threshold)
-      .select("__ra", "__rb", "jaccard")
+      .select("__ra", "__rb", "jaccard"))
     val selfJac = reps.select(col("__id").as("__gk"),
         jac(col(contentCol), col(contentCol)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -308,9 +332,21 @@ object Dedup {
     // slice to a CONSTANT key, bucketing all such rows together); drop them
     // here on the cheap token-count predicate
     val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    // repartition the RAW text, then tokenize: with the projection before
+    // the exchange the regex tokenizer ran inside the (often single-file →
+    // single-partition) scan task — measured 5.6 s in one task on the sf0.1
+    // cold profile — while everything downstream was already spread.
+    // Shuffling raw text costs the same bytes as shuffling token arrays.
+    // The token-count filter is wrapped in the nondeterministic identity
+    // FENCE: a bare deterministic predicate is pushed back below the
+    // repartition by PushDownPredicates, re-running the full tokenize
+    // (serially, pre-spread) inside the scan task — the exact single-task
+    // hotspot the repartition exists to avoid (guide §4.4 posture; the
+    // q135 profile read 2.7 s in that one task, ~80% of the query).
+    df.select(col(idCol).as("__id"), col(textCol).as("__txt"))
       .repartition(par)
-      .filter(size(col("__t")) >= k)
+      .select(col("__id"), tokens(col("__txt")).as("__t"))
+      .filter(noPushdown(size(col("__t")) >= k))
       .select(col("__id"), shinglesOfTokens(col("__t"), k).as("__sh"))
   }
 
@@ -324,8 +360,12 @@ object Dedup {
   def minhashSignatureTable(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, numHashes: Int = 16): DataFrame =
     shingled(df, idCol, textCol, k)
+      // no isNotNull filter: shingled() already drops sub-k-token docs, so
+      // __sh is non-empty and the signature never null — the redundant
+      // filter was pushed below shingled's repartition and re-ran the FULL
+      // signature UDF serially inside the scan task (2.7 s single-task on
+      // the q135 profile)
       .select(col("__id").as(idCol), minhashMd5U(col("__sh"), lit(numHashes)).as("minhash_sig"))
-      .filter(col("minhash_sig").isNotNull)
 
   /** [[minhashSignatureTable]] with the engine-native xxhash64 signature
     * (whole-stage-codegen'd, no per-shingle digest UDF — the
@@ -336,8 +376,8 @@ object Dedup {
   def minhashSignatureTableFast(df: DataFrame, idCol: String, textCol: String,
                                 k: Int = 3, numHashes: Int = 16): DataFrame =
     shingled(df, idCol, textCol, k)
+      // no isNotNull filter — same argument as [[minhashSignatureTable]]
       .select(col("__id").as(idCol), minhashFastU(col("__sh"), lit(numHashes)).as("minhash_sig"))
-      .filter(col("minhash_sig").isNotNull)
 
   /** Incremental near-dup probe: band-join a NEW batch's signatures
     * against old + new, emit canonical (id_a, id_b, est_jaccard) pairs
@@ -436,6 +476,12 @@ object Dedup {
       .select(least(col("__idn"), col("__ida")).as("id_a"),
         greatest(col("__idn"), col("__ida")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // NOT cached: both per-pair signature lookups consume this union, but
+    // the probe's contract (StreamingDedupSpec pins it) is that its ONLY
+    // CacheManager entry is the returned banding handle — a lingering
+    // scratch entry per micro-batch would accumulate for a stream's
+    // lifetime. Batch callers that probe the same snapshot repeatedly
+    // (q135) cache their signature tables caller-side instead.
     val sigs = newSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig"))
       .unionByName(oldSigs.select(col(idCol).as("__sid"), col(sigCol).as("__sig")))
       .dropDuplicates("__sid")
@@ -1328,7 +1374,12 @@ object Dedup {
     * [[editDistanceJoin]]: given one row per DISTINCT string (`__id`
     * orderable, `__t`, `__L`), every unordered distinct-string pair within
     * `d` edits as (__pa, __pb, edit_distance). */
-  private def editRepVerified(base: DataFrame, d: Int): DataFrame = {
+  private def editRepVerified(base0: DataFrame, d: Int): DataFrame = {
+    // cached: the index side, the probe side and the tiny-string residual
+    // all scan the distinct-string table — uncached, the upstream distinct
+    // (and editDistanceJoin's two-table union + md5 keying) re-ran three
+    // times per action
+    val base = ScratchCache(base0)
     val bands = d + 1
     // chunk boundary of an `la`-char string at band i: floor(la*i/(d+1))
     def bnd(la: Column, i: Column): Column =
@@ -1417,7 +1468,10 @@ object Dedup {
     // the md5 of the string (orderable, table-independent)
     val reps = rowsL.select(col("__t")).unionByName(rowsR.select(col("__t"))).distinct()
       .select(md5(col("__t")).as("__id"), col("__t"), length(col("__t")).as("__L"))
-    val verified = editRepVerified(reps, maxEdits)
+    // cached: both orientation expansions consume the verified pairs —
+    // uncached, the whole PassJoin block + levenshtein refine ran twice
+    // per action (q161 profile: two identical 174 MB candidate stages)
+    val verified = ScratchCache(editRepVerified(reps, maxEdits))
     val membL = rowsL.select(col("__t"), col("__id").as("__ml"))
     val membR = rowsR.select(col("__t"), col("__id").as("__mr"))
     val same = membL.join(membR, Seq("__t"))
@@ -1589,12 +1643,14 @@ object Dedup {
       .filter(col("__ra") < col("__rb"))
       .select("__ra", "__rb")
       .dropDuplicates("__ra", "__rb")
-    val repVerified = repPairs
+    // cached: BOTH orientation expansions consume the verified pairs —
+    // uncached, the band join + cosine verify ran twice per action
+    val repVerified = ScratchCache(repPairs
       .join(reps.select(col("__id").as("__ra"), col("__v").as("__va")), Seq("__ra"))
       .join(reps.select(col("__id").as("__rb"), col("__v").as("__vb")), Seq("__rb"))
       .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
-      .select("__ra", "__rb", "cosine")
+      .select("__ra", "__rb", "cosine"))
     // bit-identical vectors across tables: cosine is the self-cosine
     // (1.0, or 0.0 for the zero vector — dropped by the same filter)
     val selfCos = reps.select(col("__id").as("__gk"),
