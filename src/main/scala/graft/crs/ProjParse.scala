@@ -387,8 +387,14 @@ object ProjParse {
     else if (m.contains("laborde")) {
       // Laborde Oblique Mercator (EPSG 9813, Madagascar): GN7-2 formulas,
       // validated against the guidance-note worked example in ProjParseSpec
+      // loud-raise, no silent Madagascar default (r20 advice): an azimuth
+      // is not reconstructible — a definition without one would be
+      // mislabeled, not approximated
       val az = get(Seq("azimuth", "azimuthofinitialline",
-        "azimuthatprojectioncentre")).getOrElse(18.9)
+        "azimuthatprojectioncentre")).getOrElse(throw new IllegalArgumentException(
+        "Laborde (EPSG 9813) definition carries no azimuth parameter " +
+          "(looked for azimuth / azimuth_of_initial_line / " +
+          "azimuth_at_projection_centre) — refusing to assume one"))
       Some(LabordeOM(lat0, lon0, az, k0, fe, fn, unit, a, f))
     }
     else if (m.contains("newzealandmapgrid")) {

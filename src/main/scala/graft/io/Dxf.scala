@@ -412,6 +412,22 @@ object Dxf {
     * A is the major-axis vector (group 11/21, relative to the center) and
     * B = ratio * perp(A). Parameter steps sized like [[arcCoords]]; a full
     * ellipse (sweep 2 pi) closes bit-exactly. */
+  /** HATCH elliptic-edge angle correction: group 50/51 carry TRUE angles
+    * from the major axis, while the sampler's parameter t satisfies
+    * tan(true) = ratio·tan(t) — so t = atan2(sin(true)/ratio, cos(true)),
+    * quadrant-preserving (|t − true| < π/2 always), kept on the same 2π
+    * branch as the input. Cardinal angles (sin or cos exactly 0 within
+    * 1e-12) and ratio 1 return the input BIT-IDENTICALLY — the conversion
+    * only moves genuinely oblique angles on non-circular ellipses. */
+  private[io] def trueToParam(theta: Double, ratio: Double): Double = {
+    val s = math.sin(theta); val c = math.cos(theta)
+    if (ratio == 1.0 || math.abs(s) < 1e-12 || math.abs(c) < 1e-12) theta
+    else {
+      val t = math.atan2(s / ratio, c)
+      t + 2 * math.Pi * math.round((theta - t) / (2 * math.Pi))
+    }
+  }
+
   private[io] def ellipseCoords(cx: Double, cy: Double, mx: Double, my: Double,
                                 ratio: Double, t0: Double, t1: Double): Array[Coordinate] = {
     val sweep = { val s = t1 - t0; if (s <= 0) s + 2 * math.Pi else s }
@@ -631,12 +647,17 @@ object Dxf {
               append(pts.toSeq)
             case 3 => // elliptic-arc edge: 10/20 center, 11/21 major-axis
               // endpoint relative to center, 40 minor/major ratio,
-              // 50/51 start/end parameter (deg), 73 ccw flag
+              // 50/51 start/end angle (deg), 73 ccw flag. AutoCAD writes
+              // 50/51 as TRUE angles measured from the major axis, not the
+              // parametric angles ellipseCoords samples with — convert via
+              // tan(param) = tan(true)/ratio (GDAL's AngleCorrect
+              // convention); at cardinal angles and ratio 1 the two
+              // coincide and the conversion is an exact no-op
               val cx = need(10, "ellipse"); val cy = need(20, "ellipse")
               val mx = need(11, "ellipse"); val my = need(21, "ellipse")
               val ratio = need(40, "ellipse")
-              val a0 = math.toRadians(need(50, "ellipse"))
-              val a1 = math.toRadians(need(51, "ellipse"))
+              val a0 = trueToParam(math.toRadians(need(50, "ellipse")), ratio)
+              val a1 = trueToParam(math.toRadians(need(51, "ellipse")), ratio)
               val ccw = opt(73, 1.0) != 0.0
               val pts =
                 if (ccw) ellipseCoords(cx, cy, mx, my, ratio, a0, a1)

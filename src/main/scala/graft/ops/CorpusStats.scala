@@ -15,6 +15,12 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
+  // cosineLshRecallReport banding UDF, memoized per (planes, bands, seed,
+  // dim): plan canonicalization compares ScalaUDF functions by reference —
+  // a fresh closure per call would defeat every cache lookup over the plan
+  private val cosineKeysUCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long, Int), org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** Per-(lang, source) corpus report with ROLLUP margins: every row
     * carries doc count, token count, character sum and the number of
     * DISTINCT texts (md5 content key — `n_docs - n_distinct` is the exact
@@ -162,7 +168,10 @@ object CorpusStats {
     val sample = ScratchCache(Sampling.deterministicSample(embs, idCol, sampleFraction, salt)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull))
-    val keysU = udf((v: Seq[Float]) => bandPlanes.map(p => Similarity.bucketOf(v, p)))
+    // memoized per (planes, bands, seed, dim) — stable function reference
+    // keeps re-built plans canonically equal (the hyperplaneKeysU argument)
+    val keysU = cosineKeysUCache.computeIfAbsent((pl, bd, seed, dim), _ =>
+      udf((v: Seq[Float]) => bandPlanes.map(p => Similarity.bucketOf(v, p))))
     val banded = sample
       .select(col("__id"), posexplode(keysU(col("__v"))).as(Seq("__band", "__key")))
     val candIds = banded.select(col("__band"), col("__key"), col("__id").as("__ia"))

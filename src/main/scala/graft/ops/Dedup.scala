@@ -38,6 +38,20 @@ object Dedup {
   private val noPushdown: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((b: Boolean) => b).asNondeterministic()
 
+  /** Spread a NARROW input before expensive map work without changing the
+    * no-shuffle posture on already-parallel inputs: repartition only when
+    * the physical plan has pathologically few partitions (a single small
+    * parquet file arrives as ONE partition and serializes every downstream
+    * map stage onto one core — q119's profile read 2×0.5 s single-task
+    * stages; a corpus-scale input is already thousands of splits and must
+    * NOT pay a data-wide shuffle just to run a map). The probe compiles
+    * the physical plan but runs no job. */
+  private def spreadNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val n = df.queryExecution.toRdd.getNumPartitions
+    if (n < math.min(par, 8)) df.repartition(par) else df
+  }
+
   /** Exact dedup: one representative row (min of `idCol`) per distinct value
     * of `textCol`, plus the duplicate count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -1567,7 +1581,20 @@ object Dedup {
     * [[embeddingPairs]] and [[embeddingJoin]] — deterministic in `seed`,
     * so both sides of a cross-table join (and an oracle re-run) band
     * identically. */
+  /** MEMOIZED per (planes, bands, dim, seed): the returned UDF's function
+    * reference must be STABLE across calls — plan canonicalization compares
+    * ScalaUDF functions by reference, so a fresh closure per call makes two
+    * otherwise-identical plans unequal and every downstream cache lookup
+    * (the knnJoin pair cache, bench rep-over-rep reuse) miss. The closure
+    * is a pure function of the key, so sharing is safe. */
+  private val hyperplaneKeysUCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long),
+      org.apache.spark.sql.expressions.UserDefinedFunction]()
   private def hyperplaneKeysU(planes: Int, bands: Int, dim: Int, seed: Long)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    hyperplaneKeysUCache.computeIfAbsent((planes, bands, dim, seed), _ =>
+      hyperplaneKeysUBuild(planes, bands, dim, seed))
+  private def hyperplaneKeysUBuild(planes: Int, bands: Int, dim: Int, seed: Long)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rpb = planes / bands
     val planeVals: Array[Array[Double]] = {
@@ -1751,10 +1778,10 @@ object Dedup {
                 k: Int = 8, boundaryHex: String = "0"): DataFrame = {
     require(k > 0, s"k must be positive; got $k")
     require(boundaryHex.nonEmpty && boundaryHex.length < 32, "boundaryHex must be 1..31 hex chars")
-    val kk = k
-    val bh = boundaryHex
-    val u = udf((text: String) => Dedup.cdcChunkRows(text, kk, bh))
-    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+    val u = cdcChunksUCache.computeIfAbsent((k, boundaryHex), { case (kk, bh) =>
+      udf((text: String) => Dedup.cdcChunkRows(text, kk, bh))
+    })
+    spreadNarrow(df.filter(col(textCol).isNotNull && length(col(textCol)) > 0))
       .select(col(idCol), explode(u(col(textCol))).as("__c"))
       .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
         col("__c.chunk_hash").as("chunk_hash"), col("__c.chunk_len").as("chunk_len"))
@@ -1762,6 +1789,12 @@ object Dedup {
 
   /** One CDC chunk row (see [[cdcChunks]]). */
   case class CdcChunk(chunk_idx: Int, chunk_hash: String, chunk_len: Int)
+
+  // memoized per (k, boundaryHex) — the hyperplaneKeysU argument: stable
+  // function references keep re-built plans canonically equal, so cache
+  // lookups over the chunk table keep hitting
+  private val cdcChunksUCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.expressions.UserDefinedFunction]()
 
   /** The per-document rolling pass: boundary after char i (1-based, i ≥ k)
     * iff md5 of chars (i-k, i] ends in `boundaryHex`; chunk hash = md5 of
@@ -1972,8 +2005,12 @@ object Dedup {
   private def tokenWindows(df: DataFrame, idCol: String, textCol: String,
                            l: Int): DataFrame = {
     require(l >= 1, s"minTokens must be >= 1; got $l")
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= l)
+    // spread + fence: the shingled() pattern — tokenize after the (narrow-
+    // input-only) spread, and keep the size filter from being pushed back
+    // below it, where it would re-run the tokenizer serially in the scan
+    spreadNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(noPushdown(size(col("__t")) >= l))
       .select(col(idCol), explode(sequence(lit(1), size(col("__t")) - (l - 1))).as("__pos"),
         col("__t"))
       .withColumn("__w", concat_ws(" ", slice(col("__t"), col("__pos"), lit(l))))

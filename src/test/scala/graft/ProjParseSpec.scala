@@ -452,8 +452,12 @@ class ProjParseSpec extends AnyFunSuite {
                 |UNIT["Meter",1.0]]""".stripMargin.replace("\n", "")
     assert(ProjParse.parse(wkt).isEmpty)
     // Laborde parses to its OWN math (round 20), never the Hotine family:
-    // the name overlap must not route it to HotineOM
-    val laborde = wkt.replace("\"Bonne\"", "\"Laborde_Oblique_Mercator\"")
+    // the name overlap must not route it to HotineOM. Azimuth is REQUIRED
+    // (r21, r20 advice) — the routing WKT must carry one
+    val laborde = wkt
+      .replace("\"Bonne\"", "\"Laborde_Oblique_Mercator\"")
+      .replace("PARAMETER[\"False_Easting\",0.0],",
+        "PARAMETER[\"False_Easting\",0.0],PARAMETER[\"azimuth\",18.9],")
     assert(ProjParse.parse(laborde).exists(_.isInstanceOf[LabordeOM]))
   }
 
@@ -642,6 +646,11 @@ class ProjParseSpec extends AnyFunSuite {
     assert(tx > 480000 && tx < 560000 && ty > 780000 && ty < 820000, s"($tx,$ty)")
     val (tlo, tla) = c.inverse(tx, ty)
     assert(math.abs(tlo - 47.52) < 1e-7 && math.abs(tla + 18.91) < 1e-7)
+    // a Laborde definition WITHOUT an azimuth must raise loudly (r20
+    // advice) — never silently assume the Madagascar 18.9
+    val noAz = wkt.replace("""PARAMETER["azimuth",18.9], """, "")
+    val err = intercept[IllegalArgumentException] { ProjParse.parse(noAz) }
+    assert(err.getMessage.contains("azimuth"))
   }
 
   test("Cassini-Soldner worked example (EPSG GN7-2: Trinidad 1903, Clarke 1858, links)") {

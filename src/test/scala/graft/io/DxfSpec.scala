@@ -143,6 +143,21 @@ class DxfSpec extends AnyFunSuite {
     val slice = Dxf.read(spark, f2).df.select(st_area(col("geometry"))).as[Double].head()
     // 1e-3: the 32-sample inscribed polygon sits (pi/2)^3/(12*32^2) ~ 3e-4 under
     assert(math.abs(slice - math.Pi / 4) < 1e-3, s"pie slice $slice")
+    // OBLIQUE elliptic edge angles are TRUE angles, not parametric (r20
+    // advice; GDAL's AngleCorrect convention): ellipse a=2 b=1, edge from
+    // true 45° to 90° closed by radii — parametric t0 = atan2(sin45/0.5,
+    // cos45) = atan(2), sector area = (a·b/2)(t1−t0) = (π/2 − atan 2).
+    // Reading 45 as a parametric angle instead gives 0.785 — caught here.
+    val t0 = math.atan2(math.sin(math.Pi / 4) / 0.5, math.cos(math.Pi / 4))
+    val sx = 2 * math.cos(t0); val sy = math.sin(t0) // start point, true 45°
+    val f4 = writeFixture(dir, "e45.dxf",
+      "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n3\n" +
+        s"72\n1\n10\n0\n20\n0\n11\n$sx\n21\n$sy\n" +
+        "72\n3\n10\n0\n20\n0\n11\n2\n21\n0\n40\n0.5\n50\n45\n51\n90\n73\n1\n" +
+        "72\n1\n10\n0\n20\n1\n11\n0\n21\n0\n")
+    val e45 = Dxf.read(spark, f4).df.select(st_area(col("geometry"))).as[Double].head()
+    assert(math.abs(e45 - (math.Pi / 2 - math.atan(2.0))) < 2e-3, s"45° elliptic sector $e45")
+    assert(math.abs(sy / sx - 1.0) < 1e-12, "start point must sit at TRUE 45° from center")
     // unknown edge types still raise loudly
     val f3 = writeFixture(dir, "u.dxf",
       "0\nHATCH\n8\n0\n2\nSOLID\n70\n1\n71\n0\n91\n1\n92\n1\n93\n1\n72\n9\n")
