@@ -158,6 +158,12 @@ where distinct sigs << rows) sits far below it.
     // diagnostic filter: SPARK_GRAFT_SCALE_ONLY="substring" runs matching
     // workloads only (and skips the SCALE.md rewrite — partial tables lie)
     val onlyOp = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    /** Run `f` with the CC local-fast-path guard disabled, so a scale row
+      * measures the DISTRIBUTED star loop at every multiple. */
+    def ccLoopOnly[T](f: => T): T = {
+      spark.conf.set("spark.graft.cc.localEdgeLimit", "0")
+      try f finally spark.conf.unset("spark.graft.cc.localEdgeLimit")
+    }
     def bench(op: String, mult: Int, warm: Boolean = true)(f: => (Long, Long)): Unit = {
       if (!onlyOp.forall(op.contains(_))) return
       if (warm) { try f catch { case scala.util.control.NonFatal(_) => () } }
@@ -407,11 +413,18 @@ where distinct sigs << rows) sits far below it.
       }
       bench("connected components uniform", mult) {
         // baseline CC shape: short chains (o_orderkey -> +1 within groups of
-        // 8) — many small components, no skew
-        val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
-        val pairs = o.filter(col("o_orderkey") % 8 =!= 7)
-          .select(col("o_orderkey").as("id_a"), (col("o_orderkey") + 1).as("id_b"))
-        (graft.ops.Dedup.connectedComponents(pairs).fullCount, 0L)
+        // 8) — many small components, no skew. These rows PIN THE
+        // DISTRIBUTED star loop (local-fast-path guard disabled): at 16x
+        // the edge set crosses the r21 local-union-find guard anyway, and
+        // a row whose 1x/4x points measure the fast path while 16x measures
+        // the loop would report a meaningless scaling ratio. The fast
+        // path's own win is benchmarked by q112/q149/q150/q152.
+        ccLoopOnly {
+          val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
+          val pairs = o.filter(col("o_orderkey") % 8 =!= 7)
+            .select(col("o_orderkey").as("id_a"), (col("o_orderkey") + 1).as("id_b"))
+          (graft.ops.Dedup.connectedComponents(pairs).fullCount, 0L)
+        }
       }
       bench("connected components hub-skew", mult) {
         // adversarial star: ONE hub node linked to every order key (the
@@ -419,9 +432,11 @@ where distinct sigs << rows) sits far below it.
         // millions of documents). The groupBy-min + AQE-splittable-join
         // formulation must hold here; the window formulation it replaced
         // would pin the hub's whole neighborhood into a single task
-        val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
-        val pairs = o.select(lit(0L).as("id_a"), col("o_orderkey").as("id_b"))
-        (graft.ops.Dedup.connectedComponents(pairs).fullCount, 0L)
+        ccLoopOnly {
+          val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
+          val pairs = o.select(lit(0L).as("id_a"), col("o_orderkey").as("id_b"))
+          (graft.ops.Dedup.connectedComponents(pairs).fullCount, 0L)
+        }
       }
       bench("stratified sample + pack", mult) {
         val g = docs(mult).withColumn("grp", (col("doc_id") % 3).cast("string"))
@@ -466,12 +481,15 @@ where distinct sigs << rows) sits far below it.
       bench("cluster-aware split", mult) {
         // connected components over chain edges + one label join + the
         // map-side md5 draw on the cluster label — must track the CC rows
-        val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
-        val pairs = o.filter(col("o_orderkey") % 8 =!= 7)
-          .select(col("o_orderkey").as("id_a"), (col("o_orderkey") + 1).as("id_b"))
-        (graft.ops.Dedup.clusterAwareSplit(
-          o.select(col("o_orderkey").as("id")), pairs, "id", valFraction = 0.1)
-          .fullCount, 0L)
+        // (distributed loop pinned, same reason as the CC rows above)
+        ccLoopOnly {
+          val o = replicate(spark.read.parquet(s"$sf/orders.parquet"), mult, Seq("o_orderkey"))
+          val pairs = o.filter(col("o_orderkey") % 8 =!= 7)
+            .select(col("o_orderkey").as("id_a"), (col("o_orderkey") + 1).as("id_b"))
+          (graft.ops.Dedup.clusterAwareSplit(
+            o.select(col("o_orderkey").as("id")), pairs, "id", valFraction = 0.1)
+            .fullCount, 0L)
+        }
       }
       bench("asof join keyed", mult) {
         // replication multiplies rows PER USER (event ids remapped, user
@@ -538,6 +556,19 @@ where distinct sigs << rows) sits far below it.
             substring(col("text"), 2, 16).as("q"))
         (graft.ops.Dedup.editDistanceJoin(l, "doc_id", "p", r, "rid", "q",
           maxEdits = 3).fullCount, 0L)
+      }
+      bench("jaccard join corpus-vs-ref", mult) {
+        // q163's decontamination shape: corpus N x vs the fixed truncated
+        // reference slice at recall 1 — the prefix filter blocks and
+        // verifies once per DISTINCT set pair; only member expansion grows
+        val toksC = graft.functions.TextFunctions.tokens(col("text"))
+        val all = docs(mult)
+        val ref = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("rid"),
+            array_join(slice(toksC, lit(1), greatest(size(toksC) - 5, lit(3))), " ").as("text"))
+        (graft.ops.Dedup.jaccardJoin(all, "doc_id", "text", ref, "rid", "text",
+          k = 3, threshold = 0.5).fullCount, 0L)
       }
       bench("range join binned", mult) {
         // intervals duplicate N x at identical spans, so output grows N²
@@ -700,6 +731,31 @@ where distinct sigs << rows) sits far below it.
         // near the @16x time
         (graft.ops.Dedup.semDedup(embs(mult), "vec_id", "embedding",
           clusters = 16, tau = 0.9).fullCount, 0L)
+      }
+      // r20 verdict #6: extend the adjudication tier to the jaccard /
+      // edit-distance join family — the heaviest remaining output²
+      // shapes, which until now had only 16x evidence
+      bench("jaccard exact pairs", mult) {
+        (graft.ops.Dedup.jaccardPairsExact(docs(mult), "doc_id", "text", 3, 0.5).fullCount, 0L)
+      }
+      bench("edit distance join prefix16", mult) {
+        val l = docs(mult).select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+        val r = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000000L).as("rid"),
+            substring(col("text"), 2, 16).as("q"))
+        (graft.ops.Dedup.editDistanceJoin(l, "doc_id", "p", r, "rid", "q",
+          maxEdits = 3).fullCount, 0L)
+      }
+      bench("jaccard join corpus-vs-ref", mult) {
+        val toksC = graft.functions.TextFunctions.tokens(col("text"))
+        val all = docs(mult)
+        val ref = spark.read.parquet(s"$sf/documents.parquet")
+          .filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("rid"),
+            array_join(slice(toksC, lit(1), greatest(size(toksC) - 5, lit(3))), " ").as("text"))
+        (graft.ops.Dedup.jaccardJoin(all, "doc_id", "text", ref, "rid", "text",
+          k = 3, threshold = 0.5).fullCount, 0L)
       }
     }
 
