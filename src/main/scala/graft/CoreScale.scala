@@ -1,0 +1,73 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core-count scaling evidence (r21 verdict #7): the sf0.1 bench is too
+  * small to feed 32 cores (every 8c/32c ratio there is ~1 — it measures
+  * overhead-boundedness, not scale-out), so this harness runs a handful of
+  * the HEAVY operator shapes at a replication multiple where per-task work
+  * dominates the scheduling floor, at whatever core count
+  * `$SPARK_GRAFT_CPUS` names. Run it twice (8 and 32) and compare: the
+  * 32c/8c speedup on these rows is the parallel-scaling claim SCALE.md's
+  * row-linearity tiers deliberately do not make.
+  *
+  * Usage: SPARK_GRAFT_CPUS=8|32 runMain graft.CoreScale [mult]
+  * Prints one JSON line: {"harness":"core_scale","cpus":N,"mult":M,
+  * "ops":{name:sec,...}} — wall seconds, best of 2 reps after 1 warmup
+  * (same steady-state posture as Bench). */
+object CoreScale {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.BboxFastPath.install(spark)
+
+    def docs(): DataFrame =
+      Scale.replicate(spark.read.parquet(s"$sf/documents.parquet"), mult, Seq("doc_id"))
+    def embs(): DataFrame =
+      Scale.replicate(spark.read.parquet(s"$sf/embeddings.parquet"), mult, Seq("vec_id"))
+
+    // the heavy operator shapes (tokenize/shingle/signature map work,
+    // window counting, prefix candidate join, banded cosine verify) — each
+    // is the exact library call its bench gate uses, at mult× the rows
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "minhash_pairs" -> (() =>
+        graft.ops.Dedup.minhashPairs(docs(), "doc_id", "text",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.95)),
+      "jaccard_exact" -> (() =>
+        graft.ops.Dedup.jaccardPairsExact(docs(), "doc_id", "text",
+          k = 3, threshold = 0.5)),
+      "repeated_spans" -> (() =>
+        graft.ops.Dedup.repeatedSpans(docs(), "doc_id", "text", minTokens = 5)),
+      "embedding_pairs" -> (() =>
+        graft.ops.Dedup.embeddingPairs(embs(), "vec_id", "embedding",
+          planes = 192, bands = 48, threshold = 0.45)))
+
+    val results = ops.map { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"core_scale: $name x$mult")
+      Bench.fullCount(fn()) // warmup (codegen; scratch caches hot like Bench)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.fullCount(fn())
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      name -> times.min
+    }
+    spark.stop()
+    val qs = results.map { case (n, s) =>
+      "\"" + n + "\":" + (math.rint(s * 100) / 100) }.mkString("{", ",", "}")
+    println(s"""{"harness":"core_scale","cpus":$cpus,"mult":$mult,"ops":$qs}""")
+  }
+}

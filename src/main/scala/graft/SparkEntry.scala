@@ -961,7 +961,12 @@ object SparkEntry {
       val filtered = docs(s, d)
         .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
         .filter(TextFunctions.langId(col("text")) === "en")
-      val exact = Dedup.exact(filtered, "doc_id", "text")
+      // ScratchCache: `exact` (quality+lang UDF filters + the md5 window
+      // dedup) feeds THREE consumers — minhashPairs' shingling, the
+      // left-anti join's probe side, and through it the final agg — so
+      // uncached the full filter+window subtree re-ran per consumer
+      // (caller-side caching, the q135/q140 posture; results unchanged)
+      val exact = graft.ops.ScratchCache(Dedup.exact(filtered, "doc_id", "text"))
       val pairs = Dedup.minhashPairs(exact, "doc_id", "text", k = 3, numHashes = 16, bands = 4, threshold = 0.5)
       val nearDups = pairs.select(col("id_b").as("doc_id")).distinct()
       val kept = exact.join(nearDups, Seq("doc_id"), "left_anti")

@@ -232,12 +232,23 @@ object CorpusStats {
     val grams = docs
       .select(col(idCol),
         explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("__g"))
-    val owners = grams.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
-    val perDoc = grams.join(owners, Seq("__g"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__tot"),
-        sum(when(col("__nd") === 1, 1L).otherwise(0L)).as("__nov"))
-    docs.select(col(idCol)).distinct().join(perDoc, Seq(idCol), "left")
+    // a NOVEL gram has exactly one (doc, gram) row corpus-wide (grams are
+    // per-doc distinct), so min(id) of that single row IS its owning
+    // document — the novel-gram credit flows straight out of the ownership
+    // aggregate. The old shape joined the FULL gram table back against the
+    // owner counts on the gram STRING (every gram row re-shuffled with its
+    // string as the key) just to regroup by doc; this computes the same
+    // numbers with the join-back gone (§2.3/§2.4): one string-keyed agg
+    // (unavoidable — corpus-wide gram identity), then long-keyed aggs only.
+    val novel = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nd"), min(col(idCol)).as("__owner"))
+      .filter(col("__nd") === 1)
+      .groupBy(col("__owner")).agg(count(lit(1)).as("__nov"))
+      .withColumnRenamed("__owner", idCol)
+    val totals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__tot"))
+    docs.select(col(idCol)).distinct()
+      .join(totals, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__tot"), lit(0L)).as("n_grams"),
         coalesce(col("__nov"), lit(0L)).as("novel_grams"),

@@ -44,13 +44,43 @@ object Dedup {
     * parquet file arrives as ONE partition and serializes every downstream
     * map stage onto one core — q119's profile read 2×0.5 s single-task
     * stages; a corpus-scale input is already thousands of splits and must
-    * NOT pay a data-wide shuffle just to run a map). The probe compiles
-    * the physical plan but runs no job. */
+    * NOT pay a data-wide shuffle just to run a map).
+    *
+    * The partition-count probe (`toRdd.getNumPartitions`) is gated on the
+    * physical plan being EXCHANGE-FREE: under AQE, materializing the RDD of
+    * a plan that contains an exchange EXECUTES every upstream shuffle stage
+    * at plan-construction time — real jobs, run eagerly, whose results the
+    * later action does not reuse (r21 advisor, medium). An exchange-free
+    * (scan-shaped) plan has no stages to materialize, so the probe stays a
+    * pure compile. Inputs that already carry an exchange keep their
+    * partitioning untouched — they are by construction not the
+    * single-small-file cliff this guard exists for. */
   private def spreadNarrow(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val n = df.queryExecution.toRdd.getNumPartitions
-    if (n < math.min(par, 8)) df.repartition(par) else df
+    // a cached (InMemoryTableScan) leaf is equally unsafe to probe: building
+    // its RDD forces the cached child plan's buffers, which under AQE runs
+    // that plan's shuffle stages eagerly — and a cached frame's partitioning
+    // comes from its (already spread) child plan, not a single small file
+    val scanShaped = !df.queryExecution.sparkPlan.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    if (!scanShaped) df
+    else {
+      val n = df.queryExecution.toRdd.getNumPartitions
+      if (n < math.min(par, 8)) df.repartition(par) else df
+    }
   }
+
+  /** 16-byte md5 content key of a float-vector column — the exact-duplicate
+    * collapse identity shared by [[embeddingPairs]], [[embeddingJoin]] and
+    * [[semDedup]]. U+0001-separated (an empty separator conflates e.g.
+    * [1.02, 0.0] with [1.0, 20.0] — both render "1.020.0") with null
+    * elements rendered explicitly as U+0002 (concat_ws silently SKIPS
+    * nulls, so [1.0, null, 2.0] would otherwise collide with [1.0, 2.0] —
+    * r21 advisor). Null-free, non-pathological vectors keep distinct keys
+    * either way; this closes the adversarial corners. */
+  private def vecKey(c: Column): Column =
+    md5(concat_ws("\u0001", transform(c, x => coalesce(x.cast("string"), lit("\u0002")))))
 
   /** Exact dedup: one representative row (min of `idCol`) per distinct value
     * of `textCol`, plus the duplicate count. */
@@ -345,20 +375,25 @@ object Dedup {
     // empty and their signature null — and concat_ws would fold a null band
     // slice to a CONSTANT key, bucketing all such rows together); drop them
     // here on the cheap token-count predicate
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // repartition the RAW text, then tokenize: with the projection before
-    // the exchange the regex tokenizer ran inside the (often single-file →
-    // single-partition) scan task — measured 5.6 s in one task on the sf0.1
-    // cold profile — while everything downstream was already spread.
-    // Shuffling raw text costs the same bytes as shuffling token arrays.
+    // spread the RAW text only when the input is pathologically narrow,
+    // then tokenize: with the projection before the exchange the regex
+    // tokenizer ran inside the (often single-file → single-partition) scan
+    // task — measured 5.6 s in one task on the sf0.1 cold profile — while
+    // everything downstream was already spread. At corpus scale the parquet
+    // scan is already thousands of splits, and the old UNCONDITIONAL
+    // repartition(defaultParallelism) was a full-corpus raw-text shuffle
+    // that could even SHRINK scan parallelism (r21 verdict #4) — the
+    // spreadNarrow guard keeps the single-file fix without the data-wide
+    // exchange (guide §2.4).
     // The token-count filter is wrapped in the nondeterministic identity
-    // FENCE: a bare deterministic predicate is pushed back below the
-    // repartition by PushDownPredicates, re-running the full tokenize
-    // (serially, pre-spread) inside the scan task — the exact single-task
-    // hotspot the repartition exists to avoid (guide §4.4 posture; the
-    // q135 profile read 2.7 s in that one task, ~80% of the query).
-    df.select(col(idCol).as("__id"), col(textCol).as("__txt"))
-      .repartition(par)
+    // FENCE: a bare deterministic predicate is pushed below the repartition
+    // by PushDownPredicates, re-running the full tokenize (serially,
+    // pre-spread) inside the scan task — the exact single-task hotspot the
+    // spread exists to avoid (guide §4.4 posture; the q135 profile read
+    // 2.7 s in that one task, ~80% of the query). On unspread inputs the
+    // fence still prevents the tokenize subtree from being CLONED below
+    // the projection by the same rule.
+    spreadNarrow(df.select(col(idCol).as("__id"), col(textCol).as("__txt")))
       .select(col("__id"), tokens(col("__txt")).as("__t"))
       .filter(noPushdown(size(col("__t")) >= k))
       .select(col("__id"), shinglesOfTokens(col("__t"), k).as("__sh"))
@@ -1523,9 +1558,13 @@ object Dedup {
       else df.select(size(col(vecCol)).as("__d")).filter(col("__d") > 0).limit(1)
         .collect().headOption.map(_.getInt(0)).getOrElse(0)
     val keysU = hyperplaneKeysU(planes, bands, actualDim, seed)
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = ScratchCache(df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .filter(col("__v").isNotNull).repartition(par))
+    // spreadNarrow, not an unconditional repartition: a corpus-scale
+    // embedding table is already thousands of scan splits and must not pay
+    // a data-wide vector shuffle just to run the banding UDF (the shingled
+    // posture, r21 verdict #4); a single small parquet file still spreads
+    val base = ScratchCache(spreadNarrow(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .filter(col("__v").isNotNull)))
     // collapse exact-duplicate vectors before banding (same argument as
     // bandedJaccardPairs: identical vectors share every band key, so
     // rep-level pairs + member expansion reproduce the direct pair set
@@ -1534,8 +1573,7 @@ object Dedup {
     // Identity key = md5 over the stringified floats, NOT the raw array:
     // a string equi-join stays a codegen'd hash join, whereas array-typed
     // keys degrade the memb/reps joins out of the hash-join path.
-    val keyed = base.select(col("__id"),
-      md5(concat_ws("", transform(col("__v"), x => x.cast("string")))).as("__gk"))
+    val keyed = base.select(col("__id"), vecKey(col("__v")).as("__gk"))
     val groups = keyed.groupBy(col("__gk")).agg(min(col("__id")).as("__rid"))
     val memb = ScratchCache(keyed.join(groups, Seq("__gk")).select(col("__rid"), col("__id")))
     val reps = base.join(groups.select(col("__rid").as("__id")), Seq("__id"), "left_semi")
@@ -1555,10 +1593,17 @@ object Dedup {
     // all rep pairs; multiplying that by m² member fanout BEFORE the verify
     // was measured at 53M verifications for a 240k output (16× replicated
     // sf0.1) — verifying first makes the expansion output-bound.
+    // norms are attached ONCE PER SIDE (cosineWithNorms — bit-identical
+    // arithmetic): the verify used to run the VecNorm kernel twice per
+    // candidate pair, ~3× the necessary FLOPs on the (by-design large at
+    // low thresholds, e.g. the q65 recall gate) candidate set
+    def sideN(ic: String, vc: String, nc: String) = reps.select(
+      col("__id").as(ic), col("__v").as(vc), Similarity.norm(col("__v")).as(nc))
     val repVerified = repPairs
-      .join(reps.select(col("__id").as("__ra"), col("__v").as("__va")), Seq("__ra"))
-      .join(reps.select(col("__id").as("__rb"), col("__v").as("__vb")), Seq("__rb"))
-      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .join(sideN("__ra", "__va", "__na"), Seq("__ra"))
+      .join(sideN("__rb", "__vb", "__nb"), Seq("__rb"))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("__ra", "__rb", "cosine")
     val selfCos = reps
@@ -1650,7 +1695,7 @@ object Dedup {
       else baseL.unionByName(baseR).select(size(col("__v")).as("__d"))
         .filter(col("__d") > 0).limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
     val keysU = hyperplaneKeysU(planes, bands, actualDim, seed)
-    def gk(c: Column) = md5(concat_ws("", transform(c, x => x.cast("string"))))
+    def gk(c: Column) = vecKey(c)
     // ScratchCache, not bare .cache(): the plan consumes these subtrees
     // through differently-pruned branches (exchange reuse can't dedup them
     // — measured 6.6x slower uncached), but a bare cache would leak one
@@ -1672,10 +1717,15 @@ object Dedup {
       .dropDuplicates("__ra", "__rb")
     // cached: BOTH orientation expansions consume the verified pairs —
     // uncached, the band join + cosine verify ran twice per action
+    // norms attached once per side (the embeddingPairs cosineWithNorms
+    // posture — bit-identical arithmetic, 1/3 the per-pair verify FLOPs)
+    def sideN(ic: String, vc: String, nc: String) = reps.select(
+      col("__id").as(ic), col("__v").as(vc), Similarity.norm(col("__v")).as(nc))
     val repVerified = ScratchCache(repPairs
-      .join(reps.select(col("__id").as("__ra"), col("__v").as("__va")), Seq("__ra"))
-      .join(reps.select(col("__id").as("__rb"), col("__v").as("__vb")), Seq("__rb"))
-      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .join(sideN("__ra", "__va", "__na"), Seq("__ra"))
+      .join(sideN("__rb", "__vb", "__nb"), Seq("__rb"))
+      .withColumn("cosine", Similarity.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("__ra", "__rb", "cosine"))
     // bit-identical vectors across tables: cosine is the self-cosine
@@ -1898,8 +1948,7 @@ object Dedup {
     // vectors that differ only in -0.0/0.0 split into two reps, but the
     // pairwise rule still drops the larger rep (cosine = 1 ≥ tau, same
     // cell), so keep/drop semantics are unchanged.
-    val keyed = base.withColumn("__gk",
-      md5(concat_ws("\u0001", transform(col(vecCol), x => x.cast("string")))))
+    val keyed = base.withColumn("__gk", vecKey(col(vecCol)))
     val groups = keyed.groupBy(col("__gk")).agg(min(col(idCol)).as("__rid"))
     val withRid = ScratchCache(keyed.join(groups, Seq("__gk"))
       .select(col(idCol), col(vecCol), col("__rid")))
@@ -1908,10 +1957,15 @@ object Dedup {
     val reps = ScratchCache(Similarity.withIvfCell(
       withRid.filter(col(idCol) === col("__rid")), vecCol, cents, "cluster")
       .select(col("__rid"), col("cluster"), col(vecCol)))
-    val a = reps.select(col("__rid").as("__ra"), col("cluster"), col(vecCol).as("__va"))
-    val b = reps.select(col("__rid").as("__rb"), col("cluster").as("__cb"), col(vecCol).as("__vb"))
+    // norms attached once per side (cosineWithNorms — bit-identical
+    // arithmetic, 1/3 the per-pair verify FLOPs on the within-cell join)
+    val a = reps.select(col("__rid").as("__ra"), col("cluster"), col(vecCol).as("__va"),
+      Similarity.norm(col(vecCol)).as("__na"))
+    val b = reps.select(col("__rid").as("__rb"), col("cluster").as("__cb"), col(vecCol).as("__vb"),
+      Similarity.norm(col(vecCol)).as("__nb"))
     val dupRep = a.join(b, col("cluster") === col("__cb") && col("__ra") < col("__rb"))
-      .filter(Similarity.cosine(col("__va"), col("__vb")) >= tau)
+      .filter(Similarity.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")) >= tau)
       .select(col("__rb").as("__rid")).distinct()
       .withColumn("__repdup", lit(true))
     withRid
@@ -1996,9 +2050,12 @@ object Dedup {
     * xxhash — an 8-byte key with map-side partial aggregation — and keep
     * hashes with count ≥ 2 (in a deduplicated corpus a small minority);
     * (2) equi-join windows back to that candidate set on the hash (AQE
-    * broadcasts it when small) and confirm count ≥ 2 on the exact window
-    * STRING within the surviving subset — hash collisions cannot create
-    * false spans. The merge is one window function partitioned by
+    * broadcasts it when small) and confirm count ≥ 2 on the 16-byte md5
+    * CONTENT key of the window within the surviving subset — the repo-wide
+    * md5-as-content-identity convention ([[exact]]), so an xxhash64
+    * collision cannot create a false span and the confirm never shuffles
+    * the window strings themselves. The merge is one window function
+    * partitioned by
     * document (gaps-and-islands), bounded by per-document token count. */
   /** One row per token window of length `l`: (idCol, __pos 1-based, __w
     * window string, __wh xxhash64(__w)). Map-side only. */
@@ -2039,13 +2096,23 @@ object Dedup {
                                  l: Int): DataFrame =
     repeatedWindowRowsFromWins(tokenWindows(df, idCol, textCol, l))
 
+  /** Output carries an extra `__m` column = md5(__w), the 16-byte window
+    * content key the confirm stage groups and joins on. The confirm used to
+    * group and join on the window STRING itself, so every candidate row
+    * shuffled its window text as the exchange KEY twice (r21 verdict #4);
+    * md5-as-content-identity is the repo-wide convention ([[exact]], the
+    * bandedJaccardPairs/semDedup collapse keys), and with it the
+    * span-position consumers ([[repeatedSpans]]) shuffle no strings at all —
+    * column pruning drops `__w` below the confirm join once `__m` is
+    * computed map-side. */
   private def repeatedWindowRowsFromWins(wins: DataFrame): DataFrame = {
     val candHashes = wins.groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__wh"))
     val cand = wins.join(candHashes, Seq("__wh"))
-    val repWins = cand.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select(col("__w"))
-    cand.join(repWins, Seq("__w"))
+      .withColumn("__m", md5(col("__w")))
+    val repKeys = cand.groupBy(col("__m")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select(col("__m"))
+    cand.join(repKeys, Seq("__m"))
   }
 
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -2169,10 +2236,15 @@ object Dedup {
   def topRepeatedWindows(df: DataFrame, idCol: String, textCol: String,
                          minTokens: Int = 5, k: Int = 20): DataFrame =
     repeatedWindowRows(df, idCol, textCol, minTokens)
-      .groupBy(col("__w"))
+      // aggregate on the 16-byte content key; min(__w) over a group whose
+      // members are md5-identical IS the window string, and as a partial
+      // (map-side) aggregate it ships one string per key per partition
+      // instead of one per occurrence (§2.3 shuffle keys, not payloads)
+      .groupBy(col("__m"))
       .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col(idCol)).as("n_docs"))
-      .select(col("__w").as("window"), col("n_occurrences"), col("n_docs"))
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("__w")).as("window"))
+      .select(col("window"), col("n_occurrences"), col("n_docs"))
       .orderBy(col("n_occurrences").desc, col("window"))
       .limit(k)
 

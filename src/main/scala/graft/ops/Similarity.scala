@@ -41,6 +41,16 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
   }
 
+  /** [[cosine]] with the two norms PRECOMPUTED and carried as columns —
+    * the identical arithmetic (same VecDot kernel, same `na * nb` product
+    * and zero guards, so results are bit-for-bit equal), for pair-verify
+    * joins: attaching each row's norm alongside its vector once per SIDE
+    * replaces two VecNorm kernel passes per CANDIDATE PAIR, cutting the
+    * verify's per-pair FLOPs to ~1/3 (guide §1.2 per-task work). Callers
+    * must pass `na`/`nb` computed by [[norm]] over exactly `a`/`b`. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (na * nb))
+
   /** Brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,
                      idCol: String = "vec_id"): DataFrame = {
@@ -275,15 +285,26 @@ object Similarity {
   // memoized by centroid CONTENT (annBucketUCache note): repeated calls
   // with identical centroids — a re-built plan over the same snapshot —
   // must yield reference-equal UDFs or downstream cache lookups miss
-  private val ivfCellUCache = new java.util.concurrent.ConcurrentHashMap[
-    Seq[Seq[Float]], org.apache.spark.sql.expressions.UserDefinedFunction]()
+  // bounded LRU under the map's own lock: the old clear()-at-64 wiped all
+  // memoized UDFs at once — including ones referenced by live plans, so the
+  // reference stability the cache exists for broke exactly when it crossed
+  // the bound (and the size/clear check-then-act raced). removeEldestEntry
+  // evicts exactly one access-ordered-coldest entry instead (r21 advisor).
+  private val ivfCellUCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        Seq[Seq[Float]], org.apache.spark.sql.expressions.UserDefinedFunction](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[Seq[Float]],
+            org.apache.spark.sql.expressions.UserDefinedFunction]): Boolean =
+        size() > 64
+    })
 
   def withIvfCell(df: DataFrame, vecCol: String, centroids: Array[Array[Float]],
                   cellCol: String = "ivf_cell"): DataFrame = {
     val key: Seq[Seq[Float]] = centroids.map(_.toSeq).toSeq
-    // bounded: distinct centroid sets are rare (one per snapshot), but a
-    // pathological caller looping over fresh centroids must not leak
-    if (ivfCellUCache.size() > 64) ivfCellUCache.clear()
+    // computeIfAbsent on a Collections.synchronizedMap runs atomically
+    // under the wrapper's monitor (including the removeEldestEntry hook)
     val u = ivfCellUCache.computeIfAbsent(key, k => {
       val cents = k.map(_.toArray).toArray
       udf((v: Seq[Float]) => if (v == null) null else Integer.valueOf(nearestCentroid(v, cents)))

@@ -1519,4 +1519,55 @@ class VecAndDedupSpec extends AnyFunSuite {
       .filter(col("vec_id") === 999L).select(col("proj")).collect()
     assert(n.head.isNullAt(0))
   }
+
+  // ---- round 22 optimization pins ------------------------------------
+
+  test("cosineWithNorms is bit-identical to cosine, including zero-vector guards") {
+    val rows = Seq(
+      (1L, Array(1.0f, 2.5f, -3.0f)), (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.5f, 0.25f, 2.0f)), (4L, Array(1e-8f, -1e8f, 42.0f)))
+      .toDF("id", "v")
+    val a = rows.select(col("id").as("ia"), col("v").as("va"),
+      Similarity.norm(col("v")).as("na"))
+    val b = rows.select(col("id").as("ib"), col("v").as("vb"),
+      Similarity.norm(col("v")).as("nb"))
+    val pairs = a.crossJoin(b)
+    val mismatches = pairs.filter(
+      Similarity.cosine(col("va"), col("vb")) =!=
+        Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .count()
+    assert(mismatches == 0,
+      "precomputed-norm cosine must equal the inline form bit-for-bit")
+  }
+
+  test("embeddingPairs: vectors whose float renderings concatenate equally do not collapse") {
+    // [1.02, 0.0] and [1.0, 20.0] both render "1.020.0" under the old
+    // empty-separator content key, which conflated them into one exact-dup
+    // group and emitted a FALSE within-group pair (self-cosine 1.0) at any
+    // threshold, though their true cosine is ~0.05. The U+0001-separated
+    // vecKey keeps them distinct, and no pair reaches 0.9.
+    val d = Seq((1L, Array(1.02f, 0.0f)), (2L, Array(1.0f, 20.0f)))
+      .toDF("vec_id", "emb")
+    val got = Dedup.embeddingPairs(d, "vec_id", "emb",
+      planes = 8, bands = 4, threshold = 0.9)
+    assert(got.count() == 0,
+      "rendering-collision vectors must not be treated as exact duplicates")
+  }
+
+  test("ScratchCache: canonically-equal plans register once; clearCache re-registers") {
+    import org.apache.spark.storage.StorageLevel
+    val mk = () => docs.select(col("doc_id")).limit(7)
+    val df1 = graft.ops.ScratchCache(mk())
+    assert(df1.storageLevel != StorageLevel.NONE)
+    val n1 = graft.ops.ScratchCache.liveCount
+    val df2 = graft.ops.ScratchCache(mk()) // fresh frame, same canonical plan
+    assert(graft.ops.ScratchCache.liveCount == n1,
+      "a canonically-equal plan must not burn a second FIFO slot")
+    assert(df2.storageLevel != StorageLevel.NONE, "and must still read as cached")
+    spark.sharedState.cacheManager.clearCache()
+    val df3 = graft.ops.ScratchCache(mk())
+    assert(df3.storageLevel != StorageLevel.NONE,
+      "after an external clearCache the same plan must RE-cache, not be believed cached")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
