@@ -229,9 +229,17 @@ object CorpusStats {
     * roll-up joins back on the id — document text never shuffles. */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 2): DataFrame = {
-    val grams = docs
-      .select(col(idCol),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("__g"))
+    // spread a pathologically narrow input before the shingle/explode map
+    // work (the Dedup.shingled posture — a single small parquet file
+    // otherwise serializes the whole pass into one scan task; q155 profile
+    // read two ~0.48 s single-task stages)
+    val base = Dedup.spreadNarrow(docs.select(col(idCol), col(textCol)))
+    // ONE shingle pass: the per-doc distinct-gram arrays feed both the
+    // ownership aggregate and the per-doc totals — uncached, each consumer
+    // re-ran the shingle map work (the bandedJaccardPairs sigT precedent)
+    val arr = ScratchCache(base.select(col(idCol),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("__a")))
+    val grams = arr.select(col(idCol), explode(col("__a")).as("__g"))
     // a NOVEL gram has exactly one (doc, gram) row corpus-wide (grams are
     // per-doc distinct), so min(id) of that single row IS its owning
     // document — the novel-gram credit flows straight out of the ownership
@@ -245,7 +253,13 @@ object CorpusStats {
       .filter(col("__nd") === 1)
       .groupBy(col("__owner")).agg(count(lit(1)).as("__nov"))
       .withColumnRenamed("__owner", idCol)
-    val totals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__tot"))
+    // per-doc totals map-side: rows per id in `grams` ≡ per-row distinct
+    // shingle count summed over the id's rows — no second explode pass,
+    // and the shuffle carries (id, int) with partial aggregation
+    val totals = arr
+      .select(col(idCol),
+        coalesce(size(col("__a")).cast("long"), lit(0L)).as("__t1"))
+      .groupBy(col(idCol)).agg(sum(col("__t1")).as("__tot"))
     docs.select(col(idCol)).distinct()
       .join(totals, Seq(idCol), "left")
       .join(novel, Seq(idCol), "left")

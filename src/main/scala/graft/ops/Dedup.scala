@@ -55,7 +55,7 @@ object Dedup {
     * pure compile. Inputs that already carry an exchange keep their
     * partitioning untouched — they are by construction not the
     * single-small-file cliff this guard exists for. */
-  private def spreadNarrow(df: DataFrame): DataFrame = {
+  private[ops] def spreadNarrow(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // a cached (InMemoryTableScan) leaf is equally unsafe to probe: building
     // its RDD forces the cached child plan's buffers, which under AQE runs
@@ -2105,11 +2105,23 @@ object Dedup {
     * span-position consumers ([[repeatedSpans]]) shuffle no strings at all —
     * column pruning drops `__w` below the confirm join once `__m` is
     * computed map-side. */
-  private def repeatedWindowRowsFromWins(wins: DataFrame): DataFrame = {
+  /** `cacheCand` ScratchCaches the candidate-window subset: it feeds BOTH
+    * the md5-confirm aggregate and the final join-back, and uncached each
+    * consumer re-ran the full tokenize+window pass over the corpus (q145
+    * profile: two ~10-14 task-second window stages for one visible pass).
+    * The subset is bounded by duplication (in a deduplicated corpus a small
+    * minority of windows repeat), so the cache is scale-safe — unlike the
+    * full window table, which is one row per corpus token and is
+    * deliberately never cached. The INCREMENTAL per-batch face passes
+    * false: streaming batch bodies stay cache-free beyond their tracked
+    * fold state (the r21 q135/q140 contract). */
+  private def repeatedWindowRowsFromWins(wins: DataFrame,
+                                         cacheCand: Boolean = true): DataFrame = {
     val candHashes = wins.groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__wh"))
-    val cand = wins.join(candHashes, Seq("__wh"))
+    val cand0 = wins.join(candHashes, Seq("__wh"))
       .withColumn("__m", md5(col("__w")))
+    val cand = if (cacheCand) ScratchCache(cand0) else cand0
     val repKeys = cand.groupBy(col("__m")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select(col("__m"))
     cand.join(repKeys, Seq("__m"))
@@ -2381,8 +2393,11 @@ object Dedup {
       .select(col(idCol), col("__pos"))
     // batch face: windows repeated within the new batch itself (same
     // window DataFrame definition as the probe — one windowing spec, two
-    // plan branches)
-    val batchHits = repeatedWindowRowsFromWins(wins.drop("__wh2"))
+    // plan branches). cacheCand=false: this body runs per STREAMING batch
+    // (StreamingDedup.repeatedSpansBatchFn) and must not register cache
+    // entries per batch — the batch side is small by design, recompute is
+    // the contract.
+    val batchHits = repeatedWindowRowsFromWins(wins.drop("__wh2"), cacheCand = false)
       .select(col(idCol), col("__pos"))
     mergeSpanPositions(storedHits.union(batchHits).distinct(), idCol, minTokens)
   }
