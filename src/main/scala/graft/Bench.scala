@@ -132,6 +132,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // codegen class cache sized for a many-operator pipeline (default 100
+      // entries thrashes: one heavy query generates ~100+ classes, so every
+      // execution recompiled them and each Janino compile serializes all
+      // concurrent tasks of the stage on the compile-cache KeyLock -- 32-
+      // thread dumps read ~19/32 task threads BLOCKED there; see
+      // OPTIMIZATION_r22.md)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.BboxFastPath.install(spark)

@@ -22,12 +22,18 @@ object CoreScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // =cpus, NOT the recipe's 2-3x: measured at 256x/32c, 3x partitions
+      // inflated summed task time 364->1509 s (more map-side shuffle files
+      // per task and 3x the blocks through the single local BlockManager)
+      // and wall 21->60 s — the recipe's sizing is for a CLUSTER where the
+      // block count spreads over many executor JVMs
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.BboxFastPath.install(spark)
@@ -53,14 +59,41 @@ object CoreScale {
         graft.ops.Dedup.embeddingPairs(embs(), "vec_id", "embedding",
           planes = 192, bands = 48, threshold = 0.45)))
 
+    // measurement-only listener: per-op stage/task counts, summed executor
+    // run time, GC time and the largest single task — tells whether a flat
+    // 8c→32c ratio is idle executors (few/skewed tasks, stage floor) or
+    // per-task inflation (GC, memory bandwidth) (guide §7.1 posture)
+    val stats = new java.util.concurrent.atomic.AtomicReference(
+      (0, 0, 0L, 0L, 0L)) // stages, tasks, taskTimeMs, gcMs, maxTaskMs
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        stats.updateAndGet { case (s, t, tt, gc, mx) =>
+          (s + 1, t + e.stageInfo.numTasks, tt + m.executorRunTime,
+            gc + m.jvmGCTime, mx) }
+      }
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = if (e.taskMetrics != null) e.taskMetrics.executorRunTime else 0L
+        stats.updateAndGet { case (s, t, tt, gc, mx) =>
+          (s, t, tt, gc, math.max(mx, d)) }
+      }
+    })
     val results = ops.map { case (name, fn) =>
       spark.sparkContext.setJobDescription(s"core_scale: $name x$mult")
       Bench.fullCount(fn()) // warmup (codegen; scratch caches hot like Bench)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).map { i =>
+        if (i == 2) stats.set((0, 0, 0L, 0L, 0L)) // profile the LAST rep only
         val t0 = System.nanoTime()
         Bench.fullCount(fn())
         (System.nanoTime() - t0) / 1e9
       }
+      val (st, tk, tt, gc, mx) = stats.get()
+      System.err.println(f"[core_scale] $name: stages=$st tasks=$tk " +
+        f"taskTime=${tt / 1000.0}%.1fs gc=${gc / 1000.0}%.1fs " +
+        f"maxTask=${mx / 1000.0}%.1fs wallLast=${times.last}%.1fs " +
+        f"cpuOcc=${tt / 1000.0 / math.max(times.last, 1e-9) }%.1f")
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       name -> times.min

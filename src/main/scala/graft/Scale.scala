@@ -21,7 +21,42 @@ object Scale {
   }
 
   /** Hand-maintained prose sections preserved across regeneration. */
-  private val StaticSections: String = "\n" + """## 100 TB cluster conf recipe
+  private val StaticSections: String = "\n" + """## Core-count scaling (CoreScale harness, r22)
+
+`runMain graft.CoreScale <mult>` times the four heavy operator shapes
+(minhashPairs, jaccardPairsExact, repeatedSpans, embeddingPairs at the
+q65 low-threshold banding) at a replication multiple under
+`local[$SPARK_GRAFT_CPUS]` — best of 2 reps after a warmup, with a
+per-op stage/task/taskTime listener. Measured on the 32-core bench host
+(1 thread/core, fixed 24 GB heap at both core counts):
+
+| op | mult | 8c s | 32c s | 32c/8c speedup |
+|---|---|---|---|---|
+| minhash_pairs | 64 | 17.91 | 9.75 | 1.8x |
+| jaccard_exact | 64 | 12.88 | 9.96 | 1.3x |
+| repeated_spans | 64 | 10.05 | 5.16 | 1.9x |
+| embedding_pairs | 64 | 12.08 | 12.11 | 1.0x |
+| minhash_pairs | 256 | 38.32 | 21.06 | 1.8x |
+| jaccard_exact | 256 | 33.99 | 18.33 | 1.9x |
+| repeated_spans | 256 | 32.05 | 16.21 | 2.0x |
+| embedding_pairs | 256 | 40.88 | 29.24 | 1.4x |
+
+These ratios are AFTER fixing the dominant scaling bug (the 100-entry
+codegen class cache, below — before the fix the 64x ratios were
+1.0–1.5x and summed task time inflated 2–4.5x at 32 threads from tasks
+blocking on the compile-cache KeyLock). What still caps one-JVM scaling,
+from thread dumps: serial driver planning between AQE stages (all task
+threads park while one thread runs Analyzer/RuleExecutor), 32 finishing
+map tasks serializing on the per-JVM IndexShuffleBlockResolver commit
+lock, and allocator contention from 32 concurrent explode-heavy tasks
+sharing one heap. All three are single-JVM local-mode artifacts; a
+cluster runs many 4-8-core executor JVMs, which is the deployment shape
+the conf recipe below assumes. embedding_pairs is driver-planning-bound
+end to end at these sizes (its 33 AQE stages re-plan between every
+stage; task occupancy is <40% even at 8 cores), so its wall is nearly
+constant in core count by construction.
+
+## 100 TB cluster conf recipe
 
 The engine's mains (Bench/Verify/Scale) set these explicitly; a cluster
 deployment should carry them over and scale the sizes:
@@ -32,8 +67,20 @@ spark.sql.adaptive.skewJoin.enabled=true         # split hot partitions
 spark.sql.adaptive.advisoryPartitionSizeInBytes=64m
 spark.sql.shuffle.partitions=<2-3x total executor cores>
 spark.sql.files.maxPartitionBytes=128m           # scan-side task sizing
+spark.sql.codegen.cache.maxEntries=5000          # see below
 spark.sql.extensions=graft.plans.GraftExtensions # bbox scan pushdown rule
 ```
+
+`codegen.cache.maxEntries`: the default 100-entry generated-class cache
+thrashes on a many-operator pipeline (one heavy pair-join query alone
+generates ~100+ codegen'd classes), so classes recompile on every
+execution — and each Janino compile serializes every concurrent task of
+its stage on the compile-cache KeyLock (32-thread dumps on the r22 bench
+host read ~19/32 task threads BLOCKED there; raising the bound cut the
+repeated-spans operator 9.3→5.2 s at 64x replication). The cache is
+per-executor-JVM and class objects are small; 5000 entries is a few
+hundred MB of metaspace at worst and right-sizes it for a pipeline that
+runs hundreds of distinct operators per session.
 
 Why it matters here specifically: the grid spatial join shuffles on a
 spatial CELL key, and real-world geometry is never uniform — one urban
@@ -103,6 +150,8 @@ where distinct sigs << rows) sits far below it.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // default-100 codegen cache thrashes on many-operator plans (Bench note)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.BboxFastPath.install(spark)

@@ -36,6 +36,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // default-100 codegen cache thrashes on many-operator plans (Bench note)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     // optional scheduler-level overrides, e.g. the speculation soak:
     //   SPARK_GRAFT_EXTRA_CONF="spark.speculation=true,spark.speculation.quantile=0.5"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap(parseExtraConf)
