@@ -561,11 +561,15 @@ object SparkEntry {
       val b = boxes(s, d).filter(col("l_orderkey") % 25 === 4)
       val hole = st_makebox(col("ax0") + lit(0.25), col("ay0") + lit(0.25),
         col("ax0") + lit(0.75), col("ay0") + lit(0.75))
-      val poly = when(col("l_orderkey") % 2 === 0,
-        st_difference(col("box_a"), hole)).otherwise(col("box_a"))
-      b.select(col("l_orderkey"), col("l_linenumber"),
-        st_n_interior_rings(poly).as("n_holes"),
-        round(st_area(poly), 6).as("area"))
+      // st_eval_once + a named column: poly feeds BOTH output columns; as a
+      // bare Column expression it was cloned into each consumer at
+      // construction time, and the fence stops CollapseProject re-inlining
+      // the named column — the JTS difference ran twice per row (§4.4)
+      b.withColumn("__poly", st_eval_once(when(col("l_orderkey") % 2 === 0,
+          st_difference(col("box_a"), hole)).otherwise(col("box_a"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          st_n_interior_rings(col("__poly")).as("n_holes"),
+          round(st_area(col("__poly")), 6).as("area"))
     }),
     "q45_reverse_wkt" -> ((s, d) => supLines(s, d)
       .select(col("s_suppkey"), st_astext(st_reverse(col("line"))).as("wkt"))),
@@ -1150,10 +1154,13 @@ object SparkEntry {
         .withColumn("sq", (col("n_nationkey") % 5 + 1).cast("double"))
         .withColumn("mic", stMaxInscribedCircleU(
           st_makebox(lit(0.0), lit(0.0), col("sq"), col("sq")), lit(1e-7)))
-      n.select(col("n_nationkey"),
-        round(st_x(st_interpolate(col("mic"), lit(0.0), lit(false))), 6).as("cx"),
-        round(st_y(st_interpolate(col("mic"), lit(0.0), lit(false))), 6).as("cy"),
-        round(st_length(col("mic")), 6).as("r"))
+      // st_eval_once: the interpolated center point feeds cx AND cy;
+      // unfenced, the interpolate UDF ran twice per row (§4.4)
+      n.withColumn("__ctr", st_eval_once(st_interpolate(col("mic"), lit(0.0), lit(false))))
+        .select(col("n_nationkey"),
+          round(st_x(col("__ctr")), 6).as("cx"),
+          round(st_y(col("__ctr")), 6).as("cy"),
+          round(st_length(col("mic")), 6).as("r"))
     }),
     "q94_min_clearance" -> ((s, d) => {
       // ref base.py:1914/1945 (minimum_clearance + line): for an axis-aligned

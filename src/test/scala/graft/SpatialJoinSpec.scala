@@ -396,6 +396,22 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a.toSeq == Seq(4.0))
   }
 
+  test("clip UDF evaluates once per row: the isNotNull filter must not inline it") {
+    // the clip UDF (WKB decode + JTS clip) is referenced by the projection
+    // AND the not-null filter; deterministic, CollapseProject/PushDown
+    // inlined it into both, so every row paid the decode+clip twice (q40's
+    // r22 plan read `Filter isnotnull(UDF(...))` under `Project UDF(...)`).
+    // The nondeterministic fence pins a SINGLE UDF( occurrence in the plan.
+    // repartition keeps the input out of ConvertToLocalRelation's reach so
+    // the projection/filter actually appear in the physical plan
+    val polys = squares("id", (0, 0, 4, 4), (10, 10, 12, 12)).repartition(2)
+    val clipped = graft.join.Clip.clipByRect(polys, 1, 1, 3, 3)
+    val plan = clipped.queryExecution.executedPlan.toString
+    val n = "UDF\\(".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one clip-UDF evaluation in the plan, got $n:\n$plan")
+    assert(clipped.select(st_area(col("geometry"))).as[Double].collect().toSeq == Seq(4.0))
+  }
+
   test("AQE splits a skewed grid-join cell and the join stays correct") {
     // one grid cell holds ~98% of the points (a city-block hot spot) — the
     // shape that melts a static partitioning at 100 TB. With skew-join on
